@@ -1,24 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line with per-query wall-clock seconds.
+  *
+  * Headline set: one representative per operator family (scan+agg, star
+  * join, anti join, window, top-k, period rollup, minhash, jaccard pairs,
+  * cosine pairs, ANN, text quality, sessionize) — the queries whose cost
+  * profile matters at scale.
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary",
+    "q03_star_join_revenue",
+    "q05_anti_join_orders",
+    "q10_latest_event_per_user",
+    "q11_running_totals",
+    "q14_topk_lineitems",
+    "q16_period_rollup",
+    "q21_minhash_lsh_pairs",
+    "q22_jaccard_pairs_topk",
+    "q24_cosine_pairs_topk",
+    "q25_ann_bruteforce_topk",
+    "q26_ann_lsh_topk",
+    "q28_quality_scores",
+    "q32_sessionize")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

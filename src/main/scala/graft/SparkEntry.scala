@@ -1,13 +1,838 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.enrich.Enrich
+import graft.idempotent.Idempotent
+import graft.normalize.Normalize
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — one named query per operator in SURVEY.md §2 plus the
+  * training-data extension ops, each with a DuckDB oracle in [[oracleSql]].
+  *
+  * Determinism rules (the driver hash-compares Spark vs DuckDB output):
+  *  - every query ends in a total ORDER BY (oracle uses NULLS FIRST to match
+  *    Spark's asc default);
+  *  - double SUMs go through DECIMAL (exact, partition-order-independent)
+  *    and are cast back to DOUBLE, identically on both sides;
+  *  - column names and types are aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact, order-independent sum of a double column: accumulate in decimal,
+    * present as double. Oracle side: CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
+    */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  private def davg(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(lit(1))
+
+  // ————————————————————————————————————————————————————————————— flagship
+
+  /** Flagship (EP1 restatement, SURVEY.md §3): normalize → derive reference
+    * period → broadcast-enrich with a dim → anti-join already-loaded keys →
+    * hierarchical rollup. Driver smoke-checks rows > 0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val rawFacts = t(spark, dir, "lineitem")
+    // normalize: conditional renames over a messy-header source (P2/P3)
+    val facts = Normalize.renamePresent(rawFacts, Map(
+      "l_quantity" -> "quantidade", "l_extendedprice" -> "preco"))
+    val withPeriod = Normalize.withDerivedPeriod(facts, col("l_shipdate"))
+    // enrich: broadcast left join against a small dimension (J1)
+    val dim = t(spark, dir, "part")
+    val enriched = Enrich.broadcastLeftJoin(withPeriod, dim,
+      col("l_partkey").cast("string"), col("p_partkey").cast("string"),
+      Map("marca" -> col("p_brand")))
+    // idempotency: drop keys already in "history" (J2) — here, months < 1996
+    val history = withPeriod.filter(col("ano_ref") < 1996)
+      .select("ano_ref", "mes_ref").distinct()
+    val fresh = Idempotent.newRows(enriched, history, Seq("ano_ref", "mes_ref"))
+    // hierarchical rollup (A3): measures at every prefix of period → brand
+    fresh.rollup(col("ano_ref"), col("mes_ref"), col("marca"))
+      .agg(dsum(col("quantidade")).as("sum_qtd"),
+        dsum(col("preco")).as("sum_preco"),
+        count(lit(1)).as("n"))
+      .orderBy(col("ano_ref").asc_nulls_first, col("mes_ref").asc_nulls_first,
+        col("marca").asc_nulls_first)
+  }
+
+  // ——————————————————————————————————————————————— core relational queries
+
+  /** A: filtered groupBy aggregate (TPC-H Q1 shape). */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** P: predicate + projection pushed to the parquet scan. */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** J: star join — facts join two small broadcast dims + mid-size orders. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 6)
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** J1+F5: left-join enrichment with Indefinido fill (pipeline.py:96-111). */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("c_name"), lit("Indefinido")).as("cust_name"),
+        coalesce(col("c_mktsegment"), lit("Indefinido")).as("mktsegment"))
+      .orderBy("o_orderkey")
+
+  /** J2: anti join — orders with no lineitems. */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** J3: semi join — suppliers with at least one large-quantity lineitem. */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_suppkey").as("s_suppkey")), Seq("s_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+
+  /** A1: distinct projection. */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select("c_nationkey", "c_mktsegment").distinct()
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** A3: rollup with grouping_id — the hierarchy shape of the reference's
+    * consolidado CSV (SURVEY.md §1.4).
+    */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .rollup(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        dsum(col("c_acctbal")).as("sum_acctbal"),
+        grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("c_mktsegment"), lit("(all)")).as("mktsegment"),
+        coalesce(col("c_nationkey"), lit(-1)).as("nationkey"),
+        col("n_cust"), col("sum_acctbal"), col("gid"))
+      .orderBy("gid", "mktsegment", "nationkey")
+
+  /** A3: cube. */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_total"))
+      .select(coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("n_orders"), col("sum_total"))
+      .orderBy("priority", "status")
+
+  /** §2.6: dedup-to-latest — newest event per user (window row_number). */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Idempotent.latestPerKey(t(s, dir, "events"),
+      Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+
+  /** Window: running per-user totals + row numbering. */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .select("user_id", "event_id", "rn", "running_value")
+      .orderBy("user_id", "rn")
+  }
+
+  /** Set op: distinct union. */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** Set op: except (distinct) — orderkeys never shipped. */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey").as("orderkey"))
+      .except(t(s, dir, "lineitem").select(col("l_orderkey").as("orderkey")))
+      .orderBy("orderkey")
+
+  /** Top-k: global order + limit. */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** S1+F11+F3: sanitize (scrub quoted INF/NaN) → extract → cast-or-null →
+    * fill — the "Leitura Blindada" semantics over the events props column.
+    */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("clean",
+        regexp_replace(col("props"), "\"(-?INF|NaN)\"", "null"))
+      .select(col("event_id"),
+        coalesce(
+          regexp_extract(col("clean"), "\"k\":\\s*(-?\\d+)", 1).try_cast("long"),
+          lit(-1L)).as("k_val"))
+      .orderBy("event_id")
+
+  /** P6+F9: reference-period derivation from event time + period aggregate. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Normalize.withDerivedPeriod(t(s, dir, "lineitem"), col("l_shipdate"))
+      // serialize the date as ISO text so the oracle compare is
+      // representation-independent (DATE readers disagree on unit)
+      .withColumn("data_competencia",
+        date_format(col("data_competencia"), "yyyy-MM-dd"))
+      .groupBy(col("ano_ref"), col("mes_ref"), col("data_competencia"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy("ano_ref", "mes_ref")
+
+  /** A3 generalization: explicit grouping sets (SQL surface). */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT coalesce(r_name, '(all)') AS region_name,
+             coalesce(n_name, '(all)') AS nation_name,
+             count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+      ORDER BY region_name, nation_name""")
+  }
+
+  /** J2+O4 end-to-end: incremental anti-join — events after the cutoff whose
+    * (user, type) key never appeared before it (dags/etl_municipios.py:138-142).
+    */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cutoff = to_timestamp(lit("2024-01-10"))
+    val history = ev.filter(col("ts") < cutoff)
+      .select("user_id", "event_type").distinct()
+    Idempotent.newRows(ev.filter(col("ts") >= cutoff), history,
+      Seq("user_id", "event_type"))
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  /** Schema conform (§1.3): coerce to a fixed target StructType — missing
+    * cols as typed defaults, try_cast + fill on the rest.
+    */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("missing_col", LongType)))
+    Normalize.conform(t(s, dir, "events"), target).orderBy("event_id")
+  }
+
+  // ———————————————————————————————————————————— training-data extension ops
+
+  /** Dedup 1: exact content-hash dedup. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByHash(t(s, dir, "documents"), col("text"), col("doc_id"))
+      .orderBy("keep_id")
+
+  /** Dedup 2: MinHash + LSH near-dup pairs with exact-Jaccard verification.
+    * Portable md5 minhash family (min over md5("seed|shingle")) so the
+    * DuckDB oracle computes the identical signature.
+    */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val bands = 4; val rows = 4
+    // cached: referenced by the signature pipeline and both verify joins
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    // 16 hash functions from 4 md5 evaluations per shingle: seed-prefixed
+    // md5, then four independent 8-hex-char (32-bit) chunks of each digest
+    // (lexicographic min ≡ numeric min on fixed-width hex). Computed
+    // relationally — explode shingles, md5 as plain codegen'd columns,
+    // min-aggregate per doc — so digests are evaluated once each and the
+    // minima partial-aggregate map-side.
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("x"))
+    val hashed = exploded.select(col("doc_id") +:
+      (0 until bands).map(sd => md5(concat(lit(s"$sd|"), col("x"))).as(s"m$sd")): _*)
+    val minCols = for { sd <- 0 until bands; j <- 0 until rows }
+      yield min(substring(col(s"m$sd"), j * 8 + 1, 8)).as(s"s${sd * rows + j}")
+    val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        md5(concat_ws("|", (b * rows until (b + 1) * rows)
+          .map(k => col(s"s$k")): _*)).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .cache() // tiny (docs × bands rows); self-joined below
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Dedup 3: exact n-gram Jaccard top-100 pairs, blocked by (lang, source). */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+      Seq(col("lang"), col("source")))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(100)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** Dedup 4: SimHash (xxhash64-based — no SQL oracle; verified in tests). */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  /** Dedup 5: embedding-cosine top-100 pairs within label blocks. */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Dedup.cosineNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), Seq(col("label")), minCosine = -1.0)
+      .orderBy(round(col("cosine"), 6).desc, col("id_a"), col("id_b"))
+      .limit(100)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+
+  /** Similarity 1: brute-force cosine top-5 per query vector. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 5)
+      .select(col("query_id"), col("item_id"), col("rank").cast("long").as("rank"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Similarity 2: LSH-bucketed ANN (sign-bit hyperplanes) — the scale path. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(
+      e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 5)
+      .select(col("query_id"), col("item_id"), col("rank").cast("long").as("rank"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.detectLanguage(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  /** Text 2: per-document quality features + composite score. */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val f = TextAnalysis.qualityFeatures(text)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(text).cast("long").as("n_tokens"),
+      TextAnalysis.subwordCount(text).cast("long").as("n_subwords"),
+      round(f("distinct_ratio"), 4).as("distinct_ratio"),
+      round(f("mean_token_len"), 4).as("mean_token_len"),
+      round(f("alpha_ratio"), 4).as("alpha_ratio"),
+      round(TextAnalysis.qualityScore(text), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Text 3: token statistics by language. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("nt"),
+        TextAnalysis.subwordCount(col("text")).as("ns"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("total_tokens"),
+        (sum(col("nt")).cast("double") / count(lit(1))).as("avg_tokens"),
+        sum(col("ns")).cast("long").as("total_subwords"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        round(col("avg_tokens"), 4).as("avg_tokens"), col("total_subwords"))
+      .orderBy("lang")
+
+  /** Text 4: order-insensitive bag-of-words fingerprint per document. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Streaming shape (batch-equivalent): hourly tumbling-window aggregates.
+    * The streaming variant (watermark + window) lives in
+    * [[graft.streaming.Streaming.windowedCounts]]; this is its exact batch
+    * restatement used for the oracle.
+    */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+
+  /** Sessionization: 30-minute-gap sessions per user (lag + running sum). */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("session_events")).cast("long").as("n_events"),
+        max(col("session_events")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  /** Multimodal 1: opaque-binary asset plumbing — payload + typed metadata. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("modality",
+      when(pmod(col("doc_id"), lit(3)) === 0, "image")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+        .otherwise("video"))
+    Multimodal.fromText(docs, "doc_id", "text", "source")
+      .select(col("asset_id"), col("modality"), col("meta.source").as("source"),
+        col("meta.byte_len").as("byte_len"),
+        col("meta.content_hash").as("content_hash"))
+      // recover modality from the id (fromText stamps a constant)
+      .withColumn("modality",
+        when(pmod(col("asset_id"), lit(3)) === 0, "image")
+          .when(pmod(col("asset_id"), lit(3)) === 1, "audio")
+          .otherwise("video"))
+      .orderBy("asset_id")
+  }
+
+  /** Multimodal 2: frame sampling for video assets (Generator/UDTF shape). */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .withColumn("byte_len", octet_length(encode(col("text"), "UTF-8")).cast("long"))
+      .withColumn("n_frames",
+        least(floor(col("byte_len") / lit(64.0d)).cast("long") + 1L, lit(40L)))
+      .select(col("doc_id").as("asset_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(10L))).as("frame_idx"))
+      .orderBy("asset_id", "frame_idx")
+
+  /** Multimodal 3: stubbed codec decode via mapPartitions (no SQL oracle —
+    * the batch plumbing is the product; codec is a deterministic fake).
+    */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("modality", lit("image"))
+    val decoded = Multimodal.decode(Multimodal.fromText(docs, "doc_id", "text", "source"))
+    Multimodal.imageStats(decoded)
+      .select("asset_id", "width", "height", "channels", "aspect", "needs_resize", "pixels")
+      .orderBy("asset_id")
+  }
+
+  // ————————————————————————————————————————————————————————— the contract
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01 _,
+    "q02_filter_pushdown" -> q02 _,
+    "q03_star_join_revenue" -> q03 _,
+    "q04_left_join_enrich" -> q04 _,
+    "q05_anti_join_orders" -> q05 _,
+    "q06_semi_join_suppliers" -> q06 _,
+    "q07_distinct_segments" -> q07 _,
+    "q08_rollup_acctbal" -> q08 _,
+    "q09_cube_orders" -> q09 _,
+    "q10_latest_event_per_user" -> q10 _,
+    "q11_running_totals" -> q11 _,
+    "q12_union_nationkeys" -> q12 _,
+    "q13_except_orderkeys" -> q13 _,
+    "q14_topk_lineitems" -> q14 _,
+    "q15_sanitize_extract" -> q15 _,
+    "q16_period_rollup" -> q16 _,
+    "q17_grouping_sets" -> q17 _,
+    "q18_incremental_antijoin" -> q18 _,
+    "q19_conform_schema" -> q19 _,
+    "q20_dedup_exact" -> q20 _,
+    "q21_minhash_lsh_pairs" -> q21 _,
+    "q22_jaccard_pairs_topk" -> q22 _,
+    "q23_simhash" -> q23 _,
+    "q24_cosine_pairs_topk" -> q24 _,
+    "q25_ann_bruteforce_topk" -> q25 _,
+    "q26_ann_lsh_topk" -> q26 _,
+    "q27_lang_detect" -> q27 _,
+    "q28_quality_scores" -> q28 _,
+    "q29_token_stats_by_lang" -> q29 _,
+    "q30_fingerprint" -> q30 _,
+    "q31_stream_window_hourly" -> q31 _,
+    "q32_sessionize" -> q32 _,
+    "q33_asset_metadata" -> q33 _,
+    "q34_frame_sample" -> q34 _,
+    "q35_decode_stats" -> q35 _)
+
+  // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
+  // determinism rules at the top of this object.
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_pushdown" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      ORDER BY l_orderkey, l_linenumber""",
+    "q03_star_join_revenue" -> """
+      SELECT r_name, n_name,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        count(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q04_left_join_enrich" -> """
+      SELECT o_orderkey, o_totalprice,
+        coalesce(c_name, 'Indefinido') AS cust_name,
+        coalesce(c_mktsegment, 'Indefinido') AS mktsegment
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""",
+    "q05_anti_join_orders" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      ORDER BY o_orderkey""",
+    "q06_semi_join_suppliers" -> """
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+      ORDER BY s_suppkey""",
+    "q07_distinct_segments" -> """
+      SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+      ORDER BY c_nationkey, c_mktsegment""",
+    "q08_rollup_acctbal" -> """
+      SELECT coalesce(c_mktsegment, '(all)') AS mktsegment,
+        coalesce(c_nationkey, -1) AS nationkey,
+        count(*) AS n_cust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
+        CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+      FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+      ORDER BY gid, mktsegment, nationkey""",
+    "q09_cube_orders" -> """
+      SELECT coalesce(o_orderpriority, '(all)') AS priority,
+        coalesce(o_orderstatus, '(all)') AS status,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+      FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      ORDER BY priority, status""",
+    "q10_latest_event_per_user" -> """
+      SELECT user_id, event_id, event_type, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
+      ORDER BY user_id""",
+    "q11_running_totals" -> """
+      SELECT user_id, event_id,
+        CAST(row_number() OVER w AS BIGINT) AS rn,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+          ORDER BY CAST(ts AS TIMESTAMP), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      ORDER BY user_id, rn""",
+    "q12_union_nationkeys" -> """
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "q13_except_orderkeys" -> """
+      SELECT o_orderkey AS orderkey FROM orders
+      EXCEPT SELECT l_orderkey FROM lineitem ORDER BY orderkey""",
+    "q14_topk_lineitems" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+    "q15_sanitize_extract" -> """
+      SELECT event_id,
+        coalesce(TRY_CAST(regexp_extract(
+          regexp_replace(props, '"(-?INF|NaN)"', 'null', 'g'),
+          '"k":\s*(-?\d+)', 1) AS BIGINT), -1) AS k_val
+      FROM events ORDER BY event_id""",
+    "q16_period_rollup" -> """
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS ano_ref,
+        CAST(month(l_shipdate) AS BIGINT) AS mes_ref,
+        strftime(make_date(CAST(year(l_shipdate) AS INT), CAST(month(l_shipdate) AS INT), 1), '%Y-%m-%d') AS data_competencia,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        count(*) AS n_items
+      FROM lineitem GROUP BY 1, 2, 3 ORDER BY ano_ref, mes_ref""",
+    "q17_grouping_sets" -> """
+      SELECT coalesce(r_name, '(all)') AS region_name,
+        coalesce(n_name, '(all)') AS nation_name,
+        count(*) AS n_cust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+      ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST""",
+    "q18_incremental_antijoin" -> """
+      SELECT event_id, user_id, event_type FROM events e
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10' AND NOT EXISTS (
+        SELECT 1 FROM events h
+        WHERE CAST(h.ts AS TIMESTAMP) < TIMESTAMP '2024-01-10'
+          AND h.user_id = e.user_id AND h.event_type = e.event_type)
+      ORDER BY event_id""",
+    "q19_conform_schema" -> """
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+        coalesce(event_type, 'Indefinido') AS event_type,
+        coalesce(TRY_CAST(value AS DOUBLE), 0.0) AS value,
+        CAST(0 AS BIGINT) AS missing_col
+      FROM events ORDER BY event_id""",
+    "q20_dedup_exact" -> """
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "q21_minhash_lsh_pairs" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)]) AS s
+        FROM toks WHERE len(tk) >= 3),
+      sig AS (
+        SELECT doc_id, s,
+          flatten([[list_min([md5(CAST(sd AS VARCHAR) || '|' || x)[j*8+1 : j*8+8]
+            for x in s]) for j in range(0, 4)] for sd in range(0, 4)]) AS sg
+        FROM sh),
+      banded AS (
+        SELECT doc_id, s, band,
+          md5(array_to_string(sg[band*4+1:band*4+4], '|')) AS bucket
+        FROM sig, range(0, 4) r(band)),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          first(a.s) AS sa, first(b.s) AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b,
+        round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE), 4) AS jaccard
+      FROM cand
+      WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b""",
+    "q22_jaccard_pairs_topk" -> """
+      WITH sh AS (
+        SELECT doc_id, lang, source,
+          list_distinct([array_to_string(tk[i:i+2], ' ')
+            for i in range(1, len(tk) - 1)]) AS s
+        FROM (SELECT doc_id, lang, source,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents)
+        WHERE len(tk) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs
+      ORDER BY j DESC, id_a, id_b LIMIT 100""",
+    "q24_cosine_pairs_topk" -> """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        CAST(b.embedding AS DOUBLE[])), 6) DESC, id_a, id_b
+      LIMIT 100""",
+    "q25_ann_bruteforce_topk" -> """
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+            CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10)
+      SELECT query_id, item_id,
+        CAST(row_number() OVER w AS BIGINT) AS rank, round(cos, 4) AS cosine
+      FROM scored
+      WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC, item_id)
+      QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q26_ann_lsh_topk" -> """
+      WITH b AS (
+        SELECT vec_id, embedding,
+          (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END +
+           CASE WHEN embedding[9] >= 0 THEN 2 ELSE 0 END +
+           CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END +
+           CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END +
+           CASE WHEN embedding[33] >= 0 THEN 16 ELSE 0 END) AS bucket
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+            CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+        WHERE q.vec_id < 10)
+      SELECT query_id, item_id,
+        CAST(row_number() OVER w AS BIGINT) AS rank, round(cos, 4) AS cosine
+      FROM scored
+      WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC, item_id)
+      QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q27_lang_detect" -> """
+      WITH sc AS (
+        SELECT lang,
+          len(list_filter(tk, t -> t IN ('the','a','of','and','to'))) AS s_en,
+          len(list_filter(tk, t -> t IN ('el','la','de','que','y'))) AS s_es,
+          len(list_filter(tk, t -> t IN ('le','la','de','et','un'))) AS s_fr,
+          len(list_filter(tk, t -> t IN ('der','die','und','das','ein'))) AS s_de,
+          len(list_filter(tk, t -> t IN ('的','了','是','我','不'))) AS s_zh
+        FROM (SELECT lang,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents)),
+      pred AS (
+        SELECT lang, CASE
+          WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_en > 0 THEN 'en'
+          WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_es > 0 THEN 'es'
+          WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+          WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_de > 0 THEN 'de'
+          WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_zh > 0 THEN 'zh'
+          ELSE 'und' END AS lang_pred
+        FROM sc)
+      SELECT lang, lang_pred, count(*) AS n FROM pred
+      GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
+    "q28_quality_scores" -> """
+      WITH f AS (
+        SELECT doc_id,
+          CAST(len(tk) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+          CAST(len(text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS nsw
+        FROM (SELECT doc_id, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents))
+      SELECT doc_id,
+        CAST(nt AS BIGINT) AS n_tokens,
+        CAST(nsw AS BIGINT) AS n_subwords,
+        round(nd / nullif(nt, 0.0), 4) AS distinct_ratio,
+        round((chars - (nt - 1)) / nullif(nt, 0.0), 4) AS mean_token_len,
+        round(alpha / nullif(chars, 0.0), 4) AS alpha_ratio,
+        round(least(greatest(
+          0.4 * least(nt / 50.0, 1.0) +
+          0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+          0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 4) AS quality
+      FROM f ORDER BY doc_id""",
+    "q29_token_stats_by_lang" -> """
+      WITH f AS (
+        SELECT lang,
+          len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS ns
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(nt) AS BIGINT) AS total_tokens,
+        round(CAST(sum(nt) AS DOUBLE) / count(*), 4) AS avg_tokens,
+        CAST(sum(ns) AS BIGINT) AS total_subwords
+      FROM f GROUP BY lang ORDER BY lang""",
+    "q30_fingerprint" -> """
+      SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+      FROM documents ORDER BY doc_id""",
+    "q31_stream_window_hourly" -> """
+      SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
+        event_type, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""",
+    "q32_sessionize" -> """
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+            (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        FROM events),
+      m AS (
+        SELECT user_id, event_id, us,
+          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM g),
+      sess AS (
+        SELECT user_id,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM m),
+      per_sess AS (
+        SELECT user_id, session_id, count(*) AS session_events
+        FROM sess GROUP BY user_id, session_id)
+      SELECT user_id, count(*) AS n_sessions,
+        CAST(sum(session_events) AS BIGINT) AS n_events,
+        max(session_events) AS max_session_events
+      FROM per_sess GROUP BY user_id ORDER BY user_id""",
+    "q33_asset_metadata" -> """
+      SELECT doc_id AS asset_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        source, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        md5(text) AS content_hash
+      FROM documents ORDER BY asset_id""",
+    "q34_frame_sample" -> """
+      WITH v AS (
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        FROM documents WHERE doc_id % 3 = 2),
+      f AS (
+        SELECT doc_id, least(CAST(floor(byte_len / 64.0) AS BIGINT) + 1, 40) AS n_frames
+        FROM v)
+      SELECT doc_id AS asset_id, CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx
+      FROM f ORDER BY asset_id, frame_idx""")
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's synthetic TPC-H-ish tables (TESTDATA.md).
+  *
+  * All operator queries take a scale-factor directory and read the parquet
+  * tables lazily so Catalyst can push filters/projections into the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read a table. The `events` table carries nanosecond parquet timestamps,
+    * which Spark only reads via `spark.sql.legacy.parquet.nanosAsLong`; we
+    * convert ns→µs with floor division (`div`), matching DuckDB's
+    * `CAST(ts AS TIMESTAMP)` truncation so oracle comparisons align.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  /** Register every table as a temp view so `spark.sql` queries mirror the
+    * DuckDB oracle SQL one-to-one (same table names, same ANSI SQL).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Session factory with the settings this engine assumes everywhere:
+  * UTC, AQE on, shuffle partitions sized to the local core count (not the
+  * 200 default, which over-partitions local[32] runs — on a real cluster
+  * this would instead be sized to ~2-3x total executor cores).
+  */
+object Sessions {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,57 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Enrichment joins (SURVEY.md §2.4 J1 + §2.10 O5).
+  *
+  * The reference enriches facts with an IBGE municipality code through a
+  * left join on a normalized key (`lower(strip(municipio))`,
+  * pipeline.py:96-106), falling back to `codigo_ibge = 0` when enrichment
+  * fails (pipeline.py:107-111).
+  *
+  * Spark-first: the dimension side (~645 municipalities; generally any
+  * dimension orders of magnitude smaller than the fact table) is broadcast,
+  * so at 100 TB the fact table never shuffles for this join.
+  */
+object Enrich {
+
+  /** F1+F2 normalized join key. */
+  def normKey(c: Column): Column = lower(trim(c))
+
+  /** J1: left-join `facts` with a small `dim` on a normalized string key.
+    *
+    * @param factKey   fact-side column holding the raw key
+    * @param dimKey    dim-side column holding the raw key
+    * @param payload   dim-side columns to carry over (renamed as given)
+    */
+  def broadcastLeftJoin(facts: DataFrame, dim: DataFrame,
+                        factKey: Column, dimKey: Column,
+                        payload: Map[String, Column]): DataFrame = {
+    val dimSide = dim.select(
+      (normKey(dimKey).as("__join_key") +:
+        payload.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }): _*)
+    facts
+      .withColumn("__join_key", normKey(factKey))
+      .join(broadcast(dimSide), Seq("__join_key"), "left")
+      .drop("__join_key")
+  }
+
+  /** J1+O5: codigo_ibge enrichment with the reference's graceful fallback —
+    * unmatched (or entirely failed) lookups get `codigo_ibge = 0`
+    * (pipeline.py:107-111).
+    */
+  def withCodigoIbge(facts: DataFrame, dim: DataFrame,
+                     factKey: Column, dimKey: Column,
+                     dimCode: Column): DataFrame = {
+    val joined =
+      try broadcastLeftJoin(facts, dim, factKey, dimKey,
+        Map("__codigo_ibge_tmp" -> dimCode))
+      catch { case scala.util.control.NonFatal(_) =>
+        facts.withColumn("__codigo_ibge_tmp", lit(null).cast("long")) }
+    joined
+      .withColumn("codigo_ibge",
+        coalesce(col("__codigo_ibge_tmp").try_cast("long"), lit(0L)))
+      .drop("__codigo_ibge_tmp")
+  }
+}

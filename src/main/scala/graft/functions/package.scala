@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared by the dedup / similarity / text ops.
+  *
+  * Everything here composes built-in (codegen'd) higher-order functions —
+  * no UDFs — so the expressions stay inside whole-stage codegen and
+  * Catalyst can prune/push around them.
+  */
+package object functions {
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]` for n=3. Returns an
+    * empty array when the document is shorter than n tokens.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Distinct shingle set (order-insensitive) for set-similarity measures. */
+  def shingleSet(text: Column, n: Int = 3): Column =
+    array_distinct(wordShingles(text, n))
+
+  /** Jaccard similarity of two array columns (exact, via set ops). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    inter / nullif(union, lit(0.0d))
+  }
+
+  /** Cast a float array to double for stable numeric accumulation. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product of two numeric array columns, accumulated in double,
+    * left-to-right (deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** L2 norm of a numeric array column. */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two numeric array columns; null when either side
+    * has zero norm (instead of a divide-by-zero).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0d))
+
+  /** Deterministic per-seed MinHash value over an array of 64-bit element
+    * hashes: `min((A_seed * h + B_seed))` with odd multipliers — a standard
+    * tabulation-free universal-hash family over the full i64 ring (overflow
+    * wraps, which is fine for min-comparison as long as both sides agree).
+    */
+  def minhash(elementHashes: Column, seed: Int): Column = {
+    val a = lit(2862933555777941757L + 2 * seed) // odd multiplier
+    val b = lit(3037000493L * (seed + 1))
+    coalesce(
+      array_min(transform(elementHashes, h => h * a + b)),
+      lit(Long.MaxValue))
+  }
+
+  /** MinHash signature: array of `k` minhashes over a shingle array. */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val hashes = transform(shingles, s => xxhash64(s))
+    array((0 until k).map(seed => minhash(hashes, seed)): _*)
+  }
+}

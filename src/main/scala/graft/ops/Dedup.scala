@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Five flavors, in increasing fuzziness:
+  *  - exact (hash-groupBy)
+  *  - n-gram Jaccard (exact set similarity over word shingles)
+  *  - MinHash + LSH (approximate Jaccard, scales to 100 TB: candidate
+  *    generation is a bucketed equi-join, never an all-pairs product)
+  *  - SimHash (Hamming-bucket near-dup)
+  *  - embedding-cosine near-dup
+  *
+  * All are pure DataFrame/Column compositions (no UDFs) so each stays in
+  * whole-stage codegen; every pairwise step is blocked/bucketed so the join
+  * is an equi-join Catalyst can shuffle-partition by key.
+  */
+object Dedup {
+
+  /** Spread a (possibly single-partition) input across the cluster before a
+    * compute-bound stage. Small dimension-like parquet files arrive as one
+    * partition; shingling/hashing them would otherwise run on one core —
+    * at 100 TB the same guard keeps decode/hash stages balanced.
+    */
+  private[ops] def spread(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+  }
+
+  /** Exact dedup: keep one representative (min of `idCol`) per distinct
+    * value of `on`. A single hash aggregate — at scale this is one shuffle
+    * on the (hashed) dedup key.
+    */
+  def exact(df: DataFrame, on: Column, idCol: Column,
+            carry: Seq[(String, Column)] = Nil): DataFrame = {
+    val aggs = min(idCol).as("keep_id") +:
+      carry.map { case (n, c) => min(c).as(n) }
+    df.groupBy(on.as("dedup_key"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact content-hash dedup: group by md5 of the content column; emit one
+    * row per group with the representative id and the group size.
+    */
+  def exactByHash(df: DataFrame, content: Column, idCol: Column): DataFrame =
+    df.groupBy(md5(content).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard similarity join, blocked by `blockCols` so the
+    * pair space is bounded per block (at 100 TB you always block — by
+    * source, language, length band, or an LSH bucket).
+    *
+    * Returns pairs (id_a < id_b) with their exact shingle-set Jaccard.
+    */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+                        blockCols: Seq[Column], n: Int = 3,
+                        minJaccard: Double = 0.0): DataFrame = {
+    val base = spread(df).select(
+      (blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") } :+
+        id.as("__id") :+ shingleSet(text, n).as("__sh")): _*)
+    val blockKeys = blockCols.indices.map(i => s"__b$i")
+    val a = base.toDF(base.columns.map(_ + "_a").toIndexedSeq: _*)
+    val b = base.toDF(base.columns.map(_ + "_b").toIndexedSeq: _*)
+    val joinCond = blockKeys.map(k => a(k + "_a") === b(k + "_b"))
+      .reduce(_ && _) && (a("__id_a") < b("__id_b"))
+    a.join(b, joinCond)
+      .select(col("__id_a").as("id_a"), col("__id_b").as("id_b"),
+        jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash + LSH near-dup pairs.
+    *
+    * Pipeline: shingle → k-minhash signature → split into `bands` bands →
+    * bucket on (band, hash(band slice)) → equi-join within buckets →
+    * distinct candidate pairs → verify with exact Jaccard ≥ `threshold`.
+    *
+    * The only joins are equi-joins on the band-bucket key, so candidate
+    * generation shuffles by bucket and never materializes the O(N²) pair
+    * space. Signature computation is embarrassingly parallel.
+    */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+                      numHashes: Int = 32, bands: Int = 8,
+                      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val base = spread(df)
+      .select(id.as("__id"), shingleSet(text, shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .cache() // shared by the signature pipeline and both verify joins
+    // Signature via explode + hash columns + min-aggregate: keeps the k
+    // hash evaluations in whole-stage codegen (higher-order-function
+    // lambdas are interpreted and defeat common-subexpression elimination),
+    // and the per-doc minima become one partial-aggregated shuffle.
+    val exploded = base.select(col("__id"), explode(col("__sh")).as("__x"))
+    val minCols = (0 until numHashes).map(k =>
+      min(xxhash64(lit(k), col("__x"))).as(s"__m$k"))
+    val sig = exploded.groupBy(col("__id")).agg(minCols.head, minCols.tail: _*)
+    // (id, band, bucket): bucket hashes that band's signature slice
+    val banded = sig.select(col("__id"),
+      explode(array((0 until bands).map(bd =>
+        struct(lit(bd).as("band"),
+          hash(((bd * rows) until ((bd + 1) * rows))
+            .map(k => col(s"__m$k")): _*).as("bucket"))): _*)).as("bb"))
+      .select(col("__id"), col("bb.band"), col("bb.bucket"))
+      .cache() // tiny (docs × bands rows); self-joined below
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // verify candidates with the exact Jaccard over the original shingle sets
+    candidates
+      .join(base.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit i, sum +1/-1 weighted by
+    * token-hash bit i, then take the sign. Near-dups share the same simhash
+    * (or a low Hamming distance; exact-bucket grouping shown here).
+    *
+    * Computed with 64 conditional aggregates after an explode — a single
+    * shuffle on the doc id; no UDFs.
+    */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = spread(df).select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__bit$i")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"__bit$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    sums.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash dup buckets: groups of documents sharing an identical simhash. */
+  def simhashBuckets(df: DataFrame, id: Column, text: Column): DataFrame =
+    simhash(df, id, text)
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .filter(col("n_docs") > 1)
+
+  /** Embedding-cosine near-dup pairs, blocked by `blockCols` (e.g. a cluster
+    * label or coarse LSH bucket) so the pair space stays linear-ish.
+    */
+  def cosineNearDupPairs(df: DataFrame, id: Column, vec: Column,
+                         blockCols: Seq[Column],
+                         minCosine: Double): DataFrame = {
+    val base = spread(df).select(
+      (blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") } :+
+        id.as("__id") :+ asDouble(vec).as("__v")): _*)
+    val bk = blockCols.indices.map(i => s"__b$i")
+    val a = base.toDF(base.columns.map(_ + "_a").toIndexedSeq: _*)
+    val b = base.toDF(base.columns.map(_ + "_b").toIndexedSeq: _*)
+    val cond = bk.map(k => a(k + "_a") === b(k + "_b")).reduce(_ && _) &&
+      (a("__id_a") < b("__id_b"))
+    a.join(b, cond)
+      .select(col("__id_a").as("id_a"), col("__id_b").as("id_b"),
+        cosine(col("__v_a"), col("__v_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus decode / feature-extract / frame-sample stages.
+  *
+  * The Spark-side contract is real — schema, partitioning, batch iteration
+  * shape — while the codec itself is STUBBED (this container has no image /
+  * audio libraries): `FakeCodec.decode` derives deterministic pseudo-features
+  * from the payload bytes. Swapping in a real decoder changes only that one
+  * function; everything around it (mapPartitions batching, metadata struct,
+  * repartition-by-size policy) is production shape.
+  */
+object Multimodal {
+
+  /** Canonical multimodal record: one asset per row. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("byte_len", LongType),
+      StructField("content_hash", StringType))))))
+
+  /** Wrap any (id, stringPayload, source) frame into the asset schema —
+    * the ingest adapter used over the `documents` test table (text bytes
+    * standing in for media bytes).
+    */
+  def fromText(df: DataFrame, id: String, text: String, source: String,
+               modality: String = "image"): DataFrame =
+    df.select(
+      col(id).cast("long").as("asset_id"),
+      lit(modality).as("modality"),
+      encode(col(text), "UTF-8").as("payload"),
+      struct(
+        col(source).as("source"),
+        octet_length(encode(col(text), "UTF-8")).cast("long").as("byte_len"),
+        md5(encode(col(text), "UTF-8")).as("content_hash")).as("meta"))
+
+  /** Deterministic stand-in for the real media codec. */
+  object FakeCodec {
+    /** "Decode" an image payload: width/height/channels derived from a
+      * stable hash of the bytes. A real implementation calls the codec here.
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      if (payload == null) return (0, 0, 0)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      val w = 64 + math.floorMod(h, 1856).toInt        // 64..1919
+      val hh = 64 + math.floorMod(h >> 11, 1016).toInt // 64..1079
+      (w, hh, 3)
+    }
+  }
+
+  private val decodedSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("modality", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("byte_len", LongType)))
+
+  /** Decode stage: batch-iterates each partition through the codec
+    * (mapPartitions — the Scala analogue of an arrow-batched UDF: one codec
+    * init per partition, streaming iteration, no per-row setup).
+    */
+  def decode(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(decodedSchema))
+    assets.select("asset_id", "modality", "payload").mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (w, h, c) = FakeCodec.decode(payload)
+        Row(r.getLong(0), r.getString(1), w, h, c,
+          if (payload == null) 0L else payload.length.toLong)
+      }
+    }(enc)
+  }
+
+  /** Feature-extract stage: resize policy + aspect stats, expression-only
+    * (stays in codegen); demonstrates post-decode relational processing.
+    */
+  def imageStats(decoded: DataFrame): DataFrame = decoded
+    .withColumn("aspect", round(col("width").cast("double") /
+      nullif(col("height").cast("double"), lit(0.0d)), 4))
+    .withColumn("needs_resize",
+      col("width") > 1024 || col("height") > 1024)
+    .withColumn("pixels", col("width").cast("long") * col("height"))
+
+  /** Frame-sample stage for video-modality rows: emit every `stride`-th
+    * frame index up to `maxFrames` as (asset_id, frame_idx) — a Generator
+    * (explode) over a deterministic sequence, the UDTF shape.
+    */
+  def sampleFrames(decoded: DataFrame, stride: Int = 10,
+                   maxFrames: Int = 8): DataFrame = decoded
+    .filter(col("modality") === "video")
+    .withColumn("n_frames",
+      least((col("byte_len") / 1024).cast("int") + 1, lit(stride * maxFrames)))
+    .select(col("asset_id"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Size-aware repartitioning before a heavy decode: pack partitions to a
+    * target byte budget so one huge video can't skew an executor. At 100 TB
+    * this is the difference between a balanced decode stage and a straggler.
+    */
+  def repartitionByBytes(assets: DataFrame, targetBytesPerPartition: Long): DataFrame = {
+    val totalBytes = assets.agg(sum(col("meta.byte_len"))).head().getLong(0)
+    val parts = math.max(1, (totalBytes / math.max(1L, targetBytesPerPartition)).toInt)
+    assets.repartition(parts, col("asset_id"))
+  }
+}

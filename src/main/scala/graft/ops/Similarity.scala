@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k: broadcast the (small) query set against the
+  *    full corpus — one scan, no corpus shuffle; the window top-k runs
+  *    per-query.
+  *  - LSH-bucketed ANN (random-hyperplane signs): corpus and queries are
+  *    bucketed by a deterministic bit signature; search joins only matching
+  *    buckets. This is the 100 TB path — candidate generation is an
+  *    equi-join on the bucket key instead of a cross product.
+  */
+object Similarity {
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    *
+    * @param corpus   (id, vec) corpus side
+    * @param queries  (id, vec) query side — expected small; broadcast
+    * @param k        neighbors per query
+    */
+  def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     k: Int): DataFrame = {
+    val c = Dedup.spread(corpus)
+      .select(corpusId.as("item_id"), asDouble(corpusVec).as("__cv"))
+    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("__qv"))
+    val scored = c.join(broadcast(q), col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      // round before ranking so float-accumulation noise can't flip the
+      // order of effectively-tied neighbors; ids break the remaining ties
+      .orderBy(round(col("cosine"), 6).desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic sign-bit signature: bit j = (vec[dims(j)] >= 0). With
+    * unit-ish random-ish embeddings this is a random-hyperplane LSH where
+    * the hyperplanes are the coordinate axes of the chosen dims — fully
+    * deterministic, no stored model, reproducible across engines.
+    */
+  def signBucket(vec: Column, dims: Seq[Int]): Column =
+    dims.zipWithIndex.map { case (d, j) =>
+      when(element_at(vec, d + 1) >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed approximate top-k: only corpus items in the query's sign
+    * bucket are scored. Recall < 1 by construction; bucket count 2^|dims|.
+    */
+  def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, dims: Seq[Int] = Seq(0, 8, 16, 24, 32)): DataFrame = {
+    val c = Dedup.spread(corpus)
+      .select(corpusId.as("item_id"), asDouble(corpusVec).as("__cv"))
+      .withColumn("bucket", signBucket(col("__cv"), dims))
+    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("__qv"))
+      .withColumn("bucket", signBucket(col("__qv"), dims))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style partitioned search: centroids are given (id, vec); each
+    * corpus item is assigned to its nearest centroid once (a broadcast
+    * join + argmax), and queries probe only their own cell. At 100 TB the
+    * assignment is a map-side pass and the probe is an equi-join on cell id.
+    */
+  def assignToCentroids(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                        centroids: DataFrame, centroidId: Column,
+                        centroidVec: Column): DataFrame = {
+    val c = corpus.select(corpusId.as("item_id"), asDouble(corpusVec).as("vec"))
+    val ce = centroids.select(centroidId.as("cell"), asDouble(centroidVec).as("__cvec"))
+    val scored = c.join(broadcast(ce))
+      .select(col("item_id"), col("vec"), col("cell"),
+        cosine(col("vec"), col("__cvec")).as("__sim"))
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(round(col("__sim"), 6).desc, col("cell").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("item_id"), col("vec"), col("cell"))
+  }
+}

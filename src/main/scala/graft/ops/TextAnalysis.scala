@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.tokens
+
+/** Text analysis for training-data pipelines: language ID, quality scoring,
+  * token counting, document fingerprinting.
+  *
+  * All per-document, embarrassingly parallel Column expressions — at 100 TB
+  * these run map-side in whole-stage codegen with zero shuffles (aggregated
+  * variants shuffle once on the group key).
+  */
+object TextAnalysis {
+
+  /** Marker-word tables for the stopword-hit language heuristic. Real
+    * pipelines use character n-gram profiles; the engine-level contract is
+    * identical — per-language evidence scores + deterministic argmax.
+    */
+  val languageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "zh" -> Seq("的", "了", "是", "我", "不"))
+
+  private def markerHits(text: Column, markers: Seq[String]): Column =
+    markers.map { m =>
+      // count whole-token occurrences of the marker
+      size(filter(tokens(text), t => t === m))
+    }.reduce(_ + _)
+
+  /** Language ID: per-language marker-hit counts and the argmax label
+    * (deterministic tie-break: first language in table order wins).
+    */
+  def languageScores(text: Column): Seq[(String, Column)] =
+    languageMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+
+  def detectLanguage(text: Column): Column = {
+    val scores = languageScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Quality features: token count, distinct-token ratio, mean token
+    * length, alpha ratio, and a composite score in [0,1]. Deterministic,
+    * division-safe (nullif guards).
+    */
+  def qualityFeatures(text: Column): Map[String, Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val chars = length(text).cast("double")
+    val alphaChars = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    Map(
+      "n_tokens" -> nTok,
+      "distinct_ratio" -> nDistinct / nullif(nTok, lit(0.0d)),
+      "mean_token_len" -> (chars - (nTok - 1)) / nullif(nTok, lit(0.0d)),
+      "alpha_ratio" -> alphaChars / nullif(chars, lit(0.0d)))
+  }
+
+  /** Composite quality score: shorter-than-5-token or low-diversity docs
+    * score low. A simple monotone blend, clamped to [0,1].
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lengthTerm = least(f("n_tokens") / lit(50.0d), lit(1.0d))
+    val diversity = coalesce(f("distinct_ratio"), lit(0.0d))
+    val alpha = coalesce(f("alpha_ratio"), lit(0.0d))
+    least(greatest(
+      lit(0.4d) * lengthTerm + lit(0.3d) * diversity + lit(0.3d) * alpha,
+      lit(0.0d)), lit(1.0d))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and isolated symbols
+    * each count as one token (a cheap deterministic proxy for a real
+    * tokenizer's token count).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Content fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive bag-of-words fingerprint (rolling-hash analogue that
+    * is reproducible in any engine with md5 + sort).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Full per-document analysis frame over (id, text). */
+  def analyze(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val f = qualityFeatures(text)
+    df.select(
+      id.as("doc_id"),
+      tokenCount(text).as("n_tokens"),
+      subwordCount(text).as("n_subwords"),
+      round(f("distinct_ratio"), 4).as("distinct_ratio"),
+      round(f("alpha_ratio"), 4).as("alpha_ratio"),
+      round(qualityScore(text), 4).as("quality"),
+      detectLanguage(text).as("lang_pred"),
+      fingerprint(text).as("fingerprint"))
+  }
+}

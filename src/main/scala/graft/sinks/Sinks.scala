@@ -1,0 +1,95 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY.md §2.2 K1-K6).
+  *
+  * The reference writes to Postgres via pandas `to_sql` (append / replace,
+  * pipeline.py:188-189, dags/meu_pipeline.py:62-63) and to versioned local
+  * CSVs with a keep-newest-5 retention policy (pipeline_manual.py:16-28).
+  *
+  * JDBC paths are expressed through Spark's JDBC writer so they distribute;
+  * the lake-native path (parquet partitioned by the reference's DELETE keys)
+  * is the scale-out default. Audit columns (`id` SERIAL, `data_carga`
+  * TIMESTAMP DEFAULT now — pipeline.py:167-169) become engine-side
+  * expressions.
+  */
+object Sinks {
+
+  /** K3 audit columns: surrogate id + load timestamp. At 100 TB a global
+    * sequential id would serialize the write, so the SERIAL semantics become
+    * `monotonically_increasing_id` (unique, monotone per partition).
+    */
+  def withAuditColumns(df: DataFrame): DataFrame = df
+    .withColumn("id", monotonically_increasing_id())
+    .withColumn("data_carga", current_timestamp())
+
+  /** K1: JDBC append. */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** K2: JDBC full replace (`if_exists="replace"`). `truncate` keeps DDL. */
+  def jdbcReplace(df: DataFrame, url: String, table: String,
+                  props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Overwrite).option("truncate", "true")
+      .jdbc(url, table, props)
+
+  /** K4 JDBC flavor: driver-side scoped DELETE in a transaction, then a
+    * distributed append — the reference's delete+insert idempotency
+    * (pipeline.py:172-189) for sinks without partition overwrite.
+    */
+  def jdbcDeleteInsert(df: DataFrame, url: String, table: String,
+                       deleteWhere: String,
+                       props: java.util.Properties = new java.util.Properties()): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      st.executeUpdate(s"DELETE FROM $table WHERE $deleteWhere")
+      conn.commit()
+    } finally conn.close()
+    jdbcAppend(df, url, table, props)
+  }
+
+  /** K5: `;`-separated CSV (pipeline_manual.py:125). `single=true` coalesces
+    * to one file for small exports only — never on the 100 TB path.
+    */
+  def csv(df: DataFrame, path: String, sep: String = ";",
+          single: Boolean = false): Unit = {
+    val out = if (single) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite)
+      .option("sep", sep).option("header", "true").csv(path)
+  }
+
+  /** K6: versioned sink with retention — write
+    * `<dir>/<prefix>_yyyyMMdd_HHmmss`, then delete oldest siblings until at
+    * most `keep` remain (pipeline_manual.py:16-28: keep newest 5). Retention
+    * is driver-side FS metadata work.
+    */
+  def versionedCsv(df: DataFrame, dir: String, prefix: String = "analise",
+                   keep: Int = 5, sep: String = ";"): String = {
+    val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+      .format(new java.util.Date())
+    val target = s"$dir/${prefix}_$stamp"
+    csv(df, target, sep, single = true)
+    val base = new Path(dir)
+    val fs = FileSystem.get(base.toUri,
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix + "_"))
+      .sortBy(_.getPath.getName) // timestamped names sort chronologically
+    versions.dropRight(keep).foreach(s => fs.delete(s.getPath, true))
+    target
+  }
+
+  /** Lake-table writer: parquet partitioned by the reference-period keys the
+    * reference DELETEs by — enables partition pruning on `ano_ref`/`mes_ref`
+    * filters and K4's metadata-level overwrite.
+    */
+  def lakeAppend(df: DataFrame, path: String,
+                 partitionKeys: Seq[String] = Seq("ano_ref", "mes_ref")): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionKeys: _*).parquet(path)
+}

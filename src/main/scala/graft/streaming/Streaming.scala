@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming restatement of the reference's incremental
+  * semantics (SURVEY.md §2.9).
+  *
+  * The reference polls a landing directory daily, picks the newest file,
+  * and anti-joins against DB history to skip already-loaded keys
+  * (dags/etl_municipios.py:64-69,138-142). That contract — "each input file
+  * processed exactly once, duplicate keys dropped" — is exactly a file-source
+  * stream with checkpointed offsets + `dropDuplicates` state, so the
+  * anti-join disappears into engine bookkeeping.
+  */
+object Streaming {
+
+  /** Incremental file-source load: process all currently-available files
+    * exactly once (checkpoint-tracked), drop duplicate keys within the
+    * watermark horizon, append to a parquet lake table. Returns after the
+    * available data is drained (`Trigger.AvailableNow` — the batch-cron
+    * replacement).
+    */
+  def incrementalFileLoad(spark: SparkSession, sourceDir: String,
+                          schema: StructType, keys: Seq[String],
+                          eventTime: String, watermark: String,
+                          targetDir: String, checkpointDir: String): Unit = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("latestFirst", "false")
+      .parquet(sourceDir)
+      .withWatermark(eventTime, watermark)
+      .dropDuplicates(keys :+ eventTime)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", targetDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Event-time windowed aggregation with a watermark: per (window, type)
+    * counts and value sums — the streaming analogue of the engine's batch
+    * `q_stream_window` query.
+    */
+  def windowedCounts(events: DataFrame, eventTime: String = "ts",
+                     watermark: String = "10 minutes",
+                     windowLen: String = "1 hour"): DataFrame = events
+    .withWatermark(eventTime, watermark)
+    .groupBy(window(col(eventTime), windowLen), col("event_type"))
+    .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Custom state: running per-user session stats via mapGroupsWithState —
+    * the arbitrary-stateful-operator surface (KeyValueGroupedDataset).
+    */
+  final case class UserEvent(user_id: Long, event_id: Long, value: Double)
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "event_id", "value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n; var tot = prev.total
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          next
+      }.toDF()
+  }
+
+  /** Run a streaming aggregation over a bounded source synchronously into an
+    * in-memory table (test/bench harness path).
+    */
+  def runToMemory(agg: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete): DataFrame = {
+    val q = agg.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    agg.sparkSession.table(name)
+  }
+}
