@@ -1,0 +1,27 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Usage example / manual smoke of the ingest surface: sanitizing JSON
+  * reader on a fixture with quoted INF tokens, plus the delimiter-fallback
+  * CSV reader. Run: `sbt "runMain graft.Demo"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("4")
+    val dir = Files.createTempDirectory("graft-demo").toString
+    Files.writeString(Paths.get(s"$dir/data.json"),
+      """{ "DS0": [
+        |  {"Município": "Botucatu", "Admitidos": 2, "Variação Relativa": "INF"},
+        |  {"Município": "São Paulo", "Admitidos": null, "Variação Relativa": "-0.5"}
+        |] }""".stripMargin)
+    val df = ingest.Ingest.sanitizedJson(spark, s"$dir/data.json")
+    df.show(truncate = false)
+    println(s"[demo] json rows=${df.count()} cols=${df.columns.mkString(",")}")
+
+    Files.writeString(Paths.get(s"$dir/dim.csv"), "UF,COD,NOME\nSP,3507506,Botucatu\n")
+    val csv = ingest.Ingest.csvWithDelimiterFallback(spark, s"$dir/dim.csv")
+    println(s"[demo] csv fallback cols=${csv.columns.mkString(",")}")
+    spark.stop()
+  }
+}

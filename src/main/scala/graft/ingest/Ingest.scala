@@ -57,8 +57,9 @@ object Ingest {
       } else tree.toString
 
     val elementSchema = recordSchema.getOrElse {
-      import org.apache.spark.sql.catalyst.expressions.{ExprUtils, Literal}
-      ExprUtils.evalTypeExpr(Literal(arrayText)) match {
+      val ddl = spark.range(1)
+        .select(schema_of_json(lit(arrayText)).as("s")).head().getString(0)
+      DataType.fromDDL(ddl) match {
         case ArrayType(s: StructType, _) => s
         case s: StructType               => s
         case other => throw new IllegalArgumentException(

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.enrich.Enrich
+import graft.idempotent.Idempotent
+
+class EnrichIdempotentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("withCodigoIbge joins on normalized key and falls back to 0") {
+    val facts = Seq("  BOTUCATU ", "São Paulo", "Nowhere").toDF("municipio")
+    val dim = Seq(("botucatu", 3507506L), ("são paulo", 3550308L))
+      .toDF("nome", "cod")
+    val out = Enrich.withCodigoIbge(facts, dim, $"municipio", $"nome", $"cod")
+      .orderBy("municipio").collect()
+    val byName = out.map(r => r.getString(0).trim.toLowerCase -> r.getAs[Long]("codigo_ibge")).toMap
+    assert(byName("botucatu") === 3507506L)
+    assert(byName("são paulo") === 3550308L)
+    assert(byName("nowhere") === 0L) // graceful degradation (O5)
+  }
+
+  test("incrementalAppend is idempotent: re-running loads zero new rows") {
+    val dir = TestSpark.tmpDir("incr") + "/table"
+    val batch = Seq(("a", 2024L, 1L, 10.0), ("b", 2024L, 1L, 20.0))
+      .toDF("municipio", "ano_ref", "mes_ref", "valor")
+    val keys = Seq("municipio", "ano_ref", "mes_ref")
+    val first = Idempotent.incrementalAppend(spark, batch, dir, keys)
+    assert(first === Idempotent.LoadStats(2, 0, 2))
+    val second = Idempotent.incrementalAppend(spark, batch, dir, keys)
+    assert(second === Idempotent.LoadStats(2, 2, 0))
+    assert(spark.read.parquet(dir).count() === 2)
+    // a mixed batch loads only the genuinely new key
+    val third = Idempotent.incrementalAppend(spark,
+      Seq(("a", 2024L, 1L, 99.0), ("c", 2024L, 2L, 30.0))
+        .toDF("municipio", "ano_ref", "mes_ref", "valor"), dir, keys)
+    assert(third === Idempotent.LoadStats(2, 1, 1))
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
+  test("newRows aligns mismatched key types (the V22 fix)") {
+    val incoming = Seq(("a", 2024L)).toDF("k", "ano")
+    val history = Seq(("a", "2024"), ("b", "2023")).toDF("k", "ano") // string keys
+    assert(Idempotent.newRows(incoming, history, Seq("k", "ano")).count() === 0)
+  }
+
+  test("overwritePartitions replaces only the partitions present in the batch") {
+    val dir = TestSpark.tmpDir("dpo") + "/table"
+    val jan = Seq(("a", 1L, 1.0), ("b", 1L, 2.0)).toDF("m", "mes_ref", "v")
+    val feb = Seq(("c", 2L, 3.0)).toDF("m", "mes_ref", "v")
+    Idempotent.overwritePartitions(jan, dir, Seq("mes_ref"))
+    Idempotent.overwritePartitions(feb, dir, Seq("mes_ref"))
+    // re-run january with different content: february must survive
+    val jan2 = Seq(("a", 1L, 9.0)).toDF("m", "mes_ref", "v")
+    Idempotent.overwritePartitions(jan2, dir, Seq("mes_ref"))
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 2)
+    assert(out.filter($"mes_ref" === 2).count() === 1)
+    assert(out.filter($"mes_ref" === 1).select("v").as[Double].head() === 9.0)
+  }
+
+  test("latestPerKey keeps the newest row per key") {
+    val df = Seq(("u1", 1L, "old"), ("u1", 5L, "new"), ("u2", 3L, "only"))
+      .toDF("user", "ts", "tag")
+    val out = Idempotent.latestPerKey(df, Seq("user"), Seq("ts"))
+      .orderBy("user").select("tag").as[String].collect()
+    assert(out.toSeq === Seq("new", "only"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // near-dup of 1
+    (3L, "completely different content about spark query engines at scale"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (5L, "short")).toDF("doc_id", "text")
+
+  test("exactByHash groups identical content") {
+    val out = Dedup.exactByHash(docs, $"text", $"doc_id")
+      .filter($"n_copies" > 1).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("keep_id") === 1L)
+    assert(out(0).getAs[Long]("n_copies") === 2L)
+  }
+
+  test("minhashLshPairs finds near-dups and exact dups, not distinct docs") {
+    val pairs = Dedup.minhashLshPairs(docs, $"doc_id", $"text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // distinct doc clean
+  }
+
+  test("ngramJaccardPairs computes exact set similarity") {
+    val out = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text",
+      Seq(lit(1)), minJaccard = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 4L)))
+  }
+
+  test("simhash is identical for identical docs and close for near-dups") {
+    val hashes = Dedup.simhash(docs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) === hashes(4L))
+    val hamming = java.lang.Long.bitCount(hashes(1L) ^ hashes(2L))
+    assert(hamming <= 16, s"near-dup hamming distance was $hamming")
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) > hamming)
+  }
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), 0),
+    (2L, Array(0.9f, 0.1f, 0.0f), 0),  // close to 1
+    (3L, Array(0.0f, 1.0f, 0.0f), 0),  // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f), 1)) // opposite, other label
+    .toDF("vec_id", "embedding", "label")
+
+  test("cosineNearDupPairs respects blocking and threshold") {
+    val out = Dedup.cosineNearDupPairs(vecs, $"vec_id", $"embedding",
+      Seq($"label"), minCosine = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
+  test("bruteForceTopK ranks by cosine") {
+    val out = Similarity.bruteForceTopK(vecs, $"vec_id", $"embedding",
+      vecs.filter($"vec_id" === 1), $"vec_id", $"embedding", k = 2)
+      .orderBy("rank").select("item_id").as[Long].collect()
+    assert(out.toSeq === Seq(2L, 3L)) // closest first; id 4 (cos=-1) excluded
+  }
+
+  test("lshTopK only searches the query's sign bucket") {
+    val out = Similarity.lshTopK(vecs, $"vec_id", $"embedding",
+      vecs.filter($"vec_id" === 1), $"vec_id", $"embedding",
+      k = 5, dims = Seq(0))
+    // vec 4 has a negative first coordinate -> different bucket -> excluded
+    assert(!out.select("item_id").as[Long].collect().contains(4L))
+  }
+
+  test("assignToCentroids puts each item in its nearest cell") {
+    val centroids = Seq((10L, Array(1.0f, 0.0f, 0.0f)),
+      (20L, Array(0.0f, 1.0f, 0.0f))).toDF("cell", "vec")
+    val out = Similarity.assignToCentroids(vecs, $"vec_id", $"embedding",
+      centroids, $"cell", $"vec")
+      .select("item_id", "cell").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 10L && out(2L) === 10L && out(3L) === 20L)
+  }
+
+  test("detectLanguage picks the language with most marker hits") {
+    val df = Seq(
+      "the cat sat on a mat of the house",
+      "el gato que vive en la casa de madrid",
+      "le chat et un chien de paris",
+      "der hund und die katze in das haus").toDF("text")
+    val out = df.select(TextAnalysis.detectLanguage($"text")).as[String].collect()
+    assert(out.toSeq === Seq("en", "es", "fr", "de"))
+  }
+
+  test("fingerprint is token-order-insensitive") {
+    val df = Seq("alpha beta gamma", "gamma alpha beta", "alpha beta delta")
+      .toDF("text")
+    val fp = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+
+  test("quality score penalizes short/repetitive docs") {
+    val df = Seq(
+      ("good", "a meaningful sentence with many distinct informative words present here today"),
+      ("bad", "x x x x")).toDF("id", "text")
+    val scores = df.select($"id", TextAnalysis.qualityScore($"text"))
+      .as[(String, Double)].collect().toMap
+    assert(scores("good") > scores("bad"))
+  }
+
+  test("multimodal decode derives deterministic dimensions from payload bytes") {
+    val assets = Multimodal.fromText(
+      docs.withColumn("source", lit("s")), "doc_id", "text", "source")
+    assert(assets.schema.fieldNames.toSeq ===
+      Seq("asset_id", "modality", "payload", "meta"))
+    val decoded = Multimodal.decode(assets)
+    val rows = decoded.collect().map(r =>
+      r.getAs[Long]("asset_id") -> (r.getAs[Int]("width"), r.getAs[Int]("height")))
+      .toMap
+    assert(rows(1L) === rows(4L)) // identical payload -> identical decode
+    assert(rows.values.forall { case (w, h) => w >= 64 && h >= 64 })
+    val stats = Multimodal.imageStats(decoded)
+    assert(stats.columns.contains("aspect") && stats.columns.contains("pixels"))
+  }
+
+  test("sampleFrames emits a strided frame index per video asset") {
+    val assets = Multimodal.fromText(
+      docs.withColumn("source", lit("s")), "doc_id", "text", "source",
+      modality = "video")
+    val decoded = Multimodal.decode(assets)
+    val frames = Multimodal.sampleFrames(decoded, stride = 10, maxFrames = 8)
+    assert(frames.count() > 0)
+    assert(frames.select("frame_idx").as[Long].collect().forall(_ % 10 == 0))
+  }
+}

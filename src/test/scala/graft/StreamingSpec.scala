@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val eventRows = Seq(
+    (1L, ts("2024-01-01 00:05:00"), 7L, "click", 1.0),
+    (2L, ts("2024-01-01 00:20:00"), 7L, "click", 2.0),
+    (3L, ts("2024-01-01 01:10:00"), 8L, "view", 3.0),
+    (3L, ts("2024-01-01 01:10:00"), 8L, "view", 3.0)) // duplicate record
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("incrementalFileLoad processes each file exactly once across restarts") {
+    val src = TestSpark.tmpDir("stream-src")
+    val dst = TestSpark.tmpDir("stream-dst") + "/out"
+    val ckpt = TestSpark.tmpDir("stream-ckpt")
+    eventRows.limit(2).write.mode("append").parquet(src)
+    val schema = eventRows.schema
+    Streaming.incrementalFileLoad(spark, src, schema,
+      Seq("event_id"), "ts", "1 hour", dst, ckpt)
+    assert(spark.read.parquet(dst).count() === 2)
+    // restart with one new file: only the new rows land, old file not re-read
+    eventRows.filter($"event_id" === 3L).write.mode("append").parquet(src)
+    Streaming.incrementalFileLoad(spark, src, schema,
+      Seq("event_id"), "ts", "1 hour", dst, ckpt)
+    val out = spark.read.parquet(dst)
+    assert(out.count() === 3) // 2 + 1 (duplicate event_id 3 dropped)
+    assert(out.select("event_id").distinct().count() === 3)
+  }
+
+  test("windowedCounts aggregates per tumbling window with a watermark") {
+    val src = TestSpark.tmpDir("wstream-src")
+    eventRows.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(eventRows.schema).parquet(src)
+    val agg = Streaming.windowedCounts(stream, windowLen = "1 hour")
+    val result = Streaming.runToMemory(agg, "wc_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val byType = result.select(col("event_type"), col("n_events"))
+      .as[(String, Long)].collect().toMap
+    assert(byType("click") === 2L)
+    assert(byType("view") === 2L)
+  }
+
+  test("runningUserTotals keeps per-user state via mapGroupsWithState") {
+    val out = Streaming.runningUserTotals(eventRows)
+      .orderBy("user_id")
+      .select("user_id", "n", "total").as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((7L, 2L, 3.0), (8L, 2L, 6.0)))
+  }
+}
