@@ -50,11 +50,27 @@ package object functions {
   /** L2 norm of a numeric array column. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity of two numeric array columns; null when either side
-    * has zero norm (instead of a divide-by-zero).
+  /** Cosine similarity via the codegen'd [[CosineSimilarity]] expression
+    * (one fused loop; bit-identical to [[cosineCompositional]]). Null when
+    * either side has zero norm.
     */
-  def cosine(a: Column, b: Column): Column =
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Built-ins-only cosine (aggregate over zip_with) — the formulation the
+    * custom expression must agree with; kept for differential testing.
+    */
+  def cosineCompositional(a: Column, b: Column): Column =
     dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0d))
+
+  /** Register the engine's SQL-callable functions on a session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "scala_udf")
 
   /** Deterministic per-seed MinHash value over an array of 64-bit element
     * hashes: `min((A_seed * h + B_seed))` with odd multipliers — a standard

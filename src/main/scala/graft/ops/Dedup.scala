@@ -159,7 +159,7 @@ object Dedup {
                          minCosine: Double): DataFrame = {
     val base = spread(df).select(
       (blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") } :+
-        id.as("__id") :+ asDouble(vec).as("__v")): _*)
+        id.as("__id") :+ vec.as("__v")): _*)
     val bk = blockCols.indices.map(i => s"__b$i")
     val a = base.toDF(base.columns.map(_ + "_a").toIndexedSeq: _*)
     val b = base.toDF(base.columns.map(_ + "_b").toIndexedSeq: _*)

@@ -28,8 +28,8 @@ object Similarity {
                      queries: DataFrame, queryId: Column, queryVec: Column,
                      k: Int): DataFrame = {
     val c = Dedup.spread(corpus)
-      .select(corpusId.as("item_id"), asDouble(corpusVec).as("__cv"))
-    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("__qv"))
+      .select(corpusId.as("item_id"), corpusVec.as("__cv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
     val scored = c.join(broadcast(q), col("item_id") =!= col("query_id"))
       .select(col("query_id"), col("item_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
@@ -58,9 +58,9 @@ object Similarity {
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, dims: Seq[Int] = Seq(0, 8, 16, 24, 32)): DataFrame = {
     val c = Dedup.spread(corpus)
-      .select(corpusId.as("item_id"), asDouble(corpusVec).as("__cv"))
+      .select(corpusId.as("item_id"), corpusVec.as("__cv"))
       .withColumn("bucket", signBucket(col("__cv"), dims))
-    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("__qv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
       .withColumn("bucket", signBucket(col("__qv"), dims))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("item_id") =!= col("query_id"))

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{cosine, cosineCompositional, registerAll}
+
+class ExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val pairs = Seq(
+    (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (Array(-0.5f, 0.25f, 0.125f), Array(0.5f, -0.25f, 0.7f)),
+    (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)), // zero norm -> null
+    (Array(1.0f), Array(1.0f))).toDF("a", "b")
+
+  test("codegen'd cosine is bit-identical to the compositional formulation") {
+    val out = pairs.select(
+      cosine($"a", $"b").as("fast"),
+      cosineCompositional($"a", $"b").as("ref")).collect()
+    out.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0))
+      else assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
+  test("codegen'd cosine agrees on real embeddings") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    val x = e.select($"vec_id".as("ia"), $"embedding".as("a"))
+    val y = e.select($"vec_id".as("ib"), $"embedding".as("b"))
+    val mism = x.join(y, $"ia" < $"ib")
+      .select(cosine($"a", $"b").as("fast"),
+        cosineCompositional($"a", $"b").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(mism.count() === 0)
+  }
+
+  test("cosine_similarity is callable from SQL after registration") {
+    registerAll(spark)
+    val v = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-15)
+  }
+
+  test("null inputs and zero norms yield null, not errors") {
+    val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]])).toDF("a", "b")
+    assert(df.select(cosine($"a", $"b")).head().isNullAt(0))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape checks — the properties that matter at 100 TB:
+  * predicate/projection pushdown into the parquet scan, broadcast joins for
+  * dimensions, whole-stage codegen coverage, no accidental cartesian
+  * products on the pairwise ops.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("l_shipdate"), "shipdate predicate not pushed")
+    // projection pruning: the scan must not read all 11 lineitem columns
+    assert(!p.contains("l_returnflag"), "unused column not pruned from scan")
+  }
+
+  test("q03 star join broadcasts the dimension tables") {
+    val p = plan("q03_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q01 aggregates with a map-side partial before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), s"no hash aggregate in:\n$p")
+    assert(p.contains("partial_sum"), "no partial (map-side) aggregation")
+  }
+
+  test("q05 anti join is a real join, not a cartesian filter") {
+    val p = plan("q05_anti_join_orders")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pairwise ops never degenerate into cartesian products") {
+    Seq("q21_minhash_lsh_pairs", "q22_jaccard_pairs_topk",
+      "q24_cosine_pairs_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("q24 cosine pairs use the codegen'd cosine expression") {
+    val p = plan("q24_cosine_pairs_topk")
+    assert(p.contains("cosine_similarity"), s"custom expression not used:\n$p")
+  }
+}
