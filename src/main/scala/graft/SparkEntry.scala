@@ -484,6 +484,29 @@ object SparkEntry {
       .orderBy("asset_id")
   }
 
+  /** Streaming execution of the hourly window aggregate (§2.9): a real
+    * Structured Streaming job — file source over the events parquet,
+    * watermark, tumbling window, memory sink — whose final result equals
+    * the batch oracle (same SQL as q31's shape). Proves the streaming path
+    * end-to-end inside the correctness gate.
+    */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+    val stream = // ns→µs, as Tables.load does for the batch path
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val agg = graft.streaming.Streaming.windowedCounts(stream)
+    val mem = graft.streaming.Streaming.runToMemory(agg, "q36_mem")
+    mem.select(
+      unix_timestamp(col("window.start")).as("hour_epoch"),
+      col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -521,7 +544,8 @@ object SparkEntry {
     "q32_sessionize" -> q32 _,
     "q33_asset_metadata" -> q33 _,
     "q34_frame_sample" -> q34 _,
-    "q35_decode_stats" -> q35 _)
+    "q35_decode_stats" -> q35 _,
+    "q36_stream_window_agg" -> q36 _)
 
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
   // determinism rules at the top of this object.
@@ -794,6 +818,11 @@ object SparkEntry {
         regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
       FROM documents ORDER BY doc_id""",
     "q31_stream_window_hourly" -> """
+      SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
+        event_type, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""",
+    "q36_stream_window_agg" -> """
       SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
         event_type, count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

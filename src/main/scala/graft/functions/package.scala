@@ -30,8 +30,18 @@ package object functions {
   def shingleSet(text: Column, n: Int = 3): Column =
     array_distinct(wordShingles(text, n))
 
-  /** Jaccard similarity of two array columns (exact, via set ops). */
+  /** Jaccard similarity of two string-array columns via the codegen'd
+    * [[JaccardSimilarity]] expression (single pass, no intermediate arrays;
+    * bit-identical to [[jaccardCompositional]]).
+    */
   def jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(JaccardSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Built-ins-only Jaccard (set ops) — kept for differential testing. */
+  def jaccardCompositional(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
     inter / nullif(union, lit(0.0d))
@@ -67,10 +77,14 @@ package object functions {
     dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0d))
 
   /** Register the engine's SQL-callable functions on a session. */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_similarity", exprs => JaccardSimilarity(exprs(0), exprs(1)),
+      "scala_udf")
+  }
 
   /** Deterministic per-seed MinHash value over an array of 64-bit element
     * hashes: `min((A_seed * h + B_seed))` with odd multipliers — a standard

@@ -52,7 +52,9 @@ object Streaming {
                      windowLen: String = "1 hour"): DataFrame = events
     .withWatermark(eventTime, watermark)
     .groupBy(window(col(eventTime), windowLen), col("event_type"))
-    .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+    .agg(count(lit(1)).as("n_events"),
+      // decimal accumulation: exact and batch/stream/oracle-identical
+      sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
   /** Custom state: running per-user session stats via mapGroupsWithState —
     * the arbitrary-stateful-operator surface (KeyValueGroupedDataset).

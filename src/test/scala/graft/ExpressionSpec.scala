@@ -50,4 +50,32 @@ class ExpressionSpec extends AnyFunSuite {
     val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]])).toDF("a", "b")
     assert(df.select(cosine($"a", $"b")).head().isNullAt(0))
   }
+
+  test("codegen'd jaccard is bit-identical to the set-ops formulation") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a", "b", "b")), // duplicates ignored
+      (Seq("x"), Seq("y")),
+      (Seq.empty[String], Seq.empty[String]), // empty union -> null
+      (Seq("a b", "c"), Seq("a", "b c"))).toDF("a", "b")
+    val out = df.select(
+      graft.functions.jaccard($"a", $"b").as("fast"),
+      graft.functions.jaccardCompositional($"a", $"b").as("ref")).collect()
+    out.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0))
+      else assert(r.getDouble(0) === r.getDouble(1))
+    }
+  }
+
+  test("codegen'd jaccard agrees on real document shingles") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(40)
+      .select($"doc_id", graft.functions.shingleSet($"text").as("sh"))
+    val x = d.select($"doc_id".as("ia"), $"sh".as("a"))
+    val y = d.select($"doc_id".as("ib"), $"sh".as("b"))
+    val mism = x.join(y, $"ia" < $"ib")
+      .select(graft.functions.jaccard($"a", $"b").as("fast"),
+        graft.functions.jaccardCompositional($"a", $"b").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(mism.count() === 0)
+  }
 }
