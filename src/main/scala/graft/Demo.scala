@@ -22,6 +22,19 @@ object Demo {
     Files.writeString(Paths.get(s"$dir/dim.csv"), "UF,COD,NOME\nSP,3507506,Botucatu\n")
     val csv = ingest.Ingest.csvWithDelimiterFallback(spark, s"$dir/dim.csv")
     println(s"[demo] csv fallback cols=${csv.columns.mkString(",")}")
+
+    // typed MinHash Aggregator over exploded shingle hashes
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.{shingleSet, MinHashSignatureAgg}
+    val sigs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(100)
+      .select($"doc_id", explode(shingleSet($"text")).as("sh"))
+      .select($"doc_id", xxhash64($"sh").as("h")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .agg(new MinHashSignatureAgg(16).toColumn.name("sig"))
+    println(s"[demo] minhash signatures=${sigs.count()} width=" +
+      sigs.head()._2.length)
     spark.stop()
   }
 }

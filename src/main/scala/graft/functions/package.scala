@@ -87,17 +87,14 @@ package object functions {
   }
 
   /** Deterministic per-seed MinHash value over an array of 64-bit element
-    * hashes: `min((A_seed * h + B_seed))` with odd multipliers — a standard
-    * tabulation-free universal-hash family over the full i64 ring (overflow
-    * wraps, which is fine for min-comparison as long as both sides agree).
+    * hashes: `min(xxhash64(seed, h))` — re-hashing with a seed column keeps
+    * the family inside codegen'd hashing (no bigint arithmetic, so it is
+    * ANSI-mode safe; a multiplicative family would overflow-throw).
     */
-  def minhash(elementHashes: Column, seed: Int): Column = {
-    val a = lit(2862933555777941757L + 2 * seed) // odd multiplier
-    val b = lit(3037000493L * (seed + 1))
+  def minhash(elementHashes: Column, seed: Int): Column =
     coalesce(
-      array_min(transform(elementHashes, h => h * a + b)),
+      array_min(transform(elementHashes, h => xxhash64(lit(seed), h))),
       lit(Long.MaxValue))
-  }
 
   /** MinHash signature: array of `k` minhashes over a shingle array. */
   def minhashSignature(shingles: Column, k: Int): Column = {

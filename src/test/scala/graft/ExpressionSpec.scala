@@ -67,6 +67,30 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("typed MinHash Aggregator matches the Column-expression signature") {
+    import graft.functions.{minhashSignature, shingleSet, MinHashSignatureAgg}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark engines process distributed relational queries")).toDF("doc_id", "text")
+    // Column-expression path (minhashSignature hashes the shingles itself)
+    val viaExpr = docs
+      .select($"doc_id", minhashSignature(shingleSet($"text"), 8).as("sig"))
+      .as[(Long, Array[Long])].collect().toMap
+    // typed Aggregator path over exploded element hashes
+    val hashes = docs
+      .select($"doc_id", explode(shingleSet($"text")).as("sh"))
+      .select($"doc_id", xxhash64($"sh").as("h"))
+      .as[(Long, Long)]
+    val viaAgg = hashes.groupByKey(_._1)
+      .agg(new MinHashSignatureAgg(8).toColumn)
+      .collect().toMap
+    assert(viaExpr.keySet === viaAgg.keySet)
+    viaExpr.foreach { case (id, sig) =>
+      assert(sig.toSeq === viaAgg(id).toSeq, s"signature mismatch for doc $id")
+    }
+    assert(MinHashSignatureAgg.estimateJaccard(viaAgg(1L), viaAgg(1L)) === 1.0)
+  }
+
   test("codegen'd jaccard agrees on real document shingles") {
     val d = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(40)
       .select($"doc_id", graft.functions.shingleSet($"text").as("sh"))
