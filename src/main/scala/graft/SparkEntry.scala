@@ -325,7 +325,11 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
-  /** Dedup 3: exact n-gram Jaccard top-100 pairs, blocked by (lang, source). */
+  /** Dedup 3: exact n-gram Jaccard top-100 pairs, blocked by (lang, source).
+    * Dense blocked join (arrays + one-pass jaccard): with ~50-doc blocks the
+    * pair space is small and this beats the inverted-index formulation
+    * ([[Dedup.ngramJaccardPairsInverted]]), which wins on large blocks.
+    */
   private def q22(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
       Seq(col("lang"), col("source")))

@@ -39,6 +39,17 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Set((1L, 4L)))
   }
 
+  test("inverted-index jaccard agrees with the all-pairs version") {
+    val dense = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", Seq(lit(1)))
+      .filter($"jaccard" > 0)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val inverted = Dedup.ngramJaccardPairsInverted(docs, $"doc_id", $"text", Seq(lit(1)))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(inverted === dense)
+  }
+
   test("simhash is identical for identical docs and close for near-dups") {
     val hashes = Dedup.simhash(docs, $"doc_id", $"text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

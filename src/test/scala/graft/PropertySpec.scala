@@ -1,0 +1,81 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.idempotent.Idempotent
+import graft.normalize.Normalize
+
+/** Property-based laws (SURVEY.md §5.3): idempotency of the incremental
+  * load, cast-or-null never throwing, conform always hitting the target
+  * schema. Uses seeded ScalaCheck generators sampled directly (the
+  * scalatest-scalacheck bridge isn't on the offline classpath); Spark jobs
+  * per case are expensive, so cases are few but adversarial (duplicate
+  * keys, empty strings, uncastable values).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).map { i =>
+      gen(Gen.Parameters.default.withSize(12), Seed(42L + i))
+        .getOrElse(fail("generator exhausted"))
+    }
+
+  private val rowGen = for {
+    m <- Gen.oneOf("a", "b", "c", "são paulo", "")
+    ano <- Gen.choose(2020L, 2022L)
+    mes <- Gen.choose(1L, 3L)
+    v <- Gen.choose(-100.0, 100.0)
+  } yield (m, ano, mes, v)
+
+  test("law: load(load(t, x), x) == load(t, x) for arbitrary row multisets") {
+    samples(Gen.nonEmptyListOf(rowGen), 5).foreach { rows =>
+      val dir = TestSpark.tmpDir("prop") + "/t"
+      val df = rows.toDF("municipio", "ano_ref", "mes_ref", "v")
+      val keys = Seq("municipio", "ano_ref", "mes_ref")
+      Idempotent.incrementalAppend(spark, df, dir, keys)
+      val after1 = spark.read.parquet(dir).count()
+      val stats2 = Idempotent.incrementalAppend(spark, df, dir, keys)
+      val after2 = spark.read.parquet(dir).count()
+      assert(stats2.loaded === 0L, s"re-load inserted rows for $rows")
+      assert(after1 === after2)
+      val distinctKeys = df.select("municipio", "ano_ref", "mes_ref")
+        .distinct().count()
+      assert(spark.read.parquet(dir)
+        .select("municipio", "ano_ref", "mes_ref").distinct().count()
+        === distinctKeys)
+    }
+  }
+
+  test("law: cast-or-null never throws, every row yields a value") {
+    import org.apache.spark.sql.functions._
+    val strGen = Gen.oneOf(Gen.alphaNumStr, Gen.numStr,
+      Gen.const(null: String), Gen.const("9" * 30), Gen.const("-7"),
+      Gen.const("1.5"), Gen.const("NaN"), Gen.const(""))
+    samples(Gen.listOfN(8, strGen), 5).foreach { xs =>
+      val out = xs.toDF("v")
+        .select(Normalize.coerceOrDefault(col("v"), "long", lit(-1L)).as("r"))
+        .as[Long].collect()
+      assert(out.length === xs.length, s"row lost for input $xs")
+    }
+  }
+
+  test("law: conform output schema equals the target schema, always") {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("a", StringType), StructField("b", LongType),
+      StructField("c", DoubleType)))
+    samples(Gen.nonEmptyListOf(Gen.zip(Gen.alphaStr, Gen.alphaNumStr)), 5)
+      .foreach { rows =>
+        val df = rows.toDF("b", "x") // wrong-typed b, extra col, missing a/c
+        val out = Normalize.conform(df, target)
+        // names + types must match; conform's defaults tighten nullability
+        assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+          target.fields.map(f => (f.name, f.dataType)).toSeq)
+        assert(out.count() === rows.length)
+      }
+  }
+}
