@@ -316,9 +316,12 @@ object SparkEntry {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    // verify: stream the cached docs, broadcast the tiny candidate side —
+    // never let the planner broadcast the wide shingle arrays
+    val withA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(broadcast(candidates), Seq("id_a"))
+    docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      .join(broadcast(withA), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
@@ -332,7 +335,7 @@ object SparkEntry {
     */
   private def q22(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
-      Seq(col("lang"), col("source")))
+      Seq(col("lang"), col("source")), hashedShingles = true)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))

@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Codegen'd Jaccard similarity of two string-array columns, treating each
-  * side as a set (duplicates ignored — same semantics as
+/** Codegen'd Jaccard similarity of two atomic-type array columns, treating
+  * each side as a set (duplicates ignored — same semantics as
   * `size(array_intersect(a,b)) / size(array_union(a,b))`, and bit-identical
   * to that formulation since both reduce to the same integer division).
   *
@@ -27,23 +27,40 @@ case class JaccardSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "jaccard_similarity"
 
-  private def ok(e: Expression): Boolean = e.dataType match {
-    case ArrayType(StringType, _) => true
+  private def isAtomic(t: DataType): Boolean = t match {
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+         BooleanType | DoubleType | FloatType | DateType | TimestampType => true
     case _ => false
   }
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t, _) if isAtomic(t) => Some(t)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two arrays of the same atomic type, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  @transient private lazy val et: DataType = elemType(left).get
+
+  private def elem(a: ArrayData, i: Int): Any = et match {
+    case StringType => a.getUTF8String(i)
+    case LongType => java.lang.Long.valueOf(a.getLong(i))
+    case IntegerType => java.lang.Integer.valueOf(a.getInt(i))
+    case _ => a.get(i, et)
+  }
 
   /** Shared by eval and the generated code. */
   def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val seen = new java.util.HashSet[Any]()
     var i = 0
     while (i < a.numElements()) {
-      if (!a.isNullAt(i)) seen.add(a.getUTF8String(i))
+      if (!a.isNullAt(i)) seen.add(elem(a, i))
       i += 1
     }
     val na = seen.size()
@@ -53,7 +70,7 @@ case class JaccardSimilarity(left: Expression, right: Expression)
     i = 0
     while (i < b.numElements()) {
       if (!b.isNullAt(i)) {
-        val v = b.getUTF8String(i)
+        val v = elem(b, i)
         if (seenB.add(v)) {
           nb += 1
           if (seen.contains(v)) inter += 1

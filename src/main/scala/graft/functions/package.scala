@@ -30,6 +30,14 @@ package object functions {
   def shingleSet(text: Column, n: Int = 3): Column =
     array_distinct(wordShingles(text, n))
 
+  /** Shingle set hashed to 64-bit values. Set-similarity over the hashes
+    * equals similarity over the strings up to xxhash64 collisions
+    * (~1e-14 per pair) while shrinking pairwise-join rows several-fold —
+    * the preferred representation for pairwise similarity at scale.
+    */
+  def hashedShingleSet(text: Column, n: Int = 3): Column =
+    transform(shingleSet(text, n), s => xxhash64(s))
+
   /** Jaccard similarity of two string-array columns via the codegen'd
     * [[JaccardSimilarity]] expression (single pass, no intermediate arrays;
     * bit-identical to [[jaccardCompositional]]).

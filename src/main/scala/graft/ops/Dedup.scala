@@ -57,10 +57,15 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         blockCols: Seq[Column], n: Int = 3,
-                        minJaccard: Double = 0.0): DataFrame = {
+                        minJaccard: Double = 0.0,
+                        hashedShingles: Boolean = false): DataFrame = {
+    // hashedShingles: carry 64-bit shingle hashes instead of strings
+    // through the pairwise join — same jaccard modulo ~1e-14 collisions,
+    // several-fold less allocation per candidate pair
+    val sh = if (hashedShingles) hashedShingleSet(text, n) else shingleSet(text, n)
     val base = spread(df).select(
       (blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") } :+
-        id.as("__id") :+ shingleSet(text, n).as("__sh")): _*)
+        id.as("__id") :+ sh.as("__sh")): _*)
     val blockKeys = blockCols.indices.map(i => s"__b$i")
     val a = base.toDF(base.columns.map(_ + "_a").toIndexedSeq: _*)
     val b = base.toDF(base.columns.map(_ + "_b").toIndexedSeq: _*)
@@ -150,10 +155,12 @@ object Dedup {
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // verify candidates with the exact Jaccard over the original shingle sets
-    candidates
-      .join(base.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+    // verify with exact Jaccard: stream the cached shingle sets, broadcast
+    // the tiny candidate side (never the wide arrays)
+    val withA = base.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
+      .join(broadcast(candidates), Seq("id_a"))
+    base.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
+      .join(broadcast(withA), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -39,6 +39,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Set((1L, 4L)))
   }
 
+  test("hashed-shingle jaccard equals string-shingle jaccard") {
+    val str = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", Seq(lit(1)))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val hashed = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", Seq(lit(1)),
+      hashedShingles = true)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(hashed === str)
+  }
+
   test("inverted-index jaccard agrees with the all-pairs version") {
     val dense = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", Seq(lit(1)))
       .filter($"jaccard" > 0)
