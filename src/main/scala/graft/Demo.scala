@@ -35,6 +35,17 @@ object Demo {
       .agg(new MinHashSignatureAgg(16).toColumn.name("sig"))
     println(s"[demo] minhash signatures=${sigs.count()} width=" +
       sigs.head()._2.length)
+
+    // full EP2 pipeline: sanitize → enrich → coerce → partition overwrite
+    Files.writeString(Paths.get(s"$dir/ibge.csv"),
+      "UF;COD;NOME\nSP;3507506;botucatu\nSP;3550308;são paulo\n")
+    val lake = s"$dir/lake"
+    val n = pipeline.MunicipioPipeline.runLocalLake(
+      spark, s"$dir/data.json", Some(s"$dir/ibge.csv"), 2025, 10, lake)
+    val n2 = pipeline.MunicipioPipeline.runLocalLake(
+      spark, s"$dir/data.json", Some(s"$dir/ibge.csv"), 2025, 10, lake)
+    println(s"[demo] EP2 lake rows first=$n rerun=$n2 " +
+      s"total=${spark.read.parquet(lake).count()}")
     spark.stop()
   }
 }

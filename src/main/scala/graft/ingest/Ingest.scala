@@ -97,6 +97,18 @@ object Ingest {
   def csv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("sep", ";").option("header", "true").csv(path)
 
+  /** S6: JDBC source with full query pushdown — the SQL string executes
+    * database-side (dags/etl_municipios.py:121-122's
+    * `SELECT DISTINCT municipio, ano_ref, mes_ref`), so projection +
+    * distinct never cross the wire unaggregated.
+    */
+  def jdbcQuery(spark: SparkSession, url: String, sql: String,
+                props: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url).option("query", sql)
+    props.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
   /** S7: empty relation with an explicit schema, used as the graceful
     * fallback when a history/source read fails so that downstream anti-joins
     * still type-check (the reference's "V22 fix" shape).

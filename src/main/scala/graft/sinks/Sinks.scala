@@ -46,10 +46,21 @@ object Sinks {
                        props: java.util.Properties = new java.util.Properties()): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      st.executeUpdate(s"DELETE FROM $table WHERE $deleteWhere")
-      conn.commit()
+      // K3 ensure-table spirit: on the very first load the table doesn't
+      // exist yet (the reference's CREATE TABLE IF NOT EXISTS runs first,
+      // pipeline.py:147-173); the writer below creates it, so only DELETE
+      // when it's already there.
+      val meta = conn.getMetaData
+      val exists = Seq(table, table.toUpperCase, table.toLowerCase).exists { t =>
+        val rs = meta.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
+      if (exists) {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        st.executeUpdate(s"DELETE FROM $table WHERE $deleteWhere")
+        conn.commit()
+      }
     } finally conn.close()
     jdbcAppend(df, url, table, props)
   }
