@@ -375,6 +375,33 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Similarity 3: IVF-style partitioned search. Centroids are the
+    * min-vec_id vector per label (deterministic, model-free); every vector
+    * is assigned to its nearest centroid once (broadcast + argmax), and
+    * each query probes only its own cell.
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = Idempotent.latestPerKey(
+      e.withColumn("neg_id", -col("vec_id")), Seq("label"), Seq("neg_id"))
+      .select(col("label").as("cell"), col("embedding").as("cvec"))
+    val assigned = Similarity.assignToCentroids(
+      e, col("vec_id"), col("embedding"), centroids, col("cell"), col("cvec"))
+    val queries = assigned.filter(col("item_id") < 10)
+      .select(col("item_id").as("query_id"), col("vec") as "qvec", col("cell"))
+    val scored = assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("item_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -552,7 +579,8 @@ object SparkEntry {
     "q33_asset_metadata" -> q33 _,
     "q34_frame_sample" -> q34 _,
     "q35_decode_stats" -> q35 _,
-    "q36_stream_window_agg" -> q36 _)
+    "q36_stream_window_agg" -> q36 _,
+    "q37_ann_ivf_topk" -> q37 _)
 
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
   // determinism rules at the top of this object.
@@ -762,6 +790,28 @@ object SparkEntry {
             CAST(c.embedding AS DOUBLE[])) AS cos
         FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
         WHERE q.vec_id < 10)
+      SELECT query_id, item_id,
+        CAST(row_number() OVER w AS BIGINT) AS rank, round(cos, 4) AS cosine
+      FROM scored
+      WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC, item_id)
+      QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q37_ann_ivf_topk" -> """
+      WITH cent AS (
+        SELECT label AS cell, embedding AS cvec FROM embeddings
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+      assign AS (
+        SELECT e.vec_id AS item_id, e.embedding AS vec, c.cell
+        FROM embeddings e CROSS JOIN cent c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) = 1),
+      q AS (SELECT item_id AS query_id, vec AS qvec, cell
+            FROM assign WHERE item_id < 10),
+      scored AS (
+        SELECT q.query_id, a.item_id,
+          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+            CAST(a.vec AS DOUBLE[])) AS cos
+        FROM assign a JOIN q ON a.cell = q.cell AND a.item_id != q.query_id)
       SELECT query_id, item_id,
         CAST(row_number() OVER w AS BIGINT) AS rank, round(cos, 4) AS cosine
       FROM scored
