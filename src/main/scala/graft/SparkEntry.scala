@@ -288,39 +288,39 @@ object SparkEntry {
     // cached: shared by the signature pipeline and both verify joins
     // (measured faster than recomputing or semi-join-pruning at sf0.1 —
     // extra plan stages cost more in codegen than the cache write)
-    val docs = t(s, dir, "documents")
+    // String shingles are never materialized: explode them once, and one
+    // aggregation produces BOTH the 16-wide md5 minhash signature (4
+    // seed-prefixed digests × four 32-bit hex chunks; lexicographic min ≡
+    // numeric min on fixed-width hex) AND the xxhash64'd shingle set used
+    // for exact-Jaccard verification — so the only cached dataset is
+    // all-long and cheap to encode.
+    val exploded = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .cache()
-    // 16 hash functions from 4 md5 evaluations per shingle: seed-prefixed
-    // md5, then four independent 8-hex-char (32-bit) chunks of each digest
-    // (lexicographic min ≡ numeric min on fixed-width hex). Computed
-    // relationally — explode shingles, md5 as plain codegen'd columns,
-    // min-aggregate per doc — so digests are evaluated once each and the
-    // minima partial-aggregate map-side.
-    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("x"))
-    val hashed = exploded.select(col("doc_id") +:
-      (0 until bands).map(sd => md5(concat(lit(s"$sd|"), col("x"))).as(s"m$sd")): _*)
-    val minCols = for { sd <- 0 until bands; j <- 0 until rows }
-      yield min(substring(col(s"m$sd"), j * 8 + 1, 8)).as(s"s${sd * rows + j}")
+      .select(col("doc_id"), explode(wordShingles(col("text"))).as("x"))
+    val hashed = exploded.select(
+      (col("doc_id") +: xxhash64(col("x")).as("hx") +:
+        (0 until bands).map(sd =>
+          md5(concat(lit(s"$sd|"), col("x"))).as(s"m$sd"))): _*)
+    val minCols = (for { sd <- 0 until bands; j <- 0 until rows }
+      yield min(substring(col(s"m$sd"), j * 8 + 1, 8)).as(s"s${sd * rows + j}")) :+
+      collect_set(col("hx")).as("hset")
     val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .cache() // (doc_id, 16 chunk-minima, hashed shingle set) — all longs
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         md5(concat_ws("|", (b * rows until (b + 1) * rows)
           .map(k => col(s"s$k")): _*)).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-      .cache() // tiny (docs × bands rows); self-joined below
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // verify: stream the cached docs, broadcast the tiny candidate side —
-    // never let the planner broadcast the wide shingle arrays
-    val withA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    // verify on the hashed sets (equal to string-set jaccard modulo 64-bit
+    // collisions): stream cached sig, broadcast the tiny candidate side
+    val withA = sig.select(col("doc_id").as("id_a"), col("hset").as("sh_a"))
       .join(broadcast(candidates), Seq("id_a"))
-    docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    sig.select(col("doc_id").as("id_b"), col("hset").as("sh_b"))
       .join(broadcast(withA), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
