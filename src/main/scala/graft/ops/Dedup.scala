@@ -129,19 +129,19 @@ object Dedup {
                       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // cached: shared by the signature pipeline and both verify joins
-    val base = spread(df)
-      .select(id.as("__id"), shingleSet(text, shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .cache()
-    // Signature via explode + hash columns + min-aggregate: keeps the k
-    // hash evaluations in whole-stage codegen (higher-order-function
+    // Signature via explode + hash columns + one fused aggregate: the k
+    // hash evaluations stay in whole-stage codegen (higher-order-function
     // lambdas are interpreted and defeat common-subexpression elimination),
-    // and the per-doc minima become one partial-aggregated shuffle.
-    val exploded = base.select(col("__id"), explode(col("__sh")).as("__x"))
-    val minCols = (0 until numHashes).map(k =>
-      min(xxhash64(lit(k), col("__x"))).as(s"__m$k"))
-    val sig = exploded.groupBy(col("__id")).agg(minCols.head, minCols.tail: _*)
+    // per-doc minima partial-aggregate map-side, and the same aggregation
+    // collects the xxhash64'd shingle set for exact-Jaccard verification —
+    // string shingles are never materialized or cached.
+    val exploded = spread(df)
+      .select(id.as("__id"), explode(wordShingles(text, shingleN)).as("__x"))
+    val aggCols = (0 until numHashes).map(k =>
+      min(xxhash64(lit(k), col("__x"))).as(s"__m$k")) :+
+      collect_set(xxhash64(col("__x"))).as("__hset")
+    val sig = exploded.groupBy(col("__id")).agg(aggCols.head, aggCols.tail: _*)
+      .cache() // (id, k minima, hashed shingle set) — all longs
     // (id, band, bucket): bucket hashes that band's signature slice
     val banded = sig.select(col("__id"),
       explode(array((0 until bands).map(bd =>
@@ -149,17 +149,17 @@ object Dedup {
           hash(((bd * rows) until ((bd + 1) * rows))
             .map(k => col(s"__m$k")): _*).as("bucket"))): _*)).as("bb"))
       .select(col("__id"), col("bb.band"), col("bb.bucket"))
-      .cache() // tiny (docs × bands rows); self-joined below
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // verify with exact Jaccard: stream the cached shingle sets, broadcast
-    // the tiny candidate side (never the wide arrays)
-    val withA = base.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
+    // verify with exact Jaccard over the hashed sets (equal to string-set
+    // jaccard modulo 64-bit collisions): stream cached sig, broadcast the
+    // tiny candidate side (never the wide arrays)
+    val withA = sig.select(col("__id").as("id_a"), col("__hset").as("sh_a"))
       .join(broadcast(candidates), Seq("id_a"))
-    base.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
+    sig.select(col("__id").as("id_b"), col("__hset").as("sh_b"))
       .join(broadcast(withA), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
