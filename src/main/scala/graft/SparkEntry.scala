@@ -541,6 +541,25 @@ object SparkEntry {
       .orderBy("hour_epoch", "event_type")
   }
 
+  /** Text 5: corpus token frequency — top-50 tokens with doc frequency. */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(50)
+
+  /** Text 6: document length histogram (100-char buckets) per language. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"),
+        floor(col("n_chars") / lit(100L)).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy("lang", "len_bucket")
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -580,7 +599,9 @@ object SparkEntry {
     "q34_frame_sample" -> q34 _,
     "q35_decode_stats" -> q35 _,
     "q36_stream_window_agg" -> q36 _,
-    "q37_ann_ivf_topk" -> q37 _)
+    "q37_ann_ivf_topk" -> q37 _,
+    "q38_token_frequency" -> q38 _,
+    "q39_length_histogram" -> q39 _)
 
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
   // determinism rules at the top of this object.
@@ -914,6 +935,18 @@ object SparkEntry {
         source, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         md5(text) AS content_hash
       FROM documents ORDER BY asset_id""",
+    "q38_token_frequency" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents)
+      SELECT token, count(*) AS n_occurrences,
+        count(DISTINCT doc_id) AS doc_freq
+      FROM toks GROUP BY token
+      ORDER BY n_occurrences DESC, token LIMIT 50""",
+    "q39_length_histogram" -> """
+      SELECT lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1, 2 ORDER BY lang, len_bucket""",
     "q34_frame_sample" -> """
       WITH v AS (
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
