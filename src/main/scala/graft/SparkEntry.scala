@@ -333,12 +333,27 @@ object SparkEntry {
     * pair space is small and this beats the inverted-index formulation
     * ([[Dedup.ngramJaccardPairsInverted]]), which wins on large blocks.
     */
-  private def q22(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
-      Seq(col("lang"), col("source")), hashedShingles = true)
-      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    // hashed shingle sets materialized once (row-format checkpoint) so the
+    // self-join legs read blocks instead of recomputing the shingling
+    val base = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("lang"), col("source"), col("doc_id"),
+        hashedShingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val a = base.select(col("lang"), col("source"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("lang"), col("source"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .orderBy(col("j").desc, col("id_a"), col("id_b"))
       .limit(100)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
+  }
 
   /** Dedup 4: SimHash (xxhash64-based — no SQL oracle; verified in tests). */
   private def q23(s: SparkSession, dir: String): DataFrame =
