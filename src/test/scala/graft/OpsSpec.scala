@@ -148,6 +148,14 @@ class OpsSpec extends AnyFunSuite {
     assert(stats.columns.contains("aspect") && stats.columns.contains("pixels"))
   }
 
+  test("repartitionByBytes sizes partitions to a byte budget") {
+    val assets = Multimodal.fromText(
+      docs.withColumn("source", lit("s")), "doc_id", "text", "source")
+    val spreadOut = Multimodal.repartitionByBytes(assets, targetBytesPerPartition = 64)
+    assert(spreadOut.rdd.getNumPartitions > 1) // ~300 bytes of payload / 64
+    assert(spreadOut.count() === 5)
+  }
+
   test("sampleFrames emits a strided frame index per video asset") {
     val assets = Multimodal.fromText(
       docs.withColumn("source", lit("s")), "doc_id", "text", "source",
