@@ -53,10 +53,19 @@ object Bench {
       }
       spark.sharedState.cacheManager.clearCache()
     }
+    // Two timed rounds per query, report the min: the host shows
+    // intermittent load spikes and a single sample can be 2-3x off; min-of-2
+    // measures the query, not the interference. Caches are cleared between
+    // rounds so each round pays the query's full cost.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt
     val results = headline.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to rounds).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qjson = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -334,13 +334,15 @@ object SparkEntry {
     * ([[Dedup.ngramJaccardPairsInverted]]), which wins on large blocks.
     */
   private def q22(s: SparkSession, dir: String): DataFrame = {
-    // hashed shingle sets materialized once (row-format checkpoint) so the
-    // self-join legs read blocks instead of recomputing the shingling
+    // hashed shingle sets built relationally (explode + codegen'd xxhash64 +
+    // collect_set — nested HOF lambdas are interpreted and slow) and
+    // materialized once so the self-join legs read blocks
     val base = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("lang"), col("source"), col("doc_id"),
-        hashedShingleSet(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+        explode(wordShingles(col("text"))).as("x"))
+      .groupBy(col("lang"), col("source"), col("doc_id"))
+      .agg(collect_set(xxhash64(col("x"))).as("sh"))
       .localCheckpoint()
     val a = base.select(col("lang"), col("source"),
       col("doc_id").as("id_a"), col("sh").as("sh_a"))
