@@ -46,6 +46,13 @@ object Demo {
       spark, s"$dir/data.json", Some(s"$dir/ibge.csv"), 2025, 10, lake)
     println(s"[demo] EP2 lake rows first=$n rerun=$n2 " +
       s"total=${spark.read.parquet(lake).count()}")
+
+    // hashed-shingle similarity join over the documents table
+    val pairs = ops.Dedup.ngramJaccardPairs(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      $"doc_id", $"text", Seq($"lang", $"source"), hashedShingles = true)
+      .filter($"jaccard" > 0)
+    println(s"[demo] hashed jaccard pairs>0: ${pairs.count()}")
     spark.stop()
   }
 }

@@ -61,12 +61,26 @@ object Dedup {
                         hashedShingles: Boolean = false): DataFrame = {
     // hashedShingles: carry 64-bit shingle hashes instead of strings
     // through the pairwise join — same jaccard modulo ~1e-14 collisions,
-    // several-fold less allocation per candidate pair
-    val sh = if (hashedShingles) hashedShingleSet(text, n) else shingleSet(text, n)
-    val base = spread(df).select(
-      (blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") } :+
-        id.as("__id") :+ sh.as("__sh")): _*)
+    // several-fold less allocation per candidate pair. Built relationally
+    // (explode + codegen'd xxhash64 + collect_set): nested higher-order
+    // lambdas are interpreted and ~3x slower.
     val blockKeys = blockCols.indices.map(i => s"__b$i")
+    val base =
+      if (hashedShingles)
+        spread(df).select(
+          (blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") } :+
+            // explode_outer keeps shingle-less docs as an empty set,
+            // matching the string path's semantics
+            id.as("__id") :+ explode_outer(wordShingles(text, n)).as("__x")): _*)
+          .groupBy((blockKeys :+ "__id").map(col): _*)
+          // xxhash64(null) is the seed, not null — guard so collect_set
+          // skips the explode_outer placeholder and the set stays empty
+          .agg(collect_set(when(col("__x").isNotNull,
+            xxhash64(col("__x")))).as("__sh"))
+      else
+        spread(df).select(
+          (blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") } :+
+            id.as("__id") :+ shingleSet(text, n).as("__sh")): _*)
     val a = base.toDF(base.columns.map(_ + "_a").toIndexedSeq: _*)
     val b = base.toDF(base.columns.map(_ + "_b").toIndexedSeq: _*)
     val joinCond = blockKeys.map(k => a(k + "_a") === b(k + "_b"))

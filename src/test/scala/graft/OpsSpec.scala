@@ -40,12 +40,16 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("hashed-shingle jaccard equals string-shingle jaccard") {
-    val str = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", Seq(lit(1)))
+    // include a second shingle-less doc: a pair of empty sets must not
+    // score 1.0 in either mode
+    val withShort = docs.union(Seq((6L, "tiny too")).toDF("doc_id", "text"))
+    val str = Dedup.ngramJaccardPairs(withShort, $"doc_id", $"text", Seq(lit(1)))
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
-    val hashed = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", Seq(lit(1)),
+    val hashed = Dedup.ngramJaccardPairs(withShort, $"doc_id", $"text", Seq(lit(1)),
       hashedShingles = true)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
     assert(hashed === str)
+    assert(!str.contains((5L, 6L, 1.0)))
   }
 
   test("inverted-index jaccard agrees with the all-pairs version") {
