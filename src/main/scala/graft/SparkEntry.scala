@@ -577,6 +577,16 @@ object SparkEntry {
         sum(col("n_chars")).cast("long").as("total_chars"))
       .orderBy("lang", "len_bucket")
 
+  /** Stateful aggregation surface: per-user running totals through
+    * `mapGroupsWithState` (KeyValueGroupedDataset). The iterative double
+    * accumulation is order-dependent at the ulp level, so the output is
+    * rounded to 4 decimals (error bound ~1e-11 for these magnitudes).
+    */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.runningUserTotals(t(s, dir, "events"))
+      .select(col("user_id"), col("n"), round(col("total"), 4).as("total"))
+      .orderBy("user_id")
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -618,7 +628,8 @@ object SparkEntry {
     "q36_stream_window_agg" -> q36 _,
     "q37_ann_ivf_topk" -> q37 _,
     "q38_token_frequency" -> q38 _,
-    "q39_length_histogram" -> q39 _)
+    "q39_length_histogram" -> q39 _,
+    "q40_stateful_user_totals" -> q40 _)
 
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
   // determinism rules at the top of this object.
@@ -964,6 +975,10 @@ object SparkEntry {
       SELECT lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY 1, 2 ORDER BY lang, len_bucket""",
+    "q40_stateful_user_totals" -> """
+      SELECT user_id, count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      FROM events GROUP BY user_id ORDER BY user_id""",
     "q34_frame_sample" -> """
       WITH v AS (
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
