@@ -8,7 +8,7 @@ import graft.functions._
 import graft.enrich.Enrich
 import graft.idempotent.Idempotent
 import graft.normalize.Normalize
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TemporalJoin, TextAnalysis}
 
 /** Driver contract — one named query per operator in SURVEY.md §2 plus the
   * training-data extension ops, each with a DuckDB oracle in [[oracleSql]].
@@ -357,9 +357,11 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
   }
 
-  /** Dedup 4: SimHash (xxhash64-based — no SQL oracle; verified in tests). */
+  /** Dedup 4: portable 64-bit SimHash (md5-chunk bits, oracle-checkable;
+    * the xxhash64 variant [[Dedup.simhash]] stays for in-engine use).
+    */
   private def q23(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(t(s, dir, "documents"), col("doc_id"), col("text"))
+    Dedup.simhashPortable(t(s, dir, "documents"), col("doc_id"), col("text"))
       .orderBy("doc_id")
 
   /** Dedup 5: embedding-cosine top-100 pairs within label blocks. */
@@ -587,6 +589,72 @@ object SparkEntry {
       .select(col("user_id"), col("n"), round(col("total"), 4).as("total"))
       .orderBy("user_id")
 
+  /** Temporal 1: as-of join — for each purchase, the latest click at or
+    * before it by the same user (attribution). Union-and-window formulation:
+    * one shuffle on the key, no O(L·R) pair space (see [[TemporalJoin]]).
+    */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // as-of contract: right side unique per (key, time)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    TemporalJoin.asOfJoin(purchases, Seq("user_id"), col("ts"),
+      clicks, Seq("user_id"), col("ts"),
+      Map("click_id" -> col("click_id"), "click_us" -> unix_micros(col("ts"))))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("ts")) - col("click_us"), lit(-1L)).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** Temporal 2: keyed range join — clicks in the hour before each purchase
+    * by the same user. The equi key keeps it a hash join; the time range is
+    * a residual filter, never a nested-loop.
+    */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    TemporalJoin.rangeJoinKeyed(purchases, Seq("user_id"), "ts",
+      clicks, Seq("c_user"), "c_ts",
+      expr("INTERVAL -1 HOUR"), expr("INTERVAL 0 SECOND"), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("c_ts")).as("n_prior_clicks"),
+        coalesce(dsum(col("c_value"), 2), lit(0.0d)).as("sum_click_value"))
+      .orderBy("event_id")
+  }
+
+  /** Temporal 3: key-less interval join via grid binning — views inside
+    * ±5-minute windows around early users' error events. Binning turns the
+    * interval predicate into an equi-join on the grid cell (shuffles by
+    * cell) instead of a quadratic BroadcastNestedLoopJoin.
+    */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val intervals = ev
+      .filter(col("event_type") === "error" && col("user_id") < 10)
+      .select(col("event_id").as("interval_id"),
+        (col("ts") - expr("INTERVAL 5 MINUTE")).as("lo"),
+        (col("ts") + expr("INTERVAL 5 MINUTE")).as("hi"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("ts").as("v_ts"), col("value").as("v_value"))
+    val joined = TemporalJoin.intervalJoinBinned(views, col("v_ts"),
+      intervals, col("lo"), col("hi"), binMicros = 300L * 1000000L)
+    val counts = joined.groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_views"), dsum(col("v_value"), 2).as("sum_view_value"))
+    intervals.select("interval_id").join(counts, Seq("interval_id"), "left")
+      .select(col("interval_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("sum_view_value"), lit(0.0d)).as("sum_view_value"))
+      .orderBy("interval_id")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -629,11 +697,91 @@ object SparkEntry {
     "q37_ann_ivf_topk" -> q37 _,
     "q38_token_frequency" -> q38 _,
     "q39_length_histogram" -> q39 _,
-    "q40_stateful_user_totals" -> q40 _)
+    "q40_stateful_user_totals" -> q40 _,
+    "q41_asof_click_attribution" -> q41 _,
+    "q42_range_prior_clicks" -> q42 _,
+    "q43_interval_join_binned" -> q43 _)
+
+  /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
+    * the exact construction of [[Dedup.simhashPortable]] restated in
+    * DuckDB SQL (hex→int via the '0x' cast; bit j of chunk j/16).
+    */
+  private val q23Oracle: String = {
+    val chunkDefs = (0 until 4).map(k =>
+      s"('0x'||substring(md5(tok),${k * 4 + 1},4))::INT AS c$k").mkString(", ")
+    val bitDefs = (0 until 64).map(j =>
+      s"sum(CASE WHEN (c${j / 16} >> ${j % 16}) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val chunkVals = (0 until 4).map { k =>
+      "CAST(" + (0 until 16).map(b =>
+        s"(CASE WHEN b${k * 16 + b} > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ") + s" AS INTEGER) AS s$k"
+    }.mkString(", ")
+    s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents),
+      ch AS (SELECT doc_id, $chunkDefs FROM tok),
+      sums AS (SELECT doc_id, $bitDefs FROM ch GROUP BY doc_id),
+      vals AS (SELECT doc_id, $chunkVals FROM sums)
+      SELECT doc_id, s0, s1, s2, s3,
+        printf('%04x%04x%04x%04x', s0, s1, s2, s3) AS simhash
+      FROM vals ORDER BY doc_id"""
+  }
 
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
   // determinism rules at the top of this object.
   def oracleSql: Map[String, String] = Map(
+    "q23_simhash" -> q23Oracle,
+    "q35_decode_stats" -> """
+      WITH d AS (
+        SELECT doc_id,
+          CAST(64 + (('0x'||substring(md5(text),1,8))::BIGINT % 1856) AS INTEGER) AS width,
+          CAST(64 + (('0x'||substring(md5(text),9,8))::BIGINT % 1016) AS INTEGER) AS height
+        FROM documents)
+      SELECT doc_id AS asset_id, width, height, CAST(3 AS INTEGER) AS channels,
+        round(CAST(width AS DOUBLE) / CAST(height AS DOUBLE), 4) AS aspect,
+        (width > 1024 OR height > 1024) AS needs_resize,
+        CAST(width AS BIGINT) * height AS pixels
+      FROM d ORDER BY asset_id""",
+    "q41_asof_click_attribution" -> """
+      WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id,
+        coalesce(c.click_id, -1) AS click_id,
+        coalesce(epoch_us(p.pts) - epoch_us(c.cts), -1) AS gap_us
+      FROM p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.pts >= c.cts
+      ORDER BY event_id""",
+    "q42_range_prior_clicks" -> """
+      SELECT p.event_id, p.user_id,
+        count(c.cts) AS n_prior_clicks,
+        coalesce(CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_click_value
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+            FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, value
+                 FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+          AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts < p.pts
+      GROUP BY p.event_id, p.user_id
+      ORDER BY event_id""",
+    "q43_interval_join_binned" -> """
+      WITH iv AS (
+        SELECT event_id AS interval_id,
+          CAST(ts AS TIMESTAMP) - INTERVAL 5 MINUTE AS lo,
+          CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS hi
+        FROM events WHERE event_type = 'error' AND user_id < 10),
+      pt AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value
+             FROM events WHERE event_type = 'view')
+      SELECT iv.interval_id,
+        count(pt.ts) AS n_views,
+        coalesce(CAST(sum(CAST(pt.value AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_view_value
+      FROM iv LEFT JOIN pt ON pt.ts >= iv.lo AND pt.ts < iv.hi
+      GROUP BY iv.interval_id ORDER BY interval_id""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -201,6 +201,37 @@ object Dedup {
     sums.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** Portable 64-bit SimHash: identical construction to [[simhash]] but the
+    * per-token bits come from the first 64 bits of `md5(token)` (four 16-bit
+    * big-endian chunks of the hex digest) instead of xxhash64 — any engine
+    * with md5 and integer bit ops reproduces it exactly, which is what makes
+    * this variant oracle-checkable (see SparkEntry q23).
+    *
+    * Output: (doc_id, s0..s3 16-bit chunk values, simhash hex string).
+    * Same scale shape as [[simhash]]: explode + one shuffle on the doc id,
+    * all expressions codegen'd.
+    */
+  def simhashPortable(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = spread(df).select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .withColumn("__m", md5(col("tok")))
+    val chunks = (0 until 4).map(k =>
+      conv(substring(col("__m"), k * 4 + 1, 4), 16, 10).cast("int").as(s"__c$k"))
+    val t2 = tok.select(col("doc_id") +: chunks: _*)
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col(s"__c${j / 16}"), j % 16).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$j")
+    }
+    val sums = t2.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val chunkVals = (0 until 4).map { k =>
+      (0 until 16).map(b =>
+        when(col(s"__b${k * 16 + b}") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as(s"s$k")
+    }
+    sums.select(col("doc_id") +: chunkVals: _*)
+      .withColumn("simhash", concat((0 until 4).map(k =>
+        lpad(lower(conv(col(s"s$k").cast("string"), 10, 16)), 4, "0")): _*))
+  }
+
   /** SimHash dup buckets: groups of documents sharing an identical simhash. */
   def simhashBuckets(df: DataFrame, id: Column, text: Column): DataFrame =
     simhash(df, id, text)

@@ -44,17 +44,21 @@ object Multimodal {
 
   /** Deterministic stand-in for the real media codec. */
   object FakeCodec {
-    /** "Decode" an image payload: width/height/channels derived from a
-      * stable hash of the bytes. A real implementation calls the codec here.
+    /** "Decode" an image payload: width/height/channels derived from the
+      * md5 of the bytes (first two 32-bit big-endian words of the digest),
+      * so any engine with md5 reproduces the values — which is what lets
+      * the decode stage be oracle-checked. A real implementation calls the
+      * codec here instead.
       */
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       if (payload == null) return (0, 0, 0)
-      var h = 1125899906842597L
-      var i = 0
-      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-      val w = 64 + math.floorMod(h, 1856).toInt        // 64..1919
-      val hh = 64 + math.floorMod(h >> 11, 1016).toInt // 64..1079
-      (w, hh, 3)
+      val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      def u32(off: Int): Long =
+        ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+          ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+      val w = 64 + (u32(0) % 1856).toInt // 64..1919
+      val h = 64 + (u32(4) % 1016).toInt // 64..1079
+      (w, h, 3)
     }
   }
 
