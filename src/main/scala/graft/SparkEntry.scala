@@ -655,6 +655,29 @@ object SparkEntry {
       .orderBy("interval_id")
   }
 
+  /** Temporal 4: the NATIVE as-of join — same query as q41 but through the
+    * custom Catalyst operator ([[graft.plans.AsOfJoinExec]]: LogicalPlan +
+    * Strategy + sort-merge SparkPlan, SparkSessionExtensions-registrable).
+    * Shares q41's DuckDB ASOF JOIN oracle, so the whole-operator extension
+    * path sits inside the correctness gate.
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("click_id"), unix_micros(col("ts")).as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    graft.plans.AsOfJoin.asOf(purchases, Seq("user_id"), "ts",
+      clicks, Seq("c_user"), "c_ts", Seq("click_id", "click_us"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("ts")) - col("click_us"), lit(-1L)).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -700,7 +723,8 @@ object SparkEntry {
     "q40_stateful_user_totals" -> q40 _,
     "q41_asof_click_attribution" -> q41 _,
     "q42_range_prior_clicks" -> q42 _,
-    "q43_interval_join_binned" -> q43 _)
+    "q43_interval_join_binned" -> q43 _,
+    "q44_asof_native" -> q44 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -745,6 +769,19 @@ object SparkEntry {
         CAST(width AS BIGINT) * height AS pixels
       FROM d ORDER BY asset_id""",
     "q41_asof_click_attribution" -> """
+      WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id,
+        coalesce(c.click_id, -1) AS click_id,
+        coalesce(epoch_us(p.pts) - epoch_us(c.cts), -1) AS gap_us
+      FROM p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.pts >= c.cts
+      ORDER BY event_id""",
+    "q44_asof_native" -> """
       WITH clicks AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, max(event_id) AS click_id
         FROM events WHERE event_type = 'click' GROUP BY 1, 2),
