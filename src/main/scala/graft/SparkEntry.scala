@@ -678,6 +678,22 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Streaming 3: distinct event-type count per user as a real streaming
+    * job (Complete-mode stateful aggregation over `collect_set` — streaming
+    * disallows count_distinct, so the set-size formulation is the streaming
+    * idiom). Oracle is the batch COUNT(DISTINCT).
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val agg = stream.groupBy(col("user_id"))
+      .agg(size(collect_set(col("event_type"))).cast("long").as("n_types"))
+    graft.streaming.Streaming.runToMemory(agg, "q45_mem")
+      .orderBy("user_id")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -724,7 +740,8 @@ object SparkEntry {
     "q41_asof_click_attribution" -> q41 _,
     "q42_range_prior_clicks" -> q42 _,
     "q43_interval_join_binned" -> q43 _,
-    "q44_asof_native" -> q44 _)
+    "q44_asof_native" -> q44 _,
+    "q45_stream_distinct_types" -> q45 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -756,6 +773,9 @@ object SparkEntry {
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
   // determinism rules at the top of this object.
   def oracleSql: Map[String, String] = Map(
+    "q45_stream_distinct_types" -> """
+      SELECT user_id, count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id ORDER BY user_id""",
     "q23_simhash" -> q23Oracle,
     "q35_decode_stats" -> """
       WITH d AS (

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for hot keys at scale.
+  *
+  * AQE's skew-join splitting handles sort-merge joins automatically, but two
+  * shapes still need explicit salting at 100 TB:
+  *
+  *  - a groupBy where one key holds a large share of all rows (the partial
+  *    aggregate helps only when the map-side combine ratio is high — for
+  *    high-cardinality aggregation state like `collect_set` it is not);
+  *  - a shuffle join whose hot key exceeds what one task can hold even
+  *    after AQE splitting (splitting divides the stream side, but every
+  *    split still joins the full build side of that key).
+  *
+  * Both operators are deterministic (salt = hash of a chosen column, not
+  * rand()) so re-runs and retried tasks produce identical partitioning —
+  * required for exactly-once sinks and for this engine's oracle gate.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets): hash of `c` — use a roughly-unique
+    * column (an id) so rows of a hot key spread uniformly.
+    */
+  def saltOf(c: Column, buckets: Int): Column =
+    pmod(xxhash64(c), lit(buckets.toLong)).cast("int")
+
+  /** Two-phase (salted) aggregation: partial-aggregate by (keys, salt),
+    * then final-aggregate by keys. `partial` builds the per-salt
+    * accumulator from input columns; `merge` combines the per-salt partials.
+    *
+    * Example — a skew-proof distinct count:
+    * {{{
+    *   saltedAgg(df, Seq(col("k")), saltOf(col("id"), 64),
+    *     Seq(count_distinct(col("u")).as("p")),
+    *     Seq(sum(col("p")).as("n_distinct")))   // u pre-bucketed by salt
+    * }}}
+    *
+    * The first shuffle spreads a hot key over `buckets` reducers; the
+    * second shuffles only `buckets` rows per key.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[Column], salt: Column,
+                partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val stage1 = df.groupBy(keys :+ salt.as("__salt"): _*)
+      .agg(partial.head, partial.tail: _*)
+    stage1.groupBy(keys: _*).agg(merge.head, merge.tail: _*)
+  }
+
+  /** Salted equi-join of a skewed fact side against a dimension too large to
+    * broadcast: facts get a deterministic salt from `factSalt`; the dim side
+    * is replicated once per salt value (explode of a literal range) so every
+    * (key, salt) bucket finds its dim row. The hot key's rows now land on
+    * `buckets` different reducers instead of one.
+    *
+    * Replication cost: |dim| × buckets rows through the dim-side shuffle —
+    * pick `buckets` ≈ hot-key rows / target-rows-per-task, and salt only
+    * when AQE skew handling is insufficient.
+    */
+  def saltedJoin(facts: DataFrame, factKey: Column, factSalt: Column,
+                 dim: DataFrame, dimKey: Column, buckets: Int,
+                 joinType: String = "inner"): DataFrame = {
+    val saltedFacts = facts.withColumn("__salt", factSalt)
+    val saltedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFacts.join(saltedDim,
+        factKey === dimKey && saltedFacts("__salt") === saltedDim("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+}

@@ -103,4 +103,20 @@ object Sinks {
   def lakeAppend(df: DataFrame, path: String,
                  partitionKeys: Seq[String] = Seq("ano_ref", "mes_ref")): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionKeys: _*).parquet(path)
+
+  /** Bucketed table write: pre-shuffle rows into `nBuckets` hash buckets on
+    * `bucketCols` (optionally sorted within buckets) so later joins and
+    * aggregations on those keys read co-located data and plan WITHOUT a
+    * shuffle exchange. At 100 TB this is how repeated fact-to-fact joins on
+    * the same key amortize their shuffle: pay it once at write time.
+    * (BucketingSpec asserts the exchange-free plan.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
 }

@@ -79,6 +79,64 @@ object Streaming {
       }.toDF()
   }
 
+  /** Streaming sessionization via flatMapGroupsWithState + event-time
+    * timeout: the full custom-state surface. Events accumulate into an open
+    * per-user session; a session CLOSES (and is emitted, Append mode) when
+    * a later event arrives past the gap, or when the watermark passes
+    * `last event + gap` (the timeout path — so idle sessions flush without
+    * waiting for the user's next event).
+    *
+    * State per key is one fixed-size session record — at 100 TB state size
+    * is O(active users), not O(events), and the watermark bounds how long a
+    * key stays resident.
+    */
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  final case class SessState(start_us: Long, last_us: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                                 n_events: Long)
+
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.selectExpr("user_id", "ts", "event_id").as[SessEvent]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.start_us, s.last_us, s.n))
+          } else {
+            // events within a batch arrive unordered — order before folding
+            val sorted = rows.toVector.sortBy(e => (us(e.ts), e.event_id))
+            var closed = Vector.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if us(e.ts) - s.last_us <= gapUs =>
+                  cur = Some(s.copy(last_us = us(e.ts), n = s.n + 1))
+                case Some(s) =>
+                  closed :+= ClosedSession(uid, s.start_us, s.last_us, s.n)
+                  cur = Some(SessState(us(e.ts), us(e.ts), 1))
+                case None =>
+                  cur = Some(SessState(us(e.ts), us(e.ts), 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close via timeout when the watermark passes last + gap
+              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L)
+            }
+            closed.iterator
+          }
+      }.toDF()
+  }
+
   /** Run a streaming aggregation over a bounded source synchronously into an
     * in-memory table (test/bench harness path).
     */

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+import graft.sinks.Sinks
+
+/** Scale-path operators: salting and bucketing. Correctness is checked
+  * against the unsalted/unbucketed forms; the bucketing test additionally
+  * asserts the exchange-free physical plan (the point of bucketing).
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 10k rows, key 1 is hot (~50% of all rows)
+  private lazy val skewed = (1 to 10000).map { i =>
+    val k = if (i % 2 == 0) 1L else (i % 97).toLong
+    (i.toLong, k, i * 0.5)
+  }.toDF("id", "k", "v")
+
+  private lazy val dim = (0L to 99L).map(k => (k, s"name_$k")).toDF("dk", "dname")
+
+  test("saltedAgg equals the direct aggregation") {
+    val direct = skewed.groupBy($"k")
+      .agg(count(lit(1)).as("n"),
+        sum($"v".cast("decimal(18,2)")).cast("double").as("sv"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val salted = Skew.saltedAgg(skewed, Seq($"k"), Skew.saltOf($"id", 16),
+      Seq(count(lit(1)).as("pn"),
+        sum($"v".cast("decimal(18,2)")).as("pv")),
+      Seq(sum($"pn").as("n"), sum($"pv").cast("double").as("sv")))
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(salted === direct)
+  }
+
+  test("saltedJoin equals the direct join") {
+    val direct = skewed.join(dim, $"k" === $"dk")
+      .select("id", "dname").as[(Long, String)].collect().toSet
+    val salted = Skew.saltedJoin(skewed, $"k", Skew.saltOf($"id", 16),
+      dim, $"dk", buckets = 16)
+      .select("id", "dname").as[(Long, String)].collect().toSet
+    assert(salted === direct)
+    assert(salted.size === skewed.count()) // every fact matched exactly once
+  }
+
+  test("joins over co-bucketed tables plan without a shuffle exchange") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    Sinks.writeBucketed(a, "buck_a", Seq("k"), 8, Seq("k"))
+    Sinks.writeBucketed(b, "buck_b", Seq("k"), 8, Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("buck_a").join(spark.table("buck_b"), "k")
+      assert(j.count() === 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS buck_a")
+      spark.sql("DROP TABLE IF EXISTS buck_b")
+    }
+  }
+}

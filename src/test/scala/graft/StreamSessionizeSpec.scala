@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+
+class StreamSessionizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState sessionization closes sessions by gap and by timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val sessions = Streaming.sessionizeStream(
+      input.toDF.toDF("user_id", "ts", "event_id"),
+      gapMinutes = 30, watermark = "1 minute")
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_test").start()
+    try {
+      // batch 1: user 1 has two events 10 min apart (one session), then a
+      // third event 2 hours later the SAME batch — closes the first session
+      // by gap within the fold
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L),
+        (1L, ts("2024-01-01 10:10:00"), 2L),
+        (1L, ts("2024-01-01 12:00:00"), 3L))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sess_test")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(afterBatch1.map(t => (t._1, t._4)) === Set((1L, 2L))) // 2-event session closed
+      // batch 2: far-future event for user 2 pushes the watermark past
+      // user 1's open session + gap -> session 3 closes via TIMEOUT
+      input.addData((2L, ts("2024-01-01 23:00:00"), 9L))
+      q.processAllAvailable()
+      // one more batch so the timeout fires with the advanced watermark
+      input.addData((2L, ts("2024-01-01 23:00:01"), 10L))
+      q.processAllAvailable()
+      val all = spark.table("sess_test").as[(Long, Long, Long, Long)].collect().toSet
+      assert(all.exists(t => t._1 == 1L && t._4 == 1L),
+        s"timeout-closed single-event session missing: $all")
+    } finally q.stop()
+  }
+}
