@@ -99,7 +99,10 @@ object SparkEntry {
     val c = t(s, dir, "customer")
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // orders is a fact, not a dimension: at scale it can't broadcast, and
+    // even here the driver-side broadcast build costs more than a parallel
+    // shuffled hash build (the other three joins broadcast true dims)
+    li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -694,6 +697,60 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Aggregation 2: exact interpolated percentiles per group (Spark
+    * `percentile` ≡ DuckDB `quantile_cont` — both linear interpolation over
+    * the sorted values). The approximate path (`percentile_approx` /
+    * t-digest) is the 100 TB default; the exact form is the oracle-checkable
+    * one.
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(min(col("value")), 4).as("vmin"),
+        round(max(col("value")), 4).as("vmax"))
+      .orderBy("event_type")
+
+  /** Window-function suite (§2.6 breadth): lead/lag, first/last over frames,
+    * ntile, percent_rank, dense_rank in one pass over a per-user ordering.
+    */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .withColumn("prev_event", lag(col("event_id"), 1, -1L).over(w))
+      .withColumn("next_event", lead(col("event_id"), 1, -1L).over(w))
+      .withColumn("first_event", first(col("event_id")).over(wAll))
+      .withColumn("last_event", last(col("event_id")).over(wAll))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("drank", dense_rank().over(w).cast("long"))
+      .select("user_id", "event_id", "prev_event", "next_event",
+        "first_event", "last_event", "quartile", "pct_rank", "drank")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Scalar-function suite (§2.7 breadth): string edit/translate/pad/split,
+    * date arithmetic and truncation, conditional expressions — one row per
+    * customer, every value oracle-checked.
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).as("edit_dist"),
+        translate(lower(col("c_mktsegment")), "aeiou", "_____").as("seg_masked"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        substring(col("c_name"), -4, 4).as("name_tail"),
+        concat_ws("|", split(col("c_mktsegment"), "U")).as("seg_split"),
+        greatest(col("c_acctbal"), lit(0.0d)).as("bal_floor"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 1000, "low").otherwise("ok").as("bal_band"),
+        length(col("c_name")).cast("long").as("name_len"))
+      .orderBy("c_custkey")
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -741,7 +798,10 @@ object SparkEntry {
     "q42_range_prior_clicks" -> q42 _,
     "q43_interval_join_binned" -> q43 _,
     "q44_asof_native" -> q44 _,
-    "q45_stream_distinct_types" -> q45 _)
+    "q45_stream_distinct_types" -> q45 _,
+    "q46_percentiles" -> q46 _,
+    "q47_window_suite" -> q47 _,
+    "q48_scalar_suite" -> q48 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -776,6 +836,39 @@ object SparkEntry {
     "q45_stream_distinct_types" -> """
       SELECT user_id, count(DISTINCT event_type) AS n_types
       FROM events GROUP BY user_id ORDER BY user_id""",
+    "q46_percentiles" -> """
+      SELECT event_type,
+        round(quantile_cont(value, 0.5), 4) AS p50,
+        round(quantile_cont(value, 0.95), 4) AS p95,
+        round(min(value), 4) AS vmin,
+        round(max(value), 4) AS vmax
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q47_window_suite" -> """
+      SELECT user_id, event_id,
+        lag(event_id, 1, -1) OVER w AS prev_event,
+        lead(event_id, 1, -1) OVER w AS next_event,
+        first_value(event_id) OVER wall AS first_event,
+        last_value(event_id) OVER wall AS last_event,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        CAST(dense_rank() OVER w AS BIGINT) AS drank
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
+        wall AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id, event_id""",
+    "q48_scalar_suite" -> """
+      SELECT c_custkey,
+        levenshtein(c_name, 'Customer#000000001') AS edit_dist,
+        translate(lower(c_mktsegment), 'aeiou', '_____') AS seg_masked,
+        lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        substring(c_name, -4, 4) AS name_tail,
+        array_to_string(string_split(c_mktsegment, 'U'), '|') AS seg_split,
+        greatest(c_acctbal, 0.0) AS bal_floor,
+        CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+             WHEN c_acctbal < 1000 THEN 'low' ELSE 'ok' END AS bal_band,
+        CAST(length(c_name) AS BIGINT) AS name_len
+      FROM customer ORDER BY c_custkey""",
     "q23_simhash" -> q23Oracle,
     "q35_decode_stats" -> """
       WITH d AS (
