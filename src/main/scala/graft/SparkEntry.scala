@@ -751,6 +751,29 @@ object SparkEntry {
         length(col("c_name")).cast("long").as("name_len"))
       .orderBy("c_custkey")
 
+  /** Similarity 4: one k-means refinement iteration — assign every vector
+    * to its nearest seed centroid (q37's deterministic seeds), then
+    * recompute centroids as per-dimension means. Reported as per-cell
+    * member count + new-centroid L2 norm (decimal-accumulated, exact).
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = Idempotent.latestPerKey(
+      e.withColumn("neg_id", -col("vec_id")), Seq("label"), Seq("neg_id"))
+      .select(col("label").as("cell"), col("embedding").as("cvec"))
+    val assigned = Similarity.assignToCentroids(
+      e, col("vec_id"), col("embedding"), centroids, col("cell"), col("cvec"))
+    val avgs = Similarity.recomputeCentroids(assigned)
+    val norms = avgs.groupBy(col("cell"))
+      .agg(sqrt(sum((col("avg_val") * col("avg_val")).cast("decimal(27,12)"))
+        .cast("double")).as("centroid_norm"))
+    val members = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    members.join(norms, Seq("cell"))
+      .select(col("cell"), col("n_members"),
+        round(col("centroid_norm"), 6).as("centroid_norm"))
+      .orderBy("cell")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -801,7 +824,8 @@ object SparkEntry {
     "q45_stream_distinct_types" -> q45 _,
     "q46_percentiles" -> q46 _,
     "q47_window_suite" -> q47 _,
-    "q48_scalar_suite" -> q48 _)
+    "q48_scalar_suite" -> q48 _,
+    "q49_kmeans_iteration" -> q49 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -870,6 +894,31 @@ object SparkEntry {
         CAST(length(c_name) AS BIGINT) AS name_len
       FROM customer ORDER BY c_custkey""",
     "q23_simhash" -> q23Oracle,
+    "q49_kmeans_iteration" -> """
+      WITH cent AS (
+        SELECT label AS cell, embedding AS cvec FROM embeddings
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+      assign AS (
+        SELECT e.vec_id AS item_id, e.embedding AS vec, c.cell
+        FROM embeddings e CROSS JOIN cent c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) = 1),
+      dims AS (
+        SELECT cell, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val
+        FROM assign),
+      avgs AS (
+        SELECT cell, pos,
+          CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,8))) AS DOUBLE) / count(*) AS avg_val
+        FROM dims GROUP BY cell, pos),
+      norms AS (
+        SELECT cell,
+          sqrt(CAST(sum(CAST(avg_val * avg_val AS DECIMAL(27,12))) AS DOUBLE)) AS centroid_norm
+        FROM avgs GROUP BY cell),
+      members AS (SELECT cell, count(*) AS n_members FROM assign GROUP BY cell)
+      SELECT m.cell AS cell, m.n_members AS n_members,
+        round(n.centroid_norm, 6) AS centroid_norm
+      FROM members m JOIN norms n ON m.cell = n.cell ORDER BY m.cell""",
     "q35_decode_stats" -> """
       WITH d AS (
         SELECT doc_id,

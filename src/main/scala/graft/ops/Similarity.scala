@@ -91,4 +91,31 @@ object Similarity {
       .filter(col("__rn") === 1)
       .select(col("item_id"), col("vec"), col("cell"))
   }
+
+  /** One k-means refinement step over an assignment produced by
+    * [[assignToCentroids]]: the new centroid of each cell is the per-
+    * dimension arithmetic mean of its members. Fully relational —
+    * `posexplode` the vectors, aggregate by (cell, dim) — so the update is
+    * two shuffles regardless of corpus size, and the per-dim sums
+    * accumulate in DECIMAL (partition-order-independent, oracle-exact).
+    *
+    * Returns (cell, pos, avg_val) rows; [[centroidsAsVectors]] rebuilds
+    * array form for the next [[assignToCentroids]] round.
+    */
+  def recomputeCentroids(assigned: DataFrame,
+                         cellCol: Column = col("cell"),
+                         vecCol: Column = col("vec")): DataFrame =
+    assigned
+      .select(cellCol.as("cell"), posexplode(asDouble(vecCol)).as(Seq("pos", "val")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("val").cast("decimal(27,8)")).cast("double") /
+        count(lit(1))).as("avg_val"))
+
+  /** Rebuild (cell, pos, avg_val) rows into (cell, centroid array) —
+    * dimension order restored by sorting the collected (pos, val) structs.
+    */
+  def centroidsAsVectors(perDim: DataFrame): DataFrame =
+    perDim.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("avg_val")))),
+        s => s.getField("avg_val")).as("centroid"))
 }
