@@ -774,6 +774,21 @@ object SparkEntry {
       .orderBy("cell")
   }
 
+  /** Text 7: TF-IDF top-3 terms per document (ratio-form idf — exact
+    * integer ratios, engine-portable; see [[TextAnalysis.tfidf]]).
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.tfidf(t(s, dir, "documents"),
+      col("doc_id"), col("text"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("score"), 6).desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("rank"),
+        round(col("score"), 4).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -825,7 +840,8 @@ object SparkEntry {
     "q46_percentiles" -> q46 _,
     "q47_window_suite" -> q47 _,
     "q48_scalar_suite" -> q48 _,
-    "q49_kmeans_iteration" -> q49 _)
+    "q49_kmeans_iteration" -> q49 _,
+    "q50_tfidf_topk" -> q50 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -894,6 +910,27 @@ object SparkEntry {
         CAST(length(c_name) AS BIGINT) AS name_len
       FROM customer ORDER BY c_custkey""",
     "q23_simhash" -> q23Oracle,
+    "q50_tfidf_topk" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      ntok AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1),
+      dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+      scored AS (
+        SELECT t.doc_id AS doc_id, t.token AS token,
+          (CAST(t.tf AS DOUBLE) / CAST(n.n_tok AS DOUBLE)) *
+          (CAST(nd.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score
+        FROM tf t JOIN ntok n ON t.doc_id = n.doc_id
+        JOIN dfreq d ON t.token = d.token CROSS JOIN nd)
+      SELECT doc_id, token,
+        CAST(row_number() OVER w AS BIGINT) AS rank,
+        round(score, 4) AS tfidf
+      FROM scored
+      WINDOW w AS (PARTITION BY doc_id ORDER BY round(score, 6) DESC, token)
+      QUALIFY rank <= 3
+      ORDER BY doc_id, rank""",
     "q49_kmeans_iteration" -> """
       WITH cent AS (
         SELECT label AS cell, embedding AS cvec FROM embeddings

@@ -91,6 +91,30 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** TF-IDF term weights over a corpus, ratio-form: `(tf / n_tok) *
+    * (N / df)` — exact integer ratios in fixed evaluation order, so the
+    * scores are bit-reproducible in any engine (a log-scaled idf would pin
+    * the comparison to one libm). Three hash aggregates + two equi-joins +
+    * a broadcast of the single-row corpus count; no step is ever
+    * all-pairs, so the shape holds at corpus scale.
+    */
+  def tfidf(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = Dedup.spread(df)
+      .select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nTok = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tok"))
+    // tf rows are distinct (doc, token) pairs: counting them per token IS
+    // the document frequency — no second distinct pass
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(nTok, "doc_id").join(docFreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        ((col("tf").cast("double") / col("n_tok").cast("double")) *
+          (col("n_docs").cast("double") / col("df").cast("double"))).as("score"))
+  }
+
   /** Full per-document analysis frame over (id, text). */
   def analyze(df: DataFrame, id: Column, text: Column): DataFrame = {
     val f = qualityFeatures(text)

@@ -137,6 +137,28 @@ object Streaming {
       }.toDF()
   }
 
+  /** Stream-stream range join: left rows join right rows with the same key
+    * and `rightTime` within `[leftTime - lookback, leftTime]`. Both sides
+    * carry watermarks, and the time-range condition bounds the join state:
+    * the engine drops right-side state older than
+    * `watermark + lookback` — without the range bound a stream-stream join
+    * buffers forever, which is the 100 TB failure mode this guards.
+    *
+    * Column names must be distinct across the two inputs (standard
+    * stream-stream join constraint for unambiguous conditions).
+    */
+  def streamStreamRangeJoin(left: DataFrame, leftKey: String, leftTime: String,
+                            right: DataFrame, rightKey: String, rightTime: String,
+                            lookback: String = "1 hour",
+                            watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r, expr(
+      s"""$leftKey = $rightKey AND
+          $rightTime >= $leftTime - INTERVAL $lookback AND
+          $rightTime <= $leftTime"""))
+  }
+
   /** Run a streaming aggregation over a bounded source synchronously into an
     * in-memory table (test/bench harness path).
     */

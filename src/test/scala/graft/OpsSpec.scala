@@ -110,6 +110,37 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) === 10L && out(2L) === 10L && out(3L) === 20L)
   }
 
+  test("recomputeCentroids + centroidsAsVectors support a second k-means round") {
+    val centroids = Seq((10L, Array(1.0f, 0.0f, 0.0f)),
+      (20L, Array(0.0f, 1.0f, 0.0f))).toDF("cell", "vec")
+    val assigned = Similarity.assignToCentroids(vecs, $"vec_id", $"embedding",
+      centroids, $"cell", $"vec")
+    val avgs = Similarity.recomputeCentroids(assigned)
+    val newCents = Similarity.centroidsAsVectors(avgs)
+    // cell 10 got vecs 1 and 2 (vec 4's cosine to cell 20 is 0 > -1)
+    // -> mean = ((1+0.9)/2, (0+0.1)/2, 0)
+    val c10 = newCents.filter($"cell" === 10L)
+      .select("centroid").as[Seq[Double]].head()
+    assert(math.abs(c10(0) - 0.95) < 1e-7 && math.abs(c10(1) - 0.05) < 1e-7)
+    // rebuilt centroids feed the next assignment round unchanged in shape
+    val assigned2 = Similarity.assignToCentroids(vecs, $"vec_id", $"embedding",
+      newCents, $"cell", $"centroid")
+    assert(assigned2.count() === vecs.count())
+  }
+
+  test("tfidf ranks a document's rare terms above corpus-wide ones") {
+    val corpus = Seq(
+      (1L, "shared shared unique_one"),
+      (2L, "shared shared unique_two"),
+      (3L, "shared shared unique_three")).toDF("doc_id", "text")
+    val scores = TextAnalysis.tfidf(corpus, $"doc_id", $"text")
+      .filter($"doc_id" === 1L)
+      .select("token", "score").as[(String, Double)].collect().toMap
+    // unique_one: tf 1/3, idf 3/1 -> 1.0; shared: tf 2/3, idf 3/3 -> 2/3
+    assert(math.abs(scores("unique_one") - 1.0) < 1e-12)
+    assert(math.abs(scores("shared") - 2.0 / 3) < 1e-12)
+  }
+
   test("detectLanguage picks the language with most marker hits") {
     val df = Seq(
       "the cat sat on a mat of the house",

@@ -46,4 +46,27 @@ class StreamSessionizeSpec extends AnyFunSuite {
         s"timeout-closed single-event session missing: $all")
     } finally q.stop()
   }
+
+  test("stream-stream range join matches keys within the lookback window") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Streaming.streamStreamRangeJoin(
+      purchases.toDF.toDF("p_user", "p_ts", "p_id"), "p_user", "p_ts",
+      clicks.toDF.toDF("c_user", "c_ts", "c_id"), "c_user", "c_ts",
+      lookback = "1 hour", watermark = "5 minutes")
+      .select("p_id", "c_id")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_test").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 10:00:00"), 100L),  // within 1h of purchase
+        (1L, ts("2024-01-01 08:00:00"), 101L),  // too old
+        (2L, ts("2024-01-01 10:20:00"), 102L))  // other user
+      purchases.addData((1L, ts("2024-01-01 10:30:00"), 1L))
+      q.processAllAvailable()
+      val got = spark.table("ssj_test").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 100L)))
+    } finally q.stop()
+  }
 }
