@@ -789,6 +789,19 @@ object SparkEntry {
       .orderBy("doc_id", "rank")
   }
 
+  /** S9 modern restatement: semi-structured props through Spark 4's
+    * VARIANT type — `parse_json` once, typed `variant_get` extraction,
+    * aggregate over the extracted key. The Variant encoding keeps the
+    * parse cost linear and the extraction codegen'd (vs per-access JSON
+    * string re-parsing with `get_json_object`).
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(variant_get(parse_json(col("props")), "$.k", "long").as("k_val"))
+      .groupBy(col("k_val"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k_val")
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -841,7 +854,8 @@ object SparkEntry {
     "q47_window_suite" -> q47 _,
     "q48_scalar_suite" -> q48 _,
     "q49_kmeans_iteration" -> q49 _,
-    "q50_tfidf_topk" -> q50 _)
+    "q50_tfidf_topk" -> q50 _,
+    "q51_variant_extract" -> q51 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -910,6 +924,9 @@ object SparkEntry {
         CAST(length(c_name) AS BIGINT) AS name_len
       FROM customer ORDER BY c_custkey""",
     "q23_simhash" -> q23Oracle,
+    "q51_variant_extract" -> """
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, count(*) AS n
+      FROM events GROUP BY 1 ORDER BY k_val""",
     "q50_tfidf_topk" -> """
       WITH toks AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
