@@ -286,7 +286,11 @@ object SparkEntry {
     * Portable md5 minhash family (min over md5("seed|shingle")) so the
     * DuckDB oracle computes the identical signature.
     */
-  private def q21(s: SparkSession, dir: String): DataFrame = {
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    q21Pairs(s, dir).orderBy("id_a", "id_b")
+
+  /** q21's pair set without the final sort — shared with q52 (components). */
+  private def q21Pairs(s: SparkSession, dir: String): DataFrame = {
     val bands = 4; val rows = 4
     // cached: shared by the signature pipeline and both verify joins
     // (measured faster than recomputing or semi-join-pruning at sf0.1 —
@@ -328,7 +332,6 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("id_a", "id_b")
   }
 
   /** Dedup 3: exact n-gram Jaccard top-100 pairs, blocked by (lang, source).
@@ -802,6 +805,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("k_val")
 
+  /** Dedup 6: pairs → GROUPS — connected components over q21's MinHash-LSH
+    * near-dup graph, i.e. the keep-one-per-cluster step of a dedup
+    * pipeline. Oracle: q21's pair SQL + a recursive-CTE transitive closure
+    * computing the same min-reachable-id labels.
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(q21Pairs(s, dir)).orderBy("id")
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -855,7 +866,8 @@ object SparkEntry {
     "q48_scalar_suite" -> q48 _,
     "q49_kmeans_iteration" -> q49 _,
     "q50_tfidf_topk" -> q50 _,
-    "q51_variant_extract" -> q51 _)
+    "q51_variant_extract" -> q51 _,
+    "q52_dedup_groups" -> q52 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -927,6 +939,42 @@ object SparkEntry {
     "q51_variant_extract" -> """
       SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, count(*) AS n
       FROM events GROUP BY 1 ORDER BY k_val""",
+    "q52_dedup_groups" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)]) AS s
+        FROM toks WHERE len(tk) >= 3),
+      sig AS (
+        SELECT doc_id, s,
+          flatten([[list_min([md5(CAST(sd AS VARCHAR) || '|' || x)[j*8+1 : j*8+8]
+            for x in s]) for j in range(0, 4)] for sd in range(0, 4)]) AS sg
+        FROM sh),
+      banded AS (
+        SELECT doc_id, s, band,
+          md5(array_to_string(sg[band*4+1:band*4+4], '|')) AS bucket
+        FROM sig, range(0, 4) r(band)),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          first(a.s) AS sa, first(b.s) AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      edges AS (
+        SELECT id_a, id_b FROM cand
+        WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.5),
+      sym AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+      SELECT id, component FROM comp ORDER BY id""",
     "q50_tfidf_topk" -> """
       WITH toks AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

@@ -241,6 +241,47 @@ object Dedup {
         sort_array(collect_list(col("doc_id"))).as("doc_ids"))
       .filter(col("n_docs") > 1)
 
+  /** Connected components over an undirected pair graph (near-dup edges →
+    * dup GROUPS): iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels — run to
+    * convergence. This is the Pregel/GraphFrames formulation reduced to
+    * joins+aggregates: per round one shuffle join (sym edges ⋈ labels) and
+    * one min-aggregate; rounds needed = graph diameter (near-dup clusters
+    * are shallow, so a handful). `localCheckpoint` truncates lineage per
+    * round so the plan doesn't grow exponentially.
+    *
+    * The driver-side loop is a convergence check, not data movement — the
+    * per-round `count` is the only driver action.
+    *
+    * Returns (id, component) where component = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, a: String = "id_a",
+                          b: String = "id_b", maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("dl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dl")).as("nl"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.join(
+          labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `blockCols` (e.g. a cluster
     * label or coarse LSH bucket) so the pair space stays linear-ish.
     */

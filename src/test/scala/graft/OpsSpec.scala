@@ -141,6 +141,18 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(scores("shared") - 2.0 / 3) < 1e-12)
   }
 
+  test("connectedComponents labels chains, triangles, and isolated pairs") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comp = graft.ops.Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+  }
+
   test("detectLanguage picks the language with most marker hits") {
     val df = Seq(
       "the cat sat on a mat of the house",
