@@ -354,7 +354,10 @@ object SparkEntry {
       col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = base.select(col("lang"), col("source"),
       col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "source"))
+    // shuffle-hash, not broadcast: the build side carries hashed-shingle
+    // arrays; driver-side broadcast builds of wide arrays are slow and
+    // GC-sensitive (same lesson as q24 / the minhash verify join)
+    a.join(b.hint("shuffle_hash"), Seq("lang", "source"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("j"))
@@ -538,8 +541,9 @@ object SparkEntry {
   private def q35(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").withColumn("modality", lit("image"))
     val decoded = Multimodal.decode(Multimodal.fromText(docs, "doc_id", "text", "source"))
-    Multimodal.imageStats(decoded)
-      .select("asset_id", "width", "height", "channels", "aspect", "needs_resize", "pixels")
+    Multimodal.resize(Multimodal.imageStats(decoded))
+      .select("asset_id", "width", "height", "channels", "aspect",
+        "needs_resize", "pixels", "out_width", "out_height")
       .orderBy("asset_id")
   }
 
@@ -813,6 +817,21 @@ object SparkEntry {
   private def q52(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(q21Pairs(s, dir)).orderBy("id")
 
+  /** §2.9 breadth: SLIDING event-time windows (1h window, 30min slide) —
+    * every event lands in two overlapping windows. Oracle enumerates both
+    * containing windows per event (Spark's window() aligns to the epoch
+    * grid, DuckDB's `time_bucket` to 2000-01-03 — both are multiples of
+    * 30 minutes, so the grids coincide).
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -867,7 +886,8 @@ object SparkEntry {
     "q49_kmeans_iteration" -> q49 _,
     "q50_tfidf_topk" -> q50 _,
     "q51_variant_extract" -> q51 _,
-    "q52_dedup_groups" -> q52 _)
+    "q52_dedup_groups" -> q52 _,
+    "q53_sliding_window" -> q53 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -939,6 +959,17 @@ object SparkEntry {
     "q51_variant_extract" -> """
       SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, count(*) AS n
       FROM events GROUP BY 1 ORDER BY k_val""",
+    "q53_sliding_window" -> """
+      WITH c AS (
+        SELECT event_type, value,
+          unnest([time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+                  time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+                    - INTERVAL 30 MINUTE]) AS wstart
+        FROM events)
+      SELECT CAST(epoch(wstart) AS BIGINT) AS win_start, event_type,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM c GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "q52_dedup_groups" -> """
       WITH RECURSIVE toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
@@ -1030,7 +1061,15 @@ object SparkEntry {
       SELECT doc_id AS asset_id, width, height, CAST(3 AS INTEGER) AS channels,
         round(CAST(width AS DOUBLE) / CAST(height AS DOUBLE), 4) AS aspect,
         (width > 1024 OR height > 1024) AS needs_resize,
-        CAST(width AS BIGINT) * height AS pixels
+        CAST(width AS BIGINT) * height AS pixels,
+        CAST(floor(CAST(width AS DOUBLE) *
+          CASE WHEN greatest(width, height) <= 1024 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(1024 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE)
+          END) AS INTEGER) AS out_width,
+        CAST(floor(CAST(height AS DOUBLE) *
+          CASE WHEN greatest(width, height) <= 1024 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(1024 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE)
+          END) AS INTEGER) AS out_height
       FROM d ORDER BY asset_id""",
     "q41_asof_click_attribution" -> """
       WITH clicks AS (

@@ -296,7 +296,11 @@ object Dedup {
     val b = base.toDF(base.columns.map(_ + "_b").toIndexedSeq: _*)
     val cond = bk.map(k => a(k + "_a") === b(k + "_b")).reduce(_ && _) &&
       (a("__id_a") < b("__id_b"))
-    a.join(b, cond)
+    // shuffle-hash, not broadcast: the build side carries the wide vector
+    // arrays, and a driver-side broadcast build of those is slow and
+    // GC-sensitive (intermittently several× the query); the shuffled build
+    // is per-partition and parallel. Same lesson as the minhash verify join.
+    a.join(b.hint("shuffle_hash"), cond)
       .select(col("__id_a").as("id_a"), col("__id_b").as("id_b"),
         cosine(col("__v_a"), col("__v_b")).as("cosine"))
       .filter(col("cosine") >= minCosine)

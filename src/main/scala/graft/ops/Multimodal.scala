@@ -99,6 +99,20 @@ object Multimodal {
       col("width") > 1024 || col("height") > 1024)
     .withColumn("pixels", col("width").cast("long") * col("height"))
 
+  /** Resize-policy stage: scale so the longer side fits `maxSide`,
+    * aspect-preserving, integer-floor output dims. Expression-only (stays
+    * in codegen); a real pipeline hands (out_width, out_height) to the
+    * codec's resampler.
+    */
+  def resize(decoded: DataFrame, maxSide: Int = 1024): DataFrame = decoded
+    .withColumn("scale",
+      when(greatest(col("width"), col("height")) <= maxSide, lit(1.0d))
+        .otherwise(lit(maxSide.toDouble) /
+          greatest(col("width"), col("height")).cast("double")))
+    .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
+    .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+    .drop("scale")
+
   /** Frame-sample stage for video-modality rows: emit every `stride`-th
     * frame index up to `maxFrames` as (asset_id, frame_idx) — a Generator
     * (explode) over a deterministic sequence, the UDTF shape.
