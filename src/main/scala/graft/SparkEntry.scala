@@ -832,6 +832,14 @@ object SparkEntry {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
+  /** Dedup 7: SimHash Hamming-neighbor pairs via pigeonhole chunk-LSH —
+    * exact recall for distance ≤ 3 with only chunk equi-joins (see
+    * [[Dedup.simhashNeighbors]]).
+    */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNeighbors(t(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy("id_a", "id_b")
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -887,13 +895,17 @@ object SparkEntry {
     "q50_tfidf_topk" -> q50 _,
     "q51_variant_extract" -> q51 _,
     "q52_dedup_groups" -> q52 _,
-    "q53_sliding_window" -> q53 _)
+    "q53_sliding_window" -> q53 _,
+    "q54_simhash_neighbors" -> q54 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
     * DuckDB SQL (hex→int via the '0x' cast; bit j of chunk j/16).
     */
-  private val q23Oracle: String = {
+  /** Shared CTE chain computing the portable simhash chunk values s0..s3
+    * per doc (used by the q23 and q54 oracles).
+    */
+  private val simhashCtes: String = {
     val chunkDefs = (0 until 4).map(k =>
       s"('0x'||substring(md5(tok),${k * 4 + 1},4))::INT AS c$k").mkString(", ")
     val bitDefs = (0 until 64).map(j =>
@@ -904,16 +916,37 @@ object SparkEntry {
         s"(CASE WHEN b${k * 16 + b} > 0 THEN ${1 << b} ELSE 0 END)")
         .mkString(" + ") + s" AS INTEGER) AS s$k"
     }.mkString(", ")
-    s"""
-      WITH tok AS (
+    s"""tok AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
         FROM documents),
       ch AS (SELECT doc_id, $chunkDefs FROM tok),
       sums AS (SELECT doc_id, $bitDefs FROM ch GROUP BY doc_id),
-      vals AS (SELECT doc_id, $chunkVals FROM sums)
+      vals AS (SELECT doc_id, $chunkVals FROM sums)"""
+  }
+
+  private val q23Oracle: String = s"""
+      WITH $simhashCtes
       SELECT doc_id, s0, s1, s2, s3,
         printf('%04x%04x%04x%04x', s0, s1, s2, s3) AS simhash
       FROM vals ORDER BY doc_id"""
+
+  private val q54Oracle: String = {
+    val ham = (0 until 4).map(k => s"bit_count(xor(a.s$k, b.s$k))").mkString(" + ")
+    s"""
+      WITH $simhashCtes,
+      banded AS (
+        SELECT doc_id, r.ci,
+          CASE r.ci WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS cv
+        FROM vals, range(0, 4) r(ci)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id),
+      scored AS (
+        SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
+        FROM cand JOIN vals a ON id_a = a.doc_id JOIN vals b ON id_b = b.doc_id)
+      SELECT id_a, id_b, hamming FROM scored
+      WHERE hamming <= 3 ORDER BY id_a, id_b"""
   }
 
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
@@ -956,6 +989,7 @@ object SparkEntry {
         CAST(length(c_name) AS BIGINT) AS name_len
       FROM customer ORDER BY c_custkey""",
     "q23_simhash" -> q23Oracle,
+    "q54_simhash_neighbors" -> q54Oracle,
     "q51_variant_extract" -> """
       SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, count(*) AS n
       FROM events GROUP BY 1 ORDER BY k_val""",

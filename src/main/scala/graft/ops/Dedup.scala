@@ -232,6 +232,42 @@ object Dedup {
         lpad(lower(conv(col(s"s$k").cast("string"), 10, 16)), 4, "0")): _*))
   }
 
+  /** Hamming-neighbor pairs over [[simhashPortable]] signatures, via
+    * pigeonhole chunk-LSH: a 64-bit simhash split into 4×16-bit chunks —
+    * any two signatures within Hamming distance ≤ 3 must agree on at least
+    * one whole chunk (3 flipped bits can touch at most 3 chunks). So
+    * candidates are an equi-join on (chunk index, chunk value) — shuffled
+    * by chunk, never all-pairs — and the exact distance check
+    * (`bit_count(xor)` per chunk, summed) filters to `maxHamming`.
+    *
+    * Recall is EXACT for distance ≤ 3 (pigeonhole guarantee), approximate
+    * above it. For a larger budget split into more chunks (d ≤ chunks-1).
+    */
+  def simhashNeighbors(df: DataFrame, id: Column, text: Column,
+                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk split guarantees recall only for d <= 3")
+    val sh = simhashPortable(df, id, text)
+    val banded = sh.select(col("doc_id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("ci"), col(s"s$k").as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("id_a") +:
+      (0 until 4).map(k => col(s"s$k").as(s"a$k")): _*)
+    val b = sh.select(col("doc_id").as("id_b") +:
+      (0 until 4).map(k => col(s"s$k").as(s"b$k")): _*)
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("hamming", (0 until 4).map(k =>
+        bit_count(col(s"a$k").bitwiseXOR(col(s"b$k"))).cast("long"))
+        .reduce(_ + _))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** SimHash dup buckets: groups of documents sharing an identical simhash. */
   def simhashBuckets(df: DataFrame, id: Column, text: Column): DataFrame =
     simhash(df, id, text)
