@@ -840,6 +840,49 @@ object SparkEntry {
     Dedup.simhashNeighbors(t(s, dir, "documents"), col("doc_id"), col("text"))
       .orderBy("id_a", "id_b")
 
+  /** Training-data op: deterministic train/val/test split — the split is a
+    * pure function of the id (md5 bucket), so it is stable across runs,
+    * engines, and repartitioning; no sampled state to persist.
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy("lang", "split")
+  }
+
+  /** §2.6 breadth: unpivot (wide measures → long) via Dataset.unpivot. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** §2.6 breadth: pivot (long → wide) — per-source doc counts by language
+    * with an explicit value list (never collect-distinct the pivot domain
+    * at scale).
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .select(col("source") +:
+        langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+      .orderBy("source")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -896,7 +939,10 @@ object SparkEntry {
     "q51_variant_extract" -> q51 _,
     "q52_dedup_groups" -> q52 _,
     "q53_sliding_window" -> q53 _,
-    "q54_simhash_neighbors" -> q54 _)
+    "q54_simhash_neighbors" -> q54 _,
+    "q55_train_test_split" -> q55 _,
+    "q56_unpivot_measures" -> q56 _,
+    "q57_pivot_lang_counts" -> q57 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -990,6 +1036,35 @@ object SparkEntry {
       FROM customer ORDER BY c_custkey""",
     "q23_simhash" -> q23Oracle,
     "q54_simhash_neighbors" -> q54Oracle,
+    "q55_train_test_split" -> """
+      WITH b AS (
+        SELECT lang, n_chars,
+          ('0x'||substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk
+        FROM documents)
+      SELECT lang,
+        CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+          ELSE 'test' END AS split,
+        count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM b GROUP BY 1, 2 ORDER BY lang, split""",
+    "q56_unpivot_measures" -> """
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        l_quantity AS val FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem WHERE l_orderkey < 1000
+      ORDER BY l_orderkey, l_linenumber, measure""",
+    "q57_pivot_lang_counts" -> """
+      SELECT source,
+        count(*) FILTER (WHERE lang = 'de') AS de,
+        count(*) FILTER (WHERE lang = 'en') AS en,
+        count(*) FILTER (WHERE lang = 'es') AS es,
+        count(*) FILTER (WHERE lang = 'fr') AS fr,
+        count(*) FILTER (WHERE lang = 'zh') AS zh
+      FROM documents GROUP BY source ORDER BY source""",
     "q51_variant_extract" -> """
       SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, count(*) AS n
       FROM events GROUP BY 1 ORDER BY k_val""",
