@@ -51,4 +51,34 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q24_cosine_pairs_topk")
     assert(p.contains("cosine_similarity"), s"custom expression not used:\n$p")
   }
+
+  test("q39 length histogram scans only the two needed document columns") {
+    val p = plan("q39_length_histogram")
+    assert(p.contains("lang") && p.contains("n_chars"))
+    assert(!p.contains("ReadSchema") || !p.contains("doc_id"),
+      s"doc_id/text not pruned from the scan:\n$p")
+  }
+
+  test("wide-array self-joins build shuffled hash maps, not driver broadcasts") {
+    Seq("q22_jaccard_pairs_topk", "q24_cosine_pairs_topk").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q lost its shuffle_hash pin:\n$p")
+    }
+  }
+
+  test("q44 native as-of join survives optimization and stays in the plan") {
+    val p = plan("q44_asof_native")
+    assert(p.contains("AsOfJoin"), s"native operator missing:\n$p")
+  }
+
+  test("q43 binned interval join plans equi-joins only") {
+    val p = plan("q43_interval_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated:\n$p")
+  }
+
+  test("q14 global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q14_topk_lineitems")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
 }
