@@ -104,6 +104,19 @@ object Sinks {
                  partitionKeys: Seq[String] = Seq("ano_ref", "mes_ref")): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionKeys: _*).parquet(path)
 
+  /** Columnar-format sinks beyond parquet: ORC (splittable, predicate-
+    * pushdown-capable — the alternative lake format) and JSON-lines (the
+    * interchange format the reference's extractor emits).
+    */
+  def orc(df: DataFrame, path: String,
+          partitionKeys: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionKeys.nonEmpty) w.partitionBy(partitionKeys: _*) else w).orc(path)
+  }
+
+  def jsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** Bucketed table write: pre-shuffle rows into `nBuckets` hash buckets on
     * `bucketCols` (optionally sorted within buckets) so later joins and
     * aggregations on those keys read co-located data and plan WITHOUT a

@@ -50,6 +50,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: native as-of join equals the theta-join + argmax formulation") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val pairGen = for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 50L)
+    } yield (k, t)
+    samples(Gen.zip(Gen.nonEmptyListOf(pairGen), Gen.nonEmptyListOf(pairGen)), 4)
+      .foreach { case (ls, rs) =>
+        val l = ls.zipWithIndex.map { case ((k, t), i) =>
+          (i.toLong, k, new Timestamp(t * 1000)) }.toDF("lid", "k", "t")
+        val r = rs.zipWithIndex.map { case ((k, t), i) =>
+          (i.toLong + 1000, k, new Timestamp(t * 1000)) }.toDF("rid", "rk", "rt")
+          .groupBy("rk", "rt").agg(max("rid").as("rid")) // unique per (key, time)
+        val native = graft.plans.AsOfJoin
+          .asOf(l, Seq("k"), "t", r, Seq("rk"), "rt", Seq("rid"))
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+        val w = Window.partitionBy(col("lid")).orderBy(col("rt").desc_nulls_last)
+        val naive = l.join(r, col("k") === col("rk") && col("rt") <= col("t"), "left")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+        assert(native === naive, s"left=$ls right=$rs")
+      }
+  }
+
   test("law: cast-or-null never throws, every row yields a value") {
     import org.apache.spark.sql.functions._
     val strGen = Gen.oneOf(Gen.alphaNumStr, Gen.numStr,

@@ -47,6 +47,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted.size === skewed.count()) // every fact matched exactly once
   }
 
+  test("ORC and JSON-lines sinks round-trip with pushdown-capable scans") {
+    val df = (1 to 500).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("id", "s", "v")
+    val dir = TestSpark.tmpDir("graft-fmt")
+    Sinks.orc(df, s"$dir/orc")
+    Sinks.jsonLines(df, s"$dir/json")
+    val orcBack = spark.read.orc(s"$dir/orc")
+    val jsonBack = spark.read.schema(df.schema).json(s"$dir/json")
+    assert(orcBack.count() === 500 && jsonBack.count() === 500)
+    assert(orcBack.filter($"id" === 42L).select("s").as[String].head() === "v42")
+    // ORC scans take pushed filters like parquet
+    val p = orcBack.filter($"id" > 400).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p)
+  }
+
   test("joins over co-bucketed tables plan without a shuffle exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
