@@ -61,6 +61,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters"), p)
   }
 
+  test("approximate aggregates stay within tolerance of exact (the 100 TB default)") {
+    // at scale, count_distinct/percentile become HLL/t-digest sketches:
+    // single-pass, mergeable, bounded memory. Pin their error envelope.
+    val df = (1 to 20000).map(i => (i.toLong % 4, (i % 1777).toLong, i * 0.5))
+      .toDF("g", "u", "v")
+    val rows = df.groupBy($"g").agg(
+      countDistinct($"u").as("exact_d"),
+      approx_count_distinct($"u", 0.02).as("approx_d"),
+      expr("percentile(v, 0.5)").as("exact_p50"),
+      percentile_approx($"v", lit(0.5), lit(5000)).as("approx_p50"))
+      .collect()
+    rows.foreach { r =>
+      val (ed, ad) = (r.getAs[Long]("exact_d"), r.getAs[Long]("approx_d"))
+      assert(math.abs(ad - ed).toDouble / ed < 0.05, s"HLL off: $ed vs $ad")
+      val (ep, ap) = (r.getAs[Double]("exact_p50"), r.getAs[Double]("approx_p50"))
+      assert(math.abs(ap - ep) / math.max(1.0, ep) < 0.02,
+        s"t-digest off: $ep vs $ap")
+    }
+  }
+
   test("joins over co-bucketed tables plan without a shuffle exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
