@@ -883,6 +883,32 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Set op 3 (§2.6 completion): INTERSECT — nation keys present among
+    * both customers and suppliers.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** SQL surface: correlated scalar subquery — orders priced above their
+    * customer's average. Catalyst decorrelates this into an aggregate +
+    * join (no per-row re-execution), which is the property that makes the
+    * construct usable at scale.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT o_orderkey,
+        CAST(o_totalprice AS DOUBLE) AS totalprice
+      FROM orders o
+      WHERE o_totalprice > 2 * (
+        SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -942,7 +968,9 @@ object SparkEntry {
     "q54_simhash_neighbors" -> q54 _,
     "q55_train_test_split" -> q55 _,
     "q56_unpivot_measures" -> q56 _,
-    "q57_pivot_lang_counts" -> q57 _)
+    "q57_pivot_lang_counts" -> q57 _,
+    "q58_intersect_nations" -> q58 _,
+    "q59_correlated_subquery" -> q59 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1065,6 +1093,17 @@ object SparkEntry {
         count(*) FILTER (WHERE lang = 'fr') AS fr,
         count(*) FILTER (WHERE lang = 'zh') AS zh
       FROM documents GROUP BY source ORDER BY source""",
+    "q58_intersect_nations" -> """
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "q59_correlated_subquery" -> """
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+      FROM orders o
+      WHERE o_totalprice > 2 * (
+        SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""",
     "q51_variant_extract" -> """
       SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, count(*) AS n
       FROM events GROUP BY 1 ORDER BY k_val""",
