@@ -15,4 +15,11 @@ object PlanBridge {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Expose the strategies an extensions object would inject (test hook for
+    * the `spark.sql.extensions` registration path).
+    */
+  def plannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+                        spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
 }

@@ -77,6 +77,15 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(out.size === 4 && out.values.forall(_.isEmpty))
   }
 
+  test("GraftExtensions injects the as-of strategy via spark.sql.extensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val strategies = org.apache.spark.sql.graftbridge.PlanBridge
+      .plannerStrategies(ext, spark)
+    assert(strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]),
+      strategies.map(_.getClass.getName).mkString(", "))
+  }
+
   test("rejects mismatched key types and unknown columns") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asOf(trades, Seq("sym"), "t", quotes, Seq("qsym"), "qt", Seq("nope"))
