@@ -289,8 +289,25 @@ object SparkEntry {
   private def q21(s: SparkSession, dir: String): DataFrame =
     q21Pairs(s, dir).orderBy("id_a", "id_b")
 
-  /** q21's pair set without the final sort — shared with q52 (components). */
+  /** q21's pair set without the final sort — shared with q52 (components).
+    * Memoized per (session, dir): the pipeline ends in a `.cache()` of the
+    * signature dataset, and without memoization each caller would pin its
+    * own duplicate copy in executor storage for the session lifetime.
+    */
+  private val q21PairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
   private def q21Pairs(s: SparkSession, dir: String): DataFrame = {
+    val (sig, pairs) =
+      q21PairsMemo.computeIfAbsent((s, dir), _ => q21PairsBuild(s, dir))
+    // idempotent re-registration: the bench harness clears the cache
+    // between rounds, and an unregistered sig would be recomputed by
+    // every scan below
+    sig.cache()
+    pairs
+  }
+
+  /** Returns (cached signature frame, pair frame reading it twice). */
+  private def q21PairsBuild(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val bands = 4; val rows = 4
     // cached: shared by the signature pipeline and both verify joins
     // (measured faster than recomputing or semi-join-pruning at sf0.1 —
@@ -327,11 +344,12 @@ object SparkEntry {
     // collisions): stream cached sig, broadcast the tiny candidate side
     val withA = sig.select(col("doc_id").as("id_a"), col("hset").as("sh_a"))
       .join(broadcast(candidates), Seq("id_a"))
-    sig.select(col("doc_id").as("id_b"), col("hset").as("sh_b"))
+    val pairs = sig.select(col("doc_id").as("id_b"), col("hset").as("sh_b"))
       .join(broadcast(withA), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    (sig, pairs)
   }
 
   /** Dedup 3: exact n-gram Jaccard top-100 pairs, blocked by (lang, source).

@@ -315,6 +315,10 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // silent non-convergence would return plausible-but-wrong labels
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter (graph diameter)")
     labels.select(col("id"), col("label").as("component"))
   }
 

@@ -50,9 +50,17 @@ object Multimodal {
       * the decode stage be oracle-checked. A real implementation calls the
       * codec here instead.
       */
-    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+    def decode(payload: Array[Byte]): (Int, Int, Int) =
+      decodeWith(java.security.MessageDigest.getInstance("MD5"), payload)
+
+    /** Digest-reusing variant for per-partition loops: MessageDigest is
+      * stateful but resets after `digest()`, so one instance per partition
+      * avoids a JCA provider lookup + allocation per row.
+      */
+    def decodeWith(md: java.security.MessageDigest,
+                   payload: Array[Byte]): (Int, Int, Int) = {
       if (payload == null) return (0, 0, 0)
-      val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      val d = md.digest(payload)
       def u32(off: Int): Long =
         ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
           ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
@@ -79,10 +87,11 @@ object Multimodal {
     val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(decodedSchema))
     assets.select("asset_id", "modality", "payload").mapPartitions { it =>
-      // per-partition codec init would go here
+      // per-partition codec init: one digest instance reused for all rows
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h, c) = FakeCodec.decode(payload)
+        val (w, h, c) = FakeCodec.decodeWith(md, payload)
         Row(r.getLong(0), r.getString(1), w, h, c,
           if (payload == null) 0L else payload.length.toLong)
       }

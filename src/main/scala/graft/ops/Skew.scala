@@ -31,12 +31,16 @@ object Skew {
     * then final-aggregate by keys. `partial` builds the per-salt
     * accumulator from input columns; `merge` combines the per-salt partials.
     *
-    * Example — a skew-proof distinct count:
+    * Example — a skew-proof distinct count. The salt MUST be a function of
+    * the counted column (`u`) so each distinct value lands in exactly one
+    * salt bucket and the per-bucket distinct counts sum correctly:
     * {{{
-    *   saltedAgg(df, Seq(col("k")), saltOf(col("id"), 64),
+    *   saltedAgg(df, Seq(col("k")), saltOf(col("u"), 64),
     *     Seq(count_distinct(col("u")).as("p")),
-    *     Seq(sum(col("p")).as("n_distinct")))   // u pre-bucketed by salt
+    *     Seq(sum(col("p")).as("n_distinct")))
     * }}}
+    * (For salt-insensitive aggregates — sum/count/min/max — any roughly
+    * uniform salt column works.)
     *
     * The first shuffle spreads a hot key over `buckets` reducers; the
     * second shuffles only `buckets` rows per key.
@@ -61,6 +65,11 @@ object Skew {
   def saltedJoin(facts: DataFrame, factKey: Column, factSalt: Column,
                  dim: DataFrame, dimKey: Column, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `buckets` copies of every unmatched dim
+    // row (the dim side is replicated per salt before the join)
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType")
     val saltedFacts = facts.withColumn("__salt", factSalt)
     val saltedDim = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))

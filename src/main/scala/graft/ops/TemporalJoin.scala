@@ -46,30 +46,36 @@ object TemporalJoin {
                right: DataFrame, rightKeys: Seq[String], rightTime: Column,
                carry: Map[String, Column]): DataFrame = {
     val carryNames = carry.keys.toSeq.sorted
+    require(carryNames.nonEmpty, "asOfJoin needs at least one carried column")
     val leftCols = left.columns.toSeq
-    // Tagged union: right rows (side=0) sort before left rows (side=1) at
-    // equal timestamps, so a right row AT the left time is visible to it
-    // (>= semantics, as DuckDB ASOF JOIN defines it).
+    require(carryNames.intersect(leftCols).isEmpty,
+      s"carry names ${carryNames.intersect(leftCols).mkString(",")} collide " +
+        "with left columns — alias the carried columns")
+    // All carried values travel in ONE struct that is non-null exactly on
+    // right rows: last(_, ignoreNulls) then skips the left-row placeholders
+    // but still carries a matched row whose individual fields are NULL
+    // (a per-column last would wrongly skip those too).
     val rTagged = right.select(
       rightKeys.zip(leftKeys).map { case (rk, lk) => col(rk).as(lk) } ++
-        Seq(rightTime.as("__t"), lit(0).as("__side")) ++
-        carryNames.map(n => carry(n).as(n)) ++
+        Seq(rightTime.as("__t"), lit(0).as("__side"),
+          struct(carryNames.map(n => carry(n).as(n)): _*).as("__carry")) ++
         leftCols.map(c => lit(null).as(s"__l_$c")): _*)
     val lTagged = left.select(
-      leftKeys.map(col) ++ Seq(leftTime.as("__t"), lit(1).as("__side")) ++
-        carryNames.map(n => lit(null).as(n)) ++
+      leftKeys.map(col) ++ Seq(leftTime.as("__t"), lit(1).as("__side"),
+        lit(null).as("__carry")) ++
         leftCols.map(c => col(c).as(s"__l_$c")): _*)
     // Positional union: schemas are constructed identically above.
+    // Right rows (side=0) sort before left rows (side=1) at equal
+    // timestamps, so a right row AT the left time is visible to it
+    // (>= semantics, as DuckDB ASOF JOIN defines it).
     val u = rTagged.union(lTagged)
     val w = Window.partitionBy(leftKeys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = carryNames.foldLeft(u) { (df, n) =>
-      df.withColumn(n, last(col(n), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
+    u.withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
-        carryNames.map(col): _*)
+        carryNames.map(n => col(s"__carry.$n").as(n)): _*)
   }
 
   /** Keyed range join: left rows joined to right rows with the same key and

@@ -118,8 +118,16 @@ object Streaming {
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
-                case Some(s) if us(e.ts) - s.last_us <= gapUs =>
-                  cur = Some(s.copy(last_us = us(e.ts), n = s.n + 1))
+                // late in-gap arrivals (allowed by the watermark) may sort
+                // before the state's bounds: extend, never rewind
+                case Some(s) if us(e.ts) >= s.start_us - gapUs &&
+                    us(e.ts) - s.last_us <= gapUs =>
+                  cur = Some(SessState(math.min(s.start_us, us(e.ts)),
+                    math.max(s.last_us, us(e.ts)), s.n + 1))
+                // older than the open session's reach: its own (already
+                // gap-expired) singleton session, state untouched
+                case Some(s) if us(e.ts) < s.start_us =>
+                  closed :+= ClosedSession(uid, us(e.ts), us(e.ts), 1)
                 case Some(s) =>
                   closed :+= ClosedSession(uid, s.start_us, s.last_us, s.n)
                   cur = Some(SessState(us(e.ts), us(e.ts), 1))

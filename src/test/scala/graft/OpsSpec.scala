@@ -141,6 +141,17 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(scores("shared") - 2.0 / 3) < 1e-12)
   }
 
+  test("connectedComponents throws on non-convergence instead of returning wrong labels") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      graft.ops.Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    // converges fine with enough rounds
+    val comp = graft.ops.Dedup.connectedComponents(chain, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet === Set(1L))
+  }
+
   test("connectedComponents labels chains, triangles, and isolated pairs") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),

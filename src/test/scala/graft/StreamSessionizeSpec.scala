@@ -47,6 +47,37 @@ class StreamSessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late in-gap events extend the open session instead of rewinding it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val sessions = Streaming.sessionizeStream(
+      input.toDF.toDF("user_id", "ts", "event_id"),
+      gapMinutes = 30, watermark = "10 minutes")
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_late").start()
+    try {
+      input.addData((3L, ts("2024-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      // late but within the 10-min watermark AND within the gap: must join
+      // the open session (extending start), not rewind last_us
+      input.addData((3L, ts("2024-01-01 09:59:00"), 2L))
+      q.processAllAvailable()
+      // far-future events close user 3's session via timeout
+      input.addData((9L, ts("2024-01-01 23:00:00"), 8L))
+      q.processAllAvailable()
+      input.addData((9L, ts("2024-01-01 23:00:01"), 9L))
+      q.processAllAvailable()
+      val sess3 = spark.table("sess_late")
+        .as[(Long, Long, Long, Long)].collect().filter(_._1 == 3L)
+      assert(sess3.length === 1, sess3.mkString(","))
+      val (_, start, end, n) = sess3.head
+      assert(n === 2L)
+      assert(start === ts("2024-01-01 09:59:00").getTime * 1000L)
+      assert(end === ts("2024-01-01 10:00:00").getTime * 1000L,
+        "late event rewound the session end")
+    } finally q.stop()
+  }
+
   test("stream-stream range join matches keys within the lookback window") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(Long, Timestamp, Long)]

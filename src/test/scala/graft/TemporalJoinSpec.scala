@@ -40,6 +40,37 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out(4L) === None)       // key never quoted
   }
 
+  test("asOfJoin carries a matched row's NULL value (not an older non-null one)") {
+    // latest quote at/before the trade has a NULL price — the carry must be
+    // that NULL, not the older 10.0 (regression: per-column last(ignoreNulls)
+    // skipped genuine nulls exactly like the union placeholders)
+    val quotesWithNull = Seq(
+      ("A", ts("2024-01-01 09:59:00"), Some(10.0)),
+      ("A", ts("2024-01-01 10:04:00"), None: Option[Double]))
+      .toDF("qsym", "qt", "price")
+    val out = TemporalJoin.asOfJoin(
+      trades.filter($"trade_id" === 2L), Seq("sym"), col("t"),
+      quotesWithNull, Seq("qsym"), col("qt"),
+      Map("price" -> col("price")))
+      .select("trade_id", "price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(2L) === None)
+    // and the native operator agrees
+    val native = graft.plans.AsOfJoin.asOf(
+      trades.filter($"trade_id" === 2L), Seq("sym"), "t",
+      quotesWithNull, Seq("qsym"), "qt", Seq("price"))
+      .select("trade_id", "price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(native(2L) === None)
+  }
+
+  test("asOfJoin rejects carry names colliding with left columns") {
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asOfJoin(trades, Seq("sym"), col("t"),
+        quotes, Seq("qsym"), col("qt"), Map("t" -> col("price")))
+    }
+  }
+
   test("asOfJoin preserves left cardinality") {
     val out = TemporalJoin.asOfJoin(
       trades, Seq("sym"), col("t"),
