@@ -927,6 +927,34 @@ object SparkEntry {
       ORDER BY o_orderkey""")
   }
 
+  /** Aggregation 3: several DISTINCT aggregates in one pass — planned via
+    * Expand (one duplicated stream per distinct set) plus a shared partial
+    * aggregate; the shape to watch at scale since Expand multiplies the
+    * shuffle volume by the number of distinct sets.
+    */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_id")).as("n_events"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("event_type")
+
+  /** SQL surface: FILTER-clause conditional aggregation + HAVING. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT user_id,
+        count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        count(*) AS n_total
+      FROM events
+      GROUP BY user_id
+      HAVING count(*) FILTER (WHERE event_type = 'purchase') >= 10
+      ORDER BY user_id""")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -988,7 +1016,9 @@ object SparkEntry {
     "q56_unpivot_measures" -> q56 _,
     "q57_pivot_lang_counts" -> q57 _,
     "q58_intersect_nations" -> q58 _,
-    "q59_correlated_subquery" -> q59 _)
+    "q59_correlated_subquery" -> q59 _,
+    "q60_multi_distinct" -> q60 _,
+    "q61_filter_having" -> q61 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1122,6 +1152,21 @@ object SparkEntry {
                / count(*)
         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       ORDER BY o_orderkey""",
+    "q60_multi_distinct" -> """
+      SELECT event_type,
+        count(DISTINCT user_id) AS n_users,
+        count(DISTINCT event_id) AS n_events,
+        count(*) AS n_rows
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q61_filter_having" -> """
+      SELECT user_id,
+        count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        count(*) AS n_total
+      FROM events
+      GROUP BY user_id
+      HAVING count(*) FILTER (WHERE event_type = 'purchase') >= 10
+      ORDER BY user_id""",
     "q51_variant_extract" -> """
       SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, count(*) AS n
       FROM events GROUP BY 1 ORDER BY k_val""",
