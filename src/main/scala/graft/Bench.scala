@@ -58,19 +58,31 @@ object Bench {
     // measures the query, not the interference. Caches are cleared between
     // rounds so each round pays the query's full cost.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt
-    val results = headline.filter(qs.contains).map { name =>
-      val times = (1 to rounds).map { _ =>
-        spark.sharedState.cacheManager.clearCache()
-        val t0 = System.nanoTime()
-        try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // A failing query must fail the bench, not record a near-zero "timing"
+    // that makes the total look BETTER: each query reports either its
+    // min-of-rounds seconds or an error (emitted as "err" in the JSON, full
+    // message on stderr, nonzero exit).
+    val results: Seq[(String, Either[String, Double])] =
+      headline.filter(qs.contains).map { name =>
+        val runs: Seq[Either[String, Double]] = (1 to rounds).map { _ =>
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          try { qs(name)(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => Left(e.toString) }
+        }
+        val errs = runs.collect { case Left(m) => m }
+        name -> (if (errs.nonEmpty) Left(errs.head)
+                 else Right(runs.collect { case Right(t) => t }.min))
       }
-      name -> times.min
-    }
-    val qjson = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qjson = results.map {
+      case (k, Right(v)) => "\"" + k + f"""":$v%.3f"""
+      case (k, Left(_)) => "\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    results.foreach { case (k, Left(m)) => System.err.println(s"BENCH FAIL $k: $m")
+                      case _ => () }
     spark.stop()
+    if (results.exists(_._2.isLeft)) sys.exit(1)
   }
 }

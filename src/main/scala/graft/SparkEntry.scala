@@ -290,20 +290,33 @@ object SparkEntry {
     q21Pairs(s, dir).orderBy("id_a", "id_b")
 
   /** q21's pair set without the final sort — shared with q52 (components).
-    * Memoized per (session, dir): the pipeline ends in a `.cache()` of the
-    * signature dataset, and without memoization each caller would pin its
-    * own duplicate copy in executor storage for the session lifetime.
+    * Single-entry memo: the pipeline ends in a `.cache()` of the signature
+    * dataset shared by q21 and q52, but holding every (session, dir) ever
+    * seen would pin cached frames (and stopped sessions) for the driver
+    * lifetime — so a dir or session switch evicts and unpersists the
+    * previous entry before building the new one.
     */
-  private val q21PairsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
-  private def q21Pairs(s: SparkSession, dir: String): DataFrame = {
-    val (sig, pairs) =
-      q21PairsMemo.computeIfAbsent((s, dir), _ => q21PairsBuild(s, dir))
-    // idempotent re-registration: the bench harness clears the cache
-    // between rounds, and an unregistered sig would be recomputed by
-    // every scan below
-    sig.cache()
-    pairs
+  private var q21PairsEntry:
+    Option[((SparkSession, String), (DataFrame, DataFrame))] = None
+  private def q21Pairs(s: SparkSession, dir: String): DataFrame = synchronized {
+    val key = (s, dir)
+    q21PairsEntry match {
+      case Some((k, (sig, pairs))) if k == key =>
+        // idempotent re-registration: the bench harness clears the cache
+        // between rounds, and an unregistered sig would be recomputed by
+        // every scan below
+        sig.cache()
+        pairs
+      case prev =>
+        prev.foreach { case (_, (oldSig, _)) =>
+          // a stopped session throws here — its cache died with it
+          try oldSig.unpersist() catch { case _: Exception => () }
+        }
+        q21PairsEntry = None
+        val built = q21PairsBuild(s, dir)
+        q21PairsEntry = Some((key, built))
+        built._2
+    }
   }
 
   /** Returns (cached signature frame, pair frame reading it twice). */
@@ -313,20 +326,24 @@ object SparkEntry {
     // (measured faster than recomputing or semi-join-pruning at sf0.1 —
     // extra plan stages cost more in codegen than the cache write)
     // String shingles are never materialized: explode them once, and one
-    // aggregation produces BOTH the 16-wide md5 minhash signature (4
-    // seed-prefixed digests × four 32-bit hex chunks; lexicographic min ≡
-    // numeric min on fixed-width hex) AND the xxhash64'd shingle set used
-    // for exact-Jaccard verification — so the only cached dataset is
-    // all-long and cheap to encode.
+    // aggregation produces BOTH the 16-wide md5 minhash signature AND the
+    // xxhash64'd shingle set used for exact-Jaccard verification — so the
+    // only cached dataset is all-long and cheap to encode. The 16 chunk
+    // minima come from just TWO seed-prefixed md5 digests per shingle
+    // (8 chunks of 4 hex chars ≈ 16 bits each; lexicographic min ≡ numeric
+    // min on fixed-width hex): md5 dominates the signature cost, and 16
+    // bits per chunk is ample minhash range for documents with 10²-10³
+    // shingles.
+    val digests = 2; val chunksPer = 8
     val exploded = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(wordShingles(col("text"))).as("x"))
     val hashed = exploded.select(
       (col("doc_id") +: xxhash64(col("x")).as("hx") +:
-        (0 until bands).map(sd =>
+        (0 until digests).map(sd =>
           md5(concat(lit(s"$sd|"), col("x"))).as(s"m$sd"))): _*)
-    val minCols = (for { sd <- 0 until bands; j <- 0 until rows }
-      yield min(substring(col(s"m$sd"), j * 8 + 1, 8)).as(s"s${sd * rows + j}")) :+
+    val minCols = (for { sd <- 0 until digests; j <- 0 until chunksPer }
+      yield min(substring(col(s"m$sd"), j * 4 + 1, 4)).as(s"s${sd * chunksPer + j}")) :+
       collect_set(col("hx")).as("hset")
     val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       .cache() // (doc_id, 16 chunk-minima, hashed shingle set) — all longs
@@ -1191,8 +1208,8 @@ object SparkEntry {
         FROM toks WHERE len(tk) >= 3),
       sig AS (
         SELECT doc_id, s,
-          flatten([[list_min([md5(CAST(sd AS VARCHAR) || '|' || x)[j*8+1 : j*8+8]
-            for x in s]) for j in range(0, 4)] for sd in range(0, 4)]) AS sg
+          flatten([[list_min([md5(CAST(sd AS VARCHAR) || '|' || x)[j*4+1 : j*4+4]
+            for x in s]) for j in range(0, 8)] for sd in range(0, 2)]) AS sg
         FROM sh),
       banded AS (
         SELECT doc_id, s, band,
@@ -1466,8 +1483,8 @@ object SparkEntry {
         FROM toks WHERE len(tk) >= 3),
       sig AS (
         SELECT doc_id, s,
-          flatten([[list_min([md5(CAST(sd AS VARCHAR) || '|' || x)[j*8+1 : j*8+8]
-            for x in s]) for j in range(0, 4)] for sd in range(0, 4)]) AS sg
+          flatten([[list_min([md5(CAST(sd AS VARCHAR) || '|' || x)[j*4+1 : j*4+4]
+            for x in s]) for j in range(0, 8)] for sd in range(0, 2)]) AS sg
         FROM sh),
       banded AS (
         SELECT doc_id, s, band,

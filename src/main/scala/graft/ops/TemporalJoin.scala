@@ -119,6 +119,11 @@ object TemporalJoin {
     val iv = intervals
       .withColumn("__lo_us", unix_micros(lo))
       .withColumn("__hi_us", unix_micros(hi))
+      // malformed hi <= lo intervals match nothing (residual is lo <= pt < hi)
+      // but would make `sequence` below generate a DESCENDING cell range —
+      // one bad row with hi far below lo explodes into a huge array (job
+      // blowup, not a wrong answer). Drop them before the explode.
+      .filter(col("__hi_us") > col("__lo_us"))
       .withColumn("__cell",
         explode(sequence(floor(col("__lo_us") / binMicros),
           // hi is exclusive: an interval ending exactly on a cell boundary

@@ -166,8 +166,12 @@ object AsOfJoin {
 
   /** As-of join `left` to `right`: latest right row per key with
     * `rightTime <= leftTime`, carrying `carry` columns (null when no match).
-    * Key and time columns must be non-null and type-aligned; the right side
-    * must be unique per (key, time).
+    * Key and time columns must be type-aligned; the right side must be
+    * unique per (key, time). NULL keys are ordinary values in the merge
+    * ordering (they sort first and match each other) — if null-keyed left
+    * rows must NOT inherit null-keyed right values, filter nulls upstream.
+    * Ambiguous column names (post-join plans can expose duplicates) are
+    * rejected rather than silently resolved to the first match.
     */
   def asOf(left: DataFrame, leftKeys: Seq[String], leftTime: String,
            right: DataFrame, rightKeys: Seq[String], rightTime: String,
@@ -176,9 +180,14 @@ object AsOfJoin {
     val lPlan = PlanBridge.analyzed(left)
     val rPlan = PlanBridge.analyzed(right)
     def attr(plan: LogicalPlan, n: String, side: String): Attribute =
-      plan.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"$side column '$n' not in ${plan.output.map(_.name).mkString(", ")}"))
+      plan.output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"$side column '$n' not in ${plan.output.map(_.name).mkString(", ")}")
+        case dups => throw new IllegalArgumentException(
+          s"$side column '$n' is ambiguous (${dups.size} attributes match) — " +
+            "alias the columns to unique names first")
+      }
     val lks = leftKeys.map(attr(lPlan, _, "left"))
     val rks = rightKeys.map(attr(rPlan, _, "right"))
     val lt = attr(lPlan, leftTime, "left")

@@ -161,10 +161,12 @@ object Streaming {
                             watermark: String = "10 minutes"): DataFrame = {
     val l = left.withWatermark(leftTime, watermark)
     val r = right.withWatermark(rightTime, watermark)
-    l.join(r, expr(
-      s"""$leftKey = $rightKey AND
-          $rightTime >= $leftTime - INTERVAL $lookback AND
-          $rightTime <= $leftTime"""))
+    // condition built from Column ops, not string interpolation: column
+    // names needing backticks (dots, spaces, reserved words) resolve
+    // correctly instead of producing parse errors or mis-binding
+    l.join(r, l(leftKey) === r(rightKey) &&
+      r(rightTime) >= l(leftTime) - expr(s"INTERVAL $lookback") &&
+      r(rightTime) <= l(leftTime))
   }
 
   /** Run a streaming aggregation over a bounded source synchronously into an
