@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine tuning knobs, read from the Spark session conf so a deployment
+  * can retune without a rebuild.
+  */
+object GraftConf {
+
+  /** Join-strategy hint for the self-joins whose build side carries wide
+    * arrays (hashed shingle sets, embedding vectors) and for fact-fact
+    * joins: q03 (lineitem⋈orders), q22 (jaccard pairs), q24 (cosine pairs).
+    *
+    * Default "shuffle_hash": on local[n] and well-provisioned executors the
+    * per-partition parallel hash build beats both a driver-side broadcast
+    * build (GC-sensitive, intermittently 3-4× slower with wide arrays) and
+    * a sort-merge join (sorting wide-array rows costs more than hashing
+    * them). Set to "merge" for cluster profiles where spill-safety beats
+    * build speed — a pinned shuffle-hash build can OOM where SMJ would
+    * spill, and AQE cannot override an explicit hint. Tradeoff notes in
+    * ARCHITECTURE.md; PlanSpec asserts both modes plan without cartesian
+    * products.
+    */
+  val PairJoinHintKey = "spark.graft.pairJoin.hint"
+
+  def pairJoinHint(s: SparkSession): String =
+    s.conf.get(PairJoinHintKey, "shuffle_hash")
+
+  /** Apply the configured pair-join hint to the build side. */
+  def hintPairJoin(df: DataFrame): DataFrame =
+    df.hint(pairJoinHint(df.sparkSession))
+}

@@ -101,8 +101,9 @@ object SparkEntry {
     val r = t(s, dir, "region")
     // orders is a fact, not a dimension: at scale it can't broadcast, and
     // even here the driver-side broadcast build costs more than a parallel
-    // shuffled hash build (the other three joins broadcast true dims)
-    li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+    // shuffled hash build (the other three joins broadcast true dims).
+    // Strategy is config-gated (GraftConf) so cluster profiles can pick SMJ.
+    li.join(GraftConf.hintPairJoin(o), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -389,10 +390,10 @@ object SparkEntry {
       col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = base.select(col("lang"), col("source"),
       col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    // shuffle-hash, not broadcast: the build side carries hashed-shingle
-    // arrays; driver-side broadcast builds of wide arrays are slow and
-    // GC-sensitive (same lesson as q24 / the minhash verify join)
-    a.join(b.hint("shuffle_hash"), Seq("lang", "source"))
+    // shuffle-hash (config-gated, GraftConf), not broadcast: the build side
+    // carries hashed-shingle arrays; driver-side broadcast builds of wide
+    // arrays are slow and GC-sensitive (same lesson as q24 / minhash verify)
+    a.join(GraftConf.hintPairJoin(b), Seq("lang", "source"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("j"))
@@ -427,12 +428,36 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** Similarity 2: LSH-bucketed ANN (sign-bit hyperplanes) — the scale path. */
+  /** Similarity 2: LSH-bucketed ANN (sign-bit hyperplanes) with
+    * Hamming-distance-≤2 multi-probe — the scale path. On the near-random
+    * test embeddings single-probe recall@5 is only 0.04 (true neighbors sit
+    * at 60-75°, so sign bits flip often); probing the 15 buckets within two
+    * flipped bits lifts it to 0.80 at ~half-corpus candidate volume, still
+    * as a pure equi-join on the bucket key. AnnRecallSpec pins the ladder.
+    */
   private def q26(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.lshTopK(
       e, col("vec_id"), col("embedding"),
-      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 5)
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 5,
+      probeHamming = 2)
+      .select(col("query_id"), col("item_id"), col("rank").cast("long").as("rank"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Similarity 2b: the Hamming-distance-1 rung of the multi-probe ladder —
+    * each query probes its own bucket plus the five single-flipped-bit
+    * neighbors (recall 0.44 vs 0.04 single-probe and 0.80 for q26's
+    * distance-2 probing, at ~19% candidate volume vs 3%/50%). Same output
+    * contract as q26; the recall/cost ladder is pinned by AnnRecallSpec.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(
+      e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 5,
+      probeHamming = 1)
       .select(col("query_id"), col("item_id"), col("rank").cast("long").as("rank"),
         round(col("cosine"), 4).as("cosine"))
       .orderBy("query_id", "rank")
@@ -1035,7 +1060,8 @@ object SparkEntry {
     "q58_intersect_nations" -> q58 _,
     "q59_correlated_subquery" -> q59 _,
     "q60_multi_distinct" -> q60 _,
-    "q61_filter_having" -> q61 _)
+    "q61_filter_having" -> q61 _,
+    "q62_ann_multiprobe_topk" -> q62 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1549,12 +1575,40 @@ object SparkEntry {
            CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END +
            CASE WHEN embedding[33] >= 0 THEN 16 ELSE 0 END) AS bucket
         FROM embeddings),
+      probes AS (
+        SELECT vec_id, embedding,
+          unnest([xor(bucket, m) FOR m IN
+            [0, 1, 2, 4, 8, 16, 3, 5, 9, 17, 6, 10, 18, 12, 20, 24]]) AS pb
+        FROM b WHERE vec_id < 10),
       scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS item_id,
           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
             CAST(c.embedding AS DOUBLE[])) AS cos
-        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
-        WHERE q.vec_id < 10)
+        FROM probes q JOIN b c ON q.pb = c.bucket AND c.vec_id != q.vec_id)
+      SELECT query_id, item_id,
+        CAST(row_number() OVER w AS BIGINT) AS rank, round(cos, 4) AS cosine
+      FROM scored
+      WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC, item_id)
+      QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q62_ann_multiprobe_topk" -> """
+      WITH b AS (
+        SELECT vec_id, embedding,
+          (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END +
+           CASE WHEN embedding[9] >= 0 THEN 2 ELSE 0 END +
+           CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END +
+           CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END +
+           CASE WHEN embedding[33] >= 0 THEN 16 ELSE 0 END) AS bucket
+        FROM embeddings),
+      probes AS (
+        SELECT vec_id, embedding,
+          unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+                  xor(bucket, 8), xor(bucket, 16)]) AS pb
+        FROM b WHERE vec_id < 10),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+            CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM probes q JOIN b c ON q.pb = c.bucket AND c.vec_id != q.vec_id)
       SELECT query_id, item_id,
         CAST(row_number() OVER w AS BIGINT) AS rank, round(cos, 4) AS cosine
       FROM scored

@@ -128,6 +128,60 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Split a blocked corpus into (small-block rows, large-block rows) by
+    * per-block document count — the routing decision for
+    * [[ngramJaccardPairsAuto]], exposed so the switch is testable. Input is
+    * normalized to (__b0.., __id, __text); the size join is null-safe so
+    * null-keyed blocks route like any other (they produce no pairs either
+    * way, but must not vanish from the accounting).
+    */
+  private[graft] def routeBlocksBySize(df: DataFrame, id: Column, text: Column,
+                                       blockCols: Seq[Column],
+                                       denseMaxBlock: Long): (DataFrame, DataFrame) = {
+    val bk = blockCols.indices.map(i => s"__b$i")
+    val keyed = df.select(
+      (blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") } :+
+        id.as("__id") :+ text.as("__text")): _*)
+    val sizes = keyed.groupBy(bk.map(col): _*).agg(count(lit(1)).as("__bn"))
+      .toDF((bk.map(_ + "_s") :+ "__bn").toIndexedSeq: _*)
+    val cond = bk.map(k => keyed(k) <=> col(k + "_s")).reduce(_ && _)
+    val flagged = keyed.join(sizes, cond).drop(bk.map(_ + "_s"): _*)
+    (flagged.filter(col("__bn") <= denseMaxBlock).drop("__bn"),
+      flagged.filter(col("__bn") > denseMaxBlock).drop("__bn"))
+  }
+
+  /** Exact n-gram Jaccard pairs with the formulation chosen PER BLOCK from
+    * the block's document count: blocks of ≤ `denseMaxBlock` docs take the
+    * dense blocked self-join ([[ngramJaccardPairs]] — quadratic in block
+    * size but join-local, fastest when the pair space is tiny), larger
+    * blocks take the inverted-index posting join
+    * ([[ngramJaccardPairsInverted]] — pairs shuffle as (ids, count) instead
+    * of two full shingle arrays, and the (block, shingle) key spreads a hot
+    * block across the cluster). This closes the documented crossover
+    * automatically: one skewed mega-block no longer drags the whole query
+    * quadratic, and a corpus of small blocks doesn't pay the posting-join
+    * overhead.
+    *
+    * Returns pairs with POSITIVE jaccard ≥ `minJaccard` (zero-overlap pairs
+    * are never emitted — the inverted formulation cannot see them, so the
+    * dense branch filters them too for path-independent results).
+    */
+  def ngramJaccardPairsAuto(df: DataFrame, id: Column, text: Column,
+                            blockCols: Seq[Column], n: Int = 3,
+                            minJaccard: Double = 0.0,
+                            denseMaxBlock: Long = 64): DataFrame = {
+    val (small, large) =
+      routeBlocksBySize(df, id, text, blockCols, denseMaxBlock)
+    val bk = blockCols.indices.map(i => col(s"__b$i"))
+    val dense = ngramJaccardPairs(small, col("__id"), col("__text"), bk, n,
+      minJaccard, hashedShingles = true)
+      .filter(col("jaccard") > 0)
+    val inverted = ngramJaccardPairsInverted(large, col("__id"), col("__text"),
+      bk, n, minJaccard)
+      .select("id_a", "id_b", "jaccard")
+    dense.select("id_a", "id_b", "jaccard").union(inverted)
+  }
+
   /** MinHash + LSH near-dup pairs.
     *
     * Pipeline: shingle → k-minhash signature → split into `bands` bands →
@@ -278,21 +332,35 @@ object Dedup {
       .filter(col("n_docs") > 1)
 
   /** Connected components over an undirected pair graph (near-dup edges →
-    * dup GROUPS): iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels — run to
-    * convergence. This is the Pregel/GraphFrames formulation reduced to
-    * joins+aggregates: per round one shuffle join (sym edges ⋈ labels) and
-    * one min-aggregate; rounds needed = graph diameter (near-dup clusters
-    * are shallow, so a handful). `localCheckpoint` truncates lineage per
-    * round so the plan doesn't grow exponentially.
+    * dup GROUPS): per round, (1) min-label propagation — every node takes
+    * the min of its own label and its neighbors' labels — then (2) pointer
+    * jumping — every node re-reads the CURRENT label of the node its label
+    * points at (`label ← label(label)`, Shiloach-Vishkin style). Step 1
+    * alone needs rounds = graph diameter (a 10k-node near-dup *chain* would
+    * need 10k rounds); the jump step doubles the distance a min label has
+    * traveled each round, so convergence is O(log component size) — ~10
+    * rounds for a 1000-node path, bounded by log of the largest component
+    * at any data scale.
     *
-    * The driver-side loop is a convergence check, not data movement — the
-    * per-round `count` is the only driver action.
+    * Per round: one shuffle join (sym edges ⋈ labels) + min-aggregate, one
+    * self-join on the label key, and a convergence count — the only driver
+    * action. `localCheckpoint` truncates lineage so plans don't compound.
+    * Labels are always node ids within the component (propagation moves
+    * them only along edges and pointer chains), so the fixpoint label is
+    * the component's min id.
     *
     * Returns (id, component) where component = min node id reachable.
     */
   def connectedComponents(edges: DataFrame, a: String = "id_a",
-                          b: String = "id_b", maxIter: Int = 30): DataFrame = {
+                          b: String = "id_b", maxIter: Int = 30): DataFrame =
+    connectedComponentsWithRounds(edges, a, b, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the
+    * observable the convergence-bound spec pins (log, not diameter).
+    */
+  def connectedComponentsWithRounds(edges: DataFrame, a: String = "id_a",
+                                    b: String = "id_b",
+                                    maxIter: Int = 30): (DataFrame, Int) = {
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
       .localCheckpoint()
@@ -305,9 +373,16 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("dl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dl")).as("nl"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer jump: follow the label one hop (label values are node ids,
+      // so this is a self-join on the label key; labels only decrease)
+      val updated = prop
+        .join(prop.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
       changed = updated.join(
           labels.select(col("id"), col("label").as("old")), "id")
@@ -318,8 +393,9 @@ object Dedup {
     // silent non-convergence would return plausible-but-wrong labels
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing) — raise maxIter (graph diameter)")
-    labels.select(col("id"), col("label").as("component"))
+        s"($changed labels still changing) — raise maxIter " +
+        "(~log2 of the largest component size)")
+    (labels.select(col("id"), col("label").as("component")), i)
   }
 
   /** Embedding-cosine near-dup pairs, blocked by `blockCols` (e.g. a cluster
@@ -336,11 +412,12 @@ object Dedup {
     val b = base.toDF(base.columns.map(_ + "_b").toIndexedSeq: _*)
     val cond = bk.map(k => a(k + "_a") === b(k + "_b")).reduce(_ && _) &&
       (a("__id_a") < b("__id_b"))
-    // shuffle-hash, not broadcast: the build side carries the wide vector
-    // arrays, and a driver-side broadcast build of those is slow and
-    // GC-sensitive (intermittently several× the query); the shuffled build
-    // is per-partition and parallel. Same lesson as the minhash verify join.
-    a.join(b.hint("shuffle_hash"), cond)
+    // shuffle-hash (config-gated via GraftConf, default), not broadcast:
+    // the build side carries the wide vector arrays, and a driver-side
+    // broadcast build of those is slow and GC-sensitive (intermittently
+    // several× the query); the shuffled build is per-partition and
+    // parallel. Same lesson as the minhash verify join.
+    a.join(graft.GraftConf.hintPairJoin(b), cond)
       .select(col("__id_a").as("id_a"), col("__id_b").as("id_b"),
         cosine(col("__v_a"), col("__v_b")).as("cosine"))
       .filter(col("cosine") >= minCosine)

@@ -53,15 +53,43 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: only corpus items in the query's sign
     * bucket are scored. Recall < 1 by construction; bucket count 2^|dims|.
+    *
+    * `probeHamming` enables multi-probe: each query also probes every
+    * bucket within that Hamming distance of its own (|dims| extra probes at
+    * distance 1, C(|dims|,2) more at distance 2) — recovering near-misses
+    * where one or two sign bits disagree, the dominant sign-LSH miss mode.
+    * Candidate generation stays an equi-join on the bucket key (the probe
+    * list is exploded on the tiny query side); corpus items occupy exactly
+    * one bucket and probe buckets are pairwise distinct, so no
+    * (query, item) pair is scored twice. Measured on the sf0.01 embeddings
+    * (near-random vectors, true top-5 neighbors at 60-75° — the hard case;
+    * see AnnRecallSpec): recall@5 is 0.04 single-probe, 0.44 at distance 1,
+    * 0.80 at distance 2, for candidate volumes of ~3%/19%/50% of the
+    * corpus. Probing is the recall lever to pull before adding hash tables:
+    * it reuses the same bucketed layout, costing only candidate volume.
     */
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
-              k: Int, dims: Seq[Int] = Seq(0, 8, 16, 24, 32)): DataFrame = {
+              k: Int, dims: Seq[Int] = Seq(0, 8, 16, 24, 32),
+              probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2,
+      "probeHamming must be 0 (exact bucket), 1, or 2 (flipped-bit probes)")
     val c = Dedup.spread(corpus)
       .select(corpusId.as("item_id"), corpusVec.as("__cv"))
       .withColumn("bucket", signBucket(col("__cv"), dims))
-    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
-      .withColumn("bucket", signBucket(col("__qv"), dims))
+    val q0 = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+      .withColumn("__b0", signBucket(col("__qv"), dims))
+    val masks: Seq[Int] = Seq(0) ++
+      (if (probeHamming >= 1) dims.indices.map(1 << _) else Nil) ++
+      (if (probeHamming >= 2)
+        for { j <- dims.indices; l <- j + 1 until dims.length }
+          yield (1 << j) | (1 << l)
+      else Nil)
+    val q =
+      if (masks.size == 1) q0.withColumnRenamed("__b0", "bucket")
+      else q0.select(col("query_id"), col("__qv"),
+        explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*))
+          .as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("item_id") =!= col("query_id"))
       .select(col("query_id"), col("item_id"),

@@ -145,6 +145,22 @@ object Streaming {
       }.toDF()
   }
 
+  /** Update-mode approximate distinct count per user: the 100 TB variant of
+    * the exact Complete-mode `collect_set` formulation (SparkEntry q45).
+    * Two state blowups go away at once: per-key state becomes a fixed-size
+    * HyperLogLog++ sketch instead of a set that grows with distinct values,
+    * and Update output emits only the keys that changed each batch instead
+    * of re-emitting the whole result table (Complete mode additionally pins
+    * ALL keys in the state store forever). `rsd` is the target relative
+    * standard deviation (Spark default 0.05); the error envelope vs exact is
+    * pinned by StreamingSpec, and the RocksDB state-store provider path is
+    * exercised there too (the on-disk store is what makes huge key spaces
+    * viable — state no longer lives on the executor heap).
+    */
+  def distinctTypesApprox(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(approx_count_distinct(col("event_type"), rsd).as("n_types_approx"))
+
   /** Stream-stream range join: left rows join right rows with the same key
     * and `rightTime` within `[leftTime - lookback, leftTime]`. Both sides
     * carry watermarks, and the time-range condition bounds the join state:

@@ -152,6 +152,42 @@ class OpsSpec extends AnyFunSuite {
     assert(comp.values.toSet === Set(1L))
   }
 
+  test("auto Jaccard picks per-block formulation and matches the dense result") {
+    // one 30-doc hot block (routes to the inverted index) + small blocks
+    val docs = ((1 to 30).map(i => (i.toLong, "hot",
+      s"alpha beta gamma delta token$i epsilon zeta")) ++
+      (31 to 36).map(i => (i.toLong, s"cold${i % 3}",
+        s"one two three four token$i five six")))
+      .toDF("id", "blk", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val dense = canon(graft.ops.Dedup.ngramJaccardPairs(
+      docs, $"id", $"text", Seq($"blk"), n = 2, hashedShingles = true)
+      .filter($"jaccard" > 0))
+    val auto = canon(graft.ops.Dedup.ngramJaccardPairsAuto(
+      docs, $"id", $"text", Seq($"blk"), n = 2, denseMaxBlock = 10))
+    assert(auto.keySet === dense.keySet)
+    auto.foreach { case (k, j) => assert(math.abs(j - dense(k)) < 1e-12, k) }
+    // the switch fired: the hot block routed to the inverted-index path
+    val (small, large) = graft.ops.Dedup.routeBlocksBySize(
+      docs, $"id", $"text", Seq($"blk"), denseMaxBlock = 10)
+    assert(large.count() === 30 && small.count() === 6)
+  }
+
+  test("connectedComponents converges in O(log n) rounds on a long path") {
+    // a 200-node path has diameter 199: pure min-label propagation would
+    // need 199 rounds; the pointer-jumping step must get there in < 20
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) =
+      graft.ops.Dedup.connectedComponentsWithRounds(path, maxIter = 20)
+    val comp = labels.as[(Long, Long)].collect().toMap
+    assert(comp.size === 200)
+    assert(comp.values.toSet === Set(1L))
+    assert(rounds < 20,
+      s"200-node path should converge in < 20 rounds, took $rounds")
+  }
+
   test("connectedComponents labels chains, triangles, and isolated pairs") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),

@@ -66,6 +66,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pair-join strategy is config-gated: merge mode plans SMJ, no cartesian") {
+    // cluster profiles set spark.graft.pairJoin.hint=merge for spill-safety
+    // (a pinned shuffle-hash build can OOM where SMJ spills, and AQE cannot
+    // override an explicit hint); both modes must stay cartesian-free
+    spark.conf.set(GraftConf.PairJoinHintKey, "merge")
+    try {
+      Seq("q03_star_join_revenue", "q22_jaccard_pairs_topk",
+        "q24_cosine_pairs_topk").foreach { q =>
+        val p = plan(q)
+        assert(p.contains("SortMergeJoin"), s"$q merge mode lost SMJ:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      }
+    } finally spark.conf.unset(GraftConf.PairJoinHintKey)
+    val p = plan("q22_jaccard_pairs_topk")
+    assert(p.contains("ShuffledHashJoin"), "default mode lost shuffle_hash")
+  }
+
   test("q44 native as-of join survives optimization and stays in the plan") {
     val p = plan("q44_asof_native")
     assert(p.contains("AsOfJoin"), s"native operator missing:\n$p")

@@ -51,6 +51,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(byType("view") === 2L)
   }
 
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Run the approx-distinct stream over the real events table and return
+    * per-user estimates (max across Update-mode emissions — estimates are
+    * monotone as values arrive).
+    */
+  private def approxByUser(queryName: String): Map[Long, Long] = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    Streaming.runToMemory(Streaming.distinctTypesApprox(stream), queryName,
+      org.apache.spark.sql.streaming.OutputMode.Update)
+      .groupBy("user_id").agg(max("n_types_approx").as("n"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  private lazy val exactByUser: Map[Long, Long] =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").agg(countDistinct("event_type").as("n"))
+      .as[(Long, Long)].collect().toMap
+
+  test("Update-mode approx distinct stays within the HLL error envelope") {
+    val approx = approxByUser("approx_distinct_test")
+    assert(approx.keySet === exactByUser.keySet)
+    approx.foreach { case (u, est) =>
+      val ex = exactByUser(u)
+      assert(math.abs(est - ex) <= math.max(1L, math.ceil(ex * 0.15).toLong),
+        s"user $u: approx $est vs exact $ex exceeds the envelope")
+    }
+  }
+
+  test("approx distinct runs unchanged on the RocksDB state store") {
+    val default = approxByUser("approx_distinct_default_provider")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // HLL sketches are deterministic: provider choice must not change
+      // results, only where state lives (disk vs executor heap)
+      assert(approxByUser("approx_distinct_rocksdb_provider") === default)
+    } finally spark.conf.unset(key)
+  }
+
   test("runningUserTotals keeps per-user state via mapGroupsWithState") {
     val out = Streaming.runningUserTotals(eventRows)
       .orderBy("user_id")
