@@ -8,7 +8,7 @@ import graft.functions._
 import graft.enrich.Enrich
 import graft.idempotent.Idempotent
 import graft.normalize.Normalize
-import graft.ops.{Dedup, Multimodal, Similarity, TemporalJoin, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TemporalJoin, TextAnalysis}
 
 /** Driver contract — one named query per operator in SURVEY.md §2 plus the
   * training-data extension ops, each with a DuckDB oracle in [[oracleSql]].
@@ -461,6 +461,42 @@ object SparkEntry {
       .select(col("query_id"), col("item_id"), col("rank").cast("long").as("rank"),
         round(col("cosine"), 4).as("cosine"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Sampling: deterministic stratified sample — ~25% of documents per
+    * language, drawn by md5(stratum|id) threshold. Pure function of the
+    * row: reproducible across engines/retries/partitionings, nests across
+    * fractions, and the filter pushes to the scan (no shuffle, no
+    * per-stratum counting pass).
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(s, dir, "documents"),
+      col("lang"), col("doc_id"), fraction = 0.25)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** Similarity 5: TWO full k-means refinement iterations (assign →
+    * decimal-exact per-dim means → rebuild → reassign → recompute) — the
+    * iterative-algorithm surface beyond q49's single step. Oracle is the
+    * same construction unrolled twice in SQL. Reported per final cell:
+    * member count + new-centroid L2 norm.
+    */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val seeds = Idempotent.latestPerKey(
+      e.withColumn("neg_id", -col("vec_id")), Seq("label"), Seq("neg_id"))
+      .select(col("label").as("cell"), col("embedding").as("cvec"))
+    val (assigned, perDim) = Similarity.kmeansIterations(
+      e, col("vec_id"), col("embedding"), seeds, col("cell"), col("cvec"),
+      iters = 2)
+    val norms = perDim.groupBy(col("cell"))
+      .agg(sqrt(sum((col("avg_val") * col("avg_val")).cast("decimal(27,12)"))
+        .cast("double")).as("centroid_norm"))
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(norms, Seq("cell"))
+      .select(col("cell"), col("n_members"),
+        round(col("centroid_norm"), 6).as("centroid_norm"))
+      .orderBy("cell")
   }
 
   /** Similarity 3: IVF-style partitioned search. Centroids are the
@@ -1061,7 +1097,9 @@ object SparkEntry {
     "q59_correlated_subquery" -> q59 _,
     "q60_multi_distinct" -> q60 _,
     "q61_filter_having" -> q61 _,
-    "q62_ann_multiprobe_topk" -> q62 _)
+    "q62_ann_multiprobe_topk" -> q62 _,
+    "q63_stratified_sample" -> q63 _,
+    "q64_kmeans_two_iterations" -> q64 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1281,6 +1319,51 @@ object SparkEntry {
       WINDOW w AS (PARTITION BY doc_id ORDER BY round(score, 6) DESC, token)
       QUALIFY rank <= 3
       ORDER BY doc_id, rank""",
+    "q63_stratified_sample" -> """
+      SELECT doc_id, lang, source FROM documents
+      WHERE ('0x'||substring(md5(lang || '|' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+            < 1073741824
+      ORDER BY doc_id""",
+    "q64_kmeans_two_iterations" -> """
+      WITH cent0 AS (
+        SELECT label AS cell, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+      assign1 AS (
+        SELECT e.vec_id AS item_id, e.embedding AS vec, c.cell
+        FROM embeddings e CROSS JOIN cent0 c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            c.cvec), 6) DESC, c.cell) = 1),
+      dims1 AS (
+        SELECT cell, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val
+        FROM assign1),
+      avgs1 AS (
+        SELECT cell, pos,
+          CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,8))) AS DOUBLE) / count(*) AS avg_val
+        FROM dims1 GROUP BY cell, pos),
+      cent1 AS (
+        SELECT cell, list(avg_val ORDER BY pos) AS cvec FROM avgs1 GROUP BY cell),
+      assign2 AS (
+        SELECT e.vec_id AS item_id, e.embedding AS vec, c.cell
+        FROM embeddings e CROSS JOIN cent1 c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            c.cvec), 6) DESC, c.cell) = 1),
+      dims2 AS (
+        SELECT cell, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val
+        FROM assign2),
+      avgs2 AS (
+        SELECT cell, pos,
+          CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,8))) AS DOUBLE) / count(*) AS avg_val
+        FROM dims2 GROUP BY cell, pos),
+      norms AS (
+        SELECT cell,
+          sqrt(CAST(sum(CAST(avg_val * avg_val AS DECIMAL(27,12))) AS DOUBLE)) AS centroid_norm
+        FROM avgs2 GROUP BY cell),
+      members AS (SELECT cell, count(*) AS n_members FROM assign2 GROUP BY cell)
+      SELECT m.cell AS cell, m.n_members AS n_members,
+        round(n.centroid_norm, 6) AS centroid_norm
+      FROM members m JOIN norms n ON m.cell = n.cell ORDER BY m.cell""",
     "q49_kmeans_iteration" -> """
       WITH cent AS (
         SELECT label AS cell, embedding AS cvec FROM embeddings

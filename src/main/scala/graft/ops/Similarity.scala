@@ -146,4 +146,33 @@ object Similarity {
     perDim.groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("avg_val")))),
         s => s.getField("avg_val")).as("centroid"))
+
+  /** Full k-means refinement loop: `iters` rounds of assign → per-dim mean
+    * → rebuild centroid vectors. Per round: one broadcast join + argmax
+    * (assignment) and two shuffles (the posexplode aggregate) — independent
+    * of corpus size; the centroid relation stays k×dims rows and always
+    * broadcasts. The driver loop holds only the round counter — centroids
+    * never `collect()` to the driver.
+    *
+    * Returns (final assignment (item_id, vec, cell), final per-dim centroid
+    * rows (cell, pos, avg_val)) — callers aggregate whichever view they
+    * need (membership counts, norms, [[centroidsAsVectors]]).
+    */
+  def kmeansIterations(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                       centroids0: DataFrame, centroidId: Column,
+                       centroidVec: Column, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var cent = centroids0.select(centroidId.as("cell"),
+      asDouble(centroidVec).as("cvec"))
+    var assigned: DataFrame = null
+    var perDim: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assignToCentroids(corpus, corpusId, corpusVec,
+        cent, col("cell"), col("cvec"))
+      perDim = recomputeCentroids(assigned)
+      cent = centroidsAsVectors(perDim)
+        .select(col("cell"), col("centroid").as("cvec"))
+    }
+    (assigned, perDim)
+  }
 }

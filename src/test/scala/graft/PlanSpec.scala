@@ -41,10 +41,22 @@ class PlanSpec extends AnyFunSuite {
 
   test("pairwise ops never degenerate into cartesian products") {
     Seq("q21_minhash_lsh_pairs", "q22_jaccard_pairs_topk",
-      "q24_cosine_pairs_topk").foreach { q =>
+      "q24_cosine_pairs_topk", "q26_ann_lsh_topk",
+      "q62_ann_multiprobe_topk").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
+  }
+
+  test("q63 stratified sample filters at the scan stage, no pre-filter shuffle") {
+    val p = plan("q63_stratified_sample")
+    // the md5-threshold filter is a per-row predicate: it must run before
+    // any Exchange (the only shuffle allowed is the final global sort)
+    val filterIdx = p.indexOf("Filter")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(filterIdx >= 0, s"no filter in plan:\n$p")
+    assert(exchangeIdx < 0 || exchangeIdx < filterIdx,
+      s"sample filter runs after a shuffle:\n$p")
   }
 
   test("q24 cosine pairs use the codegen'd cosine expression") {

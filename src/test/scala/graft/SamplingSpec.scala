@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Sampling, Similarity}
+import graft.idempotent.Idempotent
+
+/** Deterministic sampling + iterative k-means: the properties that make
+  * them safe at scale — reproducibility under re-execution, nesting across
+  * fractions, per-stratum rate, and loop-step consistency.
+  */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("stratifiedSample is deterministic and hits the rate per stratum") {
+    val s1 = Sampling.stratifiedSample(docs, $"lang", $"doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.stratifiedSample(docs, $"lang", $"doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2, "same inputs must draw the same sample")
+    // per-stratum rate: each language sampled near 25% (binomial tolerance)
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = Sampling.stratifiedSample(docs, $"lang", $"doc_id", 0.25)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (lang, n) =>
+      val rate = sampled.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(rate - 0.25) < 0.12, s"$lang rate $rate off 0.25")
+    }
+  }
+
+  test("stratifiedSample nests: smaller fractions are subsets of larger") {
+    val small = Sampling.stratifiedSample(docs, $"lang", $"doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val large = Sampling.stratifiedSample(docs, $"lang", $"doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large),
+      "growing the fraction must only ADD rows, never swap them")
+    assert(Sampling.stratifiedSample(docs, $"lang", $"doc_id", 0.0).count() === 0)
+    assert(Sampling.stratifiedSample(docs, $"lang", $"doc_id", 1.0).count()
+      === docs.count())
+  }
+
+  test("kmeansIterations(1) matches the single-step composition") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val seeds = Idempotent.latestPerKey(
+      e.withColumn("neg_id", -col("vec_id")), Seq("label"), Seq("neg_id"))
+      .select(col("label").as("cell"), col("embedding").as("cvec"))
+    val (assigned1, perDim1) = Similarity.kmeansIterations(
+      e, col("vec_id"), col("embedding"), seeds, col("cell"), col("cvec"), 1)
+    val direct = Similarity.recomputeCentroids(Similarity.assignToCentroids(
+      e, col("vec_id"), col("embedding"), seeds, col("cell"), col("cvec")))
+    val a = perDim1.orderBy("cell", "pos")
+      .as[(String, Int, Double)].collect().toSeq
+    val b = direct.orderBy("cell", "pos")
+      .as[(String, Int, Double)].collect().toSeq
+    assert(a === b)
+    assert(assigned1.count() === e.count())
+  }
+
+  test("second k-means iteration actually moves assignments on real data") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val seeds = Idempotent.latestPerKey(
+      e.withColumn("neg_id", -col("vec_id")), Seq("label"), Seq("neg_id"))
+      .select(col("label").as("cell"), col("embedding").as("cvec"))
+    def members(iters: Int): Map[String, Long] = {
+      val (assigned, _) = Similarity.kmeansIterations(
+        e, col("vec_id"), col("embedding"), seeds, col("cell"), col("cvec"), iters)
+      assigned.groupBy("cell").count().as[(String, Long)].collect().toMap
+    }
+    val m1 = members(1)
+    val m2 = members(2)
+    assert(m1.values.sum === m2.values.sum, "every vector stays assigned")
+    assert(m1 !== m2,
+      "recomputed centroids should reassign at least one vector at sf0.01")
+  }
+}
