@@ -475,6 +475,31 @@ object SparkEntry {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Sampling 2: hot-domain cap — every source capped at 10 documents,
+    * survivors picked by deterministic md5 rank within the stratum. The
+    * training-mix primitive that keeps one mega-crawl from drowning the
+    * rest of the corpus.
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerStratum(t(s, dir, "documents"),
+      col("source"), col("doc_id"), maxRows = 10)
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+
+  /** Dedup 7: benchmark decontamination — corpus docs (source != src0)
+    * sharing ≥ 3 distinct word trigrams with any benchmark doc (source =
+    * src0), each flagged with its worst-overlap benchmark doc. The posting
+    * equi-join shape: only actually-overlapping pairs materialize.
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationFlags(
+      docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+      docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+      n = 3, minShared = 3)
+      .orderBy("doc_id")
+  }
+
   /** Similarity 5: TWO full k-means refinement iterations (assign →
     * decimal-exact per-dim means → rebuild → reassign → recompute) — the
     * iterative-algorithm surface beyond q49's single step. Oracle is the
@@ -1099,7 +1124,9 @@ object SparkEntry {
     "q61_filter_having" -> q61 _,
     "q62_ann_multiprobe_topk" -> q62 _,
     "q63_stratified_sample" -> q63 _,
-    "q64_kmeans_two_iterations" -> q64 _)
+    "q64_kmeans_two_iterations" -> q64 _,
+    "q65_cap_per_stratum" -> q65 _,
+    "q66_decontaminate" -> q66 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1323,6 +1350,28 @@ object SparkEntry {
       SELECT doc_id, lang, source FROM documents
       WHERE ('0x'||substring(md5(lang || '|' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT
             < 1073741824
+      ORDER BY doc_id""",
+    "q65_cap_per_stratum" -> """
+      SELECT doc_id, source, lang FROM documents
+      QUALIFY row_number() OVER (PARTITION BY source
+        ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id) <= 10
+      ORDER BY doc_id""",
+    "q66_decontaminate" -> """
+      WITH toks AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)])) AS s
+        FROM toks WHERE len(tk) >= 3),
+      ov AS (
+        SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+        FROM sh c JOIN sh b ON c.s = b.s
+        WHERE c.source != 'src0' AND b.source = 'src0'
+        GROUP BY 1, 2)
+      SELECT doc_id, bench_id, n_shared FROM ov
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+        ORDER BY n_shared DESC, bench_id) = 1 AND n_shared >= 3
       ORDER BY doc_id""",
     "q64_kmeans_two_iterations" -> """
       WITH cent0 AS (

@@ -234,6 +234,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: flag corpus documents that share at least
+    * `minShared` distinct word n-gram shingles with any benchmark document
+    * — the "is my training set contaminated with eval data" check every
+    * LLM pipeline needs. Returns (doc_id, bench_id, n_shared) with the
+    * single WORST-overlap benchmark doc per flagged corpus doc (ties
+    * broken by lowest bench id).
+    *
+    * Shape is the inverted-index posting join: explode both sides to
+    * (id, shingle-hash) postings, equi-join on the hash, count per
+    * (corpus, benchmark) pair — only pairs that actually share a shingle
+    * ever materialize, never the cross product. At 100 TB the benchmark
+    * side is small (eval suites) and broadcasts; common-shingle skew
+    * spreads over the hash key and collapses in the partial count.
+    */
+  def contaminationFlags(corpus: DataFrame, corpusId: Column,
+                         corpusText: Column, benchmark: DataFrame,
+                         benchId: Column, benchText: Column,
+                         n: Int = 3, minShared: Long = 3): DataFrame = {
+    def postings(df: DataFrame, id: Column, text: Column,
+                 idName: String): DataFrame =
+      spread(df)
+        .select(id.as(idName), explode(wordShingles(text, n)).as("__s"))
+        .select(col(idName), xxhash64(col("__s")).as("__h"))
+        .dropDuplicates(idName, "__h")
+    val ov = postings(corpus, corpusId, corpusText, "doc_id")
+      .join(postings(benchmark, benchId, benchText, "bench_id"), "__h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_shared").desc, col("bench_id").asc)
+    ov.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("n_shared") >= minShared)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit i, sum +1/-1 weighted by
     * token-hash bit i, then take the sign. Near-dups share the same simhash
     * (or a low Hamming distance; exact-bucket grouping shown here).

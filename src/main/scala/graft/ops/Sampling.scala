@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -37,5 +38,28 @@ object Sampling {
     require(fraction >= 0.0 && fraction <= 1.0,
       s"fraction must be in [0,1], got $fraction")
     df.filter(hashPos(strata, id) < (fraction * 4294967296.0).toLong)
+  }
+
+  /** Cap every stratum at `maxRows` rows — the hot-domain downsampler: a
+    * training mix that caps each source/domain at N documents keeps one
+    * mega-crawl from drowning the rest. Rows are ranked inside the stratum
+    * by their md5 hash (ties by id), so which rows survive is deterministic
+    * and engine-portable, and strata under the cap pass through untouched.
+    *
+    * One shuffle on the stratum key + a window pass. A stratum so hot it
+    * skews its partition is exactly the stratum being cut to `maxRows` —
+    * but the window still SORTS the full stratum first; if one stratum is
+    * a large fraction of all data, pre-filter with [[stratifiedSample]]
+    * (no shuffle) to near the cap, then apply the exact cap.
+    */
+  def capPerStratum(df: DataFrame, strata: Column, id: Column,
+                    maxRows: Int): DataFrame = {
+    require(maxRows >= 0, s"maxRows must be >= 0, got $maxRows")
+    val w = Window.partitionBy(strata)
+      .orderBy(md5(concat(strata.cast("string"), lit("|"),
+        id.cast("string"))).asc, id.asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= maxRows)
+      .drop("__rank")
   }
 }

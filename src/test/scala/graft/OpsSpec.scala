@@ -152,6 +152,27 @@ class OpsSpec extends AnyFunSuite {
     assert(comp.values.toSet === Set(1L))
   }
 
+  test("contaminationFlags flags shingle overlap above threshold with argmax bench") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 3 shared trigrams w/ 100
+      (2L, "one two three four five six"), // zero overlap
+      (3L, "alpha beta gamma nine ten eleven")) // 1 trigram each w/ 100, 101
+      .toDF("id", "txt")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon omega"),
+      (101L, "seven eight nine ten eleven twelve"))
+      .toDF("id", "txt")
+    val flagged = graft.ops.Dedup.contaminationFlags(
+      corpus, $"id", $"txt", bench, $"id", $"txt", n = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(flagged === Set((1L, 100L, 3L)))
+    // threshold 1 also surfaces doc 3, argmax tie broken by lowest bench id
+    val loose = graft.ops.Dedup.contaminationFlags(
+      corpus, $"id", $"txt", bench, $"id", $"txt", n = 3, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(loose === Set((1L, 100L, 3L), (3L, 100L, 1L)))
+  }
+
   test("auto Jaccard picks per-block formulation and matches the dense result") {
     // one 30-doc hot block (routes to the inverted index) + small blocks
     val docs = ((1 to 30).map(i => (i.toLong, "hot",

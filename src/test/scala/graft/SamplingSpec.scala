@@ -45,6 +45,20 @@ class SamplingSpec extends AnyFunSuite {
       === docs.count())
   }
 
+  test("capPerStratum caps hot strata, passes small ones, deterministically") {
+    val capped = Sampling.capPerStratum(docs, $"source", $"doc_id", 10)
+    val bySource = capped.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // every source has 25 docs at sf0.01 — all must be cut to exactly 10
+    assert(bySource.values.toSet === Set(10L))
+    val again = Sampling.capPerStratum(docs, $"source", $"doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped.select("doc_id").as[Long].collect().toSet === again)
+    // strata already under the cap pass through untouched
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "src")
+    assert(Sampling.capPerStratum(tiny, $"src", $"doc_id", 10).count() === 3)
+  }
+
   test("kmeansIterations(1) matches the single-step composition") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val seeds = Idempotent.latestPerKey(
