@@ -8,7 +8,7 @@ import graft.functions._
 import graft.enrich.Enrich
 import graft.idempotent.Idempotent
 import graft.normalize.Normalize
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TemporalJoin, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, Skew, TemporalJoin, TextAnalysis}
 
 /** Driver contract — one named query per operator in SURVEY.md §2 plus the
   * training-data extension ops, each with a DuckDB oracle in [[oracleSql]].
@@ -498,6 +498,56 @@ object SparkEntry {
       docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
       n = 3, minShared = 3)
       .orderBy("doc_id")
+  }
+
+  /** Packing: contiguous token-budget sequence packing — per-language
+    * streams cut into 2048-token bins by running offset. Deterministic
+    * layout (same corpus → same bins), one shuffle + one window pass.
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.ops.Packing.packByTokenBudget(
+      toks, col("lang"), col("doc_id"), col("n_tokens"), budget = 2048L)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens", "bin_id", "spans_bins")
+      .orderBy("doc_id")
+  }
+
+  /** Skew: two-phase salted aggregation in the oracle gate — identical
+    * result to the direct GROUP BY (the law ScaleOpsSpec pins), here
+    * hash-checked against the oracle's plain aggregation. The salt spreads
+    * a hot event_type over 16 reducers before the tiny merge shuffle.
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(t(s, dir, "events"),
+      Seq(col("event_type")), Skew.saltOf(col("event_id"), 16),
+      Seq(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,2)")).as("pv")),
+      Seq(sum(col("pn")).as("n_events"),
+        sum(col("pv")).cast("double").as("sum_value")))
+      .orderBy("event_type")
+
+  /** Dedup 8: pipeline closer — near-dup GROUPS (q52's connected
+    * components) each reduced to the best-quality representative (q28's
+    * composite score, ties to the lowest doc id). The full "dedup and keep
+    * the good copy" flow as one declarative query.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.connectedComponents(q21Pairs(s, dir))
+    val quality = t(s, dir, "documents").select(
+      col("doc_id").as("id"),
+      round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("id").asc)
+    comp.join(quality, Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("__rn") === 1, col("id"))).as("keep_id"),
+        max(when(col("__rn") === 1, col("quality"))).as("best_quality"))
+      .select(col("component"), col("keep_id"), col("n_docs"),
+        col("best_quality"))
+      .orderBy("component")
   }
 
   /** Similarity 5: TWO full k-means refinement iterations (assign →
@@ -1126,7 +1176,10 @@ object SparkEntry {
     "q63_stratified_sample" -> q63 _,
     "q64_kmeans_two_iterations" -> q64 _,
     "q65_cap_per_stratum" -> q65 _,
-    "q66_decontaminate" -> q66 _)
+    "q66_decontaminate" -> q66 _,
+    "q67_sequence_packing" -> q67 _,
+    "q68_salted_agg" -> q68 _,
+    "q69_dedup_keep_best" -> q69 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1351,6 +1404,81 @@ object SparkEntry {
       WHERE ('0x'||substring(md5(lang || '|' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT
             < 1073741824
       ORDER BY doc_id""",
+    "q67_sequence_packing" -> """
+      WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM f)
+      SELECT doc_id, lang, n_tokens, cum_tokens,
+        CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS bin_id,
+        CAST(floor(CAST(cum_tokens - 1 AS DOUBLE) / 2048.0) AS BIGINT) >
+          CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS spans_bins
+      FROM c ORDER BY doc_id""",
+    "q68_salted_agg" -> """
+      SELECT event_type, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q69_dedup_keep_best" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)]) AS s
+        FROM toks WHERE len(tk) >= 3),
+      sig AS (
+        SELECT doc_id, s,
+          flatten([[list_min([md5(CAST(sd AS VARCHAR) || '|' || x)[j*4+1 : j*4+4]
+            for x in s]) for j in range(0, 8)] for sd in range(0, 2)]) AS sg
+        FROM sh),
+      banded AS (
+        SELECT doc_id, s, band,
+          md5(array_to_string(sg[band*4+1:band*4+4], '|')) AS bucket
+        FROM sig, range(0, 4) r(band)),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          first(a.s) AS sa, first(b.s) AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      edges AS (
+        SELECT id_a, id_b FROM cand
+        WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.5),
+      sym AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      qual AS (
+        SELECT doc_id AS id, round(least(greatest(
+          0.4 * least(nt / 50.0, 1.0) +
+          0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+          0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 4) AS quality
+        FROM (SELECT doc_id,
+          CAST(len(tk) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+          CAST(len(text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha
+          FROM (SELECT doc_id, text,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents))),
+      ranked AS (
+        SELECT comp.component, comp.id, qual.quality,
+          row_number() OVER (PARTITION BY comp.component
+            ORDER BY qual.quality DESC, comp.id) AS rn
+        FROM comp JOIN qual ON comp.id = qual.id)
+      SELECT component, max(CASE WHEN rn = 1 THEN id END) AS keep_id,
+        count(*) AS n_docs,
+        max(CASE WHEN rn = 1 THEN quality END) AS best_quality
+      FROM ranked GROUP BY component ORDER BY component""",
     "q65_cap_per_stratum" -> """
       SELECT doc_id, source, lang FROM documents
       QUALIFY row_number() OVER (PARTITION BY source

@@ -152,6 +152,23 @@ class OpsSpec extends AnyFunSuite {
     assert(comp.values.toSet === Set(1L))
   }
 
+  test("packByTokenBudget assigns offset-based bins with boundary spans flagged") {
+    val rows = Seq(
+      (1L, "a", 100L), (2L, "a", 900L), (3L, "a", 600L), (4L, "a", 500L),
+      (5L, "b", 2500L)) // longer than the whole budget: spans by itself
+      .toDF("id", "stream", "nt")
+    val packed = graft.ops.Packing.packByTokenBudget(
+      rows, $"stream", $"id", $"nt", budget = 1000L)
+      .select("id", "cum_tokens", "bin_id", "spans_bins")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(packed(1L) === ((100L, 0L, false)))
+    assert(packed(2L) === ((1000L, 0L, false))) // ends exactly on boundary
+    assert(packed(3L) === ((1600L, 1L, false)))
+    assert(packed(4L) === ((2100L, 1L, true))) // crosses the 2000 boundary
+    assert(packed(5L) === ((2500L, 0L, true)))
+  }
+
   test("contaminationFlags flags shingle overlap above threshold with argmax bench") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // 3 shared trigrams w/ 100
