@@ -23,8 +23,20 @@ object GraftConf {
     */
   val PairJoinHintKey = "spark.graft.pairJoin.hint"
 
-  def pairJoinHint(s: SparkSession): String =
-    s.conf.get(PairJoinHintKey, "shuffle_hash")
+  /** Hints Spark actually implements for an equi-join build side. An
+    * unknown hint string would be logged-and-IGNORED by the planner —
+    * a typo'd cluster profile would silently fall back to whatever the
+    * planner picks, which is the exact failure the flag guards against —
+    * so unknown values fail fast here instead.
+    */
+  private val allowedHints = Set("shuffle_hash", "merge", "broadcast")
+
+  def pairJoinHint(s: SparkSession): String = {
+    val v = s.conf.get(PairJoinHintKey, "shuffle_hash")
+    require(allowedHints(v),
+      s"$PairJoinHintKey must be one of ${allowedHints.mkString("/")}, got '$v'")
+    v
+  }
 
   /** Apply the configured pair-join hint to the build side. */
   def hintPairJoin(df: DataFrame): DataFrame =

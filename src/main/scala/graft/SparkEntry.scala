@@ -558,9 +558,8 @@ object SparkEntry {
     */
   private def q64(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val seeds = Idempotent.latestPerKey(
-      e.withColumn("neg_id", -col("vec_id")), Seq("label"), Seq("neg_id"))
-      .select(col("label").as("cell"), col("embedding").as("cvec"))
+    val seeds = Similarity.minIdSeeds(
+      e, col("vec_id"), col("embedding"), col("label"))
     val (assigned, perDim) = Similarity.kmeansIterations(
       e, col("vec_id"), col("embedding"), seeds, col("cell"), col("cvec"),
       iters = 2)
@@ -581,9 +580,8 @@ object SparkEntry {
     */
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val centroids = Idempotent.latestPerKey(
-      e.withColumn("neg_id", -col("vec_id")), Seq("label"), Seq("neg_id"))
-      .select(col("label").as("cell"), col("embedding").as("cvec"))
+    val centroids = Similarity.minIdSeeds(
+      e, col("vec_id"), col("embedding"), col("label"))
     val assigned = Similarity.assignToCentroids(
       e, col("vec_id"), col("embedding"), centroids, col("cell"), col("cvec"))
     val queries = assigned.filter(col("item_id") < 10)
@@ -936,9 +934,8 @@ object SparkEntry {
     */
   private def q49(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val centroids = Idempotent.latestPerKey(
-      e.withColumn("neg_id", -col("vec_id")), Seq("label"), Seq("neg_id"))
-      .select(col("label").as("cell"), col("embedding").as("cvec"))
+    val centroids = Similarity.minIdSeeds(
+      e, col("vec_id"), col("embedding"), col("label"))
     val assigned = Similarity.assignToCentroids(
       e, col("vec_id"), col("embedding"), centroids, col("cell"), col("cvec"))
     val avgs = Similarity.recomputeCentroids(assigned)
@@ -1482,7 +1479,8 @@ object SparkEntry {
     "q65_cap_per_stratum" -> """
       SELECT doc_id, source, lang FROM documents
       QUALIFY row_number() OVER (PARTITION BY source
-        ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id) <= 10
+        ORDER BY substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8),
+          doc_id) <= 10
       ORDER BY doc_id""",
     "q66_decontaminate" -> """
       WITH toks AS (

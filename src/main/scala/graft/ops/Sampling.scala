@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** The row's position in [0, 2^32): first 8 hex chars of
-    * md5(stratum|id) — uniform, deterministic, engine-portable.
+    * md5(stratum|id) — uniform, deterministic, engine-portable. NULL
+    * stratum/id values hash via an explicit sentinel: without it,
+    * md5(NULL) is NULL and null-keyed rows would silently fail every
+    * threshold test (sample(1.0) must be the identity).
     */
-  private def hashPos(strata: Column, id: Column): Column =
-    conv(substring(md5(concat(strata.cast("string"), lit("|"),
-      id.cast("string"))), 1, 8), 16, 10).cast("long")
+  private[ops] def hashPos(strata: Column, id: Column): Column =
+    conv(substring(md5(concat(
+      coalesce(strata.cast("string"), lit("__null__")), lit("|"),
+      coalesce(id.cast("string"), lit("__null__")))), 1, 8), 16, 10)
+      .cast("long")
 
   /** Stratified sample: keep ~`fraction` of rows within every stratum.
     * Because the threshold test is per-row on a uniform hash, strata are
@@ -56,8 +61,7 @@ object Sampling {
                     maxRows: Int): DataFrame = {
     require(maxRows >= 0, s"maxRows must be >= 0, got $maxRows")
     val w = Window.partitionBy(strata)
-      .orderBy(md5(concat(strata.cast("string"), lit("|"),
-        id.cast("string"))).asc, id.asc)
+      .orderBy(hashPos(strata, id).asc, id.asc)
     df.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= maxRows)
       .drop("__rank")

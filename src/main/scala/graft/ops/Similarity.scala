@@ -100,6 +100,20 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic, model-free seed centroids: the minimum-id vector of
+    * each label becomes that cell's centroid — (cell, cvec) rows. One
+    * window pass; reproducible across engines (no RNG, no trained model),
+    * which is what lets the IVF/k-means queries be oracle-checked. Shared
+    * by q37/q49/q64 so the seeding rule has exactly one definition.
+    */
+  def minIdSeeds(df: DataFrame, id: Column, vec: Column,
+                 label: Column): DataFrame = {
+    val w = Window.partitionBy(label).orderBy(id.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(label.as("cell"), vec.as("cvec"))
+  }
+
   /** IVF-style partitioned search: centroids are given (id, vec); each
     * corpus item is assigned to its nearest centroid once (a broadcast
     * join + argmax), and queries probe only their own cell. At 100 TB the
@@ -166,12 +180,19 @@ object Similarity {
       asDouble(centroidVec).as("cvec"))
     var assigned: DataFrame = null
     var perDim: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       assigned = assignToCentroids(corpus, corpusId, corpusVec,
         cent, col("cell"), col("cvec"))
       perDim = recomputeCentroids(assigned)
-      cent = centroidsAsVectors(perDim)
-        .select(col("cell"), col("centroid").as("cvec"))
+      // localCheckpoint the tiny k×dims centroid relation each round: it
+      // cuts the lineage chain (without it the final plan nests every
+      // previous round's join+window+shuffles, and optimizer/codegen time
+      // grows with iters — same reason connectedComponents checkpoints).
+      // Skipped after the last round: that centroid set is never read.
+      if (i < iters)
+        cent = centroidsAsVectors(perDim)
+          .select(col("cell"), col("centroid").as("cvec"))
+          .localCheckpoint()
     }
     (assigned, perDim)
   }

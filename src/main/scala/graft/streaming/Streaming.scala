@@ -150,8 +150,12 @@ object Streaming {
     * Two state blowups go away at once: per-key state becomes a fixed-size
     * HyperLogLog++ sketch instead of a set that grows with distinct values,
     * and Update output emits only the keys that changed each batch instead
-    * of re-emitting the whole result table (Complete mode additionally pins
-    * ALL keys in the state store forever). `rsd` is the target relative
+    * of re-emitting the whole result table. Note the KEY COUNT is still
+    * unbounded in both modes — one state entry per user_id lives forever
+    * without a watermark or state TTL; what this variant bounds is the
+    * per-key state size and the output volume. For truly unbounded key
+    * spaces add a watermarked window or state TTL on top, and put state on
+    * disk via the RocksDB provider. `rsd` is the target relative
     * standard deviation (Spark default 0.05); the error envelope vs exact is
     * pinned by StreamingSpec, and the RocksDB state-store provider path is
     * exercised there too (the on-disk store is what makes huge key spaces

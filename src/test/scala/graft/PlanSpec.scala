@@ -51,11 +51,12 @@ class PlanSpec extends AnyFunSuite {
   test("q63 stratified sample filters at the scan stage, no pre-filter shuffle") {
     val p = plan("q63_stratified_sample")
     // the md5-threshold filter is a per-row predicate: it must run before
-    // any Exchange (the only shuffle allowed is the final global sort)
+    // any Exchange in DATAFLOW order. The plan prints root-first, so every
+    // Exchange must appear ABOVE the Filter — i.e. even the LAST Exchange
+    // occurrence sits at a smaller string index than the Filter.
     val filterIdx = p.indexOf("Filter")
-    val exchangeIdx = p.indexOf("Exchange")
     assert(filterIdx >= 0, s"no filter in plan:\n$p")
-    assert(exchangeIdx < 0 || exchangeIdx < filterIdx,
+    assert(p.lastIndexOf("Exchange") < filterIdx,
       s"sample filter runs after a shuffle:\n$p")
   }
 

@@ -4,7 +4,6 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{Sampling, Similarity}
-import graft.idempotent.Idempotent
 
 /** Deterministic sampling + iterative k-means: the properties that make
   * them safe at scale — reproducibility under re-execution, nesting across
@@ -61,9 +60,8 @@ class SamplingSpec extends AnyFunSuite {
 
   test("kmeansIterations(1) matches the single-step composition") {
     val e = Tables.load(spark, sfDir, "embeddings")
-    val seeds = Idempotent.latestPerKey(
-      e.withColumn("neg_id", -col("vec_id")), Seq("label"), Seq("neg_id"))
-      .select(col("label").as("cell"), col("embedding").as("cvec"))
+    val seeds = Similarity.minIdSeeds(
+      e, col("vec_id"), col("embedding"), col("label"))
     val (assigned1, perDim1) = Similarity.kmeansIterations(
       e, col("vec_id"), col("embedding"), seeds, col("cell"), col("cvec"), 1)
     val direct = Similarity.recomputeCentroids(Similarity.assignToCentroids(
@@ -78,9 +76,8 @@ class SamplingSpec extends AnyFunSuite {
 
   test("second k-means iteration actually moves assignments on real data") {
     val e = Tables.load(spark, sfDir, "embeddings")
-    val seeds = Idempotent.latestPerKey(
-      e.withColumn("neg_id", -col("vec_id")), Seq("label"), Seq("neg_id"))
-      .select(col("label").as("cell"), col("embedding").as("cvec"))
+    val seeds = Similarity.minIdSeeds(
+      e, col("vec_id"), col("embedding"), col("label"))
     def members(iters: Int): Map[String, Long] = {
       val (assigned, _) = Similarity.kmeansIterations(
         e, col("vec_id"), col("embedding"), seeds, col("cell"), col("cvec"), iters)
