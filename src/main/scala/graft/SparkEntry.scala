@@ -573,6 +573,58 @@ object SparkEntry {
       .orderBy("cell")
   }
 
+  /** Streaming 4: stream-stream range join executed as a real Structured
+    * Streaming job — purchases and clicks as two watermarked file-source
+    * streams over the same events parquet, inner-joined on user with each
+    * click constrained to the hour up to the purchase (inclusive both
+    * ends). Append-mode memory sink; the final table equals the batch range
+    * join the oracle states. Unlike a Complete-mode aggregate, per-side
+    * state is bounded by watermark + lookback — the shape that holds on an
+    * unbounded stream.
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    def eventStream(): DataFrame = {
+      val s0 = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(dir)
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else s0
+    }
+    val purchases = eventStream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = eventStream().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val joined = graft.streaming.Streaming.streamStreamRangeJoin(
+      purchases, "user_id", "ts", clicks, "c_user", "c_ts",
+      lookback = "1 hour", watermark = "10 minutes")
+    graft.streaming.Streaming.runToMemory(joined, "q70_mem",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** Skew 2: salted equi-join in the oracle gate — orders (fact side)
+    * salted into 8 deterministic buckets against the customer dim
+    * replicated once per salt, then the plain segment rollup. Law-equal to
+    * the unsalted join (ScaleOpsSpec pins the law); here the whole path is
+    * hash-checked against the oracle's direct join. This is the shape that
+    * holds when one customer owns 10% of all orders and AQE's skew split
+    * can't help (e.g. a pinned shuffle-hash build).
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(t(s, dir, "orders"), col("o_custkey"),
+      Skew.saltOf(col("o_orderkey"), 8),
+      t(s, dir, "customer"), col("c_custkey"), buckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy("c_mktsegment")
+
   /** Similarity 3: IVF-style partitioned search. Centroids are the
     * min-vec_id vector per label (deterministic, model-free); every vector
     * is assigned to its nearest centroid once (broadcast + argmax), and
@@ -1176,7 +1228,9 @@ object SparkEntry {
     "q66_decontaminate" -> q66 _,
     "q67_sequence_packing" -> q67 _,
     "q68_salted_agg" -> q68 _,
-    "q69_dedup_keep_best" -> q69 _)
+    "q69_dedup_keep_best" -> q69 _,
+    "q70_stream_range_join" -> q70 _,
+    "q71_salted_join" -> q71 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1621,6 +1675,20 @@ object SparkEntry {
           AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts < p.pts
       GROUP BY p.event_id, p.user_id
       ORDER BY event_id""",
+    "q70_stream_range_join" -> """
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id
+       AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+       AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      ORDER BY purchase_id, click_id""",
+    "q71_salted_join" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY c_mktsegment""",
     "q43_interval_join_binned" -> """
       WITH iv AS (
         SELECT event_id AS interval_id,

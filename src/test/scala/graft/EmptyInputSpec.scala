@@ -24,7 +24,8 @@ class EmptyInputSpec extends AnyFunSuite {
     dir
   }
 
-  private val streaming = Set("q36_stream_window_agg", "q45_stream_distinct_types")
+  private val streaming = Set("q36_stream_window_agg", "q45_stream_distinct_types",
+    "q70_stream_range_join")
 
   test("every batch query returns an empty (or constant-size) result on empty input") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
