@@ -625,6 +625,57 @@ object SparkEntry {
           .as("total_price"))
       .orderBy("c_mktsegment")
 
+  /** Text 8: PII detection + redaction. Deterministic synthetic PII
+    * (an email, a dotted-quad IP, a phone number derived from doc_id) is
+    * appended to every document on BOTH engines, then counted per class
+    * and redacted in table order; the gate hashes the redacted text. The
+    * patterns are Java-regex/RE2-common (no lookarounds) so one pattern
+    * table serves both. One codegen'd map stage — no shuffle, no UDF.
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from host 10.0."),
+      (col("doc_id") % 256).cast("string"), lit(".7 or call +1415555"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val counts = TextAnalysis.piiPatterns.map { case (cls, pat, _) =>
+      TextAnalysis.piiCount(injected, pat).cast("long").as(s"n_${cls}s")
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id") +: counts :+
+        md5(TextAnalysis.redactPii(injected)).as("redacted_hash"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Text 9: n-gram repetition profile — the Gopher-style "top trigram
+    * share" boilerplate signal, per document. Aggregates shuffle on doc_id
+    * only; a corpus-wide hot trigram cannot skew a reducer.
+    */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(
+      t(s, dir, "documents"), col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id")
+
+  /** Dedup 9: incremental near-dup check of an incoming batch (source
+    * src18, "today's crawl") against the existing corpus (every other
+    * source) — day-2 dedup without re-clustering the world. Every batch
+    * doc is emitted with its best corpus match (or -1 / false when clean).
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val batch = docs.filter(col("source") === "src18")
+    val matches = Dedup.incrementalNearDups(
+      batch, col("doc_id"), col("text"),
+      docs.filter(col("source") =!= "src18"), col("doc_id"), col("text"))
+    batch.select(col("doc_id").as("new_id"))
+      .join(matches, Seq("new_id"), "left")
+      .select(col("new_id"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("hamming"), lit(-1L)).as("hamming"),
+        col("match_id").isNotNull.as("is_dup"))
+      .orderBy("new_id")
+  }
+
   /** Similarity 3: IVF-style partitioned search. Centroids are the
     * min-vec_id vector per label (deterministic, model-free); every vector
     * is assigned to its nearest centroid once (broadcast + argmax), and
@@ -1230,7 +1281,10 @@ object SparkEntry {
     "q68_salted_agg" -> q68 _,
     "q69_dedup_keep_best" -> q69 _,
     "q70_stream_range_join" -> q70 _,
-    "q71_salted_join" -> q71 _)
+    "q71_salted_join" -> q71 _,
+    "q72_pii_redaction" -> q72 _,
+    "q73_repetition_stats" -> q73 _,
+    "q74_incremental_dedup" -> q74 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1283,9 +1337,48 @@ object SparkEntry {
       WHERE hamming <= 3 ORDER BY id_a, id_b"""
   }
 
+  /** q74's oracle: the simhash CTE chain split into batch (src18) and
+    * corpus sides, banded candidate join, Hamming verify, best match per
+    * batch doc, left-joined back so clean docs appear with -1 / false.
+    */
+  private val q74Oracle: String = {
+    val ham = (0 until 4).map(k => s"bit_count(xor(a.s$k, b.s$k))").mkString(" + ")
+    def bandCte(src: String) =
+      s"""SELECT doc_id, r.ci,
+          CASE r.ci WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS cv
+        FROM $src, range(0, 4) r(ci)"""
+    s"""
+      WITH $simhashCtes,
+      nv AS (SELECT v.* FROM vals v JOIN documents d USING (doc_id)
+             WHERE d.source = 'src18'),
+      cw AS (SELECT v.* FROM vals v JOIN documents d USING (doc_id)
+             WHERE d.source <> 'src18'),
+      bn AS (${bandCte("nv")}),
+      bc AS (${bandCte("cw")}),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+        FROM bn x JOIN bc y ON x.ci = y.ci AND x.cv = y.cv),
+      scored AS (
+        SELECT new_id, corpus_id, CAST($ham AS BIGINT) AS hamming
+        FROM cand JOIN nv a ON new_id = a.doc_id JOIN cw b ON corpus_id = b.doc_id),
+      best AS (
+        SELECT new_id, corpus_id, hamming,
+          row_number() OVER (PARTITION BY new_id ORDER BY hamming, corpus_id) AS rn
+        FROM scored WHERE hamming <= 3)
+      SELECT d.doc_id AS new_id,
+        coalesce(b.corpus_id, -1) AS match_id,
+        coalesce(b.hamming, -1) AS hamming,
+        b.corpus_id IS NOT NULL AS is_dup
+      FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        ON d.doc_id = b.new_id
+      WHERE d.source = 'src18'
+      ORDER BY new_id"""
+  }
+
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
   // determinism rules at the top of this object.
   def oracleSql: Map[String, String] = Map(
+    "q74_incremental_dedup" -> q74Oracle,
     "q45_stream_distinct_types" -> """
       SELECT user_id, count(DISTINCT event_type) AS n_types
       FROM events GROUP BY user_id ORDER BY user_id""",
@@ -1689,6 +1782,34 @@ object SparkEntry {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1 ORDER BY c_mktsegment""",
+    "q72_pii_redaction" -> """
+      WITH inj AS (
+        SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+          || '@example.com from host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+          || '.7 or call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(t, '\+\d{7,15}\b')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+          '\+\d{7,15}\b', '[PHONE]', 'g')) AS redacted_hash
+      FROM inj ORDER BY doc_id""",
+    "q73_repetition_stats" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      tg AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+          i -> array_to_string(t[i:i+2], ' '))) AS gram
+        FROM toks WHERE len(t) >= 3),
+      cnt AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_distinct,
+        CAST(max(c) AS BIGINT) AS top_count,
+        round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_frac
+      FROM cnt GROUP BY doc_id ORDER BY doc_id""",
     "q43_interval_join_binned" -> """
       WITH iv AS (
         SELECT event_id AS interval_id,

@@ -357,6 +357,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Incremental near-dup check: flag documents of an incoming batch that
+    * near-duplicate (simhash Hamming ≤ `maxHamming`) an EXISTING corpus,
+    * without re-clustering the corpus — the shape of day-2 dedup at 100 TB,
+    * where signatures for the corpus side are computed once (or read from a
+    * signature store) and each new batch only pays its own hashing plus a
+    * banded equi-join into the corpus. Candidate generation is the same
+    * 4-chunk pigeonhole as [[simhashNeighbors]] (exact recall for d ≤ 3);
+    * the batch side is small by construction, so its banded signatures
+    * broadcast and the corpus is never shuffled by the join.
+    *
+    * Returns one row per MATCHED batch doc: (new_id, match_id, hamming)
+    * with the best corpus match (min hamming, ties to min corpus id).
+    */
+  def incrementalNearDups(batch: DataFrame, batchId: Column, batchText: Column,
+                          corpus: DataFrame, corpusId: Column, corpusText: Column,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk split guarantees recall only for d <= 3")
+    val nsh = simhashPortable(batch, batchId, batchText)
+    val csh = simhashPortable(corpus, corpusId, corpusText)
+    def banded(sh: DataFrame): DataFrame = sh.select(col("doc_id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("ci"), col(s"s$k").as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val cand = banded(nsh).as("x").join(banded(csh).as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    val a = nsh.select(col("doc_id").as("new_id") +:
+      (0 until 4).map(k => col(s"s$k").as(s"a$k")): _*)
+    val b = csh.select(col("doc_id").as("corpus_id") +:
+      (0 until 4).map(k => col(s"s$k").as(s"b$k")): _*)
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_id"))
+      .orderBy(col("hamming").asc, col("corpus_id").asc)
+    cand.join(a, "new_id").join(b, "corpus_id")
+      .withColumn("hamming", (0 until 4).map(k =>
+        bit_count(col(s"a$k").bitwiseXOR(col(s"b$k"))).cast("long"))
+        .reduce(_ + _))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col("new_id"), col("corpus_id").as("match_id"), col("hamming"))
+  }
+
   /** SimHash dup buckets: groups of documents sharing an identical simhash. */
   def simhashBuckets(df: DataFrame, id: Column, text: Column): DataFrame =
     simhash(df, id, text)

@@ -115,6 +115,60 @@ object TextAnalysis {
           (col("n_docs").cast("double") / col("df").cast("double"))).as("score"))
   }
 
+  /** PII patterns (Java-regex and RE2 compatible — no lookarounds, so the
+    * same pattern strings run in Spark and DuckDB). Deliberately
+    * conservative: emails, dotted-quad IPs, and international-ish phone
+    * numbers. Real deployments extend this table; the engine contract
+    * (count → replace, one codegen'd map stage, no shuffle) is unchanged.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\+\\d{7,15}\\b", "[PHONE]"))
+
+  /** Count of matches for one PII class. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact every PII class in table order (email before IP before phone,
+    * so earlier replacements can't create later false positives).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Word n-gram repetition profile per document: total n-grams, distinct
+    * n-grams, the hottest n-gram's count, and its share of all n-grams —
+    * the MassiveText/Gopher-style repetition filter signal ("drop docs
+    * whose top trigram exceeds 18% of all trigrams"). Docs with fewer than
+    * `n` tokens produce no n-grams and are absent from the result.
+    *
+    * Shape at scale: explode → two hash aggregations keyed by doc, so it
+    * shuffles on doc_id only (never on the n-gram), partial-aggregates
+    * map-side, and hot n-grams cannot skew a reducer.
+    */
+  def repetitionStats(df: DataFrame, id: Column, text: Column,
+                      n: Int = 3): DataFrame = {
+    val toks = tokens(text)
+    // sequence(0, size-n) would generate a DESCENDING range when size < n
+    // (same failure mode intervalJoinBinned guards): gate on size >= n.
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array())
+    val perGram = Dedup.spread(df)
+      .select(id.as("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    perGram.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).cast("long").as("top_count"))
+      .withColumn("top_frac",
+        round(col("top_count").cast("double") / col("n_grams").cast("double"), 4))
+  }
+
   /** Full per-document analysis frame over (id, text). */
   def analyze(df: DataFrame, id: Column, text: Column): DataFrame = {
     val f = qualityFeatures(text)
