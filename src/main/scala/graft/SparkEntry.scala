@@ -676,6 +676,30 @@ object SparkEntry {
       .orderBy("new_id")
   }
 
+  /** Sampling 3: per-language quality-quantile filter — drop every
+    * document below its language's 25th quality percentile. The exact
+    * interpolated quantile makes the cut reproducible across engines (see
+    * [[Sampling.keepTopQuantile]] for why 1-ulp interpolation differences
+    * cannot flip membership).
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+    Sampling.keepTopQuantile(scored, col("lang"), col("quality"), q = 0.25)
+      .select("doc_id", "lang", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Sampling 4: deterministic corpus shuffle + shard assignment — global
+    * rank under md5 order and near-equal shard sizes, computed without a
+    * one-partition global sort (range partition + per-partition offsets).
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicShards(
+      t(s, dir, "documents").select("doc_id"), col("doc_id"), shards = 8)
+      .select(col("doc_id"), col("rn"), col("shard"))
+      .orderBy("doc_id")
+
   /** Similarity 3: IVF-style partitioned search. Centroids are the
     * min-vec_id vector per label (deterministic, model-free); every vector
     * is assigned to its nearest centroid once (broadcast + argmax), and
@@ -1284,7 +1308,9 @@ object SparkEntry {
     "q71_salted_join" -> q71 _,
     "q72_pii_redaction" -> q72 _,
     "q73_repetition_stats" -> q73 _,
-    "q74_incremental_dedup" -> q74 _)
+    "q74_incremental_dedup" -> q74 _,
+    "q75_quality_quantile_filter" -> q75 _,
+    "q76_deterministic_shards" -> q76 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1379,6 +1405,38 @@ object SparkEntry {
   // determinism rules at the top of this object.
   def oracleSql: Map[String, String] = Map(
     "q74_incremental_dedup" -> q74Oracle,
+    "q75_quality_quantile_filter" -> """
+      WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE) AS nd,
+          CAST(len(text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha
+        FROM documents),
+      q AS (
+        SELECT doc_id, lang,
+          round(least(greatest(
+            0.4 * least(nt / 50.0, 1.0) +
+            0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+            0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 4) AS quality
+        FROM f),
+      thr AS (SELECT lang, quantile_cont(quality, 0.25) AS t FROM q GROUP BY lang)
+      SELECT doc_id, q.lang, quality
+      FROM q JOIN thr ON q.lang = thr.lang
+      WHERE quality >= t ORDER BY doc_id""",
+    "q76_deterministic_shards" -> """
+      WITH k AS (
+        SELECT doc_id,
+          ('0x' || substring(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS key
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+          row_number() OVER (ORDER BY key, doc_id) - 1 AS rn,
+          count(*) OVER () AS n
+        FROM k)
+      SELECT doc_id, CAST(rn AS BIGINT) AS rn,
+        CAST((rn * 8) // n AS BIGINT) AS shard
+      FROM r ORDER BY doc_id""",
     "q45_stream_distinct_types" -> """
       SELECT user_id, count(DISTINCT event_type) AS n_types
       FROM events GROUP BY user_id ORDER BY user_id""",

@@ -66,4 +66,68 @@ object Sampling {
       .filter(col("__rank") <= maxRows)
       .drop("__rank")
   }
+
+  /** Per-stratum quantile filter: keep rows whose `score` is at or above
+    * the stratum's exact `q`-quantile (linear interpolation) — "drop the
+    * worst quartile per language". One aggregation shuffles the scores;
+    * the per-stratum thresholds (one row per stratum) broadcast back, so
+    * the filter itself adds no shuffle.
+    *
+    * Cross-engine robustness of the cut: when the two order statistics the
+    * quantile interpolates between DIFFER, the threshold lies strictly
+    * between two data values, so a 1-ulp interpolation difference between
+    * engines cannot flip any row's membership; when they are EQUAL, the
+    * interpolation is exactly that value in either engine.
+    */
+  def keepTopQuantile(df: DataFrame, strata: Column, score: Column,
+                      q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    val thr = df.groupBy(strata.as("__stratum"))
+      .agg(percentile(score, lit(q)).as("__thr"))
+    df.join(broadcast(thr), strata <=> col("__stratum"))
+      .filter(score >= col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
+  /** Deterministic global shuffle + equal-size shard assignment: every row
+    * gets its global rank `rn` under md5-hash order (a reproducible random
+    * permutation — the pre-training "shuffle the corpus once" step) and a
+    * shard id in [0, shards) via exact integer `rn * shards DIV n`, which
+    * yields shard sizes within one row of each other.
+    *
+    * The global rank is computed WITHOUT a one-partition global sort:
+    * rows are range-partitioned and sorted by the hash key, the
+    * per-partition counts (one long per partition) become cumulative
+    * offsets via a window over that tiny frame, and the rank is
+    * offset + local row_number. The only globally-ordered structure is
+    * the counts frame — the pattern scales to any corpus size. Rank
+    * correctness does not depend on where the range sampler places
+    * partition boundaries, because offsets come from actual counts.
+    */
+  def deterministicShards(df: DataFrame, id: Column, shards: Int,
+                          numPartitions: Int = 0): DataFrame = {
+    require(shards > 0, s"shards must be > 0, got $shards")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.withColumn("__key", hashPos(lit("shard"), id))
+      .repartitionByRange(parts, col("__key"), id)
+      .sortWithinPartitions(col("__key"), id)
+      .withColumn("__pid", spark_partition_id())
+    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val local = row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(col("__key"), id))
+    sorted.withColumn("__local", local)
+      .join(broadcast(offsets.drop("__cnt")), Seq("__pid"))
+      .withColumn("rn", col("__off") + col("__local") - 1L)
+      .withColumn("shard", expr(s"CAST((rn * $shards) DIV __n AS BIGINT)"))
+      .drop("__key", "__pid", "__local", "__off", "__n")
+  }
 }

@@ -58,6 +58,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.capPerStratum(tiny, $"src", $"doc_id", 10).count() === 3)
   }
 
+  test("keepTopQuantile keeps ~(1-q) per stratum and never beats the best row") {
+    val scored = docs.select($"doc_id", $"lang",
+      round(graft.ops.TextAnalysis.qualityScore($"text"), 4).as("quality"))
+    val kept = Sampling.keepTopQuantile(scored, $"lang", $"quality", 0.25)
+    val totals = scored.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val keptBy = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (lang, n) =>
+      val rate = keptBy.getOrElse(lang, 0L).toDouble / n
+      // >= because ties AT the quantile are kept; quantized scores tie often
+      assert(rate >= 0.70 && rate <= 0.90, s"$lang kept rate $rate off ~0.75")
+    }
+    // the best-scored row of every stratum always survives
+    val best = scored.groupBy("lang").agg(max($"quality").as("q"))
+      .as[(String, Double)].collect().toMap
+    val keptBest = kept.groupBy("lang").agg(max($"quality").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(best === keptBest)
+  }
+
+  test("deterministicShards: balanced permutation, stable across partitioning") {
+    val ids = docs.select("doc_id")
+    val sh = Sampling.deterministicShards(ids, $"doc_id", shards = 8)
+    val n = ids.count()
+    // rn is a permutation of [0, n)
+    assert(sh.select("rn").as[Long].collect().toSet === (0L until n).toSet)
+    // shard sizes within one row of each other
+    val sizes = sh.groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(sizes.keySet === (0L until 8L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"shard sizes must be near-equal, got $sizes")
+    // the rank does not depend on how many range partitions computed it
+    val few = Sampling.deterministicShards(ids, $"doc_id", 8, numPartitions = 2)
+      .select("doc_id", "rn").as[(Long, Long)].collect().toMap
+    val many = Sampling.deterministicShards(ids, $"doc_id", 8, numPartitions = 17)
+      .select("doc_id", "rn").as[(Long, Long)].collect().toMap
+    assert(few === many,
+      "global rank must be a pure function of the data, not the partitioning")
+  }
+
   test("kmeansIterations(1) matches the single-step composition") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val seeds = Similarity.minIdSeeds(
