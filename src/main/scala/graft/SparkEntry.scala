@@ -700,6 +700,59 @@ object SparkEntry {
       .select(col("doc_id"), col("rn"), col("shard"))
       .orderBy("doc_id")
 
+  /** Sampling 5: weighted training mix — en upsampled 2.5×, fr 1.5×, de
+    * passed through, es quartered, zh dropped. Exercises every regime of
+    * [[Sampling.weightedMix]] (integer repeat, fractional extra copy,
+    * subsample, drop) in one deterministic map-side pass.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val wt = when(col("lang") === "en", 2.5d)
+      .when(col("lang") === "fr", 1.5d)
+      .when(col("lang") === "de", 1.0d)
+      .when(col("lang") === "es", 0.25d)
+      .otherwise(0.0d)
+    Sampling.weightedMix(t(s, dir, "documents"), col("lang"), col("doc_id"), wt)
+      .select("doc_id", "lang", "copy")
+      .orderBy("doc_id", "copy")
+  }
+
+  /** Text 10: Unicode NFC normalization via the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression. Decomposed characters
+    * ("e"+U+0301, "A"+U+030A) are appended identically on both engines;
+    * the gate checks byte lengths before/after, the changed flag, and the
+    * hash of the composed text against DuckDB's nfc_normalize.
+    */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"), lit(" café Å"))
+    val norm = graft.functions.nfcNormalize(injected)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      octet_length(encode(injected, "UTF-8")).cast("long").as("raw_bytes"),
+      octet_length(encode(norm, "UTF-8")).cast("long").as("norm_bytes"),
+      (norm =!= injected).as("changed"),
+      md5(norm).as("norm_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Packing 2: materialized training sequences — q67's bin layout joined
+    * with the text and concatenated in pack order ("\n\n"-separated), one
+    * row per (lang, bin). The gate hashes each bin's sequence, pinning
+    * both the layout AND the in-bin order against the oracle's
+    * string_agg(ORDER BY).
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("text"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val packed = graft.ops.Packing.packByTokenBudget(
+      toks, col("lang"), col("doc_id"), col("n_tokens"), budget = 2048L)
+    graft.ops.Packing.materializeBins(
+      packed, col("lang"), col("doc_id"), col("n_tokens"), col("text"))
+      .select(col("stream").as("lang"), col("bin_id"), col("n_docs"),
+        col("bin_tokens"), md5(col("sequence")).as("seq_hash"))
+      .orderBy("lang", "bin_id")
+  }
+
   /** Similarity 3: IVF-style partitioned search. Centroids are the
     * min-vec_id vector per label (deterministic, model-free); every vector
     * is assigned to its nearest centroid once (broadcast + argmax), and
@@ -1310,7 +1363,10 @@ object SparkEntry {
     "q73_repetition_stats" -> q73 _,
     "q74_incremental_dedup" -> q74 _,
     "q75_quality_quantile_filter" -> q75 _,
-    "q76_deterministic_shards" -> q76 _)
+    "q76_deterministic_shards" -> q76 _,
+    "q77_weighted_mix" -> q77 _,
+    "q78_nfc_normalize" -> q78 _,
+    "q79_packed_sequences" -> q79 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1424,6 +1480,51 @@ object SparkEntry {
       SELECT doc_id, q.lang, quality
       FROM q JOIN thr ON q.lang = thr.lang
       WHERE quality >= t ORDER BY doc_id""",
+    "q79_packed_sequences" -> """
+      WITH f AS (
+        SELECT doc_id, lang, text,
+          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, text, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM f),
+      b AS (
+        SELECT lang,
+          CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS bin_id,
+          doc_id, text, n_tokens
+        FROM c)
+      SELECT lang, bin_id, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        md5(string_agg(text, chr(10)||chr(10) ORDER BY doc_id)) AS seq_hash
+      FROM b GROUP BY lang, bin_id ORDER BY lang, bin_id""",
+    "q78_nfc_normalize" -> """
+      WITH inj AS (
+        SELECT doc_id, text || ' cafe' || chr(769) || ' A' || chr(778) AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(octet_length(encode(t)) AS BIGINT) AS raw_bytes,
+        CAST(octet_length(encode(nfc_normalize(t))) AS BIGINT) AS norm_bytes,
+        nfc_normalize(t) <> t AS changed,
+        md5(nfc_normalize(t)) AS norm_hash
+      FROM inj ORDER BY doc_id""",
+    "q77_weighted_mix" -> """
+      WITH w AS (
+        SELECT doc_id, lang,
+          CASE lang WHEN 'en' THEN 2.5 WHEN 'fr' THEN 1.5 WHEN 'de' THEN 1.0
+                    WHEN 'es' THEN 0.25 ELSE 0.0 END AS wt,
+          ('0x' || substring(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang,
+          CAST(floor(wt) AS BIGINT) +
+            CASE WHEN h < CAST(floor((wt - floor(wt)) * 4294967296.0) AS BIGINT)
+                 THEN 1 ELSE 0 END AS copies
+        FROM w)
+      SELECT doc_id, lang, unnest(generate_series(0, copies - 1)) AS copy
+      FROM c WHERE copies > 0
+      ORDER BY doc_id, copy""",
     "q76_deterministic_shards" -> """
       WITH k AS (
         SELECT doc_id,

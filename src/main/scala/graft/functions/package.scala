@@ -84,6 +84,15 @@ package object functions {
   def cosineCompositional(a: Column, b: Column): Column =
     dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0d))
 
+  /** Unicode NFC normalization via the codegen'd [[NfcNormalize]]
+    * expression — run before any byte-wise compare/hash over mixed-form
+    * text (see the expression's Scaladoc).
+    */
+  def nfcNormalize(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+  }
+
   /** Register the engine's SQL-callable functions on a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -92,6 +101,8 @@ package object functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_similarity", exprs => JaccardSimilarity(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs(0)), "scala_udf")
   }
 
   /** Deterministic per-seed MinHash value over an array of 64-bit element

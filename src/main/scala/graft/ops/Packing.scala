@@ -45,4 +45,21 @@ object Packing {
         floor((col("cum_tokens") - lit(1)).cast("double") / budget.toDouble)
           .cast("long") > col("bin_id"))
   }
+
+  /** Materialize packed bins: one row per (stream, bin) with the documents
+    * concatenated in pack order — the sequence the trainer actually reads.
+    * The per-group collect is bounded by the bin BUDGET, not the corpus
+    * (a bin holds at most `budget` tokens plus one spanning document), so
+    * the group state stays small at any data scale; the shuffle key is
+    * (stream, bin_id), which is near-uniform by construction.
+    */
+  def materializeBins(packed: DataFrame, stream: Column, order: Column,
+                      nTokens: Column, payload: Column,
+                      sep: String = "\n\n"): DataFrame =
+    packed.groupBy(stream.as("stream"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTokens).cast("long").as("bin_tokens"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(order.as("o"), payload.as("p")))),
+          x => x.getField("p"))).as("sequence"))
 }

@@ -89,6 +89,31 @@ object Sampling {
       .drop("__stratum", "__thr")
   }
 
+  /** Weighted mixture: materialize each row `weight` times — the training
+    * mix that upsamples high-value sources (weight 2.5 → every row twice,
+    * half the rows a third time) and downsamples or drops others (0.25 →
+    * keep a quarter; 0 → drop). The fractional copy is drawn by the same
+    * md5 threshold as [[stratifiedSample]], so the mix is a pure function
+    * of (stratum, id): reproducible across engines, retries, and
+    * partitionings, and the integer part never depends on the hash at all.
+    *
+    * Output rows carry a `copy` index in [0, copies) so downstream
+    * processing can distinguish (and e.g. shuffle) the repeats. Pure
+    * map-side explode — no shuffle, no counting pass.
+    */
+  def weightedMix(df: DataFrame, strata: Column, id: Column,
+                  weight: Column): DataFrame = {
+    val whole = floor(weight).cast("long")
+    val frac = weight - floor(weight)
+    val extra = when(
+      hashPos(strata, id) < floor(frac * lit(4294967296.0d)).cast("long"), 1L)
+      .otherwise(0L)
+    df.withColumn("__copies", whole + extra)
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
+
   /** Deterministic global shuffle + equal-size shard assignment: every row
     * gets its global rank `rn` under md5-hash order (a reproducible random
     * permutation — the pre-training "shuffle the corpus once" step) and a

@@ -91,6 +91,40 @@ class ExpressionSpec extends AnyFunSuite {
     assert(MinHashSignatureAgg.estimateJaccard(viaAgg(1L), viaAgg(1L)) === 1.0)
   }
 
+  test("nfc_normalize composes decomposed forms, idempotently, null-safely") {
+    import graft.functions.nfcNormalize
+    val decomposedCafe = "cafe\u0301"            // e + combining acute
+    val composedCafe = "caf\u00e9"               // precomposed
+    val decomposedA = "A\u030angstro\u0308m"    // A+ring, o+diaeresis
+    val composedA = "\u00c5ngstr\u00f6m"
+    val rows = Seq(
+      Some(decomposedCafe),
+      Some(composedCafe),    // already composed: unchanged
+      Some(decomposedA),
+      Some("plain ascii 123"),
+      Some(""),
+      None).toDF("s")
+    val out = rows.select($"s", nfcNormalize($"s").as("n"),
+      nfcNormalize(nfcNormalize($"s")).as("nn")).collect()
+    val byIdx = out.map(r =>
+      (Option(r.getString(0)), Option(r.getString(1)), Option(r.getString(2))))
+    assert(byIdx(0)._2 === Some(composedCafe))
+    assert(byIdx(1)._2 === Some(composedCafe))
+    assert(byIdx(2)._2 === Some(composedA))
+    assert(byIdx(3)._2 === Some("plain ascii 123"))
+    assert(byIdx(4)._2 === Some(""))
+    assert(byIdx(5)._2 === None, "null must stay null")
+    byIdx.foreach { case (_, n, nn) =>
+      assert(n === nn, "NFC must be idempotent")
+    }
+    // both mixed forms normalize to the same value -> equality after NFC
+    assert(rows.filter(nfcNormalize($"s") === lit(composedCafe)).count() === 2)
+    registerAll(spark)
+    assert(spark.sql(
+      s"SELECT nfc_normalize('$decomposedCafe') = '$composedCafe' AS eq")
+      .head().getBoolean(0))
+  }
+
   test("codegen'd jaccard agrees on real document shingles") {
     val d = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(40)
       .select($"doc_id", graft.functions.shingleSet($"text").as("sh"))

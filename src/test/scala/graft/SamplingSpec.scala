@@ -97,6 +97,25 @@ class SamplingSpec extends AnyFunSuite {
       "global rank must be a pure function of the data, not the partitioning")
   }
 
+  test("weightedMix: integer weights are exact, fractional rate holds, drop drops") {
+    // weight 1.0 is the identity (one copy of every row, no hash involved)
+    val one = Sampling.weightedMix(docs, $"lang", $"doc_id", lit(1.0d))
+    assert(one.count() === docs.count())
+    assert(one.select(max($"copy")).head().getLong(0) === 0L)
+    // weight 2.0 duplicates exactly
+    assert(Sampling.weightedMix(docs, $"lang", $"doc_id", lit(2.0d)).count()
+      === 2 * docs.count())
+    // weight 0 drops everything
+    assert(Sampling.weightedMix(docs, $"lang", $"doc_id", lit(0.0d)).count() === 0)
+    // fractional part lands near the rate, and the draw is deterministic
+    val a = Sampling.weightedMix(docs, $"lang", $"doc_id", lit(1.5d))
+    val rate = (a.count() - docs.count()).toDouble / docs.count()
+    assert(math.abs(rate - 0.5) < 0.1, s"extra-copy rate $rate off 0.5")
+    val b = Sampling.weightedMix(docs, $"lang", $"doc_id", lit(1.5d))
+    assert(a.select("doc_id", "copy").as[(Long, Long)].collect().sorted.toSeq
+      === b.select("doc_id", "copy").as[(Long, Long)].collect().sorted.toSeq)
+  }
+
   test("kmeansIterations(1) matches the single-step composition") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val seeds = Similarity.minIdSeeds(
