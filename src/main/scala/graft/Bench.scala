@@ -40,7 +40,11 @@ object Bench {
     "q66_decontaminate",
     "q67_sequence_packing",
     "q69_dedup_keep_best",
-    "q71_salted_join")
+    "q71_salted_join",
+    "q73_repetition_stats",
+    "q74_incremental_dedup",
+    "q76_deterministic_shards",
+    "q79_packed_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -135,11 +135,23 @@ object Sampling {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // The local position within the sorted range partition is read off
+    // monotonically_increasing_id — pid in the high 31 bits, a
+    // partition-ordered counter in the low 33 — instead of a
+    // Window.partitionBy(pid), which would re-shuffle and re-sort the
+    // whole dataset just to number rows it already holds in order.
+    // Valid below 2^33 rows per partition (a partition that big is
+    // mis-sized long before this overflows).
     val sorted = df.withColumn("__key", hashPos(lit("shard"), id))
       .repartitionByRange(parts, col("__key"), id)
       .sortWithinPartitions(col("__key"), id)
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+      .withColumn("__local", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("__mid")
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // one row per partition: the global-order window below runs on a
+    // frame the size of the partition count, never the data
     val offsets = counts
       .withColumn("__off", coalesce(sum(col("__cnt")).over(
         Window.orderBy(col("__pid"))
@@ -147,11 +159,8 @@ object Sampling {
       .withColumn("__n", sum(col("__cnt")).over(
         Window.orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val local = row_number().over(
-      Window.partitionBy(col("__pid")).orderBy(col("__key"), id))
-    sorted.withColumn("__local", local)
-      .join(broadcast(offsets.drop("__cnt")), Seq("__pid"))
-      .withColumn("rn", col("__off") + col("__local") - 1L)
+    sorted.join(broadcast(offsets.drop("__cnt")), Seq("__pid"))
+      .withColumn("rn", col("__off") + col("__local"))
       .withColumn("shard", expr(s"CAST((rn * $shards) DIV __n AS BIGINT)"))
       .drop("__key", "__pid", "__local", "__off", "__n")
   }

@@ -42,7 +42,8 @@ class PlanSpec extends AnyFunSuite {
   test("pairwise ops never degenerate into cartesian products") {
     Seq("q21_minhash_lsh_pairs", "q22_jaccard_pairs_topk",
       "q24_cosine_pairs_topk", "q26_ann_lsh_topk",
-      "q62_ann_multiprobe_topk").foreach { q =>
+      "q62_ann_multiprobe_topk", "q66_decontaminate",
+      "q74_incremental_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
