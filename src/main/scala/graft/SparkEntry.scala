@@ -753,6 +753,20 @@ object SparkEntry {
       .orderBy("lang", "bin_id")
   }
 
+  /** Similarity 6: int8 embedding quantization — per-vector max-abs
+    * scaling, gated on the rounded scale, the exact integer norm of the
+    * quantized vector, and a hash of the full int sequence.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(
+      t(s, dir, "embeddings"), col("vec_id"), col("embedding"))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        aggregate(col("qvec"), lit(0L), (acc, x) => acc + x * x).as("q_norm2"),
+        md5(concat_ws(",", transform(col("qvec"), _.cast("string"))))
+          .as("q_hash"))
+      .orderBy("vec_id")
+
   /** Similarity 3: IVF-style partitioned search. Centroids are the
     * min-vec_id vector per label (deterministic, model-free); every vector
     * is assigned to its nearest centroid once (broadcast + argmax), and
@@ -1366,7 +1380,8 @@ object SparkEntry {
     "q76_deterministic_shards" -> q76 _,
     "q77_weighted_mix" -> q77 _,
     "q78_nfc_normalize" -> q78 _,
-    "q79_packed_sequences" -> q79 _)
+    "q79_packed_sequences" -> q79 _,
+    "q80_quantize_int8" -> q80 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1480,6 +1495,23 @@ object SparkEntry {
       SELECT doc_id, q.lang, quality
       FROM q JOIN thr ON q.lang = thr.lang
       WHERE quality >= t ORDER BY doc_id""",
+    "q80_quantize_int8" -> """
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      s AS (
+        SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma
+        FROM v),
+      q AS (
+        SELECT vec_id, ma / 127.0 AS scale,
+          CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(e, x -> CAST(round(x / (ma / 127.0)) AS BIGINT))
+          END AS qv
+        FROM s)
+      SELECT vec_id, round(scale, 6) AS scale,
+        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2,
+        md5(array_to_string(qv, ',')) AS q_hash
+      FROM q ORDER BY vec_id""",
     "q79_packed_sequences" -> """
       WITH f AS (
         SELECT doc_id, lang, text,

@@ -196,4 +196,21 @@ object Similarity {
     }
     (assigned, perDim)
   }
+
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * max-abs scaling to [-127, 127] — 4× smaller vectors for ANN candidate
+    * generation and signature stores (exact re-ranking can read the full
+    * floats for finalists only). Per-row map work, no shuffle; the max
+    * element always quantizes to ±127 exactly, a zero vector to all
+    * zeros. Returns (vec_id, scale, qvec) where `scale` dequantizes
+    * (`x ≈ q * scale`).
+    */
+  def quantizeInt8(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val v = asDouble(vec)
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = maxAbs / lit(127.0d)
+    val q = when(maxAbs === 0.0d, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => round(x / scale).cast("long")))
+    df.select(id.as("vec_id"), scale.as("scale"), q.as("qvec"))
+  }
 }
