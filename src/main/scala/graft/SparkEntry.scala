@@ -767,6 +767,24 @@ object SparkEntry {
           .as("q_hash"))
       .orderBy("vec_id")
 
+  /** Profiling: per-column corpus statistics in one aggregation pass over
+    * the table (row/non-null/exact-distinct counts, min/max) — the
+    * analyze-before-training step. One scan regardless of column count.
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.profile(
+      t(s, dir, "documents"), Seq("lang", "source", "n_chars"))
+      .orderBy("column")
+
+  /** Dedup 10: passage-level duplication fraction — the share of each
+    * document's 8-token windows that appear verbatim in another document
+    * (exact-substring duplication: boilerplate, licenses, syndication).
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    Dedup.passageDupStats(t(s, dir, "documents"), col("doc_id"), col("text"),
+      window = 8)
+      .orderBy("doc_id")
+
   /** Similarity 3: IVF-style partitioned search. Centroids are the
     * min-vec_id vector per label (deterministic, model-free); every vector
     * is assigned to its nearest centroid once (broadcast + argmax), and
@@ -1381,7 +1399,9 @@ object SparkEntry {
     "q77_weighted_mix" -> q77 _,
     "q78_nfc_normalize" -> q78 _,
     "q79_packed_sequences" -> q79 _,
-    "q80_quantize_int8" -> q80 _)
+    "q80_quantize_int8" -> q80 _,
+    "q81_column_profile" -> q81 _,
+    "q82_passage_dup" -> q82 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1495,6 +1515,40 @@ object SparkEntry {
       SELECT doc_id, q.lang, quality
       FROM q JOIN thr ON q.lang = thr.lang
       WHERE quality >= t ORDER BY doc_id""",
+    "q81_column_profile" -> """
+      SELECT * FROM (
+        SELECT 'lang' AS "column", count(*) AS n_rows, count(lang) AS n_nonnull,
+          count(DISTINCT lang) AS n_distinct,
+          CAST(min(lang) AS VARCHAR) AS min_val,
+          CAST(max(lang) AS VARCHAR) AS max_val
+        FROM documents
+        UNION ALL
+        SELECT 'source', count(*), count(source), count(DISTINCT source),
+          CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+          CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        FROM documents)
+      ORDER BY "column"""",
+    "q82_passage_dup" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      w0 AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, len(t) - 7),
+          i -> md5(array_to_string(t[i:i+7], ' '))))) AS h
+        FROM toks WHERE len(t) >= 8),
+      byh AS (SELECT h, count(DISTINCT doc_id) AS nd FROM w0 GROUP BY h),
+      per AS (
+        SELECT doc_id, count(*) AS n_windows,
+          sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared
+        FROM w0 JOIN byh USING (h) GROUP BY doc_id)
+      SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+        CAST(n_shared AS BIGINT) AS n_shared,
+        round(CAST(n_shared AS DOUBLE) / CAST(n_windows AS DOUBLE), 4) AS dup_frac
+      FROM per ORDER BY doc_id""",
     "q80_quantize_int8" -> """
       WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

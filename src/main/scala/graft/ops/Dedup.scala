@@ -401,6 +401,40 @@ object Dedup {
       .select(col("new_id"), col("corpus_id").as("match_id"), col("hamming"))
   }
 
+  /** Passage-level duplication profile: for every document, the fraction
+    * of its `window`-token sliding windows that also appear verbatim in
+    * ANOTHER document — the exact-substring-duplication signal (boilerplate
+    * headers, license blocks, syndicated passages) that document-level
+    * near-dup measures miss. Emits (doc_id, n_windows, n_shared, dup_frac)
+    * for every doc with at least one full window.
+    *
+    * Shape: explode windows → hash → count distinct docs per hash → join
+    * back on the hash. The shuffle key is the window hash — near-unique by
+    * construction, so the aggregation is skew-free; shuffle volume is
+    * proportional to corpus token count, which is what any exact
+    * substring-level pass costs. Windows are md5-hashed (engine-portable);
+    * in-doc repeats are collapsed with array_distinct before the explode.
+    */
+  def passageDupStats(df: DataFrame, id: Column, text: Column,
+                      window: Int = 8): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val toks = tokens(text)
+    val grams = when(size(toks) >= window,
+      transform(sequence(lit(0), size(toks) - window),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(window))))))
+      .otherwise(array())
+    val win = spread(df)
+      .select(id.as("doc_id"), explode(array_distinct(grams)).as("h"))
+    val byHash = win.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+    win.join(byHash, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_frac",
+        round(col("n_shared").cast("double") / col("n_windows").cast("double"), 4))
+  }
+
   /** SimHash dup buckets: groups of documents sharing an identical simhash. */
   def simhashBuckets(df: DataFrame, id: Column, text: Column): DataFrame =
     simhash(df, id, text)
