@@ -583,15 +583,7 @@ object SparkEntry {
     * unbounded stream.
     */
   private def q70(s: SparkSession, dir: String): DataFrame = {
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    def eventStream(): DataFrame = {
-      val s0 = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet") // file source needs a dir
-        .parquet(dir)
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else s0
-    }
+    def eventStream(): DataFrame = Tables.stream(s, dir, "events")
     val purchases = eventStream().filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
     val clicks = eventStream().filter(col("event_type") === "click")
@@ -935,14 +927,7 @@ object SparkEntry {
     * end-to-end inside the correctness gate.
     */
   private def q36(s: SparkSession, dir: String): DataFrame = {
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream0 = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-    val stream = // ns→µs, as Tables.load does for the batch path
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    val stream = Tables.stream(s, dir, "events")
     val agg = graft.streaming.Streaming.windowedCounts(stream)
     val mem = graft.streaming.Streaming.runToMemory(agg, "q36_mem")
     mem.select(
@@ -1513,7 +1498,7 @@ object SparkEntry {
         FROM f),
       thr AS (SELECT lang, quantile_cont(quality, 0.25) AS t FROM q GROUP BY lang)
       SELECT doc_id, q.lang, quality
-      FROM q JOIN thr ON q.lang = thr.lang
+      FROM q JOIN thr ON q.lang IS NOT DISTINCT FROM thr.lang
       WHERE quality >= t ORDER BY doc_id""",
     "q81_column_profile" -> """
       SELECT * FROM (

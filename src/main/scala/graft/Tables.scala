@@ -28,6 +28,26 @@ object Tables {
     }
   }
 
+  /** Read a table as a file-source STREAM with the same ns→µs timestamp
+    * normalization as [[load]] (the schema comes from a batch metadata
+    * read; the file source needs a directory plus a glob). Keeping the
+    * conversion here — the only other copy — means the ns-as-long contract
+    * has exactly two sites that must agree, both in this file's Scaladoc.
+    */
+  def stream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/$name.parquet").schema
+    val s0 = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", s"$name.parquet")
+      .parquet(dir)
+    rawSchema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => s0.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case None => s0
+    }
+  }
+
   /** Register every table as a temp view so `spark.sql` queries mirror the
     * DuckDB oracle SQL one-to-one (same table names, same ANSI SQL).
     */

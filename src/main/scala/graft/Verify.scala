@@ -18,8 +18,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // local-iteration filter (comma-separated names); driver leaves it unset
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // local-iteration filter (comma-separated names); driver leaves it unset.
+    // An empty or misspelled filter must FAIL, not silently verify nothing.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY selects no valid queries (unknown: ${unknown.mkString(",")})")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -418,13 +418,12 @@ object Dedup {
   def passageDupStats(df: DataFrame, id: Column, text: Column,
                       window: Int = 8): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    val toks = tokens(text)
-    val grams = when(size(toks) >= window,
-      transform(sequence(lit(0), size(toks) - window),
-        i => md5(concat_ws(" ", slice(toks, i + 1, lit(window))))))
-      .otherwise(array())
+    // distinct-then-md5 ≡ md5-then-distinct (up to md5 collision), so the
+    // shared shingleSet helper covers the whole window construction
     val win = spread(df)
-      .select(id.as("doc_id"), explode(array_distinct(grams)).as("h"))
+      .select(id.as("doc_id"),
+        explode(transform(graft.functions.shingleSet(text, window),
+          g => md5(g))).as("h"))
     val byHash = win.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("__nd"))
     win.join(byHash, Seq("h"))

@@ -150,15 +150,9 @@ object TextAnalysis {
     */
   def repetitionStats(df: DataFrame, id: Column, text: Column,
                       n: Int = 3): DataFrame = {
-    val toks = tokens(text)
-    // sequence(0, size-n) would generate a DESCENDING range when size < n
-    // (same failure mode intervalJoinBinned guards): gate on size >= n.
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array())
     val perGram = Dedup.spread(df)
-      .select(id.as("doc_id"), explode(grams).as("gram"))
+      .select(id.as("doc_id"),
+        explode(graft.functions.wordShingles(text, n)).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("c"))
     perGram.groupBy(col("doc_id"))
