@@ -777,6 +777,49 @@ object SparkEntry {
       window = 8)
       .orderBy("doc_id")
 
+  /** Incremental 3: aggregate-state maintenance — the running totals table
+    * refreshed by folding in ONE day's partial aggregates instead of
+    * recomputing history. The oracle is the direct aggregation over all
+    * events, so the gate IS the merge-equals-recompute law (exact, thanks
+    * to decimal accumulators).
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+    def partials(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+    val state = partials(ev.filter(col("ts") < cutoff)) // "yesterday's table"
+    val delta = partials(ev.filter(col("ts") >= cutoff)) // today's partition
+    Idempotent.mergeAggState(state, delta,
+      Seq("event_type"), Seq("n_events", "sum_value"))
+      .select(col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Enrich 3: SCD Type-2 dimension versioning — the customer dimension
+    * diffed against a deterministic new snapshot (every 10th key changes
+    * segment, every 97th is deleted, every 101st spawns an insert under a
+    * shifted key). Changed keys get a closed old version + an open new
+    * one; the oracle restates the diff with a FULL OUTER JOIN.
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val cur = t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+    val upd = cur.filter(col("c_custkey") % 97 =!= 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 10 === 0, lit("MACHINERY"))
+          .otherwise(col("c_mktsegment")))
+    val ins = cur.filter(col("c_custkey") % 101 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        lit("BUILDING").as("c_mktsegment"), col("c_nationkey"))
+    Enrich.scd2Merge(cur, upd.unionByName(ins),
+      Seq("c_custkey"), Seq("c_mktsegment", "c_nationkey"),
+      effective = "2024-02-01")
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   /** Similarity 3: IVF-style partitioned search. Centroids are the
     * min-vec_id vector per label (deterministic, model-free); every vector
     * is assigned to its nearest centroid once (broadcast + argmax), and
@@ -1386,7 +1429,9 @@ object SparkEntry {
     "q79_packed_sequences" -> q79 _,
     "q80_quantize_int8" -> q80 _,
     "q81_column_profile" -> q81 _,
-    "q82_passage_dup" -> q82 _)
+    "q82_passage_dup" -> q82 _,
+    "q83_incremental_agg" -> q83 _,
+    "q84_scd2_merge" -> q84 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1500,6 +1545,40 @@ object SparkEntry {
       SELECT doc_id, q.lang, quality
       FROM q JOIN thr ON q.lang IS NOT DISTINCT FROM thr.lang
       WHERE quality >= t ORDER BY doc_id""",
+    "q83_incremental_agg" -> """
+      SELECT event_type, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY event_type""",
+    "q84_scd2_merge" -> """
+      WITH cur AS (SELECT c_custkey, c_mktsegment, c_nationkey FROM customer),
+      upd AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 10 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS c_mktsegment,
+          c_nationkey
+        FROM cur WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'BUILDING', c_nationkey
+        FROM cur WHERE c_custkey % 101 = 0),
+      j AS (
+        SELECT coalesce(c.c_custkey, u.c_custkey) AS k,
+          c.c_mktsegment AS cs, c.c_nationkey AS cn,
+          u.c_mktsegment AS us, u.c_nationkey AS un,
+          (c.c_custkey IS NOT NULL) AS has_c, (u.c_custkey IS NOT NULL) AS has_u
+        FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey),
+      ch AS (
+        SELECT *, has_c AND has_u AND
+          (cs IS DISTINCT FROM us OR cn IS DISTINCT FROM un) AS changed
+        FROM j)
+      SELECT k AS c_custkey, cs AS c_mktsegment, cn AS c_nationkey,
+        '1900-01-01' AS valid_from, '2024-02-01' AS valid_to, FALSE AS is_current
+      FROM ch WHERE has_c AND (NOT has_u OR changed)
+      UNION ALL
+      SELECT k, cs, cn, '1900-01-01', '9999-12-31', TRUE
+      FROM ch WHERE has_c AND has_u AND NOT changed
+      UNION ALL
+      SELECT k, us, un, '2024-02-01', '9999-12-31', TRUE
+      FROM ch WHERE has_u AND (NOT has_c OR changed)
+      ORDER BY c_custkey, valid_from""",
     "q81_column_profile" -> """
       SELECT * FROM (
         SELECT 'lang' AS "column", count(*) AS n_rows, count(lang) AS n_nonnull,

@@ -54,4 +54,46 @@ object Enrich {
         coalesce(col("__codigo_ibge_tmp").try_cast("long"), lit(0L)))
       .drop("__codigo_ibge_tmp")
   }
+
+  /** SCD Type-2 snapshot merge: diff the current dimension against a new
+    * snapshot and emit the versioned rows — unchanged keys stay open,
+    * changed keys get their old version closed (`valid_to = effective`)
+    * and a new open version, deleted keys close, inserted keys open. The
+    * dimension-history primitive of every warehouse load.
+    *
+    * One full-outer equi-join on the key; attribute comparison happens on
+    * packed structs so any attr width is one null-safe comparison. At
+    * scale both snapshots shuffle once on the key — there is no smaller
+    * contract for a full diff; if the incoming snapshot is a small delta,
+    * the same call works and the join planner broadcasts it.
+    *
+    * Output: key cols + attr cols + (valid_from, valid_to, is_current),
+    * with `valid_to = openEnd` sentinel on open rows.
+    */
+  def scd2Merge(current: DataFrame, incoming: DataFrame,
+                keyCols: Seq[String], attrCols: Seq[String],
+                effective: String, initial: String = "1900-01-01",
+                openEnd: String = "9999-12-31"): DataFrame = {
+    val c = current.select(keyCols.map(col) :+
+      struct(attrCols.map(col): _*).as("__cur"): _*)
+    val n = incoming.select(keyCols.map(col) :+
+      struct(attrCols.map(col): _*).as("__new"): _*)
+    val j = c.join(n, keyCols, "full_outer")
+    def emit(attrs: Column, from: Column, to: Column, open: Boolean) =
+      keyCols.map(col) ++
+        attrCols.map(a => attrs.getField(a).as(a)) ++
+        Seq(from.as("valid_from"), to.as("valid_to"),
+          lit(open).as("is_current"))
+    val changed = col("__cur").isNotNull && col("__new").isNotNull &&
+      !(col("__cur") <=> col("__new"))
+    val closedOld = j.filter(col("__cur").isNotNull &&
+        (col("__new").isNull || changed))
+      .select(emit(col("__cur"), lit(initial), lit(effective), open = false): _*)
+    val stillOpen = j.filter(col("__cur").isNotNull && (col("__cur") <=> col("__new")))
+      .select(emit(col("__cur"), lit(initial), lit(openEnd), open = true): _*)
+    val openedNew = j.filter(col("__new").isNotNull &&
+        (col("__cur").isNull || changed))
+      .select(emit(col("__new"), lit(effective), lit(openEnd), open = true): _*)
+    closedOld.unionByName(stillOpen).unionByName(openedNew)
+  }
 }

@@ -95,4 +95,23 @@ object Idempotent {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Incremental aggregate maintenance: fold a delta's partial aggregates
+    * into a running state table — the warehouse refresh that reprocesses
+    * one day's partition instead of the full history. Only valid for
+    * re-aggregatable measures (counts, sums — store averages as
+    * sum + count); with DECIMAL accumulators the merge is EXACTLY equal to
+    * a full recompute (the law the q83 oracle pins by computing the direct
+    * aggregation over all data).
+    *
+    * Cost: shuffles |state| + |delta| GROUPED rows — one row per key, not
+    * per event — so a daily refresh over years of history moves megabytes,
+    * not the 100 TB fact table.
+    */
+  def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                    measures: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(c => sum(col(c)).as(c)): _*)
 }
