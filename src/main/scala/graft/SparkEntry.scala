@@ -820,6 +820,32 @@ object SparkEntry {
       .orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** Text 11: vocabulary encoding — documents encoded against the
+    * corpus's top-100 token vocabulary (ids in frequency order, OOV → 0),
+    * gated on token/OOV counts and the hash of the full id sequence.
+    */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildVocab(docs, col("text"), size = 100)
+    TextAnalysis.encodeWithVocab(docs, col("doc_id"), col("text"), vocab)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        md5(concat_ws(",", transform(col("ids"), _.cast("string"))))
+          .as("ids_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Text 12: overlapping context-window chunking (64-token windows every
+    * 32) — every chunk hashed, so both the cut points and chunk contents
+    * are pinned.
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkWithStride(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      window = 64, stride = 32)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+        md5(col("chunk")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Similarity 3: IVF-style partitioned search. Centroids are the
     * min-vec_id vector per label (deterministic, model-free); every vector
     * is assigned to its nearest centroid once (broadcast + argmax), and
@@ -1431,7 +1457,9 @@ object SparkEntry {
     "q81_column_profile" -> q81 _,
     "q82_passage_dup" -> q82 _,
     "q83_incremental_agg" -> q83 _,
-    "q84_scd2_merge" -> q84 _)
+    "q84_scd2_merge" -> q84 _,
+    "q85_vocab_encode" -> q85 _,
+    "q86_chunk_stride" -> q86 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1545,6 +1573,37 @@ object SparkEntry {
       SELECT doc_id, q.lang, quality
       FROM q JOIN thr ON q.lang IS NOT DISTINCT FROM thr.lang
       WHERE quality >= t ORDER BY doc_id""",
+    "q85_vocab_encode" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      pos AS (
+        SELECT doc_id, u.pos, u.tok FROM (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+            i -> {'pos': i, 'tok': t[i]})) AS u
+          FROM toks)),
+      vocab AS (
+        SELECT tok AS token, row_number() OVER (ORDER BY cnt DESC, tok) AS tid
+        FROM (SELECT tok, count(*) AS cnt FROM pos GROUP BY tok
+              ORDER BY cnt DESC, tok LIMIT 100)),
+      enc AS (
+        SELECT p.doc_id, p.pos, coalesce(v.tid, 0) AS tid
+        FROM pos p LEFT JOIN vocab v ON p.tok = v.token)
+      SELECT doc_id, count(*) AS n_tokens,
+        CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_hash
+      FROM enc GROUP BY doc_id ORDER BY doc_id""",
+    "q86_chunk_stride" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      st AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t), 32)) AS s
+        FROM toks)
+      SELECT doc_id, CAST((s - 1) / 32 AS BIGINT) AS chunk_id,
+        CAST(len(t[s:s+63]) AS BIGINT) AS n_chunk_tokens,
+        md5(array_to_string(t[s:s+63], ' ')) AS chunk_hash
+      FROM st ORDER BY doc_id, chunk_id""",
     "q83_incremental_agg" -> """
       SELECT event_type, count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

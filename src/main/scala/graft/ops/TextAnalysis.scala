@@ -163,6 +163,66 @@ object TextAnalysis {
         round(col("top_count").cast("double") / col("n_grams").cast("double"), 4))
   }
 
+  /** Corpus-derived vocabulary: the `size` most frequent tokens, ids
+    * 1..size assigned in (count desc, token asc) order — deterministic
+    * across engines and partitionings. Returns (token, tid). The global
+    * window runs over `size` rows, never the corpus.
+    */
+  def buildVocab(df: DataFrame, text: Column, size: Int): DataFrame = {
+    val counts = Dedup.spread(df)
+      .select(explode(tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("token").asc)
+      .limit(size)
+    counts.withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__cnt").desc, col("token").asc)))
+      .select(col("token"), col("tid").cast("long").as("tid"))
+  }
+
+  /** Encode every document against a (token, tid) vocabulary: tokens map
+    * to their id, out-of-vocabulary tokens to 0, original order preserved.
+    * The vocabulary broadcasts (it is vocab-sized, not corpus-sized), so
+    * the corpus never shuffles for the lookup; re-assembly aggregates on
+    * doc_id only. Returns (doc_id, n_tokens, n_oov, ids).
+    */
+  def encodeWithVocab(df: DataFrame, id: Column, text: Column,
+                      vocab: DataFrame): DataFrame = {
+    val positioned = Dedup.spread(df)
+      .select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "token")))
+    positioned.join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("__tid", coalesce(col("tid"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("__tid").as("tid")))),
+          x => x.getField("tid")).as("ids"))
+  }
+
+  /** Overlapping context-window chunking: cut each document into
+    * `window`-token chunks every `stride` tokens (stride < window ⇒
+    * overlap) — the RAG/embedding chunking step. Trailing chunks may be
+    * shorter; every token is covered. Map-side explode, no shuffle.
+    * Returns (doc_id, chunk_id, n_chunk_tokens, chunk).
+    */
+  def chunkWithStride(df: DataFrame, id: Column, text: Column,
+                      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = tokens(text)
+    df.select(id.as("doc_id"), toks.as("__t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("__t")) - 1, lit(stride)))
+          .as("__start"), col("__t"))
+      .select(col("doc_id"),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        slice(col("__t"), col("__start") + 1, lit(window)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk"))
+  }
+
   /** Full per-document analysis frame over (id, text). */
   def analyze(df: DataFrame, id: Column, text: Column): DataFrame = {
     val f = qualityFeatures(text)
