@@ -44,7 +44,8 @@ object Bench {
     "q73_repetition_stats",
     "q74_incremental_dedup",
     "q76_deterministic_shards",
-    "q79_packed_sequences")
+    "q79_packed_sequences",
+    "q87_corpus_prep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

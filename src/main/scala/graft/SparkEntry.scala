@@ -846,6 +846,29 @@ object SparkEntry {
         md5(col("chunk")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Pipeline capstone: corpus preparation end-to-end in ONE declarative
+    * chain — per-language quality-quantile filter (drop the worst
+    * quartile) → per-source hot-domain cap (20 docs) → 2048-token
+    * sequence packing — reported as per-bin statistics with an exact
+    * decimal quality sum. Every stage is an operator gated on its own
+    * query (q75/q65/q67); this gate pins their COMPOSITION.
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("source"),
+      round(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val kept = Sampling.keepTopQuantile(scored, col("lang"), col("quality"), 0.25)
+    val capped = Sampling.capPerStratum(kept, col("source"), col("doc_id"), 20)
+    val packed = graft.ops.Packing.packByTokenBudget(
+      capped, col("lang"), col("doc_id"), col("n_tokens"), budget = 2048L)
+    packed.groupBy(col("lang"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("bin_tokens"),
+        dsum(col("quality"), 4).as("quality_sum"))
+      .orderBy("lang", "bin_id")
+  }
+
   /** Similarity 3: IVF-style partitioned search. Centroids are the
     * min-vec_id vector per label (deterministic, model-free); every vector
     * is assigned to its nearest centroid once (broadcast + argmax), and
@@ -1459,7 +1482,8 @@ object SparkEntry {
     "q83_incremental_agg" -> q83 _,
     "q84_scd2_merge" -> q84 _,
     "q85_vocab_encode" -> q85 _,
-    "q86_chunk_stride" -> q86 _)
+    "q86_chunk_stride" -> q86 _,
+    "q87_corpus_prep" -> q87 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1573,6 +1597,42 @@ object SparkEntry {
       SELECT doc_id, q.lang, quality
       FROM q JOIN thr ON q.lang IS NOT DISTINCT FROM thr.lang
       WHERE quality >= t ORDER BY doc_id""",
+    "q87_corpus_prep" -> """
+      WITH f AS (
+        SELECT doc_id, lang, source,
+          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE) AS nd,
+          CAST(len(text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha
+        FROM documents),
+      q AS (
+        SELECT doc_id, lang, source, CAST(nt AS BIGINT) AS n_tokens,
+          round(least(greatest(
+            0.4 * least(nt / 50.0, 1.0) +
+            0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+            0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 4) AS quality
+        FROM f),
+      thr AS (SELECT lang, quantile_cont(quality, 0.25) AS t FROM q GROUP BY lang),
+      kept AS (
+        SELECT q.* FROM q JOIN thr ON q.lang IS NOT DISTINCT FROM thr.lang
+        WHERE quality >= t),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY
+          ('0x' || substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+          doc_id) AS rk
+        FROM kept),
+      capped AS (SELECT * FROM ranked WHERE rk <= 20),
+      c AS (
+        SELECT doc_id, lang, n_tokens, quality,
+          CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM capped)
+      SELECT lang,
+        CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS bin_id,
+        count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) AS quality_sum
+      FROM c GROUP BY 1, 2 ORDER BY lang, bin_id""",
     "q85_vocab_encode" -> """
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
