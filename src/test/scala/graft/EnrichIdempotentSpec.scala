@@ -68,4 +68,64 @@ class EnrichIdempotentSpec extends AnyFunSuite {
       .orderBy("user").select("tag").as[String].collect()
     assert(out.toSeq === Seq("new", "only"))
   }
+
+  test("scd2Merge treats null attrs null-safely and covers all four cases") {
+    import graft.enrich.Enrich
+    val cur = Seq(
+      (1L, Some("a")),   // unchanged
+      (2L, Some("b")),   // changed b -> b2
+      (3L, None),        // unchanged with NULL attr (null <=> null)
+      (4L, Some("d")))   // deleted
+      .toDF("k", "attr")
+    val nxt = Seq(
+      (1L, Some("a")),
+      (2L, Some("b2")),
+      (3L, None),
+      (5L, Some("e")))   // inserted
+      .toDF("k", "attr")
+    val out = Enrich.scd2Merge(cur, nxt, Seq("k"), Seq("attr"), "2024-02-01")
+      .orderBy("k", "valid_from")
+      .select("k", "attr", "valid_to", "is_current")
+      .as[(Long, Option[String], String, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, Some("a"), "9999-12-31", true),          // unchanged stays open
+      (2L, Some("b"), "2024-02-01", false),         // old version closed
+      (2L, Some("b2"), "9999-12-31", true),         // new version open
+      (3L, None, "9999-12-31", true),               // null attr: NOT a change
+      (4L, Some("d"), "2024-02-01", false),         // delete closes
+      (5L, Some("e"), "9999-12-31", true)))         // insert opens
+  }
+
+  test("mergeAggState folds any split of deltas to the direct aggregation") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).as("sv"))
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, String)] =
+      df.select($"event_type", $"n", $"sv".cast("string"))
+        .as[(String, Long, String)].collect()
+        .map { case (t, n, sv) => t -> (n, sv) }.toMap
+    val direct = asMap(partials(ev))
+    // split three ways by user bucket, merge pairwise (associativity)
+    val parts = (0 until 3).map(i => partials(ev.filter($"user_id" % 3 === i)))
+    val merged = asMap(parts.reduce((a, b) =>
+      Idempotent.mergeAggState(a, b, Seq("event_type"), Seq("n", "sv"))))
+    assert(merged === direct,
+      "incremental merge must equal the full recompute exactly")
+  }
+
+  test("profile's approx path keeps the shape and lands near exact distincts") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val exact = graft.ops.Profile.profile(docs, Seq("lang", "source"))
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    val approx = graft.ops.Profile.profile(docs, Seq("lang", "source"),
+      exact = false)
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (c, n) =>
+      assert(math.abs(approx(c) - n) <= math.max(1L, (n * 0.1).toLong),
+        s"$c approx ${approx(c)} too far from exact $n")
+    }
+  }
 }
