@@ -869,6 +869,23 @@ object SparkEntry {
       .orderBy("lang", "bin_id")
   }
 
+  /** Similarity 7: hard-negative mining — per query, the 5 most similar
+    * vectors with a different label (contrastive-training negatives); the
+    * label predicate applies before ranking so same-label near neighbors
+    * cannot crowd out the candidates.
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.hardNegatives(
+      e, col("vec_id"), col("embedding"), col("label"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      col("label"), k = 5)
+      .select(col("query_id"), col("item_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Similarity 3: IVF-style partitioned search. Centroids are the
     * min-vec_id vector per label (deterministic, model-free); every vector
     * is assigned to its nearest centroid once (broadcast + argmax), and
@@ -1483,7 +1500,8 @@ object SparkEntry {
     "q84_scd2_merge" -> q84 _,
     "q85_vocab_encode" -> q85 _,
     "q86_chunk_stride" -> q86 _,
-    "q87_corpus_prep" -> q87 _)
+    "q87_corpus_prep" -> q87 _,
+    "q88_hard_negatives" -> q88 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1597,6 +1615,18 @@ object SparkEntry {
       SELECT doc_id, q.lang, quality
       FROM q JOIN thr ON q.lang IS NOT DISTINCT FROM thr.lang
       WHERE quality >= t ORDER BY doc_id""",
+    "q88_hard_negatives" -> """
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+            CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM embeddings q JOIN embeddings c ON c.label != q.label
+        WHERE q.vec_id < 10)
+      SELECT query_id, item_id,
+        CAST(row_number() OVER w AS BIGINT) AS rank, round(cos, 4) AS cosine
+      FROM scored
+      WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC, item_id)
+      QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "q87_corpus_prep" -> """
       WITH f AS (
         SELECT doc_id, lang, source,

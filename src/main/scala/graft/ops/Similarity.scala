@@ -197,6 +197,30 @@ object Similarity {
     (assigned, perDim)
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * k most cosine-similar corpus vectors with a DIFFERENT label — the
+    * negatives that actually teach an embedding model. The label predicate
+    * is applied BEFORE ranking (a post-hoc filter on a top-k would lose
+    * candidates when the nearest neighbors share the query's label).
+    * Same scale contract as [[bruteForceTopK]]: small query side
+    * broadcast, corpus never shuffles; swap candidate generation to
+    * [[lshTopK]]'s buckets when the query side grows.
+    */
+  def hardNegatives(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    corpusLabel: Column, queries: DataFrame, queryId: Column,
+                    queryVec: Column, queryLabel: Column, k: Int): DataFrame = {
+    val c = Dedup.spread(corpus).select(corpusId.as("item_id"),
+      corpusVec.as("__cv"), corpusLabel.as("__cl"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"),
+      queryLabel.as("__ql"))
+    val scored = c.join(broadcast(q), col("__cl") =!= col("__ql"))
+      .select(col("query_id"), col("item_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * max-abs scaling to [-127, 127] — 4× smaller vectors for ANN candidate
     * generation and signature stores (exact re-ranking can read the full
