@@ -790,7 +790,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).as("sum_value"))
     val state = partials(ev.filter(col("ts") < cutoff)) // "yesterday's table"
-    val delta = partials(ev.filter(col("ts") >= cutoff)) // today's partition
+    // null-ts rows must land in exactly one partition (here: the delta) —
+    // ts >= cutoff alone is NULL-false on both sides and would drop them
+    val delta = partials(ev.filter(col("ts") >= cutoff || col("ts").isNull))
     Idempotent.mergeAggState(state, delta,
       Seq("event_type"), Seq("n_events", "sum_value"))
       .select(col("event_type"), col("n_events"),
@@ -1648,7 +1650,7 @@ object SparkEntry {
         WHERE quality >= t),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY source ORDER BY
-          ('0x' || substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+          ('0x' || substring(md5(coalesce(source, '__null__') || '|' || coalesce(CAST(doc_id AS VARCHAR), '__null__')), 1, 8))::BIGINT,
           doc_id) AS rk
         FROM kept),
       capped AS (SELECT * FROM ranked WHERE rk <= 20),
@@ -1693,7 +1695,9 @@ object SparkEntry {
       SELECT doc_id, CAST((s - 1) / 32 AS BIGINT) AS chunk_id,
         CAST(len(t[s:s+63]) AS BIGINT) AS n_chunk_tokens,
         md5(array_to_string(t[s:s+63], ' ')) AS chunk_hash
-      FROM st ORDER BY doc_id, chunk_id""",
+      FROM st
+      WHERE s = 1 OR (s - 1) - 32 + 64 < len(t)
+      ORDER BY doc_id, chunk_id""",
     "q83_incremental_agg" -> """
       SELECT event_type, count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -1813,7 +1817,7 @@ object SparkEntry {
         SELECT doc_id, lang,
           CASE lang WHEN 'en' THEN 2.5 WHEN 'fr' THEN 1.5 WHEN 'de' THEN 1.0
                     WHEN 'es' THEN 0.25 ELSE 0.0 END AS wt,
-          ('0x' || substring(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          ('0x' || substring(md5(coalesce(lang, '__null__') || '|' || coalesce(CAST(doc_id AS VARCHAR), '__null__')), 1, 8))::BIGINT AS h
         FROM documents),
       c AS (
         SELECT doc_id, lang,
@@ -1827,7 +1831,7 @@ object SparkEntry {
     "q76_deterministic_shards" -> """
       WITH k AS (
         SELECT doc_id,
-          ('0x' || substring(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS key
+          ('0x' || substring(md5('shard|' || coalesce(CAST(doc_id AS VARCHAR), '__null__')), 1, 8))::BIGINT AS key
         FROM documents),
       r AS (
         SELECT doc_id,
@@ -2003,7 +2007,7 @@ object SparkEntry {
       ORDER BY doc_id, rank""",
     "q63_stratified_sample" -> """
       SELECT doc_id, lang, source FROM documents
-      WHERE ('0x'||substring(md5(lang || '|' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+      WHERE ('0x'||substring(md5(coalesce(lang, '__null__') || '|' || coalesce(CAST(doc_id AS VARCHAR), '__null__')),1,8))::BIGINT
             < 1073741824
       ORDER BY doc_id""",
     "q67_sequence_packing" -> """
@@ -2084,7 +2088,7 @@ object SparkEntry {
     "q65_cap_per_stratum" -> """
       SELECT doc_id, source, lang FROM documents
       QUALIFY row_number() OVER (PARTITION BY source
-        ORDER BY substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8),
+        ORDER BY substring(md5(coalesce(source, '__null__') || '|' || coalesce(CAST(doc_id AS VARCHAR), '__null__')), 1, 8),
           doc_id) <= 10
       ORDER BY doc_id""",
     "q66_decontaminate" -> """

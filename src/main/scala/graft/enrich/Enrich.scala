@@ -61,11 +61,19 @@ object Enrich {
     * and a new open version, deleted keys close, inserted keys open. The
     * dimension-history primitive of every warehouse load.
     *
-    * One full-outer equi-join on the key; attribute comparison happens on
-    * packed structs so any attr width is one null-safe comparison. At
-    * scale both snapshots shuffle once on the key — there is no smaller
-    * contract for a full diff; if the incoming snapshot is a small delta,
-    * the same call works and the join planner broadcasts it.
+    * ONE full-outer equi-join on the key, executed once: each joined row
+    * maps to an array of its 0–2 output versions which is exploded
+    * map-side (a filter+union formulation would re-execute the join per
+    * output branch). Attribute comparison happens on packed structs so
+    * any attr width is one null-safe comparison (null attr values compare
+    * equal — no version churn from stable NULLs). At scale both snapshots
+    * shuffle once on the key; if the incoming snapshot is a small delta
+    * the planner broadcasts it.
+    *
+    * PRECONDITION: the key is unique within EACH snapshot (standard for a
+    * dimension). Duplicate keys fan out through the join and would emit
+    * multiple open versions per key; dedup upstream
+    * (e.g. `Idempotent.latestPerKey`) before merging.
     *
     * Output: key cols + attr cols + (valid_from, valid_to, is_current),
     * with `valid_to = openEnd` sentinel on open rows.
@@ -79,21 +87,22 @@ object Enrich {
     val n = incoming.select(keyCols.map(col) :+
       struct(attrCols.map(col): _*).as("__new"): _*)
     val j = c.join(n, keyCols, "full_outer")
-    def emit(attrs: Column, from: Column, to: Column, open: Boolean) =
-      keyCols.map(col) ++
-        attrCols.map(a => attrs.getField(a).as(a)) ++
-        Seq(from.as("valid_from"), to.as("valid_to"),
-          lit(open).as("is_current"))
+    def version(attrs: Column, from: Column, to: Column, open: Boolean) =
+      struct(attrs.as("a"), from.as("f"), to.as("t"), lit(open).as("o"))
     val changed = col("__cur").isNotNull && col("__new").isNotNull &&
       !(col("__cur") <=> col("__new"))
-    val closedOld = j.filter(col("__cur").isNotNull &&
-        (col("__new").isNull || changed))
-      .select(emit(col("__cur"), lit(initial), lit(effective), open = false): _*)
-    val stillOpen = j.filter(col("__cur").isNotNull && (col("__cur") <=> col("__new")))
-      .select(emit(col("__cur"), lit(initial), lit(openEnd), open = true): _*)
-    val openedNew = j.filter(col("__new").isNotNull &&
-        (col("__cur").isNull || changed))
-      .select(emit(col("__new"), lit(effective), lit(openEnd), open = true): _*)
-    closedOld.unionByName(stillOpen).unionByName(openedNew)
+    val variants = array(
+      when(col("__cur").isNotNull && (col("__new").isNull || changed),
+        version(col("__cur"), lit(initial), lit(effective), open = false)),
+      when(col("__cur").isNotNull && (col("__cur") <=> col("__new")),
+        version(col("__cur"), lit(initial), lit(openEnd), open = true)),
+      when(col("__new").isNotNull && (col("__cur").isNull || changed),
+        version(col("__new"), lit(effective), lit(openEnd), open = true)))
+    j.select(keyCols.map(col) :+
+        explode(filter(variants, v => v.isNotNull)).as("__v"): _*)
+      .select(keyCols.map(col) ++
+        attrCols.map(a => col("__v.a").getField(a).as(a)) ++
+        Seq(col("__v.f").as("valid_from"), col("__v.t").as("valid_to"),
+          col("__v.o").as("is_current")): _*)
   }
 }

@@ -109,9 +109,11 @@ object Idempotent {
     * not the 100 TB fact table.
     */
   def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String],
-                    measures: Seq[String]): DataFrame =
+                    measures: Seq[String]): DataFrame = {
+    require(measures.nonEmpty, "mergeAggState needs at least one measure")
     state.unionByName(delta)
       .groupBy(keys.map(col): _*)
       .agg(sum(col(measures.head)).as(measures.head),
         measures.tail.map(c => sum(col(c)).as(c)): _*)
+  }
 }

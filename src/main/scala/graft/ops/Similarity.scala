@@ -24,13 +24,14 @@ object Similarity {
     * @param queries  (id, vec) query side — expected small; broadcast
     * @param k        neighbors per query
     */
-  def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
-                     queries: DataFrame, queryId: Column, queryVec: Column,
-                     k: Int): DataFrame = {
-    val c = Dedup.spread(corpus)
-      .select(corpusId.as("item_id"), corpusVec.as("__cv"))
-    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
-    val scored = c.join(broadcast(q), col("item_id") =!= col("query_id"))
+  /** Shared score-and-rank scaffolding: broadcast the prepared query side
+    * against the prepared corpus side under `joinCond`, cosine-score, and
+    * keep each query's top k. The round-6/id tie-break rule that makes
+    * results oracle-checkable lives HERE only.
+    */
+  private def topKByPredicate(c: DataFrame, q: DataFrame,
+                              joinCond: Column, k: Int): DataFrame = {
+    val scored = c.join(broadcast(q), joinCond)
       .select(col("query_id"), col("item_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
@@ -40,6 +41,14 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     k: Int): DataFrame =
+    topKByPredicate(
+      Dedup.spread(corpus).select(corpusId.as("item_id"), corpusVec.as("__cv")),
+      queries.select(queryId.as("query_id"), queryVec.as("__qv")),
+      col("item_id") =!= col("query_id"), k)
 
   /** Deterministic sign-bit signature: bit j = (vec[dims(j)] >= 0). With
     * unit-ish random-ish embeddings this is a random-hyperplane LSH where
@@ -208,18 +217,13 @@ object Similarity {
     */
   def hardNegatives(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                     corpusLabel: Column, queries: DataFrame, queryId: Column,
-                    queryVec: Column, queryLabel: Column, k: Int): DataFrame = {
-    val c = Dedup.spread(corpus).select(corpusId.as("item_id"),
-      corpusVec.as("__cv"), corpusLabel.as("__cl"))
-    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"),
-      queryLabel.as("__ql"))
-    val scored = c.join(broadcast(q), col("__cl") =!= col("__ql"))
-      .select(col("query_id"), col("item_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 6).desc, col("item_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+                    queryVec: Column, queryLabel: Column, k: Int): DataFrame =
+    topKByPredicate(
+      Dedup.spread(corpus).select(corpusId.as("item_id"),
+        corpusVec.as("__cv"), corpusLabel.as("__cl")),
+      queries.select(queryId.as("query_id"), queryVec.as("__qv"),
+        queryLabel.as("__ql")),
+      col("__cl") =!= col("__ql"), k)
 
   /** Symmetric int8 quantization of an embedding column: per-vector
     * max-abs scaling to [-127, 127] — 4× smaller vectors for ANN candidate

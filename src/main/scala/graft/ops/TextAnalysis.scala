@@ -202,8 +202,11 @@ object TextAnalysis {
 
   /** Overlapping context-window chunking: cut each document into
     * `window`-token chunks every `stride` tokens (stride < window ⇒
-    * overlap) — the RAG/embedding chunking step. Trailing chunks may be
-    * shorter; every token is covered. Map-side explode, no shuffle.
+    * overlap) — the RAG/embedding chunking step. Every token is covered;
+    * the LAST chunk is the first one reaching the document's end, so no
+    * emitted chunk is a pure suffix of its predecessor (a start whose
+    * previous chunk already covered the end would duplicate content into
+    * the index). Map-side explode, no shuffle.
     * Returns (doc_id, chunk_id, n_chunk_tokens, chunk).
     */
   def chunkWithStride(df: DataFrame, id: Column, text: Column,
@@ -215,6 +218,10 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(sequence(lit(0), size(col("__t")) - 1, lit(stride)))
           .as("__start"), col("__t"))
+      // keep a start only if the PREVIOUS chunk did not already reach the
+      // document end (first chunk always kept)
+      .filter(col("__start") === 0 ||
+        col("__start") - stride + window < size(col("__t")))
       .select(col("doc_id"),
         (col("__start") / stride).cast("long").as("chunk_id"),
         slice(col("__t"), col("__start") + 1, lit(window)).as("__chunk"))
