@@ -41,4 +41,12 @@ object GraftConf {
   /** Apply the configured pair-join hint to the build side. */
   def hintPairJoin(df: DataFrame): DataFrame =
     df.hint(pairJoinHint(df.sparkSession))
+
+  /** Gate for [[graft.plans.AutoPairJoinHint]]: auto-apply the pair-join
+    * strategy to un-hinted joins whose sides both carry array columns.
+    */
+  val AutoPairJoinKey = "spark.graft.pairJoin.auto"
+
+  def autoPairJoin(s: SparkSession): Boolean =
+    s.conf.get(AutoPairJoinKey, "true").toBoolean
 }

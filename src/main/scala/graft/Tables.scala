@@ -65,6 +65,11 @@ object Sessions {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
+    // live-session equivalent of the GraftExtensions wiring (idempotent)
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.exists(_.isInstanceOf[graft.plans.AutoPairJoinHint]))
+      spark.experimental.extraOptimizations =
+        opts :+ graft.plans.AutoPairJoinHint(spark)
     spark
   }
 

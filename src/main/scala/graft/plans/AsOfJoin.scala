@@ -57,8 +57,10 @@ class AsOfJoinStrategy extends SparkStrategy {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` wiring. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
+    ext.injectOptimizerRule(s => AutoPairJoinHint(s))
+  }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,

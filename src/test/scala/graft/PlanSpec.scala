@@ -49,6 +49,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AutoPairJoinHint steers un-hinted wide-array joins, defers to authors") {
+    import spark.implicits._
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.exists(_.isInstanceOf[graft.plans.AutoPairJoinHint]))
+      spark.experimental.extraOptimizations =
+        opts :+ graft.plans.AutoPairJoinHint(spark)
+    val a = Seq((1L, Seq(1L, 2L)), (2L, Seq(3L, 4L))).toDF("id", "ha")
+    val b = Seq((1L, Seq(1L, 2L)), (2L, Seq(9L, 9L))).toDF("id", "hb")
+    def planOf(): String = a.join(b, "id").queryExecution.executedPlan.toString
+    assert(planOf().contains("ShuffledHashJoin"),
+      "auto rule must steer the un-hinted wide-array join to shuffle-hash")
+    spark.conf.set(graft.GraftConf.AutoPairJoinKey, "false")
+    try assert(!planOf().contains("ShuffledHashJoin"),
+      "rule must not fire when spark.graft.pairJoin.auto is off")
+    finally spark.conf.unset(graft.GraftConf.AutoPairJoinKey)
+    // an explicit author hint always wins over the auto rule
+    val explicit = a.join(org.apache.spark.sql.functions.broadcast(b), "id")
+      .queryExecution.executedPlan.toString
+    assert(explicit.contains("BroadcastHashJoin"),
+      "explicit broadcast() must override the auto strategy")
+  }
+
   test("q63 stratified sample filters at the scan stage, no pre-filter shuffle") {
     val p = plan("q63_stratified_sample")
     // the md5-threshold filter is a per-row predicate: it must run before
