@@ -189,6 +189,30 @@ object Streaming {
       r(rightTime) <= l(leftTime))
   }
 
+  /** Exactly-once landing of a stream in a partitioned lake table:
+    * foreachBatch → delete-partition-then-insert
+    * ([[graft.idempotent.Idempotent.overwritePartitions]]). Structured
+    * Streaming only promises at-least-once foreachBatch delivery across
+    * failures; because every batch REPLACES exactly the partitions it
+    * carries, replaying a batch — up to and including a full re-run with
+    * a lost checkpoint — converges to the same table contents instead of
+    * appending duplicates. This is the standard transaction-free pattern
+    * for landing a stream in a partitioned parquet table; the spec drives
+    * the worst case (complete redelivery) and asserts table equality.
+    */
+  def partitionedSink(stream: DataFrame, tablePath: String,
+                      partitionKeys: Seq[String], checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.idempotent.Idempotent.overwritePartitions(
+          batch.toDF(), tablePath, partitionKeys)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming aggregation over a bounded source synchronously into an
     * in-memory table (test/bench harness path).
     */
