@@ -888,6 +888,28 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming 5: the exactly-once landing pattern INSIDE the oracle
+    * gate — the events stream is written to a partitioned parquet table
+    * via foreachBatch + partition overwrite, then the ENTIRE stream is
+    * replayed against a fresh checkpoint (worst-case redelivery), and the
+    * landed table's aggregate is hash-checked against DuckDB's direct
+    * aggregation over the source. Duplicates from the replay would shift
+    * every count and fail the gate.
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val table =
+      java.nio.file.Files.createTempDirectory("graft-q89").toString + "/t"
+    def land(): Unit = graft.streaming.Streaming.partitionedSink(
+      Tables.stream(s, dir, "events"), table, Seq("event_type"),
+      java.nio.file.Files.createTempDirectory("graft-q89-ck").toString)
+    land()
+    land() // full redelivery: must converge, not append
+    s.read.parquet(table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Similarity 3: IVF-style partitioned search. Centroids are the
     * min-vec_id vector per label (deterministic, model-free); every vector
     * is assigned to its nearest centroid once (broadcast + argmax), and
@@ -1503,7 +1525,8 @@ object SparkEntry {
     "q85_vocab_encode" -> q85 _,
     "q86_chunk_stride" -> q86 _,
     "q87_corpus_prep" -> q87 _,
-    "q88_hard_negatives" -> q88 _)
+    "q88_hard_negatives" -> q88 _,
+    "q89_stream_landing" -> q89 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1617,6 +1640,10 @@ object SparkEntry {
       SELECT doc_id, q.lang, quality
       FROM q JOIN thr ON q.lang IS NOT DISTINCT FROM thr.lang
       WHERE quality >= t ORDER BY doc_id""",
+    "q89_stream_landing" -> """
+      SELECT event_type, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY event_type""",
     "q88_hard_negatives" -> """
       WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS item_id,

@@ -25,7 +25,7 @@ class EmptyInputSpec extends AnyFunSuite {
   }
 
   private val streaming = Set("q36_stream_window_agg", "q45_stream_distinct_types",
-    "q70_stream_range_join")
+    "q70_stream_range_join", "q89_stream_landing")
 
   test("every batch query returns an empty (or constant-size) result on empty input") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
