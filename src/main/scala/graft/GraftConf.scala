@@ -44,9 +44,14 @@ object GraftConf {
 
   /** Gate for [[graft.plans.AutoPairJoinHint]]: auto-apply the pair-join
     * strategy to un-hinted joins whose sides both carry array columns.
+    * OFF by default — a strategy hint also removes the join from
+    * Catalyst's inner-join reordering and from AQE's runtime re-selection,
+    * which is the wrong global default; opt in for sessions running
+    * pairwise-similarity workloads where the wide-array build-side
+    * pathology dominates.
     */
   val AutoPairJoinKey = "spark.graft.pairJoin.auto"
 
   def autoPairJoin(s: SparkSession): Boolean =
-    s.conf.get(AutoPairJoinKey, "true").toBoolean
+    s.conf.get(AutoPairJoinKey, "false").toBoolean
 }

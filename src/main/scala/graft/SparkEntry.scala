@@ -897,17 +897,26 @@ object SparkEntry {
     * every count and fail the gate.
     */
   private def q89(s: SparkSession, dir: String): DataFrame = {
-    val table =
-      java.nio.file.Files.createTempDirectory("graft-q89").toString + "/t"
-    def land(): Unit = graft.streaming.Streaming.partitionedSink(
-      Tables.stream(s, dir, "events"), table, Seq("event_type"),
-      java.nio.file.Files.createTempDirectory("graft-q89-ck").toString)
-    land()
-    land() // full redelivery: must converge, not append
-    s.read.parquet(table)
+    val base = java.nio.file.Files.createTempDirectory("graft-q89")
+    val table = s"$base/t"
+    def land(run: Int): Unit = graft.streaming.Streaming.partitionedSink(
+      Tables.stream(s, dir, "events"), table, Seq("event_type"), s"$base/ck$run")
+    land(0)
+    land(1) // full redelivery (fresh checkpoint): must converge, not append
+    val agg = s.read.parquet(table)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
       .orderBy("event_type")
+    // materialize the group-count-sized result so the temp table +
+    // checkpoints can be removed before returning (the one deliberate
+    // collect in this file: a handful of grouped rows, harness-side)
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(agg.collect(): _*)
+    val out = s.createDataFrame(rows, agg.schema)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out.orderBy("event_type")
   }
 
   /** Similarity 3: IVF-style partitioned search. Centroids are the

@@ -65,11 +65,9 @@ object Sessions {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
-    // live-session equivalent of the GraftExtensions wiring (idempotent)
-    val opts = spark.experimental.extraOptimizations
-    if (!opts.exists(_.isInstanceOf[graft.plans.AutoPairJoinHint]))
-      spark.experimental.extraOptimizations =
-        opts :+ graft.plans.AutoPairJoinHint(spark)
+    // live-session equivalent of the GraftExtensions wiring (idempotent;
+    // the rule no-ops unless spark.graft.pairJoin.auto is enabled)
+    graft.plans.AutoPairJoinHint.register(spark)
     spark
   }
 

@@ -20,12 +20,18 @@ import graft.GraftConf
   * extends the same protection to user-authored joins in sessions
   * configured with the graft extensions.
   *
-  * Deliberately narrow: fires only when (a) `spark.graft.pairJoin.auto`
-  * is on (default), (b) the join has a condition (pure cross joins keep
-  * their semantics), (c) NO hint is present — an explicit `broadcast()`
-  * or `.hint(...)` from the author always wins — and (d) both sides
-  * output at least one array column. Idempotent under the optimizer's
-  * fixed-point batches because a rewritten join no longer matches (c).
+  * Deliberately narrow and OPT-IN (`spark.graft.pairJoin.auto`, default
+  * off): a strategy hint removes the join from inner-join reordering and
+  * AQE's runtime re-selection, so blanket application would be a bad
+  * global default. When enabled it fires only when (a) the join has a
+  * condition (pure cross joins keep their semantics), (b) NO hint is
+  * present — an explicit `broadcast()` or `.hint(...)` from the author
+  * always wins — (c) both sides output at least one array column, and
+  * (d) NEITHER side's size estimate is under the auto-broadcast
+  * threshold, so a join the planner would satisfy with a tiny broadcast
+  * build keeps that plan (the fact side is never force-shuffled against
+  * a small dim). Idempotent under the optimizer's fixed-point batches
+  * because a rewritten join no longer matches (b).
   */
 case class AutoPairJoinHint(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -40,11 +46,26 @@ case class AutoPairJoinHint(spark: SparkSession) extends Rule[LogicalPlan] {
         case "broadcast" => BROADCAST
         case _ => SHUFFLE_HASH
       }
+      val broadcastable = spark.sessionState.conf.autoBroadcastJoinThreshold
       plan.transformUp {
         case j: Join if j.hint == JoinHint.NONE && j.condition.isDefined &&
-            wide(j.left) && wide(j.right) =>
+            wide(j.left) && wide(j.right) &&
+            (broadcastable < 0 ||
+              (j.left.stats.sizeInBytes > broadcastable &&
+               j.right.stats.sizeInBytes > broadcastable)) =>
           val h = Some(HintInfo(strategy = Some(strat)))
           j.copy(hint = JoinHint(h, h))
       }
     }
+}
+
+object AutoPairJoinHint {
+  /** Idempotently add the rule to a live session (the
+    * `spark.sql.extensions` path is [[GraftExtensions]]).
+    */
+  def register(spark: SparkSession): Unit = {
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.exists(_.isInstanceOf[AutoPairJoinHint]))
+      spark.experimental.extraOptimizations = opts :+ AutoPairJoinHint(spark)
+  }
 }

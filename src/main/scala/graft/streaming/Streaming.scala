@@ -190,23 +190,37 @@ object Streaming {
   }
 
   /** Exactly-once landing of a stream in a partitioned lake table:
-    * foreachBatch → delete-partition-then-insert
-    * ([[graft.idempotent.Idempotent.overwritePartitions]]). Structured
-    * Streaming only promises at-least-once foreachBatch delivery across
-    * failures; because every batch REPLACES exactly the partitions it
-    * carries, replaying a batch — up to and including a full re-run with
-    * a lost checkpoint — converges to the same table contents instead of
-    * appending duplicates. This is the standard transaction-free pattern
-    * for landing a stream in a partitioned parquet table; the spec drives
-    * the worst case (complete redelivery) and asserts table equality.
+    * foreachBatch → delete-partition-then-insert scoped to THIS batch.
+    *
+    * foreachBatch is at-least-once: after a failure the same batch id is
+    * redelivered (with identical content — the checkpoint pins each
+    * batch's offsets). Overwriting the user partitions directly would be
+    * wrong twice over: a redelivered batch carrying a SUBSET of a
+    * partition's rows would delete earlier rows of that partition, and a
+    * later incremental batch would clobber what previous batches landed.
+    * Scoping the overwrite with a `__batch_id` partition level fixes
+    * both: batch N only ever replaces the `__batch_id=N` subtree, so
+    * replaying N is idempotent and batches never touch each other —
+    * exactly-once table contents under the streaming checkpoint contract.
+    * (Losing the checkpoint voids that contract for ANY sink without a
+    * transaction log — land into a fresh table after checkpoint loss: a
+    * replay renumbered from batch 0 only re-covers the subtrees of the
+    * batch ids it re-emits. The single-batch instance of that case —
+    * `AvailableNow` re-run with a fresh checkpoint — does converge, and
+    * the spec and q89 drive it.)
+    *
+    * Readers see `__batch_id` as an extra partition column; filter or
+    * drop it (it also enables per-batch lineage/rollback, the poor man's
+    * transaction log).
     */
   def partitionedSink(stream: DataFrame, tablePath: String,
                       partitionKeys: Seq[String], checkpoint: String): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.idempotent.Idempotent.overwritePartitions(
-          batch.toDF(), tablePath, partitionKeys)
+          batch.toDF().withColumn("__batch_id", lit(batchId)),
+          tablePath, partitionKeys :+ "__batch_id")
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -40,6 +40,45 @@ class StreamingSpec extends AnyFunSuite {
       "replaying every batch must leave the table byte-identical")
   }
 
+  test("partition sink: incremental batches never clobber earlier landings") {
+    val src = TestSpark.tmpDir("fb-inc-src")
+    val table = TestSpark.tmpDir("fb-inc-dst") + "/table"
+    val ck = TestSpark.tmpDir("fb-inc-ckpt") // SAME checkpoint across runs
+    def run(): Unit = Streaming.partitionedSink(
+      spark.readStream.schema(eventRows.schema).parquet(src),
+      table, Seq("event_type"), ck)
+    eventRows.filter($"event_id" <= 2).coalesce(1)
+      .write.mode("append").parquet(src)
+    run()
+    // a later delivery carrying a SUBSET of the click partition must not
+    // delete the clicks already landed (the naive overwrite-by-user-key
+    // sink fails exactly here)
+    eventRows.filter($"event_id" === 3).limit(1).coalesce(1)
+      .write.mode("append").parquet(src)
+    run()
+    val ids = spark.read.parquet(table)
+      .select("event_id").distinct().as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L), "incremental delivery lost landed rows")
+  }
+
+  test("partition sink: a partition value spanning multiple batches survives") {
+    val src = TestSpark.tmpDir("fb-mb-src")
+    val table = TestSpark.tmpDir("fb-mb-dst") + "/table"
+    // two files, BOTH carrying the click partition, forced into separate
+    // micro-batches: batch 1's subset overwrite must not erase batch 0's
+    eventRows.filter($"event_id" === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    eventRows.filter($"event_id" === 2).coalesce(1)
+      .write.mode("append").parquet(src)
+    Streaming.partitionedSink(
+      spark.readStream.schema(eventRows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      table, Seq("event_type"), TestSpark.tmpDir("fb-mb-ckpt"))
+    val ids = spark.read.parquet(table)
+      .select("event_id").distinct().as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L), "multi-batch run lost a batch's rows")
+  }
+
   test("incrementalFileLoad processes each file exactly once across restarts") {
     val src = TestSpark.tmpDir("stream-src")
     val dst = TestSpark.tmpDir("stream-dst") + "/out"
