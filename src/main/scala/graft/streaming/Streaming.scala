@@ -43,6 +43,24 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Bounded-state streaming dedup: drop repeats of a key arriving within
+    * the watermark horizon of the first occurrence. Unlike
+    * `dropDuplicates(keys)` — whose key state grows FOREVER and is the
+    * unbounded-stream failure mode ([[incrementalFileLoad]] tolerates it
+    * only because its key includes the event time, which the watermark
+    * evicts) — `dropDuplicatesWithinWatermark` evicts each key's state
+    * once the watermark passes it, so state is bounded by the horizon's
+    * key arrival rate regardless of stream lifetime. The contract is
+    * correspondingly weaker: a duplicate arriving AFTER the horizon is
+    * treated as new — the right trade for at-least-once sources whose
+    * redeliveries cluster near the original (Kafka redelivery, retried
+    * uploads).
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           eventTime: String, watermark: String): DataFrame =
+    events.withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Event-time windowed aggregation with a watermark: per (window, type)
     * counts and value sums — the streaming analogue of the engine's batch
     * `q_stream_window` query.

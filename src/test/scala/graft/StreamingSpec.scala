@@ -40,6 +40,33 @@ class StreamingSpec extends AnyFunSuite {
       "replaying every batch must leave the table byte-identical")
   }
 
+  test("dedupWithinWatermark drops near repeats, passes late re-occurrences") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = Streaming.dedupWithinWatermark(
+        input.toDF().toDF("k", "ts"), Seq("k"), "ts", "10 minutes")
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("dedup_ww").start()
+    try {
+      // batch 1: a key and its immediate redelivery -> one survivor
+      input.addData((1L, ts("2024-01-01 00:00:00")),
+        (1L, ts("2024-01-01 00:01:00")), (2L, ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      // batch 2 advances the watermark hours past key 1's state horizon
+      input.addData((3L, ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      // batch 3: key 1 again — its state was evicted, so it is NEW by
+      // contract (the bounded-state trade, vs dropDuplicates' forever-state)
+      input.addData((1L, ts("2024-01-01 03:01:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_ww").select("k")
+      .as[Long].collect().sorted.toSeq
+    assert(rows === Seq(1L, 1L, 2L, 3L),
+      "near-duplicate dropped once; beyond-horizon re-occurrence passes")
+  }
+
   test("partition sink: incremental batches never clobber earlier landings") {
     val src = TestSpark.tmpDir("fb-inc-src")
     val table = TestSpark.tmpDir("fb-inc-dst") + "/table"
