@@ -1444,6 +1444,61 @@ object SparkEntry {
       ORDER BY user_id""")
   }
 
+  /** Layout 1: Z-order (Morton) clustering key over (l_partkey, l_suppkey)
+    * — the multi-dimensional file-layout curve. The oracle restates the
+    * identical shift/mask arithmetic in DuckDB SQL, pinning every bit of
+    * the curve; ZOrderSpec proves the layout property itself (per-file
+    * min/max ranges narrow on BOTH interleaved dimensions, which is what
+    * lets parquet footer pruning skip files for predicates on either).
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.ops.Layout.zValue(
+          Seq(col("l_partkey"), col("l_suppkey")), bits = 16).as("zvalue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Runtime-pruned join: lineitem joined to a selectively filtered orders
+    * side. The answer is plain join+agg (oracle-checked); the SCALE point
+    * is the plan — with runtime bloom filters enabled, Catalyst injects a
+    * bloom-filter built from the filtered orders keys into the lineitem
+    * scan, so the big side drops non-matching rows BEFORE the shuffle
+    * (RuntimeFilterSpec pins the injected BloomFilterMightContain).
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  /** Sampling 6: uniform random negatives per anchor (md5-drawn,
+    * deterministic) — the random-negatives complement to q88's
+    * hard-negative mining; same broadcast-anchors join shape.
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Sampling.negativeSamples(
+      e, col("vec_id"), col("label"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("label"), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Text 8: Simpson diversity of each document's token distribution —
+    * frequency-weighted repetition quality, computed with NO logarithm
+    * (exact integer ratios + one IEEE division) so the score is
+    * bit-identical across engines.
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.ops.TextAnalysis.simpsonDiversity(d, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1535,7 +1590,11 @@ object SparkEntry {
     "q86_chunk_stride" -> q86 _,
     "q87_corpus_prep" -> q87 _,
     "q88_hard_negatives" -> q88 _,
-    "q89_stream_landing" -> q89 _)
+    "q89_stream_landing" -> q89 _,
+    "q90_zorder_curve" -> q90 _,
+    "q91_bloom_pruned_join" -> q91 _,
+    "q92_negative_sampling" -> q92 _,
+    "q93_simpson_diversity" -> q93 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1626,9 +1685,52 @@ object SparkEntry {
       ORDER BY new_id"""
   }
 
+  /** q90's oracle: the Z-value bit-interleave restated term-by-term in
+    * DuckDB's integer bit operators — generated by the same (column, bit)
+    * loop as [[graft.ops.Layout.zValue]] so the two constructions cannot
+    * drift apart silently.
+    */
+  private val q90Oracle: String = {
+    def lane(cn: String, ci: Int) = (0 until 16).map(b =>
+      s"(((least($cn, 65535) >> $b) & 1) << ${b * 2 + ci})").mkString(" | ")
+    s"""
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        CAST(${lane("l_partkey", 0)} | ${lane("l_suppkey", 1)} AS BIGINT) AS zvalue
+      FROM lineitem WHERE l_partkey % 50 = 0
+      ORDER BY l_orderkey, l_linenumber"""
+  }
+
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
   // determinism rules at the top of this object.
   def oracleSql: Map[String, String] = Map(
+    "q90_zorder_curve" -> q90Oracle,
+    "q91_bloom_pruned_join" -> """
+      SELECT l_returnflag, count(*) AS n_items,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1 ORDER BY l_returnflag""",
+    "q92_negative_sampling" -> """
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+          ('0x' || substring(md5(
+            coalesce(CAST(q.vec_id AS VARCHAR), '__null__') || '|' ||
+            coalesce(CAST(c.vec_id AS VARCHAR), '__null__')), 1, 8))::BIGINT AS pos
+        FROM embeddings q JOIN embeddings c ON c.label != q.label
+        WHERE q.vec_id < 10)
+      SELECT query_id, item_id,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY pos, item_id)
+          AS BIGINT) AS rank
+      FROM pairs QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q93_simpson_diversity" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+      SELECT doc_id, sum(c) AS n_tokens,
+        1.0 - CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE)
+          AS simpson
+      FROM cnt GROUP BY doc_id ORDER BY doc_id""",
     "q74_incremental_dedup" -> q74Oracle,
     "q75_quality_quantile_filter" -> """
       WITH f AS (

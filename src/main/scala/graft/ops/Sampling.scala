@@ -114,6 +114,33 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Uniform negative sampling for contrastive training: for every anchor,
+    * `k` candidates with a DIFFERENT label, drawn uniformly (without
+    * replacement) by ranking candidates under the md5 hash of the
+    * (anchor, candidate) pair — the random-negatives complement to
+    * Similarity.hardNegatives (which ranks by cosine instead). A pure
+    * function of the id pair: the same anchors draw the same negatives
+    * across engines, retries, and partitionings.
+    *
+    * The anchor frame broadcasts (it is the small side by contract, like
+    * an ANN query batch); candidates never shuffle — only the window over
+    * (anchor, hash) does, keyed by anchor, so no candidate hot-spot can
+    * skew it. Embedding payloads are untouched and prune out of the scan.
+    */
+  def negativeSamples(candidates: DataFrame, candId: Column, candLabel: Column,
+                      anchors: DataFrame, anchorId: Column, anchorLabel: Column,
+                      k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val a = anchors.select(anchorId.as("query_id"), anchorLabel.as("__al"))
+    val c = candidates.select(candId.as("item_id"), candLabel.as("__cl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(hashPos(col("query_id"), col("item_id")).asc, col("item_id").asc)
+    c.join(broadcast(a), col("__cl") =!= col("__al"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("rank"))
+  }
+
   /** Deterministic global shuffle + equal-size shard assignment: every row
     * gets its global rank `rn` under md5-hash order (a reproducible random
     * permutation — the pre-training "shuffle the corpus once" step) and a

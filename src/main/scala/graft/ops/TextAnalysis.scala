@@ -230,6 +230,27 @@ object TextAnalysis {
         concat_ws(" ", col("__chunk")).as("chunk"))
   }
 
+  /** Simpson diversity index over a document's token frequencies:
+    * `1 - Σ c_i² / N²` — 0 for a one-token-repeated document, →1 as tokens
+    * diversify. Unlike the distinct-token ratio it is frequency-weighted
+    * (a doc that is 90% one token scores low even with many rare tokens),
+    * and unlike Shannon entropy it needs NO logarithm: every term is an
+    * exact integer ratio finished by a single IEEE division, so the score
+    * is bit-identical in any engine (the same no-libm contract as the
+    * TF-IDF weights above). Two aggregations keyed by doc_id(+token) —
+    * skew-free, since the shuffle key is never a global token.
+    */
+  def simpsonDiversity(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(tokens(text)).as("__tok"))
+      .groupBy(col("doc_id"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * col("__c")).as("__sumsq"))
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0d) - col("__sumsq").cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
+
   /** Full per-document analysis frame over (id, text). */
   def analyze(df: DataFrame, id: Column, text: Column): DataFrame = {
     val f = qualityFeatures(text)

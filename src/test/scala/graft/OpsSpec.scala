@@ -265,6 +265,24 @@ class OpsSpec extends AnyFunSuite {
     assert(scores("good") > scores("bad"))
   }
 
+  test("simpsonDiversity: exact hand-computed values, frequency-weighted") {
+    val df = Seq(
+      (1L, "a a a a"),        // 1 - 16/16 = 0
+      (2L, "a b c d"),        // 1 - 4/16  = 0.75
+      (3L, "a a b b"),        // 1 - 8/16  = 0.5
+      (4L, "a a a a a a b c") // 36+1+1 over 64: 1 - 38/64
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.simpsonDiversity(df, $"doc_id", $"text")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) === ((4L, 0.0)))
+    assert(got(2L) === ((4L, 0.75)))
+    assert(got(3L) === ((4L, 0.5)))
+    assert(got(4L) === ((8L, 1.0 - 38.0 / 64.0)))
+    // frequency-weighting: doc 4 has MORE distinct tokens than doc 3 but a
+    // dominant token, and distinct-ratio alone would rank it higher
+    assert(got(4L)._2 < got(2L)._2)
+  }
+
   test("multimodal decode derives deterministic dimensions from payload bytes") {
     val assets = Multimodal.fromText(
       docs.withColumn("source", lit("s")), "doc_id", "text", "source")

@@ -116,6 +116,24 @@ class SamplingSpec extends AnyFunSuite {
       === b.select("doc_id", "copy").as[(Long, Long)].collect().sorted.toSeq)
   }
 
+  test("negativeSamples: k per anchor, label-disjoint, partition-invariant") {
+    val cands = (1L to 500L).map(i => (i, (i % 7).toInt)).toDF("id", "lab")
+    val anchors = (1L to 4L).map(i => (i, (i % 7).toInt)).toDF("id", "lab")
+    def draw(c: org.apache.spark.sql.DataFrame) =
+      Sampling.negativeSamples(c, col("id"), col("lab"),
+        anchors, col("id"), col("lab"), k = 5)
+        .as[(Long, Long, Long)].collect().toSet
+    val s = draw(cands)
+    assert(s.size === 20) // 4 anchors x 5 negatives
+    val labOf = (1L to 500L).map(i => i -> (i % 7)).toMap
+    s.foreach { case (q, item, _) =>
+      assert(labOf(item) !== labOf(q), s"same-label negative $item for $q")
+    }
+    // deterministic: the draw is a pure function of the id pair, so
+    // repartitioning the candidate side cannot change it
+    assert(draw(cands.repartition(13)) === s)
+  }
+
   test("kmeansIterations(1) matches the single-step composition") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val seeds = Similarity.minIdSeeds(
