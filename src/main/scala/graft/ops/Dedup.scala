@@ -479,33 +479,35 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var changed = 1L
+    var changed = true
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (changed && i < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("dl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dl")).as("nl"))
+      // carry the round's starting label along as __old: convergence is then
+      // a column compare inside the frame being checkpointed anyway, not a
+      // separate join-back against the previous labels (which cost one more
+      // shuffle plus a full count scan per round)
       val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // pointer jump: follow the label one hop (label values are node ids,
       // so this is a self-join on the label key; labels only decrease)
       val updated = prop
         .join(prop.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("id"),
+        .select(col("id"), col("__old"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = updated.join(
-          labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      changed = !updated.filter(col("label") =!= col("__old")).isEmpty
+      labels = updated.drop("__old")
       i += 1
     }
     // silent non-convergence would return plausible-but-wrong labels
-    if (changed > 0) throw new IllegalStateException(
+    if (changed) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing) — raise maxIter " +
+        "(labels still changing) — raise maxIter " +
         "(~log2 of the largest component size)")
     (labels.select(col("id"), col("label").as("component")), i)
   }
