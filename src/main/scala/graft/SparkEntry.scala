@@ -1499,6 +1499,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Source 10: the V2 docgen connector driven end-to-end — generate,
+    * push a doc_id range into the source (skipping slices at planning
+    * time), aggregate. Not SQL-expressible over the parquet tables (the
+    * corpus is synthesized by the connector), so this is a rows-only gate;
+    * DocGenSourceSpec pins determinism, pruning, and pushdown exactly.
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-docgen")
+      .option("rows", 5000).option("partitions", 8).load()
+      .filter(col("doc_id") >= 1000 && col("doc_id") < 4000)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy("lang")
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1594,7 +1609,8 @@ object SparkEntry {
     "q90_zorder_curve" -> q90 _,
     "q91_bloom_pruned_join" -> q91 _,
     "q92_negative_sampling" -> q92 _,
-    "q93_simpson_diversity" -> q93 _)
+    "q93_simpson_diversity" -> q93 _,
+    "q94_docgen_source" -> q94 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
