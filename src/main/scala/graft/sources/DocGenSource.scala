@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -30,8 +31,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    planning time (the V2 analogue of partition pruning) — residual
   *    predicates stay in the plan for Spark to re-check.
   *
+  * Also readable as a micro-batch STREAM (`spark.readStream.format(
+  * "graft-docgen")`): the offset is the next doc_id, batches advance by
+  * `rowsPerBatch`, and AvailableNow drains the remainder — a replayable,
+  * checkpoint-recoverable fixture stream for exactly-once sink testing.
+  *
   * Options: `rows` (corpus size, default 1000), `partitions` (read
-  * parallelism, default 8).
+  * parallelism, default 8), `rowsPerBatch` (streaming batch size,
+  * default 1000).
   */
 class DocGenSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -42,22 +49,26 @@ class DocGenSource extends TableProvider
                         properties: util.Map[String, String]): Table =
     new DocGenTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "8").toInt)
+      properties.getOrDefault("partitions", "8").toInt,
+      properties.getOrDefault("rowsPerBatch", "1000").toLong)
 }
 
-private[sources] class DocGenTable(rows: Long, partitions: Int)
+private[sources] class DocGenTable(rows: Long, partitions: Int,
+                                   rowsPerBatch: Long)
     extends Table with SupportsRead {
-  require(rows >= 0 && partitions > 0,
-    s"need rows >= 0 and partitions > 0, got rows=$rows partitions=$partitions")
+  require(rows >= 0 && partitions > 0 && rowsPerBatch > 0,
+    s"need rows >= 0, partitions > 0, rowsPerBatch > 0; " +
+      s"got rows=$rows partitions=$partitions rowsPerBatch=$rowsPerBatch")
   override def name(): String = s"graft-docgen($rows)"
   override def schema(): StructType = DocGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocGenScanBuilder(rows, partitions)
+    new DocGenScanBuilder(rows, partitions, rowsPerBatch)
 }
 
-private[sources] class DocGenScanBuilder(rows: Long, partitions: Int)
+private[sources] class DocGenScanBuilder(rows: Long, partitions: Int,
+                                         rowsPerBatch: Long)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = DocGen.schema
@@ -85,10 +96,11 @@ private[sources] class DocGenScanBuilder(rows: Long, partitions: Int)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new DocGenScan(rows, partitions, required, pushed, lo, hi)
+    new DocGenScan(rows, partitions, rowsPerBatch, required, pushed, lo, hi)
 }
 
 private[sources] class DocGenScan(rows: Long, partitions: Int,
+                                  rowsPerBatch: Long,
                                   required: StructType, pushed: Array[Filter],
                                   lo: Long, hi: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -97,16 +109,59 @@ private[sources] class DocGenScan(rows: Long, partitions: Int,
     s"graft-docgen rows=$rows, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val step = math.max(1L, (rows + partitions - 1) / partitions)
-    (0L until rows by step)
-      .map(s => (math.max(s, lo), math.min(s + step, math.min(hi, rows))))
+  /** Split [from, until) ∩ [lo, hi) into ≤ `partitions` even slices. */
+  private[sources] def sliceRange(from: Long, until: Long): Array[InputPartition] = {
+    val n = until - from
+    val step = math.max(1L, (n + partitions - 1) / partitions)
+    (from until until by step)
+      .map(s => (math.max(s, lo), math.min(s + step, math.min(hi, until))))
       .filter { case (s, e) => s < e } // slices outside the pushed range: skipped
       .map { case (s, e) => DocGenPartition(s, e): InputPartition }
       .toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] = sliceRange(0L, rows)
   override def createReaderFactory(): PartitionReaderFactory =
     new DocGenReaderFactory(required.fieldNames)
+
+  /** Streaming mode: the same corpus delivered as a bounded micro-batch
+    * stream, `rowsPerBatch` ids per batch. The offset IS the next doc_id,
+    * so recovery from a checkpoint replays exactly the unconsumed suffix —
+    * determinism makes redelivery idempotent by construction (the
+    * replayable fixture stream for exactly-once sink tests at any size).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DocGenMicroBatchStream(this, rows, rowsPerBatch)
+}
+
+private[sources] case class DocGenOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class DocGenMicroBatchStream(scan: DocGenScan, rows: Long,
+                                              rowsPerBatch: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private var drainAll = false // AvailableNow: one batch to the end
+  override def prepareForTriggerAvailableNow(): Unit = drainAll = true
+
+  override def initialOffset(): Offset = DocGenOffset(0L)
+  // admission control: the engine hands us the last committed offset, so
+  // pagination is stateless here and restart-safe by construction
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DocGenOffset].n
+    DocGenOffset(if (drainAll) rows else math.min(rows, s + rowsPerBatch))
+  }
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "admission-control source: latestOffset(start, limit)")
+  override def deserializeOffset(json: String): Offset =
+    DocGenOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    scan.sliceRange(start.asInstanceOf[DocGenOffset].n,
+      end.asInstanceOf[DocGenOffset].n)
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class DocGenPartition(start: Long, end: Long)

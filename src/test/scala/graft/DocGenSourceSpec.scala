@@ -56,6 +56,26 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(res.count() > 0 && res.count() < 1000)
   }
 
+  test("streams the same corpus in rowsPerBatch micro-batches, exactly once") {
+    val q = spark.readStream.format("graft-docgen")
+      .option("rows", 2500).option("partitions", 4)
+      .option("rowsPerBatch", 1000).load()
+      .writeStream.format("memory").queryName("docgen_stream")
+      .option("checkpointLocation", TestSpark.tmpDir("graft-dgck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("docgen_stream")
+      assert(streamed.count() === 2500)
+      assert(streamed.select(countDistinct($"doc_id")).as[Long].head() === 2500)
+      assert(q.recentProgress.count(_.numInputRows > 0) === 3,
+        "expected 3 non-empty micro-batches of <=1000 rows")
+      // the stream delivers the identical corpus the batch read generates
+      assert(streamed.orderBy("doc_id").collect()
+        === gen(2500).orderBy("doc_id").collect())
+    } finally q.stop()
+  }
+
   test("pushed range is the intersection of all doc_id predicates") {
     val df = gen(1000, parts = 10)
       .filter($"doc_id" >= 120 && $"doc_id" <= 180)
