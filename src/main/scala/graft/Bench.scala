@@ -45,7 +45,10 @@ object Bench {
     "q74_incremental_dedup",
     "q76_deterministic_shards",
     "q79_packed_sequences",
-    "q87_corpus_prep")
+    "q87_corpus_prep",
+    "q91_bloom_pruned_join",
+    "q93_simpson_diversity",
+    "q95_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1514,6 +1514,29 @@ object SparkEntry {
         sum(col("n_chars")).cast("long").as("total_chars"))
       .orderBy("lang")
 
+  /** Analytics: ordered funnel (view → click → purchase) — earliest
+    * completion times for users who performed the stages IN ORDER. Each
+    * stage is one filtered aggregation on user_id joined to the previous
+    * stage's frontier, so the work is 3 aggregations + 2 equi-joins all
+    * keyed by user_id — no window over the full event stream, no pattern
+    * blow-up, and every stage prunes to its event type at the scan.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def stage(typ: String) = ev.filter(col("event_type") === typ)
+    val v = stage("view").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_view"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("ts")).as("t_click"))
+    stage("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(col("ts")).as("t_purchase"))
+      .orderBy("user_id")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1610,7 +1633,8 @@ object SparkEntry {
     "q91_bloom_pruned_join" -> q91 _,
     "q92_negative_sampling" -> q92 _,
     "q93_simpson_diversity" -> q93 _,
-    "q94_docgen_source" -> q94 _)
+    "q94_docgen_source" -> q94 _,
+    "q95_funnel" -> q95 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1720,6 +1744,20 @@ object SparkEntry {
   // determinism rules at the top of this object.
   def oracleSql: Map[String, String] = Map(
     "q90_zorder_curve" -> q90Oracle,
+    "q95_funnel" -> """
+      WITH v AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, v.t_view, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        GROUP BY 1, 2)
+      SELECT e.user_id AS user_id, c.t_view, c.t_click,
+        min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      GROUP BY 1, 2, 3 ORDER BY 1""",
     "q91_bloom_pruned_join" -> """
       SELECT l_returnflag, count(*) AS n_items,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
