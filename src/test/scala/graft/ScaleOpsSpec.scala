@@ -81,6 +81,65 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (the un-salted path)") {
+    // one key carries ~50% of the fact side; with test-scale skew
+    // thresholds AQE must mark the sort-merge join skew-handled and split
+    // the hot partition — the mechanism the LSH/banded joins lean on when
+    // a bucket goes hot and deterministic salting isn't already applied
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = (1 to 200000).map { i =>
+        val k = if (i % 2 == 0) 1L else (i % 97).toLong
+        (k, "payload-" * 8 + i)
+      }.toDF("k", "pay")
+      val j = fact.join(dim, $"k" === $"dk").groupBy($"dname")
+        .agg(count(lit(1)).as("n"))
+      // collect() executes j's own adaptive plan, so the SAME plan object
+      // below reports its final (re-optimized) form
+      assert(j.collect().length === 97) // keys 0..96 all occur; 1 is hot
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the join skew-handled:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("count-min sketch heavy-hitter estimates stay within the eps envelope") {
+    // the sketch is the shuffle-free heavy-hitters path at 100 TB: partials
+    // merge associatively inside one aggregation; only the fixed-size
+    // sketch ever reaches the driver
+    val df = (1 to 50000).map { i =>
+      val tok = if (i % 3 == 0) "hot" else s"t${i % 500}"
+      Tuple1(tok)
+    }.toDF("tok")
+    val eps = 0.001 // estimate error <= eps * N with prob >= confidence
+    val bytes = df.agg(
+      expr(s"count_min_sketch(tok, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+      .head().getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = df.groupBy($"tok").count().as[(String, Long)].collect().toMap
+    val n = 50000L
+    exact.foreach { case (tok, c) =>
+      val est = sketch.estimateCount(tok)
+      assert(est >= c, s"CMS underestimated $tok: $est < $c") // never under
+      assert(est <= c + (eps * n).toLong + 1,
+        s"CMS over eps envelope for $tok: est=$est exact=$c")
+    }
+  }
+
   test("joins over co-bucketed tables plan without a shuffle exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
