@@ -1781,7 +1781,7 @@ object SparkEntry {
         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
         FROM documents),
       cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
-      SELECT doc_id, sum(c) AS n_tokens,
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
         1.0 - CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE)
           AS simpson
       FROM cnt GROUP BY doc_id ORDER BY doc_id""",

@@ -123,9 +123,13 @@ object Sampling {
     * across engines, retries, and partitionings.
     *
     * The anchor frame broadcasts (it is the small side by contract, like
-    * an ANN query batch); candidates never shuffle — only the window over
-    * (anchor, hash) does, keyed by anchor, so no candidate hot-spot can
-    * skew it. Embedding payloads are untouched and prune out of the scan.
+    * an ANN query batch), so candidates join map-side; the joined frame
+    * then shuffles ONCE for ranking — keyed by (anchor, salt), not anchor
+    * alone, so an anchor's full candidate set never lands in a single
+    * task: each of the [[rankSalts]] buckets ranks its own k smallest
+    * hashes, and the global top-k (provably a subset of the buckets'
+    * union) is picked from the ≤ salts·k survivors per anchor. Embedding
+    * payloads are untouched and prune out of the scan.
     */
   def negativeSamples(candidates: DataFrame, candId: Column, candLabel: Column,
                       anchors: DataFrame, anchorId: Column, anchorLabel: Column,
@@ -133,13 +137,22 @@ object Sampling {
     require(k > 0, s"k must be > 0, got $k")
     val a = anchors.select(anchorId.as("query_id"), anchorLabel.as("__al"))
     val c = candidates.select(candId.as("item_id"), candLabel.as("__cl"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(hashPos(col("query_id"), col("item_id")).asc, col("item_id").asc)
-    c.join(broadcast(a), col("__cl") =!= col("__al"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    val joined = c.join(broadcast(a), col("__cl") =!= col("__al"))
+      .withColumn("__pos", hashPos(col("query_id"), col("item_id")))
+      .withColumn("__salt", pmod(col("__pos"), lit(rankSalts)))
+    val local = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(col("__pos").asc, col("item_id").asc)
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("__pos").asc, col("item_id").asc)
+    joined.withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k) // bucket-local top-k: bounds the final sort
+      .withColumn("rank", row_number().over(global).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("item_id"), col("rank"))
   }
+
+  /** Salt fan-out for [[negativeSamples]]' first ranking phase. */
+  private val rankSalts = 64
 
   /** Deterministic global shuffle + equal-size shard assignment: every row
     * gets its global rank `rn` under md5-hash order (a reproducible random

@@ -46,11 +46,15 @@ class DocGenSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DocGen.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // getTable receives the case-PRESERVED map; option("Rows", ...) must
+    // mean rows, same as the CaseInsensitiveStringMap inferSchema gets
+    val opts = new CaseInsensitiveStringMap(properties)
     new DocGenTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "8").toInt,
-      properties.getOrDefault("rowsPerBatch", "1000").toLong)
+      opts.getOrDefault("rows", "1000").toLong,
+      opts.getOrDefault("partitions", "8").toInt,
+      opts.getOrDefault("rowsPerBatch", "1000").toLong)
+  }
 }
 
 private[sources] class DocGenTable(rows: Long, partitions: Int,
@@ -80,14 +84,19 @@ private[sources] class DocGenScanBuilder(rows: Long, partitions: Int,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // saturating successor: v+1 on Long.MaxValue must not wrap to MinValue
+  // (doc_id > MaxValue would otherwise scan everything, <= MaxValue nothing)
+  private def succ(v: Long): Long =
+    if (v == Long.MaxValue) Long.MaxValue else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, succ(v)); true
       case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); true
       case LessThan("doc_id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, succ(v)); true
       case EqualTo("doc_id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+        lo = math.max(lo, v); hi = math.min(hi, succ(v)); true
       case _ => false
     }
     pushed = accepted
@@ -176,7 +185,16 @@ private[sources] class DocGenReaderFactory(fields: Array[String])
 private[sources] class DocGenReader(p: DocGenPartition, fields: Array[String])
     extends PartitionReader[InternalRow] {
   private var id = p.start - 1
-  private val needsText = fields.contains("text") || fields.contains("n_chars")
+  // resolve field names to int codes ONCE: the per-row loop below is the
+  // connector's only hot path and must not re-dispatch on strings
+  private val codes: Array[Int] = fields.map {
+    case "doc_id" => 0
+    case "text" => 1
+    case "lang" => 2
+    case "source" => 3
+    case "n_chars" => 4
+  }
+  private val needsText = codes.exists(c => c == 1 || c == 4)
 
   override def next(): Boolean = { id += 1; id < p.end }
 
@@ -184,13 +202,19 @@ private[sources] class DocGenReader(p: DocGenPartition, fields: Array[String])
     // text is synthesized once per row even when both text and n_chars are
     // projected; when neither is, it is never synthesized at all
     val text = if (needsText) DocGen.text(id) else null
-    InternalRow.fromSeq(fields.toIndexedSeq.map {
-      case "doc_id" => id
-      case "lang" => UTF8String.fromString(DocGen.lang(id))
-      case "source" => UTF8String.fromString(DocGen.source(id))
-      case "text" => UTF8String.fromString(text)
-      case "n_chars" => text.length.toLong
-    })
+    val vals = new Array[Any](codes.length)
+    var i = 0
+    while (i < codes.length) {
+      vals(i) = codes(i) match {
+        case 0 => id
+        case 1 => UTF8String.fromString(text)
+        case 2 => UTF8String.fromString(DocGen.lang(id))
+        case 3 => UTF8String.fromString(DocGen.source(id))
+        case 4 => text.length.toLong
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
   override def close(): Unit = ()
 }
