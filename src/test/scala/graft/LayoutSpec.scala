@@ -40,6 +40,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(q(40000, 40000) === q(60000, 50000)) // both in hi-hi quadrant
   }
 
+  test("z-ordered files let the scan skip row groups on the SECOND dim") {
+    // the end-to-end payoff: a predicate on y alone. Under an x-sort every
+    // file's y range is full-width, so parquet footer stats skip nothing
+    // and the scan materializes every row; under z-order most files' y
+    // ranges exclude the predicate and their row groups are never read.
+    val grid = (0 until 4096).map(i => ((i / 64).toLong * 1024, (i % 64).toLong * 1024))
+      .toDF("x", "y")
+    val zdir = TestSpark.tmpDir("graft-zp") + "/t"
+    graft.ops.Layout.zOrderBy(grid, Seq($"x", $"y"), 16).write.parquet(zdir)
+    val sdir = TestSpark.tmpDir("graft-sp") + "/t"
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.parquet(sdir)
+    def scanRows(dir: String): Long = {
+      val df = spark.read.parquet(dir).filter($"y" >= 2048 && $"y" < 6144)
+      // collect() executes df's own plan, so ITS scan metrics are populated
+      assert(df.collect().length === 256) // 4 of 64 y-values x 64 x-values
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val sorted = scanRows(sdir)
+    val zordered = scanRows(zdir)
+    assert(sorted === 4096, s"x-sort unexpectedly skipped row groups: $sorted")
+    assert(zordered <= sorted / 2,
+      s"z-order skipped too little: scan read $zordered of $sorted rows")
+  }
+
   test("zOrderBy narrows per-file ranges on BOTH dims; a sort only on one") {
     // uniform 64x64 grid, 4096 rows
     val grid = (0 until 4096).map(i => ((i / 64).toLong * 1024, (i % 64).toLong * 1024))
