@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: multi-dimensional clustering for scan pruning.
@@ -59,5 +60,39 @@ object Layout {
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+  }
+
+  /** Compact a parquet directory's small files into `dest` at roughly
+    * `targetBytes` per file — the table-maintenance pass that keeps a
+    * streaming or incremental sink scannable. Micro-batch sinks and
+    * per-partition appends accrete thousands of KB-sized files; at 100 TB
+    * the resulting footer/open-file overhead dominates scan time long
+    * before data volume does.
+    *
+    * File count comes from the source's actual on-disk bytes (driver-side
+    * FS metadata listing, no data read); rows move through one
+    * round-robin repartition. Pass `clusterBy` to restore (or establish)
+    * Z-order clustering in the same rewrite — compaction is the natural
+    * moment to fix layout, since the data is being rewritten anyway.
+    * Writes to a separate `dest` so the swap is an atomic rename/pointer
+    * flip for the caller, never a read-and-overwrite of the source.
+    */
+  def compactTo(spark: SparkSession, src: String, dest: String,
+                targetBytes: Long = 128L << 20,
+                clusterBy: Seq[Column] = Nil): Long = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    require(new Path(src).toUri != new Path(dest).toUri,
+      "compactTo writes to a separate destination; compact-in-place would " +
+        "read and clobber the same files")
+    val p = new Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(src)
+    val arranged =
+      if (clusterBy.nonEmpty) zOrderBy(df, clusterBy, nFiles)
+      else df.repartition(nFiles)
+    arranged.write.mode(SaveMode.Overwrite).parquet(dest)
+    nFiles
   }
 }

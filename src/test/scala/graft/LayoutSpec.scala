@@ -66,6 +66,26 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order skipped too little: scan read $zordered of $sorted rows")
   }
 
+  test("compactTo merges a many-small-files table, losslessly, sized by bytes") {
+    val base = TestSpark.tmpDir("graft-cmp")
+    val src = s"$base/src"
+    val dest = s"$base/dest"
+    val df = (1 to 5000).map(i => (i.toLong, s"row-$i", i * 1.5)).toDF("id", "s", "v")
+    df.repartition(64).write.parquet(src) // 64 tiny files
+    def files(dir: String) =
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files(src) === 64)
+    // target sized so the source's total bytes fit in a handful of files
+    Layout.compactTo(spark, src, dest, targetBytes = 64L << 10)
+    assert(files(dest) < 8, s"still ${files(dest)} files")
+    assert(spark.read.parquet(dest).orderBy("id").collect()
+      === df.orderBy("id").collect())
+    // compact-in-place is refused, not silently destructive
+    intercept[IllegalArgumentException] {
+      Layout.compactTo(spark, src, src)
+    }
+  }
+
   test("zOrderBy narrows per-file ranges on BOTH dims; a sort only on one") {
     // uniform 64x64 grid, 4096 rows
     val grid = (0 until 4096).map(i => ((i / 64).toLong * 1024, (i % 64).toLong * 1024))
