@@ -134,6 +134,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(draw(cands.repartition(13)) === s)
   }
 
+  test("negativeSamples draws uniformly: label mix tracks the candidate pool") {
+    // 1000 anchors of label 0 draw 5 negatives each from candidates
+    // labeled 1/2/3 in 60/30/10 proportions; the 5000 draws' label mix
+    // must track the pool (md5 positions are uniform, so each draw is a
+    // uniform pick without replacement among the anchor's candidates)
+    val cands = (1L to 1000L).map { i =>
+      val lab = if (i <= 600) 1 else if (i <= 900) 2 else 3
+      (i, lab)
+    }.toDF("id", "lab")
+    val anchors = (10001L to 11000L).map(i => (i, 0)).toDF("id", "lab")
+    val drawn = Sampling.negativeSamples(cands, col("id"), col("lab"),
+      anchors, col("id"), col("lab"), k = 5)
+      .join(cands.select(col("id").as("item_id"), col("lab")), "item_id")
+      .groupBy("lab").count().as[(Int, Long)].collect().toMap
+    assert(drawn.values.sum === 5000L)
+    assert(math.abs(drawn(1) / 5000.0 - 0.6) < 0.05, s"label 1: ${drawn(1)}")
+    assert(math.abs(drawn(2) / 5000.0 - 0.3) < 0.05, s"label 2: ${drawn(2)}")
+    assert(math.abs(drawn(3) / 5000.0 - 0.1) < 0.05, s"label 3: ${drawn(3)}")
+  }
+
   test("kmeansIterations(1) matches the single-step composition") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val seeds = Similarity.minIdSeeds(
