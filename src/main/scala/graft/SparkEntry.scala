@@ -1537,6 +1537,43 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Sink 7: the V2 manifest sink driven through the gate — events are
+    * serialized, landed via the transactional manifest commit (twice, to
+    * prove appends accumulate without loss), read back through the
+    * manifest, parsed, and aggregated; the result must hash-match DuckDB
+    * aggregating the ORIGINAL table. A leaked orphan, lost manifest, or
+    * double-published file would shift the counts and fail the gate.
+    */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-q96")
+    val table = s"$base/t"
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("event_id") % 2 === 0).as("even"))
+    def land(half: Boolean): Unit = ev.filter(col("even") === half)
+      .select(concat_ws("|", col("event_id"), col("event_type")).as("value"))
+      .write.format("graft-manifest").option("path", table)
+      .mode("append").save()
+    land(false); land(true)
+    val back = s.read.format("graft-manifest").option("path", table).load()
+      .select(split(col("value"), "\\|").as("p"))
+      .select(col("p").getItem(0).cast("long").as("event_id"),
+        col("p").getItem(1).as("event_type"))
+    val agg = back.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+    // q89's pattern: materialize the group-count-sized result so the temp
+    // landing dir can be removed before returning
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(agg.collect(): _*)
+    val out = s.createDataFrame(rows, agg.schema)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out.orderBy("event_type")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1634,7 +1671,8 @@ object SparkEntry {
     "q92_negative_sampling" -> q92 _,
     "q93_simpson_diversity" -> q93 _,
     "q94_docgen_source" -> q94 _,
-    "q95_funnel" -> q95 _)
+    "q95_funnel" -> q95 _,
+    "q96_manifest_landing" -> q96 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1744,6 +1782,10 @@ object SparkEntry {
   // determinism rules at the top of this object.
   def oracleSql: Map[String, String] = Map(
     "q90_zorder_curve" -> q90Oracle,
+    "q96_manifest_landing" -> """
+      SELECT event_type, count(*) AS n_events,
+        min(event_id) AS min_id, max(event_id) AS max_id
+      FROM events GROUP BY 1 ORDER BY event_type""",
     "q95_funnel" -> """
       WITH v AS (
         SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view

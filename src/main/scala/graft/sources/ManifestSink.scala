@@ -1,0 +1,239 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 WRITE path: a manifest-committing transactional sink
+  * (`format("graft-manifest").option("path", dir)`), the Iceberg-lite
+  * commit protocol in its simplest honest form.
+  *
+  * Tasks write their rows to uniquely-named files under `<path>/data/` and
+  * report them via `WriterCommitMessage`; ONLY the driver's commit makes
+  * data visible, by writing a manifest (write-temp-then-rename, atomic on
+  * any correct FS) listing exactly the committed files. Failed or
+  * speculative task attempts leave orphan data files that no manifest
+  * references — readers (same format, BATCH_READ over the manifest union)
+  * never see them. This is what "exactly-once table contents" means
+  * WITHOUT a transaction log engine: visibility = manifest membership,
+  * and manifest creation is a single atomic rename.
+  *
+  * The streaming flavor names each epoch's manifest `epoch-<id>` and
+  * OVERWRITES it on redelivery: replaying a micro-batch rewrites the same
+  * manifest with the rerun's files, so at-least-once delivery converges
+  * to exactly-once contents (same contract as Streaming.partitionedSink,
+  * restated at the connector layer).
+  *
+  * Like Spark's own text/kafka sinks, the writer accepts exactly one
+  * STRING column `value`; serialize upstream (`to_json`, `concat_ws`).
+  */
+class ManifestSink extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-manifest"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Manifest.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
+    require(path != null && path.nonEmpty,
+      "graft-manifest requires option(\"path\", dir)")
+    new ManifestTable(path)
+  }
+}
+
+private[sources] object Manifest {
+  val schema: StructType =
+    StructType(Seq(StructField("value", StringType, nullable = false)))
+
+  def fs(path: String): FileSystem = new Path(path).getFileSystem(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /** Atomically publish `lines` as `<dir>/manifests/<name>` (temp+rename;
+    * rename replaces an existing manifest of the same name, which is the
+    * streaming-epoch idempotence).
+    */
+  def publish(dir: String, name: String, lines: Seq[String]): Unit = {
+    val f = fs(dir)
+    val mdir = new Path(dir, "manifests")
+    f.mkdirs(mdir)
+    val tmp = new Path(mdir, s".$name.${UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+    finally out.close()
+    val target = new Path(mdir, name)
+    f.delete(target, false) // replace-on-redelivery; no-op when absent
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"manifest rename failed: $tmp -> $target")
+  }
+
+  /** All data files referenced by any manifest (sorted for determinism). */
+  def committedFiles(dir: String): Seq[String] = {
+    val f = fs(dir)
+    val mdir = new Path(dir, "manifests")
+    if (!f.exists(mdir)) return Nil
+    f.listStatus(mdir).filter(_.isFile).map(_.getPath)
+      .filterNot(_.getName.endsWith(".tmp"))
+      .flatMap { m =>
+        val in = f.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      .filter(_.nonEmpty).sorted.toSeq
+  }
+}
+
+private[sources] class ManifestTable(path: String)
+    extends Table with SupportsWrite with SupportsRead {
+  override def name(): String = s"graft-manifest($path)"
+  override def schema(): StructType = Manifest.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.BATCH_READ)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("value", StringType)),
+      s"graft-manifest writes a single STRING column `value`; " +
+        s"got ${info.schema().catalogString} — serialize upstream (to_json)")
+    new WriteBuilder {
+      override def build(): Write = new ManifestWrite(path)
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ManifestScan(path)
+    }
+}
+
+private[sources] class ManifestWrite(path: String)
+    extends Write with BatchWrite with StreamingWrite {
+  override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite = this
+  // both parent traits default this; the diamond needs one explicit pick.
+  // true = task commits coordinate with the driver, so at most ONE attempt
+  // of a task can deliver its message — the protocol this sink relies on
+  override def useCommitCoordinator(): Boolean = true
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(path)
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ManifestWriterFactory(path)
+
+  private def fileNames(messages: Array[WriterCommitMessage]): Seq[String] =
+    messages.toSeq.collect {
+      case FilesWritten(names) if names.nonEmpty => names
+    }.flatten
+
+  // batch: each job publishes one uniquely-named manifest (append)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    Manifest.publish(path, s"batch-${UUID.randomUUID()}", fileNames(messages))
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanup(messages)
+
+  // streaming: the manifest name IS the epoch, so redelivery overwrites
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    Manifest.publish(path, s"epoch-$epochId", fileNames(messages))
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanup(messages)
+
+  // best-effort: orphans are invisible either way (manifest-only reads)
+  private def cleanup(messages: Array[WriterCommitMessage]): Unit = {
+    val f = Manifest.fs(path)
+    fileNames(messages).foreach(n => f.delete(new Path(n), false))
+  }
+}
+
+private[sources] case class FilesWritten(names: Seq[String])
+    extends WriterCommitMessage
+
+private[sources] class ManifestWriterFactory(path: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(path)
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(path)
+}
+
+/** Writes this task attempt's rows to one uniquely-named file. The UUID
+  * name makes attempts collision-free: a retried/speculative attempt
+  * writes a DIFFERENT file, and only the attempt whose message reaches
+  * the driver's commit lands in the manifest.
+  */
+private[sources] class ManifestDataWriter(dir: String)
+    extends DataWriter[InternalRow] {
+  private val file = new Path(new Path(dir, "data"),
+    s"part-${UUID.randomUUID()}.txt")
+  private lazy val out = {
+    val f = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    f.mkdirs(file.getParent)
+    f.create(file, false)
+  }
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    out.write(row.getUTF8String(0).toString.getBytes(UTF_8))
+    out.write('\n')
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    if (rows > 0) { out.close(); FilesWritten(Seq(file.toString)) }
+    else FilesWritten(Nil) // nothing written: no file to publish
+  }
+  override def abort(): Unit = {
+    if (rows > 0) {
+      out.close()
+      file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .delete(file, false)
+    }
+  }
+  override def close(): Unit = ()
+}
+
+private[sources] class ManifestScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = Manifest.schema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-manifest read $path"
+  override def planInputPartitions(): Array[InputPartition] =
+    Manifest.committedFiles(path)
+      .map(f => ManifestFilePartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new ManifestFileReader(p.asInstanceOf[ManifestFilePartition].file)
+    }
+}
+
+private[sources] case class ManifestFilePartition(file: String)
+    extends InputPartition
+
+private[sources] class ManifestFileReader(file: String)
+    extends PartitionReader[InternalRow] {
+  private val in = {
+    val p = new Path(file)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  }
+  private val lines =
+    scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+  private var current: String = _
+
+  override def next(): Boolean = {
+    if (lines.hasNext) { current = lines.next(); true } else false
+  }
+  override def get(): InternalRow =
+    InternalRow(UTF8String.fromString(current))
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The manifest sink's transactional contract: visibility = manifest
+  * membership. Committed appends accumulate; orphan data files (failed
+  * attempts, crashed jobs) are invisible; a failed job publishes nothing;
+  * streaming epochs republish idempotently so a replayed stream converges
+  * to the same table contents.
+  */
+class ManifestSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def write(dir: String, vals: Seq[String]): Unit =
+    vals.toDF("value").write.format("graft-manifest")
+      .option("path", dir).mode("append").save()
+
+  private def readBack(dir: String): Set[String] =
+    spark.read.format("graft-manifest").option("path", dir)
+      .load().as[String].collect().toSet
+
+  test("append commits accumulate; only the value column is accepted") {
+    val dir = TestSpark.tmpDir("graft-man") + "/t"
+    write(dir, Seq("a", "b"))
+    write(dir, Seq("c"))
+    assert(readBack(dir) === Set("a", "b", "c"))
+    // the analyzer enforces the declared value-only schema up front
+    val err = intercept[Exception] {
+      Seq((1, "x")).toDF("k", "value").write.format("graft-manifest")
+        .option("path", dir).mode("append").save()
+    }
+    assert(err.getMessage.contains("TOO_MANY_DATA_COLUMNS"))
+  }
+
+  test("orphan data files are invisible (visibility = manifest membership)") {
+    val dir = TestSpark.tmpDir("graft-man") + "/t"
+    write(dir, Seq("kept"))
+    Files.write(Paths.get(s"$dir/data/part-stray-orphan.txt"),
+      "phantom\n".getBytes)
+    assert(readBack(dir) === Set("kept"))
+  }
+
+  test("a failing job publishes no manifest — reader state is unchanged") {
+    val dir = TestSpark.tmpDir("graft-man") + "/t"
+    write(dir, Seq("before"))
+    val boom = udf((s: String) =>
+      if (s == "v3") throw new RuntimeException("boom") else s)
+    intercept[Exception] {
+      (1 to 5).map(i => s"v$i").toDF("value")
+        .select(boom($"value").as("value"))
+        .write.format("graft-manifest").option("path", dir)
+        .mode("append").save()
+    }
+    assert(readBack(dir) === Set("before"),
+      "partial output from the failed job leaked into the manifest set")
+  }
+
+  test("streaming epochs republish idempotently: full replay converges") {
+    val dir = TestSpark.tmpDir("graft-man") + "/t"
+    val src = TestSpark.tmpDir("graft-man-src")
+    (1 to 100).map(i => s"ev$i").toDF("value")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    def land(ck: String): Unit = {
+      val q = spark.readStream.schema("value STRING").parquet(src)
+        .writeStream.format("graft-manifest").option("path", dir)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    land(TestSpark.tmpDir("graft-man-ck0"))
+    // fresh checkpoint = worst-case full redelivery; epoch manifests are
+    // overwritten in place, so contents converge instead of doubling
+    land(TestSpark.tmpDir("graft-man-ck1"))
+    val got = readBack(dir)
+    assert(got.size === 100 && got("ev1") && got("ev100"))
+  }
+}
