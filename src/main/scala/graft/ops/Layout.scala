@@ -81,13 +81,20 @@ object Layout {
                 targetBytes: Long = 128L << 20,
                 clusterBy: Seq[Column] = Nil): Long = {
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
-    require(new Path(src).toUri != new Path(dest).toUri,
-      "compactTo writes to a separate destination; compact-in-place would " +
-        "read and clobber the same files")
     val p = new Path(src)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // compare FULLY-QUALIFIED paths: "/t" vs "file:///t" vs "/x/../t" are
+    // the same directory, and letting one through would have Overwrite
+    // delete the source out from under its own lazy read
+    require(fs.makeQualified(p) != fs.makeQualified(new Path(dest)),
+      "compactTo writes to a separate destination; compact-in-place would " +
+        "read and clobber the same files")
     val bytes = fs.getContentSummary(p).getLength
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val nFilesL = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    require(nFilesL <= Int.MaxValue,
+      s"targetBytes=$targetBytes yields $nFilesL output files for $bytes " +
+        "bytes — raise targetBytes (partition counts are Int-bounded)")
+    val nFiles = nFilesL.toInt
     val df = spark.read.parquet(src)
     val arranged =
       if (clusterBy.nonEmpty) zOrderBy(df, clusterBy, nFiles)

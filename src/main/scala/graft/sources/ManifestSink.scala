@@ -4,7 +4,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.util
 import java.util.UUID
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -33,7 +34,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * OVERWRITES it on redelivery: replaying a micro-batch rewrites the same
   * manifest with the rerun's files, so at-least-once delivery converges
   * to exactly-once contents (same contract as Streaming.partitionedSink,
-  * restated at the connector layer).
+  * restated at the connector layer). Epoch names are the idempotence key,
+  * which makes the path SINGLE-STREAMING-WRITER: like Spark's own file
+  * sink (whose metadata log assumes one query per directory), two
+  * concurrent streaming queries landing in the same path would collide on
+  * epoch names — give each query its own table path.
   *
   * Like Spark's own text/kafka sinks, the writer accepts exactly one
   * STRING column `value`; serialize upstream (`to_json`, `concat_ws`).
@@ -60,9 +65,12 @@ private[sources] object Manifest {
   def fs(path: String): FileSystem = new Path(path).getFileSystem(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
-  /** Atomically publish `lines` as `<dir>/manifests/<name>` (temp+rename;
-    * rename replaces an existing manifest of the same name, which is the
-    * streaming-epoch idempotence).
+  /** Atomically publish `lines` as `<dir>/manifests/<name>`: write a temp
+    * file, then a single OVERWRITE rename (FileContext, atomic where the
+    * FS is) — replacing an existing manifest of the same name is the
+    * streaming-epoch idempotence, and there is never a moment where the
+    * name exists without content (a delete-then-rename would open exactly
+    * that visibility hole for concurrent readers).
     */
   def publish(dir: String, name: String, lines: Seq[String]): Unit = {
     val f = fs(dir)
@@ -73,9 +81,10 @@ private[sources] object Manifest {
     try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
     val target = new Path(mdir, name)
-    f.delete(target, false) // replace-on-redelivery; no-op when absent
-    if (!f.rename(tmp, target))
-      throw new java.io.IOException(s"manifest rename failed: $tmp -> $target")
+    FileContext.getFileContext(target.toUri,
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+      .rename(f.makeQualified(tmp), f.makeQualified(target),
+        Options.Rename.OVERWRITE)
   }
 
   /** All data files referenced by any manifest (sorted for determinism). */
@@ -127,10 +136,17 @@ private[sources] class ManifestWrite(path: String)
   // of a task can deliver its message — the protocol this sink relies on
   override def useCommitCoordinator(): Boolean = true
 
+  // executors must resolve `path` against the JOB's Hadoop configuration
+  // (fs.defaultFS, credentials from spark.hadoop.*) — a fresh
+  // Configuration() on the executor would point scheme-less paths at the
+  // executor's local disk and strand the data
+  private def conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path)
+    new ManifestWriterFactory(path, conf)
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestWriterFactory(path)
+    new ManifestWriterFactory(path, conf)
 
   private def fileNames(messages: Array[WriterCommitMessage]): Seq[String] =
     messages.toSeq.collect {
@@ -159,13 +175,14 @@ private[sources] class ManifestWrite(path: String)
 private[sources] case class FilesWritten(names: Seq[String])
     extends WriterCommitMessage
 
-private[sources] class ManifestWriterFactory(path: String)
+private[sources] class ManifestWriterFactory(path: String,
+                                             conf: SerializableConfiguration)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(path)
+    new ManifestDataWriter(path, conf)
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(path)
+    new ManifestDataWriter(path, conf)
 }
 
 /** Writes this task attempt's rows to one uniquely-named file. The UUID
@@ -173,19 +190,26 @@ private[sources] class ManifestWriterFactory(path: String)
   * writes a DIFFERENT file, and only the attempt whose message reaches
   * the driver's commit lands in the manifest.
   */
-private[sources] class ManifestDataWriter(dir: String)
+private[sources] class ManifestDataWriter(dir: String,
+                                          conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
   private val file = new Path(new Path(dir, "data"),
     s"part-${UUID.randomUUID()}.txt")
   private lazy val out = {
-    val f = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val f = file.getFileSystem(conf.value)
     f.mkdirs(file.getParent)
     f.create(file, false)
   }
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
-    out.write(row.getUTF8String(0).toString.getBytes(UTF_8))
+    val s = row.getUTF8String(0).toString
+    // the line IS the record frame: an embedded newline would silently
+    // split one row into several on read — refuse, don't corrupt
+    if (s.indexOf('\n') >= 0) throw new IllegalArgumentException(
+      "graft-manifest values must not contain newlines; escape upstream " +
+        "(e.g. to_json)")
+    out.write(s.getBytes(UTF_8))
     out.write('\n')
     rows += 1
   }
@@ -196,8 +220,7 @@ private[sources] class ManifestDataWriter(dir: String)
   override def abort(): Unit = {
     if (rows > 0) {
       out.close()
-      file.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        .delete(file, false)
+      file.getFileSystem(conf.value).delete(file, false)
     }
   }
   override def close(): Unit = ()
@@ -210,21 +233,25 @@ private[sources] class ManifestScan(path: String) extends Scan with Batch {
   override def planInputPartitions(): Array[InputPartition] =
     Manifest.committedFiles(path)
       .map(f => ManifestFilePartition(f): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new ManifestFileReader(p.asInstanceOf[ManifestFilePartition].file)
+        new ManifestFileReader(p.asInstanceOf[ManifestFilePartition].file, conf)
     }
+  }
 }
 
 private[sources] case class ManifestFilePartition(file: String)
     extends InputPartition
 
-private[sources] class ManifestFileReader(file: String)
+private[sources] class ManifestFileReader(file: String,
+                                          conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val in = {
     val p = new Path(file)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    p.getFileSystem(conf.value).open(p)
   }
   private val lines =
     scala.io.Source.fromInputStream(in, "UTF-8").getLines()
