@@ -27,7 +27,10 @@ object Dedup {
     */
   private[ops] def spread(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    // partition count off the physical plan: df.rdd would BUILD the RDD
+    // lineage (and discard it) just to ask the same question
+    val n = df.queryExecution.executedPlan.outputPartitioning.numPartitions
+    if (n < parallelism) df.repartition(parallelism) else df
   }
 
   /** Exact dedup: keep one representative (min of `idCol`) per distinct
