@@ -1574,6 +1574,24 @@ object SparkEntry {
     out.orderBy("event_type")
   }
 
+  /** Streaming 6: the ordered funnel (q95) as a STATEFUL STREAM — O(1)
+    * state per active user, completion emitted the moment the purchase
+    * lands, state dropped on completion or watermark timeout. The gate
+    * compares the streamed result against the SAME batch oracle as q95:
+    * the stream must reproduce the exact minimal completion times.
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.streaming.Streaming.funnelStream(
+      Tables.stream(s, dir, "events"))
+    graft.streaming.Streaming.runToMemory(out, "q97_mem",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .select(col("user_id"),
+        timestamp_micros(col("t_view_us")).as("t_view"),
+        timestamp_micros(col("t_click_us")).as("t_click"),
+        timestamp_micros(col("t_purchase_us")).as("t_purchase"))
+      .orderBy("user_id")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1672,7 +1690,8 @@ object SparkEntry {
     "q93_simpson_diversity" -> q93 _,
     "q94_docgen_source" -> q94 _,
     "q95_funnel" -> q95 _,
-    "q96_manifest_landing" -> q96 _)
+    "q96_manifest_landing" -> q96 _,
+    "q97_funnel_stream" -> q97 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1778,15 +1797,10 @@ object SparkEntry {
       ORDER BY l_orderkey, l_linenumber"""
   }
 
-  // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
-  // determinism rules at the top of this object.
-  def oracleSql: Map[String, String] = Map(
-    "q90_zorder_curve" -> q90Oracle,
-    "q96_manifest_landing" -> """
-      SELECT event_type, count(*) AS n_events,
-        min(event_id) AS min_id, max(event_id) AS max_id
-      FROM events GROUP BY 1 ORDER BY event_type""",
-    "q95_funnel" -> """
+  /** Shared by q95 (batch) and q97 (streaming): one funnel semantics, two
+    * execution models, one oracle.
+    */
+  private val funnelOracle: String = """
       WITH v AS (
         SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
         FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -1799,7 +1813,19 @@ object SparkEntry {
         min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
       FROM events e JOIN c ON e.user_id = c.user_id
       WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
-      GROUP BY 1, 2, 3 ORDER BY 1""",
+      GROUP BY 1, 2, 3 ORDER BY 1"""
+
+  // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
+  // determinism rules at the top of this object.
+  def oracleSql: Map[String, String] = Map(
+    "q90_zorder_curve" -> q90Oracle,
+    "q96_manifest_landing" -> """
+      SELECT event_type, count(*) AS n_events,
+        min(event_id) AS min_id, max(event_id) AS max_id
+      FROM events GROUP BY 1 ORDER BY event_type""",
+    "q95_funnel" -> funnelOracle,
+    // the streaming funnel must reproduce the batch funnel exactly
+    "q97_funnel_stream" -> funnelOracle,
     "q91_bloom_pruned_join" -> """
       SELECT l_returnflag, count(*) AS n_items,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

@@ -248,6 +248,76 @@ object Streaming {
   /** Run a streaming aggregation over a bounded source synchronously into an
     * in-memory table (test/bench harness path).
     */
+  /** Streaming ordered funnel (stage0 → stage1 → stage2, e.g. view →
+    * click → purchase): emits each user's earliest in-order completion
+    * times the moment the final stage lands, then DROPS the user's state —
+    * O(1) state per active user, append-mode emission, and an event-time
+    * timeout that garbage-collects users who never complete once the
+    * watermark passes their horizon.
+    *
+    * Within a batch, events fold in event-time order (sorted here), so
+    * any intra-batch arrival order yields the exact batch-semantics
+    * frontier: first stage0 = min ts; first stage1 strictly after it;
+    * first stage2 strictly after that. Across batches the fold assumes a
+    * user's events do not arrive event-time-earlier than an already
+    * consumed frontier (the same monotone-refinement contract as
+    * [[sessionizeStream]]'s "extend, never rewind"); emission is
+    * at-most-once per user either way.
+    */
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+                               event_type: String)
+  final case class FunnelState(tv_us: Long, tc_us: Long)
+  final case class FunnelDone(user_id: Long, t_view_us: Long, t_click_us: Long,
+                              t_purchase_us: Long)
+
+  def funnelStream(events: DataFrame,
+                   stages: (String, String, String) = ("view", "click", "purchase"),
+                   watermark: String = "10 minutes",
+                   idleHorizonMinutes: Int = 240): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (s0, s1, s2) = stages
+    events.selectExpr("user_id", "ts", "event_type").as[FunnelEvent]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelDone](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          // full microsecond precision: getTime alone is ms and would
+          // collapse sub-ms orderings the batch oracle distinguishes
+          def us(t: java.sql.Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
+            var done: Option[FunnelDone] = None
+            var lastUs = 0L
+            rows.toVector.sortBy(e => (us(e.ts), e.event_type)).foreach { e =>
+              val t = us(e.ts)
+              lastUs = math.max(lastUs, t)
+              if (done.isEmpty) e.event_type match {
+                case `s0` if st.tv_us < 0 => st = FunnelState(t, -1L)
+                case `s1` if st.tv_us >= 0 && st.tc_us < 0 && t > st.tv_us =>
+                  st = FunnelState(st.tv_us, t)
+                case `s2` if st.tc_us >= 0 && t > st.tc_us =>
+                  done = Some(FunnelDone(uid, st.tv_us, st.tc_us, t))
+                case _ => () // stage out of order for this frontier: no-op
+              }
+            }
+            done match {
+              case Some(d) => state.remove(); Iterator.single(d)
+              case None =>
+                state.update(st)
+                // GC un-completed users once the watermark passes their
+                // last activity + horizon
+                state.setTimeoutTimestamp(
+                  lastUs / 1000L + idleHorizonMinutes * 60L * 1000L)
+                Iterator.empty
+            }
+          }
+      }.toDF()
+  }
+
   def runToMemory(agg: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Complete): DataFrame = {
     val q = agg.writeStream.outputMode(mode)

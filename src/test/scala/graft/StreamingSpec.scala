@@ -186,4 +186,42 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "n", "total").as[(Long, Long, Double)].collect()
     assert(out.toSeq === Seq((7L, 2L, 3.0), (8L, 2L, 6.0)))
   }
+
+  test("funnelStream: multi-batch completion, at-most-once, order rules") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = Streaming.funnelStream(
+        input.toDF().toDF("user_id", "ts", "event_type"))
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("funnel_ms").start()
+    try {
+      // batch 1: user 1 views+clicks (clicks BEFORE the view are ignored
+      // even when the batch delivers them first); user 2 completes whole
+      // funnel in one batch, delivered out of order
+      input.addData(
+        (1L, ts("2024-01-01 00:00:30"), "click"), // pre-view click: ignored
+        (1L, ts("2024-01-01 00:01:00"), "view"),
+        (1L, ts("2024-01-01 00:02:00"), "click"),
+        (2L, ts("2024-01-01 00:03:00"), "purchase"),
+        (2L, ts("2024-01-01 00:01:00"), "view"),
+        (2L, ts("2024-01-01 00:02:00"), "click"))
+      q.processAllAvailable()
+      // batch 2: user 1's purchase arrives -> completes across batches;
+      // user 2 purchases AGAIN -> no second emission (state was dropped)
+      input.addData(
+        (1L, ts("2024-01-01 00:05:00"), "purchase"),
+        (2L, ts("2024-01-01 00:06:00"), "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("funnel_ms")
+      .select("user_id", "t_view_us", "t_click_us", "t_purchase_us")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(rows === Seq(
+      (1L, us("2024-01-01 00:01:00"), us("2024-01-01 00:02:00"),
+        us("2024-01-01 00:05:00")),
+      (2L, us("2024-01-01 00:01:00"), us("2024-01-01 00:02:00"),
+        us("2024-01-01 00:03:00"))))
+  }
 }
