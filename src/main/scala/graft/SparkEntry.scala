@@ -1592,6 +1592,18 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Profiling 3: per-type winsorization — clamp event values into the
+    * [p05, p95] band of their type, thresholds as exact order statistics
+    * (see [[graft.ops.Profile.winsorize]] for why interpolated quantiles
+    * cannot appear in a hash-compared OUTPUT).
+    */
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.winsorize(
+      t(s, dir, "events").select("event_id", "event_type", "value"),
+      col("event_type"), col("value"), col("event_id"))
+      .select(col("event_id"), col("event_type"), col("value"), col("clamped"))
+      .orderBy("event_id")
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1691,7 +1703,8 @@ object SparkEntry {
     "q94_docgen_source" -> q94 _,
     "q95_funnel" -> q95 _,
     "q96_manifest_landing" -> q96 _,
-    "q97_funnel_stream" -> q97 _)
+    "q97_funnel_stream" -> q97 _,
+    "q98_winsorize" -> q98 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1826,6 +1839,27 @@ object SparkEntry {
     "q95_funnel" -> funnelOracle,
     // the streaming funnel must reproduce the batch funnel exactly
     "q97_funnel_stream" -> funnelOracle,
+    "q98_winsorize" -> """
+      WITH r AS (
+        SELECT event_id, event_type, value,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY value NULLS FIRST, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+      thr AS (
+        SELECT event_type AS s,
+          min(CASE WHEN rn = greatest(CAST(ceil(0.05 * n) AS BIGINT), 1)
+            THEN value END) AS lo,
+          max(CASE WHEN rn = greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+            THEN value END) AS hi
+        FROM r
+        WHERE rn = greatest(CAST(ceil(0.05 * n) AS BIGINT), 1)
+           OR rn = greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+        GROUP BY 1)
+      SELECT e.event_id, e.event_type, e.value,
+        least(greatest(e.value, t.lo), t.hi) AS clamped
+      FROM events e JOIN thr t ON e.event_type = t.s
+      ORDER BY event_id""",
     "q91_bloom_pruned_join" -> """
       SELECT l_returnflag, count(*) AS n_items,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

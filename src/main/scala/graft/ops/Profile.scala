@@ -45,4 +45,40 @@ object Profile {
       }: _*)).as("p"))
       .select("p.*")
   }
+
+  /** Winsorize: clamp `value` into its stratum's [loQ, hiQ] band — the
+    * outlier-capping pass that keeps a handful of absurd feature values
+    * (scraped prices, runaway token counts) from dominating a model's
+    * normalization. Thresholds are EXACT ORDER STATISTICS (the value at
+    * rank ceil(q·n), ties broken by `id`), not interpolated quantiles: an
+    * interpolated threshold is an arithmetic blend two engines can
+    * disagree on by 1 ulp — and unlike a membership test, a winsorized
+    * OUTPUT contains the threshold itself, so it must be a value that
+    * exists in the data. Any engine that sorts identically produces the
+    * identical clamp (oracle-checked in SparkEntry q98).
+    *
+    * One window pass per stratum for ranks (the same shuffle the
+    * aggregation would need anyway), one single-row-per-stratum broadcast
+    * back; the clamp itself is map-side.
+    */
+  def winsorize(df: DataFrame, strata: Column, value: Column, id: Column,
+                loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(0.0 <= loQ && loQ < hiQ && hiQ <= 1.0,
+      s"need 0 <= loQ < hiQ <= 1, got $loQ, $hiQ")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strata).orderBy(value.asc, id.asc)
+    val ranked = df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(strata)))
+    // rank of the q-th order statistic, 1-indexed; q=0 -> first value
+    def rankOf(q: Double) =
+      greatest(ceil(lit(q) * col("__n")).cast("long"), lit(1L))
+    val thr = ranked
+      .filter(col("__rn") === rankOf(loQ) || col("__rn") === rankOf(hiQ))
+      .groupBy(strata.as("__s"))
+      .agg(min(when(col("__rn") === rankOf(loQ), value)).as("__lo"),
+        max(when(col("__rn") === rankOf(hiQ), value)).as("__hi"))
+    df.join(broadcast(thr), strata <=> col("__s"))
+      .withColumn("clamped", least(greatest(value, col("__lo")), col("__hi")))
+      .drop("__s", "__lo", "__hi")
+  }
 }

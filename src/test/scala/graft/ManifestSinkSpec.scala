@@ -60,6 +60,25 @@ class ManifestSinkSpec extends AnyFunSuite {
       "partial output from the failed job leaked into the manifest set")
   }
 
+  test("V2 end to end: docgen stream lands through the manifest sink intact") {
+    // both custom connectors in one pipeline: the generator streams
+    // micro-batches, the sink commits one epoch manifest per batch, and
+    // the landed table must equal the batch-read corpus exactly
+    val dir = TestSpark.tmpDir("graft-v2e2e") + "/t"
+    val q = spark.readStream.format("graft-docgen")
+      .option("rows", 1200).option("rowsPerBatch", 500).load()
+      .select(concat_ws("|", $"doc_id", $"lang", $"source").as("value"))
+      .writeStream.format("graft-manifest").option("path", dir)
+      .option("checkpointLocation", TestSpark.tmpDir("graft-v2e2e-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val landed = readBack(dir)
+    val expected = spark.read.format("graft-docgen").option("rows", 1200).load()
+      .select(concat_ws("|", $"doc_id", $"lang", $"source").as("v"))
+      .as[String].collect().toSet
+    assert(landed === expected)
+  }
+
   test("streaming epochs republish idempotently: full replay converges") {
     val dir = TestSpark.tmpDir("graft-man") + "/t"
     val src = TestSpark.tmpDir("graft-man-src")

@@ -283,6 +283,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L)._2 < got(2L)._2)
   }
 
+  test("winsorize clamps to exact order statistics; tiny strata degrade sanely") {
+    val df = ((1 to 100).map(i => ("big", i.toLong, i.toDouble)) ++
+      Seq(("one", 900L, 42.0), ("two", 901L, 1.0), ("two", 902L, 99.0)))
+      .toDF("s", "id", "v")
+    val out = graft.ops.Profile.winsorize(df, $"s", $"v", $"id")
+      .select($"id", $"clamped").as[(Long, Double)].collect().toMap
+    assert(out(1L) === 5.0 && out(4L) === 5.0) // below p05 -> 5th smallest
+    assert(out(100L) === 95.0 && out(96L) === 95.0) // above p95 -> 95th
+    assert(out(50L) === 50.0) // interior untouched
+    assert(out(900L) === 42.0) // single-row stratum: lo = hi = the value
+    assert(out(901L) === 1.0 && out(902L) === 99.0) // n=2: band spans both
+  }
+
   test("multimodal decode derives deterministic dimensions from payload bytes") {
     val assets = Multimodal.fromText(
       docs.withColumn("source", lit("s")), "doc_id", "text", "source")
