@@ -1604,6 +1604,53 @@ object SparkEntry {
       .select(col("event_id"), col("event_type"), col("value"), col("clamped"))
       .orderBy("event_id")
 
+  /** Profiling 4: per-group Pearson correlation from DECIMAL-exact moment
+    * sums. Spark's `corr` and DuckDB's `corr` accumulate doubles in
+    * partition/scan order (non-deterministic across engines), so the
+    * moments are summed exactly in decimal and the textbook formula runs
+    * as the IDENTICAL double expression on both sides — every operation
+    * (×, −, ÷, sqrt) is IEEE-correctly-rounded, so the result is
+    * bit-identical. The shape is one aggregation; the six sums ride the
+    * same shuffle.
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val agg = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x.cast("decimal(28,4)")).cast("double").as("sx"),
+        sum(y.cast("decimal(28,4)")).cast("double").as("sy"),
+        sum((x * x).cast("decimal(28,4)")).cast("double").as("sxx"),
+        sum((y * y).cast("decimal(28,4)")).cast("double").as("syy"),
+        sum((x * y).cast("decimal(28,4)")).cast("double").as("sxy"))
+    agg.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Streaming 7: stream-STATIC enrichment join — the one streaming join
+    * mode not yet gated: each micro-batch of purchases joins a static
+    * per-user profile (batch-computed), append-mode row output. At scale
+    * the static side is a broadcast or bucketed dim; no stream state is
+    * kept for it (unlike stream-stream joins).
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val profile = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"), dsum(col("value"), 2).as("user_value"))
+    val stream = Tables.stream(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val joined = stream.join(profile, "user_id")
+    graft.streaming.Streaming.runToMemory(joined, "q100_mem",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("user_events"), col("user_value"))
+      .orderBy("event_id")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1704,7 +1751,9 @@ object SparkEntry {
     "q95_funnel" -> q95 _,
     "q96_manifest_landing" -> q96 _,
     "q97_funnel_stream" -> q97 _,
-    "q98_winsorize" -> q98 _)
+    "q98_winsorize" -> q98 _,
+    "q99_correlation" -> q99 _,
+    "q100_stream_static_join" -> q100 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1839,6 +1888,29 @@ object SparkEntry {
     "q95_funnel" -> funnelOracle,
     // the streaming funnel must reproduce the batch funnel exactly
     "q97_funnel_stream" -> funnelOracle,
+    "q100_stream_static_join" -> """
+      WITH p AS (
+        SELECT user_id, count(*) AS user_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_value
+        FROM events GROUP BY 1)
+      SELECT e.event_id, e.user_id, e.value, p.user_events, p.user_value
+      FROM events e JOIN p USING (user_id)
+      WHERE e.event_type = 'purchase'
+      ORDER BY event_id""",
+    "q99_correlation" -> """
+      WITH m AS (
+        SELECT l_returnflag,
+          CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+          CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        (n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+      FROM m ORDER BY l_returnflag""",
     "q98_winsorize" -> """
       WITH r AS (
         SELECT event_id, event_type, value,
