@@ -1579,6 +1579,10 @@ object SparkEntry {
     * lands, state dropped on completion or watermark timeout. The gate
     * compares the streamed result against the SAME batch oracle as q95:
     * the stream must reproduce the exact minimal completion times.
+    * (Oracle equality relies on the single-file fixture arriving as one
+    * micro-batch — within a batch the fold sorts by event time; across
+    * batches the operator's contract is monotone refinement, pinned by
+    * StreamingSpec's multi-batch test, not by this oracle.)
     */
   private def q97(s: SparkSession, dir: String): DataFrame = {
     val out = graft.streaming.Streaming.funnelStream(
@@ -1930,7 +1934,7 @@ object SparkEntry {
         GROUP BY 1)
       SELECT e.event_id, e.event_type, e.value,
         least(greatest(e.value, t.lo), t.hi) AS clamped
-      FROM events e JOIN thr t ON e.event_type = t.s
+      FROM events e JOIN thr t ON e.event_type IS NOT DISTINCT FROM t.s
       ORDER BY event_id""",
     "q91_bloom_pruned_join" -> """
       SELECT l_returnflag, count(*) AS n_items,

@@ -27,10 +27,13 @@ object Dedup {
     */
   private[ops] def spread(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    // partition count off the physical plan: df.rdd would BUILD the RDD
-    // lineage (and discard it) just to ask the same question
-    val n = df.queryExecution.executedPlan.outputPartitioning.numPartitions
-    if (n < parallelism) df.repartition(parallelism) else df
+    // df.rdd builds (and discards) the RDD lineage just to count
+    // partitions, but it is the only honest probe: under AQE the physical
+    // plan is an AdaptiveSparkPlanExec whose outputPartitioning is
+    // UnknownPartitioning(0) before execution, so reading it would claim
+    // n=0 and force an unconditional repartition of every input
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+    else df
   }
 
   /** Exact dedup: keep one representative (min of `idCol`) per distinct

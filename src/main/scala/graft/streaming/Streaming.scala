@@ -124,7 +124,7 @@ object Streaming {
       .flatMapGroupsWithState[SessState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
-          def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+          def us(t: java.sql.Timestamp): Long = tsMicros(t)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
@@ -245,9 +245,13 @@ object Streaming {
     q.awaitTermination()
   }
 
-  /** Run a streaming aggregation over a bounded source synchronously into an
-    * in-memory table (test/bench harness path).
+  /** Full-microsecond epoch value of a Timestamp: getTime alone is
+    * millisecond-granular and would collapse sub-ms event orderings that
+    * batch oracles distinguish. Shared by every stateful operator here.
     */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Streaming ordered funnel (stage0 → stage1 → stage2, e.g. view →
     * click → purchase): emits each user's earliest in-order completion
     * times the moment the final stage lands, then DROPS the user's state —
@@ -277,16 +281,18 @@ object Streaming {
     val spark = events.sparkSession
     import spark.implicits._
     val (s0, s1, s2) = stages
-    events.selectExpr("user_id", "ts", "event_type").as[FunnelEvent]
+    events.selectExpr("user_id", "ts", "event_type")
+      // non-stage events can only hit the fold's no-op case: dropping them
+      // BEFORE groupByKey keeps them off the shuffle and keeps users who
+      // never enter the funnel out of the state store entirely
+      .filter(col("event_type").isin(s0, s1, s2))
+      .as[FunnelEvent]
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelDone](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          // full microsecond precision: getTime alone is ms and would
-          // collapse sub-ms orderings the batch oracle distinguishes
-          def us(t: java.sql.Timestamp): Long =
-            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          def us(t: java.sql.Timestamp): Long = tsMicros(t)
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
@@ -318,6 +324,9 @@ object Streaming {
       }.toDF()
   }
 
+  /** Run a streaming aggregation over a bounded source synchronously into an
+    * in-memory table (test/bench harness path).
+    */
   def runToMemory(agg: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Complete): DataFrame = {
     val q = agg.writeStream.outputMode(mode)
