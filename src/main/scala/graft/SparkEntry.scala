@@ -1655,6 +1655,25 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Graph 2: PageRank (2 iterations, damping 0.85) over the bipartite
+    * part↔supplier graph derived from lineitem — iterative graph compute
+    * beyond q52's connected components. The oracle unrolls both
+    * iterations in SQL with the identical decimal-summed contributions.
+    */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = concat(lit("p"), col("l_partkey").cast("string"))
+    val sup = concat(lit("s"), col("l_suppkey").cast("string"))
+    val edges = li.select(p.as("a"), sup.as("b"))
+      .union(li.select(sup.as("a"), p.as("b")))
+    // output at 12 decimals: the engines' double→DECIMAL(28,18) casts can
+    // tie-round differently at the 18th digit (HALF_UP vs HALF_EVEN),
+    // leaving ulp-scale rank differences far below this precision
+    graft.ops.Graph.pageRank(edges, col("a"), col("b"), iters = 2)
+      .select(col("node"), round(col("rank"), 12).as("rank"))
+      .orderBy("node")
+  }
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1757,7 +1776,8 @@ object SparkEntry {
     "q97_funnel_stream" -> q97 _,
     "q98_winsorize" -> q98 _,
     "q99_correlation" -> q99 _,
-    "q100_stream_static_join" -> q100 _)
+    "q100_stream_static_join" -> q100 _,
+    "q101_pagerank" -> q101 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1881,9 +1901,42 @@ object SparkEntry {
       WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
       GROUP BY 1, 2, 3 ORDER BY 1"""
 
+  /** q101's oracle: both PageRank iterations unrolled, the iteration CTE
+    * generated once so the two rounds cannot drift from each other (or
+    * from [[graft.ops.Graph.pageRank]]'s per-round construction).
+    */
+  private val q101Oracle: String = {
+    def iter(prev: String, out: String) =
+      s"""c_$out AS (
+        SELECT e.dst AS node,
+          CAST(sum(CAST(r.rank / od.outdeg AS DECIMAL(28,18))) AS DOUBLE) AS m
+        FROM $prev r JOIN od ON r.node = od.node JOIN e ON r.node = e.src
+        GROUP BY 1),
+      $out AS (
+        SELECT nodes.node,
+          (1.0 - 0.85) / nd.n + 0.85 * coalesce(c.m, 0.0) AS rank
+        FROM nodes CROSS JOIN nd LEFT JOIN c_$out c ON nodes.node = c.node)"""
+    s"""
+      WITH e AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+        UNION
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),
+          'p' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg
+             FROM e GROUP BY 1),
+      r0 AS (SELECT node, 1.0 / nd.n AS rank FROM nodes CROSS JOIN nd),
+      ${iter("r0", "r1")},
+      ${iter("r1", "r2")}
+      SELECT node, round(rank, 12) AS rank FROM r2 ORDER BY node"""
+  }
+
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
   // determinism rules at the top of this object.
   def oracleSql: Map[String, String] = Map(
+    "q101_pagerank" -> q101Oracle,
     "q90_zorder_curve" -> q90Oracle,
     "q96_manifest_landing" -> """
       SELECT event_type, count(*) AS n_events,

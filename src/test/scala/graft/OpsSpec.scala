@@ -296,6 +296,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out(901L) === 1.0 && out(902L) === 99.0) // n=2: band spans both
   }
 
+  test("pageRank: hub of a star dominates, mass conserved, 0 iters uniform") {
+    val edges = (1L to 10L).flatMap(i =>
+      Seq((s"leaf$i", "hub"), ("hub", s"leaf$i"))).toDF("src", "dst")
+    val r = graft.ops.Graph.pageRank(edges, $"src", $"dst", iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(r("hub") > r("leaf1") * 3, s"hub not dominant: $r")
+    // every node here has out-edges, so no mass leaks: Σ rank = 1 exactly
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    val r0 = graft.ops.Graph.pageRank(edges, $"src", $"dst", iters = 0)
+      .as[(String, Double)].collect().toMap
+    assert(r0.values.forall(v => math.abs(v - 1.0 / 11) < 1e-12))
+  }
+
   test("multimodal decode derives deterministic dimensions from payload bytes") {
     val assets = Multimodal.fromText(
       docs.withColumn("source", lit("s")), "doc_id", "text", "source")
