@@ -1674,6 +1674,15 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Analytics: the N-stage funnel operator at 4 stages (view → click →
+    * signup → purchase) — q95's shape generalized by [[graft.ops.Funnel]];
+    * the oracle's CTE chain is generated by the same per-stage loop.
+    */
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.funnel(t(s, dir, "events"), col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "signup", "purchase"))
+      .orderBy("user_id")
+
   // ————————————————————————————————————————————————————————— the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1777,7 +1786,8 @@ object SparkEntry {
     "q98_winsorize" -> q98 _,
     "q99_correlation" -> q99 _,
     "q100_stream_static_join" -> q100 _,
-    "q101_pagerank" -> q101 _)
+    "q101_pagerank" -> q101 _,
+    "q102_funnel_n" -> q102 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1933,9 +1943,33 @@ object SparkEntry {
       SELECT node, round(rank, 12) AS rank FROM r2 ORDER BY node"""
   }
 
+  /** q102's oracle: the N-stage funnel CTE chain generated by the same
+    * per-stage loop as [[graft.ops.Funnel.funnel]].
+    */
+  private val q102Oracle: String = {
+    val stages = Seq("view", "click", "signup", "purchase")
+    def tc(i: Int) = s"t_${stages(i)}"
+    val first = s"""s0 AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS ${tc(0)}
+        FROM events WHERE event_type = '${stages(0)}' GROUP BY 1)"""
+    val rest = (1 until stages.size).map { i =>
+      val carried = (0 until i).map(j => s"p.${tc(j)}").mkString(", ")
+      s"""s$i AS (
+        SELECT e.user_id AS user_id, $carried,
+          min(CAST(e.ts AS TIMESTAMP)) AS ${tc(i)}
+        FROM events e JOIN s${i - 1} p ON e.user_id = p.user_id
+        WHERE e.event_type = '${stages(i)}'
+          AND CAST(e.ts AS TIMESTAMP) > p.${tc(i - 1)}
+        GROUP BY ${(1 to i + 1).mkString(", ")})"""
+    }
+    s"""WITH ${(first +: rest).mkString(",\n      ")}
+      SELECT * FROM s${stages.size - 1} ORDER BY user_id"""
+  }
+
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
   // determinism rules at the top of this object.
   def oracleSql: Map[String, String] = Map(
+    "q102_funnel_n" -> q102Oracle,
     "q101_pagerank" -> q101Oracle,
     "q90_zorder_curve" -> q90Oracle,
     "q96_manifest_landing" -> """

@@ -296,6 +296,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out(901L) === 1.0 && out(902L) === 99.0) // n=2: band spans both
   }
 
+  test("Funnel.funnel at 3 stages reproduces the hand-built q95 funnel") {
+    val dir = "/root/testdata/sf0.001"
+    val general = graft.ops.Funnel.funnel(
+      Tables.load(spark, dir, "events"), col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("t_view").as("tv"),
+        col("t_click").as("tc"), col("t_purchase").as("tp"))
+      .orderBy("user_id").collect().toSeq
+    val handBuilt = SparkEntry.queries("q95_funnel")(spark, dir)
+      .select(col("user_id"), col("t_view").as("tv"),
+        col("t_click").as("tc"), col("t_purchase").as("tp"))
+      .orderBy("user_id").collect().toSeq
+    assert(general === handBuilt)
+  }
+
   test("pageRank: hub of a star dominates, mass conserved, 0 iters uniform") {
     val edges = (1L to 10L).flatMap(i =>
       Seq((s"leaf$i", "hub"), ("hub", s"leaf$i"))).toDF("src", "dst")
