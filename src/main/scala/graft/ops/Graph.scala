@@ -35,7 +35,11 @@ object Graph {
       .localCheckpoint()
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("double").as("outdeg"))
-    val n = lit(nodes.count().toDouble)
+    val nNodes = nodes.count()
+    // empty graph: no nodes to rank — return the empty (node, rank) frame
+    // rather than dividing the initial mass by zero under ANSI mode
+    if (nNodes == 0L) return nodes.withColumn("rank", lit(0.0d))
+    val n = lit(nNodes.toDouble)
     val base = lit(1.0d - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0d) / n)
     (1 to iters).foreach { _ =>
