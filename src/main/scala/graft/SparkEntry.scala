@@ -359,11 +359,14 @@ object SparkEntry {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // verify on the hashed sets (equal to string-set jaccard modulo 64-bit
-    // collisions): stream cached sig, broadcast the tiny candidate side
+    // collisions). `candidates` (two longs/row) broadcasts; `withA` carries
+    // the wide hashed-shingle arrays per candidate pair, and on a dup-heavy
+    // corpus the pair list scales with the dup rate — so it builds via the
+    // config-gated shuffle-hash, never a driver-side broadcast.
     val withA = sig.select(col("doc_id").as("id_a"), col("hset").as("sh_a"))
       .join(broadcast(candidates), Seq("id_a"))
     val pairs = sig.select(col("doc_id").as("id_b"), col("hset").as("sh_b"))
-      .join(broadcast(withA), Seq("id_b"))
+      .join(graft.GraftConf.hintPairJoin(withA), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)

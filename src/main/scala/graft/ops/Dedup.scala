@@ -229,12 +229,18 @@ object Dedup {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // verify with exact Jaccard over the hashed sets (equal to string-set
-    // jaccard modulo 64-bit collisions): stream cached sig, broadcast the
-    // tiny candidate side (never the wide arrays)
+    // jaccard modulo 64-bit collisions). Join 1 streams the cached sig and
+    // broadcasts `candidates` — two longs per row, safe to build driver-side.
+    // Join 2's build side is `withA`, which carries sh_a (the full hashed
+    // shingle set, hundreds of longs per candidate pair): on a dup-heavy
+    // corpus the pair list scales with the dup rate and a driver broadcast
+    // build of it is the scale-killer, so it takes the config-gated
+    // shuffle-hash (GraftConf.pairJoinHint) like every other wide-array
+    // build side in this file.
     val withA = sig.select(col("__id").as("id_a"), col("__hset").as("sh_a"))
       .join(broadcast(candidates), Seq("id_a"))
     sig.select(col("__id").as("id_b"), col("__hset").as("sh_b"))
-      .join(broadcast(withA), Seq("id_b"))
+      .join(graft.GraftConf.hintPairJoin(withA), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

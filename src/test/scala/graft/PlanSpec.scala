@@ -131,6 +131,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), "default mode lost shuffle_hash")
   }
 
+  test("minhash verify joins never broadcast an array-bearing build side") {
+    // the scale contract: `candidates` (two longs/row) may broadcast, but
+    // any build side carrying the hashed-shingle arrays must be a shuffled
+    // build — on a dup-heavy corpus the candidate-pair list scales with the
+    // dup rate and a driver-side broadcast of pair×array rows OOMs.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.types.ArrayType
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def audit(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      df.collect() // finalize the adaptive plan before inspecting it
+      val exec = df.queryExecution.executedPlan
+      val offenders = helper.collect(exec) {
+        case b: BroadcastExchangeExec
+            if b.output.exists(_.dataType.isInstanceOf[ArrayType]) => b
+      }
+      assert(offenders.isEmpty,
+        s"$label broadcasts an array-bearing build side:\n${offenders.mkString("\n")}")
+      assert(helper.collect(exec) { case s: ShuffledHashJoinExec => s }.nonEmpty,
+        s"$label verify join lost its shuffled hash build")
+    }
+    audit(SparkEntry.queries("q21_minhash_lsh_pairs")(spark, dir), "q21")
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta token$i end of document")
+    }.toDF("doc_id", "text")
+    audit(graft.ops.Dedup.minhashLshPairs(docs, docs("doc_id"), docs("text")),
+      "Dedup.minhashLshPairs")
+  }
+
   test("q44 native as-of join survives optimization and stays in the plan") {
     val p = plan("q44_asof_native")
     assert(p.contains("AsOfJoin"), s"native operator missing:\n$p")
