@@ -1969,6 +1969,17 @@ object SparkEntry {
       SELECT * FROM s${stages.size - 1} ORDER BY user_id"""
   }
 
+  /** DuckDB SQL for [[graft.ops.Sampling]]'s injective field encoding:
+    * NULL → 'n', value v → 'v<len>:<v>' (length prefix = no separator or
+    * sentinel collisions). Must stay in lockstep with `Sampling.enc`.
+    */
+  private def encSql(e: String): String =
+    s"(CASE WHEN $e IS NULL THEN 'n' ELSE 'v' || length($e) || ':' || $e END)"
+
+  /** DuckDB SQL for `Sampling.hashPos`: position in [0, 2^32). */
+  private def hashPosSql(strata: String, id: String): String =
+    s"('0x' || substring(md5(${encSql(strata)} || '|' || ${encSql(id)}), 1, 8))::BIGINT"
+
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
   // determinism rules at the top of this object.
   def oracleSql: Map[String, String] = Map(
@@ -2032,12 +2043,10 @@ object SparkEntry {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY 1 ORDER BY l_returnflag""",
-    "q92_negative_sampling" -> """
+    "q92_negative_sampling" -> raw"""
       WITH pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS item_id,
-          ('0x' || substring(md5(
-            coalesce(CAST(q.vec_id AS VARCHAR), '__null__') || '|' ||
-            coalesce(CAST(c.vec_id AS VARCHAR), '__null__')), 1, 8))::BIGINT AS pos
+          ${hashPosSql("CAST(q.vec_id AS VARCHAR)", "CAST(c.vec_id AS VARCHAR)")} AS pos
         FROM embeddings q JOIN embeddings c ON c.label != q.label
         WHERE q.vec_id < 10)
       SELECT query_id, item_id,
@@ -2089,7 +2098,7 @@ object SparkEntry {
       FROM scored
       WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC, item_id)
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
-    "q87_corpus_prep" -> """
+    "q87_corpus_prep" -> raw"""
       WITH f AS (
         SELECT doc_id, lang, source,
           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS nt,
@@ -2110,7 +2119,7 @@ object SparkEntry {
         WHERE quality >= t),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY source ORDER BY
-          ('0x' || substring(md5(coalesce(source, '__null__') || '|' || coalesce(CAST(doc_id AS VARCHAR), '__null__')), 1, 8))::BIGINT,
+          ${hashPosSql("source", "CAST(doc_id AS VARCHAR)")},
           doc_id) AS rk
         FROM kept),
       capped AS (SELECT * FROM ranked WHERE rk <= 20),
@@ -2120,7 +2129,7 @@ object SparkEntry {
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         FROM capped)
       SELECT lang,
-        CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS bin_id,
+        CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
         count(*) AS n_docs,
         CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
         CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) AS quality_sum
@@ -2255,7 +2264,7 @@ object SparkEntry {
         FROM f),
       b AS (
         SELECT lang,
-          CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS bin_id,
+          CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
           doc_id, text, n_tokens
         FROM c)
       SELECT lang, bin_id, count(*) AS n_docs,
@@ -2272,12 +2281,12 @@ object SparkEntry {
         nfc_normalize(t) <> t AS changed,
         md5(nfc_normalize(t)) AS norm_hash
       FROM inj ORDER BY doc_id""",
-    "q77_weighted_mix" -> """
+    "q77_weighted_mix" -> raw"""
       WITH w AS (
         SELECT doc_id, lang,
           CASE lang WHEN 'en' THEN 2.5 WHEN 'fr' THEN 1.5 WHEN 'de' THEN 1.0
                     WHEN 'es' THEN 0.25 ELSE 0.0 END AS wt,
-          ('0x' || substring(md5(coalesce(lang, '__null__') || '|' || coalesce(CAST(doc_id AS VARCHAR), '__null__')), 1, 8))::BIGINT AS h
+          ${hashPosSql("lang", "CAST(doc_id AS VARCHAR)")} AS h
         FROM documents),
       c AS (
         SELECT doc_id, lang,
@@ -2288,10 +2297,10 @@ object SparkEntry {
       SELECT doc_id, lang, unnest(generate_series(0, copies - 1)) AS copy
       FROM c WHERE copies > 0
       ORDER BY doc_id, copy""",
-    "q76_deterministic_shards" -> """
+    "q76_deterministic_shards" -> raw"""
       WITH k AS (
         SELECT doc_id,
-          ('0x' || substring(md5('shard|' || coalesce(CAST(doc_id AS VARCHAR), '__null__')), 1, 8))::BIGINT AS key
+          ${hashPosSql("'shard'", "CAST(doc_id AS VARCHAR)")} AS key
         FROM documents),
       r AS (
         SELECT doc_id,
@@ -2465,9 +2474,9 @@ object SparkEntry {
       WINDOW w AS (PARTITION BY doc_id ORDER BY round(score, 6) DESC, token)
       QUALIFY rank <= 3
       ORDER BY doc_id, rank""",
-    "q63_stratified_sample" -> """
+    "q63_stratified_sample" -> raw"""
       SELECT doc_id, lang, source FROM documents
-      WHERE ('0x'||substring(md5(coalesce(lang, '__null__') || '|' || coalesce(CAST(doc_id AS VARCHAR), '__null__')),1,8))::BIGINT
+      WHERE ${hashPosSql("lang", "CAST(doc_id AS VARCHAR)")}
             < 1073741824
       ORDER BY doc_id""",
     "q67_sequence_packing" -> """
@@ -2481,9 +2490,9 @@ object SparkEntry {
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         FROM f)
       SELECT doc_id, lang, n_tokens, cum_tokens,
-        CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS bin_id,
-        CAST(floor(CAST(cum_tokens - 1 AS DOUBLE) / 2048.0) AS BIGINT) >
-          CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS spans_bins
+        CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin_id,
+        CAST((cum_tokens - 1) // 2048 AS BIGINT) >
+          CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS spans_bins
       FROM c ORDER BY doc_id""",
     "q68_salted_agg" -> """
       SELECT event_type, count(*) AS n_events,
@@ -2545,10 +2554,10 @@ object SparkEntry {
         count(*) AS n_docs,
         max(CASE WHEN rn = 1 THEN quality END) AS best_quality
       FROM ranked GROUP BY component ORDER BY component""",
-    "q65_cap_per_stratum" -> """
+    "q65_cap_per_stratum" -> raw"""
       SELECT doc_id, source, lang FROM documents
       QUALIFY row_number() OVER (PARTITION BY source
-        ORDER BY substring(md5(coalesce(source, '__null__') || '|' || coalesce(CAST(doc_id AS VARCHAR), '__null__')), 1, 8),
+        ORDER BY ${hashPosSql("source", "CAST(doc_id AS VARCHAR)")},
           doc_id) <= 10
       ORDER BY doc_id""",
     "q66_decontaminate" -> """

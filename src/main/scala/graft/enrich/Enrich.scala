@@ -77,13 +77,23 @@ object Enrich {
     *
     * Output: key cols + attr cols + (valid_from, valid_to, is_current),
     * with `valid_to = openEnd` sentinel on open rows.
+    *
+    * ITERATIVE USE: by default (`validFromCol = None`) every surviving old
+    * version is stamped with the `initial` sentinel as valid_from — a
+    * one-shot two-snapshot diff. To chain merges day over day, pass
+    * `validFromCol = Some("valid_from")` and feed the PREVIOUS merge's
+    * open rows (`is_current`) back as `current`: each old version then
+    * keeps its real effective date instead of being reset to `initial`.
     */
   def scd2Merge(current: DataFrame, incoming: DataFrame,
                 keyCols: Seq[String], attrCols: Seq[String],
                 effective: String, initial: String = "1900-01-01",
-                openEnd: String = "9999-12-31"): DataFrame = {
+                openEnd: String = "9999-12-31",
+                validFromCol: Option[String] = None): DataFrame = {
+    val curFrom = validFromCol.map(col).getOrElse(lit(initial))
     val c = current.select(keyCols.map(col) :+
-      struct(attrCols.map(col): _*).as("__cur"): _*)
+      struct(attrCols.map(col): _*).as("__cur") :+
+      curFrom.cast("string").as("__from"): _*)
     val n = incoming.select(keyCols.map(col) :+
       struct(attrCols.map(col): _*).as("__new"): _*)
     val j = c.join(n, keyCols, "full_outer")
@@ -91,11 +101,12 @@ object Enrich {
       struct(attrs.as("a"), from.as("f"), to.as("t"), lit(open).as("o"))
     val changed = col("__cur").isNotNull && col("__new").isNotNull &&
       !(col("__cur") <=> col("__new"))
+    val from = coalesce(col("__from"), lit(initial))
     val variants = array(
       when(col("__cur").isNotNull && (col("__new").isNull || changed),
-        version(col("__cur"), lit(initial), lit(effective), open = false)),
+        version(col("__cur"), from, lit(effective), open = false)),
       when(col("__cur").isNotNull && (col("__cur") <=> col("__new")),
-        version(col("__cur"), lit(initial), lit(openEnd), open = true)),
+        version(col("__cur"), from, lit(openEnd), open = true)),
       when(col("__new").isNotNull && (col("__cur").isNull || changed),
         version(col("__new"), lit(effective), lit(openEnd), open = true)))
     j.select(keyCols.map(col) :+

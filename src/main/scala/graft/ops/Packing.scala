@@ -37,13 +37,15 @@ object Packing {
     require(budget > 0, s"budget must be positive, got $budget")
     val w = Window.partitionBy(stream).orderBy(order.asc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // Integer DIV, not floor(double/double): exact at any cumulative token
+    // count (a double loses integers past 2^53, which a 100 TB stream can
+    // reach), and ≡ floor division for the non-negative operands here.
     df.withColumn("cum_tokens", sum(nTokens).over(w))
-      .withColumn("bin_id",
-        floor((col("cum_tokens") - nTokens).cast("double") / budget.toDouble)
-          .cast("long"))
+      .withColumn("__start", (col("cum_tokens") - nTokens).cast("long"))
+      .withColumn("bin_id", expr(s"__start DIV $budget").cast("long"))
       .withColumn("spans_bins",
-        floor((col("cum_tokens") - lit(1)).cast("double") / budget.toDouble)
-          .cast("long") > col("bin_id"))
+        expr(s"(cum_tokens - 1) DIV $budget").cast("long") > col("bin_id"))
+      .drop("__start")
   }
 
   /** Materialize packed bins: one row per (stream, bin) with the documents

@@ -16,16 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Injective encoding of one possibly-null field: NULL → "n", value v →
+    * "v<len>:<v>". The length prefix makes the concatenation of two encoded
+    * fields unambiguous — a value containing the separator, or one literally
+    * equal to a null sentinel, can never alias a different (stratum, id)
+    * pair — so distinct pairs always get independent hash draws. NULL maps
+    * to its own token (not a sentinel string a real value could equal)
+    * because md5(NULL) is NULL and null-keyed rows would otherwise fail
+    * every threshold test (sample(1.0) must be the identity).
+    */
+  private def enc(c: Column): Column = {
+    val s = c.cast("string")
+    when(s.isNull, lit("n"))
+      .otherwise(concat(lit("v"), length(s).cast("string"), lit(":"), s))
+  }
+
   /** The row's position in [0, 2^32): first 8 hex chars of
-    * md5(stratum|id) — uniform, deterministic, engine-portable. NULL
-    * stratum/id values hash via an explicit sentinel: without it,
-    * md5(NULL) is NULL and null-keyed rows would silently fail every
-    * threshold test (sample(1.0) must be the identity).
+    * md5(enc(stratum)|enc(id)) — uniform, deterministic, engine-portable.
     */
   private[ops] def hashPos(strata: Column, id: Column): Column =
     conv(substring(md5(concat(
-      coalesce(strata.cast("string"), lit("__null__")), lit("|"),
-      coalesce(id.cast("string"), lit("__null__")))), 1, 8), 16, 10)
+      enc(strata), lit("|"), enc(id))), 1, 8), 16, 10)
       .cast("long")
 
   /** Stratified sample: keep ~`fraction` of rows within every stratum.
@@ -51,20 +62,31 @@ object Sampling {
     * by their md5 hash (ties by id), so which rows survive is deterministic
     * and engine-portable, and strata under the cap pass through untouched.
     *
-    * One shuffle on the stratum key + a window pass. A stratum so hot it
-    * skews its partition is exactly the stratum being cut to `maxRows` —
-    * but the window still SORTS the full stratum first; if one stratum is
-    * a large fraction of all data, pre-filter with [[stratifiedSample]]
-    * (no shuffle) to near the cap, then apply the exact cap.
+    * Two-phase exact cap, so a mega-stratum — by definition the hot key
+    * being capped — never sorts in one task: phase 1 ranks within
+    * (stratum, salt) buckets ([[rankSalts]] of them) and keeps each
+    * bucket's `maxRows` smallest hashes; phase 2 takes the exact global
+    * top-`maxRows` over the ≤ salts·maxRows survivors per stratum. The
+    * global top-k is provably a subset of the union of bucket-local
+    * top-k's (any globally-kept row is among its own bucket's k smallest),
+    * so the result is identical to the single-window cap while the
+    * per-task row count in phase 2 is bounded by salts·maxRows regardless
+    * of stratum size.
     */
   def capPerStratum(df: DataFrame, strata: Column, id: Column,
                     maxRows: Int): DataFrame = {
     require(maxRows >= 0, s"maxRows must be >= 0, got $maxRows")
-    val w = Window.partitionBy(strata)
-      .orderBy(hashPos(strata, id).asc, id.asc)
-    df.withColumn("__rank", row_number().over(w))
+    val local = Window.partitionBy(strata, col("__salt"))
+      .orderBy(col("__pos").asc, id.asc)
+    val global = Window.partitionBy(strata)
+      .orderBy(col("__pos").asc, id.asc)
+    df.withColumn("__pos", hashPos(strata, id))
+      .withColumn("__salt", pmod(col("__pos"), lit(rankSalts)))
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= maxRows)
+      .withColumn("__rank", row_number().over(global))
       .filter(col("__rank") <= maxRows)
-      .drop("__rank")
+      .drop("__pos", "__salt", "__lr", "__rank")
   }
 
   /** Per-stratum quantile filter: keep rows whose `score` is at or above
@@ -151,7 +173,8 @@ object Sampling {
       .select(col("query_id"), col("item_id"), col("rank"))
   }
 
-  /** Salt fan-out for [[negativeSamples]]' first ranking phase. */
+  /** Salt fan-out for the bucket-local ranking phase of
+    * [[negativeSamples]] and [[capPerStratum]]. */
   private val rankSalts = 64
 
   /** Deterministic global shuffle + equal-size shard assignment: every row

@@ -47,6 +47,13 @@ class DocGenSource extends TableProvider
     DocGen.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
+    // A user-supplied .schema(...) must be validated, not silently dropped:
+    // the generator produces exactly DocGen.schema, so anything else would
+    // read garbage. (Spark passes inferSchema's result here on the normal
+    // path, so this only fires on an explicit mismatching user schema.)
+    require(schema == DocGen.schema,
+      s"graft-docgen generates a fixed schema ${DocGen.schema.simpleString}; " +
+        s"user-specified schema ${schema.simpleString} does not match")
     // getTable receives the case-PRESERVED map; option("Rows", ...) must
     // mean rows, same as the CaseInsensitiveStringMap inferSchema gets
     val opts = new CaseInsensitiveStringMap(properties)

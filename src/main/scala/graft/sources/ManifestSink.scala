@@ -72,10 +72,26 @@ private[sources] object Manifest {
     * name exists without content (a delete-then-rename would open exactly
     * that visibility hole for concurrent readers).
     */
+  /** Orphaned temp manifests older than this are reaped on publish: a
+    * process that died between create and rename leaves its `.tmp` behind
+    * (readers already ignore the suffix, so correctness never depended on
+    * cleanup), and one hour is far beyond any publish's create→rename gap,
+    * so a live writer's in-flight temp is never deleted.
+    */
+  private val tmpReapAgeMs: Long = 60L * 60 * 1000
+
   def publish(dir: String, name: String, lines: Seq[String]): Unit = {
     val f = fs(dir)
     val mdir = new Path(dir, "manifests")
     f.mkdirs(mdir)
+    // best-effort reap of stale orphans; failure never blocks the publish
+    try {
+      val horizon = System.currentTimeMillis() - tmpReapAgeMs
+      f.listStatus(mdir).iterator
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".tmp") &&
+          s.getModificationTime < horizon)
+        .foreach(s => f.delete(s.getPath, false))
+    } catch { case scala.util.control.NonFatal(_) => }
     val tmp = new Path(mdir, s".$name.${UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))

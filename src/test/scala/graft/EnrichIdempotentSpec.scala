@@ -96,6 +96,30 @@ class EnrichIdempotentSpec extends AnyFunSuite {
       (5L, Some("e"), "9999-12-31", true)))         // insert opens
   }
 
+  test("scd2Merge chains: valid_from propagates through iterative merges") {
+    import graft.enrich.Enrich
+    val day0 = Seq((1L, "a"), (2L, "b")).toDF("k", "attr")
+    val day1 = Seq((1L, "a"), (2L, "b2")).toDF("k", "attr") // 2 changes
+    val day2 = Seq((1L, "a"), (2L, "b2")).toDF("k", "attr") // nothing changes
+    val h1 = Enrich.scd2Merge(day0, day1, Seq("k"), Seq("attr"), "2024-02-01")
+    // feed the open rows back as `current`, propagating their real dates
+    val h2 = Enrich.scd2Merge(h1.filter($"is_current"), day2,
+      Seq("k"), Seq("attr"), "2024-03-01",
+      validFromCol = Some("valid_from"))
+    val out = h2.orderBy("k")
+      .select("k", "attr", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, String, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", "1900-01-01", "9999-12-31", true),  // never changed
+      (2L, "b2", "2024-02-01", "9999-12-31", true)), // keeps day-1 date
+      "a chained merge must keep each version's REAL effective date")
+    // without validFromCol the default stays the documented one-shot diff
+    val oneShot = Enrich.scd2Merge(h1.filter($"is_current"), day2,
+      Seq("k"), Seq("attr"), "2024-03-01")
+    assert(oneShot.filter($"k" === 2L).select("valid_from")
+      .as[String].head() === "1900-01-01")
+  }
+
   test("mergeAggState folds any split of deltas to the direct aggregation") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     def partials(df: org.apache.spark.sql.DataFrame) =

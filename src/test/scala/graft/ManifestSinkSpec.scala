@@ -60,6 +60,23 @@ class ManifestSinkSpec extends AnyFunSuite {
       "partial output from the failed job leaked into the manifest set")
   }
 
+  test("publish reaps stale orphan .tmp manifests, never fresh ones") {
+    val dir = TestSpark.tmpDir("graft-man") + "/t"
+    write(dir, Seq("a"))
+    val mdir = Paths.get(s"$dir/manifests")
+    val stale = mdir.resolve(".dead.123.tmp")
+    val fresh = mdir.resolve(".live.456.tmp")
+    Files.write(stale, "orphan\n".getBytes)
+    Files.write(fresh, "inflight\n".getBytes)
+    // age the stale one past the reap horizon (1 h)
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    write(dir, Seq("b"))
+    assert(!Files.exists(stale), "stale orphan .tmp must be reaped on publish")
+    assert(Files.exists(fresh), "a fresh in-flight .tmp must survive")
+    assert(readBack(dir) === Set("a", "b"))
+  }
+
   test("V2 end to end: docgen stream lands through the manifest sink intact") {
     // both custom connectors in one pipeline: the generator streams
     // micro-batches, the sink commits one epoch manifest per batch, and

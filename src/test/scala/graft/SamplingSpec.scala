@@ -58,6 +58,62 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.capPerStratum(tiny, $"src", $"doc_id", 10).count() === 3)
   }
 
+  test("capPerStratum: mega-stratum matches the single-window cap, salted plan") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot stratum (5000 rows, 500x the cap) + one under the cap
+    val mega = spark.range(5000)
+      .select(($"id" + 100L).as("doc_id"), lit("hot").as("src"))
+      .union(spark.range(5).select($"id".as("doc_id"), lit("cold").as("src")))
+    val capped = Sampling.capPerStratum(mega, $"src", $"doc_id", 7)
+    // reference: the plain single-window cap, hash replicated from hashPos
+    def enc(c: org.apache.spark.sql.Column) = {
+      val s = c.cast("string")
+      when(s.isNull, lit("n"))
+        .otherwise(concat(lit("v"), length(s).cast("string"), lit(":"), s))
+    }
+    val pos = conv(substring(md5(concat(
+      enc($"src"), lit("|"), enc($"doc_id"))), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy($"src").orderBy(pos.asc, $"doc_id".asc)
+    val expected = mega.withColumn("__r", row_number().over(w))
+      .filter($"__r" <= 7).drop("__r")
+      .as[(Long, String)].collect().toSet
+    assert(capped.as[(Long, String)].collect().toSet === expected,
+      "two-phase salted cap must equal the exact single-window cap")
+    // plan pin: phase 1 ranks inside (stratum, salt) buckets, so no task
+    // ever sorts the full mega-stratum
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"),
+      "cap must rank bucket-locally over (stratum, __salt) first")
+  }
+
+  test("hashPos encoding is injective: null/sentinel and separator collisions") {
+    // pre-fix, stratum NULL and the literal string "__null__" drew the SAME
+    // sample; an injective encoding must draw independent ones
+    val ids = spark.range(1000).select($"id".as("doc_id"))
+    val asNull = ids.withColumn("s", lit(null).cast("string"))
+    val asSentinel = ids.withColumn("s", lit("__null__"))
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.stratifiedSample(df, $"s", $"doc_id", 0.5)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(asNull) !== kept(asSentinel),
+      "NULL stratum must not hash like the string '__null__'")
+    // ("a|", "b") vs ("a", "|b"): same concatenation pre-fix; length
+    // prefixes must separate them
+    val p1 = ids.withColumn("s", lit("a|")).withColumn("doc_id",
+      concat(lit("b"), $"doc_id".cast("string")))
+    val p2 = ids.withColumn("s", lit("a")).withColumn("doc_id",
+      concat(lit("|b"), $"doc_id".cast("string")))
+    def keptS(df: org.apache.spark.sql.DataFrame): Set[String] =
+      Sampling.stratifiedSample(df, $"s", $"doc_id", 0.5)
+        .select("doc_id").as[String].collect().toSet
+    assert(keptS(p1) !== keptS(p2),
+      "values containing the separator must not alias other (stratum,id) pairs")
+    // null id rows still pass the identity law
+    val nullId = spark.range(3).select(lit(null).cast("string").as("doc_id"),
+      lit("x").as("s"))
+    assert(Sampling.stratifiedSample(nullId, $"s", $"doc_id", 1.0).count() === 3)
+  }
+
   test("keepTopQuantile keeps ~(1-q) per stratum and never beats the best row") {
     val scored = docs.select($"doc_id", $"lang",
       round(graft.ops.TextAnalysis.qualityScore($"text"), 4).as("quality"))
