@@ -1508,7 +1508,15 @@ object SparkEntry {
     * corpus is synthesized by the connector), so this is a rows-only gate;
     * DocGenSourceSpec pins determinism, pruning, and pushdown exactly.
     */
-  private def q94(s: SparkSession, dir: String): DataFrame =
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    // Hash gate via the landed file (q89/q96's pattern): the full corpus
+    // lands UNFILTERED at a fixed path, while the query itself aggregates
+    // through the docgen SCAN with its range pushdown — the DuckDB oracle
+    // applies the same predicate to the landed parquet, so a pushdown that
+    // skipped or duplicated a slice would shift the counts and fail.
+    s.read.format("graft-docgen")
+      .option("rows", 5000).option("partitions", 8).load()
+      .write.mode("overwrite").parquet(q94LandPath)
     s.read.format("graft-docgen")
       .option("rows", 5000).option("partitions", 8).load()
       .filter(col("doc_id") >= 1000 && col("doc_id") < 4000)
@@ -1516,6 +1524,13 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"))
       .orderBy("lang")
+  }
+
+  /** Where q94 lands the generated corpus for its DuckDB oracle. The
+    * generator is sfDir-independent, so one fixed location suffices; each
+    * run overwrites it.
+    */
+  private val q94LandPath = "/tmp/graft_q94_land"
 
   /** Analytics: ordered funnel (view → click → purchase) — earliest
     * completion times for users who performed the stages IN ORDER. Each
@@ -2062,6 +2077,15 @@ object SparkEntry {
         1.0 - CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE)
           AS simpson
       FROM cnt GROUP BY doc_id ORDER BY doc_id""",
+    // Oracle over the file q94 lands (the generator is not expressible in
+    // DuckDB SQL — splitmix64 needs 64-bit wraparound); the predicate is
+    // applied HERE while the engine pushed it into the V2 scan.
+    "q94_docgen_source" -> s"""
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM read_parquet('$q94LandPath/*.parquet')
+      WHERE doc_id >= 1000 AND doc_id < 4000
+      GROUP BY lang ORDER BY lang""",
     "q74_incremental_dedup" -> q74Oracle,
     "q75_quality_quantile_filter" -> """
       WITH f AS (
