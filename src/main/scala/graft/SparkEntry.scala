@@ -948,6 +948,26 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Similarity 4: IVF with nprobe=2 — each query probes its TWO nearest
+    * cells, recovering neighbors that sit just across a cell boundary (the
+    * dominant IVF miss mode). On clustered corpora this is the
+    * candidate-volume-efficient recall lever: AnnRecallSpec measures the
+    * (recall, candidate-fraction) ladder and BASELINE.md pins it.
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = Similarity.minIdSeeds(
+      e, col("vec_id"), col("embedding"), col("label"))
+    Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+        centroids, col("cell"), col("cvec"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 5, nprobe = 2)
+      .select(col("query_id"), col("item_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1805,7 +1825,8 @@ object SparkEntry {
     "q99_correlation" -> q99 _,
     "q100_stream_static_join" -> q100 _,
     "q101_pagerank" -> q101 _,
-    "q102_funnel_n" -> q102 _)
+    "q102_funnel_n" -> q102 _,
+    "q103_ann_ivf_probe2" -> q103 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3033,6 +3054,34 @@ object SparkEntry {
           list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
             CAST(a.vec AS DOUBLE[])) AS cos
         FROM assign a JOIN q ON a.cell = q.cell AND a.item_id != q.query_id)
+      SELECT query_id, item_id,
+        CAST(row_number() OVER w AS BIGINT) AS rank, round(cos, 4) AS cosine
+      FROM scored
+      WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC, item_id)
+      QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q103_ann_ivf_probe2" -> """
+      WITH cent AS (
+        SELECT label AS cell, embedding AS cvec FROM embeddings
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+      assign AS (
+        SELECT e.vec_id AS item_id, e.embedding AS vec, c.cell
+        FROM embeddings e CROSS JOIN cent c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) = 1),
+      probes AS (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cell
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < 10
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) <= 2),
+      scored AS (
+        SELECT q.query_id, a.item_id,
+          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+            CAST(a.vec AS DOUBLE[])) AS cos
+        FROM assign a JOIN probes q ON a.cell = q.cell
+          AND a.item_id != q.query_id)
       SELECT query_id, item_id,
         CAST(row_number() OVER w AS BIGINT) AS rank, round(cos, 4) AS cosine
       FROM scored

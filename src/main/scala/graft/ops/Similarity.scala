@@ -60,54 +60,102 @@ object Similarity {
       when(element_at(vec, d + 1) >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed approximate top-k: only corpus items in the query's sign
-    * bucket are scored. Recall < 1 by construction; bucket count 2^|dims|.
-    *
-    * `probeHamming` enables multi-probe: each query also probes every
-    * bucket within that Hamming distance of its own (|dims| extra probes at
-    * distance 1, C(|dims|,2) more at distance 2) — recovering near-misses
-    * where one or two sign bits disagree, the dominant sign-LSH miss mode.
-    * Candidate generation stays an equi-join on the bucket key (the probe
-    * list is exploded on the tiny query side); corpus items occupy exactly
-    * one bucket and probe buckets are pairwise distinct, so no
-    * (query, item) pair is scored twice. Measured on the sf0.01 embeddings
-    * (near-random vectors, true top-5 neighbors at 60-75° — the hard case;
-    * see AnnRecallSpec): recall@5 is 0.04 single-probe, 0.44 at distance 1,
-    * 0.80 at distance 2, for candidate volumes of ~3%/19%/50% of the
-    * corpus. Probing is the recall lever to pull before adding hash tables:
-    * it reuses the same bucketed layout, costing only candidate volume.
+  /** XOR masks whose buckets lie within Hamming distance `h` of a query's
+    * own bucket: the identity, every single bit, every bit pair.
     */
-  def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
-              queries: DataFrame, queryId: Column, queryVec: Column,
-              k: Int, dims: Seq[Int] = Seq(0, 8, 16, 24, 32),
-              probeHamming: Int = 0): DataFrame = {
-    require(probeHamming >= 0 && probeHamming <= 2,
+  private def probeMasks(bits: Int, h: Int): Seq[Int] = {
+    require(h >= 0 && h <= 2,
       "probeHamming must be 0 (exact bucket), 1, or 2 (flipped-bit probes)")
-    val c = Dedup.spread(corpus)
-      .select(corpusId.as("item_id"), corpusVec.as("__cv"))
-      .withColumn("bucket", signBucket(col("__cv"), dims))
-    val q0 = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
-      .withColumn("__b0", signBucket(col("__qv"), dims))
-    val masks: Seq[Int] = Seq(0) ++
-      (if (probeHamming >= 1) dims.indices.map(1 << _) else Nil) ++
-      (if (probeHamming >= 2)
-        for { j <- dims.indices; l <- j + 1 until dims.length }
+    Seq(0) ++
+      (if (h >= 1) (0 until bits).map(1 << _) else Nil) ++
+      (if (h >= 2)
+        for { j <- 0 until bits; l <- j + 1 until bits }
           yield (1 << j) | (1 << l)
       else Nil)
-    val q =
-      if (masks.size == 1) q0.withColumnRenamed("__b0", "bucket")
-      else q0.select(col("query_id"), col("__qv"),
-        explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*))
-          .as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+  }
+
+  /** Candidate (query, item) pairs from one or more sign-LSH tables, each
+    * probed to Hamming distance `probeHamming` (OR-construction: a pair is
+    * a candidate if ANY table buckets it together). Candidate generation is
+    * one equi-join on (table, bucket): the corpus occupies exactly one
+    * bucket per table (a |tables|-way map-side explode — no corpus
+    * shuffle), the probe list explodes on the tiny broadcast query side.
+    * With a single table the probe buckets are pairwise distinct so no
+    * pair repeats and no dedup runs; with several tables the overlap is
+    * deduped before scoring so a pair is never scored twice.
+    */
+  def lshCandidates(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    queries: DataFrame, queryId: Column, queryVec: Column,
+                    tables: Seq[Seq[Int]], probeHamming: Int): DataFrame = {
+    require(tables.nonEmpty && tables.forall(_.nonEmpty),
+      "need at least one non-empty signature-dimension table")
+    val c0 = Dedup.spread(corpus)
+      .select(corpusId.as("item_id"), corpusVec.as("__cv"))
+    val c =
+      if (tables.size == 1) c0
+        .withColumn("__t", lit(0))
+        .withColumn("bucket", signBucket(col("__cv"), tables.head))
+      else c0.select(col("item_id"), col("__cv"),
+        posexplode(array(tables.map(d => signBucket(col("__cv"), d)): _*))
+          .as(Seq("__t", "bucket")))
+    val probes = for {
+      (dims, ti) <- tables.zipWithIndex
+      m <- probeMasks(dims.length, probeHamming)
+    } yield struct(lit(ti).as("t"),
+      signBucket(col("__qv"), dims).bitwiseXOR(lit(m)).as("b"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        explode(array(probes: _*)).as("__p"))
+      .select(col("query_id"), col("__qv"),
+        col("__p.t").as("__t"), col("__p.b").as("bucket"))
+    val joined = c.join(broadcast(q), Seq("__t", "bucket"))
       .filter(col("item_id") =!= col("query_id"))
-      .select(col("query_id"), col("item_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine"))
+      .select(col("query_id"), col("item_id"), col("__qv"), col("__cv"))
+    if (tables.size == 1) joined
+    else joined.dropDuplicates("query_id", "item_id")
+  }
+
+  /** Exact-cosine scoring + per-query top-k over prepared candidate pairs
+    * carrying (__qv, __cv). The round-6/id tie-break rule lives here and in
+    * [[topKByPredicate]] only.
+    */
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
+    val scored = cands.select(col("query_id"), col("item_id"),
+      cosine(col("__qv"), col("__cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cosine"), 6).desc, col("item_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** LSH-bucketed approximate top-k: only corpus items bucketed with the
+    * query (in any table, within the probe radius) are scored. Recall < 1
+    * by construction; bucket count 2^|dims| per table.
+    *
+    * `probeHamming` enables multi-probe: each query also probes every
+    * bucket within that Hamming distance of its own (|dims| extra probes at
+    * distance 1, C(|dims|,2) more at distance 2) — recovering near-misses
+    * where one or two sign bits disagree, the dominant sign-LSH miss mode.
+    * `extraTables` adds independent hash tables (OR-construction) on other
+    * dimension sets, each probed with the same ladder.
+    *
+    * Measured on the sf0.01 embeddings (near-random vectors, true top-5
+    * neighbors at 60-75° — the hard case; AnnRecallSpec re-measures and
+    * BASELINE.md pins the (recall, candidate-fraction) ladder): recall@5
+    * 0.04 single-probe → 0.44 at distance 1 → 0.80 at distance 2, for
+    * candidate volumes ~3%/19%/50%. On embeddings THIS unstructured,
+    * extra sign tables buy recall only near-linearly in volume — when the
+    * corpus clusters (the usual 100 TB case), [[ivfTopK]] with `nprobe`
+    * is the cheaper recall lever (measured 25× less volume per recall
+    * point here); both are shipped and measured.
+    */
+  def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, dims: Seq[Int] = Seq(0, 8, 16, 24, 32),
+              probeHamming: Int = 0,
+              extraTables: Seq[Seq[Int]] = Nil): DataFrame =
+    rankTopK(lshCandidates(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, dims +: extraTables, probeHamming), k)
 
   /** Deterministic, model-free seed centroids: the minimum-id vector of
     * each label becomes that cell's centroid — (cell, cvec) rows. One
@@ -142,6 +190,48 @@ object Similarity {
       .filter(col("__rn") === 1)
       .select(col("item_id"), col("vec"), col("cell"))
   }
+
+  /** IVF candidate pairs: corpus items are assigned to their nearest
+    * centroid once ([[assignToCentroids]]); each query ranks the centroids
+    * and probes its `nprobe` nearest cells. Candidate generation is an
+    * equi-join on the cell id — the corpus never shuffles, the
+    * (queries × nprobe) probe side broadcasts. Multi-probe is the IVF
+    * recall lever: a query near a cell boundary recovers neighbors that
+    * fell just across it, at a candidate volume of ~nprobe/k_cells of the
+    * corpus (vs sign-LSH multi-probe, which on unclustered data pays
+    * near-linear volume per recall point — see the numbers on [[lshTopK]]).
+    */
+  def ivfCandidates(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    centroids: DataFrame, centroidId: Column,
+                    centroidVec: Column, queries: DataFrame, queryId: Column,
+                    queryVec: Column, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val assigned = assignToCentroids(corpus, corpusId, corpusVec,
+      centroids, centroidId, centroidVec)
+    val ce = centroids.select(centroidId.as("cell"),
+      asDouble(centroidVec).as("__cvec"))
+    val qScored = queries.select(queryId.as("query_id"), asDouble(queryVec).as("__qv"))
+      .join(broadcast(ce))
+      .select(col("query_id"), col("__qv"), col("cell"),
+        cosine(col("__qv"), col("__cvec")).as("__sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("__sim"), 6).desc, col("cell").asc)
+    val probes = qScored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"), col("__qv"),
+        col("vec").as("__cv"))
+  }
+
+  /** IVF approximate top-k with `nprobe` probed cells per query. */
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              centroids: DataFrame, centroidId: Column, centroidVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, nprobe: Int = 1): DataFrame =
+    rankTopK(ivfCandidates(corpus, corpusId, corpusVec, centroids,
+      centroidId, centroidVec, queries, queryId, queryVec, nprobe), k)
 
   /** One k-means refinement step over an assignment produced by
     * [[assignToCentroids]]: the new centroid of each cell is the per-

@@ -36,17 +36,58 @@ class AnnRecallSpec extends AnyFunSuite {
     approx.intersect(truth).size.toDouble / truth.size
 
   private lazy val truth = pairs("q25_ann_bruteforce_topk")
-  private lazy val singleRecall = {
-    val e = graft.Tables.load(spark, sfDir, "embeddings")
-    val single = Similarity.lshTopK(
-      e, col("vec_id"), col("embedding"),
-      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 5)
-      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
-    recallOf(single, truth)
+  private lazy val e = graft.Tables.load(spark, sfDir, "embeddings")
+  private lazy val queries = e.filter(col("vec_id") < 10)
+  private lazy val nPairs: Long = {
+    val n = e.count(); 10L * (n - 1) // queries are corpus members
   }
+
+  private val dims1 = Seq(0, 8, 16, 24, 32)
+  private val dims2 = Seq(4, 12, 20, 28, 36)
+
+  /** (recall@5, candidate fraction of the 10×(N−1) pair space). */
+  private def lshPoint(h: Int, tables: Seq[Seq[Int]]): (Double, Double) = {
+    val cands = Similarity.lshCandidates(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), tables, h)
+    val approx = Similarity.lshTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 5,
+      dims = tables.head, probeHamming = h, extraTables = tables.tail)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    (recallOf(approx, truth), cands.count().toDouble / nPairs)
+  }
+
+  private def ivfPoint(nprobe: Int): (Double, Double) = {
+    val cent = Similarity.minIdSeeds(e, col("vec_id"), col("embedding"),
+      col("label"))
+    val cands = Similarity.ivfCandidates(e, col("vec_id"), col("embedding"),
+      cent, col("cell"), col("cvec"),
+      queries, col("vec_id"), col("embedding"), nprobe)
+    val approx = Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+      cent, col("cell"), col("cvec"),
+      queries, col("vec_id"), col("embedding"), k = 5, nprobe = nprobe)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    (recallOf(approx, truth), cands.count().toDouble / nPairs)
+  }
+
+  private lazy val single = lshPoint(0, Seq(dims1))
+  private lazy val h1 = lshPoint(1, Seq(dims1))
+  private lazy val h2 = lshPoint(2, Seq(dims1))
+  private lazy val h2x2 = lshPoint(2, Seq(dims1, dims2))
+  private lazy val ivf1 = ivfPoint(1)
+  private lazy val ivf2 = ivfPoint(2)
   private lazy val h1Recall = recallOf(pairs("q62_ann_multiprobe_topk"), truth)
   private lazy val h2Recall = recallOf(pairs("q26_ann_lsh_topk"), truth)
   private lazy val ivfRecall = recallOf(pairs("q37_ann_ivf_topk"), truth)
+
+  test("measured (recall, candidate-fraction) ladder — BASELINE.md pins") {
+    val rows = Seq(
+      "lsh single" -> single, "lsh H<=1" -> h1, "lsh H<=2" -> h2,
+      "lsh H<=2 x2 tables" -> h2x2, "ivf nprobe=1" -> ivf1,
+      "ivf nprobe=2" -> ivf2)
+    rows.foreach { case (n, (r, f)) =>
+      info(f"$n%-20s recall@5=$r%.2f candidates=${f * 100}%.1f%%")
+    }
+  }
 
   test("shipped sign-LSH (q26, Hamming<=2 probes) recall@5 meets the floor") {
     assert(truth.size === 50)
@@ -57,12 +98,26 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.6, s"q37 recall@5 $ivfRecall < 0.6")
   }
 
-  test("probe ladder is monotone and distance-1 clears its floor") {
+  test("IVF nprobe=2 (q103): the volume-efficient recall point") {
+    val (r, f) = ivf2
+    assert(r >= 0.75, s"ivf nprobe=2 recall@5 $r < 0.75")
+    assert(f <= 0.25, s"ivf nprobe=2 candidate fraction $f > 0.25")
+    assert(r >= ivf1._1,
+      s"nprobe=2 recall $r < nprobe=1 ${ivf1._1} — probing a superset " +
+        "of cells cannot lose recall")
+    // the q103 gate result matches the op called directly
+    assert(pairs("q103_ann_ivf_probe2").size === 50)
+  }
+
+  test("OR-construction: a second table only adds recall, probes stay monotone") {
     assert(h1Recall >= 0.35, s"q62 recall@5 $h1Recall < 0.35")
-    assert(h1Recall >= singleRecall,
-      s"distance-1 $h1Recall < single-probe $singleRecall — probing a " +
+    assert(h1Recall >= single._1,
+      s"distance-1 $h1Recall < single-probe ${single._1} — probing a " +
         "superset of buckets cannot lose recall")
     assert(h2Recall >= h1Recall,
       s"distance-2 $h2Recall < distance-1 $h1Recall")
+    assert(h2x2._1 >= h2._1,
+      s"two-table recall ${h2x2._1} < one-table ${h2._1} — OR-construction " +
+        "searches a superset of pairs")
   }
 }
