@@ -21,13 +21,28 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** `iters` PageRank rounds over directed `edges` (duplicate edges are
-    * collapsed). Nodes with no out-edges contribute nothing (their mass
-    * leaks — the standard simplification when ranks are used as relative
-    * weights, documented rather than redistributed). Returns (node, rank).
+    * collapsed). Returns (node, rank).
+    *
+    * Dangling nodes (no out-edges): by default their mass leaks — the
+    * standard simplification when ranks are only relative weights. With
+    * `redistributeDangling = true`, each round's dangling mass is summed
+    * (DECIMAL — exact) and spread uniformly over all nodes before damping,
+    * so total rank stays exactly 1 at every round (spec-pinned). The
+    * per-round scalar rides in as a broadcast one-row frame, not driver
+    * state.
+    *
+    * `tol > 0` adds a convergence stop: iteration ends early once
+    * `max |rank − rank'| < tol` — so `iters` becomes a CAP instead of the
+    * only control. The check is one scalar read per round off the already-
+    * checkpointed frame (the same price connectedComponents pays); leave
+    * `tol = 0` for oracle-gated runs that must unroll a fixed count.
     */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
-               iters: Int, damping: Double = 0.85): DataFrame = {
+               iters: Int, damping: Double = 0.85,
+               redistributeDangling: Boolean = false,
+               tol: Double = 0.0): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(tol >= 0.0, s"tol must be >= 0, got $tol")
     val e = edges.select(src.as("src"), dst.as("dst")).distinct()
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -42,17 +57,40 @@ object Graph {
     val n = lit(nNodes.toDouble)
     val base = lit(1.0d - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0d) / n)
-    (1 to iters).foreach { _ =>
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val contrib = ranks.join(outDeg, Seq("node"))
         .join(e, col("node") === col("src"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
       val summed = contrib.groupBy(col("dst").as("node"))
         .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("in_mass"))
-      ranks = nodes.join(summed, Seq("node"), "left")
-        .select(col("node"),
-          (base + lit(damping) * coalesce(col("in_mass"), lit(0.0d)))
-            .as("rank"))
-        .localCheckpoint()
+      val inMass = coalesce(col("in_mass"), lit(0.0d))
+      val next =
+        if (!redistributeDangling) {
+          nodes.join(summed, Seq("node"), "left")
+            .select(col("node"),
+              (base + lit(damping) * inMass).as("rank"))
+        } else {
+          // dangling mass, summed exactly; one row, broadcast back in
+          val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank").cast("decimal(28,18)")),
+              lit(0).cast("decimal(28,18)")).cast("double").as("__dmass"))
+          nodes.join(summed, Seq("node"), "left")
+            .crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (base + lit(damping) * (inMass + col("__dmass") / n)).as("rank"))
+        }
+      val checkpointed = next.localCheckpoint()
+      if (tol > 0.0) {
+        val delta = checkpointed
+          .join(ranks.select(col("node"), col("rank").as("__prev")), Seq("node"))
+          .agg(max(abs(col("rank") - col("__prev"))).as("d"))
+          .first().getDouble(0)
+        converged = delta < tol
+      }
+      ranks = checkpointed
+      it += 1
     }
     ranks
   }

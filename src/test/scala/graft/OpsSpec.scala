@@ -324,6 +324,44 @@ class OpsSpec extends AnyFunSuite {
     assert(r0.values.forall(v => math.abs(v - 1.0 / 11) < 1e-12))
   }
 
+  test("pageRank redistributes dangling mass: rank sums to 1 every round") {
+    // leaves point at the hub; the hub dangles (no out-edges at all)
+    val edges = (1L to 10L).map(i => (s"leaf$i", "hub")).toDF("src", "dst")
+    val leaky = graft.ops.Graph.pageRank(edges, $"src", $"dst", iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(leaky.values.sum < 0.9,
+      s"without redistribution the hub's mass must leak: ${leaky.values.sum}")
+    val kept = graft.ops.Graph.pageRank(edges, $"src", $"dst", iters = 3,
+      redistributeDangling = true).as[(String, Double)].collect().toMap
+    assert(math.abs(kept.values.sum - 1.0) < 1e-9,
+      s"redistribution must conserve total mass: ${kept.values.sum}")
+    assert(kept("hub") > kept("leaf1"),
+      "the hub still dominates - redistribution is uniform, not a reset")
+  }
+
+  test("pageRank tol stop: converged ranks are a fixed point, iters is a cap") {
+    val edges = (1L to 10L).flatMap(i =>
+      Seq((s"leaf$i", "hub"), ("hub", s"leaf$i"))).toDF("src", "dst")
+    // a loose tol stops after the very first round: result must equal the
+    // fixed 1-iteration unroll exactly (pins that tol drives the loop)
+    val early = graft.ops.Graph.pageRank(edges, $"src", $"dst",
+      iters = 100, tol = 0.8).as[(String, Double)].collect().toMap
+    val one = graft.ops.Graph.pageRank(edges, $"src", $"dst",
+      iters = 1).as[(String, Double)].collect().toMap
+    assert(early === one, "tol=0.8 must stop after round 1")
+    // damping 0.5 mixes fast: the tol-stopped run (cap never reached) must
+    // sit at the same fixed point as a longer fixed-count reference
+    val converged = graft.ops.Graph.pageRank(edges, $"src", $"dst",
+      iters = 80, damping = 0.5, tol = 1e-12)
+      .as[(String, Double)].collect().toMap
+    val ref = graft.ops.Graph.pageRank(edges, $"src", $"dst",
+      iters = 60, damping = 0.5).as[(String, Double)].collect().toMap
+    converged.foreach { case (node, r) =>
+      assert(math.abs(r - ref(node)) < 1e-9,
+        s"$node: tol-stopped rank $r != fixed-point rank ${ref(node)}")
+    }
+  }
+
   test("multimodal decode derives deterministic dimensions from payload bytes") {
     val assets = Multimodal.fromText(
       docs.withColumn("source", lit("s")), "doc_id", "text", "source")
