@@ -1634,6 +1634,36 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Streaming 7: the funnel landed EXACTLY-ONCE through the batch-scoped
+    * overwrite sink (q89's replay law applied to a stateful stream) — the
+    * table is landed, then fully redelivered from a fresh checkpoint, and
+    * must converge to the same completion set, which hash-matches the
+    * batch funnel oracle (q95's SQL).
+    */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-q104")
+    val table = s"$base/t"
+    def land(run: Int): Unit = graft.streaming.Streaming.funnelLanding(
+      Tables.stream(s, dir, "events"), table, s"$base/ck$run")
+    land(0)
+    land(1) // full redelivery (fresh checkpoint): must converge, not dupe
+    val out = s.read.parquet(table)
+      .select(col("user_id"),
+        timestamp_micros(col("t_view_us")).as("t_view"),
+        timestamp_micros(col("t_click_us")).as("t_click"),
+        timestamp_micros(col("t_purchase_us")).as("t_purchase"))
+      .orderBy("user_id")
+    // q89's pattern: materialize the per-user completions so the temp
+    // landing dir + checkpoints can be removed before returning
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(out.collect(): _*)
+    val res = s.createDataFrame(rows, out.schema)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    res.orderBy("user_id")
+  }
+
   /** Profiling 3: per-type winsorization — clamp event values into the
     * [p05, p95] band of their type, thresholds as exact order statistics
     * (see [[graft.ops.Profile.winsorize]] for why interpolated quantiles
@@ -1826,7 +1856,8 @@ object SparkEntry {
     "q100_stream_static_join" -> q100 _,
     "q101_pagerank" -> q101 _,
     "q102_funnel_n" -> q102 _,
-    "q103_ann_ivf_probe2" -> q103 _)
+    "q103_ann_ivf_probe2" -> q103 _,
+    "q104_funnel_landing" -> q104 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2029,6 +2060,7 @@ object SparkEntry {
     "q95_funnel" -> funnelOracle,
     // the streaming funnel must reproduce the batch funnel exactly
     "q97_funnel_stream" -> funnelOracle,
+    "q104_funnel_landing" -> funnelOracle,
     "q100_stream_static_join" -> """
       WITH p AS (
         SELECT user_id, count(*) AS user_events,

@@ -324,6 +324,25 @@ object Streaming {
       }.toDF()
   }
 
+  /** Exactly-once funnel landing: [[funnelStream]]'s completions routed
+    * through the batch-scoped overwrite of [[partitionedSink]]. The plain
+    * memory/console emission of a stateful stream is at-most-once on a
+    * crash between emit and commit — the state that produced the
+    * completion is already dropped, but the sink never saw the row. Here
+    * the redelivered batch regenerates the same completions from the
+    * CHECKPOINTED pre-batch state and its landing replaces exactly its own
+    * `__batch_id` subtree, so replay converges instead of losing or
+    * duplicating completions (the same contract q89 proves for plain
+    * aggregates; the replay law is spec-pinned in StreamingSpec).
+    */
+  def funnelLanding(events: DataFrame, tablePath: String, checkpoint: String,
+                    stages: (String, String, String) = ("view", "click", "purchase"),
+                    watermark: String = "10 minutes",
+                    idleHorizonMinutes: Int = 240): Unit =
+    partitionedSink(
+      funnelStream(events, stages, watermark, idleHorizonMinutes),
+      tablePath, Nil, checkpoint)
+
   /** Run a streaming aggregation over a bounded source synchronously into an
     * in-memory table (test/bench harness path).
     */

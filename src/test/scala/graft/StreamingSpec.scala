@@ -106,6 +106,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids === Seq(1L, 2L), "multi-batch run lost a batch's rows")
   }
 
+  test("funnelLanding: exactly-once completions across batches and replay") {
+    val funnelRows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "view", 0.0),
+      (2L, ts("2024-01-01 00:01:00"), 7L, "click", 0.0),
+      (3L, ts("2024-01-01 00:02:00"), 7L, "purchase", 0.0),
+      (4L, ts("2024-01-01 00:00:30"), 8L, "view", 0.0)) // never completes
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // ---- incremental: the three stages arrive in SEPARATE micro-batches,
+    // so the completion is emitted from state spanning batches
+    val src = TestSpark.tmpDir("fl-src")
+    val table = TestSpark.tmpDir("fl-dst") + "/table"
+    val ck = TestSpark.tmpDir("fl-ck")
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      funnelRows.filter($"event_id" === id)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    def land(checkpoint: String): Unit = Streaming.funnelLanding(
+      spark.readStream.schema(funnelRows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      table, checkpoint)
+    land(ck)
+    def completions(): Seq[(Long, Long)] = spark.read.parquet(table)
+      .select($"user_id", $"t_purchase_us").as[(Long, Long)]
+      .collect().sorted.toSeq
+    val first = completions()
+    assert(first.map(_._1) === Seq(7L),
+      "exactly one completion row for the one user who finished the funnel")
+    // rerun on the SAME checkpoint with no new data: nothing changes
+    land(ck)
+    assert(completions() === first)
+    // ---- full redelivery from a fresh checkpoint, single-batch drain
+    // (the documented convergence case): kill-and-rerun converges
+    val table2 = TestSpark.tmpDir("fl-dst2") + "/table"
+    def landAll(run: Int): Unit = Streaming.funnelLanding(
+      spark.readStream.schema(funnelRows.schema).parquet(src),
+      table2, TestSpark.tmpDir(s"fl-ck2-$run"))
+    landAll(0)
+    val once = spark.read.parquet(table2)
+      .select($"user_id", $"t_purchase_us").as[(Long, Long)]
+      .collect().sorted.toSeq
+    landAll(1)
+    val twice = spark.read.parquet(table2)
+      .select($"user_id", $"t_purchase_us").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(once === first && twice === once,
+      "full redelivery must converge to the same completion table")
+  }
+
   test("incrementalFileLoad processes each file exactly once across restarts") {
     val src = TestSpark.tmpDir("stream-src")
     val dst = TestSpark.tmpDir("stream-dst") + "/out"
