@@ -1647,7 +1647,14 @@ object SparkEntry {
       Tables.stream(s, dir, "events"), table, s"$base/ck$run")
     land(0)
     land(1) // full redelivery (fresh checkpoint): must converge, not dupe
-    val out = s.read.parquet(table)
+    // empty delta: zero completions means the batch-scoped sink never
+    // created the table — the empty-partition case a pipeline must survive
+    val landed =
+      if (new java.io.File(table).exists) s.read.parquet(table)
+      else s.range(0).select(col("id").as("user_id"),
+        col("id").as("t_view_us"), col("id").as("t_click_us"),
+        col("id").as("t_purchase_us"))
+    val out = landed
       .select(col("user_id"),
         timestamp_micros(col("t_view_us")).as("t_view"),
         timestamp_micros(col("t_click_us")).as("t_click"),
