@@ -63,6 +63,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // cluster-profile A/B: SPARK_GRAFT_PAIR_HINT=merge benches the
+    // spill-safe SMJ profile against the default shuffle_hash pins
+    sys.env.get("SPARK_GRAFT_PAIR_HINT")
+      .foreach(v => spark.conf.set(GraftConf.PairJoinHintKey, v))
     val qs = SparkEntry.queries
     // Untimed warmup at the smallest scale factor: query plans share shapes
     // across scale factors, so this pre-compiles the generated code (janino)
