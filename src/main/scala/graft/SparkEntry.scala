@@ -27,6 +27,14 @@ object SparkEntry {
 
   /** Exact, order-independent sum of a double column: accumulate in decimal,
     * present as double. Oracle side: CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
+    *
+    * CAVEAT (found at sf0.001, q99): once the SCALED decimal sum needs more
+    * than 53 mantissa bits, DuckDB's direct decimal→double cast (int128 →
+    * double, then /10^scale — two roundings) can land 1 ulp away from
+    * Spark's correctly-rounded BigDecimal cast. Oracles whose scaled sums
+    * can exceed 2^53 must hop through VARCHAR —
+    * CAST(CAST(sum(...) AS VARCHAR) AS DOUBLE) — which parses
+    * correctly-rounded in both engines (q99/q101/q01/q03 do).
     */
   private def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -1996,7 +2004,9 @@ object SparkEntry {
     def iter(prev: String, out: String) =
       s"""c_$out AS (
         SELECT e.dst AS node,
-          CAST(sum(CAST(r.rank / od.outdeg AS DECIMAL(28,18))) AS DOUBLE) AS m
+          -- VARCHAR hop: correctly-rounded decimal->double (the scaled
+          -- (28,18) sum exceeds 53 bits; see q99's oracle note)
+          CAST(CAST(sum(CAST(r.rank / od.outdeg AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS m
         FROM $prev r JOIN od ON r.node = od.node JOIN e ON r.node = e.src
         GROUP BY 1),
       $out AS (
@@ -2081,11 +2091,16 @@ object SparkEntry {
       WITH m AS (
         SELECT l_returnflag,
           CAST(count(*) AS DOUBLE) AS n,
-          CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
-          CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-          CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-          CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+          -- decimal->double via VARCHAR: DuckDB's direct decimal cast
+          -- rounds twice (int128->double, then /10^scale) and can land 1
+          -- ulp off Spark's correctly-rounded BigDecimal cast once the
+          -- scaled sum needs > 53 mantissa bits; the string parse is
+          -- correctly rounded in both engines
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sx,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sy,
+          CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+          CAST(CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS syy,
+          CAST(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY 1)
       SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
         (n * sxy - sx * sy) /
@@ -2842,7 +2857,7 @@ object SparkEntry {
       SELECT l_returnflag, l_linestatus,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
         count(*) AS count_order
@@ -2857,7 +2872,7 @@ object SparkEntry {
       ORDER BY l_orderkey, l_linenumber""",
     "q03_star_join_revenue" -> """
       SELECT r_name, n_name,
-        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         count(DISTINCT o_orderkey) AS n_orders
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
