@@ -48,7 +48,12 @@ object Bench {
     "q87_corpus_prep",
     "q91_bloom_pruned_join",
     "q93_simpson_diversity",
-    "q95_funnel")
+    "q95_funnel",
+    "q105_temperature_mix",
+    "q106_bm25_terms",
+    "q107_containment_pairs",
+    "q108_gopher_rules",
+    "q109_bloom_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

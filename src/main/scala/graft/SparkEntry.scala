@@ -976,6 +976,73 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Sampling 8: temperature-based source mixing (alpha = 0.5 via sqrt —
+    * correctly rounded by IEEE mandate, so every emitted double is
+    * bit-exact cross-engine; see [[Sampling.temperatureMix]]). Weights are
+    * max-normalized: no float accumulation anywhere.
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(t(s, dir, "documents"), col("source"), 0.5)
+      .orderBy("source")
+
+  /** Text 9: BM25 term relevance with the rational (log-free) Robertson
+    * idf — top-5 documents per query term. The saturation term is BM25's
+    * hallmark; the missing log is monotone so per-term ranking matches
+    * true BM25 exactly (see [[TextAnalysis.bm25Terms]] for the measured
+    * libm-divergence rationale).
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.bm25Terms(t(s, dir, "documents"),
+      col("doc_id"), col("text"), Seq("data", "query", "stream"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"),
+        round(col("bm25"), 4).as("bm25"))
+      .orderBy("term", "rank")
+  }
+
+  /** Dedup 10: one-sided containment pairs — the doc-embedded-in-doc
+    * detector symmetric Jaccard misses. df-capped postings (cap 50 here:
+    * sf-scaled stopword-shingle guard), exact integer ratio.
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), col("doc_id"),
+        col("text"), n = 3, minContain = 0.5, maxDf = 50)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("size_a"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("id_a", "id_b")
+
+  /** Text 10: Gopher-style composite quality rules — all-integer-ratio
+    * flags, bit-exact booleans.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFlags(t(s, dir, "documents"), col("doc_id"),
+        col("text"), minWords = 20, maxWords = 100000)
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 4).as("mean_word_len"),
+        round(col("alpha_frac"), 4).as("alpha_frac"),
+        round(col("symbol_ratio"), 4).as("symbol_ratio"),
+        col("stop_hits"), col("words_ok"), col("word_len_ok"),
+        col("alpha_ok"), col("symbol_ok"), col("stop_ok"), col("keep"))
+      .orderBy("doc_id")
+
+  /** Dedup 11: bloom-prefiltered decontamination — output IDENTICAL to
+    * q66 by construction (false positives die in the exact join), so it
+    * shares q66's oracle verbatim: the gate proves the bloom pruned
+    * nothing it shouldn't have.
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationFlagsBloom(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        n = 3, minShared = 3,
+        expectedBenchShingles = 100000L, fpp = 0.01)
+      .orderBy("doc_id")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1872,7 +1939,12 @@ object SparkEntry {
     "q101_pagerank" -> q101 _,
     "q102_funnel_n" -> q102 _,
     "q103_ann_ivf_probe2" -> q103 _,
-    "q104_funnel_landing" -> q104 _)
+    "q104_funnel_landing" -> q104 _,
+    "q105_temperature_mix" -> q105 _,
+    "q106_bm25_terms" -> q106 _,
+    "q107_containment_pairs" -> q107 _,
+    "q108_gopher_rules" -> q108 _,
+    "q109_bloom_decontaminate" -> q109 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -1981,6 +2053,27 @@ object SparkEntry {
   /** Shared by q95 (batch) and q97 (streaming): one funnel semantics, two
     * execution models, one oracle.
     */
+  /** Shared by q66 (direct posting join) and q109 (bloom-prefiltered):
+    * both must produce this exact frame.
+    */
+  private val q66Oracle: String = """
+      WITH toks AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)])) AS s
+        FROM toks WHERE len(tk) >= 3),
+      ov AS (
+        SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+        FROM sh c JOIN sh b ON c.s = b.s
+        WHERE c.source != 'src0' AND b.source = 'src0'
+        GROUP BY 1, 2)
+      SELECT doc_id, bench_id, n_shared FROM ov
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+        ORDER BY n_shared DESC, bench_id) = 1 AND n_shared >= 3
+      ORDER BY doc_id"""
+
   private val funnelOracle: String = """
       WITH v AS (
         SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
@@ -2659,23 +2752,11 @@ object SparkEntry {
         ORDER BY ${hashPosSql("source", "CAST(doc_id AS VARCHAR)")},
           doc_id) <= 10
       ORDER BY doc_id""",
-    "q66_decontaminate" -> """
-      WITH toks AS (
-        SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
-        FROM documents),
-      sh AS (
-        SELECT doc_id, source, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
-          for i in range(1, len(tk) - 1)])) AS s
-        FROM toks WHERE len(tk) >= 3),
-      ov AS (
-        SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared
-        FROM sh c JOIN sh b ON c.s = b.s
-        WHERE c.source != 'src0' AND b.source = 'src0'
-        GROUP BY 1, 2)
-      SELECT doc_id, bench_id, n_shared FROM ov
-      QUALIFY row_number() OVER (PARTITION BY doc_id
-        ORDER BY n_shared DESC, bench_id) = 1 AND n_shared >= 3
-      ORDER BY doc_id""",
+    "q66_decontaminate" -> q66Oracle,
+    // q109 is the bloom-prefiltered restatement of q66: its output is
+    // identical by construction (bloom false positives die in the exact
+    // join), so the SAME oracle gates that the prefilter dropped nothing.
+    "q109_bloom_decontaminate" -> q66Oracle,
     "q64_kmeans_two_iterations" -> """
       WITH cent0 AS (
         SELECT label AS cell, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings
@@ -3141,6 +3222,91 @@ object SparkEntry {
       FROM scored
       WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC, item_id)
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q105_temperature_mix" -> """
+      WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      s AS (
+        SELECT source, n_docs,
+          CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS share
+        FROM c),
+      m AS (SELECT source, n_docs, share, sqrt(share) AS sm FROM s)
+      SELECT source, n_docs, share, sm / max(sm) OVER () AS mix_weight
+      FROM m ORDER BY source""",
+    // BM25 with the rational (log-free) Robertson idf; every arithmetic
+    // step mirrors the engine's two-operand IEEE op order exactly, and the
+    // k1+1 numerator is written as (1.2 + 1.0) so both engines derive the
+    // identical double from the same literals.
+    "q106_bm25_terms" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+             WHERE tok IN ('data', 'query', 'stream') GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT t.term, t.doc_id, t.tf,
+          ((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+            (CAST(f.df AS DOUBLE) + 0.5) + 1.0) *
+          (CAST(t.tf AS DOUBLE) * (1.2 + 1.0) /
+            (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) /
+              (CAST(s.tot AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS bm25
+        FROM tf t JOIN dl d ON t.doc_id = d.doc_id
+        JOIN dfreq f ON t.term = f.term CROSS JOIN stats s)
+      SELECT term, CAST(row_number() OVER w AS BIGINT) AS rank, doc_id, tf,
+        round(bm25, 4) AS bm25
+      FROM scored WINDOW w AS (PARTITION BY term ORDER BY bm25 DESC, doc_id)
+      QUALIFY rank <= 5 ORDER BY term, rank""",
+    "q107_containment_pairs" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)])) AS s
+        FROM toks WHERE len(tk) >= 3),
+      keepers AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+      inf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keepers USING (s)),
+      sizes AS (SELECT doc_id AS id_a, count(*) AS size_a FROM inf GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM inf a JOIN inf b ON a.s = b.s AND a.doc_id != b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, n_shared, size_a,
+        round(CAST(n_shared AS DOUBLE) / CAST(size_a AS DOUBLE), 4) AS containment
+      FROM inter JOIN sizes USING (id_a)
+      WHERE CAST(n_shared AS DOUBLE) / CAST(size_a AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b""",
+    "q108_gopher_rules" -> """
+      WITH m AS (
+        SELECT doc_id,
+          len(tk) AS n_words,
+          CAST(len(array_to_string(tk, '')) AS DOUBLE) /
+            CAST(len(tk) AS DOUBLE) AS mean_word_len,
+          CAST(len([w for w in tk if regexp_matches(w, '[a-z]')]) AS DOUBLE) /
+            CAST(len(tk) AS DOUBLE) AS alpha_frac,
+          ((len(text) - len(replace(text, '#', ''))) +
+            (len(text) - len(replace(text, '...', ''))) / 3) /
+            CAST(len(tk) AS DOUBLE) AS symbol_ratio,
+          len(list_intersect(tk,
+            ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stop_hits
+        FROM (SELECT doc_id, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents))
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        round(mean_word_len, 4) AS mean_word_len,
+        round(alpha_frac, 4) AS alpha_frac,
+        round(symbol_ratio, 4) AS symbol_ratio,
+        CAST(stop_hits AS BIGINT) AS stop_hits,
+        n_words >= 20 AND n_words <= 100000 AS words_ok,
+        mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS word_len_ok,
+        alpha_frac > 0.8 AS alpha_ok,
+        symbol_ratio < 0.1 AS symbol_ok,
+        stop_hits >= 2 AS stop_ok,
+        n_words >= 20 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND alpha_frac > 0.8 AND symbol_ratio < 0.1
+          AND stop_hits >= 2 AS keep
+      FROM m ORDER BY doc_id""",
     "q27_lang_detect" -> """
       WITH sc AS (
         SELECT lang,

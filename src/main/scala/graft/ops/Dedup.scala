@@ -281,6 +281,111 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("n_shared"))
   }
 
+  /** One-sided containment near-dup pairs: `C(A→B) = |A∩B| / |A|` over
+    * word-shingle sets — the measure that catches a document EMBEDDED in a
+    * larger one (quote farms, boilerplate wrappers, doc-in-doc crawls),
+    * which symmetric Jaccard dilutes toward 0 as the host grows. Emits
+    * ordered pairs (id_a = the contained candidate) with
+    * `containment >= minContain`.
+    *
+    * Shingles whose document frequency exceeds `maxDf` are dropped BEFORE
+    * pairing, and set sizes are computed over the surviving (informative)
+    * shingles, so the measure is exact containment of the df-capped sets.
+    * The cap is the scale contract: a boilerplate shingle shared by a
+    * million documents would otherwise fan the posting self-join out to
+    * 10^12 pairs; capping bounds any shingle's contribution at `maxDf²`
+    * while losing only stopword-grade evidence. Every step is an
+    * equi-join or hash aggregate on a hash key — no cross product, no
+    * skewed shuffle key (postings are spread across the shingle-hash
+    * space).
+    */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+                       n: Int = 3, minContain: Double = 0.5,
+                       maxDf: Long = 1000): DataFrame = {
+    require(minContain >= 0.0 && minContain <= 1.0,
+      s"minContain must be in [0,1], got $minContain")
+    require(maxDf >= 2, s"maxDf must be >= 2 to ever pair, got $maxDf")
+    val postings = spread(df)
+      .select(id.as("__id"), explode(wordShingles(text, n)).as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+      .dropDuplicates("__id", "__h")
+    // df-cap via aggregate + join, NOT a window over __h: the count's
+    // map-side partials collapse a hot shingle before the shuffle, and the
+    // survivors-only join gives AQE a skew-splittable shape — a window
+    // partitioned by __h would funnel the hot shingle's whole posting list
+    // into one task's sort, the exact blowup the cap is here to prevent.
+    val informative = postings.join(
+      postings.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("__h")),
+      "__h")
+    val sizes = informative.groupBy(col("__id").as("id_a"))
+      .agg(count(lit(1)).as("size_a"))
+    val inter = informative.select(col("__id").as("id_a"), col("__h"))
+      .join(informative.select(col("__id").as("id_b"), col("__h")), "__h")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter.join(sizes, "id_a")
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("size_a").cast("double"))
+      .filter(col("containment") >= minContain)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("size_a"),
+        col("containment"))
+  }
+
+  /** [[contaminationFlags]] with a Bloom prefilter on the corpus postings —
+    * the variant for when the benchmark side is too large to broadcast
+    * into the exact join but its Bloom fits comfortably in memory (a bloom
+    * costs ~1.2 bytes/item at 1% fpp vs 8+ for the exact hash set, three
+    * orders less than the strings). The corpus posting stream drops every
+    * shingle the filter rejects BEFORE the shuffle, so at a ~1% benchmark
+    * hit rate the exact join shuffles ~1% of the corpus postings plus the
+    * fpp. False positives only re-admit rows the exact equi-join discards
+    * anyway, so the output is IDENTICAL to [[contaminationFlags]] — same
+    * oracle, same gate.
+    *
+    * The filter is built by the public `DataFrameStatFunctions.bloomFilter`
+    * aggregate (a driver-side sketch merge of per-partition blooms — the
+    * one justified driver materialization here, since the artifact is the
+    * point) over the xxhash64 posting keys, and probed per-row with
+    * Catalyst's own codegen'd `BloomFilterMightContain` — both sides use
+    * `putLong`/`mightContainLong` on the same sketch format.
+    */
+  def contaminationFlagsBloom(corpus: DataFrame, corpusId: Column,
+                              corpusText: Column, benchmark: DataFrame,
+                              benchId: Column, benchText: Column,
+                              n: Int = 3, minShared: Long = 3,
+                              expectedBenchShingles: Long = 1000000L,
+                              fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    def postings(df: DataFrame, id: Column, text: Column,
+                 idName: String): DataFrame =
+      spread(df)
+        .select(id.as(idName), explode(wordShingles(text, n)).as("__s"))
+        .select(col(idName), xxhash64(col("__s")).as("__h"))
+        .dropDuplicates(idName, "__h")
+    val bench = postings(benchmark, benchId, benchText, "bench_id")
+    val bloom = bench.stat.bloomFilter("__h", expectedBenchShingles, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes), ColumnBridge.expression(col("__h"))))
+    val ov = postings(corpus, corpusId, corpusText, "doc_id")
+      .filter(mightContain)
+      .join(bench, "__h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_shared").desc, col("bench_id").asc)
+    ov.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("n_shared") >= minShared)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit i, sum +1/-1 weighted by
     * token-hash bit i, then take the sign. Near-dups share the same simhash
     * (or a low Hamming distance; exact-bucket grouping shown here).

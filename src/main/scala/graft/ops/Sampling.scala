@@ -136,6 +136,43 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Temperature-based source mixing (the multilingual / multi-source
+    * rebalancer of large-corpus training runs): a source holding share
+    * `p` of the corpus gets sampling weight ∝ `p^alpha`. `alpha = 1`
+    * keeps the natural distribution, `alpha = 0` is uniform, and the
+    * common middle ground `alpha = 0.5` damps the head without drowning
+    * the tail. Returns one row per source with its count, share, and a
+    * `mix_weight` normalized so the LARGEST smoothed source is 1.0 —
+    * relative weights are what a sampler consumes ([[weightedMix]] takes
+    * them directly), and max-normalization keeps every emitted value a
+    * pure two-operand IEEE op (count/total division, `sqrt`, one final
+    * division), each correctly rounded and therefore bit-identical in
+    * any IEEE-754 engine. A sum-normalized probability would instead
+    * depend on float accumulation order. `alpha = 0.5` is computed via
+    * `sqrt` (correctly rounded by IEEE mandate); other alphas go through
+    * `pow`, which libms round differently by ±1 ulp — fine for the
+    * sampler, excluded from the oracle gate.
+    *
+    * Scale shape: one count aggregate over the corpus (map-side partial),
+    * then windows over the per-source frame — rows = number of sources,
+    * thousands at most, so the unpartitioned windows are deliberate and
+    * never see corpus-sized data.
+    */
+  def temperatureMix(df: DataFrame, source: Column, alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val everything = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val share = col("n_docs").cast("double") /
+      sum("n_docs").over(everything).cast("double")
+    df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", share)
+      .withColumn("__sm",
+        if (alpha == 0.5) sqrt(col("share")) else pow(col("share"), alpha))
+      .withColumn("mix_weight", col("__sm") / max("__sm").over(everything))
+      .drop("__sm")
+  }
+
   /** Uniform negative sampling for contrastive training: for every anchor,
     * `k` candidates with a DIFFERENT label, drawn uniformly (without
     * replacement) by ranking candidates under the md5 hash of the

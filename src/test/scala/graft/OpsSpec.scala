@@ -394,4 +394,96 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() > 0)
     assert(frames.select("frame_idx").as[Long].collect().forall(_ % 10 == 0))
   }
+
+  test("bm25Terms: saturation bounded by (k1+1)*idf, longer docs score lower") {
+    val corpus = Seq(
+      (1L, "data data data data data data data data data data pad pad"),
+      (2L, "data pad pad pad pad pad pad pad pad pad pad pad"),
+      (3L, "data pad pad pad pad pad pad pad pad pad pad pad " +
+        "pad pad pad pad pad pad pad pad pad pad pad pad"),
+      (4L, "other words only here none relevant at all in this document x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Terms(corpus, $"doc_id", $"text", Seq("data"),
+      k1 = 1.2, b = 0.75)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tf"), r.getAs[Double]("bm25"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L)) // doc 4 never matches
+    // idf for df=3 of N=4: (4-3+0.5)/(3+0.5)+1; sat < k1+1 always
+    val idf = (4.0 - 3.0 + 0.5) / (3.0 + 0.5) + 1.0
+    out.values.foreach { case (_, s) => assert(s > 0 && s < (1.2 + 1.0) * idf) }
+    assert(out(1L)._2 > out(2L)._2) // tf 10 beats tf 1 at same length
+    assert(out(2L)._2 > out(3L)._2) // same tf, longer doc scores lower
+  }
+
+  test("gopherFlags: clean doc keeps; short, symbol-heavy, stopword-free drop") {
+    val corpus = Seq(
+      (1L, "the cat and the dog have played with all of that string " +
+        "until both of them were done for the day and went to sleep " +
+        "happily under the big warm roof of the house they guard"),
+      (2L, "too short to pass"),
+      (3L, "the cat and the dog have played with all of that string " +
+        "until both ### of ### them ### were ### done ### for ### the " +
+        "### day ### and ### went ### to ### sleep ### happily there"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFlags(corpus, $"doc_id", $"text",
+      minWords = 20, maxWords = 100)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("words_ok") &&
+      !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("symbol_ok") &&
+      !out(3L).getAs[Boolean]("keep"))
+    // ratios are exact integer divisions: spot-check doc 2 (4 words)
+    assert(out(2L).getAs[Long]("n_words") === 4L)
+    assert(out(2L).getAs[Double]("mean_word_len") === 14.0 / 4.0)
+  }
+
+  test("containmentPairs: embedded doc hits 1.0 where Jaccard dilutes") {
+    val host = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // fully inside 2
+      (2L, host),
+      (3L, "unrelated totally different words entirely elsewhere again"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(corpus, $"doc_id", $"text",
+      n = 3, minContain = 0.5, maxDf = 100)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(out((1L, 2L)) === 1.0) // every trigram of 1 appears in 2
+    assert(!out.contains((2L, 1L)) || out((2L, 1L)) < 1.0) // not symmetric
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("containmentPairs maxDf cap drops boilerplate shingles from evidence") {
+    // "x y z" appears in every doc -> df 3; with maxDf = 2 it cannot pair
+    val corpus = Seq(
+      (1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(corpus, $"doc_id", $"text",
+      n = 3, minContain = 0.1, maxDf = 2)
+    assert(capped.count() === 0)
+    val uncapped = Dedup.containmentPairs(corpus, $"doc_id", $"text",
+      n = 3, minContain = 0.1, maxDf = 3)
+    assert(uncapped.count() === 6) // all ordered pairs share the hot trigram
+  }
+
+  test("contaminationFlagsBloom is row-identical to the exact posting join") {
+    val corpus = docs
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "spark query engines at scale differ completely"))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bench_id"), r.getAs[Long]("n_shared"))).toSet
+    val exact = key(Dedup.contaminationFlags(
+      corpus, $"doc_id", $"text", bench, $"doc_id", $"text",
+      n = 3, minShared = 2))
+    val bloomed = key(Dedup.contaminationFlagsBloom(
+      corpus, $"doc_id", $"text", bench, $"doc_id", $"text",
+      n = 3, minShared = 2, expectedBenchShingles = 1000L, fpp = 0.01))
+    assert(exact.nonEmpty) // the law must bite on something
+    assert(bloomed === exact)
+  }
 }

@@ -241,4 +241,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(m1 !== m2,
       "recomputed centroids should reassign at least one vector at sf0.01")
   }
+
+  test("temperatureMix: alpha=1 is natural, alpha=0 uniform, 0.5 damps head") {
+    // 80/16/4 split across three sources
+    val df = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (1 to 16).map(i => (100L + i, "mid")) ++
+      (1 to 4).map(i => (200L + i, "small")))
+      .toDF("id", "source")
+    def weights(alpha: Double): Map[String, Double] =
+      graft.ops.Sampling.temperatureMix(df, $"source", alpha)
+        .collect().map(r => r.getAs[String]("source") ->
+          r.getAs[Double]("mix_weight")).toMap
+    val natural = weights(1.0)
+    // bit-exact against the operator's own op chain: share = n/total,
+    // weight = share/maxShare (NOT the algebraic n/maxN — IEEE division
+    // doesn't cancel the common denominator)
+    assert(natural("big") === 1.0)
+    assert(natural("mid") === (16.0 / 100.0) / (80.0 / 100.0))
+    assert(natural("small") === (4.0 / 100.0) / (80.0 / 100.0))
+    val uniform = weights(0.0)
+    assert(uniform.values.forall(_ === 1.0))
+    val damped = weights(0.5)
+    assert(damped("big") === 1.0)
+    // sqrt damping: between natural and uniform, strictly ordered
+    assert(damped("mid") > natural("mid") && damped("mid") < 1.0)
+    assert(damped("small") > natural("small") &&
+      damped("small") < damped("mid"))
+    // shares always sum to 1 regardless of alpha (exact integer ratios)
+    val shares = graft.ops.Sampling.temperatureMix(df, $"source", 0.5)
+      .collect().map(_.getAs[Double]("share"))
+    assert(shares.sum === 1.0)
+  }
 }
