@@ -314,14 +314,20 @@ object Dedup {
     // survivors-only join gives AQE a skew-splittable shape — a window
     // partitioned by __h would funnel the hot shingle's whole posting list
     // into one task's sort, the exact blowup the cap is here to prevent.
+    // Cached (two longs per row): sizes + both self-join sides reuse it,
+    // otherwise the scan→shingle→hash→dedup chain runs four times.
     val informative = postings.join(
       postings.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select(col("__h")),
-      "__h")
+      "__h").cache()
     val sizes = informative.groupBy(col("__id").as("id_a"))
       .agg(count(lit(1)).as("size_a"))
+    // the self-join's build side is the corpus-sized posting set — never a
+    // driver broadcast build (the q21 scale-killer shape); config-gated
+    // shuffle-hash like every corpus-sized build side in this file
     val inter = informative.select(col("__id").as("id_a"), col("__h"))
-      .join(informative.select(col("__id").as("id_b"), col("__h")), "__h")
+      .join(graft.GraftConf.hintPairJoin(
+        informative.select(col("__id").as("id_b"), col("__h"))), "__h")
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
