@@ -53,7 +53,8 @@ object Bench {
     "q106_bm25_terms",
     "q107_containment_pairs",
     "q108_gopher_rules",
-    "q109_bloom_decontaminate")
+    "q109_bloom_decontaminate",
+    "q110_leakage_free_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1043,6 +1043,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Sampling 9: leakage-free train/val/test split — q52's near-dup
+    * components are the split GROUPS, so a document and its near-dups land
+    * on the same side of the train/eval boundary by construction. Docs
+    * without near-dups fall back to singleton groups (their own id).
+    */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    Sampling.leakageFreeSplit(
+        t(s, dir, "documents"), col("doc_id"),
+        Dedup.connectedComponents(q21Pairs(s, dir)), "id", "component",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("group_key"), col("split"))
+      .orderBy("doc_id")
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1944,7 +1957,8 @@ object SparkEntry {
     "q106_bm25_terms" -> q106 _,
     "q107_containment_pairs" -> q107 _,
     "q108_gopher_rules" -> q108 _,
-    "q109_bloom_decontaminate" -> q109 _)
+    "q109_bloom_decontaminate" -> q109 _,
+    "q110_leakage_free_split" -> q110 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2053,6 +2067,47 @@ object SparkEntry {
   /** Shared by q95 (batch) and q97 (streaming): one funnel semantics, two
     * execution models, one oracle.
     */
+  /** The q52 near-dup-component pipeline as a reusable CTE prefix (through
+    * `comp(id, component)`): minhash-banded candidates, exact-Jaccard
+    * verify, recursive-CTE connected components. q52 selects it directly;
+    * q110 joins it as the split-group map.
+    */
+  private val q52CompCte: String = """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)]) AS s
+        FROM toks WHERE len(tk) >= 3),
+      sig AS (
+        SELECT doc_id, s,
+          flatten([[list_min([md5(CAST(sd AS VARCHAR) || '|' || x)[j*4+1 : j*4+4]
+            for x in s]) for j in range(0, 8)] for sd in range(0, 2)]) AS sg
+        FROM sh),
+      banded AS (
+        SELECT doc_id, s, band,
+          md5(array_to_string(sg[band*4+1:band*4+4], '|')) AS bucket
+        FROM sig, range(0, 4) r(band)),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          first(a.s) AS sa, first(b.s) AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      edges AS (
+        SELECT id_a, id_b FROM cand
+        WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.5),
+      sym AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
   /** Shared by q66 (direct posting join) and q109 (bloom-prefiltered):
     * both must produce this exact frame.
     */
@@ -2609,42 +2664,27 @@ object SparkEntry {
         count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM c GROUP BY 1, 2 ORDER BY win_start, event_type""",
-    "q52_dedup_groups" -> """
-      WITH RECURSIVE toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
-        FROM documents),
-      sh AS (
-        SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
-          for i in range(1, len(tk) - 1)]) AS s
-        FROM toks WHERE len(tk) >= 3),
-      sig AS (
-        SELECT doc_id, s,
-          flatten([[list_min([md5(CAST(sd AS VARCHAR) || '|' || x)[j*4+1 : j*4+4]
-            for x in s]) for j in range(0, 8)] for sd in range(0, 2)]) AS sg
-        FROM sh),
-      banded AS (
-        SELECT doc_id, s, band,
-          md5(array_to_string(sg[band*4+1:band*4+4], '|')) AS bucket
-        FROM sig, range(0, 4) r(band)),
-      cand AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          first(a.s) AS sa, first(b.s) AS sb
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id),
-      edges AS (
-        SELECT id_a, id_b FROM cand
-        WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
-              CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.5),
-      sym AS (
-        SELECT id_a AS s, id_b AS d FROM edges
-        UNION ALL SELECT id_b, id_a FROM edges),
-      reach(id, r) AS (
-        SELECT DISTINCT s, s FROM sym
-        UNION
-        SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
-      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    "q52_dedup_groups" ->
+      s"""$q52CompCte
       SELECT id, component FROM comp ORDER BY id""",
+    // q110: q52's components become split GROUPS — near-dups never
+    // straddle train/eval. Boundaries interpolated from the SAME driver
+    // computation the operator uses (Sampling.splitBounds), so no float
+    // arithmetic crosses engines.
+    "q110_leakage_free_split" -> {
+      val b = graft.ops.Sampling.splitBounds(Seq(0.8, 0.1, 0.1))
+      s"""$q52CompCte,
+      keyed AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_key
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      pos AS (SELECT doc_id, group_key,
+        ${hashPosSql("'split'", "CAST(group_key AS VARCHAR)")} AS p
+        FROM keyed)
+      SELECT doc_id, group_key,
+        CASE WHEN p < ${b(0)} THEN 'train' WHEN p < ${b(1)} THEN 'val'
+             ELSE 'test' END AS split
+      FROM pos ORDER BY doc_id"""
+    },
     "q50_tfidf_topk" -> """
       WITH toks AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

@@ -173,6 +173,53 @@ object Sampling {
       .drop("__sm")
   }
 
+  /** Leakage-free train/val/test split: every row is assigned a split by
+    * the md5 draw of its GROUP key — the near-dup component from
+    * [[graft.ops.Dedup.connectedComponents]], a domain, an author — never
+    * its own id, so duplicates and near-duplicates can never straddle the
+    * train/eval boundary (the classic eval-contamination bug that makes
+    * held-out loss a lie). Rows absent from `groups` are singletons and
+    * fall back to their own id as the group key.
+    *
+    * Split boundaries are computed ONCE on the driver as exact longs over
+    * the [0, 2^32) hash space (the last boundary is pinned to 2^32 so
+    * float rounding can never orphan the tail); the per-row decision is
+    * then pure integer comparison on the [[hashPos]] draw — deterministic
+    * across engines, retries, and partitionings, like every sampler here.
+    *
+    * Scale shape: one equi-join of the corpus with the (much smaller)
+    * group map — broadcast when it fits, shuffle otherwise; the split
+    * itself is map-side.
+    */
+  def leakageFreeSplit(df: DataFrame, id: Column, groups: DataFrame,
+                       gid: String, gcomp: String,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, s"need at least 2 splits, got ${splits.size}")
+    require(splits.forall(_._2 > 0.0), "split weights must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val bounds = splitBounds(splits.map(_._2))
+    val g = groups.select(col(gid).as("__gid"), col(gcomp).as("__grp"))
+    val splitExpr = splits.map(_._1).zip(bounds).init
+      .foldLeft(Option.empty[Column]) { case (acc, (name, bd)) =>
+        Some(acc.map(_.when(col("__pos") < bd, name))
+          .getOrElse(when(col("__pos") < bd, name)))
+      }.map(_.otherwise(splits.last._1)).get
+    df.join(g, id === col("__gid"), "left")
+      .withColumn("group_key", coalesce(col("__grp"), id))
+      .withColumn("__pos", hashPos(lit("split"), col("group_key")))
+      .withColumn("split", splitExpr)
+      .drop("__gid", "__grp", "__pos")
+  }
+
+  /** Exact long boundaries over [0, 2^32) for cumulative split weights;
+    * the final boundary is 2^32 itself, not a float rounding of it.
+    */
+  private[graft] def splitBounds(weights: Seq[Double]): Seq[Long] = {
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    cum.init.map(c => math.floor(c * 4294967296.0d).toLong) :+ 4294967296L
+  }
+
   /** Uniform negative sampling for contrastive training: for every anchor,
     * `k` candidates with a DIFFERENT label, drawn uniformly (without
     * replacement) by ranking candidates under the md5 hash of the

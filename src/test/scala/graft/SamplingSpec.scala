@@ -242,6 +242,38 @@ class SamplingSpec extends AnyFunSuite {
       "recomputed centroids should reassign at least one vector at sf0.01")
   }
 
+  test("leakageFreeSplit: groups never straddle, tail never orphaned") {
+    // 1000 docs; docs 0-99 form 10 groups of 10, the rest are singletons
+    val docs = (0L until 1000L).toDF("id")
+    val groups = (0L until 100L).map(i => (i, i / 10L)).toDF("gid", "comp")
+    val out = graft.ops.Sampling.leakageFreeSplit(
+      docs, $"id", groups, "gid", "comp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"id", $"group_key", $"split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 1000) // every row assigned exactly once
+    // same group -> same split, always
+    out.filter(_._1 < 100).groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length === 1)
+    }
+    // singletons fall back to their own id as group key
+    out.filter(_._1 >= 100).foreach { case (id, g, _) => assert(g === id) }
+    // rates: ~80/10/10 over ~910 effective groups (binomial, wide margin)
+    val n = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(n("train") > 700 && n("val") > 40 && n("test") > 40)
+    // boundary exactness: the last bound is 2^32 itself, so no draw can
+    // ever fall past the final split
+    assert(graft.ops.Sampling.splitBounds(Seq(0.8, 0.1, 0.1)).last ===
+      4294967296L)
+    // determinism across repartitioning
+    val again = graft.ops.Sampling.leakageFreeSplit(
+      docs.repartition(7), $"id", groups, "gid", "comp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"id", $"split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    out.foreach { case (id, _, s) => assert(again(id) === s) }
+  }
+
   test("temperatureMix: alpha=1 is natural, alpha=0 uniform, 0.5 damps head") {
     // 80/16/4 split across three sources
     val df = ((1 to 80).map(i => (i.toLong, "big")) ++
