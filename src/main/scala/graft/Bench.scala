@@ -54,7 +54,9 @@ object Bench {
     "q107_containment_pairs",
     "q108_gopher_rules",
     "q109_bloom_decontaminate",
-    "q110_leakage_free_split")
+    "q110_leakage_free_split",
+    "q111_semantic_dedup",
+    "q112_temperature_rebalance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

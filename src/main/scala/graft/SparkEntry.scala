@@ -1056,6 +1056,42 @@ object SparkEntry {
       .select(col("doc_id"), col("group_key"), col("split"))
       .orderBy("doc_id")
 
+  /** Dedup 12 (capstone): SEMANTIC dedup over the embedding space —
+    * label-blocked cosine near-dup pairs → connected components → one
+    * representative (min id) per component. The embedding-side
+    * counterpart of q69's lexical keep-best flow.
+    *
+    * Threshold safety (the 1-ulp-proof membership rule): at 0.25 the
+    * nearest pair cosine sits 7e-6 away at sf0.1 (2.1e-4 / 2.6e-4 at
+    * sf0.001/0.01, measured) — ten orders above any engine's summation
+    * divergence, so membership cannot flip cross-engine on this data.
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val pairs = Dedup.cosineNearDupPairs(e, col("vec_id"), col("embedding"),
+      Seq(col("label")), minCosine = 0.25)
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("component"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_members"))
+      .orderBy("component")
+  }
+
+  /** Sampling 10 (capstone): temperature rebalancing applied end-to-end —
+    * q105's alpha=0.5 mix weights (scaled so the head source draws 2
+    * copies; ×2.0 is exact, a power of two) drive [[Sampling.weightedMix]]
+    * to materialize the rebalanced corpus. Joins the source-count-sized
+    * weight frame broadcast, then the mix is a map-side explode.
+    */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val wt = Sampling.temperatureMix(d, col("source"), 0.5)
+      .select(col("source"), (col("mix_weight") * 2.0d).as("__w"))
+    Sampling.weightedMix(d.join(broadcast(wt), "source"),
+        col("source"), col("doc_id"), col("__w"))
+      .select("doc_id", "source", "copy")
+      .orderBy("doc_id", "copy")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1958,7 +1994,9 @@ object SparkEntry {
     "q107_containment_pairs" -> q107 _,
     "q108_gopher_rules" -> q108 _,
     "q109_bloom_decontaminate" -> q109 _,
-    "q110_leakage_free_split" -> q110 _)
+    "q110_leakage_free_split" -> q110 _,
+    "q111_semantic_dedup" -> q111 _,
+    "q112_temperature_rebalance" -> q112 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3347,6 +3385,47 @@ object SparkEntry {
           AND alpha_frac > 0.8 AND symbol_ratio < 0.1
           AND stop_hits >= 2 AS keep
       FROM m ORDER BY doc_id""",
+    // Semantic dedup: cosine-threshold edges (boundary margin measured at
+    // 7e-6 minimum across SFs — see q111's scaladoc), recursive-CTE
+    // components, min-id representative.
+    "q111_semantic_dedup" -> """
+      WITH RECURSIVE p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          CAST(b.embedding AS DOUBLE[])) >= 0.25),
+      sym AS (
+        SELECT id_a AS s, id_b AS d FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+      SELECT component, min(id) AS keep_id, count(*) AS n_members
+      FROM comp GROUP BY component ORDER BY component""",
+    "q112_temperature_rebalance" -> raw"""
+      WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      sh AS (
+        SELECT source,
+          CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS share
+        FROM cnt),
+      m AS (SELECT source, sqrt(share) AS sm FROM sh),
+      w AS (SELECT source, sm / max(sm) OVER () * 2.0 AS wt FROM m),
+      j AS (
+        SELECT d.doc_id, d.source, w.wt,
+          ${hashPosSql("d.source", "CAST(d.doc_id AS VARCHAR)")} AS h
+        FROM documents d JOIN w ON d.source = w.source),
+      c AS (
+        SELECT doc_id, source,
+          CAST(floor(wt) AS BIGINT) +
+            CASE WHEN h < CAST(floor((wt - floor(wt)) * 4294967296.0) AS BIGINT)
+                 THEN 1 ELSE 0 END AS copies
+        FROM j)
+      SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS copy
+      FROM c WHERE copies > 0
+      ORDER BY doc_id, copy""",
     "q27_lang_detect" -> """
       WITH sc AS (
         SELECT lang,
