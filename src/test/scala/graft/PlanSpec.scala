@@ -114,6 +114,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q107 containment: cached postings, shuffled self-join, no __h window") {
+    // the posting self-join's build side is corpus-sized (every shingle of
+    // every doc) — must be a shuffled build; the df-cap must be an
+    // aggregate, not a Window over the shingle hash (which would funnel a
+    // hot shingle's whole posting list into one task's sort)
+    val p = plan("q107_containment_pairs")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"q107 self-join lost its shuffled pin:\n$p")
+    assert(p.contains("InMemoryRelation"),
+      s"q107 posting set is no longer cached (chain recomputes 4x):\n$p")
+    assert(!p.contains("Window"), s"q107 caps df with a Window:\n$p")
+  }
+
   test("pair-join strategy is config-gated: merge mode plans SMJ, no cartesian") {
     // cluster profiles set spark.graft.pairJoin.hint=merge for spill-safety
     // (a pinned shuffle-hash build can OOM where SMJ spills, and AQE cannot
