@@ -1092,6 +1092,41 @@ object SparkEntry {
       .orderBy("doc_id", "copy")
   }
 
+  /** Streaming 9: at-least-once redelivery collapsed by stateful dedup —
+    * the events file is staged TWICE (every event redelivered once) and
+    * streamed one file per micro-batch, so the duplicates arrive in a
+    * LATER batch and only `dropDuplicatesWithinWatermark` state can drop
+    * them. The hash gate proves the output is exactly the batch table:
+    * nothing duplicated, nothing lost. The 30-day horizon covers the
+    * fixture's whole time range; at scale the horizon is the state-size
+    * knob (see [[graft.streaming.Streaming.dedupWithinWatermark]]).
+    */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q113_stage")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    java.nio.file.Files.copy(src, stage.resolve("a.parquet"))
+    java.nio.file.Files.copy(src, stage.resolve("b.parquet"))
+    try {
+      val rawSchema = s.read.parquet(stage.toString).schema
+      val s0 = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val stream =
+        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else s0
+      val dd = graft.streaming.Streaming.dedupWithinWatermark(
+        stream, Seq("event_id"), "ts", "30 days")
+      graft.streaming.Streaming.runToMemory(
+          dd.select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+          "q113_mem", org.apache.spark.sql.streaming.OutputMode.Append)
+        .orderBy("event_id")
+    } finally {
+      // the memory sink holds the rows; the staged copies can go at once
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(stage.toFile)
+    }
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1996,7 +2031,8 @@ object SparkEntry {
     "q109_bloom_decontaminate" -> q109 _,
     "q110_leakage_free_split" -> q110 _,
     "q111_semantic_dedup" -> q111 _,
-    "q112_temperature_rebalance" -> q112 _)
+    "q112_temperature_rebalance" -> q112 _,
+    "q113_stream_dedup" -> q113 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3426,6 +3462,10 @@ object SparkEntry {
       SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS copy
       FROM c WHERE copies > 0
       ORDER BY doc_id, copy""",
+    // Streaming dedup of a doubled delivery == the batch table, exactly.
+    "q113_stream_dedup" -> """
+      SELECT event_id, user_id, event_type, value FROM events
+      ORDER BY event_id""",
     "q27_lang_detect" -> """
       WITH sc AS (
         SELECT lang,
