@@ -57,7 +57,8 @@ object Bench {
     "q110_leakage_free_split",
     "q111_semantic_dedup",
     "q112_temperature_rebalance",
-    "q113_stream_dedup")
+    "q113_stream_dedup",
+    "q114_quantized_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1103,9 +1103,14 @@ object SparkEntry {
     */
   private def q113(s: SparkSession, dir: String): DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft_q113_stage")
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    java.nio.file.Files.copy(src, stage.resolve("a.parquet"))
-    java.nio.file.Files.copy(src, stage.resolve("b.parquet"))
+    // Stage the redelivery with Spark (layout-agnostic: works whether the
+    // source table is a bare file or a parquet directory): two appends of
+    // one file each = every event delivered twice, in separate files.
+    // repartition(1) is staging-harness-only, like Verify's single-file
+    // dumps — the dedup operator under test never sees it.
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.repartition(1).write.mode("append").parquet(stage.toString)
+    raw.repartition(1).write.mode("append").parquet(stage.toString)
     try {
       val rawSchema = s.read.parquet(stage.toString).schema
       val s0 = s.readStream.schema(rawSchema)
@@ -1125,6 +1130,24 @@ object SparkEntry {
       // the memory sink holds the rows; the staged copies can go at once
       org.apache.spark.network.util.JavaUtils.deleteRecursively(stage.toFile)
     }
+  }
+
+  /** Similarity 9: quantized-shortlist ANN — int8 candidate sweep scored
+    * by the codegen'd EXACT integer dot product (4× less memory traffic;
+    * the RAM-bandwidth knob at 10^9+ vectors), full-precision cosine
+    * re-rank of the 50-deep shortlist only. Cross-engine exact because
+    * both engines quantize identically and the shortlist boundary is
+    * decided by 64-bit integers, never floats.
+    */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 5, shortlist = 50)
+      .select(col("query_id"), col("item_id"),
+        col("rank").cast("long").as("rank"), col("qdot"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
   }
 
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
@@ -2032,7 +2055,8 @@ object SparkEntry {
     "q110_leakage_free_split" -> q110 _,
     "q111_semantic_dedup" -> q111 _,
     "q112_temperature_rebalance" -> q112 _,
-    "q113_stream_dedup" -> q113 _)
+    "q113_stream_dedup" -> q113 _,
+    "q114_quantized_ann" -> q114 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3466,6 +3490,40 @@ object SparkEntry {
     "q113_stream_dedup" -> """
       SELECT event_id, user_id, event_type, value FROM events
       ORDER BY event_id""",
+    // Quantized shortlist scored by exact integer dot (both engines
+    // quantize and sum identically — no float until the re-rank).
+    "q114_quantized_ann" -> """
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      s8 AS (
+        SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma
+        FROM v),
+      q8 AS (
+        SELECT vec_id,
+          CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(e, x -> CAST(round(x / (ma / 127.0)) AS BIGINT))
+          END AS qv
+        FROM s8),
+      short AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+          CAST(list_sum([q.qv[i] * c.qv[i]
+            for i in range(1, len(q.qv) + 1)]) AS BIGINT) AS qdot
+        FROM q8 q JOIN q8 c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY qdot DESC, c.vec_id) <= 50),
+      rr AS (
+        SELECT s.query_id, s.item_id, s.qdot,
+          list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+            CAST(ce.embedding AS DOUBLE[])) AS cos
+        FROM short s JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ce ON ce.vec_id = s.item_id)
+      SELECT query_id, item_id, CAST(row_number() OVER w AS BIGINT) AS rank,
+        qdot, round(cos, 4) AS cosine
+      FROM rr
+      WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC, item_id)
+      QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "q27_lang_detect" -> """
       WITH sc AS (
         SELECT lang,

@@ -84,6 +84,23 @@ package object functions {
   def cosineCompositional(a: Column, b: Column): Column =
     dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0d))
 
+  /** EXACT integer dot product of two integral array columns via the
+    * codegen'd [[IntDotProduct]] expression — the int8-quantized candidate
+    * scorer (no rounding, no accumulation-order sensitivity).
+    */
+  def intDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(IntDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Built-ins-only integer dot (aggregate over zip_with) — the
+    * formulation [[intDot]] must agree with; kept for differential
+    * testing.
+    */
+  def intDotCompositional(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** Unicode NFC normalization via the codegen'd [[NfcNormalize]]
     * expression — run before any byte-wise compare/hash over mixed-form
     * text (see the expression's Scaladoc).

@@ -372,16 +372,23 @@ object Dedup {
         .select(col(idName), xxhash64(col("__s")).as("__h"))
         .dropDuplicates(idName, "__h")
     val bench = postings(benchmark, benchId, benchText, "bench_id")
-    val bloom = bench.stat.bloomFilter("__h", expectedBenchShingles, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
-    val mightContain = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bytes), ColumnBridge.expression(col("__h"))))
-    val ov = postings(corpus, corpusId, corpusText, "doc_id")
-      .filter(mightContain)
+    // Empty benchmark → no bloom (stat.bloomFilter's merge over zero
+    // partials yields an unusable filter) and no prefilter needed: the
+    // exact join against the empty side is already free and returns the
+    // correct empty result.
+    val prefilter: DataFrame => DataFrame =
+      if (bench.isEmpty) identity
+      else {
+        val bloom = bench.stat.bloomFilter("__h", expectedBenchShingles, fpp)
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          bos.toByteArray
+        }
+        _.filter(ColumnBridge.column(BloomFilterMightContain(
+          Literal(bytes), ColumnBridge.expression(col("__h")))))
+      }
+    val ov = prefilter(postings(corpus, corpusId, corpusText, "doc_id"))
       .join(bench, "__h")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))

@@ -331,4 +331,49 @@ object Similarity {
       .otherwise(transform(v, x => round(x / scale).cast("long")))
     df.select(id.as("vec_id"), scale.as("scale"), q.as("qvec"))
   }
+
+  /** Quantized-shortlist ANN — the memory-bound production shape: score
+    * EVERY candidate with the exact integer dot product of the int8
+    * vectors (4× less memory traffic than floats — at 10^9+ vectors the
+    * candidate sweep is RAM-bandwidth-bound, and that 4× is the knob),
+    * shortlist the top `shortlist` per query, then re-rank only the
+    * shortlist with full-precision cosine over the ORIGINAL embeddings.
+    *
+    * Determinism: the shortlist boundary is decided by exact 64-bit
+    * integer scores (ties by item id) — no float is involved until the
+    * re-rank, whose top-k uses the same rounded-rank rule as
+    * [[bruteForceTopK]]. So the output is cross-engine exact even though
+    * quantization discards precision: both engines discard IDENTICALLY.
+    *
+    * Scale shape: the int8 corpus (qvec + scale) is ~1/4 the float
+    * corpus and is the ONLY thing the sweep reads; original embeddings
+    * are fetched by an equi-join on the shortlist ids — k·|queries| rows,
+    * not the corpus.
+    */
+  def quantizedTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    queries: DataFrame, queryId: Column, queryVec: Column,
+                    k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val qc = quantizeInt8(Dedup.spread(corpus), corpusId, corpusVec)
+      .select(col("vec_id").as("item_id"), col("qvec").as("__cq"))
+    val qq = quantizeInt8(queries, queryId, queryVec)
+      .select(col("vec_id").as("query_id"), col("qvec").as("__qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("item_id").asc)
+    val short = qc.join(broadcast(qq), col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        intDot(col("__qq"), col("__cq")).as("qdot"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= shortlist)
+      .drop("__rn")
+    val cv = corpus.select(corpusId.as("item_id"), corpusVec.as("__cv"))
+    val qv = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("item_id").asc)
+    short.join(cv, "item_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("item_id"), col("qdot"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{cosine, cosineCompositional, registerAll}
+import graft.functions.{cosine, cosineCompositional, intDot, intDotCompositional, registerAll}
 
 class ExpressionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -135,5 +135,26 @@ class ExpressionSpec extends AnyFunSuite {
         graft.functions.jaccardCompositional($"a", $"b").as("ref"))
       .filter($"fast" =!= $"ref")
     assert(mism.count() === 0)
+  }
+
+  test("codegen'd int dot is exact and bit-identical to the HOF formulation") {
+    val ip = Seq(
+      (Array(127L, -127L, 64L), Array(127L, 127L, -3L)),
+      (Array(0L, 0L), Array(5L, -5L)),
+      (Array(1L, 2L, 3L, 4L), Array(4L, 3L, 2L, 1L))).toDF("a", "b")
+    val out = ip.select(intDot($"a", $"b").as("fast"),
+      intDotCompositional($"a", $"b").as("ref")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // hand value: 127*127 - 127*127 + 64*-3 = -192
+    assert(out(0).getLong(0) === -192L)
+    // null array -> null, never an error
+    val n = Seq((Some(Array(1L)), Option.empty[Array[Long]]))
+      .toDF("a", "b").select(intDot($"a", $"b")).collect()
+    assert(n(0).isNullAt(0))
+    // exactness where a float dot would round: 2^53 + 1 is representable
+    // as a long product sum but not as a double
+    val big = Seq((Array((1L << 53) + 1L, 1L), Array(1L, 0L)))
+      .toDF("a", "b").select(intDot($"a", $"b")).collect()
+    assert(big(0).getLong(0) === (1L << 53) + 1L)
   }
 }
