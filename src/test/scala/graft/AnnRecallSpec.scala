@@ -109,6 +109,20 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(pairs("q103_ann_ivf_probe2").size === 50)
   }
 
+  test("quantized shortlist (q114): int8 sweep + re-rank recovers brute force") {
+    // int8 quantization + a 50-deep shortlist should lose almost nothing
+    // vs full-precision brute force: the shortlist is 10x the k and the
+    // quantization error (~0.4% of max-abs per dim) cannot reorder pairs
+    // separated by more than that. Floor kept conservative for fixture
+    // refreshes.
+    val q114 = pairs("q114_quantized_ann")
+    val r = recallOf(q114, truth)
+    info(f"quantized shortlist=50 recall@5=$r%.2f")
+    assert(q114.size === 50)
+    assert(r >= 0.9, s"q114 recall@5 $r < 0.9 — shortlist too shallow or " +
+      "quantization broke ranking")
+  }
+
   test("OR-construction: a second table only adds recall, probes stay monotone") {
     assert(h1Recall >= 0.35, s"q62 recall@5 $h1Recall < 0.35")
     assert(h1Recall >= single._1,
