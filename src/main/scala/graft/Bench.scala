@@ -58,7 +58,8 @@ object Bench {
     "q111_semantic_dedup",
     "q112_temperature_rebalance",
     "q113_stream_dedup",
-    "q114_quantized_ann")
+    "q114_quantized_ann",
+    "q115_curation_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

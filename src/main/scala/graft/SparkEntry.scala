@@ -1150,6 +1150,44 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Round-4 capstone: curation pipeline v2 — the new operators composed
+    * end-to-end, every stage individually gated elsewhere:
+    *  1. Gopher-rule quality filter (q108) keeps structurally-sound docs;
+    *  2. containment dedup (q107): drop any survivor ≥80%-contained in a
+    *     LARGER survivor (host wins; ties to the smaller id) — the
+    *     doc-embedded-in-doc pass symmetric near-dup misses;
+    *  3. leakage-free split (q110's operator) grouped by SOURCE — docs
+    *     from one source (near-dups' usual home) never straddle
+    *     train/eval.
+    * The gate pins the COMPOSITION: each stage's filter must see exactly
+    * the previous stage's survivors.
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val kept = TextAnalysis.gopherFlags(d, col("doc_id"), col("text"),
+        minWords = 20, maxWords = 100000,
+        stopwords = Seq("the", "a", "data", "table", "row", "key",
+          "value", "join"))
+      .filter(col("keep")).select(col("doc_id"))
+      .join(d, "doc_id")
+    val pairs = Dedup.containmentPairs(kept, col("doc_id"), col("text"),
+      n = 3, minContain = 0.8, maxDf = 50)
+    // drop id_a when the host is strictly larger, or equal-sized with a
+    // smaller id — exactly one side of every mutual-containment pair goes,
+    // deterministically; hosts are stage-1 survivors (greedy one-pass,
+    // not iterated to a fixed point)
+    val drops = pairs
+      .filter(col("size_b") > col("size_a") ||
+        (col("size_b") === col("size_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("doc_id")).distinct()
+    val surviving = kept.join(drops, Seq("doc_id"), "left_anti")
+    Sampling.leakageFreeSplit(surviving, col("doc_id"),
+        surviving.select(col("doc_id").as("gid"), col("source").as("grp")),
+        "gid", "grp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2056,7 +2094,8 @@ object SparkEntry {
     "q111_semantic_dedup" -> q111 _,
     "q112_temperature_rebalance" -> q112 _,
     "q113_stream_dedup" -> q113 _,
-    "q114_quantized_ann" -> q114 _)
+    "q114_quantized_ann" -> q114 _,
+    "q115_curation_v2" -> q115 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3524,6 +3563,59 @@ object SparkEntry {
       FROM rr
       WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC, item_id)
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // Curation v2 capstone: gopher keep -> containment drop (host wins)
+    // -> source-grouped hash split; boundaries from Sampling.splitBounds.
+    "q115_curation_v2" -> {
+      val b = graft.ops.Sampling.splitBounds(Seq(0.8, 0.1, 0.1))
+      raw"""
+      WITH base AS (
+        SELECT doc_id, source, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      m AS (
+        SELECT doc_id, source, tk,
+          len(tk) AS n_words,
+          CAST(len(array_to_string(tk, '')) AS DOUBLE) /
+            CAST(len(tk) AS DOUBLE) AS mean_word_len,
+          CAST(len([w for w in tk if regexp_matches(w, '[a-z]')]) AS DOUBLE) /
+            CAST(len(tk) AS DOUBLE) AS alpha_frac,
+          ((len(text) - len(replace(text, '#', ''))) +
+            (len(text) - len(replace(text, '...', ''))) / 3) /
+            CAST(len(tk) AS DOUBLE) AS symbol_ratio,
+          len(list_intersect(tk,
+            ['the', 'a', 'data', 'table', 'row', 'key', 'value', 'join'])) AS stop_hits
+        FROM base),
+      kept AS (
+        SELECT doc_id, source, tk FROM m
+        WHERE n_words >= 20 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND alpha_frac > 0.8 AND symbol_ratio < 0.1 AND stop_hits >= 2),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)])) AS s
+        FROM kept WHERE len(tk) >= 3),
+      keepers AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+      inf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keepers USING (s)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM inf GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM inf a JOIN inf b ON a.s = b.s AND a.doc_id != b.doc_id
+        GROUP BY 1, 2),
+      drops AS (
+        SELECT DISTINCT id_a AS doc_id
+        FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE CAST(n_shared AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.8
+          AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND id_b < id_a))),
+      surv AS (
+        SELECT k.doc_id, k.source FROM kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM drops))
+      SELECT doc_id, source,
+        CASE WHEN ${hashPosSql("'split'", "source")} < ${b(0)} THEN 'train'
+             WHEN ${hashPosSql("'split'", "source")} < ${b(1)} THEN 'val'
+             ELSE 'test' END AS split
+      FROM surv ORDER BY doc_id"""
+    },
     "q27_lang_detect" -> """
       WITH sc AS (
         SELECT lang,

@@ -332,11 +332,13 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
     inter.join(sizes, "id_a")
+      .join(sizes.select(col("id_a").as("id_b"), col("size_a").as("size_b")),
+        "id_b")
       .withColumn("containment",
         col("n_shared").cast("double") / col("size_a").cast("double"))
       .filter(col("containment") >= minContain)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("size_a"),
-        col("containment"))
+        col("size_b"), col("containment"))
   }
 
   /** [[contaminationFlags]] with a Bloom prefilter on the corpus postings —

@@ -205,8 +205,12 @@ object Sampling {
         Some(acc.map(_.when(col("__pos") < bd, name))
           .getOrElse(when(col("__pos") < bd, name)))
       }.map(_.otherwise(splits.last._1)).get
+    // the singleton fallback adopts the GROUP column's type (a string
+    // group key must not coerce the whole coalesce to the id's type —
+    // ANSI would then throw on the first non-numeric group)
+    val grpType = g.schema("__grp").dataType
     df.join(g, id === col("__gid"), "left")
-      .withColumn("group_key", coalesce(col("__grp"), id))
+      .withColumn("group_key", coalesce(col("__grp"), id.cast(grpType)))
       .withColumn("__pos", hashPos(lit("split"), col("group_key")))
       .withColumn("split", splitExpr)
       .drop("__gid", "__grp", "__pos")

@@ -316,7 +316,9 @@ object TextAnalysis {
     * whole-stage codegen at any corpus size.
     */
   def gopherFlags(df: DataFrame, id: Column, text: Column,
-                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  stopwords: Seq[String] = gopherStopwords): DataFrame = {
+    require(stopwords.nonEmpty, "stopword presence rule needs a word list")
     val toks = tokens(text)
     val nWords = size(toks)
     val meanLen = length(concat_ws("", toks)).cast("double") /
@@ -328,7 +330,7 @@ object TextAnalysis {
       length(replace(text, lit("..."), lit("")))) / lit(3)
     val symbolRatio = (hashes + ellipses).cast("double") / nWords.cast("double")
     val stopHits = size(array_intersect(toks,
-      array(gopherStopwords.map(lit): _*)))
+      array(stopwords.map(lit): _*)))
     df.select(id.as("doc_id"), nWords.cast("long").as("n_words"),
         meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
         symbolRatio.as("symbol_ratio"), stopHits.cast("long").as("stop_hits"))
@@ -343,7 +345,11 @@ object TextAnalysis {
         col("alpha_ok") && col("symbol_ok") && col("stop_ok"))
   }
 
-  /** The Gopher rule's "must contain common English words" list. */
+  /** The Gopher rule's "must contain common English words" default list —
+    * swap per corpus/language ([[gopherFlags]]'s `stopwords` param): the
+    * rule's intent is "contains the corpus' everyday words", and a list
+    * foreign to the corpus degenerates into drop-everything.
+    */
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 

@@ -272,6 +272,18 @@ class SamplingSpec extends AnyFunSuite {
       .select($"id", $"split").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     out.foreach { case (id, _, s) => assert(again(id) === s) }
+    // STRING group keys: the singleton fallback adopts the group type
+    // instead of coercing the group to the id's type (which would throw
+    // under ANSI on the first non-numeric group)
+    val sg = Seq((1L, "domA"), (2L, "domA")).toDF("gid", "dom")
+    val sOut = graft.ops.Sampling.leakageFreeSplit(
+      (1L to 3L).toDF("id"), $"id", sg, "gid", "dom",
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .select($"id", $"group_key", $"split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(sOut.filter(_._1 <= 2).map(_._2).toSet === Set("domA"))
+    assert(sOut.filter(_._1 <= 2).map(_._3).distinct.length === 1)
+    assert(sOut.find(_._1 == 3L).get._2 === "3") // singleton: id as string
   }
 
   test("temperatureMix: alpha=1 is natural, alpha=0 uniform, 0.5 damps head") {
