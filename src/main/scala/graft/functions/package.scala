@@ -120,6 +120,9 @@ package object functions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int_dot_product", exprs => IntDotProduct(exprs(0), exprs(1)),
+      "scala_udf")
   }
 
   /** Deterministic per-seed MinHash value over an array of 64-bit element

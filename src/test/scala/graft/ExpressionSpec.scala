@@ -156,5 +156,10 @@ class ExpressionSpec extends AnyFunSuite {
     val big = Seq((Array((1L << 53) + 1L, 1L), Array(1L, 0L)))
       .toDF("a", "b").select(intDot($"a", $"b")).collect()
     assert(big(0).getLong(0) === (1L << 53) + 1L)
+    // SQL registration
+    registerAll(spark)
+    assert(spark.sql(
+      "SELECT int_dot_product(array(2L, 3L), array(4L, 5L)) AS d")
+      .head().getLong(0) === 23L)
   }
 }
