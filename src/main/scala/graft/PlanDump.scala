@@ -67,7 +67,13 @@ object PlanDump {
     "q110_leakage_free_split" ->
       ("The corpus joins the component map once; the split itself is a " +
         "map-side integer compare on driver-computed literal boundaries " +
-        "— no shuffle after the group join, no float math in the plan."))
+        "— no shuffle after the group join, no float math in the plan."),
+    "q115_curation_v2" ->
+      ("Three gated stages composed: the Gopher filter stays map-side " +
+        "(no exchange before the posting explode), the containment " +
+        "stage reuses q107's cached-posting + shuffled-self-join shape " +
+        "over the SURVIVORS only, and the split adds no shuffle after " +
+        "the anti-join."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

@@ -88,6 +88,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: containment directions agree on the shared-shingle count") {
+    // C(A->B)*|A| and C(B->A)*|B| are the SAME |A∩B|: the operator's two
+    // directed rows for a pair must carry identical n_shared, and
+    // containment must stay in (0, 1].
+    import org.apache.spark.sql.functions.col
+    val docs = spark.range(0, 60).selectExpr("id AS doc_id",
+      // overlapping synthetic texts: doc i shares a suffix with doc i+1
+      """concat_ws(' ',
+           'tok' || CAST(id AS STRING), 'alpha beta gamma delta',
+           'tok' || CAST(id + 1 AS STRING), 'epsilon zeta eta theta',
+           'common tail words here') AS text""")
+    val pairs = graft.ops.Dedup.containmentPairs(
+      docs, col("doc_id"), col("text"), n = 3, minContain = 0.0001,
+      maxDf = 1000)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("containment"))).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case ((a, b), (n, c)) =>
+      assert(c > 0.0 && c <= 1.0, s"containment($a->$b)=$c out of range")
+      val rev = pairs.get((b, a))
+      assert(rev.isDefined, s"pair ($b,$a) missing — directions must pair")
+      assert(rev.get._1 === n, s"n_shared asymmetric for ($a,$b)")
+    }
+  }
+
   test("law: conform output schema equals the target schema, always") {
     import org.apache.spark.sql.types._
     val target = StructType(Seq(
