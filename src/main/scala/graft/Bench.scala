@@ -59,7 +59,9 @@ object Bench {
     "q112_temperature_rebalance",
     "q113_stream_dedup",
     "q114_quantized_ann",
-    "q115_curation_v2")
+    "q115_curation_v2",
+    "q116_compaction_roundtrip",
+    "q117_versioned_csv_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

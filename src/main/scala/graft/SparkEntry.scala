@@ -1188,6 +1188,51 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Layout 3: compaction round-trip — events staged as many small files,
+    * rewritten by [[graft.ops.Layout.compactTo]] (byte-targeted file
+    * count + Z-order re-cluster), then read back and hash-matched against
+    * the ORIGINAL table: the rewrite must lose nothing, duplicate
+    * nothing, and change no value. The layout effects themselves
+    * (file sizing, row-group skipping) are LayoutSpec's job; this gate
+    * pins content preservation, the property a compactor must never
+    * break.
+    */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q116").toString
+    val src = s"$stage/src"
+    val dest = s"$stage/dest"
+    t(s, dir, "events").repartition(8).write.parquet(src)
+    graft.ops.Layout.compactTo(s, src, dest, targetBytes = 1L << 20,
+      clusterBy = Seq(col("user_id"), col("event_id")))
+    s.read.parquet(dest)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy("event_id")
+  }
+
+  /** Sink/source 11: versioned-CSV round-trip — K6's timestamped sink
+    * writes the frame, S8's newest-file pick finds it, S5's `;`-CSV
+    * reader loads it back (untyped, as CSV is), and the casts restore the
+    * schema. The gate proves the full export→discover→import loop is
+    * lossless including double formatting (shortest-repr write, exact
+    * parse).
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q117").toString
+    graft.sinks.Sinks.versionedCsv(
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("value")),
+      base, prefix = "events")
+    val newest = graft.ingest.Ingest.newestFile(s, s"$base/events_*")
+      .getOrElse(sys.error("versioned sink left no version behind"))
+    graft.ingest.Ingest.csv(s, newest)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"),
+        col("value").cast("double").as("value"))
+      .orderBy("event_id")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2095,7 +2140,9 @@ object SparkEntry {
     "q112_temperature_rebalance" -> q112 _,
     "q113_stream_dedup" -> q113 _,
     "q114_quantized_ann" -> q114 _,
-    "q115_curation_v2" -> q115 _)
+    "q115_curation_v2" -> q115 _,
+    "q116_compaction_roundtrip" -> q116 _,
+    "q117_versioned_csv_roundtrip" -> q117 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2265,6 +2312,10 @@ object SparkEntry {
       QUALIFY row_number() OVER (PARTITION BY doc_id
         ORDER BY n_shared DESC, bench_id) = 1 AND n_shared >= 3
       ORDER BY doc_id"""
+
+  private val eventsIdentityOracle: String = """
+      SELECT event_id, user_id, event_type, value FROM events
+      ORDER BY event_id"""
 
   private val funnelOracle: String = """
       WITH v AS (
@@ -3525,10 +3576,13 @@ object SparkEntry {
       SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS copy
       FROM c WHERE copies > 0
       ORDER BY doc_id, copy""",
-    // Streaming dedup of a doubled delivery == the batch table, exactly.
-    "q113_stream_dedup" -> """
-      SELECT event_id, user_id, event_type, value FROM events
-      ORDER BY event_id""",
+    // The identity-preservation oracle: three distinct engine paths must
+    // reproduce the events table EXACTLY — q113 (streaming dedup of a
+    // doubled delivery), q116 (compaction rewrite), q117 (versioned-CSV
+    // export -> newest-pick -> import).
+    "q113_stream_dedup" -> eventsIdentityOracle,
+    "q116_compaction_roundtrip" -> eventsIdentityOracle,
+    "q117_versioned_csv_roundtrip" -> eventsIdentityOracle,
     // Quantized shortlist scored by exact integer dot (both engines
     // quantize and sum identically — no float until the re-rank).
     "q114_quantized_ann" -> """
