@@ -61,7 +61,8 @@ object Bench {
     "q114_quantized_ann",
     "q115_curation_v2",
     "q116_compaction_roundtrip",
-    "q117_versioned_csv_roundtrip")
+    "q117_versioned_csv_roundtrip",
+    "q118_jdbc_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

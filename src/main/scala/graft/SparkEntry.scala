@@ -1233,6 +1233,28 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Sink/source 12: JDBC round-trip against a REAL database (embedded
+    * Derby, no network) — K1's append writes the frame, S6's query
+    * pushdown reads it back with the projection and ORDER BY executing
+    * database-side. Shares the identity oracle: the export→import loop
+    * through a warehouse must be lossless, including doubles (JDBC binds
+    * them as typed DOUBLEs — no string formatting anywhere).
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val db = java.nio.file.Files.createTempDirectory("graft_q118").toString
+    val url = s"jdbc:derby:$db/rt;create=true"
+    graft.sinks.Sinks.jdbcAppend(
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("value")),
+      url, "events_rt")
+    // Spark's JDBC writer quotes COLUMN identifiers in Derby (so they stay
+    // lowercase and need quoting here) but not the table name (Derby
+    // upcases it; an unquoted reference matches)
+    graft.ingest.Ingest.jdbcQuery(s, url,
+      """SELECT "event_id", "user_id", "event_type", "value" FROM events_rt""")
+      .orderBy("event_id")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2142,7 +2164,8 @@ object SparkEntry {
     "q114_quantized_ann" -> q114 _,
     "q115_curation_v2" -> q115 _,
     "q116_compaction_roundtrip" -> q116 _,
-    "q117_versioned_csv_roundtrip" -> q117 _)
+    "q117_versioned_csv_roundtrip" -> q117 _,
+    "q118_jdbc_roundtrip" -> q118 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3583,6 +3606,7 @@ object SparkEntry {
     "q113_stream_dedup" -> eventsIdentityOracle,
     "q116_compaction_roundtrip" -> eventsIdentityOracle,
     "q117_versioned_csv_roundtrip" -> eventsIdentityOracle,
+    "q118_jdbc_roundtrip" -> eventsIdentityOracle,
     // Quantized shortlist scored by exact integer dot (both engines
     // quantize and sum identically — no float until the re-rank).
     "q114_quantized_ann" -> """
