@@ -62,7 +62,8 @@ object Bench {
     "q115_curation_v2",
     "q116_compaction_roundtrip",
     "q117_versioned_csv_roundtrip",
-    "q118_jdbc_roundtrip")
+    "q118_jdbc_roundtrip",
+    "q119_stream_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1255,6 +1255,44 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Streaming 10: flatMapGroupsWithState sessionization gated against the
+    * exact batch sessions — events stream in batch 1, then a per-user
+    * FLUSH event at global-max + 2h (its own never-emitted open session)
+    * streams in batch 2 and closes every user's last real session, so the
+    * memory table must equal the batch lag/sum sessionization row for
+    * row. The flush sits at the GLOBAL max so no flush singleton can
+    * out-time the watermark and leak into the output; real sessions close
+    * deterministically by fold or timeout — both paths emit the identical
+    * (start, end, n) tuple. Cross-batch state is forced by one file per
+    * micro-batch with explicitly ordered modification times.
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q119")
+    val in = stage.resolve("in").toString
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    ev.repartition(1).write.mode("append").parquet(in)
+    def parts = new java.io.File(in).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    val first = parts
+    val flush = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("__gm"))))
+      .select(col("user_id"),
+        (col("__gm") + expr("INTERVAL 2 HOURS")).as("ts"),
+        lit(Long.MaxValue).as("event_id"))
+    flush.repartition(1).write.mode("append").parquet(in)
+    val baseTime = new java.io.File(first.head).lastModified
+    (parts -- first).foreach(p =>
+      new java.io.File(p).setLastModified(baseTime + 120000L))
+    val stream = s.readStream.schema(s.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val sess = graft.streaming.Streaming.sessionizeStream(
+      stream, gapMinutes = 30, watermark = "10 minutes")
+    graft.streaming.Streaming.runToMemory(sess, "q119_mem",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy("user_id", "start_us")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2165,7 +2203,8 @@ object SparkEntry {
     "q115_curation_v2" -> q115 _,
     "q116_compaction_roundtrip" -> q116 _,
     "q117_versioned_csv_roundtrip" -> q117 _,
-    "q118_jdbc_roundtrip" -> q118 _)
+    "q118_jdbc_roundtrip" -> q118 _,
+    "q119_stream_sessionize" -> q119 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3607,6 +3646,28 @@ object SparkEntry {
     "q116_compaction_roundtrip" -> eventsIdentityOracle,
     "q117_versioned_csv_roundtrip" -> eventsIdentityOracle,
     "q118_jdbc_roundtrip" -> eventsIdentityOracle,
+    // The streaming sessionizer must reproduce the batch lag/sum sessions
+    // exactly (same gap, same (ts, event_id) tiebreak).
+    "q119_stream_sessionize" -> """
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+            (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        FROM events),
+      m AS (
+        SELECT user_id, event_id, us,
+          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM g),
+      sess AS (
+        SELECT user_id, us,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM m)
+      SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+        CAST(max(us) AS BIGINT) AS end_us, count(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, start_us""",
     // Quantized shortlist scored by exact integer dot (both engines
     // quantize and sum identically — no float until the re-rank).
     "q114_quantized_ann" -> """
