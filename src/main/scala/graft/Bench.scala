@@ -63,7 +63,8 @@ object Bench {
     "q116_compaction_roundtrip",
     "q117_versioned_csv_roundtrip",
     "q118_jdbc_roundtrip",
-    "q119_stream_sessionize")
+    "q119_stream_sessionize",
+    "q120_incremental_load")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

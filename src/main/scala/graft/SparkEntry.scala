@@ -1293,6 +1293,37 @@ object SparkEntry {
       .orderBy("user_id", "start_us")
   }
 
+  /** Streaming 11: the O2 batch-cron replacement end-to-end —
+    * [[graft.streaming.Streaming.incrementalFileLoad]] drains the source
+    * dir exactly-once (checkpoint-tracked), then runs TWICE more: once
+    * with nothing new (the checkpoint must skip everything) and once
+    * after a full redelivery file lands (watermark lateness drops the old
+    * keys, dedup state drops the recent ones). The landed lake table must
+    * still equal the source exactly — the identity oracle's fifth
+    * consumer, and the strongest: three runs, one truth.
+    */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q120")
+    val src = stage.resolve("src").toString
+    val target = stage.resolve("lake").toString
+    val ckpt = stage.resolve("ckpt").toString
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    ev.repartition(1).write.mode("append").parquet(src)
+    val schema = s.read.parquet(src).schema
+    def load(): Unit = graft.streaming.Streaming.incrementalFileLoad(
+      s, src, schema, Seq("event_id"), "ts", "10 minutes", target, ckpt)
+    load()
+    load() // nothing new: checkpoint must skip every file
+    ev.repartition(1).write.mode("append").parquet(src) // full redelivery
+    load() // late rows die on the watermark, recent ones on dedup state
+    s.read.parquet(target)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy("event_id")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2204,7 +2235,8 @@ object SparkEntry {
     "q116_compaction_roundtrip" -> q116 _,
     "q117_versioned_csv_roundtrip" -> q117 _,
     "q118_jdbc_roundtrip" -> q118 _,
-    "q119_stream_sessionize" -> q119 _)
+    "q119_stream_sessionize" -> q119 _,
+    "q120_incremental_load" -> q120 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3646,6 +3678,7 @@ object SparkEntry {
     "q116_compaction_roundtrip" -> eventsIdentityOracle,
     "q117_versioned_csv_roundtrip" -> eventsIdentityOracle,
     "q118_jdbc_roundtrip" -> eventsIdentityOracle,
+    "q120_incremental_load" -> eventsIdentityOracle,
     // The streaming sessionizer must reproduce the batch lag/sum sessions
     // exactly (same gap, same (ts, event_id) tiebreak).
     "q119_stream_sessionize" -> """
