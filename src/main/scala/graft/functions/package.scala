@@ -96,10 +96,14 @@ package object functions {
 
   /** Built-ins-only integer dot (aggregate over zip_with) — the
     * formulation [[intDot]] must agree with; kept for differential
-    * testing.
+    * testing. Operands widen to long BEFORE multiplying (as the codegen'd
+    * expression does), so int/short arrays don't overflow in 32-bit.
+    * zip_with null-pads unequal lengths (sum goes null) where [[intDot]]
+    * stops at the shorter array — equal-length inputs only.
     */
   def intDotCompositional(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
 
   /** Unicode NFC normalization via the codegen'd [[NfcNormalize]]
     * expression — run before any byte-wise compare/hash over mixed-form

@@ -373,7 +373,10 @@ object Dedup {
         .select(id.as(idName), explode(wordShingles(text, n)).as("__s"))
         .select(col(idName), xxhash64(col("__s")).as("__h"))
         .dropDuplicates(idName, "__h")
-    val bench = postings(benchmark, benchId, benchText, "bench_id")
+    // Cached (two longs per row): the emptiness probe, the bloom build,
+    // and the final exact join all reuse it — uncached, the
+    // scan→shingle→hash→dedup chain would run three times.
+    val bench = postings(benchmark, benchId, benchText, "bench_id").cache()
     // Empty benchmark → no bloom (stat.bloomFilter's merge over zero
     // partials yields an unusable filter) and no prefilter needed: the
     // exact join against the empty side is already free and returns the

@@ -30,17 +30,8 @@ object Similarity {
     * results oracle-checkable lives HERE only.
     */
   private def topKByPredicate(c: DataFrame, q: DataFrame,
-                              joinCond: Column, k: Int): DataFrame = {
-    val scored = c.join(broadcast(q), joinCond)
-      .select(col("query_id"), col("item_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      // round before ranking so float-accumulation noise can't flip the
-      // order of effectively-tied neighbors; ids break the remaining ties
-      .orderBy(round(col("cosine"), 6).desc, col("item_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+                              joinCond: Column, k: Int): DataFrame =
+    rankTopK(c.join(broadcast(q), joinCond), k)
 
   def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                      queries: DataFrame, queryId: Column, queryVec: Column,
@@ -123,6 +114,11 @@ object Similarity {
     val scored = cands.select(col("query_id"), col("item_id"),
       cosine(col("__qv"), col("__cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
+      // round before ranking so float-accumulation noise can't flip the
+      // order of effectively-tied neighbors; ids break the remaining ties.
+      // The round-6/id tie-break rule that makes results oracle-checkable
+      // lives HERE only (brute-force, LSH, IVF and quantized re-rank all
+      // route through this).
       .orderBy(round(col("cosine"), 6).desc, col("item_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -358,14 +354,27 @@ object Similarity {
       .select(col("vec_id").as("item_id"), col("qvec").as("__cq"))
     val qq = quantizeInt8(queries, queryId, queryVec)
       .select(col("vec_id").as("query_id"), col("qvec").as("__qq"))
-    val w = Window.partitionBy(col("query_id"))
+    // Two-phase salted top-N (negativeSamples' pattern): a query's corpus
+    // sweep never lands in one task's sort — each (query, salt) bucket
+    // keeps its own top `shortlist` (a provable superset of the global
+    // winners, since dropping below-bucket-rank rows can't evict a global
+    // top row), and the exact global rank runs over <= salts*shortlist
+    // survivors per query. Integer scores + id tie-break keep both phases
+    // deterministic.
+    val salts = 64
+    val local = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(col("qdot").desc, col("item_id").asc)
+    val global = Window.partitionBy(col("query_id"))
       .orderBy(col("qdot").desc, col("item_id").asc)
     val short = qc.join(broadcast(qq), col("item_id") =!= col("query_id"))
       .select(col("query_id"), col("item_id"),
         intDot(col("__qq"), col("__cq")).as("qdot"))
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("__salt", pmod(xxhash64(col("item_id")), lit(salts)))
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= shortlist)
+      .withColumn("__rn", row_number().over(global))
       .filter(col("__rn") <= shortlist)
-      .drop("__rn")
+      .drop("__salt", "__lr", "__rn")
     val cv = corpus.select(corpusId.as("item_id"), corpusVec.as("__cv"))
     val qv = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
     val rw = Window.partitionBy(col("query_id"))

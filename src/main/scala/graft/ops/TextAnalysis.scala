@@ -277,11 +277,14 @@ object TextAnalysis {
                 terms: Seq[String], k1: Double = 1.2,
                 b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25Terms needs at least one query term")
+    // tokens() lowercases the text, so the query terms must be folded the
+    // same way — a mixed-case term would otherwise silently never match
+    val folded = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("__tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("__dl"))
     val stats = dl.agg(count(lit(1)).as("__n_docs"),
       sum(col("__dl")).as("__tot_tokens"))
-    val tf = toks.filter(col("__tok").isin(terms: _*))
+    val tf = toks.filter(col("__tok").isin(folded: _*))
       .groupBy(col("doc_id"), col("__tok").as("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
