@@ -1204,9 +1204,10 @@ object SparkEntry {
     t(s, dir, "events").repartition(8).write.parquet(src)
     graft.ops.Layout.compactTo(s, src, dest, targetBytes = 1L << 20,
       clusterBy = Seq(col("user_id"), col("event_id")))
-    s.read.parquet(dest)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"))
+    materializeDropping(s, s.read.parquet(dest)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")),
+      java.nio.file.Paths.get(stage))
       .orderBy("event_id")
   }
 
@@ -1225,11 +1226,12 @@ object SparkEntry {
       base, prefix = "events")
     val newest = graft.ingest.Ingest.newestFile(s, s"$base/events_*")
       .getOrElse(sys.error("versioned sink left no version behind"))
-    graft.ingest.Ingest.csv(s, newest)
-      .select(col("event_id").cast("long").as("event_id"),
-        col("user_id").cast("long").as("user_id"),
-        col("event_type"),
-        col("value").cast("double").as("value"))
+    materializeDropping(s, graft.ingest.Ingest.csv(s, newest)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"),
+          col("value").cast("double").as("value")),
+      java.nio.file.Paths.get(base))
       .orderBy("event_id")
   }
 
@@ -1250,9 +1252,14 @@ object SparkEntry {
     // Spark's JDBC writer quotes COLUMN identifiers in Derby (so they stay
     // lowercase and need quoting here) but not the table name (Derby
     // upcases it; an unquoted reference matches)
-    graft.ingest.Ingest.jdbcQuery(s, url,
-      """SELECT "event_id", "user_id", "event_type", "value" FROM events_rt""")
-      .orderBy("event_id")
+    val out = materializeDropping(s, graft.ingest.Ingest.jdbcQuery(s, url,
+      """SELECT "event_id", "user_id", "event_type", "value" FROM events_rt"""),
+      { // Derby holds the db open; a clean shutdown releases it first
+        try java.sql.DriverManager.getConnection(s"jdbc:derby:$db/rt;shutdown=true")
+        catch { case _: java.sql.SQLException => () } // success throws 08006
+        java.nio.file.Paths.get(db)
+      })
+    out.orderBy("event_id")
   }
 
   /** Streaming 10: flatMapGroupsWithState sessionization gated against the
@@ -1288,9 +1295,13 @@ object SparkEntry {
       .option("maxFilesPerTrigger", 1).parquet(in)
     val sess = graft.streaming.Streaming.sessionizeStream(
       stream, gapMinutes = 30, watermark = "10 minutes")
-    graft.streaming.Streaming.runToMemory(sess, "q119_mem",
-        org.apache.spark.sql.streaming.OutputMode.Append)
-      .orderBy("user_id", "start_us")
+    val mem = graft.streaming.Streaming.runToMemory(sess, "q119_mem",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    // the memory sink holds the rows; the staged files can go now
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    mem.orderBy("user_id", "start_us")
   }
 
   /** Streaming 11: the O2 batch-cron replacement end-to-end —
@@ -1318,9 +1329,10 @@ object SparkEntry {
     load() // nothing new: checkpoint must skip every file
     ev.repartition(1).write.mode("append").parquet(src) // full redelivery
     load() // late rows die on the watermark, recent ones on dedup state
-    s.read.parquet(target)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"))
+    materializeDropping(s, s.read.parquet(target)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")),
+      stage)
       .orderBy("event_id")
   }
 
@@ -1906,7 +1918,46 @@ object SparkEntry {
     * generator is sfDir-independent, so one fixed location suffices; each
     * run overwrites it.
     */
-  private val q94LandPath = "/tmp/graft_q94_land"
+  /** Where q94 lands its oracle corpus: unique per JVM, so concurrent
+    * Verify runs (or two users on one host) never overwrite each other's
+    * landing while DuckDB reads it. The oracle SQL interpolates the same
+    * value per-run, so engine and oracle always agree on the path. Prior
+    * runs' landings (read long ago — the oracle runs right after Verify)
+    * are reaped best-effort once they age an hour, mirroring the manifest
+    * sink's .tmp reaper.
+    */
+  private val q94LandPath: String = {
+    val tmp = new java.io.File("/tmp")
+    val horizon = System.currentTimeMillis() - 60L * 60 * 1000
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_q94_land_") &&
+        f.lastModified < horizon)
+      .foreach { f =>
+        import scala.jdk.CollectionConverters._
+        scala.util.Try(java.nio.file.Files.walk(f.toPath).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p)))
+      }
+    s"/tmp/graft_q94_land_${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  /** Materialize a small harness result on the driver so the temp staging
+    * a round-trip query wrote (lake dirs, CSV versions, a Derby database)
+    * can be deleted before returning — same contract as q89/q96/q104's
+    * deliberate harness-side collects; the frames here are events-table
+    * sized, the same rows the memory-sink streaming gates already hold in
+    * driver memory.
+    */
+  private def materializeDropping(s: SparkSession,
+                                  df: org.apache.spark.sql.DataFrame,
+                                  stage: java.nio.file.Path): org.apache.spark.sql.DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(df.collect(): _*)
+    val out = s.createDataFrame(rows, df.schema)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
 
   /** Analytics: ordered funnel (view → click → purchase) — earliest
     * completion times for users who performed the stages IN ORDER. Each

@@ -76,17 +76,32 @@ object Sampling {
   def capPerStratum(df: DataFrame, strata: Column, id: Column,
                     maxRows: Int): DataFrame = {
     require(maxRows >= 0, s"maxRows must be >= 0, got $maxRows")
-    val local = Window.partitionBy(strata, col("__salt"))
-      .orderBy(col("__pos").asc, id.asc)
-    val global = Window.partitionBy(strata)
-      .orderBy(col("__pos").asc, id.asc)
-    df.withColumn("__pos", hashPos(strata, id))
-      .withColumn("__salt", pmod(col("__pos"), lit(rankSalts)))
+    saltedTopK(df.withColumn("__pos", hashPos(strata, id)),
+      Seq(strata), id, maxRows)
+      .drop("__pos", "__rank")
+  }
+
+  /** Two-phase salted EXACT top-k under (`__pos` asc, `tie` asc) within
+    * each `part` group — the one place the subset argument lives: each of
+    * the [[rankSalts]] (group, salt) buckets keeps its own top k, and
+    * since dropping a row ranked below k IN ITS BUCKET can never evict a
+    * row from the global top k (the global top k contains at most k rows
+    * of any bucket), the exact global rank over the <= salts*k survivors
+    * equals the rank over the full group — while no task ever sorts more
+    * than one bucket. Callers add `__pos` first and get `__rank` back.
+    */
+  private def saltedTopK(df: DataFrame, part: Seq[Column], tie: Column,
+                         k: Int): DataFrame = {
+    val local = Window.partitionBy((part :+ col("__salt")): _*)
+      .orderBy(col("__pos").asc, tie.asc)
+    val global = Window.partitionBy(part: _*)
+      .orderBy(col("__pos").asc, tie.asc)
+    df.withColumn("__salt", pmod(col("__pos"), lit(rankSalts)))
       .withColumn("__lr", row_number().over(local))
-      .filter(col("__lr") <= maxRows)
+      .filter(col("__lr") <= k)
       .withColumn("__rank", row_number().over(global))
-      .filter(col("__rank") <= maxRows)
-      .drop("__pos", "__salt", "__lr", "__rank")
+      .filter(col("__rank") <= k)
+      .drop("__salt", "__lr")
   }
 
   /** Per-stratum quantile filter: keep rows whose `score` is at or above
@@ -205,13 +220,29 @@ object Sampling {
         Some(acc.map(_.when(col("__pos") < bd, name))
           .getOrElse(when(col("__pos") < bd, name)))
       }.map(_.otherwise(splits.last._1)).get
-    // the singleton fallback adopts the GROUP column's type (a string
-    // group key must not coerce the whole coalesce to the id's type —
-    // ANSI would then throw on the first non-numeric group)
+    // Mixed-type robustness, both directions: (a) the join compares
+    // string forms when id and group-id types differ, so ANSI mode can't
+    // throw on an implicit cast; (b) the singleton fallback adopts the
+    // GROUP column's type via try_cast, and an id that cannot adopt it
+    // (string id, numeric groups) fails fast with a named error instead
+    // of silently collapsing every singleton onto the null hash draw.
+    // The draw itself hashes the string form — identical whenever the
+    // cast succeeds, well-defined even where it wouldn't be.
     val grpType = g.schema("__grp").dataType
-    df.join(g, id === col("__gid"), "left")
-      .withColumn("group_key", coalesce(col("__grp"), id.cast(grpType)))
-      .withColumn("__pos", hashPos(lit("split"), col("group_key")))
+    val gidType = g.schema("__gid").dataType
+    val idType = df.select(id).schema.head.dataType
+    val joinCond =
+      if (idType == gidType) id === col("__gid")
+      else id.cast("string") === col("__gid").cast("string")
+    val fallback = id.try_cast(grpType)
+    df.join(g, joinCond, "left")
+      .withColumn("group_key",
+        when(col("__grp").isNull && id.isNotNull && fallback.isNull,
+          raise_error(concat(lit("leakageFreeSplit: id "), id.cast("string"),
+            lit(s" cannot adopt the group-key type ${grpType.simpleString}"))))
+          .otherwise(coalesce(col("__grp"), fallback)))
+      .withColumn("__pos", hashPos(lit("split"),
+        coalesce(col("__grp").cast("string"), id.cast("string"))))
       .withColumn("split", splitExpr)
       .drop("__gid", "__grp", "__pos")
   }
@@ -249,16 +280,9 @@ object Sampling {
     val c = candidates.select(candId.as("item_id"), candLabel.as("__cl"))
     val joined = c.join(broadcast(a), col("__cl") =!= col("__al"))
       .withColumn("__pos", hashPos(col("query_id"), col("item_id")))
-      .withColumn("__salt", pmod(col("__pos"), lit(rankSalts)))
-    val local = Window.partitionBy(col("query_id"), col("__salt"))
-      .orderBy(col("__pos").asc, col("item_id").asc)
-    val global = Window.partitionBy(col("query_id"))
-      .orderBy(col("__pos").asc, col("item_id").asc)
-    joined.withColumn("__lr", row_number().over(local))
-      .filter(col("__lr") <= k) // bucket-local top-k: bounds the final sort
-      .withColumn("rank", row_number().over(global).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("item_id"), col("rank"))
+    saltedTopK(joined, Seq(col("query_id")), col("item_id"), k)
+      .select(col("query_id"), col("item_id"),
+        col("__rank").cast("long").as("rank"))
   }
 
   /** Salt fan-out for the bucket-local ranking phase of

@@ -45,6 +45,10 @@ class DocGenSource extends TableProvider
   override def shortName(): String = "graft-docgen"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DocGen.schema
+  // Without this, Spark rejects any user-supplied .schema(...) before
+  // getTable is ever called and the validation below could never fire —
+  // accepting external metadata is what routes the user schema here.
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     // A user-supplied .schema(...) must be validated, not silently dropped:

@@ -84,4 +84,21 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(df.agg(min("doc_id"), max("doc_id")).as[(Long, Long)].head()
       === ((120L, 180L)))
   }
+
+  test("user-supplied schema: exact match accepted, mismatch fails fast") {
+    import org.apache.spark.sql.types._
+    val inferred = spark.read.format("graft-docgen")
+      .option("rows", 1).load().schema
+    val ok = spark.read.format("graft-docgen")
+      .schema(inferred)
+      .option("rows", 10).load()
+    assert(ok.count() === 10)
+    val bad = intercept[Exception] {
+      spark.read.format("graft-docgen")
+        .schema(StructType(Seq(StructField("nope", LongType))))
+        .option("rows", 10).load().count()
+    }
+    assert(bad.getMessage.contains("does not match"),
+      s"expected the schema-mismatch message, got: ${bad.getMessage}")
+  }
 }

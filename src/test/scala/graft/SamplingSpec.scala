@@ -284,6 +284,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(sOut.filter(_._1 <= 2).map(_._2).toSet === Set("domA"))
     assert(sOut.filter(_._1 <= 2).map(_._3).distinct.length === 1)
     assert(sOut.find(_._1 == 3L).get._2 === "3") // singleton: id as string
+    // the REVERSE mismatch (numeric groups, uncastable string id) must
+    // fail fast, not collapse every singleton onto the null hash draw
+    val numericGroups = Seq((1L, 10L)).toDF("gid", "comp")
+    val err = intercept[Exception] {
+      Seq("doc-1", "doc-2").toDF("id").select($"id")
+        .transform(d => graft.ops.Sampling.leakageFreeSplit(
+          d, $"id", numericGroups, "gid", "comp",
+          Seq("train" -> 0.5, "test" -> 0.5)))
+        .collect()
+    }
+    assert(err.getMessage.contains("cannot adopt the group-key type") ||
+      Option(err.getCause).exists(
+        _.getMessage.contains("cannot adopt the group-key type")),
+      s"expected the fail-fast message, got: ${err.getMessage}")
   }
 
   test("temperatureMix: alpha=1 is natural, alpha=0 uniform, 0.5 damps head") {
