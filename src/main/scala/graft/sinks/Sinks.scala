@@ -122,7 +122,7 @@ object Sinks {
     * aggregations on those keys read co-located data and plan WITHOUT a
     * shuffle exchange. At 100 TB this is how repeated fact-to-fact joins on
     * the same key amortize their shuffle: pay it once at write time.
-    * (BucketingSpec asserts the exchange-free plan.)
+    * (ScaleOpsSpec asserts the exchange-free plan.)
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
