@@ -1164,12 +1164,15 @@ object SparkEntry {
     */
   private def q115(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    // cached: the regex-heavy Gopher chain otherwise re-runs for the
+    // containment postings, the anti-join, and both split-side reads
     val kept = TextAnalysis.gopherFlags(d, col("doc_id"), col("text"),
         minWords = 20, maxWords = 100000,
         stopwords = Seq("the", "a", "data", "table", "row", "key",
           "value", "join"))
       .filter(col("keep")).select(col("doc_id"))
       .join(d, "doc_id")
+      .cache()
     val pairs = Dedup.containmentPairs(kept, col("doc_id"), col("text"),
       n = 3, minContain = 0.8, maxDf = 50)
     // drop id_a when the host is strictly larger, or equal-sized with a
