@@ -64,7 +64,8 @@ object Bench {
     "q117_versioned_csv_roundtrip",
     "q118_jdbc_roundtrip",
     "q119_stream_sessionize",
-    "q120_incremental_load")
+    "q120_incremental_load",
+    "q121_personalized_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1339,6 +1339,27 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Graph 3: PERSONALIZED PageRank — teleport concentrated on the first
+    * four suppliers (s_suppkey <= 3; a fixed "trusted" set that exists at
+    * every scale factor) over the part↔supplier bipartite graph:
+    * importance relative to a seed set (RWR), dangling mass restarting at
+    * the seeds. Ranks at 12 decimals for the same tie-round reason as
+    * q101.
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = concat(lit("p"), col("l_partkey").cast("string"))
+    val sup = concat(lit("s"), col("l_suppkey").cast("string"))
+    val edges = li.select(p.as("a"), sup.as("b"))
+      .union(li.select(sup.as("a"), p.as("b")))
+    val seeds = t(s, dir, "supplier").filter(col("s_suppkey") <= 3)
+      .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+    graft.ops.Graph.personalizedPageRank(edges, col("a"), col("b"),
+        seeds, col("node"), iters = 2)
+      .select(col("node"), round(col("rank"), 12).as("rank"))
+      .orderBy("node")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2290,7 +2311,8 @@ object SparkEntry {
     "q117_versioned_csv_roundtrip" -> q117 _,
     "q118_jdbc_roundtrip" -> q118 _,
     "q119_stream_sessionize" -> q119 _,
-    "q120_incremental_load" -> q120 _)
+    "q120_incremental_load" -> q120 _,
+    "q121_personalized_pagerank" -> q121 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2484,6 +2506,45 @@ object SparkEntry {
     * generated once so the two rounds cannot drift from each other (or
     * from [[graft.ops.Graph.pageRank]]'s per-round construction).
     */
+  private val q121Oracle: String = {
+    def iter(prev: String, out: String) =
+      s"""c_$out AS (
+        SELECT e.dst AS node,
+          CAST(CAST(sum(CAST(r.rank / od.outdeg AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS m
+        FROM $prev r JOIN od ON r.node = od.node JOIN e ON r.node = e.src
+        GROUP BY 1),
+      d_$out AS (
+        SELECT CAST(CAST(coalesce(sum(CAST(r.rank AS DECIMAL(28,18))),
+          CAST(0 AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS dm
+        FROM $prev r LEFT JOIN od ON r.node = od.node WHERE od.node IS NULL),
+      $out AS (
+        SELECT pv.node,
+          (1.0 - 0.85) * pv.p + 0.85 * (coalesce(c.m, 0.0) + d_$out.dm * pv.p) AS rank
+        FROM pvec pv CROSS JOIN d_$out LEFT JOIN c_$out c ON pv.node = c.node)"""
+    s"""
+      WITH e AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+        UNION
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),
+          'p' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+      sd AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+             FROM supplier WHERE s_suppkey <= 3),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+                UNION SELECT node FROM sd),
+      ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd),
+      od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg
+             FROM e GROUP BY 1),
+      pvec AS (
+        SELECT nodes.node,
+          CASE WHEN sd.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS p
+        FROM nodes CROSS JOIN ns LEFT JOIN sd ON nodes.node = sd.node),
+      r0 AS (SELECT node, p AS rank FROM pvec),
+      ${iter("r0", "r1")},
+      ${iter("r1", "r2")}
+      SELECT node, round(rank, 12) AS rank FROM r2 ORDER BY node"""
+  }
+
   private val q101Oracle: String = {
     def iter(prev: String, out: String) =
       s"""c_$out AS (
@@ -2553,6 +2614,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q102_funnel_n" -> q102Oracle,
     "q101_pagerank" -> q101Oracle,
+    "q121_personalized_pagerank" -> q121Oracle,
     "q90_zorder_curve" -> q90Oracle,
     "q96_manifest_landing" -> """
       SELECT event_type, count(*) AS n_events,

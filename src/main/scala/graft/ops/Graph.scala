@@ -94,4 +94,63 @@ object Graph {
     }
     ranks
   }
+
+  /** Personalized PageRank (random walk with restart): the teleport vector
+    * concentrates on `seeds` instead of spreading uniformly — "importance
+    * RELATIVE TO a trusted set", the quality-propagation signal a corpus
+    * pipeline uses to extend a small curated seed set over a link graph.
+    * Dangling mass restarts at the seeds (the canonical RWR closure), so
+    * total rank is exactly 1 every round:
+    *
+    * `rank'(v) = (1-d)·p(v) + d·(in_mass(v) + dangling_mass·p(v))`,
+    * `p = 1/|seeds|` on seeds and 0 elsewhere; `rank0 = p`.
+    *
+    * Same per-round shape and determinism contract as [[pageRank]]
+    * (decimal-exact sums, one join + one aggregation per round, per-round
+    * lineage checkpoint, dangling scalar rides as a broadcast one-row
+    * frame). Seeds outside the edge set are legal teleport targets and
+    * join the node universe.
+    */
+  def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
+                           seeds: DataFrame, seed: Column,
+                           iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(src.as("src"), dst.as("dst")).distinct()
+      .localCheckpoint()
+    val sd = seeds.select(seed.as("node")).distinct().localCheckpoint()
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(sd.select(col("node"))).distinct()
+      .localCheckpoint()
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    val pOf = nodes.join(sd.withColumn("__is", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__is") === 1, lit(1.0d / nSeeds))
+          .otherwise(lit(0.0d)).as("__p"))
+      .localCheckpoint()
+    var ranks = pOf.select(col("node"), col("__p").as("rank"))
+    var it = 0
+    while (it < iters) {
+      val contrib = ranks.join(outDeg, Seq("node"))
+        .join(e, col("node") === col("src"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+      val summed = contrib.groupBy(col("dst").as("node"))
+        .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("in_mass"))
+      val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank").cast("decimal(28,18)")),
+          lit(0).cast("decimal(28,18)")).cast("double").as("__dmass"))
+      val inMass = coalesce(col("in_mass"), lit(0.0d))
+      ranks = pOf.join(summed, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(1.0d - damping) * col("__p") +
+            lit(damping) * (inMass + col("__dmass") * col("__p"))).as("rank"))
+        .localCheckpoint()
+      it += 1
+    }
+    ranks
+  }
 }

@@ -395,6 +395,32 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.select("frame_idx").as[Long].collect().forall(_ % 10 == 0))
   }
 
+  test("personalizedPageRank: mass 1 every round, concentrates at the seeds") {
+    import graft.ops.Graph
+    // star: hub 0 -> 1..5, plus a chain 6 -> 7 (7 dangling)
+    val edges = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)) ++
+      Seq((6L, 7L))).toDF("a", "b")
+    val seeds = Seq(1L).toDF("node")
+    for (iters <- 0 to 3) {
+      val r = Graph.personalizedPageRank(edges, $"a", $"b", seeds, $"node",
+        iters).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      // RWR conserves mass exactly: teleport + walk + dangling restart
+      assert(math.abs(r.values.sum - 1.0) < 1e-12, s"mass leak at $iters")
+      // the seed always holds the teleport floor
+      assert(r(1L) >= (1.0 - 0.85), s"seed below teleport floor at $iters")
+    }
+    val r2 = Graph.personalizedPageRank(edges, $"a", $"b", seeds, $"node",
+      iters = 3).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // nodes unreachable from the seed (and not seeds) decay toward zero;
+    // the seed (a sink here: its mass restarts at itself) dominates
+    assert(r2(1L) > r2(0L) && r2(1L) > r2(7L))
+    // a seed OUTSIDE the edge set is a legal teleport target
+    val iso = Graph.personalizedPageRank(edges, $"a", $"b",
+      Seq(99L).toDF("node"), $"node", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(iso.contains(99L) && math.abs(iso.values.sum - 1.0) < 1e-12)
+  }
+
   test("bm25Terms: saturation bounded by (k1+1)*idf, longer docs score lower") {
     val corpus = Seq(
       (1L, "data data data data data data data data data data pad pad"),
