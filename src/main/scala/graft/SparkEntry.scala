@@ -924,9 +924,7 @@ object SparkEntry {
     val rows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(agg.collect(): _*)
     val out = s.createDataFrame(rows, agg.schema)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    deleteTree(base)
     out.orderBy("event_type")
   }
 
@@ -1255,14 +1253,16 @@ object SparkEntry {
     // Spark's JDBC writer quotes COLUMN identifiers in Derby (so they stay
     // lowercase and need quoting here) but not the table name (Derby
     // upcases it; an unquoted reference matches)
-    val out = materializeDropping(s, graft.ingest.Ingest.jdbcQuery(s, url,
-      """SELECT "event_id", "user_id", "event_type", "value" FROM events_rt"""),
-      { // Derby holds the db open; a clean shutdown releases it first
-        try java.sql.DriverManager.getConnection(s"jdbc:derby:$db/rt;shutdown=true")
-        catch { case _: java.sql.SQLException => () } // success throws 08006
-        java.nio.file.Paths.get(db)
-      })
-    out.orderBy("event_id")
+    val landed = graft.ingest.Ingest.jdbcQuery(s, url,
+      """SELECT "event_id", "user_id", "event_type", "value" FROM events_rt""")
+    // order matters: collect FIRST (the read boots Derby), then a clean
+    // shutdown releases the database, then the directory can go
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(landed.collect(): _*)
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$db/rt;shutdown=true")
+    catch { case _: java.sql.SQLException => () } // success throws 08006
+    deleteTree(java.nio.file.Paths.get(db))
+    s.createDataFrame(rows, landed.schema).orderBy("event_id")
   }
 
   /** Streaming 10: flatMapGroupsWithState sessionization gated against the
@@ -1301,9 +1301,7 @@ object SparkEntry {
     val mem = graft.streaming.Streaming.runToMemory(sess, "q119_mem",
       org.apache.spark.sql.streaming.OutputMode.Append)
     // the memory sink holds the rows; the staged files can go now
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    deleteTree(stage)
     mem.orderBy("user_id", "start_us")
   }
 
@@ -1956,12 +1954,18 @@ object SparkEntry {
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("graft_q94_land_") &&
         f.lastModified < horizon)
-      .foreach { f =>
-        import scala.jdk.CollectionConverters._
-        scala.util.Try(java.nio.file.Files.walk(f.toPath).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p)))
-      }
+      .foreach(f => scala.util.Try(deleteTree(f.toPath)))
     s"/tmp/graft_q94_land_${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  /** Reverse-walk recursive delete — the one place the staging-cleanup
+    * idiom lives (round-trip harness queries, the q94 reaper, the
+    * streaming landings all route through here).
+    */
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(q => java.nio.file.Files.deleteIfExists(q))
   }
 
   /** Materialize a small harness result on the driver so the temp staging
@@ -1977,9 +1981,7 @@ object SparkEntry {
     val rows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(df.collect(): _*)
     val out = s.createDataFrame(rows, df.schema)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    deleteTree(stage)
     out
   }
 
@@ -2037,9 +2039,7 @@ object SparkEntry {
     val rows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(agg.collect(): _*)
     val out = s.createDataFrame(rows, agg.schema)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    deleteTree(base)
     out.orderBy("event_type")
   }
 
@@ -2096,9 +2096,7 @@ object SparkEntry {
     val rows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(out.collect(): _*)
     val res = s.createDataFrame(rows, out.schema)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    deleteTree(base)
     res.orderBy("user_id")
   }
 

@@ -56,43 +56,13 @@ object Graph {
     if (nNodes == 0L) return nodes.withColumn("rank", lit(0.0d))
     val n = lit(nNodes.toDouble)
     val base = lit(1.0d - damping) / n
-    var ranks = nodes.withColumn("rank", lit(1.0d) / n)
-    var it = 0
-    var converged = false
-    while (it < iters && !converged) {
-      val contrib = ranks.join(outDeg, Seq("node"))
-        .join(e, col("node") === col("src"))
-        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
-      val summed = contrib.groupBy(col("dst").as("node"))
-        .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("in_mass"))
-      val inMass = coalesce(col("in_mass"), lit(0.0d))
-      val next =
-        if (!redistributeDangling) {
-          nodes.join(summed, Seq("node"), "left")
-            .select(col("node"),
-              (base + lit(damping) * inMass).as("rank"))
-        } else {
-          // dangling mass, summed exactly; one row, broadcast back in
-          val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
-            .agg(coalesce(sum(col("rank").cast("decimal(28,18)")),
-              lit(0).cast("decimal(28,18)")).cast("double").as("__dmass"))
-          nodes.join(summed, Seq("node"), "left")
-            .crossJoin(broadcast(dangling))
-            .select(col("node"),
-              (base + lit(damping) * (inMass + col("__dmass") / n)).as("rank"))
-        }
-      val checkpointed = next.localCheckpoint()
-      if (tol > 0.0) {
-        val delta = checkpointed
-          .join(ranks.select(col("node"), col("rank").as("__prev")), Seq("node"))
-          .agg(max(abs(col("rank") - col("__prev"))).as("d"))
-          .first().getDouble(0)
-        converged = delta < tol
-      }
-      ranks = checkpointed
-      it += 1
-    }
-    ranks
+    val init = nodes.withColumn("rank", lit(1.0d) / n)
+    val blend: (Column, Column) => Column =
+      if (!redistributeDangling) (inMass, _) => base + lit(damping) * inMass
+      else (inMass, dmass) =>
+        base + lit(damping) * (inMass + dmass / n)
+    iterate(nodes, e, outDeg, init, iters, tol,
+      needDangling = redistributeDangling, blend)
   }
 
   /** Personalized PageRank (random walk with restart): the teleport vector
@@ -131,24 +101,58 @@ object Graph {
         when(col("__is") === 1, lit(1.0d / nSeeds))
           .otherwise(lit(0.0d)).as("__p"))
       .localCheckpoint()
-    var ranks = pOf.select(col("node"), col("__p").as("rank"))
+    val init = pOf.select(col("node"), col("__p").as("rank"))
+    iterate(pOf, e, outDeg, init, iters, tol = 0.0, needDangling = true,
+      (inMass, dmass) =>
+        lit(1.0d - damping) * col("__p") +
+          lit(damping) * (inMass + dmass * col("__p")))
+      .select(col("node"), col("rank"))
+  }
+
+  /** The shared iteration core both public entry points drive: per round,
+    * one contrib join (ranks onto edges by source, divided by out-degree),
+    * one DECIMAL-exact aggregation by destination, an optional
+    * DECIMAL-exact dangling-mass scalar (broadcast one-row frame), the
+    * caller's blend expression, and a lineage checkpoint; `tol > 0` adds
+    * the convergence stop. The numeric/determinism contract lives here
+    * ONCE — callers only choose the teleport/blend formula, which must
+    * mirror their oracle's expression tree exactly.
+    */
+  private def iterate(nodes: DataFrame, e: DataFrame, outDeg: DataFrame,
+                      init: DataFrame, iters: Int, tol: Double,
+                      needDangling: Boolean,
+                      blend: (Column, Column) => Column): DataFrame = {
+    var ranks = init
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
       val contrib = ranks.join(outDeg, Seq("node"))
         .join(e, col("node") === col("src"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
       val summed = contrib.groupBy(col("dst").as("node"))
         .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("in_mass"))
-      val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank").cast("decimal(28,18)")),
-          lit(0).cast("decimal(28,18)")).cast("double").as("__dmass"))
       val inMass = coalesce(col("in_mass"), lit(0.0d))
-      ranks = pOf.join(summed, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (lit(1.0d - damping) * col("__p") +
-            lit(damping) * (inMass + col("__dmass") * col("__p"))).as("rank"))
-        .localCheckpoint()
+      val joined = nodes.join(summed, Seq("node"), "left")
+      val next =
+        if (!needDangling)
+          joined.select(col("node"), blend(inMass, lit(0.0d)).as("rank"))
+        else {
+          // dangling mass, summed exactly; one row, broadcast back in
+          val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank").cast("decimal(28,18)")),
+              lit(0).cast("decimal(28,18)")).cast("double").as("__dmass"))
+          joined.crossJoin(broadcast(dangling))
+            .select(col("node"), blend(inMass, col("__dmass")).as("rank"))
+        }
+      val checkpointed = next.localCheckpoint()
+      if (tol > 0.0) {
+        val delta = checkpointed
+          .join(ranks.select(col("node"), col("rank").as("__prev")), Seq("node"))
+          .agg(max(abs(col("rank") - col("__prev"))).as("d"))
+          .first().getDouble(0)
+        converged = delta < tol
+      }
+      ranks = checkpointed
       it += 1
     }
     ranks

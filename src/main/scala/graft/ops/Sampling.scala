@@ -220,24 +220,30 @@ object Sampling {
         Some(acc.map(_.when(col("__pos") < bd, name))
           .getOrElse(when(col("__pos") < bd, name)))
       }.map(_.otherwise(splits.last._1)).get
-    // Mixed-type robustness, both directions: (a) the join compares
-    // string forms when id and group-id types differ, so ANSI mode can't
-    // throw on an implicit cast; (b) the singleton fallback adopts the
-    // GROUP column's type via try_cast, and an id that cannot adopt it
-    // (string id, numeric groups) fails fast with a named error instead
-    // of silently collapsing every singleton onto the null hash draw.
-    // The draw itself hashes the string form — identical whenever the
-    // cast succeeds, well-defined even where it wouldn't be.
+    // Mixed-type robustness, both directions: (a) numeric id/group-id
+    // pairs join natively (Spark widens to the common numeric type — no
+    // cast can fail), and only a string/non-string mismatch joins on
+    // string forms, where ANSI's implicit cast would otherwise throw;
+    // (b) the singleton fallback adopts the GROUP column's type via
+    // try_cast, and an id that cannot adopt it LOSSLESSLY (uncastable
+    // string, or a fractional double against integer groups) fails fast
+    // with a named error instead of silently collapsing singletons onto
+    // the null draw or truncating distinct ids onto one group key. The
+    // draw itself hashes the string form — identical whenever the
+    // adoption is lossless, well-defined even where it wouldn't be.
+    import org.apache.spark.sql.types.StringType
     val grpType = g.schema("__grp").dataType
     val gidType = g.schema("__gid").dataType
     val idType = df.select(id).schema.head.dataType
     val joinCond =
-      if (idType == gidType) id === col("__gid")
+      if (idType == gidType ||
+          (idType != StringType && gidType != StringType)) id === col("__gid")
       else id.cast("string") === col("__gid").cast("string")
     val fallback = id.try_cast(grpType)
+    val lossy = fallback.isNull || !(fallback.cast(idType) <=> id)
     df.join(g, joinCond, "left")
       .withColumn("group_key",
-        when(col("__grp").isNull && id.isNotNull && fallback.isNull,
+        when(col("__grp").isNull && id.isNotNull && lossy,
           raise_error(concat(lit("leakageFreeSplit: id "), id.cast("string"),
             lit(s" cannot adopt the group-key type ${grpType.simpleString}"))))
           .otherwise(coalesce(col("__grp"), fallback)))
