@@ -89,7 +89,10 @@ object Graph {
       .localCheckpoint()
     val sd = seeds.select(seed.as("node")).distinct().localCheckpoint()
     val nSeeds = sd.count()
-    require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
+    // empty seed set: the walk teleports nowhere — every rank is 0, so
+    // return the empty frame rather than dividing by |seeds| (the
+    // empty-delta law every operator here obeys)
+    if (nSeeds == 0L) return sd.withColumn("rank", lit(0.0d))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(sd.select(col("node"))).distinct()
