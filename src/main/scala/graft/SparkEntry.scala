@@ -1358,6 +1358,51 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Behavior 1: weekly cohort retention matrix over the event log —
+    * first-active-week cohorts × week offset, with the exact integer
+    * counts and the IEEE-exact retention quotient
+    * ([[graft.ops.Funnel.cohortRetention]]).
+    */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.cohortRetention(t(s, dir, "events"),
+        col("user_id"), col("ts"))
+      .withColumn("cohort_week",
+        date_format(col("cohort_week"), "yyyy-MM-dd"))
+      .orderBy("cohort_week", "week_offset")
+
+  /** Timeseries 1: daily resample + forward fill per user — gap days are
+    * synthesized from the per-user span and carry the last observed daily
+    * max forward ([[graft.ops.Timeseries.resampleDailyFfill]]). Both
+    * aggregates (count, max) are order-independent, so the doubles are
+    * bit-stable across partitionings.
+    */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.resampleDailyFfill(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("value"))
+      .withColumnRenamed("key", "user_id")
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("user_id", "day")
+
+  /** Text 10: BM25 document search — top-25 documents for a three-term
+    * query, the per-term q106 scores combined by fixed-order addition so
+    * the float sum is engine-deterministic
+    * ([[TextAnalysis.bm25Search]]).
+    */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Search(t(s, dir, "documents"), col("doc_id"),
+        col("text"), Seq("data", "query", "stream"), k = 25)
+      .select(col("doc_id"), col("n_terms"),
+        round(col("score"), 4).as("score"))
+
+  /** Behavior 2: first-order event-type transition matrix — per-user
+    * consecutive (from → to) pairs with exact counts and the IEEE-exact
+    * row-normalized probability ([[graft.ops.Funnel.transitions]]).
+    */
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.transitions(t(s, dir, "events"), col("user_id"),
+        col("event_type"), Seq(col("ts"), col("event_id")))
+      .orderBy("from_type", "to_type")
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2310,7 +2355,11 @@ object SparkEntry {
     "q118_jdbc_roundtrip" -> q118 _,
     "q119_stream_sessionize" -> q119 _,
     "q120_incremental_load" -> q120 _,
-    "q121_personalized_pagerank" -> q121 _)
+    "q121_personalized_pagerank" -> q121 _,
+    "q122_cohort_retention" -> q122 _,
+    "q123_resample_ffill" -> q123 _,
+    "q124_bm25_search" -> q124 _,
+    "q125_transition_matrix" -> q125 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2613,6 +2662,88 @@ object SparkEntry {
     "q102_funnel_n" -> q102Oracle,
     "q101_pagerank" -> q101Oracle,
     "q121_personalized_pagerank" -> q121Oracle,
+    "q122_cohort_retention" -> """
+      WITH weeks AS (
+        SELECT DISTINCT user_id,
+          CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+      cohorts AS (
+        SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1),
+      cells AS (
+        SELECT c.cohort_week,
+          CAST((w.week - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+          count(DISTINCT w.user_id) AS n_active
+        FROM weeks w JOIN cohorts c USING (user_id) GROUP BY 1, 2),
+      sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY 1)
+      SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        week_offset, n_active, cohort_size,
+        round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 4)
+          AS retention
+      FROM cells JOIN sizes USING (cohort_week)
+      ORDER BY 1, 2""",
+    "q123_resample_ffill" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+          max(value) AS day_max
+        FROM events GROUP BY 1, 2),
+      spans AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      cal AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1,
+          INTERVAL 1 DAY)) AS DATE) AS day FROM spans)
+      SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+        coalesce(d.n_events, 0) AS n_events,
+        last_value(d.day_max IGNORE NULLS) OVER (
+          PARTITION BY c.user_id ORDER BY c.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+        d.n_events IS NULL AS is_gap
+      FROM cal c LEFT JOIN daily d
+        ON c.user_id = d.user_id AND c.day = d.day
+      ORDER BY 1, 2""",
+    "q124_bm25_search" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+             WHERE tok IN ('data', 'query', 'stream') GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT t.term, t.doc_id,
+          ((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+            (CAST(f.df AS DOUBLE) + 0.5) + 1.0) *
+          (CAST(t.tf AS DOUBLE) * (1.2 + 1.0) /
+            (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) /
+              (CAST(s.tot AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS bm25
+        FROM tf t JOIN dl d ON t.doc_id = d.doc_id
+        JOIN dfreq f ON t.term = f.term CROSS JOIN stats s),
+      wide AS (
+        SELECT doc_id,
+          max(CASE WHEN term = 'data' THEN bm25 END) AS s1,
+          max(CASE WHEN term = 'query' THEN bm25 END) AS s2,
+          max(CASE WHEN term = 'stream' THEN bm25 END) AS s3
+        FROM scored GROUP BY 1),
+      ranked AS (
+        SELECT doc_id,
+          CAST((CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) +
+               (CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) +
+               (CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_terms,
+          coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0) AS raw
+        FROM wide ORDER BY raw DESC, doc_id LIMIT 25)
+      SELECT doc_id, n_terms, round(raw, 4) AS score FROM ranked""",
+    "q125_transition_matrix" -> """
+      WITH seq AS (
+        SELECT event_type,
+          lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+      SELECT prev AS from_type, event_type AS to_type, count(*) AS n,
+        round(CAST(count(*) AS DOUBLE) /
+          CAST(sum(count(*)) OVER (PARTITION BY prev) AS DOUBLE), 4) AS p
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "q90_zorder_curve" -> q90Oracle,
     "q96_manifest_landing" -> """
       SELECT event_type, count(*) AS n_events,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** N-stage ordered funnel over an event log: for users who performed
@@ -37,5 +38,69 @@ object Funnel {
         .groupBy(col("user_id") +: carried.map(col): _*)
         .agg(min(col("__ts")).as(tcol(i)))
     }
+  }
+
+  /** Weekly cohort retention matrix: users are assigned to the cohort of
+    * their first active week (Monday-truncated), and each (cohort,
+    * week-offset) cell counts how many of that cohort were active again
+    * `week_offset` weeks later. The classic product-analytics read over an
+    * event log — the reference's BI-cube source is exactly this kind of
+    * materialization, one level up.
+    *
+    * Scale shape: the raw stream is first collapsed to distinct
+    * (user, week) pairs — one shuffle on user_id that every later step
+    * reuses (the cohort-assignment aggregation and the assignment join
+    * are both keyed by user_id, so they co-partition with no further
+    * exchange). The final matrix aggregation shuffles only
+    * |active user-weeks| rows on a key with at most |weeks|² distinct
+    * values, and cohort sizes join back via broadcast (one row per
+    * cohort week). Every number is integer or an exact IEEE quotient of
+    * integers — no float accumulation.
+    */
+  def cohortRetention(events: DataFrame, user: Column,
+                      ts: Column): DataFrame = {
+    val weeks = events
+      .select(user.as("user_id"),
+        date_trunc("week", ts).cast("date").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val cells = weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / lit(7))
+          .cast("long").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 4).as("retention"))
+  }
+
+  /** First-order transition counts over a per-user event sequence: for
+    * every consecutive (previous type → type) pair, the count and the
+    * row-normalized transition probability. `order` must make the
+    * per-user sequence deterministic (e.g. ts then event_id).
+    *
+    * Scale shape: one window pass partitioned by user (per-task memory
+    * bounded by the busiest single user, same bound q32's sessionization
+    * already lives with), then an aggregation on the (from, to) pair —
+    * a key space of |event types|², tiny by construction. The
+    * probability is an exact IEEE quotient of the two integer counts.
+    */
+  def transitions(events: DataFrame, user: Column, typ: Column,
+                  order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "transitions needs a deterministic ordering")
+    val byUser = Window.partitionBy(col("__u")).orderBy(order: _*)
+    val norm = Window.partitionBy(col("from_type"))
+    events.select(user.as("__u") +: typ.as("__t") +: order: _*)
+      .withColumn("__prev", lag(col("__t"), 1).over(byUser))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col("__t").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(norm).cast("double"), 4))
   }
 }

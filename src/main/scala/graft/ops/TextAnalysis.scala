@@ -304,6 +304,40 @@ object TextAnalysis {
         (idf * sat).as("bm25"))
   }
 
+  /** Document-level BM25 search: top-`k` documents for a multi-term query,
+    * scored as the sum of [[bm25Terms]] per-term contributions. The float
+    * sum is made engine-deterministic by pivoting the matched terms into
+    * fixed columns and adding them in the query's written order — a
+    * left-associated chain of IEEE additions both Spark and the SQL
+    * oracle evaluate identically, instead of a `sum()` whose accumulation
+    * order the engine chooses. `n_terms` counts how many query terms the
+    * document matched (the AND-ness of the hit).
+    *
+    * Scale shape: per-term scoring is bm25Terms' posting pipeline (tf
+    * rows only for matching tokens); the pivot is one aggregation keyed
+    * by doc_id over ≤ |terms| rows per document; the final top-k plans as
+    * TakeOrdered — no global sort materializes.
+    */
+  def bm25Search(df: DataFrame, id: Column, text: Column,
+                 terms: Seq[String], k: Int = 10, k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val folded = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    def scol(t: String) = s"__s_$t"
+    val wide = bm25Terms(df, id, text, terms, k1, b)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("term") === folded.head, col("bm25")))
+             .as(scol(folded.head)),
+        folded.tail.map(t =>
+          max(when(col("term") === t, col("bm25"))).as(scol(t))): _*)
+    val score = folded.map(t => coalesce(col(scol(t)), lit(0.0)))
+      .reduce(_ + _)
+    val nTerms = folded.map(t =>
+      when(col(scol(t)).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    wide.select(col("doc_id"), nTerms.as("n_terms"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Gopher-style composite quality rules (the Rae et al. 2021 filter
     * family, restated over whitespace tokens): per-document boolean flags
     * plus the conjunction `keep`. Every ratio is an exact integer→double

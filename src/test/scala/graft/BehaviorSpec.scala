@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Funnel, TextAnalysis, Timeseries}
+
+/** Behavioral-analytics + time-series operators: cohort retention,
+  * transition matrix, daily resample with forward fill, and document-level
+  * BM25 search.
+  */
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("cohortRetention: offset 0 is the full cohort, later offsets shrink") {
+    // 2024-01-01 and 2024-01-08 are both Mondays.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // cohort W1
+      (2L, ts("2024-01-02 10:00:00")), // cohort W1
+      (1L, ts("2024-01-08 10:00:00")), // W1 user active in W2
+      (3L, ts("2024-01-09 10:00:00"))  // cohort W2
+    ).toDF("user_id", "ts")
+    val out = Funnel.cohortRetention(ev, $"user_id", $"ts")
+      .orderBy("cohort_week", "week_offset").collect()
+    assert(out.map(r => (r.getAs[Date]("cohort_week").toString,
+      r.getAs[Long]("week_offset"), r.getAs[Long]("n_active"),
+      r.getAs[Long]("cohort_size"))).toSeq === Seq(
+      ("2024-01-01", 0L, 2L, 2L),
+      ("2024-01-01", 1L, 1L, 2L),
+      ("2024-01-08", 0L, 1L, 1L)))
+    // offset-0 retention is exactly 1.0; the week-2 cell is exactly 0.5
+    val ret = out.map(r => r.getAs[Double]("retention"))
+    assert(ret(0) === 1.0 && ret(1) === 0.5 && ret(2) === 1.0)
+  }
+
+  test("transitions: counts consecutive pairs per user, probabilities row-normalize") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "view"),
+      (1L, ts("2024-01-01 00:00:02"), 2L, "click"),
+      (1L, ts("2024-01-01 00:00:03"), 3L, "view"),
+      (1L, ts("2024-01-01 00:00:04"), 4L, "click"),
+      (2L, ts("2024-01-01 00:00:01"), 5L, "view"),
+      (2L, ts("2024-01-01 00:00:02"), 6L, "buy")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Funnel.transitions(ev, $"user_id", $"event_type",
+        Seq($"ts", $"event_id"))
+      .orderBy("from_type", "to_type")
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // user 1: view→click, click→view, view→click; user 2: view→buy
+    assert(out === Seq(
+      ("click", "view", 1L, 1.0),
+      ("view", "buy", 1L, 0.3333),
+      ("view", "click", 2L, 0.6667)))
+    // no cross-user pair leaked (user 1 ends click, user 2 starts view)
+    assert(!out.exists(r => r._1 == "click" && r._2 == "buy"))
+  }
+
+  test("resampleDailyFfill: gap days synthesized, value carried forward") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5.0),
+      (1L, ts("2024-01-01 11:00:00"), 3.0),
+      (1L, ts("2024-01-04 10:00:00"), 7.0), // 2-day gap before this
+      (2L, ts("2024-02-01 10:00:00"), 1.0)  // single-day span
+    ).toDF("user_id", "ts", "value")
+    val out = Timeseries.resampleDailyFfill(ev, $"user_id", $"ts", $"value")
+      .orderBy("key", "day")
+      .select($"key", $"day".cast("string"), $"n_events", $"value_ffill",
+        $"is_gap")
+      .as[(Long, String, Long, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, "2024-01-01", 2L, 5.0, false),
+      (1L, "2024-01-02", 0L, 5.0, true),  // gap: last daily max carried
+      (1L, "2024-01-03", 0L, 5.0, true),
+      (1L, "2024-01-04", 1L, 7.0, false),
+      (2L, "2024-02-01", 1L, 1.0, false)))
+  }
+
+  test("bm25Search: multi-term docs outrank single-term, n_terms counts matches") {
+    val docs = Seq(
+      (1L, "data query data stream"),      // all three terms
+      (2L, "data data data data"),         // one term, high tf
+      (3L, "nothing relevant here at all"),
+      (4L, "query stream"),                // two terms
+      (5L, "filler words beyond counting") // pushes idf up
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, $"doc_id", $"text",
+        Seq("data", "query", "stream"), k = 10)
+      .select("doc_id", "n_terms", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 3 and 5 match nothing and are absent entirely
+    assert(out.map(_._1).toSet === Set(1L, 2L, 4L))
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(byDoc(1L)._2 === 3L && byDoc(4L)._2 === 2L && byDoc(2L)._2 === 1L)
+    // three distinct matched terms beat everything else here
+    assert(out.head._1 === 1L)
+    // scores strictly positive and sorted descending (doc_id tiebreak)
+    assert(out.forall(_._3 > 0.0))
+    assert(out.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    // k truncates: k=1 returns exactly the winner
+    val top1 = TextAnalysis.bm25Search(docs, $"doc_id", $"text",
+      Seq("data", "query", "stream"), k = 1).collect()
+    assert(top1.length === 1 && top1(0).getAs[Long]("doc_id") === 1L)
+  }
+}
