@@ -1403,6 +1403,53 @@ object SparkEntry {
         col("event_type"), Seq(col("ts"), col("event_id")))
       .orderBy("from_type", "to_type")
 
+  /** Timeseries 2: rolling 7-day event counts over the gap-filled daily
+    * grid — the resample makes a ROWS window the exact trailing date
+    * range ([[graft.ops.Timeseries.rollingDailyCounts]]).
+    */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.rollingDailyCounts(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("value"), windowDays = 7)
+      .withColumnRenamed("key", "user_id")
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("user_id", "day")
+
+  /** Profile 4: ordered top-3 exemplars per (lang, source) bucket as a
+    * deterministic comma-joined list ([[graft.ops.Profile.topKList]] —
+    * collect_list made hash-gateable by rank-filter + array_sort).
+    */
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.topKList(t(s, dir, "documents"),
+        Seq(col("lang"), col("source")), col("doc_id"), col("n_chars"),
+        k = 3)
+      .withColumnRenamed("__g0", "lang")
+      .withColumnRenamed("__g1", "source")
+      .orderBy("lang", "source")
+
+  /** Timeseries 3: sliding 2-hour windows each hour via Spark's built-in
+    * `window()` generator — the batch twin of the q31 streaming window
+    * ([[graft.ops.Timeseries.slidingWindowAgg]]).
+    */
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.slidingWindowAgg(t(s, dir, "events"),
+        col("ts"), col("event_type"), col("value"),
+        widthSec = 7200L, slideSec = 3600L)
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("grp").as("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Timeseries 4: 3-sigma outlier days per user — decimal-exact daily
+    * sums and moment sums, IEEE threshold algebra
+    * ([[graft.ops.Timeseries.outlierDays]], q99's determinism idiom).
+    */
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.outlierDays(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("value"), nSigmas = 3.0)
+      .withColumnRenamed("key", "user_id")
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("user_id", "day")
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2359,7 +2406,11 @@ object SparkEntry {
     "q122_cohort_retention" -> q122 _,
     "q123_resample_ffill" -> q123 _,
     "q124_bm25_search" -> q124 _,
-    "q125_transition_matrix" -> q125 _)
+    "q125_transition_matrix" -> q125 _,
+    "q126_rolling_window" -> q126 _,
+    "q127_topk_list" -> q127 _,
+    "q128_sliding_windows" -> q128 _,
+    "q129_outlier_days" -> q129 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2744,6 +2795,62 @@ object SparkEntry {
           CAST(sum(count(*)) OVER (PARTITION BY prev) AS DOUBLE), 4) AS p
       FROM seq WHERE prev IS NOT NULL
       GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q126_rolling_window" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      spans AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      cal AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1,
+          INTERVAL 1 DAY)) AS DATE) AS day FROM spans),
+      grid AS (
+        SELECT c.user_id, c.day, coalesce(d.n_events, 0) AS n_events
+        FROM cal c LEFT JOIN daily d
+          ON c.user_id = d.user_id AND c.day = d.day)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+        CAST(sum(n_events) OVER w AS BIGINT) AS n_window,
+        count(*) OVER w AS days_in_window,
+        round(CAST(sum(n_events) OVER w AS DOUBLE) /
+          CAST(count(*) OVER w AS DOUBLE), 4) AS avg_daily
+      FROM grid WINDOW w AS (PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY 1, 2""",
+    "q127_topk_list" -> """
+      WITH ranked AS (
+        SELECT lang, source, CAST(doc_id AS VARCHAR) AS item,
+          row_number() OVER (PARTITION BY lang, source
+            ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR)) AS pos
+        FROM documents)
+      SELECT lang, source, count(*) AS n_items,
+        string_agg(item, ',' ORDER BY pos) AS top_items
+      FROM ranked WHERE pos <= 3 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q128_sliding_windows" -> """
+      WITH ev AS (
+        SELECT unnest([date_trunc('hour', ts),
+            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart,
+          event_type, value
+        FROM events)
+      SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+        event_type, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM ev GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q129_outlier_days" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_sum
+        FROM events GROUP BY 1, 2),
+      mom AS (
+        SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(CAST(day_sum AS DECIMAL(28,4))) AS DOUBLE) AS s,
+          CAST(sum(CAST(day_sum * day_sum AS DECIMAL(28,4))) AS DOUBLE) AS ss
+        FROM daily GROUP BY 1)
+      SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day, d.day_sum,
+        round(s / n + 3.0 * sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)), 4)
+          AS threshold
+      FROM daily d JOIN mom USING (user_id)
+      WHERE d.day_sum > s / n + 3.0 * sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
+      ORDER BY 1, 2""",
     "q90_zorder_curve" -> q90Oracle,
     "q96_manifest_landing" -> """
       SELECT event_type, count(*) AS n_events,

@@ -81,4 +81,39 @@ object Profile {
       .withColumn("clamped", least(greatest(value, col("__lo")), col("__hi")))
       .drop("__s", "__lo", "__hi")
   }
+
+  /** Ordered top-k list aggregation: per group, the top `k` items by
+    * `rank` (descending, ties broken by the item's string form ascending)
+    * rendered as one comma-joined string column — the "show me the
+    * exemplars per bucket" readout, deterministic enough to hash-gate.
+    *
+    * `collect_list` alone is partition-order-dependent; the determinism
+    * comes from (a) pre-filtering to the top k via a ranked window, then
+    * (b) sorting the collected (rank-position, item) structs with
+    * `array_sort` BEFORE joining — the collected array's arrival order
+    * never reaches the output.
+    *
+    * Scale shape: the window pass shuffles once on the group key and the
+    * per-task sort is per-group; the collect aggregates at most k
+    * struct rows per group. k is a small constant — the output row is
+    * O(k), never O(group).
+    */
+  def topKList(df: DataFrame, group: Seq[Column], item: Column,
+               rank: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val names = group.indices.map(i => s"__g$i")
+    val keyed = df.select(
+      group.zip(names).map { case (c, n) => c.as(n) } :+
+        item.cast("string").as("__item") :+ rank.as("__rank"): _*)
+    val w = Window.partitionBy(names.map(col): _*)
+      .orderBy(col("__rank").desc, col("__item").asc)
+    keyed.withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <= k)
+      .groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n_items"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__item")))),
+          x => x.getField("__item")), ",").as("top_items"))
+  }
 }

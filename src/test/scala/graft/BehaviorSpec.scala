@@ -81,6 +81,69 @@ class BehaviorSpec extends AnyFunSuite {
       (2L, "2024-02-01", 1L, 1.0, false)))
   }
 
+  test("rollingDailyCounts: window spans gap days, short at span start") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 1.0),
+      (1L, ts("2024-01-03 10:00:00"), 1.0) // day 2 is a gap
+    ).toDF("user_id", "ts", "value")
+    val out = Timeseries.rollingDailyCounts(ev, $"user_id", $"ts", $"value",
+        windowDays = 2)
+      .orderBy("day")
+      .select($"day".cast("string"), $"n_window", $"days_in_window",
+        $"avg_daily")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01", 2L, 1L, 2.0),   // first day: window has 1 day only
+      ("2024-01-02", 2L, 2L, 1.0),   // gap day still advances the window
+      ("2024-01-03", 1L, 2L, 0.5))) // gap day contributes 0 to the sum
+  }
+
+  test("topKList: rank-ordered, tie-broken, capped at k") {
+    val df = Seq(
+      ("a", "x", 101L, 5L), ("a", "x", 102L, 9L), ("a", "x", 103L, 9L),
+      ("a", "x", 104L, 1L), ("a", "x", 105L, 7L),
+      ("b", "y", 201L, 3L)
+    ).toDF("g1", "g2", "id", "score")
+    val out = graft.ops.Profile.topKList(df, Seq($"g1", $"g2"), $"id",
+        $"score", k = 3)
+      .orderBy("__g0", "__g1")
+      .select("__g0", "__g1", "n_items", "top_items")
+      .as[(String, String, Long, String)].collect().toSeq
+    // 9-tie broken by item string asc (102 < 103), then 7; 5 and 1 cut
+    assert(out === Seq(("a", "x", 3L, "102,103,105"), ("b", "y", 1L, "201")))
+  }
+
+  test("slidingWindowAgg: each event lands in width/slide windows, sums exact") {
+    val ev = Seq(
+      (ts("2024-01-01 10:30:00"), "view", 1.5),
+      (ts("2024-01-01 10:45:00"), "view", 2.5),
+      (ts("2024-01-01 11:30:00"), "view", 4.0)
+    ).toDF("ts", "event_type", "value")
+    val out = Timeseries.slidingWindowAgg(ev, $"ts", $"event_type",
+        $"value", widthSec = 7200L, slideSec = 3600L)
+      .orderBy("window_start")
+      .select(date_format($"window_start", "HH:mm").as("w"), $"n_events",
+        $"sum_value")
+      .as[(String, Long, Double)].collect().toSeq
+    // 10:30/10:45 fall in [09,11) and [10,12); 11:30 in [10,12) and [11,13)
+    assert(out === Seq(
+      ("09:00", 2L, 4.0), ("10:00", 3L, 8.0), ("11:00", 1L, 4.0)))
+  }
+
+  test("outlierDays: spike day flagged, uniform and single-day keys never") {
+    val base = (1 to 10).map(d =>
+      (1L, ts(f"2024-01-$d%02d 10:00:00"), 10.0))
+    val spike = Seq((1L, ts("2024-01-11 10:00:00"), 500.0),
+      (2L, ts("2024-01-01 10:00:00"), 999.0)) // single-day key: var 0
+    val out = Timeseries.outlierDays(
+        (base ++ spike).toDF("user_id", "ts", "value"),
+        $"user_id", $"ts", $"value")
+      .select($"key", $"day".cast("string"), $"day_sum")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "2024-01-11", 500.0)))
+  }
+
   test("bm25Search: multi-term docs outrank single-term, n_terms counts matches") {
     val docs = Seq(
       (1L, "data query data stream"),      // all three terms
