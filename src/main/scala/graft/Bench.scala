@@ -65,7 +65,18 @@ object Bench {
     "q118_jdbc_roundtrip",
     "q119_stream_sessionize",
     "q120_incremental_load",
-    "q121_personalized_pagerank")
+    "q121_personalized_pagerank",
+    "q122_cohort_retention",
+    "q123_resample_ffill",
+    "q124_bm25_search",
+    "q125_transition_matrix",
+    "q126_rolling_window",
+    "q127_topk_list",
+    "q128_sliding_windows",
+    "q129_outlier_days",
+    "q130_json_field_stats",
+    "q131_time_weighted_avg",
+    "q132_gap_histogram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

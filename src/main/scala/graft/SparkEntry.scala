@@ -1450,6 +1450,44 @@ object SparkEntry {
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
       .orderBy("user_id", "day")
 
+  /** Ingest 10: semi-structured field extraction + aggregation — the
+    * engine-level restatement of the reference's JSON-tree navigation
+    * (S9/diagnostico.py): pull a typed field out of a JSON string column
+    * with the codegen'd `get_json_object` path and aggregate it like any
+    * other column. All integer stats.
+    */
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"),
+        count_distinct(col("k")).as("k_distinct"))
+      .orderBy("event_type")
+
+  /** Timeseries 5: per-(user, day) time-weighted average of the step-
+    * function value — decimal-exact value×duration integral, one IEEE
+    * quotient at the end ([[graft.ops.Timeseries.timeWeightedAvg]]).
+    */
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.timeWeightedAvg(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("value"),
+        Seq(col("ts"), col("event_id")))
+      .withColumnRenamed("key", "user_id")
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("user_id", "day")
+
+  /** Timeseries 6: inter-event gap histogram (whole minutes, capped tail
+    * bucket) — pure integers ([[graft.ops.Timeseries.gapHistogram]]).
+    */
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.gapHistogram(t(s, dir, "events"),
+        col("user_id"), col("ts"), Seq(col("ts"), col("event_id")),
+        capMinutes = 60)
+      .orderBy("gap_minutes")
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2410,7 +2448,10 @@ object SparkEntry {
     "q126_rolling_window" -> q126 _,
     "q127_topk_list" -> q127 _,
     "q128_sliding_windows" -> q128 _,
-    "q129_outlier_days" -> q129 _)
+    "q129_outlier_days" -> q129 _,
+    "q130_json_field_stats" -> q130 _,
+    "q131_time_weighted_avg" -> q131 _,
+    "q132_gap_histogram" -> q132 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2851,6 +2892,45 @@ object SparkEntry {
       FROM daily d JOIN mom USING (user_id)
       WHERE d.day_sum > s / n + 3.0 * sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
       ORDER BY 1, 2""",
+    "q130_json_field_stats" -> """
+      WITH x AS (
+        SELECT event_type,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events)
+      SELECT event_type, count(*) AS n, count(k) AS n_k,
+        min(k) AS min_k, max(k) AS max_k,
+        CAST(sum(k) AS BIGINT) AS sum_k,
+        count(DISTINCT k) AS k_distinct
+      FROM x GROUP BY 1 ORDER BY 1""",
+    "q131_time_weighted_avg" -> """
+      WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+          epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS v,
+          lead(epoch_us(ts)) OVER (
+            PARTITION BY user_id, CAST(ts AS DATE)
+            ORDER BY ts, event_id) AS next_us
+        FROM events),
+      weighted AS (
+        SELECT user_id, day,
+          coalesce(next_us,
+            epoch_us(CAST(day AS TIMESTAMP)) + 86400000000) - us AS dt, v
+        FROM seq)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        count(*) AS n_events,
+        round(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6)
+          AS twap
+      FROM weighted GROUP BY user_id, day ORDER BY 1, 2""",
+    "q132_gap_histogram" -> """
+      WITH seq AS (
+        SELECT epoch_us(ts) AS us,
+          lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+      SELECT CAST(least((us - prev) // 60000000, 60) AS BIGINT)
+          AS gap_minutes,
+        count(*) AS n_gaps
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY 1 ORDER BY 1""",
     "q90_zorder_curve" -> q90Oracle,
     "q96_manifest_landing" -> """
       SELECT event_type, count(*) AS n_events,

@@ -144,6 +144,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out === Seq((1L, "2024-01-11", 500.0)))
   }
 
+  test("timeWeightedAvg: duration-weighted, last value holds to end of day") {
+    // value 10 for 6h (00:00→06:00), then 20 for the remaining 18h:
+    // twap = (10*6 + 20*18) / 24 = 17.5
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 06:00:00"), 2L, 20.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Timeseries.timeWeightedAvg(ev, $"user_id", $"ts", $"value",
+        Seq($"ts", $"event_id"))
+      .select($"key", $"day".cast("string"), $"n_events", $"twap")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, "2024-01-01", 2L, 17.5)))
+    // a single observation is the whole day's average, exactly
+    val one = Seq((2L, ts("2024-03-05 23:59:00"), 9L, 7.25))
+      .toDF("user_id", "ts", "event_id", "value")
+    val o = Timeseries.timeWeightedAvg(one, $"user_id", $"ts", $"value",
+      Seq($"ts", $"event_id")).select("twap").as[Double].collect()
+    assert(o.toSeq === Seq(7.25))
+  }
+
+  test("gapHistogram: whole-minute buckets, tail capped, per-key only") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:00:30"), 2L),  // 0-minute gap
+      (1L, ts("2024-01-01 00:02:00"), 3L),  // 1-minute gap (90s)
+      (1L, ts("2024-01-01 09:00:00"), 4L),  // capped to 60
+      (2L, ts("2024-01-01 00:05:00"), 5L)   // new key: no gap counted
+    ).toDF("user_id", "ts", "event_id")
+    val out = Timeseries.gapHistogram(ev, $"user_id", $"ts",
+        Seq($"ts", $"event_id"), capMinutes = 60)
+      .orderBy("gap_minutes")
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 1L), (1L, 1L), (60L, 1L)))
+  }
+
   test("bm25Search: multi-term docs outrank single-term, n_terms counts matches") {
     val docs = Seq(
       (1L, "data query data stream"),      // all three terms
