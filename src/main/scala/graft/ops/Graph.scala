@@ -128,8 +128,12 @@ object Graph {
     var ranks = init
     var it = 0
     var converged = false
+    // out-degrees never change across rounds but feed two joins per round
+    // (contrib + dangling anti) — materialize the aggregation once instead
+    // of re-shuffling the edge frame for it every use
+    val od = if (iters > 0) outDeg.localCheckpoint() else outDeg
     while (it < iters && !converged) {
-      val contrib = ranks.join(outDeg, Seq("node"))
+      val contrib = ranks.join(od, Seq("node"))
         .join(e, col("node") === col("src"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
       val summed = contrib.groupBy(col("dst").as("node"))
@@ -141,7 +145,7 @@ object Graph {
           joined.select(col("node"), blend(inMass, lit(0.0d)).as("rank"))
         else {
           // dangling mass, summed exactly; one row, broadcast back in
-          val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+          val dangling = ranks.join(od, Seq("node"), "left_anti")
             .agg(coalesce(sum(col("rank").cast("decimal(28,18)")),
               lit(0).cast("decimal(28,18)")).cast("double").as("__dmass"))
           joined.crossJoin(broadcast(dangling))
