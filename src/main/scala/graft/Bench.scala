@@ -76,7 +76,9 @@ object Bench {
     "q129_outlier_days",
     "q130_json_field_stats",
     "q131_time_weighted_avg",
-    "q132_gap_histogram")
+    "q132_gap_histogram",
+    "q133_gini_index",
+    "q134_funnel_timing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

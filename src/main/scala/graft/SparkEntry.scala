@@ -1488,6 +1488,43 @@ object SparkEntry {
         capMinutes = 60)
       .orderBy("gap_minutes")
 
+  /** Profile 5: Gini concentration of document length per source — the
+    * corpus-balance inequality readout; all-integer rank×measure sums,
+    * one final IEEE division ([[graft.ops.Profile.giniIndex]]).
+    */
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.giniIndex(t(s, dir, "documents"), col("source"),
+        col("n_chars"), col("doc_id"))
+      .withColumnRenamed("__g", "source")
+      .withColumn("gini", round(col("gini"), 6))
+      .orderBy("source")
+
+  /** Behavior 3: funnel time-to-convert statistics — q95's three-stage
+    * frontier aggregated to per-stage conversion latency (integer
+    * microsecond sums, exact quotients). The composition stays
+    * oracle-gated because every intermediate is the q95 frontier.
+    */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val f = graft.ops.Funnel.funnel(t(s, dir, "events"), col("user_id"),
+      col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+    val vc = unix_micros(col("t_click")) - unix_micros(col("t_view"))
+    val cp = unix_micros(col("t_purchase")) - unix_micros(col("t_click"))
+    f.agg(count(lit(1)).as("n_converted"),
+        sum(vc).as("__vc_us"), max(vc).as("__vc_max_us"),
+        sum(cp).as("__cp_us"), max(cp).as("__cp_max_us"))
+      .select(col("n_converted"),
+        round(col("__vc_us").cast("double") /
+          col("n_converted").cast("double") / lit(1000000.0d), 6)
+          .as("avg_view_click_sec"),
+        round(col("__vc_max_us").cast("double") / lit(1000000.0d), 6)
+          .as("max_view_click_sec"),
+        round(col("__cp_us").cast("double") /
+          col("n_converted").cast("double") / lit(1000000.0d), 6)
+          .as("avg_click_purchase_sec"),
+        round(col("__cp_max_us").cast("double") / lit(1000000.0d), 6)
+          .as("max_click_purchase_sec"))
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2451,7 +2488,9 @@ object SparkEntry {
     "q129_outlier_days" -> q129 _,
     "q130_json_field_stats" -> q130 _,
     "q131_time_weighted_avg" -> q131 _,
-    "q132_gap_histogram" -> q132 _)
+    "q132_gap_histogram" -> q132 _,
+    "q133_gini_index" -> q133 _,
+    "q134_funnel_timing" -> q134 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2892,6 +2931,34 @@ object SparkEntry {
       FROM daily d JOIN mom USING (user_id)
       WHERE d.day_sum > s / n + 3.0 * sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
       ORDER BY 1, 2""",
+    "q133_gini_index" -> """
+      WITH ranked AS (
+        SELECT source, n_chars AS x,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n_chars, doc_id) AS BIGINT) AS i
+        FROM documents),
+      sums AS (
+        SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS s0,
+          CAST(sum(i * x) AS BIGINT) AS s1
+        FROM ranked GROUP BY 1)
+      SELECT source, n,
+        round(CASE WHEN s0 = 0 THEN NULL ELSE
+          (2.0 * CAST(s1 AS DOUBLE) -
+            CAST(n + 1 AS DOUBLE) * CAST(s0 AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE)) END, 6) AS gini
+      FROM sums ORDER BY 1""",
+    // zero-duplication composition: the frontier subquery IS q95's oracle
+    "q134_funnel_timing" -> s"""
+      SELECT count(*) AS n_converted,
+        round(CAST(sum(epoch_us(t_click) - epoch_us(t_view)) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS avg_view_click_sec,
+        round(CAST(max(epoch_us(t_click) - epoch_us(t_view)) AS DOUBLE) /
+          1000000.0, 6) AS max_view_click_sec,
+        round(CAST(sum(epoch_us(t_purchase) - epoch_us(t_click)) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS avg_click_purchase_sec,
+        round(CAST(max(epoch_us(t_purchase) - epoch_us(t_click)) AS DOUBLE) /
+          1000000.0, 6) AS max_click_purchase_sec
+      FROM ($funnelOracle) f""",
     "q130_json_field_stats" -> """
       WITH x AS (
         SELECT event_type,

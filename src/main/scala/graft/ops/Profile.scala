@@ -82,6 +82,41 @@ object Profile {
       .drop("__s", "__lo", "__hi")
   }
 
+  /** Per-group Gini concentration index over a non-negative integer
+    * measure: `G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)` with xᵢ ascending —
+    * the "how concentrated is this corpus source" inequality readout
+    * (0 = uniform, →1 = one giant doc). Every sum is 64-bit integer
+    * arithmetic (rank × measure products), so the only float operation
+    * is the final division — exact, engine-identical. Tie order among
+    * equal values cannot change the result (equal xᵢ commute in Σi·xᵢ),
+    * but the rank window still tie-breaks on `id` for a fully
+    * deterministic plan.
+    *
+    * Scale shape: one shuffle on the group key; the rank window's
+    * per-task sort is per-group (the q32 bound). Groups with Σx = 0
+    * return null rather than dividing by zero.
+    */
+  def giniIndex(df: DataFrame, group: Column, measure: Column,
+                id: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__g")).orderBy(col("__x").asc,
+      col("__id").asc)
+    val sums = df
+      .select(group.as("__g"), measure.cast("long").as("__x"),
+        id.as("__id"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s0"),
+        sum(col("__i") * col("__x")).as("__s1"))
+    sums.select(col("__g"), col("n"),
+      when(col("__s0") === 0L, lit(null).cast("double"))
+        .otherwise(
+          (lit(2.0d) * col("__s1").cast("double") -
+            (col("n") + 1L).cast("double") * col("__s0").cast("double")) /
+          (col("n").cast("double") * col("__s0").cast("double")))
+        .as("gini"))
+  }
+
   /** Ordered top-k list aggregation: per group, the top `k` items by
     * `rank` (descending, ties broken by the item's string form ascending)
     * rendered as one comma-joined string column — the "show me the

@@ -179,6 +179,23 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out === Seq((0L, 1L), (1L, 1L), (60L, 1L)))
   }
 
+  test("giniIndex: 0 for uniform, near-1 for concentrated, null for zero mass") {
+    val df = Seq(
+      ("u", 1L, 10L), ("u", 2L, 10L), ("u", 3L, 10L), ("u", 4L, 10L),
+      ("c", 1L, 0L), ("c", 2L, 0L), ("c", 3L, 0L), ("c", 4L, 1000L),
+      ("z", 1L, 0L), ("z", 2L, 0L)
+    ).toDF("source", "doc_id", "n_chars")
+    val out = graft.ops.Profile.giniIndex(df, $"source", $"n_chars",
+        $"doc_id")
+      .orderBy("__g").collect()
+    val byG = out.map(r => r.getString(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byG("u") === Some(0.0))
+    // one holder of all mass among 4: G = (2*4*1000 - 5*1000)/(4*1000) = 0.75
+    assert(byG("c") === Some(0.75))
+    assert(byG("z") === None) // zero total mass: undefined, not a crash
+  }
+
   test("bm25Search: multi-term docs outrank single-term, n_terms counts matches") {
     val docs = Seq(
       (1L, "data query data stream"),      // all three terms
