@@ -73,7 +73,23 @@ object PlanDump {
         "(no exchange before the posting explode), the containment " +
         "stage reuses q107's cached-posting + shuffled-self-join shape " +
         "over the SURVIVORS only, and the split adds no shuffle after " +
-        "the anti-join."))
+        "the anti-join."),
+    "q126_rolling_window" ->
+      ("The forward-fill and rolling frames share one partition/order " +
+        "spec, so Catalyst computes ALL window expressions in a single " +
+        "Window node over a single Sort; the calendar synthesis is a " +
+        "Generate (map-side sequence explode) off the per-key span " +
+        "aggregate — no global calendar join anywhere."),
+    "q124_bm25_search" ->
+      ("Token postings prune to the three query terms before any join; " +
+        "doc-frequency and corpus-stats sides broadcast (bounded by " +
+        "|terms| and 1 row); the final top-25 plans as TakeOrderedAnd" +
+        "Project — no global sort materializes."),
+    "q128_sliding_windows" ->
+      ("Spark's `window()` generator explodes map-side (width/slide = 2 " +
+        "rows per event, visible as Expand/Generate before the " +
+        "exchange), then ONE hash aggregation on (window, type) with " +
+        "map-side partials — the same plan its streaming twin runs."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps
