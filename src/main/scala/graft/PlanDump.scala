@@ -75,11 +75,11 @@ object PlanDump {
         "over the SURVIVORS only, and the split adds no shuffle after " +
         "the anti-join."),
     "q126_rolling_window" ->
-      ("The forward-fill and rolling frames share one partition/order " +
-        "spec, so Catalyst computes ALL window expressions in a single " +
-        "Window node over a single Sort; the calendar synthesis is a " +
-        "Generate (map-side sequence explode) off the per-key span " +
-        "aggregate — no global calendar join anywhere."),
+      ("All rolling expressions share one window spec, so Catalyst " +
+        "computes them in a single Window node over a single per-key " +
+        "Sort; the calendar synthesis is a Generate (map-side sequence " +
+        "explode) off the per-key span aggregate — no global calendar " +
+        "join anywhere."),
     "q124_bm25_search" ->
       ("Token postings prune to the three query terms before any join; " +
         "doc-frequency and corpus-stats sides broadcast (bounded by " +

@@ -1409,7 +1409,7 @@ object SparkEntry {
     */
   private def q126(s: SparkSession, dir: String): DataFrame =
     graft.ops.Timeseries.rollingDailyCounts(t(s, dir, "events"),
-        col("user_id"), col("ts"), col("value"), windowDays = 7)
+        col("user_id"), col("ts"), windowDays = 7)
       .withColumnRenamed("key", "user_id")
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
       .orderBy("user_id", "day")
@@ -2863,7 +2863,8 @@ object SparkEntry {
             AS n_terms,
           coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0) AS raw
         FROM wide ORDER BY raw DESC, doc_id LIMIT 25)
-      SELECT doc_id, n_terms, round(raw, 4) AS score FROM ranked""",
+      SELECT doc_id, n_terms, round(raw, 4) AS score FROM ranked
+      ORDER BY raw DESC, doc_id""",
     "q125_transition_matrix" -> """
       WITH seq AS (
         SELECT event_type,
@@ -2939,7 +2940,7 @@ object SparkEntry {
         FROM documents),
       sums AS (
         SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS s0,
-          CAST(sum(i * x) AS BIGINT) AS s1
+          CAST(sum(CAST(i * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1
         FROM ranked GROUP BY 1)
       SELECT source, n,
         round(CASE WHEN s0 = 0 THEN NULL ELSE
@@ -2962,7 +2963,7 @@ object SparkEntry {
     "q130_json_field_stats" -> """
       WITH x AS (
         SELECT event_type,
-          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events)
       SELECT event_type, count(*) AS n, count(k) AS n_k,
         min(k) AS min_k, max(k) AS max_k,

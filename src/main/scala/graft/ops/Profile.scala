@@ -85,9 +85,11 @@ object Profile {
   /** Per-group Gini concentration index over a non-negative integer
     * measure: `G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)` with xᵢ ascending —
     * the "how concentrated is this corpus source" inequality readout
-    * (0 = uniform, →1 = one giant doc). Every sum is 64-bit integer
-    * arithmetic (rank × measure products), so the only float operation
-    * is the final division — exact, engine-identical. Tie order among
+    * (0 = uniform, →1 = one giant doc). Rank × measure products are
+    * 64-bit exact and accumulate in DECIMAL(38,0) (Σi·x crosses 2^63 at
+    * ~10^8 rows × 10^3 measure — well inside this module's scale
+    * claims), so the only float operation is the final division —
+    * exact, engine-identical. Tie order among
     * equal values cannot change the result (equal xᵢ commute in Σi·xᵢ),
     * but the rank window still tie-breaks on `id` for a fully
     * deterministic plan.
@@ -107,7 +109,7 @@ object Profile {
       .withColumn("__i", row_number().over(w).cast("long"))
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s0"),
-        sum(col("__i") * col("__x")).as("__s1"))
+        sum((col("__i") * col("__x")).cast("decimal(38,0)")).as("__s1"))
     sums.select(col("__g"), col("n"),
       when(col("__s0") === 0L, lit(null).cast("double"))
         .otherwise(

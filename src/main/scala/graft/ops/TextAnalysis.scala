@@ -322,17 +322,20 @@ object TextAnalysis {
                  terms: Seq[String], k: Int = 10, k1: Double = 1.2,
                  b: Double = 0.75): DataFrame = {
     val folded = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
-    def scol(t: String) = s"__s_$t"
+    // pivot columns named by position, not term text — a term containing
+    // '.' or '`' must not break column resolution
+    def scol(i: Int) = s"__s_$i"
+    val idx = folded.indices
     val wide = bm25Terms(df, id, text, terms, k1, b)
       .groupBy(col("doc_id"))
       .agg(max(when(col("term") === folded.head, col("bm25")))
-             .as(scol(folded.head)),
-        folded.tail.map(t =>
-          max(when(col("term") === t, col("bm25"))).as(scol(t))): _*)
-    val score = folded.map(t => coalesce(col(scol(t)), lit(0.0)))
+             .as(scol(0)),
+        idx.tail.map(i =>
+          max(when(col("term") === folded(i), col("bm25"))).as(scol(i))): _*)
+    val score = idx.map(i => coalesce(col(scol(i)), lit(0.0)))
       .reduce(_ + _)
-    val nTerms = folded.map(t =>
-      when(col(scol(t)).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    val nTerms = idx.map(i =>
+      when(col(scol(i)).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
     wide.select(col("doc_id"), nTerms.as("n_terms"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

@@ -87,7 +87,7 @@ class BehaviorSpec extends AnyFunSuite {
       (1L, ts("2024-01-01 11:00:00"), 1.0),
       (1L, ts("2024-01-03 10:00:00"), 1.0) // day 2 is a gap
     ).toDF("user_id", "ts", "value")
-    val out = Timeseries.rollingDailyCounts(ev, $"user_id", $"ts", $"value",
+    val out = Timeseries.rollingDailyCounts(ev, $"user_id", $"ts",
         windowDays = 2)
       .orderBy("day")
       .select($"day".cast("string"), $"n_window", $"days_in_window",
