@@ -78,7 +78,8 @@ object Bench {
     "q131_time_weighted_avg",
     "q132_gap_histogram",
     "q133_gini_index",
-    "q134_funnel_timing")
+    "q134_funnel_timing",
+    "q135_copurchase_lift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

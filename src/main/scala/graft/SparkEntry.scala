@@ -1525,6 +1525,17 @@ object SparkEntry {
           .as("max_click_purchase_sec"))
   }
 
+  /** Behavior 4: market-basket co-purchase affinity — part pairs
+    * co-occurring in ≥2 orders with popularity-corrected lift
+    * ([[graft.ops.Funnel.coOccurrence]]); the pair space is a basket-key
+    * self equi-join, never a cartesian.
+    */
+  private def q135(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.coOccurrence(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"), minSupport = 2L)
+      .withColumn("lift", round(col("lift"), 6))
+      .orderBy("item_a", "item_b")
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2490,7 +2501,8 @@ object SparkEntry {
     "q131_time_weighted_avg" -> q131 _,
     "q132_gap_histogram" -> q132 _,
     "q133_gini_index" -> q133 _,
-    "q134_funnel_timing" -> q134 _)
+    "q134_funnel_timing" -> q134 _,
+    "q135_copurchase_lift" -> q135 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2931,6 +2943,23 @@ object SparkEntry {
           AS threshold
       FROM daily d JOIN mom USING (user_id)
       WHERE d.day_sum > s / n + 3.0 * sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
+      ORDER BY 1, 2""",
+    "q135_copurchase_lift" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      nb AS (SELECT count(DISTINCT b) AS n_baskets FROM items),
+      sup AS (SELECT i, count(*) AS n FROM items GROUP BY 1),
+      pairs AS (
+        SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+        FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT p.item_a, p.item_b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
+        round(CAST(CAST(p.n_ab AS DECIMAL(19,0)) * nb.n_baskets AS DOUBLE) /
+          CAST(CAST(sa.n AS DECIMAL(19,0)) * sb.n AS DOUBLE), 6) AS lift
+      FROM pairs p
+      JOIN sup sa ON p.item_a = sa.i
+      JOIN sup sb ON p.item_b = sb.i
+      CROSS JOIN nb
       ORDER BY 1, 2""",
     "q133_gini_index" -> """
       WITH ranked AS (

@@ -79,6 +79,47 @@ object Funnel {
           col("cohort_size").cast("double"), 4).as("retention"))
   }
 
+  /** Market-basket co-occurrence with lift: for every unordered item pair
+    * appearing together in at least `minSupport` baskets, the pair count,
+    * both item supports, and the lift
+    * `(n_ab · n_baskets) / (n_a · n_b)` — association strength corrected
+    * for item popularity. The count products accumulate in DECIMAL(38,0)
+    * (two basket-scale counts multiplied can cross 2^63); the one float
+    * operation is the final division (exact, engine-identical).
+    *
+    * Scale shape: baskets collapse to distinct (basket, item) once; the
+    * pair space is a SELF EQUI-JOIN on the basket key (co-partitioned,
+    * never a cartesian), so per-task work is Σ(basket size²) bounded by
+    * the largest basket — document-scale baskets need a basket-size cap
+    * upstream, retail/order-scale baskets (tens of items) don't. Item
+    * supports join back via broadcast only when the item universe is
+    * broadcast-sized; the default is a plain shuffle join keyed by item.
+    */
+  def coOccurrence(df: DataFrame, basket: Column, item: Column,
+                   minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
+    val items = df.select(basket.as("__b"), item.as("__i")).distinct()
+    val nBaskets = items.groupBy(col("__b")).agg(lit(1))
+      .count() // one scalar action: the lift normalizer
+    val supports = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val pairs = items.select(col("__b"), col("__i").as("item_a"))
+      .join(items.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(supports.select(col("__i").as("item_a"), col("__n").as("n_a")),
+        Seq("item_a"))
+      .join(supports.select(col("__i").as("item_b"), col("__n").as("n_b")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        ((col("n_ab").cast("decimal(19,0)") * lit(nBaskets)).cast("double") /
+          (col("n_a").cast("decimal(19,0)") * col("n_b")).cast("double"))
+          .as("lift"))
+  }
+
   /** First-order transition counts over a per-user event sequence: for
     * every consecutive (previous type → type) pair, the count and the
     * row-normalized transition probability. `order` must make the

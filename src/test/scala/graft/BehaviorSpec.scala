@@ -196,6 +196,56 @@ class BehaviorSpec extends AnyFunSuite {
     assert(byG("z") === None) // zero total mass: undefined, not a crash
   }
 
+  test("coOccurrence: pair counts, supports and lift; support filter bites") {
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (4L, 30L), (4L, 40L), // (30,40) support 1: filtered at minSupport=2
+      (5L, 50L)             // singleton basket: no pairs
+    ).toDF("basket", "item")
+    val out = Funnel.coOccurrence(df, $"basket", $"item", minSupport = 2L)
+      .select("item_a", "item_b", "n_ab", "n_a", "n_b", "lift")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // only (10,20): together 3×, each in 3 baskets of 5 → lift 3*5/(3*3)
+    assert(out === Seq((10L, 20L, 3L, 3L, 3L, 5.0 / 3.0)))
+    // duplicate (basket, item) rows must not inflate counts
+    val dup = Funnel.coOccurrence(
+      df.union(Seq((1L, 10L)).toDF("basket", "item")),
+      $"basket", $"item", minSupport = 2L)
+      .select("n_ab").as[Long].collect().toSeq
+    assert(dup === Seq(3L))
+  }
+
+  test("empty-input law: every behavior/timeseries operator yields empty, not a crash") {
+    val ev = spark.emptyDataset[(Long, Timestamp, Long, String, Double)]
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val docs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(Funnel.cohortRetention(ev, $"user_id", $"ts").count() === 0L)
+    assert(Funnel.transitions(ev, $"user_id", $"event_type",
+      Seq($"ts", $"event_id")).count() === 0L)
+    assert(Funnel.coOccurrence(ev, $"user_id", $"event_id").count() === 0L)
+    assert(Timeseries.resampleDailyFfill(ev, $"user_id", $"ts",
+      $"value").count() === 0L)
+    assert(Timeseries.rollingDailyCounts(ev, $"user_id", $"ts",
+      windowDays = 7).count() === 0L)
+    assert(Timeseries.slidingWindowAgg(ev, $"ts", $"event_type", $"value",
+      7200L, 3600L).count() === 0L)
+    assert(Timeseries.outlierDays(ev, $"user_id", $"ts",
+      $"value").count() === 0L)
+    assert(Timeseries.timeWeightedAvg(ev, $"user_id", $"ts", $"value",
+      Seq($"ts", $"event_id")).count() === 0L)
+    assert(Timeseries.gapHistogram(ev, $"user_id", $"ts",
+      Seq($"ts", $"event_id")).count() === 0L)
+    assert(graft.ops.Profile.giniIndex(
+      docs.withColumn("n_chars", length($"text")), $"text", $"n_chars",
+      $"doc_id").count() === 0L)
+    assert(graft.ops.Profile.topKList(docs, Seq($"doc_id"), $"text",
+      $"doc_id", k = 3).count() === 0L)
+    assert(TextAnalysis.bm25Search(docs, $"doc_id", $"text",
+      Seq("data"), k = 5).count() === 0L)
+  }
+
   test("bm25Search: multi-term docs outrank single-term, n_terms counts matches") {
     val docs = Seq(
       (1L, "data query data stream"),      // all three terms
