@@ -189,4 +189,32 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q14_topk_lineitems")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
   }
+
+  test("q135 co-purchase pair space is a basket equi-join, not a cartesian") {
+    val p = plan("q135_copurchase_lift")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"co-occurrence degenerated:\n$p")
+  }
+
+  test("q124 BM25 search top-k plans as TakeOrderedAndProject") {
+    val p = plan("q124_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
+  test("q126 rolling windows compute in ONE Window node over one sort") {
+    val p = plan("q126_rolling_window")
+    // all three rolling expressions share a window spec: exactly one
+    // Window operator may appear (plus none hidden behind a second sort)
+    val windows = "(?m)^.*Window".r.findAllIn(p).size
+    assert(windows === 1, s"expected 1 Window node, got $windows:\n$p")
+  }
+
+  test("q131 TWAP window sort is reused by the aggregation (no extra exchange)") {
+    val p = plan("q131_time_weighted_avg")
+    // one exchange for the (key, day) window; the groupBy on the same key
+    // must not add a second shuffle of the event stream
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"TWAP shuffles too much ($exchanges):\n$p")
+  }
 }
