@@ -79,7 +79,8 @@ object Bench {
     "q132_gap_histogram",
     "q133_gini_index",
     "q134_funnel_timing",
-    "q135_copurchase_lift")
+    "q135_copurchase_lift",
+    "q136_sliding_windows_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1536,6 +1536,22 @@ object SparkEntry {
       .withColumn("lift", round(col("lift"), 6))
       .orderBy("item_a", "item_b")
 
+  /** Streaming 9: SLIDING-window streaming aggregation — the same
+    * `window(2h, 1h)` generator as batch q128, run as a watermarked
+    * stream and hash-gated against q128's oracle VERBATIM: the streamed
+    * overlapping windows must equal the batch ones bit-for-bit.
+    */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val agg = graft.streaming.Streaming.windowedCounts(
+      Tables.stream(s, dir, "events"), "ts", "10 minutes",
+      "7200 seconds", Some("3600 seconds"))
+    graft.streaming.Streaming.runToMemory(agg, "q136_mem")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2502,7 +2518,8 @@ object SparkEntry {
     "q132_gap_histogram" -> q132 _,
     "q133_gini_index" -> q133 _,
     "q134_funnel_timing" -> q134 _,
-    "q135_copurchase_lift" -> q135 _)
+    "q135_copurchase_lift" -> q135 _,
+    "q136_sliding_windows_stream" -> q136 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2691,6 +2708,20 @@ object SparkEntry {
       FROM events e JOIN c ON e.user_id = c.user_id
       WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
       GROUP BY 1, 2, 3 ORDER BY 1"""
+
+  /** Shared by batch q128 and streaming q136: each event belongs to the
+    * two hour-aligned 2-hour windows covering it.
+    */
+  private val slidingWindowOracle: String = """
+      WITH ev AS (
+        SELECT unnest([date_trunc('hour', ts),
+            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart,
+          event_type, value
+        FROM events)
+      SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+        event_type, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** q101's oracle: both PageRank iterations unrolled, the iteration CTE
     * generated once so the two rounds cannot drift from each other (or
@@ -2918,16 +2949,9 @@ object SparkEntry {
       SELECT lang, source, count(*) AS n_items,
         string_agg(item, ',' ORDER BY pos) AS top_items
       FROM ranked WHERE pos <= 3 GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q128_sliding_windows" -> """
-      WITH ev AS (
-        SELECT unnest([date_trunc('hour', ts),
-            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart,
-          event_type, value
-        FROM events)
-      SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
-        event_type, count(*) AS n_events,
-        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM ev GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q128_sliding_windows" -> slidingWindowOracle,
+    // the streamed sliding windows must reproduce the batch ones exactly
+    "q136_sliding_windows_stream" -> slidingWindowOracle,
     "q129_outlier_days" -> """
       WITH daily AS (
         SELECT user_id, CAST(ts AS DATE) AS day,

@@ -98,7 +98,11 @@ object Funnel {
   def coOccurrence(df: DataFrame, basket: Column, item: Column,
                    minSupport: Long = 2L): DataFrame = {
     require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
+    // the distinct frame feeds four consumers (both pair-join sides, the
+    // supports, the basket count) — materialize it once instead of
+    // re-running the distinct shuffle per consumer
     val items = df.select(basket.as("__b"), item.as("__i")).distinct()
+      .localCheckpoint()
     val nBaskets = items.groupBy(col("__b")).agg(lit(1))
       .count() // one scalar action: the lift normalizer
     val supports = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))

@@ -63,13 +63,19 @@ object Streaming {
 
   /** Event-time windowed aggregation with a watermark: per (window, type)
     * counts and value sums — the streaming analogue of the engine's batch
-    * `q_stream_window` query.
+    * `q_stream_window` query. With `slide` set below the window length the
+    * windows OVERLAP (each event lands in len/slide windows) — the same
+    * built-in `window()` generator the batch twin (q128) uses, which is
+    * the point: one query text serves both modes, and q136 hash-gates the
+    * streamed result against the batch oracle verbatim.
     */
   def windowedCounts(events: DataFrame, eventTime: String = "ts",
                      watermark: String = "10 minutes",
-                     windowLen: String = "1 hour"): DataFrame = events
+                     windowLen: String = "1 hour",
+                     slide: Option[String] = None): DataFrame = events
     .withWatermark(eventTime, watermark)
-    .groupBy(window(col(eventTime), windowLen), col("event_type"))
+    .groupBy(slide.fold(window(col(eventTime), windowLen))(s =>
+      window(col(eventTime), windowLen, s)), col("event_type"))
     .agg(count(lit(1)).as("n_events"),
       // decimal accumulation: exact and batch/stream/oracle-identical
       sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
