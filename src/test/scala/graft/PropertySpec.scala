@@ -113,6 +113,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private val eventGen = for {
+    u <- Gen.choose(1L, 5L)
+    dayOff <- Gen.choose(0L, 9L)
+    us <- Gen.choose(0L, 86399000000L)
+    typ <- Gen.oneOf("view", "click", "buy")
+    v <- Gen.choose(0.0, 100.0).map(x => math.rint(x * 100) / 100)
+  } yield (u, new java.sql.Timestamp(
+    (19723L + dayOff) * 86400000L + us / 1000), typ, v)
+
+  test("law: conservation invariants of the behavior/timeseries operators") {
+    import org.apache.spark.sql.functions._
+    samples(Gen.nonEmptyListOf(eventGen), 3).foreach { rows =>
+      val ev = rows.zipWithIndex
+        .map { case ((u, ts, typ, v), i) => (u, ts, i.toLong, typ, v) }
+        .toDF("user_id", "ts", "event_id", "event_type", "value")
+      val users = ev.select("user_id").distinct().count()
+      val events = ev.count()
+
+      // resample: per key, every n_events lands somewhere — totals conserve
+      val grid = ops.Timeseries.resampleDailyFfill(ev, $"user_id", $"ts",
+        $"value")
+      assert(grid.agg(sum("n_events")).as[Long].head === events,
+        "resample lost or invented events")
+      // and the grid is dense: rows per key == span days
+      val spans = ev.groupBy("user_id")
+        .agg((datediff(max(to_date($"ts")), min(to_date($"ts"))) + 1)
+          .cast("long").as("d"))
+        .agg(sum("d")).as[Long].head
+      assert(grid.count() === spans, "grid not dense over the span")
+
+      // cohorts: offset-0 actives across cohorts == all users, exactly once
+      val coh = ops.Funnel.cohortRetention(ev, $"user_id", $"ts")
+      assert(coh.filter($"week_offset" === 0L).agg(sum("n_active"))
+        .as[Long].head === users)
+      assert(coh.filter($"retention" > 1.0).count() === 0L)
+
+      // transitions + gaps: each key contributes (count-1) consecutive pairs
+      val pairsExpected = ev.groupBy("user_id").count()
+        .agg(sum(col("count") - 1L)).as[Long].head
+      assert(ops.Funnel.transitions(ev, $"user_id", $"event_type",
+        Seq($"ts", $"event_id")).agg(sum("n")).as[Long].head
+        === pairsExpected)
+      assert(ops.Timeseries.gapHistogram(ev, $"user_id", $"ts",
+        Seq($"ts", $"event_id")).agg(sum("n_gaps")).as[Long].head
+        === pairsExpected)
+
+      // TWAP stays inside the day's observed value range
+      val twap = ops.Timeseries.timeWeightedAvg(ev, $"user_id", $"ts",
+        $"value", Seq($"ts", $"event_id"))
+      val bounds = ev.groupBy($"user_id".as("key"),
+          to_date($"ts").as("day"))
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      assert(twap.join(bounds, Seq("key", "day"))
+        .filter($"twap" < $"lo" - 1e-9 || $"twap" > $"hi" + 1e-9)
+        .count() === 0L, "TWAP escaped the day's value range")
+    }
+  }
+
   test("law: conform output schema equals the target schema, always") {
     import org.apache.spark.sql.types._
     val target = StructType(Seq(
