@@ -80,7 +80,9 @@ object Bench {
     "q133_gini_index",
     "q134_funnel_timing",
     "q135_copurchase_lift",
-    "q136_sliding_windows_stream")
+    "q136_sliding_windows_stream",
+    "q137_knn_graph",
+    "q138_label_propagation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

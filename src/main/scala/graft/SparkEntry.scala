@@ -1552,6 +1552,32 @@ object SparkEntry {
       .orderBy("window_start", "event_type")
   }
 
+  /** Similarity 7: corpus k-NN graph — every vector's top-3 in-block
+    * neighbors ([[Similarity.knnGraph]]): blocked pairwise cosine scored
+    * once, symmetrized, per-node rank window.
+    */
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(t(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), Seq(col("label")), k = 3)
+      .select(col("node"), col("rank"), col("nbr"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("node", "rank")
+
+  /** Graph 4: label-propagation communities over the part↔supplier
+    * bipartite graph, two synchronous rounds with the deterministic
+    * min-label tie-break ([[graft.ops.Graph.labelPropagation]]) —
+    * all-integer, no floats anywhere.
+    */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = concat(lit("p"), col("l_partkey").cast("string"))
+    val sup = concat(lit("s"), col("l_suppkey").cast("string"))
+    val edges = li.select(p.as("a"), sup.as("b"))
+      .union(li.select(sup.as("a"), p.as("b")))
+    graft.ops.Graph.labelPropagation(edges, col("a"), col("b"), iters = 2)
+      .orderBy("node")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2519,7 +2545,9 @@ object SparkEntry {
     "q133_gini_index" -> q133 _,
     "q134_funnel_timing" -> q134 _,
     "q135_copurchase_lift" -> q135 _,
-    "q136_sliding_windows_stream" -> q136 _)
+    "q136_sliding_windows_stream" -> q136 _,
+    "q137_knn_graph" -> q137 _,
+    "q138_label_propagation" -> q138 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2722,6 +2750,39 @@ object SparkEntry {
         event_type, count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** q138's oracle: both label-propagation rounds unrolled from ONE
+    * generated CTE so the rounds cannot drift from each other or from
+    * [[graft.ops.Graph.labelPropagation]]'s per-round construction —
+    * the same pattern as the PageRank oracles.
+    */
+  private val q138Oracle: String = {
+    def lpaRound(prev: String, out: String) =
+      s"""v_$out AS (
+        SELECT e.dst AS node, l.label, count(*) AS c
+        FROM $prev l JOIN e ON l.node = e.src GROUP BY 1, 2),
+      p_$out AS (
+        SELECT node, label FROM v_$out
+        QUALIFY row_number() OVER (PARTITION BY node
+          ORDER BY c DESC, label) = 1),
+      $out AS (
+        SELECT n.node, coalesce(p.label, n.label) AS label
+        FROM $prev n LEFT JOIN p_$out p ON n.node = p.node)"""
+    s"""
+      WITH e AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+        UNION
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),
+          'p' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+      nodes AS (
+        SELECT DISTINCT src AS node FROM e
+        UNION SELECT DISTINCT dst FROM e),
+      r0 AS (SELECT node, node AS label FROM nodes),
+      ${lpaRound("r0", "r1")},
+      ${lpaRound("r1", "r2")}
+      SELECT node, label FROM r2 ORDER BY node"""
+  }
 
   /** q101's oracle: both PageRank iterations unrolled, the iteration CTE
     * generated once so the two rounds cannot drift from each other (or
@@ -2968,6 +3029,23 @@ object SparkEntry {
       FROM daily d JOIN mom USING (user_id)
       WHERE d.day_sum > s / n + 3.0 * sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
       ORDER BY 1, 2""",
+    "q137_knn_graph" -> """
+      WITH p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+      sym AS (
+        SELECT ia AS node, ib AS nbr, cos FROM p
+        UNION ALL
+        SELECT ib AS node, ia AS nbr, cos FROM p)
+      SELECT node, CAST(row_number() OVER w AS BIGINT) AS rank, nbr,
+        round(cos, 4) AS cosine
+      FROM sym
+      WINDOW w AS (PARTITION BY node ORDER BY round(cos, 6) DESC, nbr)
+      QUALIFY rank <= 3 ORDER BY node, rank""",
+    "q138_label_propagation" -> q138Oracle,
     "q135_copurchase_lift" -> """
       WITH items AS (
         SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),

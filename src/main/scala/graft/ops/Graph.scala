@@ -112,6 +112,48 @@ object Graph {
       .select(col("node"), col("rank"))
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts in its own community (label = its own id) and each round
+    * adopts the most frequent label among its in-neighbors — ties broken
+    * by the smallest label, nodes with no in-edges keep their label. The
+    * deterministic tie-break makes the fixed-iteration unrolling
+    * bit-reproducible in any engine (integer counts + min — no floats at
+    * all), which is what the oracle gate needs; classic async LPA is
+    * order-dependent by construction and cannot be differentially tested.
+    *
+    * Scale shape per round — exactly CC/PageRank's two-shuffle recipe:
+    * one equi-join (labels onto edges by source), one (dst, label) count
+    * aggregation, one per-node argmax window (partition sizes bounded by
+    * a node's distinct in-labels ≤ in-degree), then a lineage
+    * checkpoint. Rounds are a fixed `iters`, driver state is nil.
+    */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+                       iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(src.as("src"), dst.as("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    val argmax = Window.partitionBy(col("dst"))
+      .orderBy(col("__c").desc, col("label").asc)
+    (1 to iters).foreach { _ =>
+      val votes = labels.join(e, col("node") === col("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(argmax))
+        .filter(col("__rn") === 1)
+        .select(col("dst").as("node"), col("label").as("__new"))
+      labels = labels.join(votes, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** The shared iteration core both public entry points drive: per round,
     * one contrib join (ranks onto edges by source, divided by out-degree),
     * one DECIMAL-exact aggregation by destination, an optional

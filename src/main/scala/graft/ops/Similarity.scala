@@ -385,4 +385,32 @@ object Similarity {
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
   }
+
+  /** Corpus k-NN graph: every node's top-`k` most-similar neighbors
+    * within its block — the input to semantic clustering, graph-based
+    * dedup and label propagation. Built from the blocked pairwise
+    * cosine join ([[Dedup.cosineNearDupPairs]]: shuffle-hash, never a
+    * broadcast of the vector arrays, never a cartesian), symmetrized so
+    * both endpoints see the edge, then one per-node rank window.
+    *
+    * Scale shape: pair volume is Σ block² — the block key must bound it
+    * (label here; at corpus scale an IVF cell or LSH bucket). Each pair
+    * is scored once and emitted twice; the top-k window partitions by
+    * node with the round-6 + id tie-break every ranking in this repo
+    * uses.
+    */
+  def knnGraph(df: DataFrame, id: Column, vec: Column,
+               blockCols: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = Dedup.cosineNearDupPairs(df, id, vec, blockCols,
+      minCosine = -1.0)
+    val sym = pairs.select(col("id_a").as("node"), col("id_b").as("nbr"),
+        col("cosine"))
+      .union(pairs.select(col("id_b").as("node"), col("id_a").as("nbr"),
+        col("cosine")))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(round(col("cosine"), 6).desc, col("nbr").asc)
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

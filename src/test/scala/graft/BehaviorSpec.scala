@@ -246,6 +246,51 @@ class BehaviorSpec extends AnyFunSuite {
       Seq("data"), k = 5).count() === 0L)
   }
 
+  test("knnGraph: symmetric edges, rank order, block isolation") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "x"),
+      (2L, Array(0.9f, 0.1f), "x"),  // closest to 1
+      (3L, Array(0.0f, 1.0f), "x"),  // orthogonal to 1
+      (4L, Array(1.0f, 0.0f), "y")   // other block: invisible to 1-3
+    ).toDF("vec_id", "embedding", "label")
+    val g = graft.ops.Similarity.knnGraph(vecs, $"vec_id", $"embedding",
+        Seq($"label"), k = 2)
+      .select("node", "rank", "nbr").as[(Long, Long, Long)].collect().toSeq
+    // node 1's nearest is 2; the edge appears from both endpoints
+    assert(g.contains((1L, 1L, 2L)) && g.contains((2L, 1L, 1L)))
+    // block isolation: 4 has no in-block partner, so no rows at all
+    assert(!g.exists(r => r._1 == 4L || r._3 == 4L))
+    // every node's ranks are 1..deg with no gaps
+    g.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1L to rows.length.toLong))
+    }
+  }
+
+  test("labelPropagation: star collapses to hub label, isolated edge keeps pair") {
+    // star: 1 -> {2,3,4} and back; separate pair 8 <-> 9
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 1L), (8L, 9L), (9L, 8L))
+      .toDF("s", "d").select($"s".cast("string").as("s"),
+        $"d".cast("string").as("d"))
+    // Synchronous LPA on a star oscillates (the known sync-update
+    // behavior): round 1 the leaves adopt the hub's "1" while the hub
+    // simultaneously adopts min(leaf labels) = "2"; round 2 swaps back.
+    val r1 = graft.ops.Graph.labelPropagation(edges, $"s", $"d", iters = 1)
+      .as[(String, String)].collect().toMap
+    assert(r1("2") === "1" && r1("3") === "1" && r1("4") === "1")
+    assert(r1("1") === "2")
+    val out = graft.ops.Graph.labelPropagation(edges, $"s", $"d", iters = 2)
+      .as[(String, String)].collect().toMap
+    assert(out("1") === "1" &&
+      out("2") === "2" && out("3") === "2" && out("4") === "2")
+    // the pair trades labels each round: after 2 rounds each is back home
+    assert(out("8") === "8" && out("9") === "9")
+    // zero iterations = identity labeling
+    val id0 = graft.ops.Graph.labelPropagation(edges, $"s", $"d", iters = 0)
+      .as[(String, String)].collect()
+    assert(id0.forall(r => r._1 === r._2))
+  }
+
   test("bm25Search: multi-term docs outrank single-term, n_terms counts matches") {
     val docs = Seq(
       (1L, "data query data stream"),      // all three terms
