@@ -82,7 +82,8 @@ object Bench {
     "q135_copurchase_lift",
     "q136_sliding_windows_stream",
     "q137_knn_graph",
-    "q138_label_propagation")
+    "q138_label_propagation",
+    "q139_neighbor_mean")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

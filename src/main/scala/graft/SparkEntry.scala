@@ -1578,6 +1578,17 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Similarity 8: one message-passing layer — element-wise neighbor-mean
+    * embeddings over the q137 k-NN graph, first 8 dims, decimal-exact
+    * sums ([[Similarity.neighborMeanFeatures]]).
+    */
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    Similarity.neighborMeanFeatures(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), Seq(col("label")), k = 3,
+        dims = 8)
+      .withColumn("mean_v", round(col("mean_v"), 6))
+      .orderBy("node", "dim")
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2547,7 +2558,8 @@ object SparkEntry {
     "q135_copurchase_lift" -> q135 _,
     "q136_sliding_windows_stream" -> q136 _,
     "q137_knn_graph" -> q137 _,
-    "q138_label_propagation" -> q138 _)
+    "q138_label_propagation" -> q138 _,
+    "q139_neighbor_mean" -> q139 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3046,6 +3058,30 @@ object SparkEntry {
       WINDOW w AS (PARTITION BY node ORDER BY round(cos, 6) DESC, nbr)
       QUALIFY rank <= 3 ORDER BY node, rank""",
     "q138_label_propagation" -> q138Oracle,
+    "q139_neighbor_mean" -> """
+      WITH p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+      sym AS (
+        SELECT ia AS node, ib AS nbr, cos FROM p
+        UNION ALL
+        SELECT ib AS node, ia AS nbr, cos FROM p),
+      knn AS (
+        SELECT node, nbr FROM sym
+        QUALIFY row_number() OVER (PARTITION BY node
+          ORDER BY round(cos, 6) DESC, nbr) <= 3),
+      cells AS (
+        SELECT k.node, t.i AS dim,
+          CAST(e.embedding[t.i] AS DOUBLE) AS v
+        FROM knn k JOIN embeddings e ON k.nbr = e.vec_id
+        CROSS JOIN range(1, 9) t(i))
+      SELECT node, dim, count(*) AS n_nbrs,
+        round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS mean_v
+      FROM cells GROUP BY 1, 2 ORDER BY 1, 2""",
     "q135_copurchase_lift" -> """
       WITH items AS (
         SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),

@@ -413,4 +413,34 @@ object Similarity {
     sym.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** One GNN-style message-passing layer: each node's aggregated feature
+    * is the element-wise MEAN of its k-NN neighbors' embeddings — long
+    * form (node, dim, mean) over the first `dims` dimensions. Per-dim
+    * sums accumulate in DECIMAL (float→double is exact, double→decimal
+    * rounds identically in both engines — the q99 idiom), the mean is
+    * the contract's `sum_decimal / count`.
+    *
+    * Scale shape: the dim explode is a map-side `sequence` Generate
+    * (`dims` rows per neighbor edge, a constant factor — the analogue of
+    * a feature-matrix tile); one aggregation shuffles on (node, dim).
+    * Vectors travel the join once — the explode happens after the
+    * neighbor join, not before.
+    */
+  def neighborMeanFeatures(df: DataFrame, id: Column, vec: Column,
+                           blockCols: Seq[Column], k: Int,
+                           dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val nbrVecs = df.select(id.as("nbr"), vec.as("__nv"))
+    knnGraph(df, id, vec, blockCols, k)
+      .join(nbrVecs, "nbr")
+      .select(col("node"),
+        explode(sequence(lit(1), lit(dims))).as("dim"), col("__nv"))
+      .select(col("node"), col("dim"),
+        element_at(col("__nv"), col("dim")).cast("double").as("__v"))
+      .groupBy(col("node"), col("dim"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        (sum(col("__v").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_v"))
+  }
 }

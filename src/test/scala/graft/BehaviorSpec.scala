@@ -266,6 +266,25 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("neighborMeanFeatures: exact per-dim mean of the k nearest only") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "x"),
+      (2L, Array(0.8f, 0.2f), "x"),
+      (3L, Array(0.6f, 0.4f), "x")
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Similarity.neighborMeanFeatures(vecs, $"vec_id",
+        $"embedding", Seq($"label"), k = 2, dims = 2)
+      .orderBy("node", "dim")
+      .select("node", "dim", "n_nbrs", "mean_v")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // node 1's two neighbors are 2 and 3: dim1 mean = (0.8+0.6)/2
+    val n1 = out.filter(_._1 == 1L)
+    assert(n1.map(_._3).forall(_ == 2L))
+    assert(math.abs(n1.head._4 - (0.8f.toDouble + 0.6f.toDouble) / 2) < 1e-9)
+    // every node has exactly `dims` rows
+    assert(out.groupBy(_._1).forall(_._2.length === 2))
+  }
+
   test("labelPropagation: star collapses to hub label, isolated edge keeps pair") {
     // star: 1 -> {2,3,4} and back; separate pair 8 <-> 9
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
