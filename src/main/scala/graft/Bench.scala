@@ -83,7 +83,9 @@ object Bench {
     "q136_sliding_windows_stream",
     "q137_knn_graph",
     "q138_label_propagation",
-    "q139_neighbor_mean")
+    "q139_neighbor_mean",
+    "q140_native_session_window",
+    "q141_quartile_bins")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1589,6 +1589,40 @@ object SparkEntry {
       .withColumn("mean_v", round(col("mean_v"), 6))
       .orderBy("node", "dim")
 
+  /** Streaming-adjacent 10: Spark's NATIVE `session_window` (the built-in
+    * gap-session operator) hash-gated against q32's hand-rolled lag/sum
+    * sessionization oracle VERBATIM — the two formulations must produce
+    * identical per-user session rollups. (Boundary semantics differ only
+    * for a gap of exactly 30:00.000000 — session_window's half-open end
+    * vs q32's `>` test; verified absent at all three SFs, so the gate is
+    * exact on this data.)
+    */
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("session_events")).cast("long").as("n_events"),
+        max(col("session_events")).as("max_session_events"))
+      .orderBy("user_id")
+
+  /** Profile 6: equal-frequency (quartile) binning of document length per
+    * language — `ntile` with a full tie-break is deterministic in both
+    * engines; per-bin counts and length ranges, all integers.
+    */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("lang", "quartile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang", "quartile")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2559,7 +2593,9 @@ object SparkEntry {
     "q136_sliding_windows_stream" -> q136 _,
     "q137_knn_graph" -> q137 _,
     "q138_label_propagation" -> q138 _,
-    "q139_neighbor_mean" -> q139 _)
+    "q139_neighbor_mean" -> q139 _,
+    "q140_native_session_window" -> q140 _,
+    "q141_quartile_bins" -> q141 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2762,6 +2798,33 @@ object SparkEntry {
         event_type, count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Shared by q32 (hand-rolled lag/sum sessionization) and q140 (Spark's
+    * native `session_window`): the per-user session rollup.
+    */
+  private val sessionizeOracle: String = """
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+            (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        FROM events),
+      m AS (
+        SELECT user_id, event_id, us,
+          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM g),
+      sess AS (
+        SELECT user_id,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM m),
+      per_sess AS (
+        SELECT user_id, session_id, count(*) AS session_events
+        FROM sess GROUP BY user_id, session_id)
+      SELECT user_id, count(*) AS n_sessions,
+        CAST(sum(session_events) AS BIGINT) AS n_events,
+        max(session_events) AS max_session_events
+      FROM per_sess GROUP BY user_id ORDER BY user_id"""
 
   /** q138's oracle: both label-propagation rounds unrolled from ONE
     * generated CTE so the rounds cannot drift from each other or from
@@ -4522,29 +4585,18 @@ object SparkEntry {
         event_type, count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""",
-    "q32_sessionize" -> """
-      WITH g AS (
-        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-          lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
-            (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
-        FROM events),
-      m AS (
-        SELECT user_id, event_id, us,
-          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-            THEN 1 ELSE 0 END AS is_new
-        FROM g),
-      sess AS (
-        SELECT user_id,
-          sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        FROM m),
-      per_sess AS (
-        SELECT user_id, session_id, count(*) AS session_events
-        FROM sess GROUP BY user_id, session_id)
-      SELECT user_id, count(*) AS n_sessions,
-        CAST(sum(session_events) AS BIGINT) AS n_events,
-        max(session_events) AS max_session_events
-      FROM per_sess GROUP BY user_id ORDER BY user_id""",
+    "q32_sessionize" -> sessionizeOracle,
+    // Spark's native session_window must reproduce the lag/sum rollup
+    "q140_native_session_window" -> sessionizeOracle,
+    "q141_quartile_bins" -> """
+      WITH q AS (
+        SELECT lang, n_chars,
+          CAST(ntile(4) OVER (PARTITION BY lang
+            ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+        FROM documents)
+      SELECT lang, quartile, count(*) AS n_docs,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM q GROUP BY 1, 2 ORDER BY 1, 2""",
     "q33_asset_metadata" -> """
       SELECT doc_id AS asset_id,
         CASE WHEN doc_id % 3 = 0 THEN 'image'
