@@ -3141,9 +3141,9 @@ object SparkEntry {
           CAST(e.embedding[t.i] AS DOUBLE) AS v
         FROM knn k JOIN embeddings e ON k.nbr = e.vec_id
         CROSS JOIN range(1, 9) t(i))
-      SELECT node, dim, count(*) AS n_nbrs,
+      SELECT node, dim, count(v) AS n_nbrs,
         round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) /
-          CAST(count(*) AS DOUBLE), 6) AS mean_v
+          CAST(count(v) AS DOUBLE), 6) AS mean_v
       FROM cells GROUP BY 1, 2 ORDER BY 1, 2""",
     "q135_copurchase_lift" -> """
       WITH items AS (

@@ -666,9 +666,13 @@ object Dedup {
     // broadcast build of those is slow and GC-sensitive (intermittently
     // several× the query); the shuffled build is per-partition and
     // parallel. Same lesson as the minhash verify join.
-    a.join(graft.GraftConf.hintPairJoin(b), cond)
+    val scored = a.join(graft.GraftConf.hintPairJoin(b), cond)
       .select(col("__id_a").as("id_a"), col("__id_b").as("id_b"),
         cosine(col("__v_a"), col("__v_b")).as("cosine"))
-      .filter(col("cosine") >= minCosine)
+    // -Infinity means "no threshold": skip the filter entirely, because a
+    // SQL comparison would still drop NULL cosines (zero-norm vectors) and
+    // float roundings below -1.0 — knnGraph needs every in-block pair
+    if (minCosine == Double.NegativeInfinity) scored
+    else scored.filter(col("cosine") >= minCosine)
   }
 }

@@ -403,7 +403,7 @@ object Similarity {
                blockCols: Seq[Column], k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val pairs = Dedup.cosineNearDupPairs(df, id, vec, blockCols,
-      minCosine = -1.0)
+      minCosine = Double.NegativeInfinity)
     val sym = pairs.select(col("id_a").as("node"), col("id_b").as("nbr"),
         col("cosine"))
       .union(pairs.select(col("id_b").as("node"), col("id_a").as("nbr"),
@@ -439,8 +439,12 @@ object Similarity {
       .select(col("node"), col("dim"),
         element_at(col("__nv"), col("dim")).cast("double").as("__v"))
       .groupBy(col("node"), col("dim"))
-      .agg(count(lit(1)).as("n_nbrs"),
+      // count PRESENT values, not rows: a neighbor vector shorter than
+      // `dims` yields null at the missing positions (element_at past the
+      // end), and dividing by the row count would bias the mean low for
+      // ragged corpora. n_nbrs is per-dim for the same reason.
+      .agg(count(col("__v")).as("n_nbrs"),
         (sum(col("__v").cast("decimal(28,12)")).cast("double") /
-          count(lit(1)).cast("double")).as("mean_v"))
+          count(col("__v")).cast("double")).as("mean_v"))
   }
 }

@@ -310,6 +310,25 @@ class BehaviorSpec extends AnyFunSuite {
     assert(id0.forall(r => r._1 === r._2))
   }
 
+  test("q140 precondition: no exact-30:00 gap in any scale factor's events") {
+    // session_window's half-open end splits a gap of exactly 1800 s where
+    // q32's `>` test merges it — the shared-oracle gate is exact only
+    // while such gaps are absent, so pin the data property the gate
+    // relies on (if a regenerated fixture ever trips this, q140 needs its
+    // own oracle, not a silent hash failure).
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val n = Tables.load(spark, s"/root/testdata/$sf", "events")
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+        .withColumn("prev", lag($"us", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+            .orderBy($"us", $"event_id")))
+        .filter($"us" - $"prev" === 1800L * 1000000L)
+        .count()
+      assert(n === 0L, s"$sf has an exact-boundary gap: q140's shared " +
+        "oracle is no longer exact")
+    }
+  }
+
   test("bm25Search: multi-term docs outrank single-term, n_terms counts matches") {
     val docs = Seq(
       (1L, "data query data stream"),      // all three terms
