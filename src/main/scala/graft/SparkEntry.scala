@@ -1623,6 +1623,26 @@ object SparkEntry {
       .orderBy("lang", "quartile")
   }
 
+  /** Similarity 9: INCREMENTAL k-NN graph maintenance — vectors with
+    * vec_id < 40 arrive as the "new batch" against the rest as corpus;
+    * only batch×corpus and batch×batch pairs are scored and merged with
+    * the corpus graph's edges ([[Similarity.knnGraphIncremental]]). The
+    * oracle is q137's FULL-recompute SQL verbatim: the merge law itself
+    * is the gate.
+    */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "embeddings")
+    val corpus = all.filter(col("vec_id") >= 40)
+    val batch = all.filter(col("vec_id") < 40)
+    val existing = Similarity.knnGraph(corpus, col("vec_id"),
+      col("embedding"), Seq(col("label")), k = 3)
+    Similarity.knnGraphIncremental(existing, corpus, batch, col("vec_id"),
+        col("embedding"), Seq(col("label")), k = 3)
+      .select(col("node"), col("rank"), col("nbr"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("node", "rank")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2595,7 +2615,8 @@ object SparkEntry {
     "q138_label_propagation" -> q138 _,
     "q139_neighbor_mean" -> q139 _,
     "q140_native_session_window" -> q140 _,
-    "q141_quartile_bins" -> q141 _)
+    "q141_quartile_bins" -> q141 _,
+    "q142_knn_incremental" -> q142 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2825,6 +2846,27 @@ object SparkEntry {
         CAST(sum(session_events) AS BIGINT) AS n_events,
         max(session_events) AS max_session_events
       FROM per_sess GROUP BY user_id ORDER BY user_id"""
+
+  /** Shared by q137 (full k-NN graph build) and q142 (incremental
+    * maintenance): the full-recompute top-3 neighbor graph — q142's gate
+    * IS the merge law.
+    */
+  private val knnGraphOracle: String = """
+      WITH p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+      sym AS (
+        SELECT ia AS node, ib AS nbr, cos FROM p
+        UNION ALL
+        SELECT ib AS node, ia AS nbr, cos FROM p)
+      SELECT node, CAST(row_number() OVER w AS BIGINT) AS rank, nbr,
+        round(cos, 4) AS cosine
+      FROM sym
+      WINDOW w AS (PARTITION BY node ORDER BY round(cos, 6) DESC, nbr)
+      QUALIFY rank <= 3 ORDER BY node, rank"""
 
   /** q138's oracle: both label-propagation rounds unrolled from ONE
     * generated CTE so the rounds cannot drift from each other or from
@@ -3104,22 +3146,9 @@ object SparkEntry {
       FROM daily d JOIN mom USING (user_id)
       WHERE d.day_sum > s / n + 3.0 * sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
       ORDER BY 1, 2""",
-    "q137_knn_graph" -> """
-      WITH p AS (
-        SELECT a.vec_id AS ia, b.vec_id AS ib,
-          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-            CAST(b.embedding AS DOUBLE[])) AS cos
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id),
-      sym AS (
-        SELECT ia AS node, ib AS nbr, cos FROM p
-        UNION ALL
-        SELECT ib AS node, ia AS nbr, cos FROM p)
-      SELECT node, CAST(row_number() OVER w AS BIGINT) AS rank, nbr,
-        round(cos, 4) AS cosine
-      FROM sym
-      WINDOW w AS (PARTITION BY node ORDER BY round(cos, 6) DESC, nbr)
-      QUALIFY rank <= 3 ORDER BY node, rank""",
+    "q137_knn_graph" -> knnGraphOracle,
+    // the incrementally-maintained graph must equal the full recompute
+    "q142_knn_incremental" -> knnGraphOracle,
     "q138_label_propagation" -> q138Oracle,
     "q139_neighbor_mean" -> """
       WITH p AS (

@@ -414,6 +414,54 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Incremental k-NN graph maintenance — the day-2 shape: when a new
+    * batch of vectors arrives, only batch×corpus and batch×batch pairs
+    * are scored (blocked equi-joins, the corpus NEVER self-joins again),
+    * merged with the existing graph's edges, and re-ranked per node. The
+    * merge law makes it exact: a corpus node's true top-k over
+    * corpus ∪ batch is the top-k of (its old top-k ∪ its new batch
+    * edges), because any old edge outside the old top-k is dominated by
+    * k kept edges that are still present. [[SparkEntry]] q142 gates the
+    * incremental result against the FULL-recompute oracle verbatim —
+    * the law itself is the differential test (q83's pattern).
+    *
+    * `existingEdges` must be a [[knnGraph]] result over `corpus` with the
+    * same `k` and block columns. At 100 TB this turns each ingest from
+    * Σ corpus-block² back into Σ batch·block — the q74 incremental-dedup
+    * economics for the similarity family.
+    */
+  def knnGraphIncremental(existingEdges: DataFrame, corpus: DataFrame,
+                          batch: DataFrame, id: Column, vec: Column,
+                          blockCols: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def keyed(df: DataFrame, suffix: String) = df.select(
+      (blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i$suffix") } :+
+        id.as(s"__id$suffix") :+ vec.as(s"__v$suffix")): _*)
+    val bk = blockCols.indices
+    val bSide = keyed(batch, "_n")
+    val cSide = keyed(corpus, "_o")
+    val cross = bSide.join(graft.GraftConf.hintPairJoin(cSide),
+        bk.map(i => col(s"__b${i}_n") === col(s"__b${i}_o")).reduce(_ && _))
+      .select(col("__id_n"), col("__id_o"),
+        cosine(col("__v_n"), col("__v_o")).as("cosine"))
+    val crossSym = cross.select(col("__id_n").as("node"),
+        col("__id_o").as("nbr"), col("cosine"))
+      .union(cross.select(col("__id_o").as("node"),
+        col("__id_n").as("nbr"), col("cosine")))
+    val bbPairs = Dedup.cosineNearDupPairs(batch, id, vec, blockCols,
+      minCosine = Double.NegativeInfinity)
+    val bbSym = bbPairs.select(col("id_a").as("node"), col("id_b").as("nbr"),
+        col("cosine"))
+      .union(bbPairs.select(col("id_b").as("node"), col("id_a").as("nbr"),
+        col("cosine")))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(round(col("cosine"), 6).desc, col("nbr").asc)
+    existingEdges.select(col("node"), col("nbr"), col("cosine"))
+      .union(crossSym).union(bbSym)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** One GNN-style message-passing layer: each node's aggregated feature
     * is the element-wise MEAN of its k-NN neighbors' embeddings — long
     * form (node, dim, mean) over the first `dims` dimensions. Per-dim

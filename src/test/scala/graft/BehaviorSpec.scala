@@ -285,6 +285,34 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out.groupBy(_._1).forall(_._2.length === 2))
   }
 
+  test("knnGraphIncremental: merge law — incremental equals full recompute") {
+    val mk = (rows: Seq[(Long, Array[Float], String)]) =>
+      rows.toDF("vec_id", "embedding", "label")
+    val corpus = mk(Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f), "x"),
+      (11L, Array(0.9f, 0.1f, 0.0f), "x"),
+      (12L, Array(0.0f, 1.0f, 0.0f), "x"),
+      (13L, Array(0.0f, 0.9f, 0.1f), "x")))
+    // the batch vector displaces corpus nodes' existing neighbors
+    val batch = mk(Seq((1L, Array(1.0f, 0.05f, 0.0f), "x"),
+      (2L, Array(0.0f, 0.0f, 1.0f), "y"))) // new block: batch-only node
+    val existing = graft.ops.Similarity.knnGraph(corpus, $"vec_id",
+      $"embedding", Seq($"label"), k = 2)
+    val inc = graft.ops.Similarity.knnGraphIncremental(existing, corpus,
+        batch, $"vec_id", $"embedding", Seq($"label"), k = 2)
+      .select("node", "rank", "nbr").as[(Long, Long, Long)]
+      .collect().toSet
+    val full = graft.ops.Similarity.knnGraph(corpus.union(batch),
+        $"vec_id", $"embedding", Seq($"label"), k = 2)
+      .select("node", "rank", "nbr").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(inc === full)
+    // and the batch genuinely changed the graph (the law isn't vacuous)
+    val before = existing.select("node", "rank", "nbr")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(before !== full)
+  }
+
   test("labelPropagation: star collapses to hub label, isolated edge keeps pair") {
     // star: 1 -> {2,3,4} and back; separate pair 8 <-> 9
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
