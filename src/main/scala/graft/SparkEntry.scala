@@ -1643,6 +1643,24 @@ object SparkEntry {
       .orderBy("node", "rank")
   }
 
+  /** Profile 7: exact percentile ranks — `percent_rank` and `cume_dist`
+    * of document length within each language. Both are exact rationals
+    * of integer rank statistics ((rank−1)/(n−1), rank_with_ties/n), so
+    * the doubles are engine-identical; sampled to every 25th doc to keep
+    * the gated output narrow while still spanning the distribution.
+    */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        col("pct_rank"), col("cume"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2616,7 +2634,8 @@ object SparkEntry {
     "q139_neighbor_mean" -> q139 _,
     "q140_native_session_window" -> q140 _,
     "q141_quartile_bins" -> q141 _,
-    "q142_knn_incremental" -> q142 _)
+    "q142_knn_incremental" -> q142 _,
+    "q143_percentile_ranks" -> q143 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4626,6 +4645,15 @@ object SparkEntry {
       SELECT lang, quartile, count(*) AS n_docs,
         min(n_chars) AS min_chars, max(n_chars) AS max_chars
       FROM q GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q143_percentile_ranks" -> """
+      WITH r AS (
+        SELECT lang, doc_id, n_chars,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cume
+        FROM documents
+        WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id))
+      SELECT lang, doc_id, n_chars, pct_rank, cume
+      FROM r WHERE doc_id % 25 = 0 ORDER BY lang, doc_id""",
     "q33_asset_metadata" -> """
       SELECT doc_id AS asset_id,
         CASE WHEN doc_id % 3 = 0 THEN 'image'
