@@ -54,4 +54,45 @@ object GraftConf {
 
   def autoPairJoin(s: SparkSession): Boolean =
     s.conf.get(AutoPairJoinKey, "false").toBoolean
+
+  /** Registry of DataFrames the graft operators `.cache()` internally
+    * (posting sets, survivor frames). The results those caches feed are
+    * LAZY, so the operator itself has no point at which unpersisting is
+    * safe — but a long-lived session invoking the operators repeatedly on
+    * different inputs would otherwise accumulate cached blocks until
+    * memory-pressure eviction. Callers release them explicitly once the
+    * result frame has been materialized (written, collected, counted):
+    *
+    * {{{
+    *   val pairs = Dedup.containmentPairs(docs, $"id", $"text")
+    *   pairs.write.parquet(out)   // cache serves all internal reuses
+    *   GraftConf.releaseCaches()  // then drop the operator caches
+    * }}}
+    *
+    * Unpersist is lazily safe either way — a released frame recomputes if
+    * re-used — so releasing "too early" costs time, never correctness.
+    * The harness queries call this inside their own materialize-and-return
+    * paths; `Bench`/`Verify` additionally clear the whole cache manager
+    * between queries.
+    */
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Cache `df`, remember it for [[releaseCaches]], and return it. */
+  private[graft] def trackCache(df: DataFrame): DataFrame = {
+    df.cache()
+    tracked.add(df)
+    df
+  }
+
+  /** Unpersist every operator-internal cache registered since the last
+    * release (non-blocking).
+    */
+  def releaseCaches(): Unit = {
+    var df = tracked.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = tracked.poll()
+    }
+  }
 }

@@ -1162,15 +1162,16 @@ object SparkEntry {
     */
   private def q115(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    // cached: the regex-heavy Gopher chain otherwise re-runs for the
-    // containment postings, the anti-join, and both split-side reads
-    val kept = TextAnalysis.gopherFlags(d, col("doc_id"), col("text"),
+    // cached (tracked — GraftConf.releaseCaches() drops it after the
+    // caller materializes): the regex-heavy Gopher chain otherwise re-runs
+    // for the containment postings, the anti-join, and both split-side reads
+    val keptRaw = TextAnalysis.gopherFlags(d, col("doc_id"), col("text"),
         minWords = 20, maxWords = 100000,
         stopwords = Seq("the", "a", "data", "table", "row", "key",
           "value", "join"))
       .filter(col("keep")).select(col("doc_id"))
       .join(d, "doc_id")
-      .cache()
+    val kept = GraftConf.trackCache(keptRaw)
     val pairs = Dedup.containmentPairs(kept, col("doc_id"), col("text"),
       n = 3, minContain = 0.8, maxDf = 50)
     // drop id_a when the host is strictly larger, or equal-sized with a
@@ -1459,7 +1460,9 @@ object SparkEntry {
   private def q130(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        // try_cast mirrors the oracle's TRY_CAST: a non-numeric $.k must
+        // yield null on both sides, not throw under ANSI on this side only.
+        get_json_object(col("props"), "$.k").try_cast("long").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"),

@@ -35,6 +35,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop operator-internal caches between queries: the 143-query run
+      // would otherwise accumulate posting/survivor frames all session
+      GraftConf.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -316,10 +316,10 @@ object Dedup {
     // into one task's sort, the exact blowup the cap is here to prevent.
     // Cached (two longs per row): sizes + both self-join sides reuse it,
     // otherwise the scan→shingle→hash→dedup chain runs four times.
-    val informative = postings.join(
+    val informative = graft.GraftConf.trackCache(postings.join(
       postings.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select(col("__h")),
-      "__h").cache()
+      "__h"))
     val sizes = informative.groupBy(col("__id").as("id_a"))
       .agg(count(lit(1)).as("size_a"))
     // the self-join's build side is the corpus-sized posting set — never a
@@ -376,7 +376,8 @@ object Dedup {
     // Cached (two longs per row): the emptiness probe, the bloom build,
     // and the final exact join all reuse it — uncached, the
     // scan→shingle→hash→dedup chain would run three times.
-    val bench = postings(benchmark, benchId, benchText, "bench_id").cache()
+    val bench =
+      graft.GraftConf.trackCache(postings(benchmark, benchId, benchText, "bench_id"))
     // Empty benchmark → no bloom (stat.bloomFilter's merge over zero
     // partials yields an unusable filter) and no prefilter needed: the
     // exact join against the empty side is already free and returns the

@@ -125,10 +125,26 @@ object Graph {
     * one equi-join (labels onto edges by source), one (dst, label) count
     * aggregation, one per-node argmax window (partition sizes bounded by
     * a node's distinct in-labels ≤ in-degree), then a lineage
-    * checkpoint. Rounds are a fixed `iters`, driver state is nil.
+    * checkpoint. Driver state is nil beyond the per-round scalar reads.
+    *
+    * `stopOnFixpoint = false` (default) unrolls exactly `iters` rounds —
+    * what the oracle gate differentially tests. With
+    * `stopOnFixpoint = true`, `iters` becomes a CAP (mirroring
+    * [[pageRank]]'s `tol` mechanics): iteration ends the first round no
+    * label changes — LPA's natural fixpoint, after which every further
+    * round is the identity. Synchronous LPA can also OSCILLATE instead of
+    * converging (the classic period-2 flip on bipartite-like structure:
+    * each side adopts the other's label forever); that state would never
+    * hit the fixpoint and a fixed-round run would silently return
+    * whichever phase round `iters` lands on, so the stop-enabled path
+    * DETECTS it — labels equal to the state two rounds back but not to
+    * the last round — and throws instead of returning an arbitrary
+    * phase. Both checks are one count read per round off the already-
+    * checkpointed frame (the price pageRank's `tol` pays).
     */
   def labelPropagation(edges: DataFrame, src: Column, dst: Column,
-                       iters: Int): DataFrame = {
+                       iters: Int,
+                       stopOnFixpoint: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     import org.apache.spark.sql.expressions.Window
     val e = edges.select(src.as("src"), dst.as("dst")).distinct()
@@ -137,19 +153,38 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
+    var prev2: DataFrame = null
     val argmax = Window.partitionBy(col("dst"))
       .orderBy(col("__c").desc, col("label").asc)
-    (1 to iters).foreach { _ =>
+    def nDiffering(a: DataFrame, b: DataFrame): Long =
+      a.join(b.select(col("node"), col("label").as("__cmp")), Seq("node"))
+        .filter(col("label") =!= col("__cmp")).count()
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val votes = labels.join(e, col("node") === col("src"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("__c"))
         .withColumn("__rn", row_number().over(argmax))
         .filter(col("__rn") === 1)
         .select(col("dst").as("node"), col("label").as("__new"))
-      labels = labels.join(votes, Seq("node"), "left")
+      val next = labels.join(votes, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__new"), col("label")).as("label"))
         .localCheckpoint()
+      if (stopOnFixpoint) {
+        if (nDiffering(next, labels) == 0L) converged = true
+        else if (prev2 != null && nDiffering(next, prev2) == 0L)
+          throw new IllegalStateException(
+            s"labelPropagation: period-2 oscillation detected at round ${it + 1} " +
+              "(labels returned to the state two rounds back without reaching " +
+              "a fixpoint); synchronous LPA cannot converge on this graph — " +
+              "break the symmetry (e.g. add self-loops) or use the fixed-" +
+              "iteration mode deliberately")
+      }
+      prev2 = labels
+      labels = next
+      it += 1
     }
     labels
   }

@@ -247,8 +247,13 @@ object Sampling {
           raise_error(concat(lit("leakageFreeSplit: id "), id.cast("string"),
             lit(s" cannot adopt the group-key type ${grpType.simpleString}"))))
           .otherwise(coalesce(col("__grp"), fallback)))
+      // Hash the ACTUAL group key's string form (coalesce(__grp, fallback)),
+      // not the raw id's: for a lossless-but-string-divergent adoption
+      // (double 5.0 against integer groups → "5" after adoption, "5.0" raw)
+      // the draw must follow the adopted key or singletons in the same
+      // logical group could straddle splits.
       .withColumn("__pos", hashPos(lit("split"),
-        coalesce(col("__grp").cast("string"), id.cast("string"))))
+        coalesce(col("__grp"), fallback).cast("string")))
       .withColumn("split", splitExpr)
       .drop("__gid", "__grp", "__pos")
   }

@@ -485,7 +485,11 @@ object Similarity {
       .select(col("node"),
         explode(sequence(lit(1), lit(dims))).as("dim"), col("__nv"))
       .select(col("node"), col("dim"),
-        element_at(col("__nv"), col("dim")).cast("double").as("__v"))
+        // try_element_at, not element_at: under ANSI (the session default)
+        // element_at past the array end THROWS, and the ragged-corpus
+        // contract below needs a null there so the per-dim present-value
+        // count stays meaningful.
+        try_element_at(col("__nv"), col("dim")).cast("double").as("__v"))
       .groupBy(col("node"), col("dim"))
       // count PRESENT values, not rows: a neighbor vector shorter than
       // `dims` yields null at the missing positions (element_at past the

@@ -338,6 +338,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(id0.forall(r => r._1 === r._2))
   }
 
+  test("labelPropagation stopOnFixpoint: early stop on a converged DAG") {
+    // 1 -> {2,3} with no back edges: round 1 relabels the leaves to "1",
+    // round 2 changes nothing — the fixpoint. With the stop enabled a
+    // generous cap must return the SAME labels as the exact 2-round
+    // unroll (i.e. the cap was not run out: round 50's output of an
+    // oscillating graph would differ, and a non-stopping loop on this
+    // graph is the identity from round 2 anyway — equality to the
+    // 2-round unroll plus wall-clock sanity is the observable).
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("s", "d")
+    val fixed = graft.ops.Graph.labelPropagation(edges, $"s", $"d", iters = 2)
+      .as[(Long, Long)].collect().toSet
+    val stopped = graft.ops.Graph.labelPropagation(edges, $"s", $"d",
+        iters = 1000, stopOnFixpoint = true)
+      .as[(Long, Long)].collect().toSet
+    assert(stopped === fixed)
+    assert(stopped === Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("labelPropagation stopOnFixpoint: period-2 oscillation throws") {
+    // the canonical sync-LPA failure: a 2-cycle trades labels forever —
+    // round 2 reproduces the initial state without ever reaching a
+    // fixpoint; the stop-enabled path must surface that, not return
+    // whichever phase the cap lands on
+    val pair = Seq((8L, 9L), (9L, 8L)).toDF("s", "d")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Graph.labelPropagation(pair, $"s", $"d",
+        iters = 10, stopOnFixpoint = true).count()
+    }
+    assert(e.getMessage.contains("oscillation"))
+    // the fixed-iteration mode stays available for exactly this graph
+    val r2 = graft.ops.Graph.labelPropagation(pair, $"s", $"d", iters = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(r2 === Set((8L, 8L), (9L, 9L)))
+  }
+
   test("q140 precondition: no exact-30:00 gap in any scale factor's events") {
     // session_window's half-open end splits a gap of exactly 1800 s where
     // q32's `>` test merges it — the shared-oracle gate is exact only
