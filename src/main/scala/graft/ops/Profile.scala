@@ -50,36 +50,151 @@ object Profile {
     * outlier-capping pass that keeps a handful of absurd feature values
     * (scraped prices, runaway token counts) from dominating a model's
     * normalization. Thresholds are EXACT ORDER STATISTICS (the value at
-    * rank ceil(q·n), ties broken by `id`), not interpolated quantiles: an
+    * rank ceil(q·n), 1-indexed over the stratum with nulls ranked first —
+    * Spark's ascending null order), not interpolated quantiles: an
     * interpolated threshold is an arithmetic blend two engines can
     * disagree on by 1 ulp — and unlike a membership test, a winsorized
     * OUTPUT contains the threshold itself, so it must be a value that
     * exists in the data. Any engine that sorts identically produces the
     * identical clamp (oracle-checked in SparkEntry q98).
     *
-    * One window pass per stratum for ranks (the same shuffle the
-    * aggregation would need anyway), one single-row-per-stratum broadcast
-    * back; the clamp itself is map-side.
+    * Scale shape (round-5 rewrite — the r4 audit's one unbounded sort):
+    * strata are language/source-grade keys, so a stratum can be a large
+    * fraction of a 100 TB table and the original one-`row_number`-window-
+    * per-stratum plan serialized that stratum through ONE task's sort.
+    * The threshold search is now BANDED EXACT SELECTION:
+    *
+    *  1. collapse to weighted distinct values — `groupBy(strata, value)`
+    *     count: map-side combine, ties and duplicates collapse;
+    *  2. one `percentile_approx` grid sketch per stratum (literal
+    *     fraction grid — the sketch's rank error is ≤ n/accuracy, its
+    *     outputs are REAL data values) brackets each target rank from
+    *     both sides, ± one grid step of safety padding;
+    *  3. an aggregate counts the rows strictly below each bracket, and
+    *     the cumulative-count window then runs ONLY over the in-band
+    *     distinct values: per-task sort ≤ ~(2/accuracy + 4·10/accuracy)·n
+    *     rows (≈ a few 10⁻³ of the stratum at the default accuracy, and
+    *     further collapsed by ties), instead of n.
+    *
+    * The selected value at cumulative count ≥ target rank is the SAME
+    * exact order statistic the full sort produced — WinsorizeScaleSpec
+    * pins equality against the single-window reference on tied/null/
+    * ragged data, and q98's oracle is unchanged. Ranks count nulls
+    * (first); a target rank inside the null prefix yields a null
+    * threshold, which `greatest`/`least` then skip — exactly the legacy
+    * behavior. Non-numeric (string-ordered) values keep the legacy
+    * single-window path: `percentile_approx` is numeric-only, and
+    * order-statistic selection over strings is a gate-scale need, not a
+    * 100 TB one. NaN caveat: the sketch ranks NaN with Spark's
+    * NaN-greatest-double order like the sort does, but feeding NaN
+    * thresholds into a clamp is ill-defined regardless of plan — filter
+    * NaN upstream.
     */
   def winsorize(df: DataFrame, strata: Column, value: Column, id: Column,
-                loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+                loQ: Double = 0.05, hiQ: Double = 0.95,
+                accuracy: Int = 10000): DataFrame = {
     require(0.0 <= loQ && loQ < hiQ && hiQ <= 1.0,
       s"need 0 <= loQ < hiQ <= 1, got $loQ, $hiQ")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val numeric = df.select(value).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val thr =
+      if (numeric) bandedThresholds(df, strata, value, loQ, hiQ, accuracy)
+      else legacyThresholds(df, strata, value, id, loQ, hiQ)
+    df.join(broadcast(thr), strata <=> col("__s"))
+      .withColumn("clamped", least(greatest(value, col("__lo")), col("__hi")))
+      .drop("__s", "__lo", "__hi")
+  }
+
+  /** The pre-round-5 threshold plan: one full-stratum rank window. Kept
+    * for non-numeric values (see [[winsorize]]); identical output.
+    */
+  private def legacyThresholds(df: DataFrame, strata: Column, value: Column,
+                               id: Column, loQ: Double,
+                               hiQ: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(strata).orderBy(value.asc, id.asc)
     val ranked = df.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(strata)))
-    // rank of the q-th order statistic, 1-indexed; q=0 -> first value
     def rankOf(q: Double) =
       greatest(ceil(lit(q) * col("__n")).cast("long"), lit(1L))
-    val thr = ranked
+    ranked
       .filter(col("__rn") === rankOf(loQ) || col("__rn") === rankOf(hiQ))
       .groupBy(strata.as("__s"))
       .agg(min(when(col("__rn") === rankOf(loQ), value)).as("__lo"),
         max(when(col("__rn") === rankOf(hiQ), value)).as("__hi"))
-    df.join(broadcast(thr), strata <=> col("__s"))
-      .withColumn("clamped", least(greatest(value, col("__lo")), col("__hi")))
-      .drop("__s", "__lo", "__hi")
+  }
+
+  /** Banded exact selection of the two order statistics (numeric values;
+    * contract and bound in [[winsorize]]'s Scaladoc). Returns one row per
+    * stratum: (__s, __lo, __hi).
+    */
+  private def bandedThresholds(df: DataFrame, strata: Column, value: Column,
+                               loQ: Double, hiQ: Double,
+                               accuracy: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = math.max(accuracy / 10, 100)
+    val fracs = (0 to grid).map(_.toDouble / grid)
+    // per-stratum row/non-null counts + the pivot sketch, one pass
+    val stats = df.groupBy(strata.as("__s")).agg(
+      count(lit(1)).as("__n"), count(value).as("__nn"),
+      percentile_approx(value, lit(fracs.toArray), lit(accuracy))
+        .as("__piv"))
+    // target rank over ALL rows (nulls first), then its non-null rank
+    def rankOf(q: Double) =
+      greatest(ceil(lit(q) * col("__n")).cast("long"), lit(1L))
+    def nnRank(r: Column) = r - (col("__n") - col("__nn"))
+    // bracket pivots: grid fractions whose sketch-rank bound provably
+    // straddles the target, padded one extra grid step each side
+    def pivAt(idx: Column) = element_at(col("__piv"),
+      greatest(lit(0), least(lit(grid), idx)).cast("int") + 1)
+    def bracket(r: Column): (Column, Column) = {
+      // all-null stratum: no non-null rank exists — park f at 0 (the
+      // brackets go unused; the null-prefix check nulls the threshold)
+      // instead of letting r/0 = Inf hit the ANSI long cast
+      val f = when(col("__nn") > 0L, r.cast("double") / col("__nn"))
+        .otherwise(lit(0.0d))
+      val m = lit(1.0 / accuracy)
+      (pivAt(floor((f - m) * grid).cast("long") - 1L),
+        pivAt(ceil((f + m) * grid).cast("long") + 1L))
+    }
+    val (loL, loH) = bracket(nnRank(rankOf(loQ)))
+    val (hiL, hiH) = bracket(nnRank(rankOf(hiQ)))
+    val keyed = stats.select(col("__s"), col("__n"), col("__nn"),
+      nnRank(rankOf(loQ)).as("__rlo"), nnRank(rankOf(hiQ)).as("__rhi"),
+      loL.as("__lo_l"), loH.as("__lo_h"), hiL.as("__hi_l"), hiH.as("__hi_h"))
+    // weighted distinct non-null values, joined to their stratum's brackets
+    val cnts = df.groupBy(strata.as("__s2"), value.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__v").isNotNull)
+      .join(keyed, col("__s2") <=> col("__s"))
+    // rows strictly below each bracket — the cumulative offset
+    val below = cnts.groupBy(col("__s").as("__s3")).agg(
+      coalesce(sum(when(col("__v") < col("__lo_l"), col("__c"))), lit(0L))
+        .as("__below_lo"),
+      coalesce(sum(when(col("__v") < col("__hi_l"), col("__c"))), lit(0L))
+        .as("__below_hi"))
+    val wCum = Window.partitionBy(col("__s")).orderBy(col("__v").asc)
+    // exact selection inside each band: first value whose cumulative
+    // weighted count reaches the target rank
+    def select1(lo: String, hi: String, belowCol: String, r: String,
+                out: String): DataFrame =
+      cnts.filter(col("__v") >= col(lo) && col("__v") <= col(hi))
+        .withColumn("__cum", sum(col("__c")).over(wCum))
+        .join(below, col("__s") <=> col("__s3"))
+        .filter(col(belowCol) + col("__cum") >= col(r))
+        .groupBy(col("__s").as(s"__s_$out"))
+        .agg(min(col("__v")).as(out))
+    val loThr = select1("__lo_l", "__lo_h", "__below_lo", "__rlo", "__t_lo")
+    val hiThr = select1("__hi_l", "__hi_h", "__below_hi", "__rhi", "__t_hi")
+    // a target rank inside the null prefix (nnRank <= 0) means the order
+    // statistic IS null — match the legacy nulls-first ranking
+    keyed
+      .join(loThr, col("__s") <=> col("__s___t_lo"), "left")
+      .join(hiThr, col("__s") <=> col("__s___t_hi"), "left")
+      .select(col("__s"),
+        when(col("__rlo") <= 0L, lit(null)).otherwise(col("__t_lo")).as("__lo"),
+        when(col("__rhi") <= 0L, lit(null)).otherwise(col("__t_hi")).as("__hi"))
   }
 
   /** Per-group Gini concentration index over a non-negative integer
@@ -96,7 +211,11 @@ object Profile {
     *
     * Scale shape: one shuffle on the group key; the rank window's
     * per-task sort is per-group (the q32 bound). Groups with Σx = 0
-    * return null rather than dividing by zero.
+    * return null rather than dividing by zero. If ONE group approaches
+    * the full table (a single giant source), this shares the
+    * full-stratum-sort exposure [[winsorize]] had — the banded-selection
+    * idiom there is the template for that regime (Σi·xᵢ would become a
+    * per-band partial with a below-band offset).
     */
   def giniIndex(df: DataFrame, group: Column, measure: Column,
                 id: Column): DataFrame = {

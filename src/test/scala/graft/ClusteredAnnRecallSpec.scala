@@ -22,8 +22,8 @@ import graft.ops.Similarity
   * (k-means) recovers in production.
   *
   * Measured at pin time (2000 vectors × 64 dims, 10 queries, k = 5):
-  * lsh single-probe 0.86 @ 6.6%, H≤1 0.96 @ 25%, H≤2 1.00 @ 53%,
-  * ivf nprobe=1 1.00 @ 10.5%, nprobe=2 1.00 @ 21%. The headline contrast
+  * lsh single-probe 0.62 @ 6.7%, H≤1 0.90 @ 18.6%, H≤2 0.98 @ 50.2%,
+  * ivf nprobe=1 1.00 @ 10.0%, nprobe=2 1.00 @ 20.0%. The headline contrast
   * with the near-random frontier (AnnRecallSpec: H≤2 0.80 @ 50%,
   * nprobe=2 0.82 @ 21%): on clustered data IVF nprobe=1 is already
   * EXHAUSTIVE-recall at a tenth of the pair space — which is why
