@@ -126,7 +126,8 @@ object Bench {
     "q140_native_session_window",
     "q141_quartile_bins",
     "q142_knn_incremental",
-    "q143_percentile_ranks")
+    "q143_percentile_ranks",
+    "q144_knn_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1664,6 +1664,41 @@ object SparkEntry {
       .orderBy("lang", "doc_id")
   }
 
+  /** Streaming 12 (round-5): STREAMED incremental k-NN maintenance —
+    * the embeddings land in three micro-batches (one file per trigger)
+    * and each batch folds into the persisted graph via
+    * [[graft.streaming.Streaming.knnGraphMaintain]] (batch×prior pairs
+    * only, per-batch-versioned graph + partition-scoped corpus landing,
+    * exactly-once under replay). The gate: the LATEST landed graph
+    * hash-matches q137's FULL-recompute oracle verbatim — the merge law
+    * composed across micro-batches, the streaming closure of q142
+    * (q113/q120's landing pattern).
+    */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q144")
+    val src = stage.resolve("src").toString
+    val state = stage.resolve("state").toString
+    val ckpt = stage.resolve("ckpt").toString
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // three disjoint slices, one parquet file each → three micro-batches;
+    // the merge law makes the final graph invariant to slice order
+    (0 to 2).foreach { i =>
+      e.filter(col("vec_id") % 3 === i).repartition(1)
+        .write.mode("append").parquet(src)
+    }
+    val schema = s.read.parquet(src).schema
+    graft.streaming.Streaming.knnGraphMaintain(s, src, schema,
+      "vec_id", "embedding", Seq("label"), k = 3,
+      statePath = state, checkpointDir = ckpt)
+    materializeDropping(s,
+      graft.streaming.Streaming.latestKnnGraph(s, state)
+        .select(col("node"), col("rank"), col("nbr"),
+          round(col("cosine"), 4).as("cosine")),
+      stage)
+      .orderBy("node", "rank")
+  }
+
   /** Text 1: language-ID heuristic vs labeled lang (confusion counts). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2638,7 +2673,8 @@ object SparkEntry {
     "q140_native_session_window" -> q140 _,
     "q141_quartile_bins" -> q141 _,
     "q142_knn_incremental" -> q142 _,
-    "q143_percentile_ranks" -> q143 _)
+    "q143_percentile_ranks" -> q143 _,
+    "q144_knn_stream" -> q144 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3171,6 +3207,10 @@ object SparkEntry {
     "q137_knn_graph" -> knnGraphOracle,
     // the incrementally-maintained graph must equal the full recompute
     "q142_knn_incremental" -> knnGraphOracle,
+    // q144 streams the same corpus in micro-batches; the landed graph
+    // must equal the full recompute — the merge law composed, so the
+    // oracle is shared verbatim (q140's shared-oracle pattern)
+    "q144_knn_stream" -> knnGraphOracle,
     "q138_label_propagation" -> q138Oracle,
     "q139_neighbor_mean" -> """
       WITH p AS (

@@ -42,8 +42,54 @@ object Multimodal {
         octet_length(encode(col(text), "UTF-8")).cast("long").as("byte_len"),
         md5(encode(col(text), "UTF-8")).as("content_hash")).as("meta"))
 
+  /** Pluggable decode boundary: `newDecoder()` is called once per
+    * partition (the per-partition-init hook — codec setup happens off the
+    * per-row path) and returns the payload → (width, height, channels)
+    * function. Implementations must treat null/undecodable payloads as
+    * (0, 0, 0) rather than throwing: one corrupt asset must not kill a
+    * 100 TB decode stage — downstream filters on `width > 0`.
+    */
+  trait MediaCodec extends Serializable {
+    def newDecoder(): Array[Byte] => (Int, Int, Int)
+  }
+
+  /** Real image codec over the JDK's own `javax.imageio` (PNG/JPEG/GIF/
+    * BMP — no external dependency): headers are parsed and the frame
+    * decoded in-JVM per partition. Disk caching is off — payloads arrive
+    * as in-memory byte arrays and the temp-file cache would turn a decode
+    * stage into small-file I/O on every executor.
+    *
+    * The oracle gates (q33–q35) stay on [[FakeCodec]]: DuckDB cannot
+    * decode images, so the differential gate needs the md5-derived
+    * deterministic stub; this codec is the production swap-in, spec-gated
+    * on real PNG/JPEG bytes (MultimodalRealCodecSpec).
+    */
+  object ImageIoCodec extends MediaCodec {
+    def newDecoder(): Array[Byte] => (Int, Int, Int) = {
+      javax.imageio.ImageIO.setUseCache(false)
+      payload =>
+        if (payload == null) (0, 0, 0)
+        else {
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          // ImageIO.read returns null (no registered reader) for corrupt
+          // or non-image bytes; fold the IOException case into the same
+          // "undecodable" result
+          if (img == null) (0, 0, 0)
+          else (img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents)
+        }
+    }
+  }
+
   /** Deterministic stand-in for the real media codec. */
-  object FakeCodec {
+  object FakeCodec extends MediaCodec {
+    def newDecoder(): Array[Byte] => (Int, Int, Int) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      decodeWith(md, _)
+    }
     /** "Decode" an image payload: width/height/channels derived from the
       * md5 of the bytes (first two 32-bit big-endian words of the digest),
       * so any engine with md5 reproduces the values — which is what lets
@@ -80,18 +126,19 @@ object Multimodal {
 
   /** Decode stage: batch-iterates each partition through the codec
     * (mapPartitions — the Scala analogue of an arrow-batched UDF: one codec
-    * init per partition, streaming iteration, no per-row setup).
+    * init per partition via [[MediaCodec.newDecoder]], streaming
+    * iteration, no per-row setup). Defaults to [[FakeCodec]] (the oracle
+    * gates need the deterministic stub); pass [[ImageIoCodec]] for real
+    * PNG/JPEG decoding — same plan, same schema, one argument.
     */
-  def decode(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
+  def decode(assets: DataFrame, codec: MediaCodec = FakeCodec): DataFrame = {
     val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(decodedSchema))
     assets.select("asset_id", "modality", "payload").mapPartitions { it =>
-      // per-partition codec init: one digest instance reused for all rows
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val dec = codec.newDecoder()
       it.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h, c) = FakeCodec.decodeWith(md, payload)
+        val (w, h, c) = dec(payload)
         Row(r.getLong(0), r.getString(1), w, h, c,
           if (payload == null) 0L else payload.length.toLong)
       }

@@ -360,4 +360,92 @@ object Streaming {
     q.stop()
     agg.sparkSession.table(name)
   }
+
+  /** Streaming k-NN graph maintenance — the day-2 deployment of
+    * [[graft.ops.Similarity.knnGraphIncremental]]: an embedding stream
+    * lands micro-batch by micro-batch, and each batch folds into the
+    * persisted graph via the incremental merge law (batch×corpus +
+    * batch×batch pairs only; the corpus never self-joins again), so
+    * ingest cost per batch is Σ batch·block instead of Σ block².
+    *
+    * State layout under `statePath` (both sides exactly-once under
+    * [[partitionedSink]]'s reasoning):
+    *  - `corpus/__batch_id=N/` — batch N's vectors; a redelivered batch
+    *    replaces only its own subtree, and batch N's fold reads strictly
+    *    `__batch_id < N`, so replay is idempotent and batches never see
+    *    themselves;
+    *  - `graph/v{N}/` — the full k-NN graph AFTER batch N, computed from
+    *    the latest `v{M}, M < N` (gaps legal) + the prior corpus.
+    *    Overwriting `v{N}` on replay converges because its inputs are
+    *    exactly the pre-N state, which no later batch has mutated yet —
+    *    batches process serially under one checkpointed query.
+    *
+    * By induction over the merge law, the latest graph version equals
+    * [[graft.ops.Similarity.knnGraph]] over ALL landed vectors — ANY
+    * partition of the stream into micro-batches yields the identical
+    * final graph, which is what lets SparkEntry's q144 hash-gate the
+    * streamed result against q137's full-recompute oracle verbatim.
+    */
+  def knnGraphMaintain(spark: SparkSession, sourceDir: String,
+                       schema: StructType, idCol: String, vecCol: String,
+                       blockCols: Seq[String], k: Int, statePath: String,
+                       checkpointDir: String,
+                       maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val corpusDir = s"$statePath/corpus"
+    val graphDir = s"$statePath/graph"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("latestFirst", "false")
+      .parquet(sourceDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val priorCorpus =
+          if (fs.exists(new org.apache.hadoop.fs.Path(corpusDir)))
+            s.read.parquet(corpusDir).filter(col("__batch_id") < batchId)
+              .drop("__batch_id")
+          else batch.toDF().limit(0)
+        val priorGraph = {
+          val versions =
+            if (fs.exists(new org.apache.hadoop.fs.Path(graphDir)))
+              fs.listStatus(new org.apache.hadoop.fs.Path(graphDir)).toSeq
+                .map(_.getPath.getName)
+                .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+                .filter(_ < batchId)
+            else Seq.empty[Long]
+          if (versions.isEmpty)
+            // empty graph with the right node/nbr/cosine types: derived
+            // from the batch itself, not hand-declared
+            graft.ops.Similarity.knnGraph(batch.toDF().limit(0),
+              col(idCol), col(vecCol), blockCols.map(col), k)
+          else s.read.parquet(s"$graphDir/v${versions.max}")
+        }
+        val next = graft.ops.Similarity.knnGraphIncremental(
+          priorGraph, priorCorpus, batch.toDF(), col(idCol), col(vecCol),
+          blockCols.map(col), k)
+        next.write.mode("overwrite").parquet(s"$graphDir/v$batchId")
+        graft.idempotent.Idempotent.overwritePartitions(
+          batch.toDF().withColumn("__batch_id", lit(batchId)),
+          corpusDir, Seq("__batch_id"))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Latest landed graph version under [[knnGraphMaintain]]'s state dir. */
+  def latestKnnGraph(spark: SparkSession, statePath: String): DataFrame = {
+    val graphDir = s"$statePath/graph"
+    val fs = new org.apache.hadoop.fs.Path(graphDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(graphDir))
+      .toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+    require(versions.nonEmpty, s"no graph versions under $graphDir")
+    spark.read.parquet(s"$graphDir/v${versions.max}")
+  }
 }
