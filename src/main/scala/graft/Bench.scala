@@ -127,7 +127,10 @@ object Bench {
     "q141_quartile_bins",
     "q142_knn_incremental",
     "q143_percentile_ranks",
-    "q144_knn_stream")
+    "q144_knn_stream",
+    "q145_canonical_by_priority",
+    "q146_retrieval_metrics",
+    "q147_histogram_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

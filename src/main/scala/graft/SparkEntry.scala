@@ -1664,6 +1664,93 @@ object SparkEntry {
       .orderBy("lang", "doc_id")
   }
 
+  /** Round-5 curation policy: source → priority, deliberately NON-monotone
+    * in the source name ((i·7) mod 20 is a permutation of 0..19) so the
+    * q145 gate proves the policy JOIN is load-bearing — a lexical-order
+    * shortcut would produce different canonicals. Shared by the Spark side
+    * and the oracle's VALUES list (single source of truth, q110's
+    * splitBounds pattern).
+    */
+  private val sourcePriority: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", (i * 7) % 20))
+
+  /** Dedup 12 (round-5): canonical-document selection by POLICY TABLE —
+    * within each near-dup component (q52's groups), keep the doc whose
+    * SOURCE has the best (lowest) priority in an explicit curation-policy
+    * dimension, ties to the smallest doc_id. The q69 keep-best shape with
+    * the score replaced by a broadcast policy join — "prefer the licensed
+    * mirror over the scrape" is a table a curator edits, not a computed
+    * quality score. One rank window per component (bounded by component
+    * size), policy dim broadcast.
+    */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comp = Dedup.connectedComponents(q21Pairs(s, dir))
+    val pri = sourcePriority.toDF("source", "priority")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("priority").asc, col("id").asc)
+    comp.join(t(s, dir, "documents").select(col("doc_id").as("id"),
+        col("source")), Seq("id"))
+      .join(broadcast(pri), "source")
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("__rn") === 1, col("id"))).as("keep_id"),
+        max(when(col("__rn") === 1, col("source"))).as("keep_source"),
+        max(when(col("__rn") === 1, col("priority")))
+          .cast("long").as("keep_priority"))
+      .orderBy("component")
+  }
+
+  /** Profile 8 (round-5): distribution-drift monitor — the events table's
+    * `value` histogram, first half of the month (reference) vs second
+    * half (current), per event_type: triangular-discrimination statistic
+    * over 20 fixed-width bins ([[graft.ops.Profile.histogramDrift]]).
+    * Histogram counts are the sufficient statistic — shuffle is
+    * groups × bins, not rows.
+    */
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.histogramDrift(t(s, dir, "events"),
+        col("event_type"), col("value"),
+        col("ts") >= lit("2024-01-16").cast("timestamp"),
+        binWidth = 25.0, nBins = 20)
+      .withColumnRenamed("group_key", "event_type")
+      .orderBy("event_type")
+
+  /** Similarity 8 (round-5): retrieval-quality metrics IN THE ENGINE —
+    * recall@5 and reciprocal rank of the IVF nprobe=1 search (q37's
+    * operator) against brute-force ground truth (q25's), per query. The
+    * evaluation loop a retrieval pipeline runs after every index rebuild,
+    * as one relational job: both searches compose, one equi-join marks
+    * relevant hits, the metrics are exact rationals (hits/|truth|,
+    * 1/first-relevant-rank — no logarithm-bearing nDCG by determinism
+    * contract; rank-weighted metrics beyond RR belong to an external
+    * evaluator). Oracle restates BOTH pipelines + the metric SQL.
+    */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k = 5)
+      .select(col("query_id"), col("item_id"), lit(1L).as("__rel"))
+    val cent = Similarity.minIdSeeds(e, col("vec_id"), col("embedding"),
+      col("label"))
+    val approx = Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+        cent, col("cell"), col("cvec"),
+        qs, col("vec_id"), col("embedding"), k = 5, nprobe = 1)
+      .select(col("query_id"), col("item_id"), col("rank"))
+    approx.join(truth, Seq("query_id", "item_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("__rel"), lit(0L))).as("hits"),
+        min(when(col("__rel") === 1L, col("rank"))).as("__first"))
+      .select(col("query_id"), col("n_returned"), col("hits"),
+        round(col("hits").cast("double") / lit(5.0d), 6).as("recall_at_5"),
+        round(coalesce(lit(1.0d) / col("__first").cast("double"), lit(0.0d)),
+          6).as("reciprocal_rank"))
+      .orderBy("query_id")
+  }
+
   /** Streaming 12 (round-5): STREAMED incremental k-NN maintenance —
     * the embeddings land in three micro-batches (one file per trigger)
     * and each batch folds into the persisted graph via
@@ -2674,7 +2761,10 @@ object SparkEntry {
     "q141_quartile_bins" -> q141 _,
     "q142_knn_incremental" -> q142 _,
     "q143_percentile_ranks" -> q143 _,
-    "q144_knn_stream" -> q144 _)
+    "q144_knn_stream" -> q144 _,
+    "q145_canonical_by_priority" -> q145 _,
+    "q146_retrieval_metrics" -> q146 _,
+    "q147_histogram_drift" -> q147 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3211,6 +3301,103 @@ object SparkEntry {
     // must equal the full recompute — the merge law composed, so the
     // oracle is shared verbatim (q140's shared-oracle pattern)
     "q144_knn_stream" -> knnGraphOracle,
+    // q146: q25's brute-force CTE (truth) + q37's IVF CTE (approx) +
+    // rational metrics — recall@5 and first-relevant reciprocal rank
+    "q146_retrieval_metrics" -> """
+      WITH truth AS (
+        SELECT query_id, item_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(c.embedding AS DOUBLE[])) AS cos
+          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 10)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY round(cos, 6) DESC, item_id) <= 5),
+      cent AS (
+        SELECT label AS cell, embedding AS cvec FROM embeddings
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+      assign AS (
+        SELECT e.vec_id AS item_id, e.embedding AS vec, c.cell
+        FROM embeddings e CROSS JOIN cent c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) = 1),
+      q AS (SELECT item_id AS query_id, vec AS qvec, cell
+            FROM assign WHERE item_id < 10),
+      scored AS (
+        SELECT q.query_id, a.item_id,
+          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+            CAST(a.vec AS DOUBLE[])) AS cos
+        FROM assign a JOIN q ON a.cell = q.cell AND a.item_id != q.query_id),
+      approx AS (
+        SELECT query_id, item_id,
+          CAST(row_number() OVER w AS BIGINT) AS rank
+        FROM scored
+        WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC,
+          item_id)
+        QUALIFY rank <= 5),
+      marked AS (
+        SELECT a.query_id, a.rank,
+          CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        FROM approx a LEFT JOIN truth t
+          ON a.query_id = t.query_id AND a.item_id = t.item_id)
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_returned,
+        CAST(sum(rel) AS BIGINT) AS hits,
+        round(CAST(sum(rel) AS DOUBLE) / 5.0, 6) AS recall_at_5,
+        round(coalesce(1.0 / CAST(min(CASE WHEN rel = 1 THEN rank END)
+          AS DOUBLE), 0.0), 6) AS reciprocal_rank
+      FROM marked GROUP BY query_id ORDER BY query_id""",
+    "q147_histogram_drift" -> """
+      WITH binned AS (
+        SELECT event_type AS g,
+          least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 19) AS bin,
+          CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS cur
+        FROM events WHERE value IS NOT NULL),
+      hist AS (
+        SELECT g, bin,
+          CAST(sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM binned GROUP BY 1, 2),
+      tot AS (
+        SELECT g, CAST(sum(na) AS BIGINT) AS ntot_a,
+          CAST(sum(nb) AS BIGINT) AS ntot_b
+        FROM hist GROUP BY 1),
+      props AS (
+        SELECT h.g, h.na, h.nb, t.ntot_a, t.ntot_b,
+          CAST(h.na AS DOUBLE) / CAST(t.ntot_a AS DOUBLE) AS p,
+          CAST(h.nb AS DOUBLE) / CAST(t.ntot_b AS DOUBLE) AS q
+        FROM hist h JOIN tot t ON h.g = t.g
+        WHERE t.ntot_a > 0 AND t.ntot_b > 0),
+      terms AS (
+        SELECT g, ntot_a, ntot_b,
+          CASE WHEN na + nb > 0
+            THEN (p - q) * (p - q) / (p + q) ELSE 0.0 END AS term
+        FROM props)
+      SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_bins,
+        max(ntot_a) AS n_ref, max(ntot_b) AS n_cur,
+        round(CAST(sum(CAST(round(term, 12) AS DECIMAL(28,14))) AS DOUBLE),
+          6) AS drift
+      FROM terms GROUP BY g ORDER BY event_type""",
+    "q145_canonical_by_priority" -> {
+      val values = sourcePriority
+        .map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+      s"""$q52CompCte,
+      pri(source, priority) AS (VALUES $values),
+      mem AS (
+        SELECT c.component, d.doc_id AS id, d.source, p.priority
+        FROM comp c JOIN documents d ON c.id = d.doc_id
+        JOIN pri p ON d.source = p.source),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY component ORDER BY priority, id) AS rn
+        FROM mem)
+      SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+        max(CASE WHEN rn = 1 THEN id END) AS keep_id,
+        max(CASE WHEN rn = 1 THEN source END) AS keep_source,
+        CAST(max(CASE WHEN rn = 1 THEN priority END) AS BIGINT)
+          AS keep_priority
+      FROM ranked GROUP BY component ORDER BY component"""
+    },
     "q138_label_propagation" -> q138Oracle,
     "q139_neighbor_mean" -> """
       WITH p AS (

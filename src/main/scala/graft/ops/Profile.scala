@@ -197,6 +197,63 @@ object Profile {
         when(col("__rhi") <= 0L, lit(null)).otherwise(col("__t_hi")).as("__hi"))
   }
 
+  /** Distribution-drift monitor between two row populations (reference
+    * vs current — e.g. last week vs this week): per group, bin `value`
+    * into `nBins` fixed-width bins and compute the triangular
+    * discrimination statistic `Σ (pᵢ−qᵢ)² / (pᵢ+qᵢ)` over the bin
+    * histograms — the training-data health check that catches a feature
+    * distribution shifting under the pipeline. Triangular discrimination
+    * instead of PSI/KL deliberately: it is RATIONAL (no logarithms — the
+    * libm divergence this repo's determinism contract bans from gated
+    * outputs), bounded in [0, 2], zero iff the histograms agree, and like
+    * PSI it is symmetric-capable and per-bin decomposable.
+    *
+    * Determinism: per-bin proportions are single IEEE divisions; each
+    * bin's term is rounded to 12 dp and summed in DECIMAL(28,14) (exact,
+    * order-independent — the q99 idiom for multi-term float sums). A
+    * group missing either population entirely is OMITTED (no ±Inf rows);
+    * null values are excluded before binning.
+    *
+    * Scale shape: one count aggregation on (group, bin, side) with
+    * map-side partials — the histogram is the sufficient statistic, so
+    * shuffle volume is groups × bins regardless of row count; the
+    * statistic folds per group. No windows, no sorts.
+    */
+  def histogramDrift(df: DataFrame, group: Column, value: Column,
+                     isCurrent: Column, binWidth: Double,
+                     nBins: Int): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val bin = least(greatest(floor(value / lit(binWidth)), lit(0)),
+      lit(nBins - 1)).cast("long")
+    val binned = df.filter(value.isNotNull)
+      .select(group.as("__g"), bin.as("__bin"),
+        when(isCurrent, lit(1L)).otherwise(lit(0L)).as("__cur"))
+      .groupBy(col("__g"), col("__bin"))
+      .agg(sum(when(col("__cur") === 1L, lit(1L)).otherwise(lit(0L)))
+        .as("__nb"),
+        sum(when(col("__cur") === 0L, lit(1L)).otherwise(lit(0L)))
+        .as("__na"))
+    // totals keyed under a fresh name: binned→totals share lineage, and a
+    // USING join of a frame with its own aggregate leaves the aggregate's
+    // columns ambiguous to string resolution
+    val totals = binned.groupBy(col("__g").as("__gt"))
+      .agg(sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
+    val p = col("__na").cast("double") / col("__ta").cast("double")
+    val q = col("__nb").cast("double") / col("__tb").cast("double")
+    val term = when(col("__na") + col("__nb") > 0L,
+      (p - q) * (p - q) / (p + q)).otherwise(lit(0.0d))
+    binned.join(totals, col("__g") <=> col("__gt"))
+      .filter(col("__ta") > 0L && col("__tb") > 0L)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_bins"),
+        max(col("__ta")).as("n_ref"), max(col("__tb")).as("n_cur"),
+        sum(round(term, 12).cast("decimal(28,14)")).cast("double")
+          .as("drift"))
+      .select(col("__g").as("group_key"), col("n_bins"), col("n_ref"),
+        col("n_cur"), round(col("drift"), 6).as("drift"))
+  }
+
   /** Per-group Gini concentration index over a non-negative integer
     * measure: `G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)` with xᵢ ascending —
     * the "how concentrated is this corpus source" inequality readout

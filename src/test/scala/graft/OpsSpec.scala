@@ -512,4 +512,37 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty) // the law must bite on something
     assert(bloomed === exact)
   }
+
+  test("histogramDrift: identical populations score exactly 0, disjoint score 2") {
+    import graft.ops.Profile
+    val same = (1 to 100).flatMap(i =>
+      Seq(("g", i.toDouble, false), ("g", i.toDouble, true)))
+      .toDF("g", "v", "cur")
+    val zero = Profile.histogramDrift(same, $"g", $"v", $"cur",
+        binWidth = 10.0, nBins = 12)
+      .select("drift").as[Double].collect()
+    assert(zero === Array(0.0), "identical histograms must score exactly 0")
+    // reference all in bin 0, current all in the top bin: no overlap
+    val disj = ((1 to 50).map(_ => ("g", 1.0, false)) ++
+      (1 to 50).map(_ => ("g", 1000.0, true))).toDF("g", "v", "cur")
+    val two = Profile.histogramDrift(disj, $"g", $"v", $"cur",
+        binWidth = 10.0, nBins = 12)
+      .select("drift").as[Double].collect()
+    assert(two === Array(2.0), "disjoint histograms must score exactly 2")
+  }
+
+  test("histogramDrift: groups missing a side are omitted; nulls excluded") {
+    import graft.ops.Profile
+    val rows: Seq[(String, Option[Double], Boolean)] =
+      Seq(("both", Some(1.0), false), ("both", Some(2.0), true),
+        ("refonly", Some(1.0), false), ("curonly", Some(1.0), true),
+        ("both", None, true))
+    val out = Profile.histogramDrift(rows.toDF("g", "v", "cur"),
+        $"g", $"v", $"cur", binWidth = 1.0, nBins = 4)
+      .select("group_key", "n_ref", "n_cur")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet === Set("both"))
+    assert(out("both") === ((1L, 1L)), "null value row must not count")
+  }
 }
