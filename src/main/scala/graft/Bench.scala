@@ -130,7 +130,10 @@ object Bench {
     "q144_knn_stream",
     "q145_canonical_by_priority",
     "q146_retrieval_metrics",
-    "q147_histogram_drift")
+    "q147_histogram_drift",
+    "q148_coverage_score",
+    "q149_embedding_health",
+    "q150_drift_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

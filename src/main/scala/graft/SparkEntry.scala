@@ -1751,6 +1751,53 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Text 12 (round-5): shingle-coverage scoring — fraction of each
+    * non-src0 doc's distinct 3-gram shingles already present in the src0
+    * reference corpus ([[TextAnalysis.coverageScore]]) — q66's
+    * decontamination evidence as a per-doc RATIO for novelty-aware
+    * curation.
+    */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.coverageScore(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("text"), n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Profile 9 (round-5): embedding health per label —
+    * [[graft.ops.Profile.embeddingHealth]] over the embeddings table:
+    * norm distribution + unit-norm conformance, the pre-flight check for
+    * every cosine-based operator in this repo.
+    */
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.embeddingHealth(t(s, dir, "embeddings"),
+        col("label"), col("vec_id"), col("embedding"))
+      .withColumnRenamed("group_key", "label")
+      .orderBy("label")
+
+  /** Streaming 13 (round-5): the drift monitor IN-FLIGHT — q147's
+    * histogram computed as a streaming aggregation (complete mode, state
+    * = groups × bins), folded through the same statistic code, gated
+    * against q147's batch oracle verbatim
+    * ([[graft.streaming.Streaming.histogramDriftStream]]).
+    */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q150")
+    val src = stage.resolve("src").toString
+    t(s, dir, "events").select(col("event_type"), col("value"), col("ts"))
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val out = graft.streaming.Streaming.histogramDriftStream(
+      s.readStream.schema(schema).parquet(src),
+      col("event_type"), col("value"),
+      col("ts") >= lit("2024-01-16").cast("timestamp"),
+      binWidth = 25.0, nBins = 20, name = "q150_hist")
+    materializeDropping(s, out.withColumnRenamed("group_key", "event_type"),
+      stage)
+      .orderBy("event_type")
+  }
+
   /** Streaming 12 (round-5): STREAMED incremental k-NN maintenance —
     * the embeddings land in three micro-batches (one file per trigger)
     * and each batch folds into the persisted graph via
@@ -2764,7 +2811,10 @@ object SparkEntry {
     "q144_knn_stream" -> q144 _,
     "q145_canonical_by_priority" -> q145 _,
     "q146_retrieval_metrics" -> q146 _,
-    "q147_histogram_drift" -> q147 _)
+    "q147_histogram_drift" -> q147 _,
+    "q148_coverage_score" -> q148 _,
+    "q149_embedding_health" -> q149 _,
+    "q150_drift_stream" -> q150 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -2999,6 +3049,42 @@ object SparkEntry {
     * maintenance): the full-recompute top-3 neighbor graph — q142's gate
     * IS the merge law.
     */
+  /** Shared by q147 (batch drift) and q150 (streamed sufficient
+    * statistics): the triangular-discrimination drift statistic —
+    * q150's gate pins streamed == batch.
+    */
+  private val driftOracle: String = """
+      WITH binned AS (
+        SELECT event_type AS g,
+          least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 19) AS bin,
+          CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS cur
+        FROM events WHERE value IS NOT NULL),
+      hist AS (
+        SELECT g, bin,
+          CAST(sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM binned GROUP BY 1, 2),
+      tot AS (
+        SELECT g, CAST(sum(na) AS BIGINT) AS ntot_a,
+          CAST(sum(nb) AS BIGINT) AS ntot_b
+        FROM hist GROUP BY 1),
+      props AS (
+        SELECT h.g, h.na, h.nb, t.ntot_a, t.ntot_b,
+          CAST(h.na AS DOUBLE) / CAST(t.ntot_a AS DOUBLE) AS p,
+          CAST(h.nb AS DOUBLE) / CAST(t.ntot_b AS DOUBLE) AS q
+        FROM hist h JOIN tot t ON h.g = t.g
+        WHERE t.ntot_a > 0 AND t.ntot_b > 0),
+      terms AS (
+        SELECT g, ntot_a, ntot_b,
+          CASE WHEN na + nb > 0
+            THEN (p - q) * (p - q) / (p + q) ELSE 0.0 END AS term
+        FROM props)
+      SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_bins,
+        max(ntot_a) AS n_ref, max(ntot_b) AS n_cur,
+        round(CAST(sum(CAST(round(term, 12) AS DECIMAL(28,14))) AS DOUBLE),
+          6) AS drift
+      FROM terms GROUP BY g ORDER BY event_type"""
+
   private val knnGraphOracle: String = """
       WITH p AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -3301,6 +3387,43 @@ object SparkEntry {
     // must equal the full recompute — the merge law composed, so the
     // oracle is shared verbatim (q140's shared-oracle pattern)
     "q144_knn_stream" -> knnGraphOracle,
+    // q148: q66's shingle CTE, scored as a per-doc coverage ratio
+    "q148_coverage_score" -> """
+      WITH toks AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)])) AS s
+        FROM toks WHERE len(tk) >= 3),
+      ref AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+      m AS (
+        SELECT c.doc_id, CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END AS k
+        FROM sh c LEFT JOIN ref r ON c.s = r.s
+        WHERE c.source != 'src0')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(sum(k) AS BIGINT) AS n_known,
+        round(CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS coverage
+      FROM m GROUP BY doc_id ORDER BY doc_id""",
+    // q149: decimal-exact squared-component sums, IEEE sqrt (safe), 9dp
+    // rounding before the decimal mean — the q99 idiom throughout
+    "q149_embedding_health" -> """
+      WITH comp AS (
+        SELECT label, vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings),
+      nsq AS (
+        SELECT label, vec_id,
+          CAST(sum(CAST(x * x AS DECIMAL(28,18))) AS DOUBLE) AS nsq
+        FROM comp GROUP BY 1, 2),
+      norms AS (SELECT label, sqrt(nsq) AS nm FROM nsq)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        round(min(nm), 6) AS min_norm, round(max(nm), 6) AS max_norm,
+        round(CAST(sum(CAST(round(nm, 9) AS DECIMAL(28,12))) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS mean_norm,
+        CAST(sum(CASE WHEN abs(nm - 1.0) <= 0.001 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_unit
+      FROM norms GROUP BY label ORDER BY label""",
     // q146: q25's brute-force CTE (truth) + q37's IVF CTE (approx) +
     // rational metrics — recall@5 and first-relevant reciprocal rank
     "q146_retrieval_metrics" -> """
@@ -3347,37 +3470,8 @@ object SparkEntry {
         round(coalesce(1.0 / CAST(min(CASE WHEN rel = 1 THEN rank END)
           AS DOUBLE), 0.0), 6) AS reciprocal_rank
       FROM marked GROUP BY query_id ORDER BY query_id""",
-    "q147_histogram_drift" -> """
-      WITH binned AS (
-        SELECT event_type AS g,
-          least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 19) AS bin,
-          CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS cur
-        FROM events WHERE value IS NOT NULL),
-      hist AS (
-        SELECT g, bin,
-          CAST(sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-          CAST(sum(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
-        FROM binned GROUP BY 1, 2),
-      tot AS (
-        SELECT g, CAST(sum(na) AS BIGINT) AS ntot_a,
-          CAST(sum(nb) AS BIGINT) AS ntot_b
-        FROM hist GROUP BY 1),
-      props AS (
-        SELECT h.g, h.na, h.nb, t.ntot_a, t.ntot_b,
-          CAST(h.na AS DOUBLE) / CAST(t.ntot_a AS DOUBLE) AS p,
-          CAST(h.nb AS DOUBLE) / CAST(t.ntot_b AS DOUBLE) AS q
-        FROM hist h JOIN tot t ON h.g = t.g
-        WHERE t.ntot_a > 0 AND t.ntot_b > 0),
-      terms AS (
-        SELECT g, ntot_a, ntot_b,
-          CASE WHEN na + nb > 0
-            THEN (p - q) * (p - q) / (p + q) ELSE 0.0 END AS term
-        FROM props)
-      SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_bins,
-        max(ntot_a) AS n_ref, max(ntot_b) AS n_cur,
-        round(CAST(sum(CAST(round(term, 12) AS DECIMAL(28,14))) AS DOUBLE),
-          6) AS drift
-      FROM terms GROUP BY g ORDER BY event_type""",
+    "q147_histogram_drift" -> driftOracle,
+    "q150_drift_stream" -> driftOracle,
     "q145_canonical_by_priority" -> {
       val values = sourcePriority
         .map { case (s, p) => s"('$s', $p)" }.mkString(", ")

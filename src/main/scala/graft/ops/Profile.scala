@@ -221,12 +221,25 @@ object Profile {
     */
   def histogramDrift(df: DataFrame, group: Column, value: Column,
                      isCurrent: Column, binWidth: Double,
-                     nBins: Int): DataFrame = {
+                     nBins: Int): DataFrame =
+    driftFold(binCounts(df, group, value, isCurrent, binWidth, nBins))
+
+  /** [[histogramDrift]]'s sufficient statistic: per (group, bin) counts of
+    * the reference (`__na`) and current (`__nb`) populations. Split out
+    * because it is a plain incremental aggregation — the STREAMING drift
+    * monitor ([[graft.streaming.Streaming.histogramDriftStream]]) runs
+    * this same stage as a streaming groupBy and feeds the landed counts
+    * to the same [[driftFold]], which is what lets the streamed gate
+    * share the batch oracle verbatim.
+    */
+  private[graft] def binCounts(df: DataFrame, group: Column, value: Column,
+                               isCurrent: Column, binWidth: Double,
+                               nBins: Int): DataFrame = {
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val bin = least(greatest(floor(value / lit(binWidth)), lit(0)),
       lit(nBins - 1)).cast("long")
-    val binned = df.filter(value.isNotNull)
+    df.filter(value.isNotNull)
       .select(group.as("__g"), bin.as("__bin"),
         when(isCurrent, lit(1L)).otherwise(lit(0L)).as("__cur"))
       .groupBy(col("__g"), col("__bin"))
@@ -234,6 +247,12 @@ object Profile {
         .as("__nb"),
         sum(when(col("__cur") === 0L, lit(1L)).otherwise(lit(0L)))
         .as("__na"))
+  }
+
+  /** Fold [[binCounts]]'s histogram into the per-group drift statistic
+    * (contract in [[histogramDrift]]'s Scaladoc).
+    */
+  private[graft] def driftFold(binned: DataFrame): DataFrame = {
     // totals keyed under a fresh name: binned→totals share lineage, and a
     // USING join of a frame with its own aggregate leaves the aggregate's
     // columns ambiguous to string resolution
@@ -252,6 +271,41 @@ object Profile {
           .as("drift"))
       .select(col("__g").as("group_key"), col("n_bins"), col("n_ref"),
         col("n_cur"), round(col("drift"), 6).as("drift"))
+  }
+
+  /** Embedding-column health profile: per group, vector count and the
+    * L2-norm distribution (min/max/mean) plus how many vectors are
+    * unit-norm within `unitTol` — the sanity pass a similarity pipeline
+    * runs before trusting cosine scores (an un-normalized or zeroed
+    * vector silently corrupts every downstream kNN/ANN ranking).
+    *
+    * Determinism: each squared component is one IEEE multiply
+    * (float→double is exact), squares sum in DECIMAL(28,18)
+    * (order-independent), `sqrt` of the double total is IEEE-correctly
+    * rounded in both engines (the q99 idiom — sqrt is safe, libm logs are
+    * not); norms round to 9 dp before the DECIMAL mean sum.
+    *
+    * Scale shape: the dim explode is a map-side Generate; one aggregation
+    * shuffles (group, id) partial sums, one folds per group. No windows.
+    */
+  def embeddingHealth(df: DataFrame, group: Column, id: Column, vec: Column,
+                      unitTol: Double = 0.001): DataFrame = {
+    val x = col("__x").cast("double")
+    val norms = df
+      .select(group.as("__g"), id.as("__id"), explode(vec).as("__x"))
+      .groupBy(col("__g"), col("__id"))
+      .agg(sum((x * x).cast("decimal(28,18)")).cast("double").as("__nsq"))
+      .withColumn("__nm", sqrt(col("__nsq")))
+    norms.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(min(col("__nm")), 6).as("min_norm"),
+        round(max(col("__nm")), 6).as("max_norm"),
+        round(sum(round(col("__nm"), 9).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("mean_norm"),
+        sum(when(abs(col("__nm") - lit(1.0d)) <= lit(unitTol), lit(1L))
+          .otherwise(lit(0L))).as("n_unit"))
+      .select(col("__g").as("group_key"), col("n_vectors"), col("min_norm"),
+        col("max_norm"), col("mean_norm"), col("n_unit"))
   }
 
   /** Per-group Gini concentration index over a non-negative integer

@@ -406,4 +406,40 @@ object TextAnalysis {
       detectLanguage(text).as("lang_pred"),
       fingerprint(text).as("fingerprint"))
   }
+
+  /** Per-document shingle coverage against a reference corpus: what
+    * fraction of a doc's distinct n-gram shingles already appear in the
+    * reference — the "how much of this is known content / boilerplate"
+    * readout. Decontamination's machinery (q66) pointed at SCORING
+    * instead of flagging: thresholding `coverage` recovers a
+    * contamination filter, but the ratio itself feeds curation decisions
+    * (dedup-adjacent down-weighting, novelty-aware mixing).
+    *
+    * Scale shape: the reference collapses to DISTINCT shingle hashes
+    * (8 bytes/row) once, the corpus posting stream left-joins it on the
+    * hash — broadcast when the reference fits, shuffle otherwise, and
+    * the bloom-prefilter idiom ([[graft.ops.Dedup.contaminationFlagsBloom]])
+    * drops non-matching postings before the shuffle when it doesn't.
+    * Docs shorter than `n` tokens have no shingles and are omitted (the
+    * empty-evidence row q66 also omits).
+    */
+  def coverageScore(corpus: DataFrame, id: Column, text: Column,
+                    reference: DataFrame, refText: Column,
+                    n: Int = 3): DataFrame = {
+    import graft.functions.wordShingles
+    val refSet = Dedup.spread(reference)
+      .select(explode(wordShingles(refText, n)).as("__s"))
+      .select(xxhash64(col("__s")).as("__h")).distinct()
+      .withColumn("__known", lit(1L))
+    Dedup.spread(corpus)
+      .select(id.as("doc_id"), explode(wordShingles(text, n)).as("__s"))
+      .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
+      .dropDuplicates("doc_id", "__h")
+      .join(refSet, Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__known")), lit(0L)).as("n_known"))
+      .withColumn("coverage", round(col("n_known").cast("double") /
+        col("n_shingles").cast("double"), 6))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -360,6 +360,23 @@ object Streaming {
     q.stop()
     agg.sparkSession.table(name)
   }
+
+  /** Streaming distribution-drift monitor: run
+    * [[graft.ops.Profile.binCounts]] as a streaming aggregation over the
+    * event stream (complete mode — the histogram is the bounded state:
+    * groups × bins rows regardless of stream length), then fold the
+    * landed counts through the SAME
+    * [[graft.ops.Profile.driftFold]] the batch operator uses. The
+    * statistic from streamed sufficient statistics is therefore
+    * bit-identical to the batch q147 — its gate shares the batch oracle
+    * verbatim.
+    */
+  def histogramDriftStream(events: DataFrame, group: Column, value: Column,
+                           isCurrent: Column, binWidth: Double, nBins: Int,
+                           name: String): DataFrame =
+    graft.ops.Profile.driftFold(
+      runToMemory(graft.ops.Profile.binCounts(events, group, value,
+        isCurrent, binWidth, nBins), name))
 
   /** Streaming k-NN graph maintenance — the day-2 deployment of
     * [[graft.ops.Similarity.knnGraphIncremental]]: an embedding stream
