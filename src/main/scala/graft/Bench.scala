@@ -133,7 +133,9 @@ object Bench {
     "q147_histogram_drift",
     "q148_coverage_score",
     "q149_embedding_health",
-    "q150_drift_stream")
+    "q150_drift_stream",
+    "q151_bpe_pair_mining",
+    "q152_skew_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

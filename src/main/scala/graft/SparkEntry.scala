@@ -1751,6 +1751,41 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
+    * 20 token bigrams by frequency, ties on the pair string: the FIRST
+    * MERGE DECISION of a BPE-style tokenizer-training loop, as one
+    * aggregation. Pairs come from a map-side `zip_with` over each doc's
+    * token array (no self-join on positions), counts map-side combine,
+    * the top-k is a TakeOrdered. All integers.
+    */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.tokens
+    val w = Window.orderBy(col("n").desc, col("pair").asc)
+    t(s, dir, "documents")
+      .select(tokens(col("text")).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("pair"), col("n"))
+  }
+
+  /** Layout 4 (round-5): skew diagnostics before the fact —
+    * [[graft.ops.Skew.skewReport]] over the events table's user_id (the
+    * repo's canonical hot-key column, q68/q71's target): top-5 heaviest
+    * keys with row share, the report that decides whether salting is
+    * warranted.
+    */
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.skewReport(t(s, dir, "events"), col("user_id"), k = 5)
+      .withColumnRenamed("key_value", "user_id")
+      .orderBy("rank")
+
   /** Text 12 (round-5): shingle-coverage scoring — fraction of each
     * non-src0 doc's distinct 3-gram shingles already present in the src0
     * reference corpus ([[TextAnalysis.coverageScore]]) — q66's
@@ -2814,7 +2849,9 @@ object SparkEntry {
     "q147_histogram_drift" -> q147 _,
     "q148_coverage_score" -> q148 _,
     "q149_embedding_health" -> q149 _,
-    "q150_drift_stream" -> q150 _)
+    "q150_drift_stream" -> q150 _,
+    "q151_bpe_pair_mining" -> q151 _,
+    "q152_skew_report" -> q152 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3387,6 +3424,32 @@ object SparkEntry {
     // must equal the full recompute — the merge law composed, so the
     // oracle is shared verbatim (q140's shared-oracle pattern)
     "q144_knn_stream" -> knnGraphOracle,
+    // q151: token bigrams via list comprehension — same tokenization as
+    // the shingle CTEs (trim/lower/split on \s+)
+    "q151_bpe_pair_mining" -> """
+      WITH toks AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      pairs AS (
+        SELECT unnest([tk[i] || ' ' || tk[i+1]
+          for i in range(1, len(tk))]) AS pair
+        FROM toks WHERE len(tk) >= 2),
+      counted AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1)
+      SELECT CAST(row_number() OVER w AS BIGINT) AS rank, pair, n
+      FROM counted
+      WINDOW w AS (ORDER BY n DESC, pair)
+      QUALIFY rank <= 20 ORDER BY rank""",
+    "q152_skew_report" -> """
+      WITH counts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM counts)
+      SELECT CAST(row_number() OVER w AS BIGINT) AS rank, user_id, n_rows,
+        round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+      FROM counts CROSS JOIN tot
+      WINDOW w AS (ORDER BY n_rows DESC, CAST(user_id AS VARCHAR))
+      QUALIFY rank <= 5 ORDER BY rank""",
     // q148: q66's shingle CTE, scored as a per-doc coverage ratio
     "q148_coverage_score" -> """
       WITH toks AS (

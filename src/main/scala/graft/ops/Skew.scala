@@ -78,4 +78,31 @@ object Skew {
         joinType)
       .drop("__salt")
   }
+
+  /** Skew DIAGNOSTICS: the report that decides whether the operators above
+    * are needed — per prospective join/aggregation key, the top `k`
+    * heaviest values with row count and share of the table. A key whose
+    * top value holds ≥ a few percent of 100 TB is a salting candidate; one
+    * whose top share is ~1/cardinality is not. Counts are the sufficient
+    * statistic (map-side combine), the top-k is a TakeOrdered over the
+    * count frame — no full sort, no windows over row-grain data. Share is
+    * one IEEE division, rounded; ties break on the value's string form so
+    * the report is deterministic enough to hash-gate.
+    */
+  def skewReport(df: DataFrame, key: Column, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(key.as("key_value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n_rows").cast("double") / col("__tot").cast("double"), 6))
+      .orderBy(col("n_rows").desc, col("key_value").cast("string").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_rows").desc,
+            col("key_value").cast("string").asc)).cast("long"))
+      .select(col("rank"), col("key_value"), col("n_rows"), col("share"))
+  }
 }
