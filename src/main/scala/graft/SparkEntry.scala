@@ -1861,7 +1861,7 @@ object SparkEntry {
       "vec_id", "embedding", Seq("label"), k = 3,
       statePath = state, checkpointDir = ckpt)
     materializeDropping(s,
-      graft.streaming.Streaming.latestKnnGraph(s, state)
+      graft.streaming.Streaming.latestKnnGraph(s, state, schema, "vec_id")
         .select(col("node"), col("rank"), col("nbr"),
           round(col("cosine"), 4).as("cosine")),
       stage)

@@ -411,6 +411,14 @@ object Streaming {
     import org.apache.spark.sql.{Dataset, Row}
     val corpusDir = s"$statePath/corpus"
     val graphDir = s"$statePath/graph"
+    // All state reads carry EXPLICIT schemas: an empty micro-batch writes
+    // a part-file-less parquet dir (Spark skips files for rowless tasks),
+    // and schema inference over it would kill the NEXT batch — the
+    // empty-input law every operator here obeys
+    val corpusSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__batch_id", org.apache.spark.sql.types.LongType))
+    val graphSchema = knnGraphSchema(schema, idCol)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("latestFirst", "false")
@@ -423,7 +431,8 @@ object Streaming {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         val priorCorpus =
           if (fs.exists(new org.apache.hadoop.fs.Path(corpusDir)))
-            s.read.parquet(corpusDir).filter(col("__batch_id") < batchId)
+            s.read.schema(corpusSchema).parquet(corpusDir)
+              .filter(col("__batch_id") < batchId)
               .drop("__batch_id")
           else batch.toDF().limit(0)
         val priorGraph = {
@@ -435,11 +444,10 @@ object Streaming {
                 .filter(_ < batchId)
             else Seq.empty[Long]
           if (versions.isEmpty)
-            // empty graph with the right node/nbr/cosine types: derived
-            // from the batch itself, not hand-declared
-            graft.ops.Similarity.knnGraph(batch.toDF().limit(0),
-              col(idCol), col(vecCol), blockCols.map(col), k)
-          else s.read.parquet(s"$graphDir/v${versions.max}")
+            s.createDataFrame(s.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row], graphSchema)
+          else s.read.schema(graphSchema)
+            .parquet(s"$graphDir/v${versions.max}")
         }
         val next = graft.ops.Similarity.knnGraphIncremental(
           priorGraph, priorCorpus, batch.toDF(), col(idCol), col(vecCol),
@@ -454,8 +462,27 @@ object Streaming {
     q.awaitTermination()
   }
 
-  /** Latest landed graph version under [[knnGraphMaintain]]'s state dir. */
-  def latestKnnGraph(spark: SparkSession, statePath: String): DataFrame = {
+  /** [[knnGraphMaintain]]'s graph schema, from the source schema: the
+    * id type twice (node, nbr), the score, the rank. Declared rather than
+    * inferred so rowless state dirs stay readable.
+    */
+  private def knnGraphSchema(source: StructType,
+                             idCol: String): StructType = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    StructType(Seq(
+      StructField("node", source(idCol).dataType),
+      StructField("nbr", source(idCol).dataType),
+      StructField("cosine", DoubleType),
+      StructField("rank", LongType)))
+  }
+
+  /** Latest landed graph version under [[knnGraphMaintain]]'s state dir.
+    * `sourceSchema` + `idCol` (the maintain call's own arguments) let the
+    * read succeed even when the latest version landed from an empty batch
+    * (no part files to infer from).
+    */
+  def latestKnnGraph(spark: SparkSession, statePath: String,
+                     sourceSchema: StructType, idCol: String): DataFrame = {
     val graphDir = s"$statePath/graph"
     val fs = new org.apache.hadoop.fs.Path(graphDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -463,6 +490,7 @@ object Streaming {
       .toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("v") => n.drop(1).toLong }
     require(versions.nonEmpty, s"no graph versions under $graphDir")
-    spark.read.parquet(s"$graphDir/v${versions.max}")
+    spark.read.schema(knnGraphSchema(sourceSchema, idCol))
+      .parquet(s"$graphDir/v${versions.max}")
   }
 }

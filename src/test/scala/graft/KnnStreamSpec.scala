@@ -40,7 +40,7 @@ class KnnStreamSpec extends AnyFunSuite {
     def run(): Unit = Streaming.knnGraphMaintain(spark, src, schema,
       "vec_id", "embedding", Seq("label"), k = 3, state, ckpt)
     def graph(): Set[(Long, Long, Long)] =
-      Streaming.latestKnnGraph(spark, state)
+      Streaming.latestKnnGraph(spark, state, schema, "vec_id")
         .select("node", "rank", "nbr").as[(Long, Long, Long)]
         .collect().toSet
     run()

@@ -217,4 +217,35 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 2, s"TWAP shuffles too much ($exchanges):\n$p")
   }
+
+  test("q151 pair mining is join-free: bigrams come from a map-side zip_with") {
+    val p = plan("q151_bpe_pair_mining")
+    assert(!p.contains("Join"),
+      s"q151 grew a join (positional self-join regression):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q151 top-20 is not a TakeOrdered:\n$p")
+  }
+
+  test("q152 skew report: TakeOrdered top-k, total rides a broadcast") {
+    val p = plan("q152_skew_report")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q152 top-5 is not a TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q152 total joined without broadcast:\n$p")
+  }
+
+  test("q148 coverage join is an equi-join on the shingle hash, no cartesian") {
+    val p = plan("q148_coverage_score")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q148 reference join degenerated:\n$p")
+  }
+
+  test("q147 drift: histogram counts aggregate with map-side partials") {
+    val p = plan("q147_histogram_drift")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"q147 histogram lost its map-side combine:\n$p")
+    assert(!p.contains("row_number"),
+      s"q147 grew a rank window over row-grain data:\n$p")
+  }
 }
