@@ -89,7 +89,28 @@ object PlanDump {
       ("Spark's `window()` generator explodes map-side (width/slide = 2 " +
         "rows per event, visible as Expand/Generate before the " +
         "exchange), then ONE hash aggregation on (window, type) with " +
-        "map-side partials — the same plan its streaming twin runs."))
+        "map-side partials — the same plan its streaming twin runs."),
+    "q98_winsorize" ->
+      ("Round-5 banded selection: NO row_number window over row-grain " +
+        "data — the threshold search is a percentile_approx sketch " +
+        "(ObjectHashAggregate), below-bracket count aggregates, and a " +
+        "cumulative window over in-band DISTINCT values only; the clamp " +
+        "join broadcasts one row per stratum."),
+    "q147_histogram_drift" ->
+      ("Histogram counts partial-aggregate map-side (the sufficient " +
+        "statistic: groups × bins rows cross the wire, never events); " +
+        "totals ride a second small aggregate; the statistic folds with " +
+        "no window and no sort."),
+    "q148_coverage_score" ->
+      ("The reference corpus collapses to distinct shingle hashes before " +
+        "any join; the corpus posting stream equi-joins it on the 8-byte " +
+        "hash (broadcast at this scale, shuffle+bloom at 100 TB) — no " +
+        "cartesian, no string comparisons past the hash."),
+    "q151_bpe_pair_mining" ->
+      ("Join-free: bigrams generate map-side from each doc's token array " +
+        "(zip_with inside Generate), counts partial-aggregate, and the " +
+        "global top-20 is TakeOrderedAndProject — no full sort, no " +
+        "positional self-join."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

@@ -171,6 +171,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: coverage of a corpus against itself is exactly 1.0") {
+    // every shingle of a doc is in the reference when the reference IS the
+    // corpus — coverage must be exactly 1 for every doc with shingles
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.coverageScore(
+        docs, $"doc_id", $"text", docs, $"text", n = 3)
+      .select("doc_id", "coverage").as[(Long, Double)].collect().toMap
+    assert(out.size === 3)
+    assert(out.values.forall(_ === 1.0), s"self-coverage != 1: $out")
+  }
+
+  test("law: coverage against a disjoint reference is exactly 0.0") {
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val ref = Seq((9L, "uno dos tres cuatro cinco")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.coverageScore(
+        corpus, $"doc_id", $"text", ref, $"text", n = 3)
+      .select("n_known", "coverage").as[(Long, Double)].collect()
+    assert(out === Array((0L, 0.0)))
+  }
+
+  test("law: skewReport shares are ranked, positive, and sum to <= 1") {
+    samples(Gen.nonEmptyListOf(Gen.chooseNum(1L, 20L)), 8).foreach { keys =>
+      val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "row")
+      val rep = graft.ops.Skew.skewReport(df, $"k", k = 5)
+        .select("rank", "n_rows", "share")
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      assert(rep.nonEmpty && rep.length <= 5)
+      // ranked by count descending, shares consistent with counts
+      assert(rep.sliding(2).forall {
+        case Array(a, b) => a._2 >= b._2; case _ => true })
+      // each share rounds to 6dp and can round UP by 5e-7 — k of them can
+      // overshoot 1 by k*5e-7
+      assert(rep.map(_._3).sum <= 1.0 + 5 * 5e-7)
+      assert(rep.forall(r => r._3 > 0.0))
+      // top share is exact: n_rows / total
+      val total = keys.size.toDouble
+      assert(math.abs(rep.head._3 - rep.head._2 / total) < 1e-6)
+    }
+  }
+
+  test("law: embeddingHealth counts every vector and unit-norm detection is exact") {
+    val rows = Seq(
+      (0, 1L, Seq(1.0f, 0.0f, 0.0f)),        // unit
+      (0, 2L, Seq(0.0f, 3.0f, 4.0f)),        // norm 5
+      (1, 3L, Seq(0.6f, 0.8f, 0.0f)))        // unit
+      .toDF("g", "id", "v")
+    val out = graft.ops.Profile.embeddingHealth(rows, $"g", $"id", $"v")
+      .select("group_key", "n_vectors", "min_norm", "max_norm", "n_unit")
+      .as[(Int, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0) === ((2L, 1.0, 5.0, 1L)))
+    assert(out(1) === ((1L, 1.0, 1.0, 1L)))
+  }
+
   test("law: conform output schema equals the target schema, always") {
     import org.apache.spark.sql.types._
     val target = StructType(Seq(
