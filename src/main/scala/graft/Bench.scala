@@ -135,7 +135,9 @@ object Bench {
     "q149_embedding_health",
     "q150_drift_stream",
     "q151_bpe_pair_mining",
-    "q152_skew_report")
+    "q152_skew_report",
+    "q153_drift_series",
+    "q154_winsorize_global")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

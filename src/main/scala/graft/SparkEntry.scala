@@ -1751,6 +1751,32 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Profile 10 (round-5): drift TIMELINE — q147's statistic between
+    * every pair of consecutive days per event_type
+    * ([[graft.ops.Profile.driftSeries]]): the "which day did the
+    * distribution move" monitor. One row-grain aggregation; everything
+    * after operates on the histogram frame.
+    */
+  private def q153(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.driftSeries(t(s, dir, "events"),
+        col("event_type"), col("value"), col("ts"),
+        binWidth = 25.0, nBins = 20)
+      .withColumnRenamed("group_key", "event_type")
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("event_type", "day")
+
+  /** Profile 11 (round-5): winsorize with ONE global stratum — the
+    * mega-stratum shape the round-5 banded rewrite exists for (the whole
+    * table is the stratum; the legacy plan serialized it through a single
+    * rank-window task). Tighter quantiles than q98 so both gates differ.
+    */
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.winsorize(
+        t(s, dir, "events").select("event_id", "value"),
+        lit("all"), col("value"), col("event_id"), loQ = 0.01, hiQ = 0.99)
+      .select(col("event_id"), col("value"), col("clamped"))
+      .orderBy("event_id")
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -2851,7 +2877,9 @@ object SparkEntry {
     "q149_embedding_health" -> q149 _,
     "q150_drift_stream" -> q150 _,
     "q151_bpe_pair_mining" -> q151 _,
-    "q152_skew_report" -> q152 _)
+    "q152_skew_report" -> q152 _,
+    "q153_drift_series" -> q153 _,
+    "q154_winsorize_global" -> q154 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3424,6 +3452,64 @@ object SparkEntry {
     // must equal the full recompute — the merge law composed, so the
     // oracle is shared verbatim (q140's shared-oracle pattern)
     "q144_knn_stream" -> knnGraphOracle,
+    // q154: q98's order-statistic contract with a single global stratum
+    "q154_winsorize_global" -> """
+      WITH r AS (
+        SELECT event_id, value,
+          row_number() OVER (ORDER BY value NULLS FIRST, event_id) AS rn,
+          count(*) OVER () AS n
+        FROM events),
+      thr AS (
+        SELECT
+          min(CASE WHEN rn = greatest(CAST(ceil(0.01 * n) AS BIGINT), 1)
+            THEN value END) AS lo,
+          max(CASE WHEN rn = greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
+            THEN value END) AS hi
+        FROM r
+        WHERE rn = greatest(CAST(ceil(0.01 * n) AS BIGINT), 1)
+           OR rn = greatest(CAST(ceil(0.99 * n) AS BIGINT), 1))
+      SELECT e.event_id, e.value,
+        least(greatest(e.value, t.lo), t.hi) AS clamped
+      FROM events e CROSS JOIN thr t
+      ORDER BY event_id""",
+    // q153: q147's fold per consecutive-day pair — full outer join of the
+    // day histogram against itself shifted one day
+    "q153_drift_series" -> """
+      WITH binned AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+          least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 19) AS bin
+        FROM events WHERE value IS NOT NULL),
+      counts AS (
+        SELECT g, day, bin, CAST(count(*) AS BIGINT) AS n
+        FROM binned GROUP BY 1, 2, 3),
+      j AS (
+        SELECT coalesce(c.g, p.g) AS g,
+          coalesce(c.day, p.day + 1) AS day,
+          coalesce(c.bin, p.bin) AS bin,
+          coalesce(p.n, 0) AS na, coalesce(c.n, 0) AS nb
+        FROM counts c FULL OUTER JOIN counts p
+          ON c.g = p.g AND c.day = p.day + 1 AND c.bin = p.bin),
+      tot AS (
+        SELECT g, day, CAST(sum(na) AS BIGINT) AS ta,
+          CAST(sum(nb) AS BIGINT) AS tb
+        FROM j GROUP BY 1, 2),
+      props AS (
+        SELECT j.g, j.day, j.na, j.nb, t.ta, t.tb,
+          CAST(j.na AS DOUBLE) / CAST(t.ta AS DOUBLE) AS p,
+          CAST(j.nb AS DOUBLE) / CAST(t.tb AS DOUBLE) AS q
+        FROM j JOIN tot t ON j.g = t.g AND j.day = t.day
+        WHERE t.ta > 0 AND t.tb > 0),
+      terms AS (
+        SELECT g, day, ta, tb,
+          CASE WHEN na + nb > 0
+            THEN (p - q) * (p - q) / (p + q) ELSE 0.0 END AS term
+        FROM props)
+      SELECT g AS event_type, strftime(day, '%Y-%m-%d') AS day,
+        CAST(count(*) AS BIGINT) AS n_bins, max(ta) AS n_ref,
+        max(tb) AS n_cur,
+        round(CAST(sum(CAST(round(term, 12) AS DECIMAL(28,14))) AS DOUBLE),
+          6) AS drift
+      FROM terms GROUP BY 1, 2 ORDER BY event_type, day""",
     // q151: token bigrams via list comprehension — same tokenization as
     // the shingle CTEs (trim/lower/split on \s+)
     "q151_bpe_pair_mining" -> """

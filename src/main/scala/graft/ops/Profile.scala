@@ -249,6 +249,48 @@ object Profile {
         .as("__na"))
   }
 
+  /** Drift SERIES: [[histogramDrift]] between every pair of consecutive
+    * days, per group — the monitoring timeline ("which day did the
+    * distribution move") rather than a single two-population readout.
+    * Day-d's histogram plays current against day-(d−1)'s reference;
+    * first days (no predecessor) and phantom successors drop out through
+    * the same missing-side rule as [[histogramDrift]].
+    *
+    * Scale shape: ONE (group, day, bin) count aggregation over the rows
+    * (map-side combine — the only row-grain pass), then a FULL OUTER
+    * self-equi-join of the tiny histogram frame against itself shifted by
+    * one day (groups × days × bins rows on each side), and the shared
+    * [[driftFold]]. Statistic and determinism contract identical to
+    * [[histogramDrift]].
+    */
+  def driftSeries(df: DataFrame, group: Column, value: Column, time: Column,
+                  binWidth: Double, nBins: Int): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val bin = least(greatest(floor(value / lit(binWidth)), lit(0)),
+      lit(nBins - 1)).cast("long")
+    val counts = df.filter(value.isNotNull)
+      .select(group.as("__gg"), to_date(time).as("__day"), bin.as("__b"))
+      .groupBy(col("__gg"), col("__day"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val prev = counts.select(col("__gg").as("__gp"),
+      date_add(col("__day"), 1).as("__dayp"), col("__b").as("__bp"),
+      col("__n").as("__np"))
+    val joined = counts.join(prev,
+      col("__gg") <=> col("__gp") && col("__day") === col("__dayp") &&
+        col("__b") === col("__bp"), "full_outer")
+    val binned = joined.select(
+      struct(coalesce(col("__gg"), col("__gp")).as("g"),
+        coalesce(col("__day"), col("__dayp")).as("day")).as("__g"),
+      coalesce(col("__b"), col("__bp")).as("__bin"),
+      coalesce(col("__np"), lit(0L)).as("__na"),
+      coalesce(col("__n"), lit(0L)).as("__nb"))
+    driftFold(binned)
+      .select(col("group_key.g").as("group_key"),
+        col("group_key.day").as("day"), col("n_bins"), col("n_ref"),
+        col("n_cur"), col("drift"))
+  }
+
   /** Fold [[binCounts]]'s histogram into the per-group drift statistic
     * (contract in [[histogramDrift]]'s Scaladoc).
     */
