@@ -162,9 +162,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
-      val unknown = names -- qs.keySet
+      // validate against the BENCHED set (headline ++ extra), not the full
+      // registry: a registered-but-unbenched name would pass a registry
+      // check yet silently bench nothing
+      val benched = (headline ++ extra).toSet
+      val unknown = names -- benched
       require(names.nonEmpty && unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY selects no valid queries (unknown: ${unknown.mkString(",")})")
+        s"SPARK_GRAFT_BENCH_ONLY names must be benched queries " +
+          s"(not benched: ${unknown.mkString(",")})")
     }
     def selected(names: Seq[String]): Seq[String] =
       names.filter(qs.contains).filter(n => only.forall(_.contains(n)))

@@ -3478,7 +3478,7 @@ object SparkEntry {
       WITH binned AS (
         SELECT event_type AS g, CAST(ts AS DATE) AS day,
           least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 19) AS bin
-        FROM events WHERE value IS NOT NULL),
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
       counts AS (
         SELECT g, day, bin, CAST(count(*) AS BIGINT) AS n
         FROM binned GROUP BY 1, 2, 3),
@@ -3561,10 +3561,15 @@ object SparkEntry {
       WITH comp AS (
         SELECT label, vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
         FROM embeddings),
-      nsq AS (
-        SELECT label, vec_id,
+      nsq0 AS (
+        SELECT vec_id,
           CAST(sum(CAST(x * x AS DECIMAL(28,18))) AS DOUBLE) AS nsq
-        FROM comp GROUP BY 1, 2),
+        FROM comp GROUP BY 1),
+      -- left join back so null/empty embedding arrays (dropped by unnest)
+      -- count as norm-0 vectors, mirroring the engine's explode_outer
+      nsq AS (
+        SELECT e.label, e.vec_id, coalesce(n.nsq, 0.0) AS nsq
+        FROM embeddings e LEFT JOIN nsq0 n ON e.vec_id = n.vec_id),
       norms AS (SELECT label, sqrt(nsq) AS nm FROM nsq)
       SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
         round(min(nm), 6) AS min_norm, round(max(nm), 6) AS max_norm,

@@ -139,8 +139,13 @@ object Graph {
     * whichever phase round `iters` lands on, so the stop-enabled path
     * DETECTS it — labels equal to the state two rounds back but not to
     * the last round — and throws instead of returning an arbitrary
-    * phase. Both checks are one count read per round off the already-
-    * checkpointed frame (the price pageRank's `tol` pays).
+    * phase. Longer cycles (period ≥ 3) can't be caught by that one-step
+    * lookback, so the stop-enabled path ALSO throws if the iteration cap
+    * is exhausted without reaching a fixpoint: with the stop enabled the
+    * operator either returns a true fixpoint or throws, never an
+    * arbitrary phase (raise `iters` if the graph is genuinely
+    * slow-converging). Both checks are one count read per round off the
+    * already-checkpointed frame (the price pageRank's `tol` pays).
     */
   def labelPropagation(edges: DataFrame, src: Column, dst: Column,
                        iters: Int,
@@ -186,6 +191,12 @@ object Graph {
       labels = next
       it += 1
     }
+    if (stopOnFixpoint && it == iters && !converged && iters > 0)
+      throw new IllegalStateException(
+        s"labelPropagation: no fixpoint within the $iters-round cap " +
+          "(slow convergence or a period>=3 oscillation the two-round " +
+          "lookback cannot distinguish); raise iters or use the fixed-" +
+          "iteration mode deliberately")
     labels
   }
 

@@ -73,10 +73,14 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           // ImageIO.read returns null (no registered reader) for corrupt
-          // or non-image bytes; fold the IOException case into the same
-          // "undecodable" result
+          // or non-image bytes; the bundled readers also throw UNCHECKED
+          // exceptions (IndexOutOfBounds/NegativeArraySize/IllegalArgument)
+          // on malformed-but-recognized payloads, so fold every non-fatal
+          // throw into the same "undecodable" (0,0,0) result — the
+          // MediaCodec contract says one corrupt asset must not kill the
+          // stage
           if (img == null) (0, 0, 0)
           else (img.getWidth, img.getHeight,
             img.getColorModel.getNumComponents)

@@ -232,13 +232,21 @@ object Profile {
     * to the same [[driftFold]], which is what lets the streamed gate
     * share the batch oracle verbatim.
     */
+  /** The one binning rule both drift monitors share: clamp
+    * `floor(value / binWidth)` into `[0, nBins)`. Single definition so the
+    * single-pair and timeline monitors can never desynchronize on binning
+    * semantics.
+    */
+  private def binOf(value: Column, binWidth: Double, nBins: Int): Column =
+    least(greatest(floor(value / lit(binWidth)), lit(0)),
+      lit(nBins - 1)).cast("long")
+
   private[graft] def binCounts(df: DataFrame, group: Column, value: Column,
                                isCurrent: Column, binWidth: Double,
                                nBins: Int): DataFrame = {
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
-    val bin = least(greatest(floor(value / lit(binWidth)), lit(0)),
-      lit(nBins - 1)).cast("long")
+    val bin = binOf(value, binWidth, nBins)
     df.filter(value.isNotNull)
       .select(group.as("__g"), bin.as("__bin"),
         when(isCurrent, lit(1L)).otherwise(lit(0L)).as("__cur"))
@@ -254,7 +262,12 @@ object Profile {
     * distribution move") rather than a single two-population readout.
     * Day-d's histogram plays current against day-(d−1)'s reference;
     * first days (no predecessor) and phantom successors drop out through
-    * the same missing-side rule as [[histogramDrift]].
+    * the same missing-side rule as [[histogramDrift]]. Rows whose
+    * timestamp is null (or fails date conversion) are excluded up front:
+    * a null day has no predecessor or successor, and letting it through
+    * the shifted self-join would surface the same histogram twice as two
+    * disjoint unmatched sides — a spurious maximum-drift (2.0) row for a
+    * day that doesn't exist.
     *
     * Scale shape: ONE (group, day, bin) count aggregation over the rows
     * (map-side combine — the only row-grain pass), then a FULL OUTER
@@ -267,10 +280,10 @@ object Profile {
                   binWidth: Double, nBins: Int): DataFrame = {
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
-    val bin = least(greatest(floor(value / lit(binWidth)), lit(0)),
-      lit(nBins - 1)).cast("long")
+    val bin = binOf(value, binWidth, nBins)
     val counts = df.filter(value.isNotNull)
       .select(group.as("__gg"), to_date(time).as("__day"), bin.as("__b"))
+      .filter(col("__day").isNotNull)
       .groupBy(col("__gg"), col("__day"), col("__b"))
       .agg(count(lit(1)).as("__n"))
     val prev = counts.select(col("__gg").as("__gp"),
@@ -319,7 +332,11 @@ object Profile {
     * L2-norm distribution (min/max/mean) plus how many vectors are
     * unit-norm within `unitTol` — the sanity pass a similarity pipeline
     * runs before trusting cosine scores (an un-normalized or zeroed
-    * vector silently corrupts every downstream kNN/ANN ranking).
+    * vector silently corrupts every downstream kNN/ANN ranking). Null and
+    * EMPTY embedding arrays are counted as norm-0 vectors rather than
+    * silently dropped — they are precisely the broken vectors the check
+    * exists to surface (they pull `min_norm` to 0 and are never
+    * unit-norm).
     *
     * Determinism: each squared component is one IEEE multiply
     * (float→double is exact), squares sum in DECIMAL(28,18)
@@ -333,10 +350,13 @@ object Profile {
   def embeddingHealth(df: DataFrame, group: Column, id: Column, vec: Column,
                       unitTol: Double = 0.001): DataFrame = {
     val x = col("__x").cast("double")
+    // explode_outer keeps one null-component row for null/empty arrays;
+    // the all-null sum coalesces to 0 → norm 0, so those vectors count
     val norms = df
-      .select(group.as("__g"), id.as("__id"), explode(vec).as("__x"))
+      .select(group.as("__g"), id.as("__id"), explode_outer(vec).as("__x"))
       .groupBy(col("__g"), col("__id"))
-      .agg(sum((x * x).cast("decimal(28,18)")).cast("double").as("__nsq"))
+      .agg(coalesce(sum((x * x).cast("decimal(28,18)")).cast("double"),
+        lit(0.0d)).as("__nsq"))
       .withColumn("__nm", sqrt(col("__nsq")))
     norms.groupBy(col("__g"))
       .agg(count(lit(1)).as("n_vectors"),

@@ -86,8 +86,10 @@ object Skew {
     * whose top share is ~1/cardinality is not. Counts are the sufficient
     * statistic (map-side combine), the top-k is a TakeOrdered over the
     * count frame — no full sort, no windows over row-grain data. Share is
-    * one IEEE division, rounded; ties break on the value's string form so
-    * the report is deterministic enough to hash-gate.
+    * one IEEE division, rounded; ties break on the value's string form
+    * with NULLS LAST (matching the SQL engines' default, so a null key
+    * tying at a top-k boundary picks the same row everywhere) and the
+    * report is deterministic enough to hash-gate.
     */
   def skewReport(df: DataFrame, key: Column, k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -97,12 +99,13 @@ object Skew {
     counts.crossJoin(broadcast(total))
       .withColumn("share",
         round(col("n_rows").cast("double") / col("__tot").cast("double"), 6))
-      .orderBy(col("n_rows").desc, col("key_value").cast("string").asc)
+      .orderBy(col("n_rows").desc,
+        col("key_value").cast("string").asc_nulls_last)
       .limit(k)
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("n_rows").desc,
-            col("key_value").cast("string").asc)).cast("long"))
+            col("key_value").cast("string").asc_nulls_last)).cast("long"))
       .select(col("rank"), col("key_value"), col("n_rows"), col("share"))
   }
 }

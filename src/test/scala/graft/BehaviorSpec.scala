@@ -373,6 +373,20 @@ class BehaviorSpec extends AnyFunSuite {
     assert(r2 === Set((8L, 8L), (9L, 9L)))
   }
 
+  test("labelPropagation stopOnFixpoint: period-3 rotation throws at the cap") {
+    // a directed 3-cycle rotates labels with period 3: never a fixpoint,
+    // and never equal to the state two rounds back, so the two-round
+    // lookback can't see it — the cap-exhaustion throw must (the
+    // stop-enabled contract is fixpoint-or-throw, never an arbitrary
+    // phase)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Graph.labelPropagation(cyc, $"s", $"d",
+        iters = 7, stopOnFixpoint = true).count()
+    }
+    assert(e.getMessage.contains("cap"))
+  }
+
   test("q140 precondition: no exact-30:00 gap in any scale factor's events") {
     // session_window's half-open end splits a gap of exactly 1800 s where
     // q32's `>` test merges it — the shared-oracle gate is exact only

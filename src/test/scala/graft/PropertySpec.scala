@@ -229,6 +229,52 @@ class PropertySpec extends AnyFunSuite {
     assert(out(1) === ((1L, 1.0, 1.0, 1L)))
   }
 
+  test("law: embeddingHealth counts null/empty vectors as norm 0, not drops") {
+    // the broken vectors are the ones the health check exists to surface:
+    // a null array and an empty array must appear in n_vectors with norm 0
+    val rows = Seq(
+      (0, 1L, Some(Seq(1.0f, 0.0f))),
+      (0, 2L, Some(Seq.empty[Float])),
+      (0, 3L, Option.empty[Seq[Float]]))
+      .toDF("g", "id", "v")
+    val out = graft.ops.Profile.embeddingHealth(rows, $"g", $"id", $"v")
+      .select("n_vectors", "min_norm", "max_norm", "n_unit")
+      .as[(Long, Double, Double, Long)].collect()
+    assert(out === Array((3L, 0.0, 1.0, 1L)))
+  }
+
+  test("law: driftSeries ignores null timestamps (no phantom null-day row)") {
+    // a null day has no neighbor in the shifted self-join; letting it
+    // through would surface its histogram twice as two unmatched sides —
+    // a spurious drift=2.0 row for a day that doesn't exist
+    val rows = Seq(
+      ("x", 10.0, Some("2026-01-01 00:00:00")),
+      ("x", 30.0, Some("2026-01-01 01:00:00")),
+      ("x", 10.0, Some("2026-01-02 00:00:00")),
+      ("x", 60.0, Some("2026-01-02 01:00:00")),
+      ("x", 999.0, Option.empty[String]),
+      ("x", 998.0, Option.empty[String]))
+      .toDF("g", "value", "ts")
+    val out = graft.ops.Profile.driftSeries(rows, $"g", $"value",
+        org.apache.spark.sql.functions.to_timestamp($"ts"),
+        binWidth = 25.0, nBins = 4)
+      .select("day", "drift").as[(java.sql.Date, Double)].collect()
+    assert(out.length === 1 && out.head._1.toString === "2026-01-02")
+    assert(out.head._2 > 0.0 && out.head._2 < 2.0)
+  }
+
+  test("law: skewReport orders a tied null key after non-null keys") {
+    // DuckDB's ORDER BY defaults to NULLS LAST; the report's string
+    // tie-break must agree or a boundary tie selects different rows
+    val df = Seq(Some("a"), Some("a"), None, None, Some("b"))
+      .toDF("k")
+      .withColumn("row", org.apache.spark.sql.functions.lit(1L))
+    val rep = graft.ops.Skew.skewReport(df, $"k", k = 3)
+      .select("rank", "key_value").as[(Long, Option[String])].collect()
+      .sortBy(_._1)
+    assert(rep.map(_._2) === Array(Some("a"), None, Some("b")))
+  }
+
   test("law: conform output schema equals the target schema, always") {
     import org.apache.spark.sql.types._
     val target = StructType(Seq(

@@ -7,11 +7,13 @@ scaling linearly, so wall-time ratios measure the ENGINE's scaling, not an
 accidental change in problem shape:
 
 - documents: replica r keeps replica 0's text verbatim for r=0 and suffixes
-  every whitespace token with "r<r>" for r>0. Within a replica the
-  near-dup/containment/shingle structure is IDENTICAL to sf0.1; across
-  replicas token sets are disjoint, so shingle/minhash/containment pair
-  counts scale exactly 10x (no O(replicas^2) cross-talk). doc_id offsets by
-  10M per replica; n_chars recomputed.
+  every whitespace token with "~r<r>" for r>0 ("~" keeps a base token from
+  ever colliding with a suffixed one; an explicit vocabulary-disjointness
+  assert backs that up). Within a replica the near-dup/containment/shingle
+  structure is IDENTICAL to sf0.1; across replicas token sets are disjoint,
+  so shingle/minhash/containment pair counts scale exactly 10x (no
+  O(replicas^2) cross-talk). doc_id offsets by 10M per replica; n_chars
+  recomputed.
 - embeddings: replica 0 verbatim; replicas r>0 are fresh seeded unit-norm
   64-dim Gaussians (the fixture's own distribution — BASELINE.md documents
   it as near-random), labels uniform over the same 0..9 space. vec_id
@@ -45,13 +47,22 @@ text = d.column("text").to_pylist()
 lang = d.column("lang").to_pylist()
 source = d.column("source").to_pylist()
 
+base_vocab = set()
+for t in text:
+    base_vocab.update(t.split())
+
 ids, texts, langs, sources, nchars = [], [], [], [], []
 for r in range(REPLICAS):
     if r == 0:
         rep = text
     else:
-        suf = f"r{r}"
+        suf = f"~r{r}"
         rep = [re.sub(r"(\S+)", lambda m: m.group(1) + suf, t) for t in text]
+        clash = {w + suf for w in base_vocab} & base_vocab
+        assert not clash, (
+            f"replica {r}: suffixed tokens collide with base vocabulary "
+            f"(pair counts would scale super-linearly): {sorted(clash)[:5]}"
+        )
     ids.extend(i + r * OFFSET for i in doc_id)
     texts.extend(rep)
     langs.extend(lang)
