@@ -1777,6 +1777,74 @@ object SparkEntry {
       .select(col("event_id"), col("value"), col("clamped"))
       .orderBy("event_id")
 
+  /** Profile 12 (round-5): per-label Gram matrix of the embedding corpus
+    * ([[graft.ops.Profile.gramMatrix]]) — the exact uncentered
+    * second-moment sums PCA/whitening starts from, computed with
+    * map-side cell generation (no join, shuffle carries only
+    * labels × 2 080 partial sums). 20 800 exact cells at 10 labels.
+    */
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.gramMatrix(t(s, dir, "embeddings"),
+        col("label"), col("embedding"))
+      .withColumnRenamed("group_key", "label")
+      .orderBy("label", "i", "j")
+
+  /** Text 14 (round-5): shingle novelty per ingest batch
+    * ([[graft.ops.TextAnalysis.shingleNovelty]]) — the fixture's
+    * `src<N>` sources read as ingest generations (batch = N, numeric so
+    * src10 follows src9, not src1): what fraction of each batch's
+    * distinct 3-gram shingles is NEW relative to all earlier batches,
+    * the marginal-value-of-ingest curve.
+    */
+  private def q156(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.shingleNovelty(t(s, dir, "documents"),
+        substring(col("source"), 4, 10).cast("int"), col("text"), n = 3)
+      .orderBy("batch")
+
+  /** Dedup 17 (round-5): component-size histogram — q52's near-dup
+    * components folded to the readout a dedup run is judged by (how much
+    * is duplicated, in clusters of what size). Sizes come off the
+    * component frame (one count per component), the histogram off the
+    * sizes (result-grain), and the singleton row closes the accounting:
+    * Σ n_docs equals the corpus row count, so the gate doubles as a
+    * conservation check over the whole CC pipeline.
+    */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Dedup.connectedComponents(q21Pairs(s, dir))
+      .groupBy(col("component")).agg(count(lit(1)).as("__sz"))
+    val hist = sizes.groupBy(col("__sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"), sum(col("__sz")).as("n_docs"))
+    val grouped = sizes.agg(coalesce(sum(col("__sz")), lit(0L)).as("__g"))
+    val singleton = t(s, dir, "documents").agg(count(lit(1)).as("__n"))
+      .crossJoin(broadcast(grouped))
+      .select(lit(1L).as("component_size"),
+        (col("__n") - col("__g")).as("n_components"),
+        (col("__n") - col("__g")).as("n_docs"))
+      .filter(col("n_components") > 0)
+    hist.unionByName(singleton).orderBy("component_size")
+  }
+
+  /** Streaming 14 (round-5): the skew monitor IN-FLIGHT — q152's
+    * per-key counts as a complete-mode streaming aggregation, finished
+    * through the same top-k/share fold
+    * ([[graft.streaming.Streaming.skewReportStream]]), gated against
+    * q152's batch oracle verbatim (integer counts → bit-identical, the
+    * q150/q147 shared-oracle pattern).
+    */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q158")
+    val src = stage.resolve("src").toString
+    t(s, dir, "events").select(col("user_id"))
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val out = graft.streaming.Streaming.skewReportStream(
+      s.readStream.schema(schema).parquet(src),
+      col("user_id"), k = 5, name = "q158_counts")
+    materializeDropping(s, out.withColumnRenamed("key_value", "user_id"),
+      stage)
+      .orderBy("rank")
+  }
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -2879,7 +2947,11 @@ object SparkEntry {
     "q151_bpe_pair_mining" -> q151 _,
     "q152_skew_report" -> q152 _,
     "q153_drift_series" -> q153 _,
-    "q154_winsorize_global" -> q154 _)
+    "q154_winsorize_global" -> q154 _,
+    "q155_gram_matrix" -> q155 _,
+    "q156_shingle_novelty" -> q156 _,
+    "q157_dedup_size_histogram" -> q157 _,
+    "q158_skew_stream" -> q158 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3118,6 +3190,21 @@ object SparkEntry {
     * statistics): the triangular-discrimination drift statistic —
     * q150's gate pins streamed == batch.
     */
+  /** Shared by q152 (batch skew report) and q158 (streamed): the streamed
+    * path lands the identical integer counts frame, so both must produce
+    * this exact report.
+    */
+  private val skewOracle: String = """
+      WITH counts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM counts)
+      SELECT CAST(row_number() OVER w AS BIGINT) AS rank, user_id, n_rows,
+        round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+      FROM counts CROSS JOIN tot
+      WINDOW w AS (ORDER BY n_rows DESC, CAST(user_id AS VARCHAR))
+      QUALIFY rank <= 5 ORDER BY rank"""
+
   private val driftOracle: String = """
       WITH binned AS (
         SELECT event_type AS g,
@@ -3526,16 +3613,47 @@ object SparkEntry {
       FROM counted
       WINDOW w AS (ORDER BY n DESC, pair)
       QUALIFY rank <= 20 ORDER BY rank""",
-    "q152_skew_report" -> """
-      WITH counts AS (
-        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
-        FROM events GROUP BY 1),
-      tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM counts)
-      SELECT CAST(row_number() OVER w AS BIGINT) AS rank, user_id, n_rows,
-        round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
-      FROM counts CROSS JOIN tot
-      WINDOW w AS (ORDER BY n_rows DESC, CAST(user_id AS VARCHAR))
-      QUALIFY rank <= 5 ORDER BY rank""",
+    "q152_skew_report" -> skewOracle,
+    // q158: the STREAMED skew monitor lands the same integer counts and
+    // runs the same finishing fold — shares q152's oracle verbatim
+    "q158_skew_stream" -> skewOracle,
+    // q155: per-vector self-join on aligned subscripts (i <= j), products
+    // summed in DECIMAL — the q99 idiom; engine generates the same cells
+    // map-side
+    "q155_gram_matrix" -> """
+      WITH comp AS (
+        SELECT label, vec_id,
+          unnest(CAST(embedding AS DOUBLE[])) AS x,
+          generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS idx
+        FROM embeddings),
+      pairs AS (
+        SELECT a.label, a.idx - 1 AS i, b.idx - 1 AS j,
+          CAST(a.x * b.x AS DECIMAL(28,18)) AS p
+        FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.idx <= b.idx)
+      SELECT label, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        CAST(count(*) AS BIGINT) AS n_terms,
+        round(CAST(sum(p) AS DOUBLE), 6) AS s
+      FROM pairs GROUP BY 1, 2, 3 ORDER BY label, i, j""",
+    // q156: q148's shingle CTE at batch grain — batch = the numeric
+    // suffix of source, min(batch) per shingle marks first appearance
+    "q156_shingle_novelty" -> raw"""
+      WITH toks AS (
+        SELECT CAST(substr(source, 4) AS INTEGER) AS batch,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT batch, s FROM (
+          SELECT batch, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+            for i in range(1, len(tk) - 1)])) AS s
+          FROM toks WHERE len(tk) >= 3)),
+      first AS (SELECT s, min(batch) AS fb FROM sh GROUP BY 1)
+      SELECT sh.batch AS batch, CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(sum(CASE WHEN f.fb = sh.batch THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_novel,
+        round(CAST(sum(CASE WHEN f.fb = sh.batch THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+      FROM sh JOIN first f ON sh.s = f.s
+      GROUP BY 1 ORDER BY 1""",
     // q148: q66's shingle CTE, scored as a per-doc coverage ratio
     "q148_coverage_score" -> """
       WITH toks AS (

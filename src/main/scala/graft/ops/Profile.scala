@@ -370,6 +370,46 @@ object Profile {
         col("max_norm"), col("mean_norm"), col("n_unit"))
   }
 
+  /** Per-group Gram (uncentered second-moment) matrix of an embedding
+    * column: for every group and every dimension pair `i ≤ j`, the exact
+    * sum Σ vᵢ·vⱼ over the group's vectors — the input PCA / covariance /
+    * whitening needs (centering subtracts the mean outer product, a
+    * d-sized correction computable from the same frame). `n_terms`
+    * carries the vector count so downstream normalization divides by the
+    * population that actually contributed.
+    *
+    * Scale shape: the d·(d+1)/2 cell products are generated MAP-SIDE per
+    * row (nested `transform` over `sequence`, flattened and exploded — a
+    * codegen'd Generate, no join, no row-grain shuffle); the only shuffle
+    * carries per-partition partial sums over groups × d·(d+1)/2 keys
+    * (d = 64 → 2 080 cells), so 100 TB of vectors moves kilobytes per
+    * partition. The d² blowup is per-row CPU, the right place for it.
+    *
+    * Determinism: float components cast to double (exact), one IEEE
+    * multiply per cell (engine-identical), sums accumulate in
+    * DECIMAL(28,18) — order-free with 10 integer digits of headroom
+    * (|vᵢ·vⱼ| ≤ 1 for unit-norm vectors → safe to ~10^10 rows per group;
+    * widen the cast alongside any larger corpus claim). Null and empty
+    * vectors contribute no cells and are excluded from `n_terms`.
+    */
+  def gramMatrix(df: DataFrame, group: Column, vec: Column): DataFrame = {
+    val v = col("__v")
+    val cells = df.select(group.as("__g"), vec.as("__v"))
+      .filter(size(col("__v")) > 0)
+      .select(col("__g"), explode(flatten(transform(
+        sequence(lit(0), size(v) - 1),
+        i => transform(sequence(i, size(v) - 1),
+          j => struct(i.cast("long").as("i"), j.cast("long").as("j"),
+            (element_at(v, i + 1).cast("double") *
+              element_at(v, j + 1).cast("double")).as("p")))))).as("__c"))
+    cells
+      .groupBy(col("__g").as("group_key"), col("__c.i").as("i"),
+        col("__c.j").as("j"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("__c.p").cast("decimal(28,18)")).cast("double"), 6)
+          .as("s"))
+  }
+
   /** Per-group Gini concentration index over a non-negative integer
     * measure: `G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)` with xᵢ ascending —
     * the "how concentrated is this corpus source" inequality readout

@@ -91,10 +91,27 @@ object Skew {
     * tying at a top-k boundary picks the same row everywhere) and the
     * report is deterministic enough to hash-gate.
     */
-  def skewReport(df: DataFrame, key: Column, k: Int = 5): DataFrame = {
+  def skewReport(df: DataFrame, key: Column, k: Int = 5): DataFrame =
+    skewFinish(keyCounts(df, key), k)
+
+  /** [[skewReport]]'s sufficient statistic: one row count per key. Split
+    * out because it is exactly the aggregation a STREAMING skew monitor
+    * runs in complete mode (state = one long per key — the same bound as
+    * an exact distinct count, and acceptable by construction: the
+    * operator diagnoses keys you intend to shuffle on, so if the counts
+    * frame doesn't fit in state, the aggregation it's vetting wouldn't
+    * fit either); the landed counts then flow through the SAME
+    * [[skewFinish]], which is what lets the streamed gate share the
+    * batch oracle verbatim (the q150/q147 pattern).
+    */
+  def keyCounts(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("key_value")).agg(count(lit(1)).as("n_rows"))
+
+  /** Finishing fold from a landed counts frame to the ranked report —
+    * integer counts in, so batch and streamed paths are bit-identical.
+    */
+  def skewFinish(counts: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val counts = df.groupBy(key.as("key_value"))
-      .agg(count(lit(1)).as("n_rows"))
     val total = counts.agg(sum(col("n_rows")).as("__tot"))
     counts.crossJoin(broadcast(total))
       .withColumn("share",

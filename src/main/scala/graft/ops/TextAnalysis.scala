@@ -423,6 +423,44 @@ object TextAnalysis {
     * Docs shorter than `n` tokens have no shingles and are omitted (the
     * empty-evidence row q66 also omits).
     */
+  /** Corpus novelty per ingest batch: for each batch (an integer ingest
+    * generation — crawl snapshot, source wave, date partition), what
+    * fraction of its DISTINCT n-gram shingles was never seen in any
+    * EARLIER batch. The freshness curve a continuously-fed training
+    * pipeline watches: novelty decaying toward zero means new ingest is
+    * re-crawling known content and the marginal data buys nothing.
+    *
+    * Scale shape: shingles hash to 8 bytes and dedupe per (batch, hash)
+    * — one distinct over the posting stream, the only row-grain shuffle.
+    * `min(batch)` per hash is a second aggregation ON the deduped frame,
+    * and both readouts are COUNTS off those frames (postings per batch;
+    * first-appearances per batch), joined batch-to-batch at result size.
+    * No posting-to-posting join anywhere — unlike [[coverageScore]],
+    * which scores docs and must carry doc ids, batch grain collapses
+    * before anything joins.
+    *
+    * All-integer until the final rounded division. Docs shorter than `n`
+    * tokens contribute no shingles (coverageScore's rule); a batch whose
+    * docs are all short simply has no row.
+    */
+  def shingleNovelty(corpus: DataFrame, batch: Column, text: Column,
+                     n: Int = 3): DataFrame = {
+    import graft.functions.wordShingles
+    val post = Dedup.spread(corpus)
+      .select(batch.as("batch"), explode(wordShingles(text, n)).as("__s"))
+      .select(col("batch"), xxhash64(col("__s")).as("__h"))
+      .distinct()
+    val perBatch = post.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val novel = post.groupBy(col("__h")).agg(min(col("batch")).as("__fb"))
+      .groupBy(col("__fb").as("batch")).agg(count(lit(1)).as("n_novel"))
+    perBatch.join(novel, Seq("batch"), "left")
+      .select(col("batch"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 6).as("novelty"))
+  }
+
   def coverageScore(corpus: DataFrame, id: Column, text: Column,
                     reference: DataFrame, refText: Column,
                     n: Int = 3): DataFrame = {

@@ -378,6 +378,20 @@ object Streaming {
       runToMemory(graft.ops.Profile.binCounts(events, group, value,
         isCurrent, binWidth, nBins), name))
 
+  /** Streaming hot-key monitor: [[graft.ops.Skew.keyCounts]] as a
+    * complete-mode streaming aggregation (state = one long per key —
+    * bounded by key cardinality, the same budget as the batch counts
+    * frame), finished through the SAME [[graft.ops.Skew.skewFinish]] the
+    * batch report uses. Counts are integers, so the streamed report is
+    * bit-identical to the batch one and its gate shares the batch oracle
+    * verbatim — the live "is this key going hot" readout that decides
+    * salting BEFORE the nightly job falls over.
+    */
+  def skewReportStream(events: DataFrame, key: Column, k: Int,
+                       name: String): DataFrame =
+    graft.ops.Skew.skewFinish(
+      runToMemory(graft.ops.Skew.keyCounts(events, key), name), k)
+
   /** Streaming k-NN graph maintenance — the day-2 deployment of
     * [[graft.ops.Similarity.knnGraphIncremental]]: an embedding stream
     * lands micro-batch by micro-batch, and each batch folds into the
