@@ -1106,17 +1106,13 @@ object SparkEntry {
     // one file each = every event delivered twice, in separate files.
     // repartition(1) is staging-harness-only, like Verify's single-file
     // dumps — the dedup operator under test never sees it.
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = Tables.normalizeTs(s.read.parquet(s"$dir/events.parquet"))
     raw.repartition(1).write.mode("append").parquet(stage.toString)
     raw.repartition(1).write.mode("append").parquet(stage.toString)
     try {
       val rawSchema = s.read.parquet(stage.toString).schema
-      val s0 = s.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
-      val stream =
-        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-          s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else s0
+      val stream = Tables.normalizeTs(s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString))
       val dd = graft.streaming.Streaming.dedupWithinWatermark(
         stream, Seq("event_id"), "ts", "30 days")
       graft.streaming.Streaming.runToMemory(
@@ -3654,6 +3650,59 @@ object SparkEntry {
             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
       FROM sh JOIN first f ON sh.s = f.s
       GROUP BY 1 ORDER BY 1""",
+    // q157: q52's CC oracle folded to the size histogram, plus the
+    // singleton row (corpus count minus grouped docs) that closes the
+    // Σ n_docs = |documents| conservation law the Scala side states
+    "q157_dedup_size_histogram" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)]) AS s
+        FROM toks WHERE len(tk) >= 3),
+      sig AS (
+        SELECT doc_id, s,
+          flatten([[list_min([md5(CAST(sd AS VARCHAR) || '|' || x)[j*4+1 : j*4+4]
+            for x in s]) for j in range(0, 8)] for sd in range(0, 2)]) AS sg
+        FROM sh),
+      banded AS (
+        SELECT doc_id, s, band,
+          md5(array_to_string(sg[band*4+1:band*4+4], '|')) AS bucket
+        FROM sig, range(0, 4) r(band)),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          first(a.s) AS sa, first(b.s) AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      edges AS (
+        SELECT id_a, id_b FROM cand
+        WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.5),
+      sym AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      sizes AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS sz
+        FROM comp GROUP BY 1),
+      hist AS (
+        SELECT sz AS component_size, CAST(count(*) AS BIGINT) AS n_components,
+          CAST(sum(sz) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY 1),
+      acc AS (
+        SELECT (SELECT count(*) FROM documents)
+             - COALESCE((SELECT sum(sz) FROM sizes), 0) AS m)
+      SELECT component_size, n_components, n_docs FROM hist
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), CAST(m AS BIGINT), CAST(m AS BIGINT)
+      FROM acc WHERE m > 0
+      ORDER BY component_size""",
     // q148: q66's shingle CTE, scored as a per-doc coverage ratio
     "q148_coverage_score" -> """
       WITH toks AS (

@@ -12,21 +12,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read a table. The `events` table carries nanosecond parquet timestamps,
-    * which Spark only reads via `spark.sql.legacy.parquet.nanosAsLong`; we
-    * convert ns→µs with floor division (`div`), matching DuckDB's
-    * `CAST(ts AS TIMESTAMP)` truncation so oracle comparisons align.
+  /** Normalize the `ts` column to TIMESTAMP (session tz = UTC everywhere
+    * in this engine) regardless of how the driver encoded it in parquet:
+    * - nanosecond timestamps read as LongType under
+    *   `spark.sql.legacy.parquet.nanosAsLong` → ns→µs floor division
+    *   (`div`), matching DuckDB's `CAST(ts AS TIMESTAMP)` truncation;
+    * - microsecond timestamps without a tz annotation, which Spark 4
+    *   infers as TIMESTAMP_NTZ → value-preserving cast (session tz is
+    *   UTC, so the naive value and the instant coincide — and DuckDB
+    *   reads the same file as a naive timestamp, so oracles align).
+    * Event-time operators (watermarks, unix_micros) require TIMESTAMP,
+    * so this is the single choke point where both encodings converge.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => df
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
     }
-  }
+
+  /** Read a table, with `ts` normalized to TIMESTAMP (see [[normalizeTs]]). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Read a table as a file-source STREAM with the same ns→µs timestamp
     * normalization as [[load]] (the schema comes from a batch metadata
@@ -36,16 +48,9 @@ object Tables {
     */
   def stream(spark: SparkSession, dir: String, name: String): DataFrame = {
     val rawSchema = spark.read.parquet(s"$dir/$name.parquet").schema
-    val s0 = spark.readStream.schema(rawSchema)
+    normalizeTs(spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", s"$name.parquet")
-      .parquet(dir)
-    rawSchema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => s0.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => s0
-    }
+      .parquet(dir))
   }
 
   /** Register every table as a temp view so `spark.sql` queries mirror the
