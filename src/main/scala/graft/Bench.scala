@@ -137,7 +137,15 @@ object Bench {
     "q151_bpe_pair_mining",
     "q152_skew_report",
     "q153_drift_series",
-    "q154_winsorize_global")
+    "q154_winsorize_global",
+    "q155_gram_matrix",
+    "q156_shingle_novelty",
+    "q157_dedup_size_histogram",
+    "q158_skew_stream",
+    "q159_triangle_count",
+    "q160_token_pmi",
+    "q161_lsh_calibration",
+    "q162_covariance_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

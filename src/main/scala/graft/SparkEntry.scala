@@ -306,30 +306,35 @@ object SparkEntry {
     * previous entry before building the new one.
     */
   private var q21PairsEntry:
-    Option[((SparkSession, String), (DataFrame, DataFrame))] = None
-  private def q21Pairs(s: SparkSession, dir: String): DataFrame = synchronized {
+    Option[((SparkSession, String), (DataFrame, DataFrame, DataFrame))] = None
+  private def q21Parts(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame) = synchronized {
     val key = (s, dir)
     q21PairsEntry match {
-      case Some((k, (sig, pairs))) if k == key =>
+      case Some((k, built @ (sig, _, _))) if k == key =>
         // idempotent re-registration: the bench harness clears the cache
         // between rounds, and an unregistered sig would be recomputed by
         // every scan below
         sig.cache()
-        pairs
+        built
       case prev =>
-        prev.foreach { case (_, (oldSig, _)) =>
+        prev.foreach { case (_, (oldSig, _, _)) =>
           // a stopped session throws here — its cache died with it
           try oldSig.unpersist() catch { case _: Exception => () }
         }
         q21PairsEntry = None
         val built = q21PairsBuild(s, dir)
         q21PairsEntry = Some((key, built))
-        built._2
+        built
     }
   }
+  private def q21Pairs(s: SparkSession, dir: String): DataFrame =
+    q21Parts(s, dir)._3
 
-  /** Returns (cached signature frame, pair frame reading it twice). */
-  private def q21PairsBuild(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** Returns (cached signature frame, unverified banding candidates,
+    * verified pair frame reading the signature twice). */
+  private def q21PairsBuild(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame) = {
     val bands = 4; val rows = 4
     // cached: shared by the signature pipeline and both verify joins
     // (measured faster than recomputing or semi-join-pruning at sf0.1 —
@@ -378,7 +383,7 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-    (sig, pairs)
+    (sig, candidates, pairs)
   }
 
   /** Dedup 3: exact n-gram Jaccard top-100 pairs, blocked by (lang, source).
@@ -1841,6 +1846,88 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** Graph 8 (round-5): triangle counts + local clustering coefficient
+    * over q137's within-label kNN graph ([[Graph.triangleCounts]]) —
+    * the cohesion readout of the semantic neighborhood graph (how
+    * clique-ish each document's neighborhood is; low clustering at high
+    * degree flags hub vectors that glue unrelated regions together).
+    * Degree-ordered wedge join inside the operator (out-degree bounded
+    * by O(√m) — hub-proof); the oracle recomputes the same triangle set
+    * with plain id-order joins, which the orientation provably equals.
+    */
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleCounts(
+        Similarity.knnGraph(t(s, dir, "embeddings"), col("vec_id"),
+          col("embedding"), Seq(col("label")), k = 3),
+        col("node"), col("nbr"))
+      .select(col("node"), col("degree"), col("n_triangles"),
+        round(col("clustering"), 6).as("clustering"))
+      .orderBy("node")
+
+  /** Text 15 (round-5): token co-occurrence PMI
+    * ([[TextAnalysis.tokenPmi]]) — the document-cooccurrence statistic
+    * word-embedding training consumes (PMI matrix ≈ what word2vec
+    * factorizes). Pairs generated map-side (no doc_id self-join); PMI is
+    * ln of the q135 DECIMAL-ratio idiom, so round-6 matches the oracle.
+    * High support floor keeps the listing at result grain.
+    */
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenPmi(t(s, dir, "documents"), col("doc_id"),
+        col("text"), minSupport = 20L)
+      .withColumn("pmi", round(col("pmi"), 6))
+      .orderBy("token_a", "token_b")
+
+  /** Dedup 18 (round-5): LSH estimator calibration — for every UNVERIFIED
+    * banding candidate pair of q21's pipeline, the signature-agreement
+    * estimate (matching minima / 16) against the exact Jaccard, folded by
+    * agreement level: n_pairs, mean true Jaccard (q149's round-9 →
+    * DECIMAL-sum idiom), and how many would pass the 0.5 dedup threshold.
+    * This is the "is my banding config honest" readout — a calibrated
+    * estimator shows mean_jaccard tracking est_jaccard; mass at low
+    * agreement levels is bucket-collision noise the verify join pays for.
+    * Reuses the memoized q21 signature cache and candidate plan; one
+    * extra pair-grain pass, result grain 17 rows max.
+    */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val (sig, candidates, _) = q21Parts(s, dir)
+    val sigArr = array((0 until 16).map(k => col(s"s$k")): _*)
+    val withA = sig.select(col("doc_id").as("id_a"), sigArr.as("__sga"),
+        col("hset").as("sh_a"))
+      .join(broadcast(candidates), Seq("id_a"))
+    val perPair = sig.select(col("doc_id").as("id_b"), sigArr.as("__sgb"),
+        col("hset").as("sh_b"))
+      .join(graft.GraftConf.hintPairJoin(withA), Seq("id_b"))
+      .select(
+        aggregate(zip_with(col("__sga"), col("__sgb"),
+            (a, b) => when(a === b, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n_match"),
+        jaccard(col("sh_a"), col("sh_b")).as("__j"))
+    perPair.groupBy(col("n_match"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("__j"), 9).cast("decimal(28,12)")).as("__sj"),
+        sum(when(col("__j") >= 0.5, 1L).otherwise(0L)).as("n_pass"))
+      .select(col("n_match"),
+        round(col("n_match").cast("double") / lit(16.0), 6).as("est_jaccard"),
+        col("n_pairs"),
+        round(col("__sj").cast("double") /
+          col("n_pairs").cast("double"), 6).as("mean_jaccard"),
+        col("n_pass"))
+      .orderBy("n_match")
+  }
+
+  /** Profile 13 (round-5): per-label POPULATION covariance matrix
+    * ([[graft.ops.Profile.covarianceMatrix]]) — q155's gram second
+    * moment centered by the mean outer product, the exact input PCA /
+    * whitening consumes. Centering adds no shuffle: the per-dim mean
+    * frame (labels × 64 rows) broadcasts onto the gram cells.
+    */
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.covarianceMatrix(t(s, dir, "embeddings"),
+        col("label"), col("embedding"))
+      .withColumnRenamed("group_key", "label")
+      .withColumn("cov", round(col("cov"), 6))
+      .orderBy("label", "i", "j")
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -2947,7 +3034,11 @@ object SparkEntry {
     "q155_gram_matrix" -> q155 _,
     "q156_shingle_novelty" -> q156 _,
     "q157_dedup_size_histogram" -> q157 _,
-    "q158_skew_stream" -> q158 _)
+    "q158_skew_stream" -> q158 _,
+    "q159_triangle_count" -> q159 _,
+    "q160_token_pmi" -> q160 _,
+    "q161_lsh_calibration" -> q161 _,
+    "q162_covariance_matrix" -> q162 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3703,6 +3794,142 @@ object SparkEntry {
       SELECT CAST(1 AS BIGINT), CAST(m AS BIGINT), CAST(m AS BIGINT)
       FROM acc WHERE m > 0
       ORDER BY component_size""",
+    // q159: q137's kNN CTE → undirected edge set → triangles via plain
+    // id-order (a<b<c) joins — the same triangle set the engine's
+    // degree-ordered orientation finds (orientation-invariant)
+    "q159_triangle_count" -> """
+      WITH p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+      sym AS (
+        SELECT ia AS node, ib AS nbr, cos FROM p
+        UNION ALL
+        SELECT ib AS node, ia AS nbr, cos FROM p),
+      knn AS (
+        SELECT node, nbr FROM (
+          SELECT node, nbr, row_number() OVER w AS rank
+          FROM sym
+          WINDOW w AS (PARTITION BY node ORDER BY round(cos, 6) DESC, nbr))
+        WHERE rank <= 3),
+      und AS (
+        SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+        FROM knn WHERE node <> nbr),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+      tcnt AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        GROUP BY 1)
+      SELECT d.node, d.degree,
+        CAST(COALESCE(c.t, 0) AS BIGINT) AS n_triangles,
+        round(CASE WHEN d.degree >= 2
+          THEN 2.0 * COALESCE(c.t, 0) /
+               (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE))
+          ELSE 0.0 END, 6) AS clustering
+      FROM deg d LEFT JOIN tcnt c ON d.node = c.node
+      ORDER BY d.node""",
+    // q160: doc_id self-join restates the engine's map-side pair
+    // generation; PMI = ln of the q135 DECIMAL-ratio idiom
+    "q160_token_pmi" -> raw"""
+      WITH dt AS (
+        SELECT DISTINCT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      pc AS (
+        SELECT a.tok AS token_a, b.tok AS token_b,
+          CAST(count(*) AS BIGINT) AS n_ab
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2 HAVING count(*) >= 20),
+      f AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1)
+      SELECT p.token_a, p.token_b, p.n_ab, fa.n AS n_a, fb.n AS n_b,
+        round(ln(CAST(CAST(p.n_ab AS DECIMAL(19,0)) * nd.n AS DOUBLE) /
+          CAST(CAST(fa.n AS DECIMAL(19,0)) * fb.n AS DOUBLE)), 6) AS pmi
+      FROM pc p
+      JOIN f fa ON p.token_a = fa.tok
+      JOIN f fb ON p.token_b = fb.tok
+      CROSS JOIN nd
+      ORDER BY 1, 2""",
+    // q161: q21's signature CTE with the 16 minima carried per candidate
+    // pair — agreement count vs exact Jaccard, q149's round-9 DECIMAL-sum
+    // mean idiom
+    "q161_lsh_calibration" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)]) AS s
+        FROM toks WHERE len(tk) >= 3),
+      sig AS (
+        SELECT doc_id, s,
+          flatten([[list_min([md5(CAST(sd AS VARCHAR) || '|' || x)[j*4+1 : j*4+4]
+            for x in s]) for j in range(0, 8)] for sd in range(0, 2)]) AS sg
+        FROM sh),
+      banded AS (
+        SELECT doc_id, s, sg, band,
+          md5(array_to_string(sg[band*4+1:band*4+4], '|')) AS bucket
+        FROM sig, range(0, 4) r(band)),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          first(a.s) AS sa, first(b.s) AS sb,
+          first(a.sg) AS sga, first(b.sg) AS sgb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      per AS (
+        SELECT CAST(list_sum([CASE WHEN sga[j] = sgb[j] THEN 1 ELSE 0 END
+            for j in range(1, 17)]) AS BIGINT) AS n_match,
+          CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS j
+        FROM cand)
+      SELECT n_match, round(CAST(n_match AS DOUBLE) / 16.0, 6) AS est_jaccard,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        round(CAST(sum(CAST(round(j, 9) AS DECIMAL(28,12))) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS mean_jaccard,
+        CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM per GROUP BY 1 ORDER BY 1""",
+    // q162: q155's gram CTE unrounded + per-dim DECIMAL sums; covariance
+    // is the identical two-division expression tree the engine computes
+    "q162_covariance_matrix" -> """
+      WITH comp AS (
+        SELECT label, vec_id,
+          unnest(CAST(embedding AS DOUBLE[])) AS x,
+          generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS idx
+        FROM embeddings),
+      pairs AS (
+        SELECT a.label, a.idx - 1 AS i, b.idx - 1 AS j,
+          CAST(a.x * b.x AS DECIMAL(28,18)) AS p
+        FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.idx <= b.idx),
+      gram AS (
+        SELECT label, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+          CAST(count(*) AS BIGINT) AS n_terms, sum(p) AS s
+        FROM pairs GROUP BY 1, 2, 3),
+      dims AS (
+        SELECT label, CAST(idx - 1 AS BIGINT) AS d,
+          CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(x AS DECIMAL(28,18))) AS m
+        FROM comp GROUP BY 1, 2)
+      SELECT g.label, g.i, g.j, g.n_terms,
+        round(CAST(g.s AS DOUBLE) / CAST(g.n_terms AS DOUBLE)
+          - (CAST(di.m AS DOUBLE) / CAST(di.n AS DOUBLE))
+            * (CAST(dj.m AS DOUBLE) / CAST(dj.n AS DOUBLE)), 6) AS cov
+      FROM gram g
+      JOIN dims di ON g.label = di.label AND g.i = di.d
+      JOIN dims dj ON g.label = dj.label AND g.j = dj.d
+      ORDER BY g.label, g.i, g.j""",
     // q148: q66's shingle CTE, scored as a per-doc coverage ratio
     "q148_coverage_score" -> """
       WITH toks AS (

@@ -392,7 +392,16 @@ object Profile {
     * widen the cast alongside any larger corpus claim). Null and empty
     * vectors contribute no cells and are excluded from `n_terms`.
     */
-  def gramMatrix(df: DataFrame, group: Column, vec: Column): DataFrame = {
+  def gramMatrix(df: DataFrame, group: Column, vec: Column): DataFrame =
+    gramSums(df, group, vec)
+      .select(col("group_key"), col("i"), col("j"), col("n_terms"),
+        round(col("__s").cast("double"), 6).as("s"))
+
+  /** Shared core of [[gramMatrix]] and [[covarianceMatrix]]: per (group,
+    * i ≤ j) cell, the contribution count and the UNROUNDED DECIMAL(28,18)
+    * sum of products (map-side cell generation — see gramMatrix's scale
+    * note). */
+  private def gramSums(df: DataFrame, group: Column, vec: Column): DataFrame = {
     val v = col("__v")
     val cells = df.select(group.as("__g"), vec.as("__v"))
       .filter(size(col("__v")) > 0)
@@ -406,8 +415,45 @@ object Profile {
       .groupBy(col("__g").as("group_key"), col("__c.i").as("i"),
         col("__c.j").as("j"))
       .agg(count(lit(1)).as("n_terms"),
-        round(sum(col("__c.p").cast("decimal(28,18)")).cast("double"), 6)
-          .as("s"))
+        sum(col("__c.p").cast("decimal(28,18)")).as("__s"))
+  }
+
+  /** Per-group POPULATION covariance matrix of an embedding column:
+    * cov(i,j) = S_ij/n − (s_i/n_i)(s_j/n_j) — the gram second moment
+    * centered by the mean outer product, i.e. exactly what PCA /
+    * whitening consumes. Returns (group_key, i, j, n_terms, cov), i ≤ j.
+    *
+    * Scale shape: the d²-cell gram reuses [[gramMatrix]]'s map-side
+    * generation (kilobytes of partial sums per partition); the per-dim
+    * sums frame is groups × d rows — broadcast onto the cells, so
+    * centering adds NO extra shuffle over the gram itself.
+    *
+    * Determinism: all sums are exact DECIMAL(28,18); the covariance is
+    * two double divisions, one product and one subtraction on exact
+    * inputs — the identical expression tree the oracle computes, so
+    * round-6 output matches across engines. Under ragged vectors each
+    * cell normalizes by ITS contribution count (n_terms, n_i, n_j);
+    * with uniform dims these all equal the group's vector count.
+    */
+  def covarianceMatrix(df: DataFrame, group: Column, vec: Column): DataFrame = {
+    val dims = df.select(group.as("__g"), vec.as("__v"))
+      .filter(size(col("__v")) > 0)
+      .select(col("__g"), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy(col("__g"), col("__i").cast("long").as("__d"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast("double").cast("decimal(28,18)")).as("__m"))
+    gramSums(df, group, vec)
+      .join(broadcast(dims.select(col("__g").as("group_key"),
+        col("__d").as("i"), col("__n").as("__ni"), col("__m").as("__mi"))),
+        Seq("group_key", "i"))
+      .join(broadcast(dims.select(col("__g").as("group_key"),
+        col("__d").as("j"), col("__n").as("__nj"), col("__m").as("__mj"))),
+        Seq("group_key", "j"))
+      .select(col("group_key"), col("i"), col("j"), col("n_terms"),
+        (col("__s").cast("double") / col("n_terms").cast("double") -
+          (col("__mi").cast("double") / col("__ni").cast("double")) *
+            (col("__mj").cast("double") / col("__nj").cast("double")))
+          .as("cov"))
   }
 
   /** Per-group Gini concentration index over a non-negative integer

@@ -480,4 +480,60 @@ object TextAnalysis {
       .withColumn("coverage", round(col("n_known").cast("double") /
         col("n_shingles").cast("double"), 6))
   }
+
+  /** Corpus-level token co-occurrence PMI — the word-embedding training
+    * signal (word2vec/GloVe consume exactly these document-cooccurrence
+    * statistics): for token pairs appearing together in ≥ `minSupport`
+    * documents, PMI = ln(n_ab·N / (n_a·n_b)) where n_a/n_b are document
+    * frequencies and N the corpus document count. Returns
+    * (token_a, token_b, n_ab, n_a, n_b, pmi), token_a < token_b.
+    *
+    * Scale shape: pairs are generated MAP-SIDE per document (sorted
+    * distinct token array, nested `transform` over index sequences —
+    * codegen'd, no self-join carrying the corpus through a doc_id
+    * shuffle), so the only row-grain shuffles are the pair-count and
+    * doc-frequency aggregations, both with map-side combine. The d²/2
+    * per-doc blowup is bounded CPU (d = distinct tokens per doc), the
+    * right cost to pay locally. Frequency joins are key-shuffles on the
+    * already support-filtered pair set — broadcast-free (a corpus
+    * vocabulary does not fit in a broadcast at 100 TB).
+    *
+    * Determinism: counts are exact integers; the PMI ratio goes through
+    * the q135 DECIMAL-product idiom before one double division and one
+    * `ln` — the identical expression tree the oracle computes, so
+    * round-6 output matches across engines.
+    */
+  def tokenPmi(df: DataFrame, id: Column, text: Column,
+               minSupport: Long = 5L): DataFrame = {
+    require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
+    val toks = Dedup.spread(df)
+      .select(id.as("__id"), array_sort(array_distinct(tokens(text))).as("__tk"))
+      .localCheckpoint() // feeds pair explode, doc-freqs, and the N scalar
+    val nDocs = toks.count()
+    val n = size(col("__tk"))
+    // sequence(a, b) DESCENDS when a > b, so guard the short-doc case
+    val pairsCol = when(n >= 2,
+      flatten(transform(sequence(lit(0), n - 2), i =>
+        transform(sequence(i + 1, n - 1), j =>
+          struct(element_at(col("__tk"), i + 1).as("token_a"),
+            element_at(col("__tk"), j + 1).as("token_b"))))))
+      .otherwise(array().cast("array<struct<token_a:string,token_b:string>>"))
+    val pairCounts = toks.select(explode(pairsCol).as("__p"))
+      .select(col("__p.token_a"), col("__p.token_b"))
+      .groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val docFreq = toks.select(explode(col("__tk")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    pairCounts
+      .join(docFreq.select(col("__t").as("token_a"), col("__n").as("n_a")),
+        Seq("token_a"))
+      .join(docFreq.select(col("__t").as("token_b"), col("__n").as("n_b")),
+        Seq("token_b"))
+      .select(col("token_a"), col("token_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        log((col("n_ab").cast("decimal(19,0)") * lit(nDocs)).cast("double") /
+          (col("n_a").cast("decimal(19,0)") * col("n_b")).cast("double"))
+          .as("pmi"))
+  }
 }
