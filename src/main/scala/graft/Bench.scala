@@ -145,7 +145,9 @@ object Bench {
     "q159_triangle_count",
     "q160_token_pmi",
     "q161_lsh_calibration",
-    "q162_covariance_matrix")
+    "q162_covariance_matrix",
+    "q163_pca_power_iteration",
+    "q164_degree_assortativity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1928,6 +1928,37 @@ object SparkEntry {
       .withColumn("cov", round(col("cov"), 6))
       .orderBy("label", "i", "j")
 
+  /** Profile 14 (round-5): top principal direction per label by TWO
+    * unrolled power-iteration rounds over q155's published round-6 gram
+    * matrix ([[graft.ops.Profile.powerIteration]]) — PCA's first step as
+    * joins + aggregates. After the one gram pass the corpus never
+    * re-enters: each matvec is d² cells × a broadcast d-row vector.
+    * Matvec/norm sums ride the round-9 → DECIMAL idiom, so the unrolled
+    * oracle replays the identical arithmetic.
+    */
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.powerIteration(t(s, dir, "embeddings"),
+        col("label"), col("embedding"), iters = 2)
+      .withColumnRenamed("group_key", "label")
+      .select(col("label"), col("dim"),
+        round(col("component"), 6).as("component"),
+        round(col("eigenvalue"), 6).as("eigenvalue"))
+      .orderBy("label", "dim")
+
+  /** Graph 9 (round-5): degree assortativity of q137's kNN graph
+    * ([[graft.ops.Graph.degreeAssortativity]]) — does the semantic graph
+    * wire hubs to hubs (positive) or hubs to periphery (negative)? One
+    * scalar row; all moment sums integer-exact (the q99 correlation
+    * idiom with the decimal-noise concerns removed).
+    */
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.degreeAssortativity(
+        Similarity.knnGraph(t(s, dir, "embeddings"), col("vec_id"),
+          col("embedding"), Seq(col("label")), k = 3),
+        col("node"), col("nbr"))
+      .select(col("n_edges"),
+        round(col("assortativity"), 6).as("assortativity"))
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3038,7 +3069,9 @@ object SparkEntry {
     "q159_triangle_count" -> q159 _,
     "q160_token_pmi" -> q160 _,
     "q161_lsh_calibration" -> q161 _,
-    "q162_covariance_matrix" -> q162 _)
+    "q162_covariance_matrix" -> q162 _,
+    "q163_pca_power_iteration" -> q163 _,
+    "q164_degree_assortativity" -> q164 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3930,6 +3963,101 @@ object SparkEntry {
       JOIN dims di ON g.label = di.label AND g.i = di.d
       JOIN dims dj ON g.label = dj.label AND g.j = dj.d
       ORDER BY g.label, g.i, g.j""",
+    // q163: q155's round-6 gram mirrored to full symmetry, two unrolled
+    // matvec+normalize rounds; sums via round-9 -> DECIMAL(28,12), the
+    // DuckDB double comes off the VARCHAR parse (q99's correctly-rounded
+    // cast note)
+    "q163_pca_power_iteration" -> """
+      WITH comp AS (
+        SELECT label, vec_id,
+          unnest(CAST(embedding AS DOUBLE[])) AS x,
+          generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS idx
+        FROM embeddings),
+      prs AS (
+        SELECT a.label, a.idx - 1 AS i, b.idx - 1 AS j,
+          CAST(a.x * b.x AS DECIMAL(28,18)) AS p
+        FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.idx <= b.idx),
+      gram AS (
+        SELECT label, i, j, round(CAST(sum(p) AS DOUBLE), 6) AS s
+        FROM prs GROUP BY 1, 2, 3),
+      m AS (
+        SELECT label, i, j, s FROM gram
+        UNION ALL
+        SELECT label, j, i, s FROM gram WHERE i <> j),
+      w1 AS (
+        SELECT label, i AS dim,
+          CAST(CAST(sum(CAST(round(s * 1.0, 9) AS DECIMAL(28,12)))
+            AS VARCHAR) AS DOUBLE) AS w
+        FROM m GROUP BY 1, 2),
+      n1 AS (
+        SELECT label, sqrt(CAST(CAST(sum(CAST(round(w * w, 9)
+            AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)) AS nrm
+        FROM w1 GROUP BY 1),
+      v1 AS (
+        SELECT w1.label, w1.dim, w1.w / n1.nrm AS v
+        FROM w1 JOIN n1 ON w1.label = n1.label),
+      w2 AS (
+        SELECT m.label, m.i AS dim,
+          CAST(CAST(sum(CAST(round(m.s * v1.v, 9) AS DECIMAL(28,12)))
+            AS VARCHAR) AS DOUBLE) AS w
+        FROM m JOIN v1 ON m.label = v1.label AND m.j = v1.dim
+        GROUP BY 1, 2),
+      n2 AS (
+        SELECT label, sqrt(CAST(CAST(sum(CAST(round(w * w, 9)
+            AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)) AS nrm
+        FROM w2 GROUP BY 1)
+      SELECT w2.label, CAST(w2.dim AS BIGINT) AS dim,
+        round(w2.w / n2.nrm, 6) AS component,
+        round(n2.nrm, 6) AS eigenvalue
+      FROM w2 JOIN n2 ON w2.label = n2.label
+      ORDER BY w2.label, dim""",
+    // q164: q159's und/deg CTEs folded to the symmetric moment
+    // correlation — degrees are integers, every sum exact
+    "q164_degree_assortativity" -> """
+      WITH p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+      sym0 AS (
+        SELECT ia AS node, ib AS nbr, cos FROM p
+        UNION ALL
+        SELECT ib AS node, ia AS nbr, cos FROM p),
+      knn AS (
+        SELECT node, nbr FROM (
+          SELECT node, nbr, row_number() OVER w AS rank
+          FROM sym0
+          WINDOW w AS (PARTITION BY node ORDER BY round(cos, 6) DESC, nbr))
+        WHERE rank <= 3),
+      und AS (
+        SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+        FROM knn WHERE node <> nbr),
+      deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+      sym AS (
+        SELECT a AS x, b AS y FROM und
+        UNION ALL SELECT b, a FROM und),
+      d AS (
+        SELECT dx.degree AS ddx, dy.degree AS ddy
+        FROM sym JOIN deg dx ON sym.x = dx.node
+        JOIN deg dy ON sym.y = dy.node),
+      mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+          CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(CAST(ddx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(ddy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(ddx * ddx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(ddy * ddy AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+          CAST(sum(CAST(ddx * ddy AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        FROM d)
+      SELECT n_edges,
+        round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+          AS assortativity
+      FROM mom""",
     // q148: q66's shingle CTE, scored as a per-doc coverage ratio
     "q148_coverage_score" -> """
       WITH toks AS (

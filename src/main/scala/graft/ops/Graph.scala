@@ -317,4 +317,47 @@ object Graph {
               (col("degree").cast("double") * (col("degree") - lit(1)).cast("double")))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Degree assortativity of the UNDIRECTED view of `edges`: the Pearson
+    * correlation between the degrees at the two ends of every edge (both
+    * orientations counted, the standard symmetric formulation). Positive =
+    * hubs attach to hubs (a social-graph signature); negative = hubs glue
+    * low-degree periphery together (typical of kNN graphs with hub
+    * vectors). Returns one row (n_edges = directed count 2m,
+    * assortativity).
+    *
+    * Scale shape: two shuffles (degree agg, degree-onto-edge joins) and a
+    * scalar fold. Determinism: degrees are integers, so all five moment
+    * sums are DECIMAL(38,0)-exact and cast to double losslessly (they sit
+    * far under 2^53 at any feasible edge count); the final expression is
+    * one IEEE tree both engines evaluate identically — the q99 moment-
+    * correlation idiom with the decimal-noise concerns removed.
+    */
+  def degreeAssortativity(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = edges
+      .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // degree agg + two orientation scans
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val sym = und.select(col("a").as("__x"), col("b").as("__y"))
+      .unionAll(und.select(col("b").as("__x"), col("a").as("__y")))
+    val d = sym
+      .join(deg.select(col("node").as("__x"), col("degree").as("__dx")), "__x")
+      .join(deg.select(col("node").as("__y"), col("degree").as("__dy")), "__y")
+    val n = count(lit(1)).cast("double")
+    def s(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    d.agg(count(lit(1)).as("n_edges"),
+        n.as("__n"),
+        s(col("__dx")).as("__sx"), s(col("__dy")).as("__sy"),
+        s(col("__dx") * col("__dx")).as("__sxx"),
+        s(col("__dy") * col("__dy")).as("__syy"),
+        s(col("__dx") * col("__dy")).as("__sxy"))
+      .select(col("n_edges"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+            (col("__n") * col("__syy") - col("__sy") * col("__sy"))))
+          .as("assortativity"))
+  }
 }

@@ -456,6 +456,57 @@ object Profile {
           .as("cov"))
   }
 
+  /** Top principal direction of the per-group SECOND-MOMENT (gram/n-free)
+    * matrix by `iters` unrolled power-iteration rounds — the first PCA
+    * step, run entirely as joins + aggregates. Starts from the all-ones
+    * vector, normalizes after every matvec, and returns one row per
+    * (group, dim): the final unit component plus the per-group eigenvalue
+    * estimate ‖M·v‖ (v unit ⇒ the Rayleigh-quotient estimate).
+    *
+    * The matrix entries are exactly [[gramMatrix]]'s round-6 readout `s`
+    * (mirrored to full symmetry), so an external engine can replay the
+    * identical arithmetic from the same published matrix.
+    *
+    * Scale shape: the matrix frame is groups × d(d+1)/2 cells — the
+    * CORPUS never re-enters after the one gram pass; every iteration
+    * joins the d-row vector frame (broadcast) onto the cell frame and
+    * aggregates by (group, i): matvec cost d² per group per round,
+    * independent of corpus size.
+    *
+    * Determinism: every matvec/norm SUM runs per-term round-9 →
+    * DECIMAL(28,12) (the q149 idiom — addition order cannot matter);
+    * divisions and sqrt are correctly-rounded IEEE ops on identical
+    * inputs. An oracle unrolling the same `iters` rounds matches the
+    * round-6 output bit-for-bit.
+    */
+  def powerIteration(df: DataFrame, group: Column, vec: Column,
+                     iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val upper = gramMatrix(df, group, vec)
+      .select(col("group_key"), col("i"), col("j"), col("s"))
+    val m = upper.unionAll(upper.filter(col("i") =!= col("j"))
+        .select(col("group_key"), col("j").as("i"), col("i").as("j"),
+          col("s")))
+      .localCheckpoint() // read every iteration; corpus lineage ends here
+    def decSum(c: Column) = sum(round(c, 9).cast("decimal(28,12)"))
+      .cast("double")
+    var v = m.select(col("group_key"), col("i").as("dim")).distinct()
+      .withColumn("v", lit(1.0))
+    for (_ <- 1 to iters) {
+      val w = m.join(broadcast(v.select(col("group_key"),
+          col("dim").as("j"), col("v").as("__vj"))), Seq("group_key", "j"))
+        .groupBy(col("group_key"), col("i").as("dim"))
+        .agg(decSum(col("s") * col("__vj")).as("w"))
+      val norms = w.groupBy(col("group_key"))
+        .agg(sqrt(decSum(col("w") * col("w"))).as("__nrm"))
+      v = w.join(broadcast(norms), Seq("group_key"))
+        .select(col("group_key"), col("dim"),
+          (col("w") / col("__nrm")).as("v"), col("__nrm"))
+    }
+    v.select(col("group_key"), col("dim"), col("v").as("component"),
+      col("__nrm").as("eigenvalue"))
+  }
+
   /** Per-group Gini concentration index over a non-negative integer
     * measure: `G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)` with xᵢ ascending —
     * the "how concentrated is this corpus source" inequality readout

@@ -75,6 +75,30 @@ class Round5OpsSpec extends AnyFunSuite {
       (1L, 1L, 2L, 4.0)))
   }
 
+  test("powerIteration: converges toward the dominant axis of a diagonal gram") {
+    // vectors (1,0) and (0,2): gram = [[1,0],[0,4]] → top eigenvector
+    // (0,1), eigenvalue 4; two rounds from (1,1) already lean heavily in
+    val df = Seq(("g", Seq(1.0f, 0.0f)), ("g", Seq(0.0f, 2.0f)))
+      .toDF("label", "embedding")
+    val out = Profile.powerIteration(df, $"label", $"embedding", iters = 2)
+      .orderBy("dim").select("dim", "component", "eigenvalue")
+      .as[(Long, Double, Double)].collect()
+    assert(out.length === 2)
+    assert(out(1)._2 > 0.99 && out(0)._2 > 0.0 && out(0)._2 < 0.1)
+    assert(out(1)._3 > 3.5 && out(1)._3 <= 4.0)
+    // unit norm after the final normalize
+    val nrm = math.sqrt(out.map(r => r._2 * r._2).sum)
+    assert(math.abs(nrm - 1.0) < 1e-9)
+  }
+
+  test("degreeAssortativity: a star graph is perfectly disassortative") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val out = Graph.degreeAssortativity(edges, $"s", $"d")
+      .select("n_edges", "assortativity").as[(Long, Double)].head()
+    assert(out._1 === 6L) // both orientations
+    assert(math.abs(out._2 - (-1.0)) < 1e-12)
+  }
+
   test("covarianceMatrix: constant dimension has zero variance and covariance") {
     val df = Seq(("g", Seq(5.0f, 1.0f)), ("g", Seq(5.0f, 3.0f)))
       .toDF("label", "embedding")
