@@ -147,7 +147,9 @@ object Bench {
     "q161_lsh_calibration",
     "q162_covariance_matrix",
     "q163_pca_power_iteration",
-    "q164_degree_assortativity")
+    "q164_degree_assortativity",
+    "q165_skipgram_pmi",
+    "q166_curation_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1959,6 +1959,54 @@ object SparkEntry {
       .select(col("n_edges"),
         round(col("assortativity"), 6).as("assortativity"))
 
+  /** Text 16 (round-5): skip-gram PMI, window ±2
+    * ([[TextAnalysis.skipgramPmi]]) — q160's POSITIONAL sibling and the
+    * literal word2vec signal (pair/unigram probabilities over windows
+    * and occurrences, not document sets). Map-side slice zip_with pair
+    * generation, no positional self-join.
+    */
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.skipgramPmi(t(s, dir, "documents"), col("text"),
+        window = 2, minSupport = 20L)
+      .withColumn("pmi", round(col("pmi"), 6))
+      .orderBy("token_a", "token_b")
+
+  /** Text 17 (round-5): the curation YIELD FUNNEL — q108's Gopher rules
+    * applied cumulatively in their documented order, one row per stage
+    * with survivors and pass rate: the "where does my corpus die"
+    * report every data-curation run is judged by. One pass, one scalar
+    * aggregation, unpivoted to result grain.
+    */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val gf = TextAnalysis.gopherFlags(t(s, dir, "documents"),
+      col("doc_id"), col("text"), minWords = 20)
+    val c1 = col("words_ok")
+    val c2 = c1 && col("word_len_ok")
+    val c3 = c2 && col("alpha_ok")
+    val c4 = c3 && col("symbol_ok")
+    val c5 = c4 && col("stop_ok")
+    def surv(c: Column) = sum(when(c, 1L).otherwise(0L))
+    gf.agg(count(lit(1)).as("n0"), surv(c1).as("n1"), surv(c2).as("n2"),
+        surv(c3).as("n3"), surv(c4).as("n4"), surv(c5).as("n5"))
+      .select(col("n0"), explode(array(
+        struct(lit(0L).as("stage"), lit("total").as("rule"),
+          col("n0").as("n_docs")),
+        struct(lit(1L).as("stage"), lit("words_ok").as("rule"),
+          col("n1").as("n_docs")),
+        struct(lit(2L).as("stage"), lit("word_len_ok").as("rule"),
+          col("n2").as("n_docs")),
+        struct(lit(3L).as("stage"), lit("alpha_ok").as("rule"),
+          col("n3").as("n_docs")),
+        struct(lit(4L).as("stage"), lit("symbol_ok").as("rule"),
+          col("n4").as("n_docs")),
+        struct(lit(5L).as("stage"), lit("stop_ok").as("rule"),
+          col("n5").as("n_docs")))).as("r"))
+      .select(col("r.stage"), col("r.rule"), col("r.n_docs"),
+        round(col("r.n_docs").cast("double") / col("n0").cast("double"), 6)
+          .as("pass_rate"))
+      .orderBy("stage")
+  }
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3071,7 +3119,9 @@ object SparkEntry {
     "q161_lsh_calibration" -> q161 _,
     "q162_covariance_matrix" -> q162 _,
     "q163_pca_power_iteration" -> q163 _,
-    "q164_degree_assortativity" -> q164 _)
+    "q164_degree_assortativity" -> q164 _,
+    "q165_skipgram_pmi" -> q165 _,
+    "q166_curation_funnel" -> q166 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4058,6 +4108,88 @@ object SparkEntry {
           sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
           AS assortativity
       FROM mom""",
+    // q165: positional window pairs via nested list comprehensions;
+    // probabilities over windows (Np) and occurrences (Nt), DECIMAL(38,0)
+    // products before the one division + ln
+    "q165_skipgram_pmi" -> raw"""
+      WITH toks AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      prs AS (
+        SELECT unnest(flatten([[ [least(tk[i], tk[i+k]),
+            greatest(tk[i], tk[i+k])]
+          for i in range(1, len(tk) - k + 1)] for k in [1, 2]])) AS pr
+        FROM toks WHERE len(tk) >= 2),
+      pc AS (
+        SELECT pr[1] AS token_a, pr[2] AS token_b,
+          CAST(count(*) AS BIGINT) AS n_ab
+        FROM prs GROUP BY 1, 2 HAVING count(*) >= 20),
+      uni AS (SELECT unnest(tk) AS w FROM toks),
+      uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM prs),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM uni)
+      SELECT p.token_a, p.token_b, p.n_ab, ua.n AS n_a, ub.n AS n_b,
+        round(ln(
+          CAST(CAST(p.n_ab AS DECIMAL(38,0)) * nt.nt * nt.nt AS DOUBLE) /
+          CAST(CAST(ua.n AS DECIMAL(38,0)) * ub.n * np.np AS DOUBLE)), 6)
+          AS pmi
+      FROM pc p
+      JOIN uc ua ON p.token_a = ua.w
+      JOIN uc ub ON p.token_b = ub.w
+      CROSS JOIN np CROSS JOIN nt
+      ORDER BY 1, 2""",
+    // q166: q108's metric CTE folded to the cumulative-rule funnel
+    "q166_curation_funnel" -> raw"""
+      WITH m AS (
+        SELECT doc_id,
+          len(tk) AS n_words,
+          CAST(len(array_to_string(tk, '')) AS DOUBLE) /
+            CAST(len(tk) AS DOUBLE) AS mean_word_len,
+          CAST(len([w for w in tk if regexp_matches(w, '[a-z]')]) AS DOUBLE) /
+            CAST(len(tk) AS DOUBLE) AS alpha_frac,
+          ((len(text) - len(replace(text, '#', ''))) +
+            (len(text) - len(replace(text, '...', ''))) / 3) /
+            CAST(len(tk) AS DOUBLE) AS symbol_ratio,
+          len(list_intersect(tk,
+            ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+            AS stop_hits
+        FROM (SELECT doc_id, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents)),
+      f AS (
+        SELECT
+          n_words >= 20 AND n_words <= 100000 AS c1,
+          n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS c2,
+          n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND alpha_frac > 0.8 AS c3,
+          n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND alpha_frac > 0.8 AND symbol_ratio < 0.1 AS c4,
+          n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND alpha_frac > 0.8 AND symbol_ratio < 0.1
+            AND stop_hits >= 2 AS c5
+        FROM m),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+          CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+          CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+        FROM f)
+      SELECT stage, rule, n_docs,
+        round(CAST(n_docs AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS pass_rate
+      FROM (
+        SELECT CAST(0 AS BIGINT) AS stage, 'total' AS rule, n0 AS n_docs, n0 FROM agg
+        UNION ALL SELECT 1, 'words_ok', n1, n0 FROM agg
+        UNION ALL SELECT 2, 'word_len_ok', n2, n0 FROM agg
+        UNION ALL SELECT 3, 'alpha_ok', n3, n0 FROM agg
+        UNION ALL SELECT 4, 'symbol_ok', n4, n0 FROM agg
+        UNION ALL SELECT 5, 'stop_ok', n5, n0 FROM agg)
+      ORDER BY stage""",
     // q148: q66's shingle CTE, scored as a per-doc coverage ratio
     "q148_coverage_score" -> """
       WITH toks AS (

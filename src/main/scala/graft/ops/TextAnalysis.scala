@@ -536,4 +536,60 @@ object TextAnalysis {
           (col("n_a").cast("decimal(19,0)") * col("n_b")).cast("double"))
           .as("pmi"))
   }
+
+  /** Skip-gram co-occurrence PMI — [[tokenPmi]]'s POSITIONAL sibling and
+    * the literal word2vec training signal: unordered token pairs within
+    * a ±`window` token distance, scored as
+    * PMI = ln(n_ab·Nt² / (Np·n_a·n_b)) where n_a/n_b are corpus token
+    * OCCURRENCE counts, Nt the total token count and Np the total pair
+    * count (so n_ab/Np and n_a/Nt are the empirical pair/unigram
+    * probabilities). Returns (token_a, token_b, n_ab, n_a, n_b, pmi),
+    * token_a ≤ token_b.
+    *
+    * Scale shape: pairs come from `window` zip_with'd array slices per
+    * document — map-side, codegen'd, no positional self-join — then one
+    * counting shuffle with map-side combine; the unigram counts are a
+    * second one-shuffle aggregation of the same token arrays. Products
+    * in the PMI ratio go through DECIMAL(38,0) (exact to 10³⁸, far past
+    * any feasible n_ab·Nt²), then one double division and one `ln` —
+    * the oracle's identical expression tree.
+    */
+  def skipgramPmi(df: DataFrame, text: Column, window: Int = 2,
+                  minSupport: Long = 5L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
+    val toks = Dedup.spread(df).select(tokens(text).as("__t"))
+      .localCheckpoint() // feeds pair counts, unigram counts, both scalars
+    val n = size(col("__t"))
+    val pairArrays = (1 to window).map { k =>
+      zip_with(
+        slice(col("__t"), lit(1), greatest(n - k, lit(0))),
+        slice(col("__t"), lit(1 + k), greatest(n - k, lit(0))),
+        (a, b) => struct(least(a, b).as("token_a"),
+          greatest(a, b).as("token_b")))
+    }
+    val prs = toks.filter(n >= 2)
+      .select(explode(concat(pairArrays: _*)).as("__p"))
+      .select(col("__p.token_a"), col("__p.token_b"))
+      .localCheckpoint() // counted per pair AND folded to the Np scalar
+    val nPairs = prs.count()
+    val uni = toks.select(explode(col("__t")).as("__w"))
+      .localCheckpoint()
+    val nTokens = uni.count()
+    val uniCounts = uni.groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+    val pairCounts = prs.groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairCounts
+      .join(uniCounts.select(col("__w").as("token_a"), col("__n").as("n_a")),
+        Seq("token_a"))
+      .join(uniCounts.select(col("__w").as("token_b"), col("__n").as("n_b")),
+        Seq("token_b"))
+      .select(col("token_a"), col("token_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        log((col("n_ab").cast("decimal(38,0)") * lit(nTokens) * lit(nTokens))
+            .cast("double") /
+          (col("n_a").cast("decimal(38,0)") * col("n_b") * lit(nPairs))
+            .cast("double")).as("pmi"))
+  }
 }

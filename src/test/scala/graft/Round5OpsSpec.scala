@@ -61,6 +61,24 @@ class Round5OpsSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("skipgramPmi: window pairs, occurrence counts, and the ln-ratio") {
+    // "a b a": window 2 pairs = (a,b),(a,b)... offsets: k=1 → (a,b),(a,b)
+    // [least/greatest], k=2 → (a,a); plus doc "c b" → (b,c)
+    val docs = Seq((1L, "a b a"), (2L, "c b")).toDF("id", "text")
+    val out = TextAnalysis.skipgramPmi(docs, $"text",
+        window = 2, minSupport = 1L)
+      .select("token_a", "token_b", "n_ab", "n_a", "n_b", "pmi")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r)).toMap
+    // Nt = 5 tokens, Np = 4 pairs
+    val ab = out(("a", "b"))
+    assert(ab._3 === 2L && ab._4 === 2L && ab._5 === 2L)
+    assert(math.abs(ab._6 - math.log(2.0 * 25 / (2.0 * 2 * 4))) < 1e-12)
+    val aa = out(("a", "a"))
+    assert(aa._3 === 1L && math.abs(aa._6 - math.log(25.0 / 16.0)) < 1e-12)
+    assert(out(("b", "c"))._3 === 1L && out.size === 3)
+  }
+
   test("covarianceMatrix: hand-checked population covariance per group") {
     // group g: vectors (1,2) and (3,6) → means (2,4);
     // cov(0,0) = (1+9)/2 - 4 = 1; cov(0,1) = (2+18)/2 - 8 = 2;
