@@ -149,7 +149,9 @@ object Bench {
     "q163_pca_power_iteration",
     "q164_degree_assortativity",
     "q165_skipgram_pmi",
-    "q166_curation_funnel")
+    "q166_curation_funnel",
+    "q167_curriculum_interleave",
+    "q168_budget_allocation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2007,6 +2007,32 @@ object SparkEntry {
       .orderBy("stage")
   }
 
+  /** Sampling 9 (round-5): curriculum interleave
+    * ([[Sampling.curriculumInterleave]]) — quality tiers (fixed
+    * thresholds on q28's score, NOT ntile) alternating round-robin in a
+    * global training order: steady quality mixture in every batch
+    * prefix, no global sort by score.
+    */
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    Sampling.curriculumInterleave(t(s, dir, "documents"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text")), tiers = 4)
+      .orderBy("position")
+
+  /** Sampling 10 (round-5): largest-remainder token-budget allocation
+    * ([[Sampling.allocateBudget]]) over q105's temperature weights —
+    * the integer sampling plan between mixture weights and an
+    * executable per-source budget. Σ alloc == 1,000,000 exactly (the
+    * conservation law IS the gate).
+    */
+  private def q168(s: SparkSession, dir: String): DataFrame =
+    Sampling.allocateBudget(
+        Sampling.temperatureMix(t(s, dir, "documents"), col("source"), 0.5),
+        col("source"), col("mix_weight"), total = 1000000L)
+      .withColumnRenamed("key", "source")
+      .select(col("source"), round(col("weight"), 6).as("weight"),
+        round(col("ideal"), 6).as("ideal"), col("alloc"))
+      .orderBy("source")
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3121,7 +3147,9 @@ object SparkEntry {
     "q163_pca_power_iteration" -> q163 _,
     "q164_degree_assortativity" -> q164 _,
     "q165_skipgram_pmi" -> q165 _,
-    "q166_curation_funnel" -> q166 _)
+    "q166_curation_funnel" -> q166 _,
+    "q167_curriculum_interleave" -> q167 _,
+    "q168_budget_allocation" -> q168 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4190,6 +4218,63 @@ object SparkEntry {
         UNION ALL SELECT 4, 'symbol_ok', n4, n0 FROM agg
         UNION ALL SELECT 5, 'stop_ok', n5, n0 FROM agg)
       ORDER BY stage""",
+    // q167: q28's quality formula (unrounded) -> fixed-threshold tiers ->
+    // per-tier rank -> round-robin position
+    "q167_curriculum_interleave" -> raw"""
+      WITH f AS (
+        SELECT doc_id,
+          CAST(len(tk) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+          CAST(len(text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            AS alpha
+        FROM (SELECT doc_id, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents)),
+      q AS (
+        SELECT doc_id, least(greatest(
+          0.4 * least(nt / 50.0, 1.0) +
+          0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+          0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0)
+          AS quality
+        FROM f),
+      t AS (
+        SELECT doc_id, CAST(least(floor(quality * 4), 3) AS BIGINT) AS tier
+        FROM q),
+      r AS (
+        SELECT doc_id, tier,
+          row_number() OVER (PARTITION BY tier ORDER BY doc_id) AS rn
+        FROM t)
+      SELECT doc_id, tier, CAST((rn - 1) * 4 + tier AS BIGINT) AS position
+      FROM r ORDER BY position""",
+    // q168: q105's weight CTE + Hamilton allocation; sum(alloc) = total
+    // exactly
+    "q168_budget_allocation" -> """
+      WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      s AS (
+        SELECT source, n_docs,
+          CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS share
+        FROM c),
+      m AS (SELECT source, n_docs, share, sqrt(share) AS sm FROM s),
+      mw AS (SELECT source, sm / max(sm) OVER () AS w FROM m),
+      sw AS (
+        SELECT CAST(sum(CAST(round(w, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sw
+        FROM mw),
+      b AS (
+        SELECT source, w, 1000000.0 * w / sw AS ideal
+        FROM mw CROSS JOIN sw),
+      fr AS (
+        SELECT source, w, ideal, CAST(floor(ideal) AS BIGINT) AS base,
+          ideal - floor(ideal) AS frac
+        FROM b),
+      r AS (
+        SELECT source, w, ideal, base,
+          row_number() OVER (ORDER BY frac DESC, source) AS rk,
+          (SELECT 1000000 - sum(base) FROM fr) AS rem
+        FROM fr)
+      SELECT source, round(w, 6) AS weight, round(ideal, 6) AS ideal,
+        CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM r ORDER BY source""",
     // q148: q66's shingle CTE, scored as a per-doc coverage ratio
     "q148_coverage_score" -> """
       WITH toks AS (

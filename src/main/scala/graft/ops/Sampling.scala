@@ -350,4 +350,76 @@ object Sampling {
       .withColumn("shard", expr(s"CAST((rn * $shards) DIV __n AS BIGINT)"))
       .drop("__key", "__pid", "__local", "__off", "__n")
   }
+
+  /** Curriculum interleave: assign each document a quality tier
+    * (fixed-threshold bins of `score`·`tiers`, top clamp) and a GLOBAL
+    * training order in which the tiers alternate round-robin —
+    * position = (rank_within_tier − 1)·tiers + tier. Positions are
+    * strictly ordered but deliberately sparse (a tier that runs out
+    * leaves gaps); consumers sort by position, they don't index by it.
+    * The curriculum every mixed-quality training run wants — steady
+    * quality mixture in every batch prefix — without any global
+    * sort by score.
+    *
+    * Scale shape: tier assignment is a map-side expression (fixed
+    * thresholds — NOT ntile, which would funnel the corpus through one
+    * window partition); the per-tier rank window partitions by tier,
+    * which is the q32 per-group sort bound with `tiers` groups — for
+    * huge corpora swap the rank for [[deterministicShards]]' two-phase
+    * partition-offset ranking per tier (same output, no per-tier task
+    * sort); the oracle law is unchanged.
+    *
+    * Deterministic: thresholds are one IEEE multiply+floor on the same
+    * score expression both engines compute; ranks tie-break on id.
+    */
+  def curriculumInterleave(df: DataFrame, id: Column, score: Column,
+                           tiers: Int = 4): DataFrame = {
+    require(tiers >= 2, s"tiers must be >= 2, got $tiers")
+    val tier = least(floor(score * tiers).cast("long"), lit(tiers - 1L))
+    val w = Window.partitionBy(col("tier")).orderBy(col("doc_id"))
+    df.select(id.as("doc_id"), tier.as("tier"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("tier"),
+        ((col("__rn") - 1L) * tiers + col("tier")).as("position"))
+  }
+
+  /** Largest-remainder (Hamilton) allocation of an integer `total` budget
+    * over weighted keys: ideal share = total·w/Σw, every key gets
+    * ⌊ideal⌋, and the leftover units go one each to the largest
+    * fractional parts (ties on key). Σ alloc == total EXACTLY — the
+    * conservation law that makes an integer sampling plan executable
+    * (probabilistic rounding leaves a corpus-size-dependent deficit).
+    * This is the step between mixture weights ([[temperatureMix]]) and a
+    * per-source token-budget plan.
+    *
+    * Scale shape: runs at KEY grain (sources, domains — inherently small
+    * relative to the corpus), so the global rank window over fractional
+    * parts is a few thousand rows at most; the corpus itself never
+    * enters. Determinism: Σw goes through the round-9 → DECIMAL idiom
+    * (addition order cannot matter); ideal/floor/frac are then one IEEE
+    * expression both engines evaluate identically.
+    */
+  def allocateBudget(df: DataFrame, key: Column, weight: Column,
+                     total: Long): DataFrame = {
+    require(total >= 0L, s"total must be >= 0, got $total")
+    val w = df.select(key.as("key"), weight.cast("double").as("weight"))
+    val sumW = w.agg(sum(round(col("weight"), 9).cast("decimal(28,12)"))
+      .cast("double").as("__sw"))
+    val ideal = lit(total.toDouble) * col("weight") / col("__sw")
+    val based = w.crossJoin(broadcast(sumW))
+      .select(col("key"), col("weight"), ideal.as("ideal"))
+      .withColumn("__base", floor(col("ideal")).cast("long"))
+      .withColumn("__frac", col("ideal") - col("__base"))
+    val rw = Window.orderBy(col("__frac").desc, col("key").asc)
+    val rem = lit(total) - sum(col("__base")).over(
+      Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing))
+    based
+      .withColumn("__rank", row_number().over(rw).cast("long"))
+      .withColumn("__rem", rem)
+      .select(col("key"), col("weight"), col("ideal"),
+        (col("__base") +
+          when(col("__rank") <= col("__rem"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

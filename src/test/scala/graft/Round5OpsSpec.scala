@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Graph, Profile, TextAnalysis}
+import graft.ops.{Graph, Profile, Sampling, TextAnalysis}
 
 /** Hand-checked laws for the round-5 session-2 operators: triangle
   * counting, token PMI, covariance. */
@@ -115,6 +115,32 @@ class Round5OpsSpec extends AnyFunSuite {
       .select("n_edges", "assortativity").as[(Long, Double)].head()
     assert(out._1 === 6L) // both orientations
     assert(math.abs(out._2 - (-1.0)) < 1e-12)
+  }
+
+  test("curriculumInterleave: tiers alternate and the top tier clamps") {
+    val docs = Seq((1L, 0.1), (2L, 0.3), (3L, 0.6), (4L, 0.9), (5L, 1.0))
+      .toDF("id", "sc")
+    val out = Sampling.curriculumInterleave(docs, $"id", $"sc", tiers = 4)
+      .orderBy("position").select("doc_id", "tier", "position")
+      .as[(Long, Long, Long)].collect()
+    // tiers: 0,1,2,3,3 (score 1.0 clamps to the top tier)
+    assert(out.toSeq === Seq((1L, 0L, 0L), (2L, 1L, 1L), (3L, 2L, 2L),
+      (4L, 3L, 3L), (5L, 3L, 7L)))
+    // positions strictly increase → a valid total training order
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted.toSeq)
+  }
+
+  test("allocateBudget: exact conservation and largest-remainder ties") {
+    val w = Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)).toDF("k", "w")
+    val out = Sampling.allocateBudget(w, $"k", $"w", total = 10L)
+      .select("key", "alloc").as[(String, Long)].collect().toMap
+    assert(out.values.sum === 10L)
+    assert(out === Map("a" -> 4L, "b" -> 3L, "c" -> 3L)) // frac tie → key order
+    val w2 = Seq(("a", 0.5), ("b", 0.3), ("c", 0.2)).toDF("k", "w")
+    val out2 = Sampling.allocateBudget(w2, $"k", $"w", total = 10L)
+      .select("key", "alloc").as[(String, Long)].collect().toMap
+    assert(out2 === Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    assert(out2.values.sum === 10L)
   }
 
   test("covarianceMatrix: constant dimension has zero variance and covariance") {
