@@ -151,7 +151,14 @@ object Bench {
     "q165_skipgram_pmi",
     "q166_curation_funnel",
     "q167_curriculum_interleave",
-    "q168_budget_allocation")
+    "q168_budget_allocation",
+    "q169_kcore",
+    "q170_fuzzy_match",
+    "q171_label_disagreement",
+    "q172_mad_outliers",
+    "q173_cohens_kappa",
+    "q174_rare_token_ratio",
+    "q175_rrf_hybrid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

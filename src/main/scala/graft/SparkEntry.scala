@@ -2033,6 +2033,114 @@ object SparkEntry {
         round(col("ideal"), 6).as("ideal"), col("alloc"))
       .orderBy("source")
 
+  /** Graph 10 (round-5): 75-core of the co-purchase graph
+    * ([[graft.ops.Graph.kCore]]) — parts are linked when they share an
+    * order (q135's basket pairs), and the k-core peel isolates the
+    * mutually-dense cluster with degrees measured inside the core. A kNN
+    * graph is k-regular by construction (its cores are all-or-nothing —
+    * measured, not guessed), so the peel runs on the natural-degree
+    * basket graph where it does real multi-round work (5 rounds at
+    * sf0.01/sf0.1). The peel stops at the fixpoint (count-equality per
+    * round); the oracle unrolls a fixed 16 rounds, the identity past the
+    * fixpoint — the q52/q138 early-stop-vs-unroll gate pattern.
+    */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("__b"), col("l_partkey").as("__i"))
+      .distinct()
+    val edges = li.select(col("__b"), col("__i").as("pa"))
+      .join(li.select(col("__b"), col("__i").as("pb")), Seq("__b"))
+      .filter(col("pa") < col("pb"))
+    graft.ops.Graph.kCore(edges, col("pa"), col("pb"), k = 75,
+        maxRounds = 16)
+      .orderBy("node")
+  }
+
+  /** Dedup 19 (round-5): blocked fuzzy entity match
+    * ([[graft.ops.Dedup.fuzzyMatchBlocked]]) — record linkage over part
+    * names: distinct-name grain, first-token blocking, Levenshtein ≤ 3
+    * verify inside the join. The entity-resolution step exact dedup
+    * can't express; candidate volume Σ block² at distinct-key grain.
+    */
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.fuzzyMatchBlocked(t(s, dir, "part"), col("p_name"),
+        split(col("p_name"), " ").getItem(0), maxDist = 3)
+      .withColumnRenamed("key_a", "name_a")
+      .withColumnRenamed("key_b", "name_b")
+      .orderBy("name_a", "name_b")
+
+  /** Similarity 12 (round-5): kNN label-disagreement audit
+    * ([[Similarity.labelDisagreement]]) — Confident-Learning-style
+    * label-error detection: for a 50-query audit sample, the fraction of
+    * exact nearest neighbors voting against the assigned label.
+    * Deliberately UNBLOCKED (q137's graph blocks by label and can never
+    * see a cross-label neighbor); brute-force over the sample is the
+    * honest 100 TB shape — you audit a slice, linearly in corpus size.
+    */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.labelDisagreement(e, col("vec_id"), col("embedding"),
+        col("label"), e.filter(col("vec_id") < 50), k = 5)
+      .orderBy("query_id")
+  }
+
+  /** Profile 15 (round-5): MAD robust outliers
+    * ([[graft.ops.Profile.madOutliers]]) per event type — q129's z-score
+    * flag with the robust center/spread (median, median absolute
+    * deviation) the outliers can't drag. Exact interpolated medians
+    * (the q46 parity idiom); swap percentile_approx at 100 TB.
+    */
+  private def q172(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.madOutliers(t(s, dir, "events"), col("event_type"),
+        col("value"), nSigma = 3.0)
+      .withColumnRenamed("group_key", "event_type")
+      .withColumn("med", round(col("med"), 4))
+      .withColumn("mad", round(col("mad"), 4))
+      .orderBy("event_type")
+
+  /** Profile 16 (round-5): Cohen's kappa
+    * ([[graft.ops.Profile.cohensKappa]]) between two rule-based document
+    * labelings (char-length gate vs token-count gate) — chance-corrected
+    * inter-annotator agreement, the labeling-pipeline acceptance metric.
+    * All-integer inputs, one IEEE expression tree.
+    */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.tokens
+    graft.ops.Profile.cohensKappa(t(s, dir, "documents"),
+      when(col("n_chars") >= 150, lit("good")).otherwise(lit("bad")),
+      when(size(tokens(col("text"))) >= 30, lit("good")).otherwise(lit("bad")))
+  }
+
+  /** Text 18 (round-5): rare-token scoring
+    * ([[TextAnalysis.rareTokenRatio]]) — the unigram-LM-proxy curation
+    * filter: per-doc fraction of token occurrences whose corpus share is
+    * below 1/64. The perplexity-filter shape with an integer rarity test
+    * instead of a float log-prob, so the gate is exact.
+    */
+  private def q174(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rareTokenRatio(t(s, dir, "documents"), col("doc_id"),
+        col("text"), shareDenom = 64L)
+      .orderBy("doc_id")
+
+  /** Similarity 13 (round-5): reciprocal-rank fusion
+    * ([[Similarity.rrfFuse]]) of the exact-cosine top-50
+    * ([[Similarity.bruteForceTopK]]) with the int8 integer-dot top-50
+    * ([[Similarity.int8Ranking]]) — the standard hybrid-retrieval
+    * combiner: rank positions only, no score normalization, items
+    * missing from one list contribute 0. Final top-10 per query.
+    */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    Similarity.rrfFuse(
+        Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), k = 50),
+        Similarity.int8Ranking(e, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), k = 50),
+        k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3149,7 +3257,14 @@ object SparkEntry {
     "q165_skipgram_pmi" -> q165 _,
     "q166_curation_funnel" -> q166 _,
     "q167_curriculum_interleave" -> q167 _,
-    "q168_budget_allocation" -> q168 _)
+    "q168_budget_allocation" -> q168 _,
+    "q169_kcore" -> q169 _,
+    "q170_fuzzy_match" -> q170 _,
+    "q171_label_disagreement" -> q171 _,
+    "q172_mad_outliers" -> q172 _,
+    "q173_cohens_kappa" -> q173 _,
+    "q174_rare_token_ratio" -> q174 _,
+    "q175_rrf_hybrid" -> q175 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3298,6 +3413,57 @@ object SparkEntry {
         UNION
         SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
       comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
+  /** Unrolled k-core peel over q137/q159's kNN graph: `rounds` fixed
+    * peel iterations (each = degrees among the live set, keep ≥ k), which
+    * equals the engine's early-stopping fixpoint because peel rounds past
+    * convergence are the identity — the q52/q138 unroll-vs-early-stop
+    * gate device. `rounds` must be ≥ the engine's `maxRounds` cap (the
+    * engine THROWS if the peel hasn't converged by then, failing the
+    * gate loudly rather than silently diverging from this unroll).
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and an
+    // unrolled peel references each round's live set twice — inlining
+    // would re-evaluate the whole chain 2^rounds times (found as an
+    // "out of file handles" blowup at 16 rounds)
+    val sb = new StringBuilder
+    sb.append("""
+      WITH und AS MATERIALIZED (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+          greatest(a.l_partkey, b.l_partkey) AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      live0 AS MATERIALIZED (
+        SELECT a AS node FROM und UNION SELECT b FROM und)""")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+      deg$i AS (
+        SELECT node, count(*) AS d FROM (
+          SELECT e.a AS node FROM und e
+            JOIN live${i - 1} x ON e.a = x.node
+            JOIN live${i - 1} y ON e.b = y.node
+          UNION ALL
+          SELECT e.b FROM und e
+            JOIN live${i - 1} x ON e.a = x.node
+            JOIN live${i - 1} y ON e.b = y.node)
+        GROUP BY 1),
+      live$i AS MATERIALIZED (SELECT node FROM deg$i WHERE d >= $k)""")
+    }
+    sb.append(s"""
+      SELECT node, CAST(d AS BIGINT) AS core_degree FROM (
+        SELECT node, count(*) AS d FROM (
+          SELECT e.a AS node FROM und e
+            JOIN live$rounds x ON e.a = x.node
+            JOIN live$rounds y ON e.b = y.node
+          UNION ALL
+          SELECT e.b FROM und e
+            JOIN live$rounds x ON e.a = x.node
+            JOIN live$rounds y ON e.b = y.node)
+        GROUP BY 1)
+      ORDER BY node""")
+    sb.toString
+  }
 
   /** Shared by q66 (direct posting join) and q109 (bloom-prefiltered):
     * both must produce this exact frame.
@@ -3908,6 +4074,158 @@ object SparkEntry {
     // q159: q137's kNN CTE → undirected edge set → triangles via plain
     // id-order (a<b<c) joins — the same triangle set the engine's
     // degree-ordered orientation finds (orientation-invariant)
+    // q169: fixed 16-round unrolled peel ≡ the engine's early-stopped
+    // fixpoint (rounds past convergence are the identity)
+    "q169_kcore" -> kCoreOracleSql(k = 75, rounds = 16),
+    // q170: distinct-name grain + first-token blocking + classic
+    // Levenshtein — both engines' levenshtein is unit-cost edit distance
+    "q170_fuzzy_match" -> raw"""
+      WITH keys AS (
+        SELECT p_name AS name, regexp_split_to_array(p_name, '\s+')[1] AS blk,
+          CAST(count(*) AS BIGINT) AS n
+        FROM part GROUP BY 1, 2)
+      SELECT a.name AS name_a, b.name AS name_b,
+        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        a.n AS n_a, b.n AS n_b
+      FROM keys a JOIN keys b ON a.blk = b.blk AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 3
+      ORDER BY 1, 2""",
+    // q171: q25's brute-force scored CTE with labels joined on both ends;
+    // rates are one integer ratio, suspect = integer majority comparison
+    "q171_label_disagreement" -> """
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, q.label AS qlbl,
+          c.vec_id AS item_id, c.label AS ilbl,
+          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+            CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 50),
+      knn AS (
+        SELECT query_id, qlbl, ilbl,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY round(cos, 6) DESC, item_id) AS rank
+        FROM scored QUALIFY rank <= 5)
+      SELECT query_id, qlbl AS label,
+        CAST(count(*) AS BIGINT) AS n_nbrs,
+        CAST(sum(CASE WHEN ilbl <> qlbl THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_disagree,
+        round(CAST(sum(CASE WHEN ilbl <> qlbl THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS disagree_rate,
+        sum(CASE WHEN ilbl <> qlbl THEN 1 ELSE 0 END) * 2 >= count(*)
+          AS suspect
+      FROM knn GROUP BY 1, 2 ORDER BY query_id""",
+    // q172: exact interpolated medians (quantile_cont ≡ Spark percentile,
+    // the q46 idiom) for center and spread; flags are one double compare
+    "q172_mad_outliers" -> """
+      WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        FROM events),
+      med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM base GROUP BY 1),
+      dev AS (
+        SELECT b.g, b.v, m.med, abs(b.v - m.med) AS ad
+        FROM base b JOIN med m ON b.g = m.g),
+      stats AS (
+        SELECT g, min(med) AS med, quantile_cont(ad, 0.5) AS mad,
+          CAST(count(*) AS BIGINT) AS n
+        FROM dev GROUP BY g)
+      SELECT d.g AS event_type, round(min(s.med), 4) AS med,
+        round(min(s.mad), 4) AS mad, min(s.n) AS n,
+        CAST(sum(CASE WHEN d.ad > 3.0 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers,
+        round(CAST(sum(CASE WHEN d.ad > 3.0 * s.mad THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(min(s.n) AS DOUBLE), 6) AS outlier_rate
+      FROM dev d JOIN stats s ON d.g = s.g
+      GROUP BY d.g ORDER BY event_type""",
+    // q173: marginal products summed DECIMAL-exact; po/pe/kappa the
+    // identical IEEE tree; kappa NULL when pe = 1 (vacuous agreement)
+    "q173_cohens_kappa" -> raw"""
+      WITH base AS (
+        SELECT CASE WHEN n_chars >= 150 THEN 'good' ELSE 'bad' END AS a,
+          CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 30
+            THEN 'good' ELSE 'bad' END AS b
+        FROM documents),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM base),
+      ma AS (SELECT a AS c, count(*) AS na FROM base GROUP BY 1),
+      mb AS (SELECT b AS c, count(*) AS nb FROM base GROUP BY 1),
+      pen AS (
+        SELECT COALESCE(sum(CAST(ma.na * mb.nb AS DECIMAL(38,0))),
+          CAST(0 AS DECIMAL(38,0))) AS pe_num
+        FROM ma JOIN mb ON ma.c = mb.c)
+      SELECT n, n_agree,
+        round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        round(CAST(pe_num AS DOUBLE) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+        CASE WHEN CAST(pe_num AS DOUBLE) /
+            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0 THEN NULL
+          ELSE round(
+            (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) -
+             CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+            (1.0 - CAST(pe_num AS DOUBLE) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) END AS kappa
+      FROM tot CROSS JOIN pen""",
+    // q174: token-grain join of occurrences onto vocab counts; the rarity
+    // test is one integer comparison so the gate is exact
+    "q174_rare_token_ratio" -> raw"""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      f AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN f.f * 64 < tot.total THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_rare,
+        round(CAST(sum(CASE WHEN f.f * 64 < tot.total THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS rare_ratio
+      FROM toks t JOIN f ON t.tok = f.tok CROSS JOIN tot
+      GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // q175: exact-cosine top-50 (q25 idiom) ⊕ int8-dot top-50 (q114's q8
+    // CTE), fused by 1/(60+rank) — two IEEE divisions on integer ranks,
+    // round-9 ranking + id tie-break
+    "q175_rrf_hybrid" -> """
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      s8 AS (
+        SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma
+        FROM v),
+      q8 AS (
+        SELECT vec_id,
+          CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(e, x -> CAST(round(x / (ma / 127.0)) AS BIGINT))
+          END AS qv
+        FROM s8),
+      ea AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS ra
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+        QUALIFY ra <= 50),
+      eb AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY CAST(list_sum([q.qv[i] * c.qv[i]
+              for i in range(1, len(q.qv) + 1)]) AS BIGINT) DESC,
+              c.vec_id) AS rb
+        FROM q8 q JOIN q8 c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+        QUALIFY rb <= 50),
+      f AS (
+        SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+          COALESCE(a.item_id, b.item_id) AS item_id,
+          COALESCE(1.0 / (60.0 + CAST(a.ra AS DOUBLE)), 0.0) +
+          COALESCE(1.0 / (60.0 + CAST(b.rb AS DOUBLE)), 0.0) AS s
+        FROM ea a FULL OUTER JOIN eb b
+          ON a.query_id = b.query_id AND a.item_id = b.item_id)
+      SELECT query_id, item_id, CAST(row_number() OVER w AS BIGINT) AS rank,
+        round(s, 6) AS rrf_score
+      FROM f
+      WINDOW w AS (PARTITION BY query_id ORDER BY round(s, 9) DESC, item_id)
+      QUALIFY rank <= 10 ORDER BY query_id, rank""",
     "q159_triangle_count" -> """
       WITH p AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,

@@ -55,6 +55,39 @@ object Dedup {
     df.groupBy(md5(content).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Blocked fuzzy entity match (record linkage): near-identical KEY
+    * values (names, titles, addresses) paired by edit distance, the
+    * canonical-entity step exact dedup can't do. Two stages, the standard
+    * blocking recipe: (1) collapse to DISTINCT key grain with occurrence
+    * counts — the match decision is per key string, so row-grain
+    * duplicates must not multiply the pair space; (2) a self equi-join on
+    * `blockKey` (first token, soundex, prefix — caller's choice) with the
+    * codegen'd `levenshtein` verify inside the join. Returns
+    * (key_a, key_b, dist, n_a, n_b), a < b, dist ≤ maxDist.
+    *
+    * Scale shape: candidate volume is Σ block² at DISTINCT-KEY grain —
+    * typically orders of magnitude below row grain (80 distinct names
+    * across 2M rows ⇒ the join touches 80 rows). The verify is a scalar
+    * expression in the join condition, so Catalyst evaluates it post-hash-
+    * match without materializing rejected pairs. Both engines implement
+    * classic unit-cost Levenshtein — integer-exact, no float divergence.
+    */
+  def fuzzyMatchBlocked(df: DataFrame, key: Column, blockKey: Column,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val keys = df.groupBy(key.as("__key"), blockKey.as("__blk"))
+      .agg(count(lit(1)).as("__n"))
+    val a = keys.select(col("__blk"), col("__key").as("key_a"),
+      col("__n").as("n_a"))
+    val b = keys.select(col("__blk"), col("__key").as("key_b"),
+      col("__n").as("n_b"))
+    a.join(b, Seq("__blk"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("key_a"), col("key_b"), col("dist"), col("n_a"), col("n_b"))
+  }
+
   /** Exact n-gram Jaccard similarity join, blocked by `blockCols` so the
     * pair space is bounded per block (at 100 TB you always block — by
     * source, language, length band, or an LSH bucket).

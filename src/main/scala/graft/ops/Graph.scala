@@ -253,6 +253,71 @@ object Graph {
     ranks
   }
 
+  /** k-core of the UNDIRECTED view of `edges` (direction, duplicates and
+    * self-loops collapsed): the maximal subgraph where every node keeps
+    * degree ≥ k, computed by the standard peel — drop nodes under degree
+    * k, recompute degrees, repeat to fixpoint. The densest-cohesion
+    * readout a corpus graph has: the k-core of a kNN graph is the set of
+    * documents whose semantic neighborhoods are MUTUALLY dense (candidate
+    * over-represented clusters), while peeled nodes are periphery.
+    * Returns (node, core_degree) — degree measured INSIDE the core.
+    *
+    * Scale shape per round: two equi-joins (edges onto the live-node set
+    * by each endpoint) + one degree aggregation + a lineage checkpoint —
+    * CC/PageRank's recipe, no driver state beyond the per-round count.
+    * Rounds are data-bounded, not log-bounded (a path graph peels one
+    * node per round in the worst case), so `maxRounds` is a hard cap and
+    * exhausting it THROWS rather than returning a half-peeled subgraph —
+    * the non-convergence contract connectedComponents pins. Convergence
+    * is count equality: the live set only shrinks, so |next| = |live| ⟺
+    * next = live, one cheap scalar per round.
+    *
+    * Determinism: degrees are integer counts and the peel order is
+    * irrelevant to the fixpoint (k-core is unique — peeling is
+    * confluent), so any engine unrolling ≥ the convergence round count
+    * matches exactly; rounds past the fixpoint are the identity, which
+    * is what lets a fixed-unroll oracle gate the early-stopping engine.
+    */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+            maxRounds: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val und = edges
+      .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // re-joined every peel round: scan once
+    def degreesAmong(live: DataFrame): DataFrame = {
+      val e = und
+        .join(live.select(col("node").as("a")), Seq("a"))
+        .join(live.select(col("node").as("b")), Seq("b"))
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+    }
+    var live = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node"))).distinct()
+      .localCheckpoint()
+    var n = live.count()
+    var it = 0
+    var converged = n == 0L
+    while (it < maxRounds && !converged) {
+      val next = degreesAmong(live)
+        .filter(col("core_degree") >= k).select(col("node"))
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n || m == 0L
+      live = next
+      n = m
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore: still peeling after $maxRounds rounds (live=$n); " +
+          "raise maxRounds — returning a half-peeled subgraph would be " +
+          "silently wrong")
+    // fixpoint: degrees within the surviving set ARE the core degrees
+    degreesAmong(live)
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * UNDIRECTED view of `edges` (direction and duplicates are collapsed;
     * self-loops dropped). Returns (node, degree, n_triangles, clustering)

@@ -582,4 +582,78 @@ object Profile {
           array_sort(collect_list(struct(col("__pos"), col("__item")))),
           x => x.getField("__item")), ",").as("top_items"))
   }
+
+  /** Cohen's kappa between two categorical labelings of the same rows —
+    * chance-corrected inter-annotator agreement, the acceptance gate for
+    * labeling pipelines (two annotation runs, a model vs a human pass, or
+    * two rule versions): po = observed agreement, pe = Σ_c pA(c)·pB(c)
+    * expected-by-chance, κ = (po − pe)/(1 − pe). Returns one row
+    * (n, n_agree, po, pe, kappa); κ is null when pe = 1 (both raters
+    * constant and equal — agreement is vacuous, not perfect).
+    *
+    * Scale shape: one count aggregation for the agreement cell plus two
+    * marginal aggregations joined on category (rows = |categories|,
+    * tiny); no row-grain join. Determinism: every input to the formula
+    * is an integer count; po/pe/κ are one IEEE expression tree both
+    * engines evaluate identically (pe's numerator Σ nA·nB summed
+    * DECIMAL-exact before the single division).
+    */
+  def cohensKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val base = df.select(a.cast("string").as("__a"), b.cast("string").as("__b"))
+    val totals = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("n_agree"))
+    val ma = base.groupBy(col("__a").as("__c")).agg(count(lit(1)).as("__na"))
+    val mb = base.groupBy(col("__b").as("__c")).agg(count(lit(1)).as("__nb"))
+    val peNum = ma.join(mb, Seq("__c"))
+      .agg(coalesce(sum((col("__na") * col("__nb")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("__pe_num"))
+    val joined = totals.crossJoin(broadcast(peNum))
+    val po = col("n_agree").cast("double") / col("n").cast("double")
+    val pe = col("__pe_num").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    joined.select(col("n"), col("n_agree"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      when(pe === 1.0d, lit(null).cast("double"))
+        .otherwise(round((po - pe) / (lit(1.0d) - pe), 6)).as("kappa"))
+  }
+
+  /** Robust outlier detection via the median absolute deviation: per
+    * group, med = median(v), mad = median(|v − med|), outlier ⟺
+    * |v − med| > nSigma·mad. The z-score's robust sibling (q129 flags by
+    * mean/stddev, which the outliers themselves drag): breakdown point
+    * 50%, so a heavy-tailed metric column can't hide its own anomalies.
+    * Returns (group_key, med, mad, n, n_outliers, outlier_rate).
+    *
+    * Both medians are Spark's exact interpolated `percentile` ≡ DuckDB's
+    * `quantile_cont` (the q46 parity idiom). Scale shape: two grouped
+    * exact-percentile passes plus two broadcast joins of the per-group
+    * stats frame (rows = |groups|, tiny by construction); the exact
+    * median is the oracle-checkable form — swap `percentile_approx` in
+    * at 100 TB exactly as [[winsorize]] documents. mad = 0 (over half
+    * the group at the median) degenerates to flagging every v ≠ med —
+    * the standard MAD caveat, deterministic, documented not hidden.
+    */
+  def madOutliers(df: DataFrame, group: Column, value: Column,
+                  nSigma: Double = 3.0): DataFrame = {
+    require(nSigma > 0.0, s"nSigma must be > 0, got $nSigma")
+    val base = df.select(group.as("__g"), value.cast("double").as("__v"))
+    val med = base.groupBy(col("__g"))
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    val dev = base.join(broadcast(med), Seq("__g"))
+      .withColumn("__ad", abs(col("__v") - col("__med")))
+    val stats = dev.groupBy(col("__g"))
+      .agg(min(col("__med")).as("med"),
+        expr("percentile(__ad, 0.5)").as("mad"),
+        count(lit(1)).as("n"))
+    dev.join(broadcast(stats.select(col("__g"), col("mad").as("__mad"))),
+        Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__ad") > lit(nSigma) * col("__mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .join(stats, Seq("__g"))
+      .select(col("__g").as("group_key"), col("med"), col("mad"), col("n"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") /
+          col("n").cast("double"), 6).as("outlier_rate"))
+  }
 }

@@ -386,6 +386,76 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Top-`k` ranking by the exact int8 integer dot product alone (no
+    * float re-rank) — [[quantizedTopK]]'s sweep phase as a standalone
+    * ranker, the cheap retriever arm a hybrid-fusion stack combines with
+    * an exact ranker. Same two-phase salted top-k (a query's corpus sweep
+    * never lands in one task's sort) and the same determinism contract:
+    * 64-bit integer scores, id tie-break, no floats anywhere. Returns
+    * (query_id, item_id, qdot, rank).
+    */
+  def int8Ranking(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                  queries: DataFrame, queryId: Column, queryVec: Column,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qc = quantizeInt8(Dedup.spread(corpus), corpusId, corpusVec)
+      .select(col("vec_id").as("item_id"), col("qvec").as("__cq"))
+    val qq = quantizeInt8(queries, queryId, queryVec)
+      .select(col("vec_id").as("query_id"), col("qvec").as("__qq"))
+    val salts = 64
+    val local = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(col("qdot").desc, col("item_id").asc)
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("item_id").asc)
+    qc.join(broadcast(qq), col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        intDot(col("__qq"), col("__cq")).as("qdot"))
+      .withColumn("__salt", pmod(xxhash64(col("item_id")), lit(salts)))
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("qdot"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of two truncated rankings — THE standard
+    * hybrid-retrieval combiner (BM25 ⊕ dense, exact ⊕ quantized):
+    * score(q, i) = Σ_lists 1/(c + rank), items missing from a list
+    * contribute 0, final order per query by fused score. Rank positions
+    * are the only inputs — scales of the underlying scores never mix,
+    * which is why RRF needs no per-list normalization and survives
+    * heterogeneous rankers. Returns (query_id, item_id, rank, rrf_score)
+    * with the fused rank ≤ `k`.
+    *
+    * Inputs are (query_id, item_id, rank) frames — any ranker in this
+    * module emits that shape. Scale: one equi-join of two top-m-per-query
+    * frames (m·|queries| rows each — list-sized, not corpus-sized) and
+    * one per-query window. Determinism: 1/(c+rank) is one IEEE division
+    * on integer inputs, the fused sum has exactly two addends (no
+    * order-dependence), ranking uses the repo's round-9 + id tie-break.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(c >= 1, s"c must be >= 1, got $c")
+    val fa = a.select(col("query_id"), col("item_id"),
+      col("rank").cast("long").as("__ra"))
+    val fb = b.select(col("query_id"), col("item_id"),
+      col("rank").cast("long").as("__rb"))
+    val score =
+      coalesce(lit(1.0d) / (lit(c.toDouble) + col("__ra").cast("double")),
+        lit(0.0d)) +
+      coalesce(lit(1.0d) / (lit(c.toDouble) + col("__rb").cast("double")),
+        lit(0.0d))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("__s"), 9).desc, col("item_id").asc)
+    fa.join(fb, Seq("query_id", "item_id"), "outer")
+      .withColumn("__s", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("rank"),
+        round(col("__s"), 6).as("rrf_score"))
+  }
+
   /** Corpus k-NN graph: every node's top-`k` most-similar neighbors
     * within its block — the input to semantic clustering, graph-based
     * dedup and label propagation. Built from the blocked pairwise
@@ -498,5 +568,41 @@ object Similarity {
       .agg(count(col("__v")).as("n_nbrs"),
         (sum(col("__v").cast("decimal(28,12)")).cast("double") /
           count(col("__v")).cast("double")).as("mean_v"))
+  }
+
+  /** kNN label-disagreement audit (Confident-Learning-style label-error
+    * detection, simplified): for each query row, the fraction of its k
+    * exact nearest neighbors carrying a DIFFERENT label. A clean label
+    * agrees with its semantic neighborhood; disagree_rate ≥ 0.5 (the
+    * neighborhood majority votes against the assigned label) flags the
+    * row a mislabel suspect — the audit that catches annotation noise
+    * before it trains in. Returns (query_id, label, n_nbrs, n_disagree,
+    * disagree_rate, suspect).
+    *
+    * Deliberately UNBLOCKED knn (vs [[knnGraph]], which blocks by label
+    * and so can never see a cross-label neighbor): the audit runs over a
+    * `queries` SAMPLE against the full corpus — brute-force exact, cost
+    * |queries|·|corpus| with the query side broadcast, linear in corpus
+    * size. At 100 TB you audit a few thousand rows per label slice, not
+    * the full table; rates are one integer ratio, exact.
+    */
+  def labelDisagreement(corpus: DataFrame, id: Column, vec: Column,
+                        label: Column, queries: DataFrame,
+                        k: Int): DataFrame = {
+    val knn = bruteForceTopK(corpus, id, vec, queries, id, vec, k)
+    val lbls = corpus.select(id.as("__lid"), label.as("__lbl"))
+    knn
+      .join(lbls.select(col("__lid").as("query_id"),
+        col("__lbl").as("label")), Seq("query_id"))
+      .join(lbls.select(col("__lid").as("item_id"),
+        col("__lbl").as("__nlbl")), Seq("item_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("__nlbl") =!= col("label"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .select(col("query_id"), col("label"), col("n_nbrs"), col("n_disagree"),
+        round(col("n_disagree").cast("double") /
+          col("n_nbrs").cast("double"), 6).as("disagree_rate"),
+        (col("n_disagree") * 2L >= col("n_nbrs")).as("suspect"))
   }
 }

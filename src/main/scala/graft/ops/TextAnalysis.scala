@@ -592,4 +592,39 @@ object TextAnalysis {
           (col("n_a").cast("decimal(38,0)") * col("n_b") * lit(nPairs))
             .cast("double")).as("pmi"))
   }
+
+  /** Rare-token scoring — the unigram-LM-proxy curation filter: per
+    * document, the fraction of token OCCURRENCES whose corpus-wide
+    * frequency share is below 1/`shareDenom` (token is "rare" ⟺
+    * f·shareDenom < total occurrences). High rare-ratio documents are
+    * OOV-heavy — garbled text, codes, boilerplate IDs — exactly what a
+    * perplexity filter drops, without the cross-engine float hazard of a
+    * real log-prob (the rarity test is one INTEGER comparison, so the
+    * gate is exact and the threshold scales with corpus size instead of
+    * breaking on absolute counts). Returns
+    * (doc_id, n_tokens, n_rare, rare_ratio).
+    *
+    * Scale shape: one token explode, one vocab aggregation, one
+    * token-grain equi-join (vocab side is Zipf-small — broadcast-able;
+    * AQE decides), one per-doc fold. The corpus-total scalar rides in as
+    * a broadcast one-row frame, the repo's standard device.
+    */
+  def rareTokenRatio(df: DataFrame, id: Column, text: Column,
+                     shareDenom: Long = 64L): DataFrame = {
+    require(shareDenom >= 1L, s"shareDenom must be >= 1, got $shareDenom")
+    val toks = Dedup.spread(df)
+      .select(id.as("doc_id"), explode(tokens(text)).as("__tok"))
+      .localCheckpoint() // feeds vocab counts, the total scalar, the join
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__f"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    toks.join(freq, Seq("__tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__f") * lit(shareDenom) < col("__total"), 1L)
+          .otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        round(col("n_rare").cast("double") /
+          col("n_tokens").cast("double"), 6).as("rare_ratio"))
+  }
 }

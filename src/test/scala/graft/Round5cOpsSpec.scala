@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Graph, Profile, Similarity, TextAnalysis}
+
+/** Hand-checked laws for the round-5 session-3 operators: k-core peel,
+  * blocked fuzzy match, label-disagreement audit, MAD outliers, Cohen's
+  * kappa, rare-token scoring, RRF fusion. */
+class Round5cOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kCore: peel leaves the triangle, degrees measured inside the core") {
+    // triangle 1-2-3 plus path 3-4-5: the 2-core is exactly the triangle
+    // (4 and 5 peel in cascade), core degrees all 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val out = Graph.kCore(edges, $"s", $"d", k = 2)
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore: k above the max degree converges to the empty core") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    assert(Graph.kCore(edges, $"s", $"d", k = 3).count() === 0L)
+  }
+
+  test("kCore: exhausting maxRounds mid-peel throws, never half-peels") {
+    // path of 5 with k=2 peels over 3 rounds (ends empty); cap 1 must throw
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val e = intercept[IllegalStateException] {
+      Graph.kCore(edges, $"s", $"d", k = 2, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("still peeling"))
+  }
+
+  test("fuzzyMatchBlocked: distinct-key grain, counts carried, dist gated") {
+    // kitten appears twice (n_a must say 2); hat is too far from all
+    val df = Seq("kitten", "sitten", "kitten", "mitten", "hat").toDF("name")
+    val out = Dedup.fuzzyMatchBlocked(df, $"name", lit(1), maxDist = 2)
+      .orderBy("key_a", "key_b")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      ("kitten", "mitten", 1L, 2L, 1L),
+      ("kitten", "sitten", 1L, 2L, 1L),
+      ("mitten", "sitten", 1L, 1L, 1L)))
+  }
+
+  test("fuzzyMatchBlocked: pairs never cross blocks") {
+    val df = Seq(("abc", 1), ("abd", 1), ("abe", 2)).toDF("name", "blk")
+    val out = Dedup.fuzzyMatchBlocked(df, $"name", $"blk", maxDist = 3)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(("abc", "abd", 1L, 1L, 1L)))
+  }
+
+  test("labelDisagreement: neighborhood majority vote flags the mislabel") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), "A"),
+      (2L, Array(1.0f, 0.1f), "A"),
+      (3L, Array(0.9f, 0.05f), "B"))
+    val df = rows.toDF("id", "vec", "lbl")
+    val out = Similarity.labelDisagreement(df, $"id", $"vec", $"lbl",
+        df, k = 2)
+      .orderBy("query_id")
+      .select("query_id", "label", "n_nbrs", "n_disagree", "suspect")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    // every query sees both other points; the B row disagrees with both
+    assert(out.toSeq === Seq(
+      (1L, "A", 2L, 1L, true),
+      (2L, "A", 2L, 1L, true),
+      (3L, "B", 2L, 2L, true)))
+  }
+
+  test("labelDisagreement: an agreeing neighborhood is not a suspect") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), "A"),
+      (2L, Array(1.0f, 0.1f), "A"),
+      (3L, Array(0.9f, 0.05f), "A"),
+      (4L, Array(-1.0f, 0.0f), "B"))
+    val df = rows.toDF("id", "vec", "lbl")
+    val out = Similarity.labelDisagreement(df, $"id", $"vec", $"lbl",
+        df.filter($"id" === 1L), k = 2)
+      .select("query_id", "n_disagree", "suspect")
+      .as[(Long, Long, Boolean)].collect()
+    // query 1's two nearest are 2 and 3 (both A); the far B point is not in k
+    assert(out.toSeq === Seq((1L, 0L, false)))
+  }
+
+  test("madOutliers: robust center ignores the outlier; mad=0 degenerates") {
+    val df = Seq(("g1", 1.0), ("g1", 1.0), ("g1", 1.0), ("g1", 1.0),
+      ("g1", 100.0), ("g2", 1.0), ("g2", 2.0), ("g2", 3.0), ("g2", 4.0),
+      ("g2", 5.0)).toDF("g", "v")
+    val out = Profile.madOutliers(df, $"g", $"v", nSigma = 3.0)
+      .orderBy("group_key")
+      .select("group_key", "med", "mad", "n", "n_outliers", "outlier_rate")
+      .as[(String, Double, Double, Long, Long, Double)].collect()
+    // g1: med=1, mad=0 → every v != med flags (the documented degenerate)
+    assert(out(0) === (("g1", 1.0, 0.0, 5L, 1L, 0.2)))
+    // g2: med=3, ad=(2,1,0,1,2), mad=1 → nothing beyond 3*1
+    assert(out(1) === (("g2", 3.0, 1.0, 5L, 0L, 0.0)))
+  }
+
+  test("cohensKappa: the textbook 2x2 example") {
+    // 20 yy, 5 yn, 10 ny, 15 nn: po=0.7, pe=0.5, kappa=0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val out = Profile.cohensKappa(rows.toDF("a", "b"), $"a", $"b")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out.toSeq === Seq((50L, 35L, 0.7, 0.5, 0.4)))
+  }
+
+  test("cohensKappa: constant equal raters yield null (vacuous), not 1") {
+    val df = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val out = Profile.cohensKappa(df, $"a", $"b")
+      .select("kappa").collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("rareTokenRatio: integer share test against the corpus total") {
+    // total=5 occurrences; f(a)=4 (4*4 >= 5, common), f(b)=1 (4 < 5, rare)
+    val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("id", "text")
+    val out = TextAnalysis.rareTokenRatio(docs, $"id", $"text",
+        shareDenom = 4L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 3L, 0L, 0.0), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("rrfFuse: missing-list items contribute zero, fusion reorders") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "item_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("query_id", "item_id", "rank")
+    val out = Similarity.rrfFuse(a, b, k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    // item 11 is in both lists → wins over either solo item
+    assert(out.map(_._2).toSeq === Seq(11L, 10L, 12L))
+    val s11 = 1.0 / 62 + 1.0 / 61
+    assert(math.abs(out(0)._4 -
+      BigDecimal(s11).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      < 1e-12)
+  }
+
+  test("int8Ranking: integer dots, id tie-break, self excluded") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
+      (3L, Array(-1.0f, 0.0f)))
+    val df = rows.toDF("id", "vec")
+    val out = Similarity.int8Ranking(df, $"id", $"vec",
+        df.filter($"id" === 1L), $"id", $"vec", k = 2)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    // qv: (127,0), (127,127), (-127,0) → dots 16129 and -16129
+    assert(out.toSeq === Seq((1L, 2L, 16129L, 1L), (1L, 3L, -16129L, 2L)))
+  }
+}
