@@ -158,7 +158,12 @@ object Bench {
     "q172_mad_outliers",
     "q173_cohens_kappa",
     "q174_rare_token_ratio",
-    "q175_rrf_hybrid")
+    "q175_rrf_hybrid",
+    "q176_source_overlap",
+    "q177_path_trigrams",
+    "q178_token_entropy",
+    "q179_integrity_audit",
+    "q180_benford_digits")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

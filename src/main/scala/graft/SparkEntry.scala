@@ -2141,6 +2141,73 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Text 19 (round-5): pairwise source-overlap matrix
+    * ([[TextAnalysis.sourceOverlap]]) — shared distinct 3-gram shingles
+    * and Jaccard between every source pair: q156's novelty curve
+    * resolved to pairs, the "which sources duplicate each other"
+    * procurement readout. Posting join fanout bounded by |sources|.
+    */
+  private def q176(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceOverlap(t(s, dir, "documents"), col("source"),
+        col("text"), n = 3)
+      .withColumnRenamed("group_a", "source_a")
+      .withColumnRenamed("group_b", "source_b")
+      .orderBy("source_a", "source_b")
+
+  /** Behavior 4 (round-5): top-20 event-type path trigrams
+    * ([[graft.ops.Funnel.pathNgrams]]) — q125's transition matrix at
+    * motif grain: which whole three-step corridors carry the traffic.
+    * One window pass (two `lead`s), map-side counts, TakeOrdered.
+    */
+  private def q177(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.pathNgrams(t(s, dir, "events"), col("user_id"),
+        col("event_type"), Seq(col("ts"), col("event_id")), n = 3, k = 20)
+
+  /** Text 20 (round-5): per-document token entropy
+    * ([[TextAnalysis.tokenEntropy]]) — the repetitiveness readout
+    * (H = ln n − Σ c·ln c / n, nats): near 0 = one token dominates,
+    * near ln(distinct) = flat. Round-9 → decimal-sum idiom keeps the
+    * only float reduction order-independent.
+    */
+  private def q178(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(t(s, dir, "documents"), col("doc_id"),
+        col("text"))
+      .orderBy("doc_id")
+
+  /** Quality 1 (round-5): referential-integrity audit
+    * ([[graft.ops.Profile.referentialAudit]]) over the star schema's
+    * four FK relations, both directions — orphan children AND
+    * unreferenced parents (the coverage readout; the fixture is
+    * orphan-clean, so coverage is where the signal lives). One
+    * anti-join per direction per relation.
+    */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Profile.referentialAudit
+    val li = t(s, dir, "lineitem")
+    referentialAudit("lineitem->orders", li, col("l_orderkey"),
+        t(s, dir, "orders"), col("o_orderkey"))
+      .unionByName(referentialAudit("lineitem->part", li, col("l_partkey"),
+        t(s, dir, "part"), col("p_partkey")))
+      .unionByName(referentialAudit("lineitem->supplier", li,
+        col("l_suppkey"), t(s, dir, "supplier"), col("s_suppkey")))
+      .unionByName(referentialAudit("orders->customer", t(s, dir, "orders"),
+        col("o_custkey"), t(s, dir, "customer"), col("c_custkey")))
+      .orderBy("relation")
+  }
+
+  /** Quality 2 (round-5): Benford first-digit audit
+    * ([[graft.ops.Profile.benfordDigits]]) of event values per type —
+    * the fabricated-numbers smell test. First digit extracted
+    * INTEGER-side (cents → string) so no runtime log10 sits on the
+    * gate; Benford expectations are Scala literals injected into both
+    * engines.
+    */
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.benfordDigits(t(s, dir, "events"),
+        col("event_type"), col("value"))
+      .withColumnRenamed("group_key", "event_type")
+      .orderBy("event_type", "digit")
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3264,7 +3331,12 @@ object SparkEntry {
     "q172_mad_outliers" -> q172 _,
     "q173_cohens_kappa" -> q173 _,
     "q174_rare_token_ratio" -> q174 _,
-    "q175_rrf_hybrid" -> q175 _)
+    "q175_rrf_hybrid" -> q175 _,
+    "q176_source_overlap" -> q176 _,
+    "q177_path_trigrams" -> q177 _,
+    "q178_token_entropy" -> q178 _,
+    "q179_integrity_audit" -> q179 _,
+    "q180_benford_digits" -> q180 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4226,6 +4298,132 @@ object SparkEntry {
       FROM f
       WINDOW w AS (PARTITION BY query_id ORDER BY round(s, 9) DESC, item_id)
       QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    // q176: distinct (source, shingle) postings; pair fanout per shingle
+    // bounded by |sources|; jaccard = shared/(na+nb-shared), integer-fed
+    "q176_source_overlap" -> raw"""
+      WITH toks AS (
+        SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      post AS (
+        SELECT DISTINCT source, unnest([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)]) AS s
+        FROM toks WHERE len(tk) >= 3),
+      sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM post
+        GROUP BY 1),
+      shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+          CAST(count(*) AS BIGINT) AS n_shared
+        FROM post a JOIN post b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT sh.source_a, sh.source_b, sh.n_shared,
+        sa.n AS n_a, sb.n AS n_b,
+        round(CAST(sh.n_shared AS DOUBLE) /
+          CAST(sa.n + sb.n - sh.n_shared AS DOUBLE), 6) AS jaccard
+      FROM shared sh
+      JOIN sizes sa ON sh.source_a = sa.source
+      JOIN sizes sb ON sh.source_b = sb.source
+      ORDER BY 1, 2""",
+    // q177: two leads in one per-user window (q125's ordering); full
+    // trigrams only; top-20 with the path tie-break
+    "q177_path_trigrams" -> """
+      WITH seq AS (
+        SELECT event_type AS t1,
+          lead(event_type, 1) OVER w AS t2,
+          lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      paths AS (
+        SELECT t1 || '>' || t2 || '>' || t3 AS path,
+          CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT)
+          AS rank, path, n
+      FROM paths
+      QUALIFY rank <= 20 ORDER BY rank""",
+    // q178: c·ln(c) terms rounded to 9dp and DECIMAL-summed (the
+    // q149/q161 idiom), then one division + subtraction
+    "q178_token_entropy" -> raw"""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks
+        GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        round(ln(CAST(sum(c) AS DOUBLE)) -
+          CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+            AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+          AS entropy
+      FROM c GROUP BY doc_id ORDER BY doc_id""",
+    // q179: NOT EXISTS per direction ≡ the engine's left_anti (NULL child
+    // keys count as orphans in both)
+    "q179_integrity_audit" -> """
+      WITH rels AS (
+        SELECT 'lineitem->orders' AS relation,
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_children,
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS n_orphans,
+          (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_parents,
+          (SELECT CAST(count(*) AS BIGINT) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+            AS n_unreferenced
+        UNION ALL
+        SELECT 'lineitem->part',
+          (SELECT count(*) FROM lineitem),
+          (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+          (SELECT count(*) FROM part),
+          (SELECT count(*) FROM part p WHERE NOT EXISTS
+            (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+        UNION ALL
+        SELECT 'lineitem->supplier',
+          (SELECT count(*) FROM lineitem),
+          (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+          (SELECT count(*) FROM supplier),
+          (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+            (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))
+        UNION ALL
+        SELECT 'orders->customer',
+          (SELECT count(*) FROM orders),
+          (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+          (SELECT count(*) FROM customer),
+          (SELECT count(*) FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)))
+      SELECT relation, n_children, n_orphans,
+        round(CAST(n_orphans AS DOUBLE) / CAST(n_children AS DOUBLE), 6)
+          AS orphan_rate,
+        n_parents, n_unreferenced,
+        round(CAST(n_parents - n_unreferenced AS DOUBLE) /
+          CAST(n_parents AS DOUBLE), 6) AS coverage_rate
+      FROM rels ORDER BY relation""",
+    // q180: digit from the cents-integer string (no runtime log10 on the
+    // gate); Benford expectations are builder-injected literals
+    "q180_benford_digits" -> {
+      val exp = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+      val expList = exp.mkString("[", ", ", "]")
+      s"""
+      WITH d AS (
+        SELECT event_type,
+          CAST(substring(CAST(CAST(round(CAST(value AS DOUBLE) * 100.0)
+            AS DECIMAL(38,0)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM events WHERE value > 0),
+      c AS (
+        SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+        FROM d GROUP BY 1, 2)
+      SELECT event_type, digit, n,
+        round(CAST(n AS DOUBLE) /
+          CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share,
+        round($expList[CAST(digit AS INT)], 6) AS expected,
+        round(CAST(n AS DOUBLE) /
+          CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) -
+          $expList[CAST(digit AS INT)], 6) AS deviation
+      FROM c ORDER BY event_type, digit"""
+    },
     "q159_triangle_count" -> """
       WITH p AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,

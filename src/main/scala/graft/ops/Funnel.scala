@@ -148,4 +148,40 @@ object Funnel {
       .withColumn("p", round(col("n").cast("double") /
         sum(col("n")).over(norm).cast("double"), 4))
   }
+
+  /** Top-`k` consecutive step `n`-grams across all per-user sequences —
+    * [[transitions]]' higher-order sibling: "view→click→purchase"-style
+    * frequent paths, the behavioral motifs funnel DESIGN starts from
+    * (transitions tell you the next step; path n-grams tell you which
+    * whole corridors carry the traffic). Returns (rank, path, n) with
+    * path the "a>b>c" joined string.
+    *
+    * Scale shape: one window pass partitioned by user (n−1 `lead`s in a
+    * single Window node — per-task memory bounded by the busiest user,
+    * q32's bound), counts map-side combine, the top-k is a TakeOrdered.
+    * All integers; ties break on the path string.
+    */
+  def pathNgrams(events: DataFrame, user: Column, typ: Column,
+                 order: Seq[Column], n: Int, k: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(order.nonEmpty, "pathNgrams needs a deterministic ordering")
+    val byUser = Window.partitionBy(col("__u")).orderBy(order: _*)
+    val steps = col("__t") +: (1 until n).map(i =>
+      lead(col("__t"), i).over(byUser))
+    val rankW = Window.orderBy(col("n").desc, col("path").asc)
+    events.select(user.as("__u") +: typ.as("__t") +: order: _*)
+      .withColumn("__path", concat_ws(">", steps: _*))
+      // a full n-gram has exactly n-1 separators; shorter tails (lead
+      // past the user's last event yields null, which concat_ws skips)
+      // must not count
+      .filter(length(col("__path")) - length(regexp_replace(col("__path"),
+        ">", "")) === n - 1)
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .select(col("rank"), col("path"), col("n"))
+  }
 }

@@ -583,6 +583,79 @@ object Profile {
           x => x.getField("__item")), ",").as("top_items"))
   }
 
+  /** Referential-integrity audit of one FK relation, both directions:
+    * orphan children (child key with no parent) AND unreferenced parents
+    * (parent row no child points at) — the ETL acceptance check a
+    * warehouse load runs before publishing, and the coverage readout
+    * ("how much of the dimension does the fact table actually touch").
+    * Returns one row: (relation, n_children, n_orphans, orphan_rate,
+    * n_parents, n_unreferenced, coverage_rate).
+    *
+    * Scale shape: one anti-join per direction on the key (shuffle or
+    * broadcast per AQE — dimension sides are broadcast-able by nature)
+    * plus two count folds; rates are integer-fed divisions. NULL child
+    * keys count as orphans (they reference nothing) — the strict-audit
+    * convention, stated here because anti-join semantics would silently
+    * pass them.
+    */
+  def referentialAudit(relation: String, children: DataFrame,
+                       childKey: Column, parents: DataFrame,
+                       parentKey: Column): DataFrame = {
+    val c = children.select(childKey.as("__ck"))
+    val p = parents.select(parentKey.as("__pk"))
+    val orphans = c.join(p, col("__ck") === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val unref = p.join(c, col("__pk") === col("__ck"), "left_anti")
+      .agg(count(lit(1)).as("n_unreferenced"))
+    val nc = c.agg(count(lit(1)).as("n_children"))
+    val np = p.agg(count(lit(1)).as("n_parents"))
+    nc.crossJoin(broadcast(orphans)).crossJoin(broadcast(np))
+      .crossJoin(broadcast(unref))
+      .select(lit(relation).as("relation"), col("n_children"),
+        col("n_orphans"),
+        round(col("n_orphans").cast("double") /
+          col("n_children").cast("double"), 6).as("orphan_rate"),
+        col("n_parents"), col("n_unreferenced"),
+        round((col("n_parents") - col("n_unreferenced")).cast("double") /
+          col("n_parents").cast("double"), 6).as("coverage_rate"))
+  }
+
+  /** Benford first-significant-digit audit per group: observed digit
+    * shares of a positive fixed-point metric column against the Benford
+    * expectation log10(1 + 1/d) — the classic fabricated-numbers /
+    * broken-upstream-transform smell test. Returns
+    * (group_key, digit, n, share, expected, deviation) for digits 1–9.
+    *
+    * Determinism: the first digit is extracted INTEGER-SIDE — values are
+    * scaled to cents (round(v·100), exact for 2-dp fixtures), cast to a
+    * string, first character taken — so no runtime log10 sits on the
+    * gate path (a 1-ulp log10 divergence at a power-of-10 boundary would
+    * flip the digit); the Benford expectations are Scala-computed
+    * literals injected identically into both engines. Rows with v ≤ 0
+    * are excluded (Benford is undefined there). Scale: one groupBy over
+    * (group, digit) — map-side combine, 9 rows per group out.
+    */
+  def benfordDigits(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expected = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val expCol = element_at(
+      array(expected.map(lit): _*), col("digit").cast("int"))
+    val totals = Window.partitionBy(col("group_key"))
+    df.filter(value > 0)
+      .select(group.as("group_key"),
+        substring(round(value.cast("double") * 100.0d).cast("decimal(38,0)")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("group_key"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("group_key"), col("digit"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(totals).cast("double"), 6).as("share"),
+        round(expCol, 6).as("expected"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(totals).cast("double") - expCol, 6)
+          .as("deviation"))
+  }
+
   /** Cohen's kappa between two categorical labelings of the same rows —
     * chance-corrected inter-annotator agreement, the acceptance gate for
     * labeling pipelines (two annotation runs, a model vs a human pass, or

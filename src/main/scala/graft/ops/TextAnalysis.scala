@@ -593,6 +593,74 @@ object TextAnalysis {
             .cast("double")).as("pmi"))
   }
 
+  /** Pairwise corpus-overlap matrix between ingest groups (sources,
+    * snapshots, providers): for every group pair, the count of SHARED
+    * distinct word `n`-gram shingles and the Jaccard overlap of the two
+    * shingle sets — the "which of my sources duplicate each other"
+    * procurement readout, q156's novelty curve resolved to pairs.
+    * Returns (group_a, group_b, n_shared, n_a, n_b, jaccard), a < b.
+    *
+    * Scale shape: one distinct (shingle, group) posting build, a
+    * self equi-join ON SHINGLE whose per-key fanout is bounded by the
+    * GROUP count (≤ |groups| rows per shingle — sources number in the
+    * tens, so the join is |postings|·|groups|-bounded by construction,
+    * no df-cap needed where containmentPairs at doc grain needs one),
+    * and two broadcast joins of the |groups|-row size frame. Jaccard =
+    * shared/(n_a + n_b − shared), one integer-fed division.
+    */
+  def sourceOverlap(df: DataFrame, group: Column, text: Column,
+                    n: Int = 3): DataFrame = {
+    import graft.functions.wordShingles
+    val postings = Dedup.spread(df)
+      .select(group.as("__g"), explode(wordShingles(text, n)).as("__s"))
+      .distinct()
+      .localCheckpoint() // feeds the pair join and the per-group sizes
+    val sizes = postings.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val shared = postings.select(col("__s"), col("__g").as("group_a"))
+      .join(postings.select(col("__s"), col("__g").as("group_b")), Seq("__s"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("__g").as("group_a"),
+        col("__n").as("n_a"))), Seq("group_a"))
+      .join(broadcast(sizes.select(col("__g").as("group_b"),
+        col("__n").as("n_b"))), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** Per-document Shannon entropy of the token distribution (nats):
+    * H = ln(n) − (Σ c·ln c)/n over per-token occurrence counts c — the
+    * repetitiveness readout a curation pass reads alongside q73
+    * (entropy near 0 = one token dominates; near ln(distinct) = flat).
+    * Returns (doc_id, n_tokens, n_distinct, entropy).
+    *
+    * Determinism: c·ln(c) terms are rounded to 9 decimals and summed in
+    * DECIMAL (the q149/q161 round-9 → decimal-sum idiom — the sum is
+    * order-independent), then one division and subtraction; ln on small
+    * integer counts is the q160-established libm-parity surface.
+    * Scale shape: one token explode + per-(doc, token) count + per-doc
+    * fold — all map-side-combinable aggregations, no joins.
+    */
+  def tokenEntropy(df: DataFrame, id: Column, text: Column): DataFrame =
+    Dedup.spread(df)
+      .select(id.as("doc_id"), explode(tokens(text)).as("__tok"))
+      .groupBy(col("doc_id"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("__c").cast("double") * log(col("__c").cast("double")),
+          9).cast("decimal(28,12)")).as("__clc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double")) -
+          col("__clc").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("entropy"))
+
   /** Rare-token scoring — the unigram-LM-proxy curation filter: per
     * document, the fraction of token OCCURRENCES whose corpus-wide
     * frequency share is below 1/`shareDenom` (token is "rare" ⟺

@@ -141,6 +141,80 @@ class Round5cOpsSpec extends AnyFunSuite {
       < 1e-12)
   }
 
+  test("sourceOverlap: shared shingles, sizes, jaccard on a hand corpus") {
+    val docs = Seq(
+      ("s1", "a b c d"),   // shingles: "a b c", "b c d"
+      ("s2", "a b c e"),   // shingles: "a b c", "b c e"
+      ("s3", "x y z w")    // shingles: "x y z", "y z w"
+    ).toDF("src", "text")
+    val out = TextAnalysis.sourceOverlap(docs, $"src", $"text", n = 3)
+      .orderBy("group_a", "group_b")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // s1∩s2 = {"a b c"} → jaccard 1/3; s3 shares nothing (absent rows)
+    assert(out.toSeq === Seq(("s1", "s2", 1L, 2L, 2L, 0.333333)))
+  }
+
+  test("sourceOverlap: duplicate shingles within a source count once") {
+    val docs = Seq(("s1", "a b c"), ("s1", "a b c"), ("s2", "a b c"))
+      .toDF("src", "text")
+    val out = TextAnalysis.sourceOverlap(docs, $"src", $"text", n = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(("s1", "s2", 1L, 1L, 1L, 1.0)))
+  }
+
+  test("pathNgrams: only full n-grams count, ties break on path") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"))
+      .toDF("u", "seq", "t")
+    val out = graft.ops.Funnel.pathNgrams(ev, $"u", $"t", Seq($"seq"),
+        n = 3, k = 10)
+      .as[(Long, String, Long)].collect()
+    // user1: a>b>c, b>c>b; user2: a>b>c — no 2-step tails counted
+    assert(out.toSeq === Seq((1L, "a>b>c", 2L), (2L, "b>c>b", 1L)))
+  }
+
+  test("tokenEntropy: uniform vs degenerate distributions") {
+    val docs = Seq((1L, "a b c d"), (2L, "a a a a")).toDF("id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, $"id", $"text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    // uniform over 4 → ln 4; all-same → 0
+    assert(out(0)._2 === 4L && out(0)._3 === 4L)
+    assert(math.abs(out(0)._4 - 1.386294) < 1e-6)
+    assert(out(1) === ((2L, 4L, 1L, 0.0)))
+  }
+
+  test("referentialAudit: orphans and unreferenced parents both counted") {
+    val child = Seq(1L, 1L, 2L, 99L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Profile.referentialAudit("c->p", child, $"fk", parent, $"pk")
+      .as[(String, Long, Long, Double, Long, Long, Double)].collect()
+    // 99 is an orphan; parent 3 is unreferenced
+    assert(out.toSeq === Seq(("c->p", 4L, 1L, 0.25, 3L, 1L, 0.666667)))
+  }
+
+  test("referentialAudit: null child keys are orphans (strict audit)") {
+    val child = Seq(Some(1L), None).toDF("fk")
+    val parent = Seq(1L).toDF("pk")
+    val out = Profile.referentialAudit("c->p", child, $"fk", parent, $"pk")
+      .select("n_orphans").as[Long].collect()
+    assert(out.toSeq === Seq(1L))
+  }
+
+  test("benfordDigits: integer-side digit extraction, shares + expectation") {
+    val df = Seq(("g", 1.23), ("g", 19.0), ("g", 0.02), ("g", 300.0),
+      ("g", -5.0)).toDF("grp", "v")
+    val out = Profile.benfordDigits(df, $"grp", $"v")
+      .orderBy("digit")
+      .select("digit", "n", "share", "expected")
+      .as[(Long, Long, Double, Double)].collect()
+    // -5 excluded; digits: 1.23→1, 19.0→1, 0.02→2, 300.0→3
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+    assert(out(0)._3 === 0.5)
+    assert(math.abs(out(0)._4 - math.log10(2.0)) < 1e-6)
+  }
+
   test("int8Ranking: integer dots, id tie-break, self excluded") {
     val rows = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
