@@ -163,7 +163,11 @@ object Bench {
     "q177_path_trigrams",
     "q178_token_entropy",
     "q179_integrity_audit",
-    "q180_benford_digits")
+    "q180_benford_digits",
+    "q181_snapshot_diff",
+    "q182_zipf_fit",
+    "q183_hourly_trend",
+    "q184_weighted_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

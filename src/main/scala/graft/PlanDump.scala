@@ -110,7 +110,24 @@ object PlanDump {
       ("Join-free: bigrams generate map-side from each doc's token array " +
         "(zip_with inside Generate), counts partial-aggregate, and the " +
         "global top-20 is TakeOrderedAndProject — no full sort, no " +
-        "positional self-join."))
+        "positional self-join."),
+    "q169_kcore" ->
+      ("The final peel round's plan (the per-round shape): the edge " +
+        "frame arrives from a lineage-flat localCheckpoint scan, joins " +
+        "the live-node set twice as equi-joins (broadcast at this scale, " +
+        "shuffle-hash at 100 TB), and degrees partial-aggregate map-side " +
+        "— no cartesian, no window, driver state is one count per round."),
+    "q170_fuzzy_match" ->
+      ("Distinct-key grain BEFORE the pair join (the aggregate collapses " +
+        "row duplicates so they never multiply the pair space); the self " +
+        "join is an equi-join on the block key with the codegen'd " +
+        "levenshtein verify evaluated inside the join — no " +
+        "CartesianProduct, no UDF."),
+    "q175_rrf_hybrid" ->
+      ("Two retriever arms (brute-force cosine window + salted int8 " +
+        "integer sweep) meet in ONE outer equi-join on (query, item) over " +
+        "list-sized frames — fusion cost is output-sized; the fused " +
+        "ranking is a per-query window over <= 100 rows."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

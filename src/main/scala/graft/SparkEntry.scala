@@ -2208,6 +2208,66 @@ object SparkEntry {
       .withColumnRenamed("group_key", "event_type")
       .orderBy("event_type", "digit")
 
+  /** Quality 3 (round-5): snapshot diff
+    * ([[graft.enrich.Enrich.snapshotDiff]]) between two deterministic
+    * versions of the orders table (drop-by-mod-7 vs drop-by-mod-5 with a
+    * price bump on mod-3) — the lakehouse "what changed between
+    * versions" audit: added/removed/changed keys with the differing
+    * column list, delta-sized output.
+    */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val oldV = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val newV = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0d)
+          .otherwise(col("o_totalprice")))
+    graft.enrich.Enrich.snapshotDiff(oldV, newV, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus", "o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Text 21 (round-5): Zipf rank–frequency fit
+    * ([[TextAnalysis.zipfFit]]) — least-squares slope of ln(freq) on
+    * ln(rank) over the unigram distribution, the one-number corpus
+    * health check (natural text ≈ −1). Regression sums ride the
+    * round-9 → decimal idiom; the rank window runs over the vocab, not
+    * the corpus.
+    */
+  private def q182(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(t(s, dir, "documents"), col("text"))
+
+  /** Profile 17 (round-5): per-type hour-of-day trend
+    * ([[graft.ops.Profile.groupOls]]) — OLS slope/intercept of event
+    * value on hour, the drift-with-time detector as one aggregation
+    * pass. Integer x and fixed-point y keep every moment sum
+    * DECIMAL-exact.
+    */
+  private def q183(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.groupOls(t(s, dir, "events"), col("event_type"),
+        hour(col("ts")), col("value"), scale = 4)
+      .withColumnRenamed("group_key", "event_type")
+      .orderBy("event_type")
+
+  /** Graph 11 (round-5): weighted PageRank
+    * ([[graft.ops.Graph.weightedPageRank]]) over the part↔supplier
+    * shipment graph with Σ l_quantity edge weights — q101's walk where
+    * link VOLUME steers the mass. Integer weights keep the out-weight
+    * sums order-independent; two unrolled iterations, q101's
+    * decimal-sum + VARCHAR-hop oracle device.
+    */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = concat(lit("p"), col("l_partkey").cast("string"))
+    val sup = concat(lit("s"), col("l_suppkey").cast("string"))
+    val edges = li.select(p.as("a"), sup.as("b"), col("l_quantity").as("q"))
+      .union(li.select(sup.as("a"), p.as("b"), col("l_quantity").as("q")))
+    graft.ops.Graph.weightedPageRank(edges, col("a"), col("b"), col("q"),
+        iters = 2)
+      .select(col("node"), round(col("rank"), 12).as("rank"))
+      .orderBy("node")
+  }
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3336,7 +3396,11 @@ object SparkEntry {
     "q177_path_trigrams" -> q177 _,
     "q178_token_entropy" -> q178 _,
     "q179_integrity_audit" -> q179 _,
-    "q180_benford_digits" -> q180 _)
+    "q180_benford_digits" -> q180 _,
+    "q181_snapshot_diff" -> q181 _,
+    "q182_zipf_fit" -> q182 _,
+    "q183_hourly_trend" -> q183 _,
+    "q184_weighted_pagerank" -> q184 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -3789,6 +3853,44 @@ object SparkEntry {
       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
       od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg
+             FROM e GROUP BY 1),
+      r0 AS (SELECT node, 1.0 / nd.n AS rank FROM nodes CROSS JOIN nd),
+      ${iter("r0", "r1")},
+      ${iter("r1", "r2")}
+      SELECT node, round(rank, 12) AS rank FROM r2 ORDER BY node"""
+  }
+
+  /** q184's oracle: q101's unrolled device with integer edge weights —
+    * contrib is (rank·w)/outw, the same two-op IEEE tree the engine's
+    * weighted iterate computes, decimal-summed per destination with the
+    * VARCHAR hop.
+    */
+  private val q184Oracle: String = {
+    def iter(prev: String, out: String) =
+      s"""c_$out AS (
+        SELECT e.dst AS node,
+          CAST(CAST(sum(CAST((r.rank * CAST(e.w AS DOUBLE)) / od.outw
+            AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS m
+        FROM $prev r JOIN od ON r.node = od.node JOIN e ON r.node = e.src
+        GROUP BY 1),
+      $out AS (
+        SELECT nodes.node,
+          (1.0 - 0.85) / nd.n + 0.85 * coalesce(c.m, 0.0) AS rank
+        FROM nodes CROSS JOIN nd LEFT JOIN c_$out c ON nodes.node = c.node)"""
+    s"""
+      WITH e AS (
+        SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+        UNION ALL
+        SELECT 's' || CAST(l_suppkey AS VARCHAR),
+          'p' || CAST(l_partkey AS VARCHAR),
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        FROM lineitem GROUP BY 1, 2),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      od AS (SELECT src AS node, CAST(sum(w) AS DOUBLE) AS outw
              FROM e GROUP BY 1),
       r0 AS (SELECT node, 1.0 / nd.n AS rank FROM nodes CROSS JOIN nd),
       ${iter("r0", "r1")},
@@ -4424,6 +4526,91 @@ object SparkEntry {
           $expList[CAST(digit AS INT)], 6) AS deviation
       FROM c ORDER BY event_type, digit"""
     },
+    // q181: FULL OUTER on the key; IS NOT DISTINCT FROM ≡ the engine's
+    // null-safe <=>; changed_cols built from the same sorted column order
+    "q181_snapshot_diff" -> """
+      WITH oldv AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 <> 0),
+      newv AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+               ELSE o_totalprice END AS o_totalprice,
+          o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 5 <> 0),
+      j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+          CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+                 OR NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                 OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                 THEN 'changed' END AS change,
+          CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+            THEN concat_ws(',',
+              CASE WHEN NOT (o.o_orderpriority IS NOT DISTINCT FROM
+                n.o_orderpriority) THEN 'o_orderpriority' END,
+              CASE WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM
+                n.o_orderstatus) THEN 'o_orderstatus' END,
+              CASE WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM
+                n.o_totalprice) THEN 'o_totalprice' END) END AS cols
+        FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+      SELECT o_orderkey, change,
+        CASE WHEN change = 'changed' THEN cols END AS changed_cols
+      FROM j WHERE change IS NOT NULL ORDER BY o_orderkey""",
+    // q182: rank window over the VOCAB; ln terms round-9 → decimal-sum;
+    // slope/intercept the identical IEEE tree
+    "q182_zipf_fit" -> raw"""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      f AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+      ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE))
+            AS x,
+          ln(CAST(f AS DOUBLE)) AS y, f
+        FROM f),
+      sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_types,
+          CAST(sum(f) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(CAST(round(x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(round(y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(round(x * y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+        FROM ranked)
+      SELECT n_types, n_tokens,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 6)
+          AS intercept
+      FROM sums""",
+    // q183: integer x, fixed-point y — every moment sum DECIMAL-exact,
+    // VARCHAR hop on the casts (the q99 >53-bit caveat)
+    "q183_hourly_trend" -> """
+      WITH base AS (
+        SELECT event_type AS g, CAST(hour(CAST(ts AS TIMESTAMP))
+            AS DECIMAL(18,0)) AS x,
+          CAST(value AS DECIMAL(18,4)) AS y
+        FROM events),
+      sums AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) AS DOUBLE) AS nd,
+          CAST(CAST(sum(CAST(x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sx,
+          CAST(CAST(sum(CAST(y AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sy,
+          CAST(CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+            AS sxx,
+          CAST(CAST(sum(CAST(x * y AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+            AS sxy
+        FROM base GROUP BY g)
+      SELECT g AS event_type, n,
+        CASE WHEN nd * sxx - sx * sx = 0.0 THEN NULL
+          ELSE round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) END
+          AS slope,
+        CASE WHEN nd * sxx - sx * sx = 0.0 THEN NULL
+          ELSE round((sy - sx * ((nd * sxy - sx * sy) /
+            (nd * sxx - sx * sx))) / nd, 6) END AS intercept
+      FROM sums ORDER BY event_type""",
+    "q184_weighted_pagerank" -> q184Oracle,
     "q159_triangle_count" -> """
       WITH p AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,

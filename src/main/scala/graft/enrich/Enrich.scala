@@ -116,4 +116,41 @@ object Enrich {
         Seq(col("__v.f").as("valid_from"), col("__v.t").as("valid_to"),
           col("__v.o").as("is_current")): _*)
   }
+
+  /** Snapshot diff — the lakehouse "what changed between versions"
+    * readout [[scd2Merge]] acts on, surfaced as data: one row per key
+    * that was ADDED, REMOVED, or CHANGED between the old and new
+    * snapshot, with the sorted comma-joined list of differing columns
+    * for changed keys (null for added/removed). Unchanged keys are
+    * omitted — the diff is delta-sized, never snapshot-sized. Returns
+    * (key, change, changed_cols).
+    *
+    * Scale shape: one full-outer equi-join on the key plus per-row
+    * column comparisons — no window, no second pass. Comparisons are
+    * null-safe (`<=>` ≡ SQL IS NOT DISTINCT FROM), so a column moving
+    * to/from NULL counts as a change rather than vanishing from the
+    * audit.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs columns to compare")
+    val o = oldDf.select(col(keyCol) +:
+      compareCols.map(c => col(c).as(s"__o_$c")) :+
+      lit(1).as("__in_old"): _*)
+    val n = newDf.select(col(keyCol) +:
+      compareCols.map(c => col(c).as(s"__n_$c")) :+
+      lit(1).as("__in_new"): _*)
+    val diffs = compareCols.sorted.map(c =>
+      when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c)))
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(diffs.map(_.isNotNull).reduce(_ || _), lit("changed")))
+      .filter(col("change").isNotNull)
+      .withColumn("changed_cols",
+        when(col("change") === "changed",
+          concat_ws(",", filter(array(diffs: _*), d => d.isNotNull))))
+      .select(col(keyCol), col("change"), col("changed_cols"))
+  }
 }

@@ -149,6 +149,126 @@ object Funnel {
         sum(col("n")).over(norm).cast("double"), 4))
   }
 
+  /** Top-`k` frequent item TRIPLES by basket co-occurrence — the
+    * apriori level-3 step above [[coOccurrence]]'s pairs: which three
+    * items travel together, the input to bundle recommendations and
+    * cross-category curation. Returns (rank, item_a, item_b, item_c, n)
+    * with a < b < c and the (count desc, triple asc) total order.
+    *
+    * Scale shape: candidate triples are generated by two basket
+    * equi-joins over the DISTINCT (basket, item) frame — volume is
+    * Σ C(basket_size, 3), bounded by the basket-size cube, never by the
+    * item vocabulary (the frequent-itemset explosion lives in wide
+    * baskets; cap or sample those upstream, exactly as the pair operator
+    * documents for Σ block²). Counts are map-side-combinable; the top-k
+    * is a TakeOrdered. All integers.
+    */
+  def frequentItemTriples(df: DataFrame, basket: Column, item: Column,
+                          k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val items = df.select(basket.as("__b"), item.as("__i")).distinct()
+      .localCheckpoint() // three join legs read it
+    val rankW = Window.orderBy(col("n").desc, col("item_a").asc,
+      col("item_b").asc, col("item_c").asc)
+    items.select(col("__b"), col("__i").as("item_a"))
+      .join(items.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .join(items.select(col("__b"), col("__i").as("item_c")), Seq("__b"))
+      .filter(col("item_b") < col("item_c"))
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item_a").asc, col("item_b").asc,
+        col("item_c").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .select(col("rank"), col("item_a"), col("item_b"), col("item_c"),
+        col("n"))
+  }
+
+  /** RFM scoring — the classic behavioral segmentation: per user,
+    * recency (days since last event, against the corpus max date),
+    * frequency (event count) and monetary (exact decimal value sum),
+    * each bucketed 1–5 by `ntile` so 5 = most recent / most frequent /
+    * highest value, concatenated to the "545"-style segment code.
+    * Returns (user, recency_days, frequency, monetary, r, f, m, rfm).
+    *
+    * Determinism: every ntile orders by the metric THEN the user id —
+    * total order, so bucket boundaries are reproducible across engines
+    * (ntile's quotient-remainder fill is the SQL standard both
+    * implement). Scale shape: one per-user aggregation, a broadcast
+    * one-row corpus-max frame, three rank windows over the USER-grain
+    * frame (not events). At true scale swap ntile for precomputed
+    * quantile boundaries — same output contract.
+    */
+  def rfmScores(events: DataFrame, user: Column, ts: Column,
+                value: Column): DataFrame = {
+    val perUser = events
+      .select(user.as("user_id"), ts.as("__ts"),
+        value.cast("decimal(18,4)").as("__v"))
+      .groupBy(col("user_id"))
+      .agg(max(col("__ts")).as("__last"), count(lit(1)).as("frequency"),
+        sum(col("__v")).cast("double").as("monetary"))
+    val corpusMax = perUser.agg(max(col("__last")).as("__cmax"))
+    def tile(order: Column) = ntile(5)
+      .over(Window.orderBy(order, col("user_id"))).cast("long")
+    perUser.crossJoin(broadcast(corpusMax))
+      .select(col("user_id"),
+        datediff(col("__cmax").cast("date"), col("__last").cast("date"))
+          .cast("long").as("recency_days"),
+        col("frequency"), col("monetary"), col("__last"))
+      .withColumn("r", tile(col("recency_days").desc))
+      .withColumn("f", tile(col("frequency").asc))
+      .withColumn("m", tile(col("monetary").asc))
+      .withColumn("rfm", concat(col("r"), col("f"), col("m")))
+      .select("user_id", "recency_days", "frequency", "monetary",
+        "r", "f", "m", "rfm")
+  }
+
+  /** Discrete conversion-survival curve: for each day offset 0..`horizon`
+    * after a user's first `startType` event, the fraction of the cohort
+    * that has NOT yet fired `convType` — the time-to-convert complement
+    * of q134's summary stats, one row per day. No censoring model: the
+    * fixture observes every user over the full window, so survival is
+    * the plain integer ratio (cohort − converted-by-day)/cohort.
+    * Returns (day, n_cohort, n_converted, survival), survival
+    * monotonically non-increasing.
+    *
+    * Scale shape: two per-user min aggregations (type predicates pushed
+    * to the scans), one per-gap-day count, and a `horizon`-row day frame
+    * joined with a cumulative window — everything after the user grain
+    * is day-grain. All integers until the final division.
+    */
+  def survivalCurve(events: DataFrame, user: Column, typ: Column,
+                    ts: Column, startType: String, convType: String,
+                    horizonDays: Int): DataFrame = {
+    require(horizonDays >= 0, s"horizonDays must be >= 0, got $horizonDays")
+    val starts = events.filter(typ === startType)
+      .groupBy(user.as("__u")).agg(min(ts).as("__t0"))
+    val convs = events.filter(typ === convType)
+      .select(user.as("__u"), ts.as("__tc"))
+    val gaps = starts.join(convs, Seq("__u"), "left")
+      .filter(col("__tc").isNull || col("__tc") >= col("__t0"))
+      .groupBy(col("__u"), col("__t0"))
+      .agg(min(col("__tc")).as("__tconv"))
+      .select(datediff(col("__tconv").cast("date"), col("__t0").cast("date"))
+        .cast("long").as("__gap"))
+    val cohort = gaps.agg(count(lit(1)).as("__n"))
+    val byGap = gaps.filter(col("__gap").isNotNull)
+      .groupBy(col("__gap")).agg(count(lit(1)).as("__c"))
+    val days = starts.sparkSession.range(0, horizonDays + 1L)
+      .toDF("day")
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(byGap, col("day") === col("__gap"), "left")
+      .select(col("day"), coalesce(col("__c"), lit(0L)).as("__d"))
+      .withColumn("n_converted", sum(col("__d")).over(cum))
+      .crossJoin(broadcast(cohort))
+      .select(col("day"), col("__n").as("n_cohort"), col("n_converted"),
+        round((col("__n") - col("n_converted")).cast("double") /
+          col("__n").cast("double"), 6).as("survival"))
+      .orderBy("day")
+  }
+
   /** Top-`k` consecutive step `n`-grams across all per-user sequences —
     * [[transitions]]' higher-order sibling: "view→click→purchase"-style
     * frequent paths, the behavioral motifs funnel DESIGN starts from

@@ -112,6 +112,45 @@ object Graph {
       .select(col("node"), col("rank"))
   }
 
+  /** Weighted PageRank: [[pageRank]] where each edge carries an INTEGER
+    * weight and a node's rank splits across out-edges proportionally —
+    * contrib(u→v) = rank(u)·w(u,v)/Σw(u,·). The corpus-graph form where
+    * link multiplicity matters (shipment volume, citation count, shared-
+    * shingle count); duplicate (src, dst) edges COMBINE by summing their
+    * weights, rather than collapsing as unweighted pageRank does.
+    *
+    * The integer-weight contract is what keeps the oracle gate exact:
+    * weight sums are 64-bit-integer arithmetic (order-independent — a
+    * float weight column would make Σw(u,·) partition-order-dependent),
+    * and the per-edge contrib is a two-op IEEE tree on exactly-
+    * represented inputs, decimal-summed per destination like the
+    * unweighted rounds. Weights must be positive (a zero out-weight sum
+    * would divide by zero; filter first). Same per-round shape and
+    * dangling-leak simplification as [[pageRank]]'s default.
+    */
+  def weightedPageRank(edges: DataFrame, src: Column, dst: Column,
+                       weight: Column, iters: Int,
+                       damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(src.as("src"), dst.as("dst"),
+        weight.cast("long").as("__w"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("__w")).as("__w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val outW = e.groupBy(col("src").as("node"))
+      .agg(sum(col("__w")).cast("double").as("outdeg"))
+    val nNodes = nodes.count()
+    if (nNodes == 0L) return nodes.withColumn("rank", lit(0.0d))
+    val n = lit(nNodes.toDouble)
+    val base = lit(1.0d - damping) / n
+    val init = nodes.withColumn("rank", lit(1.0d) / n)
+    iterate(nodes, e, outW, init, iters, tol = 0.0, needDangling = false,
+      (inMass, _) => base + lit(damping) * inMass, weighted = true)
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts in its own community (label = its own id) and each round
     * adopts the most frequent label among its in-neighbors — ties broken
@@ -212,7 +251,8 @@ object Graph {
   private def iterate(nodes: DataFrame, e: DataFrame, outDeg: DataFrame,
                       init: DataFrame, iters: Int, tol: Double,
                       needDangling: Boolean,
-                      blend: (Column, Column) => Column): DataFrame = {
+                      blend: (Column, Column) => Column,
+                      weighted: Boolean = false): DataFrame = {
     var ranks = init
     var it = 0
     var converged = false
@@ -220,10 +260,16 @@ object Graph {
     // (contrib + dangling anti) — materialize the aggregation once instead
     // of re-shuffling the edge frame for it every use
     val od = if (iters > 0) outDeg.localCheckpoint() else outDeg
+    // weighted: e carries integer edge weight __w and outdeg holds the
+    // integer out-weight sum — contrib is (rank·w)/outw, the identical
+    // two-op IEEE tree the oracle unrolls
+    val contribOf: Column =
+      if (weighted) (col("rank") * col("__w")) / col("outdeg")
+      else col("rank") / col("outdeg")
     while (it < iters && !converged) {
       val contrib = ranks.join(od, Seq("node"))
         .join(e, col("node") === col("src"))
-        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+        .select(col("dst"), contribOf.as("c"))
       val summed = contrib.groupBy(col("dst").as("node"))
         .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("in_mass"))
       val inMass = coalesce(col("in_mass"), lit(0.0d))

@@ -656,6 +656,44 @@ object Profile {
           .as("deviation"))
   }
 
+  /** Per-group simple linear regression (OLS): slope and intercept of
+    * `y` on `x` via the five moment sums — the trend detector behind
+    * "is value drifting with hour-of-day / day-of-week / position"
+    * dashboards, computed in ONE aggregation pass per group (the q99
+    * correlation idiom extended to the fit itself). Returns
+    * (group_key, n, slope, intercept).
+    *
+    * Determinism contract: `x` must be integer-valued and `y`
+    * fixed-point (≤ `scale` decimals) — then every moment sum is
+    * DECIMAL-exact and order-independent, and slope/intercept are one
+    * IEEE tree over exactly-represented inputs. Sums hop through VARCHAR
+    * on the oracle side when they exceed 53 bits (the q99 caveat — the
+    * engine's BigDecimal→double cast is correctly rounded already).
+    * Groups where x is constant yield null slope/intercept (vertical
+    * fit), not a divide-by-zero.
+    */
+  def groupOls(df: DataFrame, group: Column, x: Column, y: Column,
+               scale: Int = 4): DataFrame = {
+    val base = df.select(group.as("__g"),
+      x.cast("decimal(18,0)").as("__x"),
+      y.cast(s"decimal(18,$scale)").as("__y"))
+    def d(c: Column) = sum(c.cast("decimal(38,8)")).cast("double")
+    val n = count(lit(1)).cast("double")
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / den
+    base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), n.as("__n"),
+        d(col("__x")).as("__sx"), d(col("__y")).as("__sy"),
+        d(col("__x") * col("__x")).as("__sxx"),
+        d(col("__x") * col("__y")).as("__sxy"))
+      .select(col("__g").as("group_key"), col("n"),
+        when(den === 0.0d, lit(null).cast("double"))
+          .otherwise(round(slope, 6)).as("slope"),
+        when(den === 0.0d, lit(null).cast("double"))
+          .otherwise(round((col("__sy") - col("__sx") * slope) / col("__n"),
+            6)).as("intercept"))
+  }
+
   /** Cohen's kappa between two categorical labelings of the same rows —
     * chance-corrected inter-annotator agreement, the acceptance gate for
     * labeling pipelines (two annotation runs, a model vs a human pass, or

@@ -661,6 +661,46 @@ object TextAnalysis {
           col("__clc").cast("double") / col("n_tokens").cast("double"), 6)
           .as("entropy"))
 
+  /** Zipf rank–frequency fit: least-squares slope of ln(freq) on
+    * ln(rank) over the corpus unigram distribution — THE one-number
+    * language-corpus health check (natural text sits near −1; a slope
+    * far off flags synthetic, boilerplate-heavy, or truncated-vocab
+    * corpora before training does). Returns one row
+    * (n_types, n_tokens, slope, intercept).
+    *
+    * Determinism: ranks come from the repo's (freq desc, token asc)
+    * total order; the four regression sums run the round-9 →
+    * decimal-sum idiom (ln terms rounded to 9dp, summed exactly), and
+    * slope/intercept are one IEEE tree. Scale shape: one vocab
+    * aggregation, one rank window over the VOCAB (types, not tokens —
+    * Zipf-small), one scalar fold.
+    */
+  def zipfFit(df: DataFrame, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__f").desc, col("__tok").asc)
+    val ranked = Dedup.spread(df)
+      .select(explode(tokens(text)).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__f"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .select(log(col("__r").cast("double")).as("__x"),
+        log(col("__f").cast("double")).as("__y"), col("__f"))
+    def s9(c: Column) = sum(round(c, 9).cast("decimal(28,12)")).cast("double")
+    val n = count(lit(1)).cast("double")
+    ranked
+      .agg(count(lit(1)).as("n_types"), sum(col("__f")).as("n_tokens"),
+        n.as("__n"), s9(col("__x")).as("__sx"), s9(col("__y")).as("__sy"),
+        s9(col("__x") * col("__x")).as("__sxx"),
+        s9(col("__x") * col("__y")).as("__sxy"))
+      .select(col("n_types"), col("n_tokens"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("slope"),
+        round((col("__sy") - col("__sx") *
+            ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+             (col("__n") * col("__sxx") - col("__sx") * col("__sx")))) /
+          col("__n"), 6).as("intercept"))
+  }
+
   /** Rare-token scoring — the unigram-LM-proxy curation filter: per
     * document, the fraction of token OCCURRENCES whose corpus-wide
     * frequency share is below 1/`shareDenom` (token is "rare" ⟺

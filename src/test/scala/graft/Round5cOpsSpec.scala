@@ -215,6 +215,66 @@ class Round5cOpsSpec extends AnyFunSuite {
     assert(math.abs(out(0)._4 - math.log10(2.0)) < 1e-6)
   }
 
+  test("snapshotDiff: added/removed/changed with column lists, delta-sized") {
+    val oldV = Seq((1L, Some("x"), 10.0), (2L, Some("y"), 20.0),
+      (3L, Some("z"), 30.0)).toDF("k", "s", "v")
+    val newV = Seq((1L, Some("x"), 10.0), (2L, None: Option[String], 21.0),
+      (4L, Some("w"), 40.0)).toDF("k", "s", "v")
+    val out = graft.enrich.Enrich.snapshotDiff(oldV, newV, "k", Seq("s", "v"))
+      .orderBy("k").as[(Long, String, Option[String])].collect()
+    // key 1 unchanged → omitted; key 2: both cols differ (null-safely)
+    assert(out.toSeq === Seq(
+      (2L, "changed", Some("s,v")),
+      (3L, "removed", None),
+      (4L, "added", None)))
+  }
+
+  test("zipfFit: an exact power-law two-type corpus fits slope -1") {
+    val docs = Seq((1L, "a a a a b b")).toDF("id", "text")
+    val out = TextAnalysis.zipfFit(docs, $"text")
+      .as[(Long, Long, Double, Double)].collect()
+    // freqs 4,2 at ranks 1,2: slope (ln2-ln4)/(ln2-0) = -1, intercept ln4
+    assert(out.head._1 === 2L && out.head._2 === 6L)
+    assert(out.head._3 === -1.0)
+    assert(math.abs(out.head._4 - 1.386294) < 1e-6)
+  }
+
+  test("groupOls: exact line recovered; constant x yields nulls") {
+    val df = Seq(("g1", 0, 1.0), ("g1", 1, 3.0), ("g1", 2, 5.0),
+      ("g2", 7, 1.0), ("g2", 7, 9.0)).toDF("g", "x", "y")
+    val out = Profile.groupOls(df, $"g", $"x", $"y")
+      .orderBy("group_key")
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+    assert(out(0) === (("g1", 3L, Some(2.0), Some(1.0))))
+    assert(out(1) === (("g2", 2L, None, None)))
+  }
+
+  test("weightedPageRank: mass splits by weight share, duplicates combine") {
+    // a's mass splits 1:3 between b and c; the duplicate a->c edges
+    // (1 + 2) must combine to weight 3
+    val edges = Seq(("a", "b", 1L), ("a", "c", 1L), ("a", "c", 2L),
+      ("b", "a", 1L), ("c", "a", 1L)).toDF("s", "d", "w")
+    val out = Graph.weightedPageRank(edges, $"s", $"d", $"w", iters = 1)
+      .orderBy("node").as[(String, Double)].collect().toMap
+    val third = 1.0 / 3.0
+    assert(math.abs(out("a") - (0.05 + 0.85 * (third + third))) < 1e-12)
+    assert(math.abs(out("b") - (0.05 + 0.85 * (third * (1.0 / 4.0)))) < 1e-12)
+    assert(math.abs(out("c") - (0.05 + 0.85 * (third * (3.0 / 4.0)))) < 1e-12)
+  }
+
+  test("weightedPageRank: uniform weights reduce to unweighted pageRank") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("s", "d")
+    val w = Graph.weightedPageRank(edges, $"s", $"d", lit(7L), iters = 2)
+      .orderBy("node").as[(String, Double)].collect()
+    val u = Graph.pageRank(edges, $"s", $"d", iters = 2)
+      .orderBy("node").as[(String, Double)].collect()
+    w.zip(u).foreach { case ((wn, wr), (un, ur)) =>
+      assert(wn === un)
+      assert(math.abs(wr - ur) < 1e-12)
+    }
+  }
+
   test("int8Ranking: integer dots, id tie-break, self excluded") {
     val rows = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
