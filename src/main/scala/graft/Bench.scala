@@ -167,7 +167,14 @@ object Bench {
     "q181_snapshot_diff",
     "q182_zipf_fit",
     "q183_hourly_trend",
-    "q184_weighted_pagerank")
+    "q184_weighted_pagerank",
+    "q185_frequent_triples",
+    "q186_rfm_scores",
+    "q187_survival_curve",
+    "q188_golden_record",
+    "q189_interval_merge",
+    "q190_debounce",
+    "q191_scd2_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -822,7 +822,10 @@ object SparkEntry {
     * shifted key). Changed keys get a closed old version + an open new
     * one; the oracle restates the diff with a FULL OUTER JOIN.
     */
-  private def q84(s: SparkSession, dir: String): DataFrame = {
+  /** q84's (current, incoming) frames — shared with q191 so the
+    * reconstruction law is tested against the IDENTICAL merge input.
+    */
+  private def q84Frames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cur = t(s, dir, "customer")
       .select("c_custkey", "c_mktsegment", "c_nationkey")
     val upd = cur.filter(col("c_custkey") % 97 =!= 0)
@@ -832,7 +835,12 @@ object SparkEntry {
     val ins = cur.filter(col("c_custkey") % 101 === 0)
       .select((col("c_custkey") + 1000000L).as("c_custkey"),
         lit("BUILDING").as("c_mktsegment"), col("c_nationkey"))
-    Enrich.scd2Merge(cur, upd.unionByName(ins),
+    (cur, upd.unionByName(ins))
+  }
+
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val (cur, incoming) = q84Frames(s, dir)
+    Enrich.scd2Merge(cur, incoming,
       Seq("c_custkey"), Seq("c_mktsegment", "c_nationkey"),
       effective = "2024-02-01")
       .orderBy(col("c_custkey"), col("valid_from"))
@@ -2268,6 +2276,98 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Behavior 5 (round-5): top-100 frequent item triples
+    * ([[graft.ops.Funnel.frequentItemTriples]]) — the apriori level-3
+    * step above q135's pairs: which three parts travel together in an
+    * order. Candidate volume Σ C(basket,3), basket-bounded.
+    */
+  private def q185(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.frequentItemTriples(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"), k = 100)
+
+  /** Behavior 6 (round-5): RFM segmentation
+    * ([[graft.ops.Funnel.rfmScores]]) — recency/frequency/monetary
+    * quintiles per user with the metric-then-id total order making the
+    * ntile boundaries engine-reproducible; the classic behavioral
+    * segmentation as one user-grain pass.
+    */
+  private def q186(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.rfmScores(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("value"))
+      .withColumn("monetary", round(col("monetary"), 4))
+      .orderBy("user_id")
+
+  /** Behavior 7 (round-5): view→purchase survival curve
+    * ([[graft.ops.Funnel.survivalCurve]]) — per day-offset 0..14, the
+    * cohort fraction not yet converted: q134's timing stats unrolled to
+    * the full curve, all-integer until the final ratio.
+    */
+  private def q187(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.survivalCurve(t(s, dir, "events"), col("user_id"),
+        col("event_type"), col("ts"), startType = "view",
+        convType = "purchase", horizonDays = 14)
+
+  /** Quality 4 (round-5): survivorship merge
+    * ([[graft.enrich.Enrich.goldenRecord]]) — the step after q170's
+    * match: duplicate part rows per name collapse to one canonical
+    * record (min key as id, max price, modal brand with smallest-value
+    * tie-break). Count/order decisions only — no floats.
+    */
+  private def q188(s: SparkSession, dir: String): DataFrame =
+    graft.enrich.Enrich.goldenRecord(t(s, dir, "part"), col("p_name"),
+        minCols = Seq("p_partkey"), maxCols = Seq("p_retailprice"),
+        modalCols = Seq("p_brand"))
+      .withColumnRenamed("key", "p_name")
+      .withColumn("max_p_retailprice", round(col("max_p_retailprice"), 2))
+      .orderBy("p_name")
+
+  /** Timeseries 7 (round-5): merged activity intervals
+    * ([[graft.ops.Timeseries.mergeIntervals]]) — each event opens a
+    * 5-minute hold window; overlapping windows per user coalesce into
+    * islands (running-max boundary, not lag — an earlier event can
+    * cover a later one). Session stitching / coverage as two windows +
+    * one island-grain aggregation.
+    */
+  private def q189(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.mergeIntervals(t(s, dir, "events"),
+        col("user_id"), col("ts"), Seq(col("ts"), col("event_id")),
+        holdSeconds = 300L)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "island")
+
+  /** Timeseries 8 (round-5): debounce
+    * ([[graft.ops.Timeseries.debounce]]) — keep an event only ≥ 60 s
+    * after the last KEPT one: the decision depends on prior decisions,
+    * so no window expresses it — the repo's one batch `mapGroups`
+    * (in-task per-user fold, q32's memory bound). The oracle restates
+    * the sequential walk as a linear recursive CTE.
+    */
+  private def q190(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.debounce(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), minGapSeconds = 60L)
+      .withColumnRenamed("key", "user_id")
+      .withColumnRenamed("id", "event_id")
+      .orderBy("user_id", "event_id")
+
+  /** Quality 5 (round-5): SCD2 point-in-time reconstruction
+    * ([[graft.enrich.Enrich.scd2SnapshotAt]]) over q84's merge — the
+    * reconstruction LAW as the gate: as-of before the effective date
+    * equals the pre-merge table verbatim, as-of after equals the
+    * post-merge table verbatim; the oracle is the source frames with a
+    * state tag, zero re-derivation.
+    */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val (cur, incoming) = q84Frames(s, dir)
+    val hist = Enrich.scd2Merge(cur, incoming,
+      Seq("c_custkey"), Seq("c_mktsegment", "c_nationkey"),
+      effective = "2024-02-01")
+    Enrich.scd2SnapshotAt(hist, "2024-01-15")
+      .withColumn("state", lit("before"))
+      .unionByName(Enrich.scd2SnapshotAt(hist, "2024-03-01")
+        .withColumn("state", lit("after")))
+      .orderBy("state", "c_custkey")
+  }
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3400,7 +3500,14 @@ object SparkEntry {
     "q181_snapshot_diff" -> q181 _,
     "q182_zipf_fit" -> q182 _,
     "q183_hourly_trend" -> q183 _,
-    "q184_weighted_pagerank" -> q184 _)
+    "q184_weighted_pagerank" -> q184 _,
+    "q185_frequent_triples" -> q185 _,
+    "q186_rfm_scores" -> q186 _,
+    "q187_survival_curve" -> q187 _,
+    "q188_golden_record" -> q188 _,
+    "q189_interval_merge" -> q189 _,
+    "q190_debounce" -> q190 _,
+    "q191_scd2_asof" -> q191 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4611,6 +4718,157 @@ object SparkEntry {
             (nd * sxx - sx * sx))) / nd, 6) END AS intercept
       FROM sums ORDER BY event_type""",
     "q184_weighted_pagerank" -> q184Oracle,
+    // q189: running-max islanding in epoch micros; covered_seconds by
+    // exact integer division both sides
+    "q189_interval_merge" -> """
+      WITH base AS (
+        SELECT user_id, ts, event_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+          epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+        FROM events),
+      flagged AS (
+        SELECT user_id, ts, event_id, s, e,
+          max(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM base),
+      isl AS (
+        SELECT user_id, s, e,
+          sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged)
+      SELECT user_id, CAST(island AS BIGINT) AS island,
+        make_timestamp(min(s)) AS island_start,
+        make_timestamp(max(e)) AS island_end,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST((max(e) - min(s)) // 1000000 AS BIGINT) AS covered_seconds
+      FROM isl GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q190: the engine's sequential fold restated as a linear recursive
+    // CTE — rn -> rn+1 per user, kept-clock carried in the walk
+    "q190_debounce" -> """
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        FROM events),
+      walk AS (
+        SELECT user_id, rn, event_id, t, t AS kept_t, TRUE AS keep
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.event_id, e.t,
+          CASE WHEN e.t - w.kept_t >= 60000000 THEN e.t ELSE w.kept_t END,
+          e.t - w.kept_t >= 60000000
+        FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+      SELECT user_id, event_id FROM walk WHERE keep ORDER BY 1, 2""",
+    // q191: the reconstruction law — the oracle IS the source frames
+    // (pre-merge table tagged before, post-merge tagged after)
+    "q191_scd2_asof" -> """
+      SELECT c_custkey, c_mktsegment, c_nationkey, 'before' AS state
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 10 = 0 THEN 'MACHINERY'
+             ELSE c_mktsegment END,
+        c_nationkey, 'after'
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'BUILDING', c_nationkey, 'after'
+      FROM customer WHERE c_custkey % 101 = 0
+      ORDER BY state, c_custkey""",
+    // q185: two basket equi-joins over the distinct frame, a<b<c; count
+    // + the (n desc, triple asc) total order
+    "q185_frequent_triples" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      tri AS (
+        SELECT a.i AS item_a, b.i AS item_b, c.i AS item_c,
+          CAST(count(*) AS BIGINT) AS n
+        FROM items a
+        JOIN items b ON a.b = b.b AND a.i < b.i
+        JOIN items c ON a.b = c.b AND b.i < c.i
+        GROUP BY 1, 2, 3)
+      SELECT CAST(row_number() OVER (
+          ORDER BY n DESC, item_a, item_b, item_c) AS BIGINT) AS rank,
+        item_a, item_b, item_c, n
+      FROM tri QUALIFY rank <= 100 ORDER BY rank""",
+    // q186: ntile boundaries from the metric-then-id total order (the
+    // standard quotient-remainder fill both engines implement)
+    "q186_rfm_scores" -> """
+      WITH pu AS (
+        SELECT user_id, max(ts) AS last_ts,
+          CAST(count(*) AS BIGINT) AS frequency,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        FROM events GROUP BY 1),
+      cm AS (SELECT max(last_ts) AS cmax FROM pu),
+      base AS (
+        SELECT user_id,
+          CAST(date_diff('day', CAST(last_ts AS DATE), CAST(cmax AS DATE))
+            AS BIGINT) AS recency_days,
+          frequency, monetary
+        FROM pu CROSS JOIN cm),
+      t AS (
+        SELECT user_id, recency_days, frequency, monetary,
+          CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+            AS BIGINT) AS r,
+          CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id)
+            AS BIGINT) AS f,
+          CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id)
+            AS BIGINT) AS m
+        FROM base)
+      SELECT user_id, recency_days, frequency, round(monetary, 4) AS monetary,
+        r, f, m,
+        CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS rfm
+      FROM t ORDER BY user_id""",
+    // q187: the >= t0 condition lives IN the left join (cohort keeps
+    // never-converting users); day frame + one cumulative window
+    "q187_survival_curve" -> """
+      WITH st AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      cv AS (
+        SELECT s.user_id, s.t0, min(CAST(e.ts AS TIMESTAMP)) AS tc
+        FROM st s LEFT JOIN events e ON e.user_id = s.user_id
+          AND e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s.t0
+        GROUP BY 1, 2),
+      gaps AS (
+        SELECT CAST(date_diff('day', CAST(t0 AS DATE), CAST(tc AS DATE))
+          AS BIGINT) AS gap FROM cv),
+      coh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gaps),
+      bygap AS (
+        SELECT gap, CAST(count(*) AS BIGINT) AS c FROM gaps
+        WHERE gap IS NOT NULL GROUP BY 1),
+      days AS (SELECT CAST(range AS BIGINT) AS day FROM range(0, 15)),
+      cum AS (
+        SELECT d.day, COALESCE(b.c, 0) AS dc
+        FROM days d LEFT JOIN bygap b ON d.day = b.gap)
+      SELECT day, coh.n AS n_cohort,
+        CAST(sum(dc) OVER w AS BIGINT) AS n_converted,
+        round(CAST(coh.n - sum(dc) OVER w AS DOUBLE) /
+          CAST(coh.n AS DOUBLE), 6) AS survival
+      FROM cum CROSS JOIN coh
+      WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      ORDER BY day""",
+    // q188: min/max in one grouped agg; modal brand = per-name count
+    // argmax with the smallest-value tie-break
+    "q188_golden_record" -> """
+      WITH agg AS (
+        SELECT p_name, CAST(count(*) AS BIGINT) AS n_records,
+          min(p_partkey) AS min_p_partkey,
+          round(max(p_retailprice), 2) AS max_p_retailprice
+        FROM part GROUP BY 1),
+      modal AS (
+        SELECT p_name, p_brand AS modal_p_brand FROM (
+          SELECT p_name, p_brand,
+            row_number() OVER (PARTITION BY p_name
+              ORDER BY count(*) DESC, p_brand) AS rn
+          FROM part WHERE p_brand IS NOT NULL
+          GROUP BY p_name, p_brand)
+        WHERE rn = 1)
+      SELECT a.p_name, a.n_records, a.min_p_partkey, a.max_p_retailprice,
+        m.modal_p_brand
+      FROM agg a LEFT JOIN modal m ON a.p_name = m.p_name
+      ORDER BY a.p_name""",
     "q159_triangle_count" -> """
       WITH p AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,

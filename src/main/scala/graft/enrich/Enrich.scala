@@ -117,6 +117,65 @@ object Enrich {
           col("__v.o").as("is_current")): _*)
   }
 
+  /** Point-in-time reconstruction over an [[scd2Merge]] history: the
+    * table state as of `date` — rows whose [valid_from, valid_to)
+    * interval covers it (ISO date strings compare lexicographically, so
+    * this is a pure string-range filter; no date parsing on the gate
+    * path). The query SCD2 exists to answer; composing it with the merge
+    * yields the reconstruction LAW the gate tests: as-of BEFORE the
+    * effective date returns exactly the pre-merge table, as-of AFTER
+    * returns exactly the post-merge table — the oracle is the source
+    * frames verbatim, zero re-derivation.
+    */
+  def scd2SnapshotAt(history: DataFrame, date: String): DataFrame = {
+    require(date.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"date must be ISO yyyy-MM-dd, got $date")
+    history.filter(col("valid_from") <= date && col("valid_to") > date)
+      .drop("valid_from", "valid_to", "is_current")
+  }
+
+  /** Survivorship merge (golden record): collapse duplicate records per
+    * entity key into one canonical row by per-attribute rules — the step
+    * AFTER matching ([[graft.ops.Dedup.fuzzyMatchBlocked]] finds the
+    * groups; this merges them): `minCols`/`maxCols` take the extreme
+    * value (canonical id, latest price), `modalCols` take the most
+    * frequent value with a deterministic smallest-value tie-break (the
+    * consensus attribute). Returns one row per key:
+    * (key, n_records, min_*, max_*, modal_*).
+    *
+    * Scale shape: min/max ride ONE hash aggregation over the key;
+    * each modal column adds a (key, value) count aggregation + a
+    * per-key rank window (partition bounded by the key's distinct
+    * values) + one equi-join back — modal columns cost what they cost,
+    * stated rather than hidden. All decisions are count/order-based —
+    * no floats, bit-identical in any engine.
+    */
+  def goldenRecord(df: DataFrame, key: Column, minCols: Seq[String],
+                   maxCols: Seq[String],
+                   modalCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCols.nonEmpty || maxCols.nonEmpty || modalCols.nonEmpty,
+      "goldenRecord needs at least one survivorship rule")
+    val keyed = df.select(key.as("__k") +:
+      (minCols ++ maxCols ++ modalCols).distinct.map(col): _*)
+      .localCheckpoint() // base agg + one pass per modal column
+    val aggs = count(lit(1)).as("n_records") +:
+      (minCols.map(c => min(col(c)).as(s"min_$c")) ++
+        maxCols.map(c => max(col(c)).as(s"max_$c")))
+    val base = keyed.groupBy(col("__k")).agg(aggs.head, aggs.tail: _*)
+    modalCols.foldLeft(base) { (acc, c) =>
+      val w = Window.partitionBy(col("__k"))
+        .orderBy(col("__n").desc, col(c).asc)
+      val modal = keyed.filter(col(c).isNotNull)
+        .groupBy(col("__k"), col(c))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__k"), col(c).as(s"modal_$c"))
+      acc.join(modal, Seq("__k"), "left")
+    }.withColumnRenamed("__k", "key")
+  }
+
   /** Snapshot diff — the lakehouse "what changed between versions"
     * readout [[scd2Merge]] acts on, surfaced as data: one row per key
     * that was ADDED, REMOVED, or CHANGED between the old and new

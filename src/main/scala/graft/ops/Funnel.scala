@@ -245,9 +245,12 @@ object Funnel {
     val starts = events.filter(typ === startType)
       .groupBy(user.as("__u")).agg(min(ts).as("__t0"))
     val convs = events.filter(typ === convType)
-      .select(user.as("__u"), ts.as("__tc"))
-    val gaps = starts.join(convs, Seq("__u"), "left")
-      .filter(col("__tc").isNull || col("__tc") >= col("__t0"))
+      .select(user.as("__cu"), ts.as("__tc"))
+    // the >= t0 condition lives IN the left join, not a post-filter: a
+    // user whose conversions all precede t0 must stay in the cohort with
+    // a null conversion, not vanish from the denominator
+    val gaps = starts.join(convs,
+        col("__cu") === col("__u") && col("__tc") >= col("__t0"), "left")
       .groupBy(col("__u"), col("__t0"))
       .agg(min(col("__tc")).as("__tconv"))
       .select(datediff(col("__tconv").cast("date"), col("__t0").cast("date"))

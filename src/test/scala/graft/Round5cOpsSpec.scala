@@ -275,6 +275,136 @@ class Round5cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("frequentItemTriples: basket combinations counted, dup rows collapse") {
+    val li = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 12L), (3L, 10L), (3L, 11L))
+      .toDF("b", "i")
+    val out = graft.ops.Funnel.frequentItemTriples(li, $"b", $"i", k = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // (10,11,12) in baskets 1 and 2; basket 3 has only a pair
+    assert(out.toSeq === Seq((1L, 10L, 11L, 12L, 2L)))
+  }
+
+  test("rfmScores: quintile codes with the metric-then-id total order") {
+    import java.sql.Timestamp
+    val ev = (1 to 5).flatMap { u =>
+      (0 until u).map(i =>
+        (u.toLong, Timestamp.valueOf(f"2024-01-${u + i}%02d 00:00:00"),
+          u * 10.0))
+    }.toDF("user_id", "ts", "value")
+    val out = graft.ops.Funnel.rfmScores(ev, $"user_id", $"ts", $"value")
+      .orderBy("user_id")
+      .select("user_id", "recency_days", "frequency", "r", "f", "m", "rfm")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+    // user 5 has the latest event (recency 0), most events, highest value
+    assert(out(4) === ((5L, 0L, 5L, 5L, 5L, 5L, "555")))
+    // user 1: one event on day 1, recency 8 days before user 5's last
+    assert(out(0)._2 === 8L && out(0)._3 === 1L)
+    assert(out(0)._4 === 1L && out(0)._5 === 1L && out(0)._6 === 1L)
+  }
+
+  test("survivalCurve: never-converters stay in the cohort denominator") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val ev = Seq(
+      (1L, "view", t(1)), (1L, "purchase", t(2)),   // converts day 1
+      (2L, "view", t(1)), (2L, "purchase", t(4)),   // converts day 3
+      (3L, "view", t(5)),                           // never converts
+      (4L, "purchase", t(1)), (4L, "view", t(3))    // pre-t0 purchase only
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.ops.Funnel.survivalCurve(ev, $"user_id", $"event_type",
+        $"ts", "view", "purchase", horizonDays = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    // cohort = 4 viewers; users 3 and 4 never convert (4's purchase
+    // precedes its first view and must not count)
+    assert(out.toSeq === Seq(
+      (0L, 4L, 0L, 1.0), (1L, 4L, 1L, 0.75),
+      (2L, 4L, 1L, 0.75), (3L, 4L, 2L, 0.5)))
+  }
+
+  test("goldenRecord: min/max/modal survivorship with tie-break") {
+    val df = Seq(
+      ("w", 3L, 10.0, Some("b2")), ("w", 1L, 30.0, Some("b1")),
+      ("w", 2L, 20.0, Some("b1")), ("x", 9L, 5.0, None))
+      .toDF("name", "k", "price", "brand")
+    val out = graft.enrich.Enrich.goldenRecord(df, $"name",
+        minCols = Seq("k"), maxCols = Seq("price"),
+        modalCols = Seq("brand"))
+      .orderBy("key")
+      .as[(String, Long, Long, Double, Option[String])].collect()
+    assert(out.toSeq === Seq(
+      ("w", 3L, 1L, 30.0, Some("b1")),
+      ("x", 1L, 9L, 5.0, None)))
+  }
+
+  test("goldenRecord: modal tie breaks on the smaller value") {
+    val df = Seq(("w", "b2"), ("w", "b1")).toDF("name", "brand")
+    val out = graft.enrich.Enrich.goldenRecord(df, $"name",
+        minCols = Nil, maxCols = Nil, modalCols = Seq("brand"))
+      .select("modal_brand").as[String].collect()
+    assert(out.toSeq === Seq("b1"))
+  }
+
+  test("mergeIntervals: covered-by-earlier events stay in one island") {
+    import java.sql.Timestamp
+    def t(m: Int, sec: Int = 0) =
+      Timestamp.valueOf(f"2024-01-01 00:$m%02d:$sec%02d")
+    // events at 0:00, 0:03, 0:04:30 chain one island (5-min hold);
+    // 0:20 opens a second
+    val ev = Seq((1L, t(0), 1L), (1L, t(3), 2L), (1L, t(4, 30), 3L),
+      (1L, t(20), 4L)).toDF("u", "ts", "id")
+    val out = graft.ops.Timeseries.mergeIntervals(ev, $"u", $"ts",
+        Seq($"ts", $"id"), holdSeconds = 300L)
+      .orderBy("island")
+      .select("key", "island", "n_events", "covered_seconds")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L, 3L, 570L), (1L, 2L, 1L, 300L)))
+  }
+
+  test("mergeIntervals: running max merges what lag would split") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // long hold: event A [0, 20min) covers B [1, 21min) covers C [19, 39)
+    // — every adjacent pair overlaps through the running max
+    val ev = Seq((1L, t(0), 1L), (1L, t(1), 2L), (1L, t(19), 3L))
+      .toDF("u", "ts", "id")
+    val out = graft.ops.Timeseries.mergeIntervals(ev, $"u", $"ts",
+        Seq($"ts", $"id"), holdSeconds = 1200L)
+      .select("island", "n_events").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 3L)))
+  }
+
+  test("debounce: a kept event resets the clock (sequential semantics)") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // events at 0, 40, 70, 130 with 60s gap: keep 0; 40 dropped (40<60);
+    // 70 kept (70-0>=60); 130 kept (130-70>=60). A lag-based rule would
+    // wrongly drop 70 (70-40=30<60).
+    val ev = Seq((1L, t(0), 1L), (1L, t(40), 2L), (2L, t(0), 10L))
+      .union(Seq((1L, Timestamp.valueOf("2024-01-01 00:01:10"), 3L),
+        (1L, Timestamp.valueOf("2024-01-01 00:02:10"), 4L)))
+      .toDF("u", "ts", "id")
+    val out = graft.ops.Timeseries.debounce(ev, $"u", $"ts", $"id",
+        minGapSeconds = 60L)
+      .orderBy("key", "id").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L), (1L, 3L), (1L, 4L), (2L, 10L)))
+  }
+
+  test("scd2SnapshotAt: reconstruction law on a two-version history") {
+    val cur = Seq((1L, "a"), (2L, "b")).toDF("k", "attr")
+    val inc = Seq((1L, "a2"), (3L, "c")).toDF("k", "attr")
+    val hist = graft.enrich.Enrich.scd2Merge(cur, inc, Seq("k"),
+      Seq("attr"), effective = "2024-02-01")
+    val before = graft.enrich.Enrich.scd2SnapshotAt(hist, "2024-01-15")
+      .orderBy("k").as[(Long, String)].collect()
+    val after = graft.enrich.Enrich.scd2SnapshotAt(hist, "2024-03-01")
+      .orderBy("k").as[(Long, String)].collect()
+    // before = cur verbatim (2 removed-later keys included); after = inc
+    // plus the unchanged-but-absent key 2 closed at the effective date
+    assert(before.toSeq === Seq((1L, "a"), (2L, "b")))
+    assert(after.toSeq === Seq((1L, "a2"), (3L, "c")))
+  }
+
   test("int8Ranking: integer dots, id tie-break, self excluded") {
     val rows = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
