@@ -174,7 +174,11 @@ object Bench {
     "q188_golden_record",
     "q189_interval_merge",
     "q190_debounce",
-    "q191_scd2_asof")
+    "q191_scd2_asof",
+    "q192_pareto_frontier",
+    "q193_reliability_bins",
+    "q194_auc",
+    "q195_classifier_metrics")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

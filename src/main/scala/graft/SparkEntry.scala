@@ -2368,6 +2368,58 @@ object SparkEntry {
       .orderBy("state", "c_custkey")
   }
 
+  /** Profile 18 (round-5): 2-D Pareto frontier
+    * ([[graft.ops.Profile.paretoFrontier2D]]) over (quality score,
+    * token entropy) — the multi-objective curation cut: documents no
+    * other document strictly dominates on both axes, no weighted-score
+    * collapse. Skyline via distinct-x running max, score grain.
+    */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val q = docs.select(col("doc_id"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+    val e = TextAnalysis.tokenEntropy(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("entropy"))
+    graft.ops.Profile.paretoFrontier2D(q.join(e, Seq("doc_id")),
+        col("doc_id"), col("quality"), col("entropy"))
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("x", "quality")
+      .withColumnRenamed("y", "entropy")
+      .orderBy("doc_id")
+  }
+
+  /** Eval 1 (round-5): calibration bins
+    * ([[graft.ops.Eval.reliabilityBins]]) — q28's quality score vs the
+    * is-English outcome in 10 equal-count bins: does the scorer's
+    * number MEAN anything. Round-9 decimal mean, integer rates.
+    */
+  private def q193(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.reliabilityBins(t(s, dir, "documents"), col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6),
+        col("lang") === "en", bins = 10)
+      .orderBy("bin")
+
+  /** Eval 2 (round-5): ROC-AUC ([[graft.ops.Eval.binaryAuc]]) of the
+    * quality score against the is-English label — Mann–Whitney rank
+    * sum with PROPER tied-rank averaging (half-integers in DECIMAL),
+    * not the row_number shortcut that biases toward tie-break order.
+    */
+  private def q194(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.binaryAuc(t(s, dir, "documents"),
+      round(TextAnalysis.qualityScore(col("text")), 6),
+      col("lang") === "en")
+
+  /** Eval 3 (round-5): per-class precision/recall/F1
+    * ([[graft.ops.Eval.classifierMetrics]]) of q27's language detector
+    * against the true lang label — the classifier report card built on
+    * the confusion-matrix sufficient statistic.
+    */
+  private def q195(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.classifierMetrics(t(s, dir, "documents"), col("lang"),
+        TextAnalysis.detectLanguage(col("text")))
+      .withColumnRenamed("label", "lang")
+      .orderBy("lang")
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3507,7 +3559,11 @@ object SparkEntry {
     "q188_golden_record" -> q188 _,
     "q189_interval_merge" -> q189 _,
     "q190_debounce" -> q190 _,
-    "q191_scd2_asof" -> q191 _)
+    "q191_scd2_asof" -> q191 _,
+    "q192_pareto_frontier" -> q192 _,
+    "q193_reliability_bins" -> q193 _,
+    "q194_auc" -> q194 _,
+    "q195_classifier_metrics" -> q195 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4718,6 +4774,164 @@ object SparkEntry {
             (nd * sxx - sx * sx))) / nd, 6) END AS intercept
       FROM sums ORDER BY event_type""",
     "q184_weighted_pagerank" -> q184Oracle,
+    // q192: q28's score + q178's entropy feed the skyline; survive iff
+    // y = G(x) (same-x max) and y > M(x) (strictly-greater-x max)
+    "q192_pareto_frontier" -> raw"""
+      WITH f AS (
+        SELECT doc_id,
+          CAST(len(tk) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+          CAST(len(text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            AS alpha
+        FROM (SELECT doc_id, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents)),
+      q AS (
+        SELECT doc_id, round(least(greatest(
+          0.4 * least(nt / 50.0, 1.0) +
+          0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+          0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 6)
+          AS x
+        FROM f),
+      toks AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks
+        GROUP BY 1, 2),
+      ent AS (
+        SELECT doc_id, round(ln(CAST(sum(c) AS DOUBLE)) -
+          CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+            AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS y
+        FROM c GROUP BY doc_id),
+      base AS (
+        SELECT q.doc_id AS id, q.x, e.y FROM q JOIN ent e
+          ON q.doc_id = e.doc_id),
+      g AS (SELECT x, max(y) AS gy FROM base GROUP BY 1),
+      m AS (
+        SELECT x, gy, max(gy) OVER (ORDER BY x DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        FROM g)
+      SELECT b.id AS doc_id, b.x AS quality, b.y AS entropy
+      FROM base b JOIN m ON b.x = m.x
+      WHERE b.y = m.gy AND (m.m IS NULL OR b.y > m.m)
+      ORDER BY doc_id""",
+    // q193: ntile over the (score, id) total order; round-9 decimal mean
+    "q193_reliability_bins" -> raw"""
+      WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(tk) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+          CAST(len(text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            AS alpha
+        FROM (SELECT doc_id, lang, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents)),
+      scored AS (
+        SELECT doc_id, lang = 'en' AS p, round(least(greatest(
+          0.4 * least(nt / 50.0, 1.0) +
+          0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+          0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 6)
+          AS s
+        FROM f),
+      binned AS (
+        SELECT CAST(ntile(10) OVER (ORDER BY s ASC, doc_id ASC) AS BIGINT)
+          AS bin, s, p
+        FROM scored)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        round(CAST(sum(CAST(round(s, 9) AS DECIMAL(28,12))) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS mean_score,
+        round(CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS pos_rate
+      FROM binned GROUP BY bin ORDER BY bin""",
+    // q194: Mann–Whitney with tied-rank averaging — half-integer avg
+    // ranks carried in DECIMAL(38,1)
+    "q194_auc" -> raw"""
+      WITH f AS (
+        SELECT lang,
+          CAST(len(tk) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+          CAST(len(text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            AS alpha
+        FROM (SELECT lang, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents)),
+      scored AS (
+        SELECT lang = 'en' AS p, round(least(greatest(
+          0.4 * least(nt / 50.0, 1.0) +
+          0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+          0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 6)
+          AS s
+        FROM f),
+      ranked AS (
+        SELECT p,
+          CAST(2 * rank() OVER (ORDER BY s ASC) +
+            count(*) OVER (PARTITION BY s) - 1 AS DECIMAL(38,1)) / 2 AS ar
+        FROM scored),
+      agg AS (
+        SELECT CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          CAST(sum(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+          sum(CASE WHEN p THEN ar END) AS sr
+        FROM ranked)
+      SELECT n_pos, n_neg,
+        CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+          ELSE round((CAST(sr AS DOUBLE) -
+            CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0) /
+            CAST(n_pos * n_neg AS DOUBLE), 6) END AS auc
+      FROM agg""",
+    // q195: q27's prediction CASE + class-grain folds off the confusion
+    // cells; null metrics where the denominator (or tp) is zero
+    "q195_classifier_metrics" -> raw"""
+      WITH sc AS (
+        SELECT lang,
+          len(list_filter(tk, t -> t IN ('the','a','of','and','to'))) AS s_en,
+          len(list_filter(tk, t -> t IN ('el','la','de','que','y'))) AS s_es,
+          len(list_filter(tk, t -> t IN ('le','la','de','et','un'))) AS s_fr,
+          len(list_filter(tk, t -> t IN ('der','die','und','das','ein'))) AS s_de,
+          len(list_filter(tk, t -> t IN ('的','了','是','我','不'))) AS s_zh
+        FROM (SELECT lang,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents)),
+      pred AS (
+        SELECT lang AS a, CASE
+          WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_en > 0 THEN 'en'
+          WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_es > 0 THEN 'es'
+          WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+          WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_de > 0 THEN 'de'
+          WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_zh > 0 THEN 'zh'
+          ELSE 'und' END AS p
+        FROM sc),
+      cells AS (SELECT a, p, CAST(count(*) AS BIGINT) AS n FROM pred
+        GROUP BY 1, 2),
+      ba AS (SELECT a AS label, CAST(sum(n) AS BIGINT) AS n_actual
+        FROM cells GROUP BY 1),
+      bp AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_predicted
+        FROM cells GROUP BY 1),
+      tp AS (SELECT a AS label, n AS n_correct FROM cells WHERE a = p),
+      j AS (
+        SELECT COALESCE(ba.label, bp.label) AS lang,
+          COALESCE(ba.n_actual, 0) AS n_actual,
+          COALESCE(bp.n_predicted, 0) AS n_predicted,
+          COALESCE(tp.n_correct, 0) AS n_correct
+        FROM ba FULL OUTER JOIN bp ON ba.label = bp.label
+        LEFT JOIN tp ON COALESCE(ba.label, bp.label) = tp.label)
+      SELECT lang, n_actual, n_predicted, n_correct,
+        CASE WHEN n_predicted = 0 THEN NULL
+          ELSE round(CAST(n_correct AS DOUBLE) /
+            CAST(n_predicted AS DOUBLE), 6) END AS precision,
+        CASE WHEN n_actual = 0 THEN NULL
+          ELSE round(CAST(n_correct AS DOUBLE) /
+            CAST(n_actual AS DOUBLE), 6) END AS recall,
+        CASE WHEN n_predicted = 0 OR n_actual = 0 OR n_correct = 0 THEN NULL
+          ELSE round(2.0 *
+            (CAST(n_correct AS DOUBLE) / CAST(n_predicted AS DOUBLE)) *
+            (CAST(n_correct AS DOUBLE) / CAST(n_actual AS DOUBLE)) /
+            ((CAST(n_correct AS DOUBLE) / CAST(n_predicted AS DOUBLE)) +
+             (CAST(n_correct AS DOUBLE) / CAST(n_actual AS DOUBLE))), 6)
+          END AS f1
+      FROM j ORDER BY lang""",
     // q189: running-max islanding in epoch micros; covered_seconds by
     // exact integer division both sides
     "q189_interval_merge" -> """

@@ -583,6 +583,36 @@ object Profile {
           x => x.getField("__item")), ",").as("top_items"))
   }
 
+  /** 2-D Pareto frontier (skyline), maximizing both dimensions: rows no
+    * other row STRICTLY dominates (≥ on both, > on at least one) — the
+    * multi-objective curation cut ("highest quality AND highest
+    * novelty" without collapsing the two into one weighted score).
+    * Equal-(x, y) duplicates are all on the frontier (nothing strictly
+    * dominates them). Returns the surviving (id, x, y) rows.
+    *
+    * The sort-free characterization the implementation uses: with
+    * G(x) = max y at the same x and M(x) = max y at any strictly
+    * greater x, a row survives iff y = G(x) and y > M(x) (or no greater
+    * x exists). Scale shape: one groupBy to distinct-x grain, ONE
+    * running-max window over that distinct-x frame (single partition —
+    * bounded by |distinct x|, score grain, not row grain; at true scale
+    * pre-bucket x), one equi-join back. All comparisons are on values
+    * both engines computed identically — no floats are created here.
+    */
+  def paretoFrontier2D(df: DataFrame, id: Column, x: Column,
+                       y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(id.as("id"), x.as("x"), y.as("y"))
+    val wx = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gmax = base.groupBy(col("x")).agg(max(col("y")).as("__gy"))
+      .withColumn("__m", max(col("__gy")).over(wx))
+    base.join(broadcast(gmax), Seq("x"))
+      .filter(col("y") === col("__gy") &&
+        (col("__m").isNull || col("y") > col("__m")))
+      .select(col("id"), col("x"), col("y"))
+  }
+
   /** Referential-integrity audit of one FK relation, both directions:
     * orphan children (child key with no parent) AND unreferenced parents
     * (parent row no child points at) — the ETL acceptance check a

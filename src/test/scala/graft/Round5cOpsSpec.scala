@@ -405,6 +405,66 @@ class Round5cOpsSpec extends AnyFunSuite {
     assert(after.toSeq === Seq((1L, "a2"), (3L, "c")))
   }
 
+  test("paretoFrontier2D: strict dominance only; equal points both survive") {
+    val df = Seq(
+      (1L, 3.0, 1.0),  // frontier (best x)
+      (2L, 2.0, 2.0),  // frontier
+      (3L, 1.0, 3.0),  // frontier
+      (4L, 2.0, 1.5),  // dominated by 2 (same x, lower y)
+      (5L, 1.0, 1.0),  // dominated by 2 (both strictly better)
+      (6L, 2.0, 2.0)   // equal to 2 — both stay
+    ).toDF("id", "x", "y")
+    val out = Profile.paretoFrontier2D(df, $"id", $"x", $"y")
+      .orderBy("id").as[(Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 6L))
+  }
+
+  test("reliabilityBins: equal-count bins, mean score and positive rate") {
+    val df = (1 to 10).map(i => (i.toLong, i / 10.0, i > 5))
+      .toDF("id", "s", "p")
+    val out = graft.ops.Eval.reliabilityBins(df, $"id", $"s", $"p", bins = 2)
+      .orderBy("bin").as[(Long, Long, Double, Double)].collect()
+    // low bin = scores .1-.5 (no positives), high = .6-1.0 (all positive)
+    assert(out.toSeq === Seq((1L, 5L, 0.3, 0.0), (2L, 5L, 0.8, 1.0)))
+  }
+
+  test("binaryAuc: perfect separation = 1, ties average to 0.5 credit") {
+    val perfect = Seq((0.1, false), (0.2, false), (0.8, true), (0.9, true))
+      .toDF("s", "p")
+    val a1 = graft.ops.Eval.binaryAuc(perfect, $"s", $"p")
+      .as[(Long, Long, Double)].collect().head
+    assert(a1 === ((2L, 2L, 1.0)))
+    // every score tied: AUC must be exactly 0.5, not tie-break-dependent
+    val tied = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("s", "p")
+    val a2 = graft.ops.Eval.binaryAuc(tied, $"s", $"p")
+      .as[(Long, Long, Double)].collect().head
+    assert(a2 === ((2L, 2L, 0.5)))
+  }
+
+  test("binaryAuc: single-class input yields null, not a crash") {
+    val df = Seq((0.5, true), (0.7, true)).toDF("s", "p")
+    val out = graft.ops.Eval.binaryAuc(df, $"s", $"p").collect().head
+    assert(out.isNullAt(2))
+  }
+
+  test("classifierMetrics: textbook precision/recall/F1, invented class kept") {
+    // actual: a,a,a,b; predicted: a,a,b,c — c is invented (recall null)
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "c"))
+      .toDF("act", "pred")
+    val out = graft.ops.Eval.classifierMetrics(df, $"act", $"pred")
+      .orderBy("label")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect()
+    // a: tp=2, pred=2, actual=3 → p=1.0, r=2/3, f1=0.8
+    assert(out(0) === (("a", 3L, 2L, 2L, Some(1.0), Some(0.666667),
+      Some(0.8))))
+    // b: tp=0 → precision/recall 0, f1 null (0/0 guard)
+    assert(out(1) === (("b", 1L, 1L, 0L, Some(0.0), Some(0.0), None)))
+    // c: never actual → recall null
+    assert(out(2) === (("c", 0L, 1L, 0L, Some(0.0), None, None)))
+  }
+
   test("int8Ranking: integer dots, id tie-break, self excluded") {
     val rows = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
