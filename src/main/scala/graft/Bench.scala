@@ -178,7 +178,8 @@ object Bench {
     "q192_pareto_frontier",
     "q193_reliability_bins",
     "q194_auc",
-    "q195_classifier_metrics")
+    "q195_classifier_metrics",
+    "q196_debounce_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2420,6 +2420,40 @@ object SparkEntry {
       .withColumnRenamed("label", "lang")
       .orderBy("lang")
 
+  /** Streaming 15 (round-5): debounce IN-FLIGHT
+    * ([[graft.streaming.Streaming.debounceStream]]) — q190's sequential
+    * keep/drop with the last-kept clock in per-user GroupState. The
+    * staging harness time-splits events into two micro-batches (forced
+    * file order, q119's device) satisfying the event-time-monotone
+    * boundary precondition; the gate is q190's recursive-CTE oracle
+    * VERBATIM — only correctly carried state can match the batch fold.
+    */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q196")
+    val in = stage.resolve("in").toString
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val b = ev.agg(min(us).as("a"), max(us).as("b")).first()
+    val mid = (b.getLong(0) + b.getLong(1)) / 2L
+    ev.filter(us < mid).repartition(1).write.mode("append").parquet(in)
+    def parts = new java.io.File(in).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    val first = parts
+    ev.filter(us >= mid).repartition(1).write.mode("append").parquet(in)
+    val baseTime = new java.io.File(first.head).lastModified
+    (parts -- first).foreach(p =>
+      new java.io.File(p).setLastModified(baseTime + 120000L))
+    val stream = s.readStream.schema(s.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val kept = graft.streaming.Streaming.debounceStream(stream,
+      minGapSeconds = 60L)
+    val mem = graft.streaming.Streaming.runToMemory(kept, "q196_mem",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    deleteTree(stage)
+    mem.orderBy("user_id", "event_id")
+  }
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3563,7 +3597,8 @@ object SparkEntry {
     "q192_pareto_frontier" -> q192 _,
     "q193_reliability_bins" -> q193 _,
     "q194_auc" -> q194 _,
-    "q195_classifier_metrics" -> q195 _)
+    "q195_classifier_metrics" -> q195 _,
+    "q196_debounce_stream" -> q196 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4022,6 +4057,26 @@ object SparkEntry {
       ${iter("r1", "r2")}
       SELECT node, round(rank, 12) AS rank FROM r2 ORDER BY node"""
   }
+
+  /** q190's oracle — the sequential debounce walk as a linear recursive
+    * CTE; q196 (the streamed twin) shares it verbatim.
+    */
+  private val q190Oracle: String = """
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        FROM events),
+      walk AS (
+        SELECT user_id, rn, event_id, t, t AS kept_t, TRUE AS keep
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.event_id, e.t,
+          CASE WHEN e.t - w.kept_t >= 60000000 THEN e.t ELSE w.kept_t END,
+          e.t - w.kept_t >= 60000000
+        FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+      SELECT user_id, event_id FROM walk WHERE keep ORDER BY 1, 2"""
 
   /** q184's oracle: q101's unrolled device with integer edge weights —
     * contrib is (rank·w)/outw, the same two-op IEEE tree the engine's
@@ -4959,22 +5014,11 @@ object SparkEntry {
       FROM isl GROUP BY 1, 2 ORDER BY 1, 2""",
     // q190: the engine's sequential fold restated as a linear recursive
     // CTE — rn -> rn+1 per user, kept-clock carried in the walk
-    "q190_debounce" -> """
-      WITH RECURSIVE e AS (
-        SELECT user_id, event_id,
-          epoch_us(CAST(ts AS TIMESTAMP)) AS t,
-          row_number() OVER (PARTITION BY user_id
-            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
-        FROM events),
-      walk AS (
-        SELECT user_id, rn, event_id, t, t AS kept_t, TRUE AS keep
-        FROM e WHERE rn = 1
-        UNION ALL
-        SELECT e.user_id, e.rn, e.event_id, e.t,
-          CASE WHEN e.t - w.kept_t >= 60000000 THEN e.t ELSE w.kept_t END,
-          e.t - w.kept_t >= 60000000
-        FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
-      SELECT user_id, event_id FROM walk WHERE keep ORDER BY 1, 2""",
+    "q190_debounce" -> q190Oracle,
+    // q196: the streamed twin shares q190's oracle VERBATIM — under the
+    // event-time-monotone batch boundary, stateful streaming debounce
+    // must equal the batch fold on the union (q140/q136's device)
+    "q196_debounce_stream" -> q190Oracle,
     // q191: the reconstruction law — the oracle IS the source frames
     // (pre-merge table tagged before, post-merge tagged after)
     "q191_scd2_asof" -> """

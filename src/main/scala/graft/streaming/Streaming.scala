@@ -258,6 +258,54 @@ object Streaming {
   private def tsMicros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** Streaming debounce — [[graft.ops.Timeseries.debounce]]'s stateful
+    * twin: keep an event only ≥ `minGapSeconds` after the last KEPT one,
+    * with the last-kept clock carried in per-key GroupState across
+    * micro-batches. Within a batch events fold in (event-time, id)
+    * order; across batches the fold requires the batch boundary to be
+    * event-time-monotone per key (a batch never delivers an event older
+    * than an already-consumed one — q140's pinned precondition, arranged
+    * by the time-split staging harness), because a kept decision cannot
+    * be revoked once emitted. Under that precondition the kept set
+    * equals the batch operator's output on the union — the shared-oracle
+    * gate — for ANY micro-batch partitioning.
+    *
+    * State is one long per key, append-mode emission; state never
+    * expires here (the fixture is bounded) — production would add the
+    * sessionizeStream timeout to GC idle keys.
+    */
+  final case class DebEvent(user_id: Long, ts: java.sql.Timestamp,
+                            event_id: Long)
+  final case class DebState(last_kept_us: Long)
+  final case class KeptEvent(user_id: Long, event_id: Long)
+
+  def debounceStream(events: DataFrame, minGapSeconds: Long): DataFrame = {
+    require(minGapSeconds >= 1L,
+      s"minGapSeconds must be >= 1, got $minGapSeconds")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = minGapSeconds * 1000000L
+    events.selectExpr("user_id", "ts", "event_id").as[DebEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DebState, KeptEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[DebEvent], state: GroupState[DebState]) =>
+          val sorted = rows.toVector.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var last = state.getOption.map(_.last_kept_us)
+            .getOrElse(Long.MinValue)
+          val kept = Vector.newBuilder[KeptEvent]
+          sorted.foreach { e =>
+            val t = tsMicros(e.ts)
+            if (last == Long.MinValue || t - last >= gapUs) {
+              last = t
+              kept += KeptEvent(uid, e.event_id)
+            }
+          }
+          if (last != Long.MinValue) state.update(DebState(last))
+          kept.result().iterator
+      }.toDF()
+  }
+
   /** Streaming ordered funnel (stage0 → stage1 → stage2, e.g. view →
     * click → purchase): emits each user's earliest in-order completion
     * times the moment the final stage lands, then DROPS the user's state —
