@@ -179,7 +179,11 @@ object Bench {
     "q193_reliability_bins",
     "q194_auc",
     "q195_classifier_metrics",
-    "q196_debounce_stream")
+    "q196_debounce_stream",
+    "q197_linear_attribution",
+    "q198_contribution_shares",
+    "q199_session_report",
+    "q200_eval_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

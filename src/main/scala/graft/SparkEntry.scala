@@ -2454,6 +2454,98 @@ object SparkEntry {
     mem.orderBy("user_id", "event_id")
   }
 
+  /** Behavior 8 (round-5): multi-touch linear attribution
+    * ([[graft.ops.Funnel.linearAttribution]]) — each purchase's value
+    * splits equally across the user's clicks in the prior 7 days,
+    * rolled to (user, touch-day) grain; q41's last-touch as-of join is
+    * the winner-takes-all sibling. v/n credits round-9 decimal-summed.
+    */
+  private def q197(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.linearAttribution(t(s, dir, "events"), col("user_id"),
+        col("event_type"), col("ts"), col("event_id"), col("value"),
+        touchType = "click", convType = "purchase", windowDays = 7)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("user_id", "day")
+
+  /** Profile 19 (round-5): hierarchical contribution
+    * ([[graft.ops.Profile.contributionShares]]) — region→nation revenue
+    * with share-of-parent, parent share of total, and rank within
+    * parent: the drill-down readout as one (parent, child) aggregation
+    * plus group-grain windows. DECIMAL-exact three-level sums.
+    */
+  private def q198(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.contributionShares(
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey")),
+        col("r_name"), col("n_name"), col("l_extendedprice"), scale = 4)
+      .withColumnRenamed("parent", "region")
+      .withColumnRenamed("child", "nation")
+      .withColumn("measure", round(col("measure"), 4))
+      .orderBy("region", "nation")
+
+  /** Behavior 9 (round-5): session quality report — q32's session build
+    * folded to the one-row readout product teams actually watch:
+    * session count, bounce rate (single-event sessions), events per
+    * session, mean duration. Integer counts + DECIMAL-exact duration
+    * sums; composition over the same expressions q32 gates.
+    */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("__n"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("__dur_us"))
+    sessions.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("__n") === 1L, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("__n")).as("__ev"),
+        sum(col("__dur_us").cast("decimal(38,0)")).as("__dur"))
+      .select(col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") /
+          col("n_sessions").cast("double"), 6).as("bounce_rate"),
+        round(col("__ev").cast("double") /
+          col("n_sessions").cast("double"), 6).as("events_per_session"),
+        round(col("__dur").cast("double") / lit(1000000.0d) /
+          col("n_sessions").cast("double"), 6).as("mean_duration_s"))
+  }
+
+  /** Round-5 capstone: the evaluation REPORT — q193's calibration,
+    * q194's AUC and q195's per-class metrics composed into one
+    * long-form (metric, key, value) frame; each arm is individually
+    * gated and the composition itself is oracle-gated (q87/q115's
+    * device), with every arm's oracle embedded verbatim as a subquery.
+    */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val auc = q194(s, dir).select(lit("auc").as("metric"),
+      lit(null).cast("string").as("key"), col("auc").as("value"))
+    val cal = q193(s, dir).select(lit("bin_pos_rate").as("metric"),
+      col("bin").cast("string").as("key"), col("pos_rate").as("value"))
+    val cls = q195(s, dir).select(col("lang"), col("precision"),
+        col("recall"), col("f1"))
+      .select(explode(array(
+        struct(lit("precision").as("metric"), col("lang").as("key"),
+          col("precision").as("value")),
+        struct(lit("recall").as("metric"), col("lang").as("key"),
+          col("recall").as("value")),
+        struct(lit("f1").as("metric"), col("lang").as("key"),
+          col("f1").as("value")))).as("r"))
+      .select(col("r.metric"), col("r.key"), col("r.value"))
+    auc.unionByName(cal).unionByName(cls)
+      .orderBy("metric", "key")
+  }
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3598,7 +3690,11 @@ object SparkEntry {
     "q193_reliability_bins" -> q193 _,
     "q194_auc" -> q194 _,
     "q195_classifier_metrics" -> q195 _,
-    "q196_debounce_stream" -> q196 _)
+    "q196_debounce_stream" -> q196 _,
+    "q197_linear_attribution" -> q197 _,
+    "q198_contribution_shares" -> q198 _,
+    "q199_session_report" -> q199 _,
+    "q200_eval_report" -> q200 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4057,6 +4153,122 @@ object SparkEntry {
       ${iter("r1", "r2")}
       SELECT node, round(rank, 12) AS rank FROM r2 ORDER BY node"""
   }
+
+  /** q193/q194/q195's oracles as vals — q200's composition gate embeds
+    * each verbatim as a subquery.
+    */
+  private val q193Oracle: String = raw"""
+      WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(tk) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+          CAST(len(text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            AS alpha
+        FROM (SELECT doc_id, lang, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents)),
+      scored AS (
+        SELECT doc_id, lang = 'en' AS p, round(least(greatest(
+          0.4 * least(nt / 50.0, 1.0) +
+          0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+          0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 6)
+          AS s
+        FROM f),
+      binned AS (
+        SELECT CAST(ntile(10) OVER (ORDER BY s ASC, doc_id ASC) AS BIGINT)
+          AS bin, s, p
+        FROM scored)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        round(CAST(sum(CAST(round(s, 9) AS DECIMAL(28,12))) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS mean_score,
+        round(CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS pos_rate
+      FROM binned GROUP BY bin ORDER BY bin"""
+
+  private val q194Oracle: String = raw"""
+      WITH f AS (
+        SELECT lang,
+          CAST(len(tk) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+          CAST(len(text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            AS alpha
+        FROM (SELECT lang, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents)),
+      scored AS (
+        SELECT lang = 'en' AS p, round(least(greatest(
+          0.4 * least(nt / 50.0, 1.0) +
+          0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+          0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 6)
+          AS s
+        FROM f),
+      ranked AS (
+        SELECT p,
+          CAST(2 * rank() OVER (ORDER BY s ASC) +
+            count(*) OVER (PARTITION BY s) - 1 AS DECIMAL(38,1)) / 2 AS ar
+        FROM scored),
+      agg AS (
+        SELECT CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          CAST(sum(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+          sum(CASE WHEN p THEN ar END) AS sr
+        FROM ranked)
+      SELECT n_pos, n_neg,
+        CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+          ELSE round((CAST(sr AS DOUBLE) -
+            CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0) /
+            CAST(n_pos * n_neg AS DOUBLE), 6) END AS auc
+      FROM agg"""
+
+  private val q195Oracle: String = raw"""
+      WITH sc AS (
+        SELECT lang,
+          len(list_filter(tk, t -> t IN ('the','a','of','and','to'))) AS s_en,
+          len(list_filter(tk, t -> t IN ('el','la','de','que','y'))) AS s_es,
+          len(list_filter(tk, t -> t IN ('le','la','de','et','un'))) AS s_fr,
+          len(list_filter(tk, t -> t IN ('der','die','und','das','ein'))) AS s_de,
+          len(list_filter(tk, t -> t IN ('的','了','是','我','不'))) AS s_zh
+        FROM (SELECT lang,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents)),
+      pred AS (
+        SELECT lang AS a, CASE
+          WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_en > 0 THEN 'en'
+          WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_es > 0 THEN 'es'
+          WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+          WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_de > 0 THEN 'de'
+          WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_zh > 0 THEN 'zh'
+          ELSE 'und' END AS p
+        FROM sc),
+      cells AS (SELECT a, p, CAST(count(*) AS BIGINT) AS n FROM pred
+        GROUP BY 1, 2),
+      ba AS (SELECT a AS label, CAST(sum(n) AS BIGINT) AS n_actual
+        FROM cells GROUP BY 1),
+      bp AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_predicted
+        FROM cells GROUP BY 1),
+      tp AS (SELECT a AS label, n AS n_correct FROM cells WHERE a = p),
+      j AS (
+        SELECT COALESCE(ba.label, bp.label) AS lang,
+          COALESCE(ba.n_actual, 0) AS n_actual,
+          COALESCE(bp.n_predicted, 0) AS n_predicted,
+          COALESCE(tp.n_correct, 0) AS n_correct
+        FROM ba FULL OUTER JOIN bp ON ba.label = bp.label
+        LEFT JOIN tp ON COALESCE(ba.label, bp.label) = tp.label)
+      SELECT lang, n_actual, n_predicted, n_correct,
+        CASE WHEN n_predicted = 0 THEN NULL
+          ELSE round(CAST(n_correct AS DOUBLE) /
+            CAST(n_predicted AS DOUBLE), 6) END AS precision,
+        CASE WHEN n_actual = 0 THEN NULL
+          ELSE round(CAST(n_correct AS DOUBLE) /
+            CAST(n_actual AS DOUBLE), 6) END AS recall,
+        CASE WHEN n_predicted = 0 OR n_actual = 0 OR n_correct = 0 THEN NULL
+          ELSE round(2.0 *
+            (CAST(n_correct AS DOUBLE) / CAST(n_predicted AS DOUBLE)) *
+            (CAST(n_correct AS DOUBLE) / CAST(n_actual AS DOUBLE)) /
+            ((CAST(n_correct AS DOUBLE) / CAST(n_predicted AS DOUBLE)) +
+             (CAST(n_correct AS DOUBLE) / CAST(n_actual AS DOUBLE))), 6)
+          END AS f1
+      FROM j ORDER BY lang"""
 
   /** q190's oracle — the sequential debounce walk as a linear recursive
     * CTE; q196 (the streamed twin) shares it verbatim.
@@ -4873,120 +5085,116 @@ object SparkEntry {
       WHERE b.y = m.gy AND (m.m IS NULL OR b.y > m.m)
       ORDER BY doc_id""",
     // q193: ntile over the (score, id) total order; round-9 decimal mean
-    "q193_reliability_bins" -> raw"""
-      WITH f AS (
-        SELECT doc_id, lang,
-          CAST(len(tk) AS DOUBLE) AS nt,
-          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
-          CAST(len(text) AS DOUBLE) AS chars,
-          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-            AS alpha
-        FROM (SELECT doc_id, lang, text,
-          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
-          FROM documents)),
-      scored AS (
-        SELECT doc_id, lang = 'en' AS p, round(least(greatest(
-          0.4 * least(nt / 50.0, 1.0) +
-          0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
-          0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 6)
-          AS s
-        FROM f),
-      binned AS (
-        SELECT CAST(ntile(10) OVER (ORDER BY s ASC, doc_id ASC) AS BIGINT)
-          AS bin, s, p
-        FROM scored)
-      SELECT bin, CAST(count(*) AS BIGINT) AS n,
-        round(CAST(sum(CAST(round(s, 9) AS DECIMAL(28,12))) AS DOUBLE) /
-          CAST(count(*) AS DOUBLE), 6) AS mean_score,
-        round(CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS DOUBLE) /
-          CAST(count(*) AS DOUBLE), 6) AS pos_rate
-      FROM binned GROUP BY bin ORDER BY bin""",
+    "q193_reliability_bins" -> q193Oracle,
     // q194: Mann–Whitney with tied-rank averaging — half-integer avg
     // ranks carried in DECIMAL(38,1)
-    "q194_auc" -> raw"""
-      WITH f AS (
-        SELECT lang,
-          CAST(len(tk) AS DOUBLE) AS nt,
-          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
-          CAST(len(text) AS DOUBLE) AS chars,
-          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-            AS alpha
-        FROM (SELECT lang, text,
-          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
-          FROM documents)),
-      scored AS (
-        SELECT lang = 'en' AS p, round(least(greatest(
-          0.4 * least(nt / 50.0, 1.0) +
-          0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
-          0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 6)
-          AS s
-        FROM f),
-      ranked AS (
-        SELECT p,
-          CAST(2 * rank() OVER (ORDER BY s ASC) +
-            count(*) OVER (PARTITION BY s) - 1 AS DECIMAL(38,1)) / 2 AS ar
-        FROM scored),
-      agg AS (
-        SELECT CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-          CAST(sum(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
-          sum(CASE WHEN p THEN ar END) AS sr
-        FROM ranked)
-      SELECT n_pos, n_neg,
-        CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-          ELSE round((CAST(sr AS DOUBLE) -
-            CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0) /
-            CAST(n_pos * n_neg AS DOUBLE), 6) END AS auc
-      FROM agg""",
+    "q194_auc" -> q194Oracle,
     // q195: q27's prediction CASE + class-grain folds off the confusion
     // cells; null metrics where the denominator (or tp) is zero
-    "q195_classifier_metrics" -> raw"""
-      WITH sc AS (
-        SELECT lang,
-          len(list_filter(tk, t -> t IN ('the','a','of','and','to'))) AS s_en,
-          len(list_filter(tk, t -> t IN ('el','la','de','que','y'))) AS s_es,
-          len(list_filter(tk, t -> t IN ('le','la','de','et','un'))) AS s_fr,
-          len(list_filter(tk, t -> t IN ('der','die','und','das','ein'))) AS s_de,
-          len(list_filter(tk, t -> t IN ('的','了','是','我','不'))) AS s_zh
-        FROM (SELECT lang,
-          regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents)),
-      pred AS (
-        SELECT lang AS a, CASE
-          WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_en > 0 THEN 'en'
-          WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_es > 0 THEN 'es'
-          WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_fr > 0 THEN 'fr'
-          WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_de > 0 THEN 'de'
-          WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_zh > 0 THEN 'zh'
-          ELSE 'und' END AS p
-        FROM sc),
-      cells AS (SELECT a, p, CAST(count(*) AS BIGINT) AS n FROM pred
-        GROUP BY 1, 2),
-      ba AS (SELECT a AS label, CAST(sum(n) AS BIGINT) AS n_actual
-        FROM cells GROUP BY 1),
-      bp AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_predicted
-        FROM cells GROUP BY 1),
-      tp AS (SELECT a AS label, n AS n_correct FROM cells WHERE a = p),
-      j AS (
-        SELECT COALESCE(ba.label, bp.label) AS lang,
-          COALESCE(ba.n_actual, 0) AS n_actual,
-          COALESCE(bp.n_predicted, 0) AS n_predicted,
-          COALESCE(tp.n_correct, 0) AS n_correct
-        FROM ba FULL OUTER JOIN bp ON ba.label = bp.label
-        LEFT JOIN tp ON COALESCE(ba.label, bp.label) = tp.label)
-      SELECT lang, n_actual, n_predicted, n_correct,
-        CASE WHEN n_predicted = 0 THEN NULL
-          ELSE round(CAST(n_correct AS DOUBLE) /
-            CAST(n_predicted AS DOUBLE), 6) END AS precision,
-        CASE WHEN n_actual = 0 THEN NULL
-          ELSE round(CAST(n_correct AS DOUBLE) /
-            CAST(n_actual AS DOUBLE), 6) END AS recall,
-        CASE WHEN n_predicted = 0 OR n_actual = 0 OR n_correct = 0 THEN NULL
-          ELSE round(2.0 *
-            (CAST(n_correct AS DOUBLE) / CAST(n_predicted AS DOUBLE)) *
-            (CAST(n_correct AS DOUBLE) / CAST(n_actual AS DOUBLE)) /
-            ((CAST(n_correct AS DOUBLE) / CAST(n_predicted AS DOUBLE)) +
-             (CAST(n_correct AS DOUBLE) / CAST(n_actual AS DOUBLE))), 6)
-          END AS f1
-      FROM j ORDER BY lang""",
+    "q195_classifier_metrics" -> q195Oracle,
+    // q200: the composition gate — each arm's oracle verbatim as a
+    // subquery, melted to (metric, key, value)
+    "q200_eval_report" -> s"""
+      SELECT 'auc' AS metric, CAST(NULL AS VARCHAR) AS key, auc AS value
+      FROM ($q194Oracle)
+      UNION ALL
+      SELECT 'bin_pos_rate', CAST(bin AS VARCHAR), pos_rate
+      FROM ($q193Oracle)
+      UNION ALL
+      SELECT 'precision', lang, precision FROM ($q195Oracle)
+      UNION ALL
+      SELECT 'recall', lang, recall FROM ($q195Oracle)
+      UNION ALL
+      SELECT 'f1', lang, f1 FROM ($q195Oracle)
+      ORDER BY metric, key NULLS FIRST""",
+    // q197: user equi-join with the range predicate; q168's integer
+    // largest-remainder split — base cents to all touches, the first
+    // (c mod n) in (time, id) order take one extra; Σ ≡ cents exactly
+    "q197_linear_attribution" -> """
+      WITH conv AS (
+        SELECT user_id AS u, event_id AS pid,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS pt,
+          CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'),
+      touch AS (
+        SELECT user_id AS tu, event_id AS tid,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS ct
+        FROM events WHERE event_type = 'click'),
+      pairs AS (
+        SELECT c.u, c.pid, c.c, t.ct, t.tid
+        FROM conv c JOIN touch t ON t.tu = c.u
+          AND t.ct >= c.pt - 604800000000 AND t.ct < c.pt),
+      credited AS (
+        SELECT u, ct,
+          c // count(*) OVER (PARTITION BY pid) +
+          CASE WHEN row_number() OVER (PARTITION BY pid
+              ORDER BY ct ASC, tid ASC) <=
+            c % count(*) OVER (PARTITION BY pid) THEN 1 ELSE 0 END AS credit
+        FROM pairs)
+      SELECT u AS user_id,
+        strftime(make_timestamp(ct), '%Y-%m-%d') AS day,
+        CAST(count(*) AS BIGINT) AS n_touches,
+        CAST(sum(credit) AS BIGINT) AS credit_cents
+      FROM credited GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q198: three-level DECIMAL-exact sums; shares are IEEE divisions of
+    // the exact sums with the q99 VARCHAR hop
+    "q198_contribution_shares" -> """
+      WITH base AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+          CAST(l.l_extendedprice AS DECIMAL(18,4)) AS m
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey),
+      cm AS (
+        SELECT region, nation, sum(CAST(m AS DECIMAL(38,8))) AS cm
+        FROM base GROUP BY 1, 2),
+      lv AS (
+        SELECT region, nation, cm,
+          sum(cm) OVER (PARTITION BY region) AS pm,
+          sum(cm) OVER () AS tm,
+          CAST(row_number() OVER (PARTITION BY region
+            ORDER BY cm DESC, nation ASC) AS BIGINT) AS rank_in_parent
+        FROM cm)
+      SELECT region, nation,
+        round(CAST(CAST(cm AS VARCHAR) AS DOUBLE), 4) AS measure,
+        round(CAST(CAST(cm AS VARCHAR) AS DOUBLE) /
+          CAST(CAST(pm AS VARCHAR) AS DOUBLE), 6) AS share_of_parent,
+        round(CAST(CAST(pm AS VARCHAR) AS DOUBLE) /
+          CAST(CAST(tm AS VARCHAR) AS DOUBLE), 6) AS parent_share,
+        rank_in_parent
+      FROM lv ORDER BY region, nation""",
+    // q199: q32's session expressions folded to the one-row report
+    "q199_session_report" -> """
+      WITH seq AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, us,
+          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM seq),
+      numbered AS (
+        SELECT user_id, us,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged),
+      sess AS (
+        SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n,
+          max(us) - min(us) AS dur_us
+        FROM numbered GROUP BY 1, 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+        round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS events_per_session,
+        round(CAST(sum(CAST(dur_us AS DECIMAL(38,0))) AS DOUBLE) /
+          1000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_duration_s
+      FROM sess""",
     // q189: running-max islanding in epoch micros; covered_seconds by
     // exact integer division both sides
     "q189_interval_merge" -> """

@@ -224,6 +224,64 @@ object Funnel {
         "r", "f", "m", "rfm")
   }
 
+  /** Multi-touch LINEAR attribution: each conversion's value splits
+    * equally across the user's touch events in the preceding
+    * `windowDays` (the standard linear model — last-touch is q41's
+    * as-of join; this is its fair-share sibling), rolled up to
+    * (user, touch-day) grain: which days' touches earned the credit.
+    * Conversions with no in-window touch carry no credit (they surface
+    * in [[survivalCurve]]/q134, not here). Returns
+    * (user, day, n_touches, credit_cents).
+    *
+    * The split is q168's INTEGER largest-remainder allocation, not a
+    * float division: the conversion's value in cents divides as
+    * base = c div n to every touch, and the first c mod n touches in
+    * deterministic (time, id) order take one extra cent — so
+    * Σ credits ≡ the conversion's cents EXACTLY (the conservation law)
+    * and the result is bit-identical in any engine. The v/n float form
+    * was tried and measurably diverged: money splits land on exact
+    * rounding-boundary sums, and the engines' round(double, k) and
+    * double→decimal conversions disagree sub-ulp — rational-valued
+    * money math belongs in integers (the q168 lesson, re-learned).
+    *
+    * Scale shape: one user equi-join with the range predicate inside it
+    * (per-user pair volume = touches × conversions, the q42 bound), a
+    * per-conversion count + rank window (partition = one conversion's
+    * touches), and a (user, day) fold.
+    */
+  def linearAttribution(events: DataFrame, user: Column, typ: Column,
+                        ts: Column, id: Column, value: Column,
+                        touchType: String, convType: String,
+                        windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val winUs = windowDays * 86400L * 1000000L
+    val conv = events.filter(typ === convType)
+      .select(user.as("__u"), id.as("__pid"),
+        unix_micros(ts.cast("timestamp")).as("__pt"),
+        round(value.cast("double") * 100.0d).cast("long").as("__c"))
+    val touch = events.filter(typ === touchType)
+      .select(user.as("__tu"), id.as("__tid"),
+        unix_micros(ts.cast("timestamp")).as("__ct"))
+    val perConv = Window.partitionBy(col("__pid"))
+    // the extra-cent order must be TOTAL: same-microsecond touches are
+    // real, so the touch id breaks the tie
+    val orderW = Window.partitionBy(col("__pid"))
+      .orderBy(col("__ct").asc, col("__tid").asc)
+    conv.join(touch,
+        col("__tu") === col("__u") &&
+          col("__ct") >= col("__pt") - lit(winUs) &&
+          col("__ct") < col("__pt"))
+      .withColumn("__n", count(lit(1)).over(perConv))
+      .withColumn("__rn", row_number().over(orderW))
+      .withColumn("__credit",
+        expr("__c div __n") +
+          when(col("__rn") <= expr("__c % __n"), 1L).otherwise(0L))
+      .groupBy(col("__u").as("user_id"),
+        to_date(timestamp_micros(col("__ct"))).as("day"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("__credit")).as("credit_cents"))
+  }
+
   /** Discrete conversion-survival curve: for each day offset 0..`horizon`
     * after a user's first `startType` event, the fraction of the cohort
     * that has NOT yet fired `convType` — the time-to-convert complement

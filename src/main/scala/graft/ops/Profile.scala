@@ -583,6 +583,42 @@ object Profile {
           x => x.getField("__item")), ",").as("top_items"))
   }
 
+  /** Hierarchical contribution analysis: a measure summed at
+    * (parent, child) grain with each child's share of its parent, each
+    * parent's share of the total, and the child's rank inside its
+    * parent — the drill-down readout every revenue/volume dashboard
+    * opens with, as two aggregations and one window. Returns
+    * (parent, child, measure, share_of_parent, parent_share, rank_in_parent).
+    *
+    * `measure` must be fixed-point (cast decimal upstream) so all three
+    * sum levels are DECIMAL-exact and order-independent; shares are
+    * IEEE divisions of the exact sums (oracle side hops through VARCHAR
+    * past 53 bits, the q99 caveat). Scale: one (parent, child) hash
+    * aggregation, then everything operates on the group-grain frame.
+    */
+  def contributionShares(df: DataFrame, parent: Column, child: Column,
+                         measure: Column, scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(parent.as("parent"), child.as("child"),
+        measure.cast(s"decimal(18,$scale)").as("__m"))
+      .groupBy(col("parent"), col("child"))
+      .agg(sum(col("__m").cast("decimal(38,8)")).as("__cm"))
+    val pw = Window.partitionBy(col("parent"))
+    val all = Window.partitionBy(lit(1))
+    val rankW = Window.partitionBy(col("parent"))
+      .orderBy(col("__cm").desc, col("child").asc)
+    base
+      .withColumn("__pm", sum(col("__cm")).over(pw))
+      .withColumn("__tm", sum(col("__cm")).over(all))
+      .select(col("parent"), col("child"),
+        col("__cm").cast("double").as("measure"),
+        round(col("__cm").cast("double") / col("__pm").cast("double"), 6)
+          .as("share_of_parent"),
+        round(col("__pm").cast("double") / col("__tm").cast("double"), 6)
+          .as("parent_share"),
+        row_number().over(rankW).cast("long").as("rank_in_parent"))
+  }
+
   /** 2-D Pareto frontier (skyline), maximizing both dimensions: rows no
     * other row STRICTLY dominates (≥ on both, > on at least one) — the
     * multi-objective curation cut ("highest quality AND highest

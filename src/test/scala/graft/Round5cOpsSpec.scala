@@ -465,6 +465,41 @@ class Round5cOpsSpec extends AnyFunSuite {
     assert(out(2) === (("c", 0L, 1L, 0L, Some(0.0), None, None)))
   }
 
+  test("linearAttribution: exact conservation, largest-remainder order") {
+    import java.sql.Timestamp
+    def t(d: Int, h: Int = 0) =
+      Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // one $1.00 purchase with 3 prior clicks on two days:
+    // 100 cents / 3 = base 33, remainder 1 -> earliest click gets 34
+    val ev = Seq(
+      (1L, "click", t(1), 10L, 0.0), (1L, "click", t(2), 11L, 0.0),
+      (1L, "click", t(2, 5), 12L, 0.0), (1L, "purchase", t(3), 13L, 1.0),
+      (2L, "purchase", t(3), 20L, 5.0)) // no clicks -> no credit rows
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val out = graft.ops.Funnel.linearAttribution(ev, $"user_id",
+        $"event_type", $"ts", $"event_id", $"value", "click", "purchase",
+        windowDays = 7)
+      .orderBy("day")
+      .select("user_id", "n_touches", "credit_cents")
+      .as[(Long, Long, Long)].collect()
+    // day1: the earliest click takes 34; day2: two clicks at 33 each
+    assert(out.toSeq === Seq((1L, 1L, 34L), (1L, 2L, 66L)))
+    // conservation: total credit == the purchase's 100 cents exactly
+    assert(out.map(_._3).sum === 100L)
+  }
+
+  test("contributionShares: shares and ranks from exact sums") {
+    val df = Seq(("r1", "n1", 30.0), ("r1", "n2", 10.0), ("r2", "n3", 60.0))
+      .toDF("region", "nation", "rev")
+    val out = Profile.contributionShares(df, $"region", $"nation", $"rev")
+      .orderBy("parent", "child")
+      .as[(String, String, Double, Double, Double, Long)].collect()
+    assert(out.toSeq === Seq(
+      ("r1", "n1", 30.0, 0.75, 0.4, 1L),
+      ("r1", "n2", 10.0, 0.25, 0.4, 2L),
+      ("r2", "n3", 60.0, 1.0, 0.6, 1L)))
+  }
+
   test("int8Ranking: integer dots, id tie-break, self excluded") {
     val rows = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
