@@ -2434,8 +2434,10 @@ object SparkEntry {
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"))
     val us = unix_micros(col("ts").cast("timestamp"))
+    // empty-input law: min/max over zero rows are NULL — split at 0 and
+    // let two empty staged files flow through the (empty) stream
     val b = ev.agg(min(us).as("a"), max(us).as("b")).first()
-    val mid = (b.getLong(0) + b.getLong(1)) / 2L
+    val mid = if (b.isNullAt(0)) 0L else (b.getLong(0) + b.getLong(1)) / 2L
     ev.filter(us < mid).repartition(1).write.mode("append").parquet(in)
     def parts = new java.io.File(in).listFiles
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet

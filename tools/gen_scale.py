@@ -114,9 +114,57 @@ pq.write_table(
 )
 print(f"embeddings: {len(ids_a)} rows")
 
+# lineitem -----------------------------------------------------------------
+# Replicated with DISJOINT key spaces per replica (orderkey/partkey/suppkey
+# all offset), so the basket/co-purchase/shipment graphs are REPLICAS hard
+# copies with zero cross-replica edges: co-purchase edge counts, k-core
+# peel work (q169), weighted-PageRank graph size (q184) and triple volume
+# (q185) all scale exactly REPLICAS x — the same no-cross-talk contract as
+# the documents table above.
+li = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
+li_cols = {c: li.column(c).to_pylist() for c in li.schema.names}
+out_cols = {c: [] for c in li.schema.names}
+for r in range(REPLICAS):
+    off = r * OFFSET
+    for c, vals in li_cols.items():
+        if c in ("l_orderkey", "l_partkey", "l_suppkey"):
+            out_cols[c].extend(v + off for v in vals)
+        else:
+            out_cols[c].extend(vals)
+pq.write_table(
+    pa.table({c: pa.array(out_cols[c], li.schema.field(c).type)
+              for c in li.schema.names}),
+    os.path.join(DST, "lineitem.parquet"),
+)
+print(f"lineitem: {len(out_cols['l_orderkey'])} rows")
+
+# events -------------------------------------------------------------------
+# Replicated with offset user_id/event_id (timestamps kept): REPLICAS x
+# users with identical per-user timelines — sessionization, interval
+# merge (q189), debounce (q190) and attribution scale linearly with
+# per-key work unchanged.
+ev = pq.read_table(os.path.join(SRC, "events.parquet"))
+ev_cols = {c: ev.column(c).to_pylist() for c in ev.schema.names}
+out_ev = {c: [] for c in ev.schema.names}
+for r in range(REPLICAS):
+    off = r * OFFSET
+    for c, vals in ev_cols.items():
+        if c in ("user_id", "event_id"):
+            out_ev[c].extend(v + off for v in vals)
+        else:
+            out_ev[c].extend(vals)
+pq.write_table(
+    pa.table({c: pa.array(out_ev[c], ev.schema.field(c).type)
+              for c in ev.schema.names}),
+    os.path.join(DST, "events.parquet"),
+)
+print(f"events: {len(out_ev['event_id'])} rows")
+
 # passthrough tables -------------------------------------------------------
+SCALED = ("documents.parquet", "embeddings.parquet", "lineitem.parquet",
+          "events.parquet")
 for f in sorted(os.listdir(SRC)):
-    if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
+    if f.endswith(".parquet") and f not in SCALED:
         shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
         print(f"copied {f}")
 print(f"done -> {DST}")
