@@ -183,7 +183,11 @@ object Bench {
     "q197_linear_attribution",
     "q198_contribution_shares",
     "q199_session_report",
-    "q200_eval_report")
+    "q200_eval_report",
+    "q201_range_frame",
+    "q202_asof_tolerance",
+    "q203_equidepth_histogram",
+    "q204_packing_efficiency")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

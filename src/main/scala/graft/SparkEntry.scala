@@ -2548,6 +2548,84 @@ object SparkEntry {
       .orderBy("metric", "key")
   }
 
+  /** Window 5 (round-5): RANGE-frame windows — the §2.6 frame family the
+    * suite had not yet exercised: per event type ordered BY VALUE, the
+    * count and DECIMAL-exact sum of events within a 100-unit value band
+    * preceding each row (RANGE frames include ALL peers of a tied value,
+    * so the result is tie-order-independent by construction — the reason
+    * to use RANGE, and what makes it gate-exact).
+    */
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("""count(*) OVER (PARTITION BY event_type ORDER BY value
+          RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)""").cast("long")
+          .as("n_in_band"),
+        round(expr("""sum(CAST(value AS DECIMAL(18,4))) OVER (
+          PARTITION BY event_type ORDER BY value
+          RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)""").cast("double"),
+          4).as("sum_in_band"))
+      .orderBy("event_id")
+
+  /** Temporal 5 (round-5): as-of join with TOLERANCE
+    * ([[graft.ops.TemporalJoin.asOfJoinTolerance]]) — q41's click
+    * attribution where a click more than one hour stale no longer
+    * attributes (pandas merge_asof `tolerance` semantics): matches
+    * outside the window come back NULL, same one-shuffle plan.
+    */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // the composed as-of picks the LAST right row at equal times, so the
+    // right side must be unique per (key, time) — q41's precondition,
+    // collapsed here with max_by (arg_max in the oracle)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("cid"),
+        expr("max_by(value, event_id)").as("cval"))
+    val others = ev.filter(col("event_type") =!= "click")
+    graft.ops.TemporalJoin.asOfJoinTolerance(
+        others, Seq("user_id"), col("ts"),
+        clicks, Seq("user_id"), col("ts"),
+        Map("click_id" -> col("cid"), "click_value" -> col("cval")),
+        toleranceSeconds = 3600L)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("click_id"), round(col("click_value"), 4).as("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** Profile 20 (round-5): equi-depth histogram
+    * ([[graft.ops.Profile.equiDepthHistogram]]) — 10 equal-count value
+    * bands per event type with exact interpolated boundaries: the
+    * planner-statistics profile where heavy tails can't empty the top
+    * bands (q39's equi-width complement).
+    */
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.equiDepthHistogram(t(s, dir, "events"),
+        col("event_type"), col("value"), buckets = 10)
+      .withColumnRenamed("group_key", "event_type")
+      .orderBy("event_type", "bucket")
+
+  /** Packing 3 (round-5): packing-efficiency report — q67's greedy
+    * token-budget bins folded to the readout a pretraining batch
+    * pipeline is judged by: bins used, fill ratio, waste. Composition
+    * over the gated packing op; all-integer until the final ratios.
+    */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.ops.Packing.packByTokenBudget(
+        toks, col("lang"), col("doc_id"), col("n_tokens"), budget = 2048L)
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("bin_id")).as("n_bins"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("spans_bins"), 1L).otherwise(0L)).as("n_spanning"))
+      .select(col("lang"), col("n_bins"), col("total_tokens"),
+        col("n_spanning"),
+        round(col("total_tokens").cast("double") /
+          (col("n_bins") * lit(2048L)).cast("double"), 6).as("fill_ratio"))
+      .orderBy("lang")
+  }
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3696,7 +3774,11 @@ object SparkEntry {
     "q197_linear_attribution" -> q197 _,
     "q198_contribution_shares" -> q198 _,
     "q199_session_report" -> q199 _,
-    "q200_eval_report" -> q200 _)
+    "q200_eval_report" -> q200 _,
+    "q201_range_frame" -> q201 _,
+    "q202_asof_tolerance" -> q202 _,
+    "q203_equidepth_histogram" -> q203 _,
+    "q204_packing_efficiency" -> q204 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -5197,6 +5279,79 @@ object SparkEntry {
         round(CAST(sum(CAST(dur_us AS DECIMAL(38,0))) AS DOUBLE) /
           1000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_duration_s
       FROM sess""",
+    // q201: RANGE frames include all value peers — tie-order-independent
+    // by construction; DECIMAL band sums
+    "q201_range_frame" -> """
+      SELECT event_id, event_type, value,
+        CAST(count(*) OVER w AS BIGINT) AS n_in_band,
+        round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
+          AS sum_in_band
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+        RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+    // q202: DuckDB ASOF LEFT JOIN (>= semantics, right side collapsed to
+    // unique (user, ts) with arg_max) + the staleness CASE
+    "q202_asof_tolerance" -> """
+      WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+          max(event_id) AS click_id, arg_max(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      o AS (
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ots
+        FROM events WHERE event_type <> 'click')
+      SELECT o.event_id, o.user_id, o.event_type,
+        CASE WHEN c.cts IS NOT NULL AND
+            epoch_us(o.ots) - epoch_us(c.cts) <= 3600000000
+          THEN c.click_id END AS click_id,
+        CASE WHEN c.cts IS NOT NULL AND
+            epoch_us(o.ots) - epoch_us(c.cts) <= 3600000000
+          THEN round(c.click_value, 4) END AS click_value
+      FROM o ASOF LEFT JOIN clicks c
+        ON o.user_id = c.user_id AND o.ots >= c.cts
+      ORDER BY event_id""",
+    // q203: quantile_cont list boundaries (≡ Spark percentile array);
+    // bucket = 1 + Σ (v > boundary_i), identical IEEE compares
+    "q203_equidepth_histogram" -> """
+      WITH base AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events),
+      bounds AS (
+        SELECT g, quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+          0.8, 0.9]) AS b
+        FROM base GROUP BY 1),
+      assigned AS (
+        SELECT base.g, v,
+          1 + CAST(len([x for x in b.b if v > round(x, 6)]) AS BIGINT)
+            AS bucket
+        FROM base JOIN bounds b ON base.g = b.g)
+      SELECT g AS event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+        round(min(v), 4) AS min_v, round(max(v), 4) AS max_v
+      FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q204: q67's packing CTE folded to the per-lang efficiency readout
+    "q204_packing_efficiency" -> raw"""
+      WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM f),
+      packed AS (
+        SELECT lang, n_tokens,
+          CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin_id,
+          CAST((cum_tokens - 1) // 2048 AS BIGINT) >
+            CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS spans
+        FROM c)
+      SELECT lang, CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(CASE WHEN spans THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_spanning,
+        round(CAST(sum(n_tokens) AS DOUBLE) /
+          CAST(count(DISTINCT bin_id) * 2048 AS DOUBLE), 6) AS fill_ratio
+      FROM packed GROUP BY lang ORDER BY lang""",
     // q189: running-max islanding in epoch micros; covered_seconds by
     // exact integer division both sides
     "q189_interval_merge" -> """

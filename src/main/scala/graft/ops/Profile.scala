@@ -583,6 +583,47 @@ object Profile {
           x => x.getField("__item")), ",").as("top_items"))
   }
 
+  /** Equi-DEPTH histogram: per group, `buckets` value bands holding
+    * (approximately) equal row counts, with exact interpolated quantile
+    * boundaries — the planner-statistics / data-profile complement of
+    * the equi-width histogram (q39) and the row-rank quartiles (q141):
+    * boundaries adapt to the distribution, so heavy tails don't empty
+    * the top bands. Returns (group_key, bucket, n, min_v, max_v);
+    * bucket b covers (boundary_{b-1}, boundary_b], b ∈ 1..buckets.
+    *
+    * Boundaries are Spark's exact `percentile` ≡ DuckDB `quantile_cont`
+    * (the q46 parity idiom; swap percentile_approx at 100 TB per the
+    * winsorize note), ROUNDED to 6dp before the comparison: the two
+    * engines' interpolation expression trees differ sub-ulp
+    * (lower + f·(upper−lower) vs the blend form), and a data value
+    * sitting exactly on one engine's boundary flips buckets — found at
+    * sf0.1, where a 2dp value equalled one side's unrounded boundary.
+    * Fixed-point inputs keep interpolated boundaries near coarse decimal
+    * grid points, far from 7th-decimal halves, so round-6 absorbs the
+    * ulp noise deterministically. Assignment is 1 + Σ (v > boundary_i).
+    * Scale: one exact-percentile aggregation, one broadcast of the
+    * |groups|-row boundary frame, one (group, bucket) fold.
+    */
+  def equiDepthHistogram(df: DataFrame, group: Column, value: Column,
+                         buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    val base = df.select(group.as("__g"), value.cast("double").as("__v"))
+    val bounds = base.groupBy(col("__g"))
+      .agg(expr(s"percentile(__v, array(${fracs.mkString(", ")}))")
+        .as("__b"))
+    val bucket = (1 until buckets)
+      .map(i => when(col("__v") > round(element_at(col("__b"), i), 6), 1L)
+        .otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    base.join(broadcast(bounds), Seq("__g"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("__g").as("group_key"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("__v")), 4).as("min_v"),
+        round(max(col("__v")), 4).as("max_v"))
+  }
+
   /** Hierarchical contribution analysis: a measure summed at
     * (parent, child) grain with each child's share of its parent, each
     * parent's share of the total, and the child's rank inside its

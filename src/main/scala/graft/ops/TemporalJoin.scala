@@ -78,6 +78,40 @@ object TemporalJoin {
         carryNames.map(n => col(s"__carry.$n").as(n)): _*)
   }
 
+  /** [[asOfJoin]] with a max-staleness TOLERANCE (pandas `merge_asof
+    * tolerance` semantics): a match older than `toleranceSeconds` before
+    * the left row's time is discarded — carries come back NULL, exactly
+    * as if no right row preceded it. The common production form ("join
+    * the latest quote, but never one more than an hour stale"); the
+    * unbounded form silently attributes arbitrarily ancient context.
+    *
+    * Implementation rides [[asOfJoin]] unchanged: the matched right time
+    * travels as one extra carried field and a post-join staleness
+    * predicate blanks the carry struct — same one-shuffle plan, no
+    * second window. Determinism: the staleness test is an integer
+    * epoch-microsecond comparison.
+    */
+  def asOfJoinTolerance(left: DataFrame, leftKeys: Seq[String],
+                        leftTime: Column, right: DataFrame,
+                        rightKeys: Seq[String], rightTime: Column,
+                        carry: Map[String, Column],
+                        toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0L,
+      s"toleranceSeconds must be >= 0, got $toleranceSeconds")
+    val reserved = "__asof_matched_us"
+    require(!carry.contains(reserved), s"carry name $reserved is reserved")
+    val carryNames = carry.keys.toSeq.sorted
+    val joined = asOfJoin(left, leftKeys, leftTime, right, rightKeys,
+      rightTime,
+      carry + (reserved -> unix_micros(rightTime.cast("timestamp"))))
+    val stale = col(reserved).isNull ||
+      unix_micros(leftTime.cast("timestamp")) - col(reserved) >
+        lit(toleranceSeconds * 1000000L)
+    carryNames.foldLeft(joined) { (df, n) =>
+      df.withColumn(n, when(stale, lit(null)).otherwise(col(n)))
+    }.drop(reserved)
+  }
+
   /** Keyed range join: left rows joined to right rows with the same key and
     * `rightTime` in `[leftTime + loOffset, leftTime + hiOffset)`.
     * Offsets are Columns of CalendarInterval (e.g. `expr("INTERVAL 1 HOUR")`)

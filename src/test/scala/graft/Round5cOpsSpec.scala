@@ -500,6 +500,38 @@ class Round5cOpsSpec extends AnyFunSuite {
       ("r2", "n3", 60.0, 1.0, 0.6, 1L)))
   }
 
+  test("asOfJoinTolerance: stale matches blank out, fresh ones survive") {
+    import java.sql.Timestamp
+    def t(h: Int, m: Int = 0) =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val left = Seq((1L, t(10), 100L), (1L, t(12), 101L), (2L, t(10), 200L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, t(9, 30), 7L)).toDF("k", "rts", "rid")
+    val out = graft.ops.TemporalJoin.asOfJoinTolerance(
+        left, Seq("k"), col("ts"), right, Seq("k"), col("rts"),
+        Map("matched" -> col("rid")), toleranceSeconds = 3600L)
+      .orderBy("lid").select("lid", "matched")
+      .as[(Long, Option[Long])].collect()
+    // 10:00 is 30min after the 9:30 right row (fresh); 12:00 is 2.5h
+    // stale; key 2 never matches
+    assert(out.toSeq === Seq((100L, Some(7L)), (101L, None), (200L, None)))
+  }
+
+  test("equiDepthHistogram: equal counts, adaptive boundaries") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val out = Profile.equiDepthHistogram(df, $"g", $"v", buckets = 4)
+      .orderBy("bucket")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.map(_._3).toSeq === Seq(25L, 25L, 25L, 25L))
+    assert(out.head._4 === 1.0 && out.last._5 === 100.0)
+    // heavy tail: boundaries adapt, no empty top band
+    val skew = ((1 to 97).map(_ => 1.0) ++ Seq(50.0, 75.0, 100.0))
+      .map(("g", _)).toDF("g", "v")
+    val out2 = Profile.equiDepthHistogram(skew, $"g", $"v", buckets = 4)
+      .orderBy("bucket").as[(String, Long, Long, Double, Double)].collect()
+    assert(out2.map(_._2).contains(4L)) // top band exists and is non-empty
+  }
+
   test("int8Ranking: integer dots, id tie-break, self excluded") {
     val rows = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
