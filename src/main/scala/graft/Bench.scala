@@ -187,7 +187,9 @@ object Bench {
     "q201_range_frame",
     "q202_asof_tolerance",
     "q203_equidepth_histogram",
-    "q204_packing_efficiency")
+    "q204_packing_efficiency",
+    "q205_cdc_apply",
+    "q206_two_hop_reach")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

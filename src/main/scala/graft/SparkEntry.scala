@@ -2626,6 +2626,48 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Quality 6 (round-5): CDC apply
+    * ([[graft.idempotent.Idempotent.applyCdc]]) — a Debezium-style
+    * I/U/D log (synthesized deterministically from orders: insert at
+    * seq 1, price-bump update at seq 2 for mod-3 keys, delete at seq 3
+    * for mod-5 keys) resolved to final table state: last op per key
+    * wins, final deletes drop the key. Completes the lakehouse family
+    * (SCD2 q84, snapshot diff q181, as-of q191).
+    */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val ins = o.select(col("o_orderkey"), lit(1L).as("seq"),
+      lit("I").as("op"), col("o_totalprice"), col("o_orderstatus"))
+    val upd = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+        (col("o_totalprice") + 10.0d).as("o_totalprice"),
+        col("o_orderstatus"))
+    val del = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(null).cast("string").as("o_orderstatus"))
+    graft.idempotent.Idempotent.applyCdc(
+        ins.unionByName(upd).unionByName(del),
+        Seq("o_orderkey"), col("seq"), col("op"),
+        Seq("o_totalprice", "o_orderstatus"))
+      .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+      .orderBy("o_orderkey")
+  }
+
+  /** Graph 12 (round-5): exact 2-hop reach
+    * ([[graft.ops.Graph.twoHopReach]]) over q137's kNN graph — direct
+    * and distance-2 neighborhood sizes with the harmonic-within-2
+    * numerator kept integer (reach_x2 = 2·n1 + n2): the bounded-radius
+    * closeness readout, float-free by construction.
+    */
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.twoHopReach(
+        Similarity.knnGraph(t(s, dir, "embeddings"), col("vec_id"),
+          col("embedding"), Seq(col("label")), k = 3),
+        col("node"), col("nbr"))
+      .orderBy("node")
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3778,7 +3820,9 @@ object SparkEntry {
     "q201_range_frame" -> q201 _,
     "q202_asof_tolerance" -> q202 _,
     "q203_equidepth_histogram" -> q203 _,
-    "q204_packing_efficiency" -> q204 _)
+    "q204_packing_efficiency" -> q204 _,
+    "q205_cdc_apply" -> q205 _,
+    "q206_two_hop_reach" -> q206 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -5352,6 +5396,55 @@ object SparkEntry {
         round(CAST(sum(n_tokens) AS DOUBLE) /
           CAST(count(DISTINCT bin_id) * 2048 AS DOUBLE), 6) AS fill_ratio
       FROM packed GROUP BY lang ORDER BY lang""",
+    // q205: the CDC resolution restated directly — final state = updated
+    // rows for mod-3, dropped for mod-5, inserts otherwise
+    "q205_cdc_apply" -> """
+      SELECT o_orderkey,
+        round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+          ELSE o_totalprice END, 2) AS o_totalprice,
+        o_orderstatus
+      FROM orders WHERE o_orderkey % 5 <> 0
+      ORDER BY o_orderkey""",
+    // q206: q159's knn CTE; wedges via the symmetric self-join, 1-hop
+    // and self excluded, distinct targets counted
+    "q206_two_hop_reach" -> """
+      WITH p AS MATERIALIZED (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+      symc AS (
+        SELECT ia AS node, ib AS nbr, cos FROM p
+        UNION ALL
+        SELECT ib AS node, ia AS nbr, cos FROM p),
+      knn AS (
+        SELECT node, nbr FROM (
+          SELECT node, nbr, row_number() OVER w AS rank
+          FROM symc
+          WINDOW w AS (PARTITION BY node ORDER BY round(cos, 6) DESC, nbr))
+        WHERE rank <= 3),
+      und AS MATERIALIZED (
+        SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+        FROM knn WHERE node <> nbr),
+      sym AS MATERIALIZED (
+        SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS n1 FROM sym
+        GROUP BY 1),
+      two AS (
+        SELECT DISTINCT s1.x AS a0, s2.y AS b0
+        FROM sym s1 JOIN sym s2 ON s1.y = s2.x
+        WHERE s1.x <> s2.y),
+      twoonly AS (
+        SELECT a0, b0 FROM two
+        WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.x = two.a0
+          AND sym.y = two.b0)),
+      n2 AS (SELECT a0 AS node, CAST(count(*) AS BIGINT) AS n2
+        FROM twoonly GROUP BY 1)
+      SELECT d.node, d.n1, COALESCE(n2.n2, 0) AS n2,
+        2 * d.n1 + COALESCE(n2.n2, 0) AS reach_x2
+      FROM deg d LEFT JOIN n2 ON d.node = n2.node
+      ORDER BY d.node""",
     // q189: running-max islanding in epoch micros; covered_seconds by
     // exact integer division both sides
     "q189_interval_merge" -> """

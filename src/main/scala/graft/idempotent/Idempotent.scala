@@ -1,6 +1,6 @@
 package graft.idempotent
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,30 @@ object Idempotent {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  /** Apply a change-data-capture log to produce final table state — the
+    * lakehouse MERGE a CDC stream (Debezium-style I/U/D rows with a
+    * per-key sequence) resolves to: the LAST operation per key wins
+    * (row_number over seq desc, [[latestPerKey]]'s machinery), and a
+    * final delete drops the key entirely. `deleteOp` rows need no
+    * payload. Returns one row per surviving key with the payload
+    * columns.
+    *
+    * `seq` must totally order each key's operations (a log sequence
+    * number / LSN — CDC's own contract); the window partition is one
+    * key's operation history, so per-task memory is bounded by the
+    * hottest key's churn, not the log. One shuffle on the key.
+    */
+  def applyCdc(log: DataFrame, keyCols: Seq[String], seq: Column,
+               op: Column, payloadCols: Seq[String],
+               deleteOp: String = "D"): DataFrame = {
+    require(payloadCols.nonEmpty, "applyCdc needs payload columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(seq.desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && op =!= deleteOp)
+      .select(keyCols.map(col) ++ payloadCols.map(col): _*)
   }
 
   /** Incremental aggregate maintenance: fold a delta's partial aggregates

@@ -429,6 +429,46 @@ object Graph {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** Exact 2-hop reach per node over the UNDIRECTED view of `edges`:
+    * n1 = direct neighbors, n2 = nodes at distance exactly 2 (reachable
+    * through a neighbor, not a neighbor themselves, not self) — the
+    * bounded-radius closeness readout ("how much of the graph does a
+    * node see in two steps") that full closeness centrality needs a
+    * whole BFS per node for. Returns (node, n1, n2, reach_x2) with
+    * reach_x2 = 2·n1 + n2 — the harmonic-closeness-within-2 numerator
+    * kept as an INTEGER (distance-1 nodes weigh 1, distance-2 nodes ½,
+    * everything ×2) so the gate needs no floats at all.
+    *
+    * Scale shape: the wedge join's pair volume is Σ deg(mid)² — the
+    * same hub-sensitive bound triangleCounts documents, tamed there by
+    * orientation; here the 2-hop SET is the answer so orientation can't
+    * help, and the operator is honest about it: run it on bounded-degree
+    * graphs (kNN graphs by construction) or cap degrees upstream. Three
+    * shuffles: symmetrize+distinct, wedge join, anti-join + fold.
+    */
+  def twoHopReach(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = edges
+      .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint() // wedge legs + 1-hop exclusion all read it
+    val deg = sym.groupBy(col("x").as("node")).agg(count(lit(1)).as("n1"))
+    val twoHop = sym.select(col("x").as("a0"), col("y").as("m"))
+      .join(sym.select(col("x").as("m"), col("y").as("b0")), Seq("m"))
+      .filter(col("a0") =!= col("b0"))
+      .select(col("a0"), col("b0")).distinct()
+      .join(sym.select(col("x").as("a0"), col("y").as("b0")),
+        Seq("a0", "b0"), "left_anti")
+    val n2 = twoHop.groupBy(col("a0").as("node"))
+      .agg(count(lit(1)).as("n2"))
+    deg.join(n2, Seq("node"), "left")
+      .select(col("node"), col("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        (lit(2L) * col("n1") + coalesce(col("n2"), lit(0L))).as("reach_x2"))
+  }
+
   /** Degree assortativity of the UNDIRECTED view of `edges`: the Pearson
     * correlation between the degrees at the two ends of every edge (both
     * orientations counted, the standard symmetric formulation). Positive =

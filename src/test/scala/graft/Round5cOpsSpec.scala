@@ -532,6 +532,37 @@ class Round5cOpsSpec extends AnyFunSuite {
     assert(out2.map(_._2).contains(4L)) // top band exists and is non-empty
   }
 
+  test("applyCdc: last op wins, final delete drops the key") {
+    val log = Seq(
+      (1L, 1L, "I", Some("a")), (1L, 2L, "U", Some("a2")),
+      (2L, 1L, "I", Some("b")), (2L, 2L, "D", None),
+      (3L, 2L, "I", Some("c")), (3L, 1L, "D", None) // delete BEFORE insert
+    ).toDF("k", "seq", "op", "payload")
+    val out = graft.idempotent.Idempotent.applyCdc(log, Seq("k"),
+        $"seq", $"op", Seq("payload"))
+      .orderBy("k").as[(Long, String)].collect()
+    // key 1 keeps the update; key 2 is deleted; key 3's insert at a
+    // LATER seq survives the earlier delete (ordering, not op priority)
+    assert(out.toSeq === Seq((1L, "a2"), (3L, "c")))
+  }
+
+  test("twoHopReach: path graph distances, no self/1-hop double count") {
+    // path 1-2-3-4: node 1 sees {2} at d1, {3} at d2 → reach_x2 = 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val out = Graph.twoHopReach(edges, $"s", $"d")
+      .orderBy("node").as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 3L), (2L, 2L, 1L, 5L), (3L, 2L, 1L, 5L),
+      (4L, 1L, 1L, 3L)))
+  }
+
+  test("twoHopReach: triangle has no distance-2 nodes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    val out = Graph.twoHopReach(edges, $"s", $"d")
+      .select("n2").as[Long].collect()
+    assert(out.toSeq === Seq(0L, 0L, 0L))
+  }
+
   test("int8Ranking: integer dots, id tie-break, self excluded") {
     val rows = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
