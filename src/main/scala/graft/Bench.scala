@@ -189,7 +189,8 @@ object Bench {
     "q203_equidepth_histogram",
     "q204_packing_efficiency",
     "q205_cdc_apply",
-    "q206_two_hop_reach")
+    "q206_two_hop_reach",
+    "q207_bpe_rounds")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2668,6 +2668,54 @@ object SparkEntry {
         col("node"), col("nbr"))
       .orderBy("node")
 
+  /** Text 22 (round-5): the BPE TRAINING LOOP — two full merge rounds
+    * (q151 mines the first decision; this executes it and the next):
+    * per round, mine the top adjacent pair, rewrite every document with
+    * [[TextAnalysis.bpeMergeOnce]]'s left-to-right non-overlapping
+    * fold, report (pair, merges, corpus size after). The top pair rides
+    * a one-row driver read per round (the CC-convergence pattern); the
+    * oracle unrolls both rounds with the fold replayed as per-document
+    * linear recursive walks and the top pair as a scalar subquery.
+    */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.tokens
+    import s.implicits._
+    var toks = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .localCheckpoint()
+    def stats(df: DataFrame) = df.select(explode(col("tk")).as("__t"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("__t")).as("d"))
+      .first()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long, Long)]
+    var r = 1
+    var done = false
+    while (r <= 2 && !done) {
+      val before = stats(toks)
+      val n = size(col("tk"))
+      val top = toks.filter(n >= 2)
+        .select(explode(zip_with(
+          slice(col("tk"), lit(1), n - 1), slice(col("tk"), lit(2), n - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true // empty corpus: nothing to merge
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        toks = TextAnalysis.bpeMergeOnce(toks, a, b).localCheckpoint()
+        val after = stats(toks)
+        out += ((r.toLong, a, b, before.getLong(0) - after.getLong(0),
+          after.getLong(0), after.getLong(1)))
+        r += 1
+      }
+    }
+    out.toSeq.toDF("round", "pair_a", "pair_b", "n_merges",
+        "n_tokens_after", "n_distinct_after")
+      .orderBy("round")
+  }
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3822,7 +3870,8 @@ object SparkEntry {
     "q203_equidepth_histogram" -> q203 _,
     "q204_packing_efficiency" -> q204 _,
     "q205_cdc_apply" -> q205 _,
-    "q206_two_hop_reach" -> q206 _)
+    "q206_two_hop_reach" -> q206 _,
+    "q207_bpe_rounds" -> q207 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4397,6 +4446,71 @@ object SparkEntry {
              (CAST(n_correct AS DOUBLE) / CAST(n_actual AS DOUBLE))), 6)
           END AS f1
       FROM j ORDER BY lang"""
+
+  /** q207's oracle — two unrolled BPE rounds. Per round: the top pair as
+    * a MATERIALIZED scalar CTE (count desc, pair asc — the engine's
+    * driver read restated in SQL) and the merge fold replayed as a
+    * per-document linear recursive walk carrying (emitted-prefix,
+    * pending-token), exactly [[graft.ops.TextAnalysis.bpeMergeOnce]]'s
+    * accumulator. MATERIALIZED everywhere a CTE is referenced twice
+    * (the q169 inlining lesson).
+    */
+  private val q207Oracle: String = {
+    def round(i: Int): String = {
+      val (in, out) = (s"toks$i", s"toks${i + 1}")
+      s"""top$i AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+            SELECT unnest([struct_pack(a := tk[j], b := tk[j + 1])
+              for j in range(1, len(tk))]) AS p
+            FROM $in WHERE len(tk) >= 2)
+          GROUP BY 1, 2)
+        ORDER BY cnt DESC, a, b LIMIT 1),
+      e$i AS MATERIALIZED (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS j
+        FROM $in),
+      n$i AS MATERIALIZED (SELECT doc_id, len(tk) AS n FROM $in),
+      walk$i AS (
+        SELECT doc_id, 0 AS j, CAST([] AS VARCHAR[]) AS out,
+          CAST(NULL AS VARCHAR) AS pend
+        FROM n$i
+        UNION ALL
+        SELECT w.doc_id, w.j + 1,
+          CASE WHEN w.pend = t.a AND e.t = t.b
+            THEN array_append(w.out, t.a || ' ' || t.b)
+          WHEN w.pend IS NULL THEN w.out
+          ELSE array_append(w.out, w.pend) END,
+          CASE WHEN w.pend = t.a AND e.t = t.b THEN CAST(NULL AS VARCHAR)
+            ELSE e.t END
+        FROM walk$i w
+        JOIN e$i e ON e.doc_id = w.doc_id AND e.j = w.j + 1
+        CROSS JOIN top$i t),
+      $out AS MATERIALIZED (
+        SELECT w.doc_id,
+          CASE WHEN w.pend IS NULL THEN w.out
+            ELSE array_append(w.out, w.pend) END AS tk
+        FROM walk$i w JOIN n$i ON w.doc_id = n$i.doc_id AND w.j = n$i.n)"""
+    }
+    def row(i: Int): String =
+      s"""SELECT $i AS round,
+        (SELECT a FROM top$i) AS pair_a, (SELECT b FROM top$i) AS pair_b,
+        CAST((SELECT sum(len(tk)) FROM toks$i) -
+          (SELECT sum(len(tk)) FROM toks${i + 1}) AS BIGINT) AS n_merges,
+        CAST((SELECT sum(len(tk)) FROM toks${i + 1}) AS BIGINT)
+          AS n_tokens_after,
+        (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM
+          (SELECT unnest(tk) AS t FROM toks${i + 1})) AS n_distinct_after"""
+    raw"""
+      WITH RECURSIVE toks1 AS MATERIALIZED (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      ${round(1)},
+      ${round(2)}
+      ${row(1)}
+      UNION ALL
+      ${row(2)}
+      ORDER BY round"""
+  }
 
   /** q190's oracle — the sequential debounce walk as a linear recursive
     * CTE; q196 (the streamed twin) shares it verbatim.
@@ -5396,6 +5510,8 @@ object SparkEntry {
         round(CAST(sum(n_tokens) AS DOUBLE) /
           CAST(count(DISTINCT bin_id) * 2048 AS DOUBLE), 6) AS fill_ratio
       FROM packed GROUP BY lang ORDER BY lang""",
+    // q207: two unrolled BPE rounds — pair mining + recursive merge walk
+    "q207_bpe_rounds" -> q207Oracle,
     // q205: the CDC resolution restated directly — final state = updated
     // rows for mod-3, dropped for mod-5, inserts otherwise
     "q205_cdc_apply" -> """

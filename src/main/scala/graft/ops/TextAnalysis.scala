@@ -661,6 +661,46 @@ object TextAnalysis {
           col("__clc").cast("double") / col("n_tokens").cast("double"), 6)
           .as("entropy"))
 
+  /** One BPE merge applied to a (doc_id, token-array) frame: every
+    * non-overlapping left-to-right occurrence of the adjacent pair
+    * (a, b) becomes the single token "a b" — the REWRITE half of a
+    * BPE tokenizer-training round ([[SparkEntry]] q151 mines the top
+    * pair; q207 drives the full loop). The merged token joins with a
+    * space, which no whitespace-split token can contain, so merged
+    * tokens never collide with originals and re-merging composes
+    * ("a b" + c → "a b c").
+    *
+    * The fold is a per-row `aggregate` higher-order function carrying
+    * (emitted-prefix, pending-token): pending=a followed by b emits the
+    * merged token and CLEARS pending — that consume step is what makes
+    * "a a a" merge once, not twice (left-to-right non-overlap, the BPE
+    * contract). Map-side, no shuffle; the lambda is interpreted (the
+    * documented HOF trade-off — acceptable here because the fold is the
+    * semantics, not a hot hash loop). The differential oracle replays
+    * the identical fold as a per-document linear recursive CTE.
+    */
+  def bpeMergeOnce(toks: DataFrame, a: String, b: String): DataFrame = {
+    val merged = a + " " + b
+    val zero = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("pend"))
+    val folded = aggregate(
+      col("tk"), zero,
+      (acc, x) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pend")
+        val hit = pend === lit(a) && x === lit(b)
+        struct(
+          when(hit, concat(out, array(lit(merged))))
+            .when(pend.isNull, out)
+            .otherwise(concat(out, array(pend))).as("out"),
+          when(hit, lit(null).cast("string")).otherwise(x).as("pend"))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+    toks.withColumn("tk", folded)
+  }
+
   /** Zipf rank–frequency fit: least-squares slope of ln(freq) on
     * ln(rank) over the corpus unigram distribution — THE one-number
     * language-corpus health check (natural text sits near −1; a slope

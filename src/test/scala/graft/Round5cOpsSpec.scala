@@ -563,6 +563,28 @@ class Round5cOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(0L, 0L, 0L))
   }
 
+  test("bpeMergeOnce: left-to-right non-overlap, composition with rounds") {
+    val toks = Seq(
+      (1L, Seq("a", "b", "c", "a", "b")),
+      (2L, Seq("a", "a", "a")),           // self-pair: merge once, not twice
+      (3L, Seq("x"))
+    ).toDF("doc_id", "tk")
+    val m1 = TextAnalysis.bpeMergeOnce(toks, "a", "b")
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    assert(m1(0)._2 === Seq("a b", "c", "a b"))
+    assert(m1(1)._2 === Seq("a", "a", "a")) // no (a,b) pairs here
+    assert(m1(2)._2 === Seq("x"))
+    val selfMerge = TextAnalysis.bpeMergeOnce(toks, "a", "a")
+      .filter($"doc_id" === 2L).as[(Long, Seq[String])].collect()
+    // "a a a" -> ["a a", "a"]: the consumed middle token can't re-pair
+    assert(selfMerge.head._2 === Seq("a a", "a"))
+    // merged tokens compose: ("a b", "c") can merge next round
+    val m2 = TextAnalysis.bpeMergeOnce(
+        TextAnalysis.bpeMergeOnce(toks, "a", "b"), "a b", "c")
+      .filter($"doc_id" === 1L).as[(Long, Seq[String])].collect()
+    assert(m2.head._2 === Seq("a b c", "a b"))
+  }
+
   test("int8Ranking: integer dots, id tie-break, self excluded") {
     val rows = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
