@@ -190,7 +190,8 @@ object Bench {
     "q204_packing_efficiency",
     "q205_cdc_apply",
     "q206_two_hop_reach",
-    "q207_bpe_rounds")
+    "q207_bpe_rounds",
+    "q208_cdc_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2634,7 +2634,8 @@ object SparkEntry {
     * wins, final deletes drop the key. Completes the lakehouse family
     * (SCD2 q84, snapshot diff q181, as-of q191).
     */
-  private def q205(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic CDC log q205 and q208 both consume. */
+  private def q205Log(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .select("o_orderkey", "o_totalprice", "o_orderstatus")
     val ins = o.select(col("o_orderkey"), lit(1L).as("seq"),
@@ -2647,11 +2648,58 @@ object SparkEntry {
       .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
         lit(null).cast("double").as("o_totalprice"),
         lit(null).cast("string").as("o_orderstatus"))
-    graft.idempotent.Idempotent.applyCdc(
-        ins.unionByName(upd).unionByName(del),
+    ins.unionByName(upd).unionByName(del)
+  }
+
+  private def q205(s: SparkSession, dir: String): DataFrame =
+    graft.idempotent.Idempotent.applyCdc(q205Log(s, dir),
         Seq("o_orderkey"), col("seq"), col("op"),
         Seq("o_totalprice", "o_orderstatus"))
       .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+      .orderBy("o_orderkey")
+
+  /** Streaming 16 (round-5): CDC apply IN-FLIGHT
+    * ([[graft.streaming.Streaming.cdcApplyStream]]) — q205's log
+    * streamed in two micro-batches with per-key frontier state (emit
+    * only when the sequence advances). No batch-boundary precondition:
+    * max-by-seq is order-insensitive, so ANY partitioning converges —
+    * and the gate is q205's oracle verbatim. The landed frontier rows
+    * collapse via latestPerKey + JSON decode (the landing step every
+    * exactly-once sink performs).
+    */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q208")
+    val in = stage.resolve("in").toString
+    val log = q205Log(s, dir)
+    log.filter(col("seq") === 1L).repartition(1)
+      .write.mode("append").parquet(in)
+    def parts = new java.io.File(in).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    val first = parts
+    log.filter(col("seq") > 1L).repartition(1)
+      .write.mode("append").parquet(in)
+    val baseTime = new java.io.File(first.head).lastModified
+    (parts -- first).foreach(p =>
+      new java.io.File(p).setLastModified(baseTime + 120000L))
+    val stream = s.readStream.schema(s.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val frontier = graft.streaming.Streaming.cdcApplyStream(stream,
+      "o_orderkey", "seq", "op", Seq("o_totalprice", "o_orderstatus"))
+    val mem = graft.streaming.Streaming.runToMemory(frontier, "q208_mem",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    deleteTree(stage)
+    val payloadSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("o_orderstatus",
+        org.apache.spark.sql.types.StringType)))
+    graft.idempotent.Idempotent.latestPerKey(mem, Seq("key"), Seq("seq"))
+      .filter(col("op") =!= "D")
+      .select(col("key").as("o_orderkey"),
+        from_json(col("js"), payloadSchema).as("__p"))
+      .select(col("o_orderkey"),
+        round(col("__p.o_totalprice"), 2).as("o_totalprice"),
+        col("__p.o_orderstatus").as("o_orderstatus"))
       .orderBy("o_orderkey")
   }
 
@@ -3871,7 +3919,8 @@ object SparkEntry {
     "q204_packing_efficiency" -> q204 _,
     "q205_cdc_apply" -> q205 _,
     "q206_two_hop_reach" -> q206 _,
-    "q207_bpe_rounds" -> q207 _)
+    "q207_bpe_rounds" -> q207 _,
+    "q208_cdc_stream" -> q208 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4511,6 +4560,17 @@ object SparkEntry {
       ${row(2)}
       ORDER BY round"""
   }
+
+  /** q205's oracle — the CDC resolution restated directly; q208 (the
+    * streamed twin) shares it verbatim.
+    */
+  private val q205CdcOracle: String = """
+      SELECT o_orderkey,
+        round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+          ELSE o_totalprice END, 2) AS o_totalprice,
+        o_orderstatus
+      FROM orders WHERE o_orderkey % 5 <> 0
+      ORDER BY o_orderkey"""
 
   /** q190's oracle — the sequential debounce walk as a linear recursive
     * CTE; q196 (the streamed twin) shares it verbatim.
@@ -5514,13 +5574,11 @@ object SparkEntry {
     "q207_bpe_rounds" -> q207Oracle,
     // q205: the CDC resolution restated directly — final state = updated
     // rows for mod-3, dropped for mod-5, inserts otherwise
-    "q205_cdc_apply" -> """
-      SELECT o_orderkey,
-        round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
-          ELSE o_totalprice END, 2) AS o_totalprice,
-        o_orderstatus
-      FROM orders WHERE o_orderkey % 5 <> 0
-      ORDER BY o_orderkey""",
+    "q205_cdc_apply" -> q205CdcOracle,
+    // q208: the streamed twin shares q205's oracle VERBATIM — per-key
+    // frontier state across micro-batches must converge to the batch
+    // resolution for any log partitioning
+    "q208_cdc_stream" -> q205CdcOracle,
     // q206: q159's knn CTE; wedges via the symmetric self-join, 1-hop
     // and self excluded, distinct targets counted
     "q206_two_hop_reach" -> """

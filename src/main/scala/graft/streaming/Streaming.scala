@@ -306,6 +306,48 @@ object Streaming {
       }.toDF()
   }
 
+  /** Streaming CDC resolution — [[graft.idempotent.Idempotent.applyCdc]]
+    * in-flight: per key, GroupState carries the highest (seq, op,
+    * payload) seen so far; a micro-batch emits a key's new frontier only
+    * when its sequence ADVANCES, so stale redeliveries die in state
+    * instead of reaching the sink. The payload travels as JSON
+    * (`to_json` of the payload struct) to keep the operator
+    * payload-schema-generic; the caller decodes after landing. Returns
+    * the emitted frontier stream (key, seq, op, payload_json) —
+    * materialize and take the last row per key (the landing step every
+    * exactly-once sink here performs) for final table state.
+    *
+    * State is one (long, string, string) per key; emission is
+    * append-mode. Unlike sessionize/debounce, NO batch-boundary
+    * precondition is needed: max-by-seq is order-insensitive, so any
+    * partitioning of the log into micro-batches (even interleaved)
+    * converges to the same final state — the gate proves it.
+    */
+  final case class CdcEvent(key: Long, seq: Long, op: String, js: String)
+  final case class CdcState(seq: Long, op: String, js: String)
+
+  def cdcApplyStream(log: DataFrame, keyCol: String, seqCol: String,
+                     opCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "cdcApplyStream needs payload columns")
+    val spark = log.sparkSession
+    import spark.implicits._
+    log.select(col(keyCol).cast("long").as("key"),
+        col(seqCol).cast("long").as("seq"), col(opCol).as("op"),
+        to_json(struct(payloadCols.map(col): _*)).as("js"))
+      .as[CdcEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CdcState, CdcEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[CdcEvent], state: GroupState[CdcState]) =>
+          val best = rows.maxBy(e => (e.seq, e.op))
+          val cur = state.getOption
+          if (cur.forall(_.seq < best.seq)) {
+            state.update(CdcState(best.seq, best.op, best.js))
+            Iterator.single(CdcEvent(k, best.seq, best.op, best.js))
+          } else Iterator.empty
+      }.toDF()
+  }
+
   /** Streaming ordered funnel (stage0 → stage1 → stage2, e.g. view →
     * click → purchase): emits each user's earliest in-order completion
     * times the moment the final stage lands, then DROPS the user's state —

@@ -585,6 +585,30 @@ class Round5cOpsSpec extends AnyFunSuite {
     assert(m2.head._2 === Seq("a b c", "a b"))
   }
 
+  test("cdcApplyStream: frontier advances across batches, stale seqs die in state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val out = graft.streaming.Streaming.cdcApplyStream(
+      input.toDF.toDF("k", "seq", "op", "v"), "k", "seq", "op", Seq("v"))
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cdc_test").start()
+    try {
+      input.addData((1L, 1L, "I", 10.0), (2L, 1L, "I", 20.0))
+      q.processAllAvailable()
+      // batch 2: key 1 advances to an update; key 2 REDELIVERS seq 1 —
+      // the state must suppress it (no new emission for key 2)
+      input.addData((1L, 2L, "U", 11.0), (2L, 1L, "I", 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("cdc_test")
+        .as[(Long, Long, String, String)].collect()
+      assert(rows.count(_._1 == 2L) === 1) // redelivery emitted nothing new
+      val k1 = rows.filter(_._1 == 1L).maxBy(_._2)
+      assert(k1._2 === 2L && k1._3 === "U" && k1._4.contains("11.0"))
+    } finally q.stop()
+  }
+
   test("int8Ranking: integer dots, id tie-break, self excluded") {
     val rows = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
