@@ -191,7 +191,9 @@ object Bench {
     "q205_cdc_apply",
     "q206_two_hop_reach",
     "q207_bpe_rounds",
-    "q208_cdc_stream")
+    "q208_cdc_stream",
+    "q209_feature_scale",
+    "q210_lag1_autocorr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

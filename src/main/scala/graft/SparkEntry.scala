@@ -2764,6 +2764,29 @@ object SparkEntry {
       .orderBy("round")
   }
 
+  /** Profile 21 (round-5): per-type feature scaling
+    * ([[graft.ops.Profile.featureScale]]) — min-max and z-score
+    * normalization of event values in one pass, statistics
+    * DECIMAL-exact, constant groups null out rather than fake a zero.
+    */
+  private def q209(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.featureScale(t(s, dir, "events"), col("event_type"),
+        col("event_id"), col("value"), scale = 4)
+      .withColumnRenamed("group_key", "event_type")
+      .withColumnRenamed("id", "event_id")
+      .orderBy("event_id")
+
+  /** Timeseries 9 (round-5): lag-1 autocorrelation of the daily event
+    * count series per type ([[graft.ops.Profile.lag1Autocorr]]) — the
+    * seasonality probe as pure integer moments (q164's idiom on a time
+    * series); consecutive-day pairs only.
+    */
+  private def q210(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.lag1Autocorr(t(s, dir, "events"), col("event_type"),
+        col("ts"))
+      .withColumnRenamed("group_key", "event_type")
+      .orderBy("event_type")
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3920,7 +3943,9 @@ object SparkEntry {
     "q205_cdc_apply" -> q205 _,
     "q206_two_hop_reach" -> q206 _,
     "q207_bpe_rounds" -> q207 _,
-    "q208_cdc_stream" -> q208 _)
+    "q208_cdc_stream" -> q208 _,
+    "q209_feature_scale" -> q209 _,
+    "q210_lag1_autocorr" -> q210 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -5572,6 +5597,66 @@ object SparkEntry {
       FROM packed GROUP BY lang ORDER BY lang""",
     // q207: two unrolled BPE rounds — pair mining + recursive merge walk
     "q207_bpe_rounds" -> q207Oracle,
+    // q209: DECIMAL-exact moments broadcast onto rows; population
+    // variance; constant groups null; VARCHAR hop on the big sums
+    "q209_feature_scale" -> """
+      WITH base AS (
+        SELECT event_type AS g, event_id AS id,
+          CAST(value AS DECIMAL(18,4)) AS v
+        FROM events),
+      stats AS (
+        SELECT g,
+          CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx,
+          CAST(count(*) AS DOUBLE) AS n,
+          CAST(CAST(sum(CAST(v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+            AS s,
+          CAST(CAST(sum(CAST(v * v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+            AS ss
+        FROM base GROUP BY 1)
+      SELECT b.g AS event_type, b.id AS event_id,
+        CAST(b.v AS DOUBLE) AS value,
+        CASE WHEN st.mx = st.mn THEN NULL
+          ELSE round((CAST(b.v AS DOUBLE) - st.mn) / (st.mx - st.mn), 6)
+          END AS minmax,
+        CASE WHEN st.ss / st.n - (st.s / st.n) * (st.s / st.n) <= 0.0
+          THEN NULL
+          ELSE round((CAST(b.v AS DOUBLE) - st.s / st.n) /
+            sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)), 6)
+          END AS zscore
+      FROM base b JOIN stats st ON b.g = st.g
+      ORDER BY event_id""",
+    // q210: daily integer counts; consecutive-day self-join; the q164
+    // integer-moment Pearson idiom
+    "q210_lag1_autocorr" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.g, a.c AS x, b.c AS y
+        FROM daily a JOIN daily b ON a.g = b.g AND b.d = a.d + 1),
+      sums AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(count(*) AS DOUBLE) AS n,
+          CAST(CAST(sum(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+            AS sx,
+          CAST(CAST(sum(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+            AS sy,
+          CAST(CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+            AS sxx,
+          CAST(CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+            AS syy,
+          CAST(CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+            AS sxy
+        FROM pairs GROUP BY g)
+      SELECT g AS event_type, n_pairs,
+        CASE WHEN n_pairs < 2 OR
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) = 0.0
+          THEN NULL
+          ELSE round((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END
+          AS autocorr
+      FROM sums ORDER BY event_type""",
     // q205: the CDC resolution restated directly — final state = updated
     // rows for mod-3, dropped for mod-5, inserts otherwise
     "q205_cdc_apply" -> q205CdcOracle,

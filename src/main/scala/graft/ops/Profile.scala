@@ -583,6 +583,84 @@ object Profile {
           x => x.getField("__item")), ",").as("top_items"))
   }
 
+  /** Per-group feature scaling — min-max and z-score in one pass: the
+    * normalization step every feature pipeline runs before training,
+    * with the statistics computed DECIMAL-exact so the gate is exact.
+    * Returns the input keyed rows plus (minmax, zscore); both null when
+    * the group is constant (zero range / zero variance — scaling is
+    * undefined, not zero). z-score uses the POPULATION variance
+    * (Σv²/n − mean², the q129 moment idiom).
+    *
+    * Scale shape: one grouped moment aggregation (map-side partials)
+    * broadcast back onto the rows — no window, no sort; the row pass is
+    * map-side after the join. Moment sums hop through VARCHAR on the
+    * oracle side past 53 bits (q99's caveat).
+    */
+  def featureScale(df: DataFrame, group: Column, id: Column,
+                   value: Column, scale: Int = 4): DataFrame = {
+    val base = df.select(group.as("group_key"), id.as("id"),
+      value.cast(s"decimal(18,$scale)").as("__v"))
+    val stats = base.groupBy(col("group_key"))
+      .agg(min(col("__v")).cast("double").as("__mn"),
+        max(col("__v")).cast("double").as("__mx"),
+        count(lit(1)).cast("double").as("__n"),
+        sum(col("__v").cast("decimal(38,8)")).cast("double").as("__s"),
+        sum((col("__v") * col("__v")).cast("decimal(38,8)")).cast("double")
+          .as("__ss"))
+    val mean = col("__s") / col("__n")
+    val variance = col("__ss") / col("__n") - mean * mean
+    val v = col("__v").cast("double")
+    base.join(broadcast(stats), Seq("group_key"))
+      .select(col("group_key"), col("id"), v.as("value"),
+        when(col("__mx") === col("__mn"), lit(null).cast("double"))
+          .otherwise(round((v - col("__mn")) / (col("__mx") - col("__mn")),
+            6)).as("minmax"),
+        when(variance <= 0.0d, lit(null).cast("double"))
+          .otherwise(round((v - mean) / sqrt(variance), 6)).as("zscore"))
+  }
+
+  /** Lag-1 autocorrelation of a per-group DAILY COUNT series: Pearson
+    * correlation between consecutive days' counts — the "is today's
+    * volume predictive of tomorrow's" seasonality probe, and a pure
+    * integer-moment computation (counts are integers, so all five sums
+    * are DECIMAL-exact; the q164 assortativity idiom on a time series).
+    * Only CONSECUTIVE day pairs correlate (a gap breaks the pair — the
+    * honest treatment; zero-fill first via resample if gaps should
+    * count as zeros). Returns (group_key, n_pairs, autocorr), null when
+    * fewer than 2 pairs or zero variance on either side.
+    *
+    * Scale shape: one (group, day) count aggregation, one self
+    * equi-join on (group, day+1) at day grain, one scalar fold per
+    * group.
+    */
+  def lag1Autocorr(df: DataFrame, group: Column, ts: Column): DataFrame = {
+    val daily = df.select(group.as("group_key"),
+        to_date(ts.cast("timestamp")).as("__d"))
+      .groupBy(col("group_key"), col("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // both sides of the lag join
+    val pairs = daily.select(col("group_key"), col("__d"),
+        col("__c").as("__x"))
+      .join(daily.select(col("group_key"),
+        date_sub(col("__d"), 1).as("__d"), col("__c").as("__y")),
+        Seq("group_key", "__d"))
+    def s(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val n = count(lit(1)).cast("double")
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val den = sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+      (col("__n") * col("__syy") - col("__sy") * col("__sy")))
+    pairs.groupBy(col("group_key"))
+      .agg(count(lit(1)).as("n_pairs"), n.as("__n"),
+        s(col("__x")).as("__sx"), s(col("__y")).as("__sy"),
+        s(col("__x") * col("__x")).as("__sxx"),
+        s(col("__y") * col("__y")).as("__syy"),
+        s(col("__x") * col("__y")).as("__sxy"))
+      .select(col("group_key"), col("n_pairs"),
+        when(col("n_pairs") < 2L || den === 0.0d,
+          lit(null).cast("double"))
+          .otherwise(round(num / den, 6)).as("autocorr"))
+  }
+
   /** Equi-DEPTH histogram: per group, `buckets` value bands holding
     * (approximately) equal row counts, with exact interpolated quantile
     * boundaries — the planner-statistics / data-profile complement of

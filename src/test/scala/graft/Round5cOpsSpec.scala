@@ -609,6 +609,40 @@ class Round5cOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("featureScale: exact min-max and z-score; constant groups null out") {
+    val df = Seq(("g1", 1L, 0.0), ("g1", 2L, 5.0), ("g1", 3L, 10.0),
+      ("g2", 4L, 7.0), ("g2", 5L, 7.0)).toDF("g", "id", "v")
+    val out = Profile.featureScale(df, $"g", $"id", $"v")
+      .orderBy("id")
+      .as[(String, Long, Double, Option[Double], Option[Double])].collect()
+    assert(out(0) === (("g1", 1L, 0.0, Some(0.0), Some(-1.224745))))
+    assert(out(1) === (("g1", 2L, 5.0, Some(0.5), Some(0.0))))
+    assert(out(2) === (("g1", 3L, 10.0, Some(1.0), Some(1.224745))))
+    // constant group: zero range AND zero variance — both null
+    assert(out(3)._4.isEmpty && out(3)._5.isEmpty)
+  }
+
+  test("lag1Autocorr: alternating series is perfectly anti-correlated") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // daily counts 1,2,1,2,1 -> lag-1 pairs (1,2),(2,1),(1,2),(2,1)
+    val ev = (Seq(t(1)) ++ Seq(t(2), t(2)) ++ Seq(t(3)) ++
+      Seq(t(4), t(4)) ++ Seq(t(5))).map(("a", _)).toDF("g", "ts")
+    val out = Profile.lag1Autocorr(ev, $"g", $"ts")
+      .as[(String, Long, Option[Double])].collect()
+    assert(out.toSeq === Seq(("a", 4L, Some(-1.0))))
+  }
+
+  test("lag1Autocorr: gaps break pairs; constant series yields null") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // days 1,2 then a gap then 5,6: only 2 pairs, all counts equal -> null
+    val ev = Seq(t(1), t(2), t(5), t(6)).map(("a", _)).toDF("g", "ts")
+    val out = Profile.lag1Autocorr(ev, $"g", $"ts")
+      .as[(String, Long, Option[Double])].collect()
+    assert(out.toSeq === Seq(("a", 2L, None)))
+  }
+
   test("int8Ranking: integer dots, id tie-break, self excluded") {
     val rows = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
