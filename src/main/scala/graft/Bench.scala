@@ -193,7 +193,8 @@ object Bench {
     "q207_bpe_rounds",
     "q208_cdc_stream",
     "q209_feature_scale",
-    "q210_lag1_autocorr")
+    "q210_lag1_autocorr",
+    "q211_knn_bounded")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -296,7 +297,20 @@ object Bench {
     val metricsJson = queryMetrics.map { case (k, m) =>
       "\"" + k + s"""":{"shuffle_rd":${m.shuffleRd},"shuffle_wr":${m.shuffleWr},"spill":${m.spill},"peak_mem":${m.peakMem}}"""
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"extra":${json(extras)},"exec_metrics":$metricsJson,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"rounds":$rounds,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"extra":${json(extras)},"exec_metrics":$metricsJson,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"rounds":$rounds,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's stdout capture keeps only a ~2 KB tail, which truncated
+    // round 5's per-query seconds out of BENCH_r05.json — persist the FULL
+    // line too (SPARK_GRAFT_BENCH_OUT overrides; commit as bench_out/rNN.json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_out/latest.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
     (results ++ extras).foreach {
       case (k, Left(m)) => System.err.println(s"BENCH FAIL $k: $m")
       case _ => () }

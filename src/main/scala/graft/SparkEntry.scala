@@ -42,6 +42,11 @@ object SparkEntry {
   private def davg(c: Column, scale: Int = 4): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(lit(1))
 
+  /** [[graft.Readout.rdz]]: round + IEEE negative-zero normalization for
+    * possibly-negative double readouts (oracle side pairs `round(x,k)+0.0`).
+    */
+  private def rdz(c: Column, k: Int): Column = Readout.rdz(c, k)
+
   // ————————————————————————————————————————————————————————————— flagship
 
   /** Flagship (EP1 restatement, SURVEY.md §3): normalize → derive reference
@@ -1598,7 +1603,7 @@ object SparkEntry {
     Similarity.neighborMeanFeatures(t(s, dir, "embeddings"),
         col("vec_id"), col("embedding"), Seq(col("label")), k = 3,
         dims = 8)
-      .withColumn("mean_v", round(col("mean_v"), 6))
+      .withColumn("mean_v", rdz(col("mean_v"), 6))
       .orderBy("node", "dim")
 
   /** Streaming-adjacent 10: Spark's NATIVE `session_window` (the built-in
@@ -1933,7 +1938,7 @@ object SparkEntry {
     graft.ops.Profile.covarianceMatrix(t(s, dir, "embeddings"),
         col("label"), col("embedding"))
       .withColumnRenamed("group_key", "label")
-      .withColumn("cov", round(col("cov"), 6))
+      .withColumn("cov", rdz(col("cov"), 6))
       .orderBy("label", "i", "j")
 
   /** Profile 14 (round-5): top principal direction per label by TWO
@@ -1949,8 +1954,8 @@ object SparkEntry {
         col("label"), col("embedding"), iters = 2)
       .withColumnRenamed("group_key", "label")
       .select(col("label"), col("dim"),
-        round(col("component"), 6).as("component"),
-        round(col("eigenvalue"), 6).as("eigenvalue"))
+        rdz(col("component"), 6).as("component"),
+        rdz(col("eigenvalue"), 6).as("eigenvalue"))
       .orderBy("label", "dim")
 
   /** Graph 9 (round-5): degree assortativity of q137's kNN graph
@@ -1965,7 +1970,7 @@ object SparkEntry {
           col("embedding"), Seq(col("label")), k = 3),
         col("node"), col("nbr"))
       .select(col("n_edges"),
-        round(col("assortativity"), 6).as("assortativity"))
+        rdz(col("assortativity"), 6).as("assortativity"))
 
   /** Text 16 (round-5): skip-gram PMI, window ±2
     * ([[TextAnalysis.skipgramPmi]]) — q160's POSITIONAL sibling and the
@@ -1976,7 +1981,7 @@ object SparkEntry {
   private def q165(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.skipgramPmi(t(s, dir, "documents"), col("text"),
         window = 2, minSupport = 20L)
-      .withColumn("pmi", round(col("pmi"), 6))
+      .withColumn("pmi", rdz(col("pmi"), 6))
       .orderBy("token_a", "token_b")
 
   /** Text 17 (round-5): the curation YIELD FUNNEL — q108's Gopher rules
@@ -2786,6 +2791,52 @@ object SparkEntry {
         col("ts"))
       .withColumnRenamed("group_key", "event_type")
       .orderBy("event_type")
+
+  /** Similarity 13 (round-6): BOUNDED-BLOCK kNN graph
+    * ([[Similarity.knnGraphCells]]) — the r5 verdict's production lever
+    * as a gated path, with the block-size CAP live in the query: the
+    * cluster count is `max(10, min(128, n DIV 200))` — one cluster per
+    * ~200 vectors, so cell population stays ~200 as the corpus grows and
+    * pair volume Σ cell² scales LINEARLY (sf0.1 → sf1: 10 → 100 cells;
+    * BASELINE.md carries the measured 10× wall, replacing the r5 n^1.1).
+    *
+    * The corpus is made clustered IN SQL so the oracle replays it: each
+    * derived cluster `vec_id % n_clusters` gets a ±one-hot beacon
+    * direction (pairwise cosine ≤ 0 across beacons — the 128-capacity
+    * separated family) plus 0.35× the original embedding as intra-
+    * cluster noise (ClusteredAnnRecallSpec's mixture geometry; cosine is
+    * scale-invariant so no normalization enters the gate). Per-cluster
+    * min-id seeds stand in for the coarse quantizer and the kNN graph
+    * blocks on the GEOMETRIC cell assignment — the cluster key never
+    * reaches the pairwise join. The oracle computes the cluster-blocked
+    * TRUTH: the hash gate passes iff cell blocking loses no edge on
+    * clustered data, i.e. recall 1.0 measured end-to-end at all three
+    * SFs.
+    */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // the per-block size cap: one cell per ~200 vectors (128 max — the
+    // ±one-hot beacon family's separated capacity; lift with a 2-hot
+    // family when a fixture needs more clusters)
+    val cFrame = e.agg(expr("greatest(10L, least(128L, count(1) DIV 200))")
+      .as("__C"))
+    val cl = e.crossJoin(broadcast(cFrame))
+      .withColumn("__cl", expr("vec_id % __C"))
+      .select(col("vec_id"), col("__cl"), expr(
+        "transform(sequence(0, 63), i -> " +
+          "(CASE WHEN i = CAST(__cl % 64 AS INT) THEN " +
+          "(CASE WHEN (__cl DIV 64) % 2 = 0 THEN 1.0D ELSE -1.0D END) " +
+          "ELSE 0.0D END) " +
+          "+ 0.35D * CAST(element_at(embedding, i + 1) AS DOUBLE))")
+        .as("cvec"))
+    val seeds = Similarity.minIdSeeds(cl, col("vec_id"), col("cvec"),
+      col("__cl"))
+    Similarity.knnGraphCells(cl, col("vec_id"), col("cvec"),
+        seeds, col("cell"), col("cvec"), k = 3)
+      .select(col("node"), col("rank"), col("nbr"),
+        rdz(col("cosine"), 4).as("cosine"))
+      .orderBy("node", "rank")
+  }
 
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
@@ -3945,7 +3996,8 @@ object SparkEntry {
     "q207_bpe_rounds" -> q207 _,
     "q208_cdc_stream" -> q208 _,
     "q209_feature_scale" -> q209 _,
-    "q210_lag1_autocorr" -> q210 _)
+    "q210_lag1_autocorr" -> q210 _,
+    "q211_knn_bounded" -> q211 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4823,7 +4875,7 @@ object SparkEntry {
         FROM daily GROUP BY 1)
       SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day, d.day_sum,
         round(s / n + 3.0 * sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)), 4)
-          AS threshold
+          + 0.0 AS threshold
       FROM daily d JOIN mom USING (user_id)
       WHERE d.day_sum > s / n + 3.0 * sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
       ORDER BY 1, 2""",
@@ -4927,7 +4979,7 @@ object SparkEntry {
         FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.idx <= b.idx)
       SELECT label, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
         CAST(count(*) AS BIGINT) AS n_terms,
-        round(CAST(sum(p) AS DOUBLE), 6) AS s
+        round(CAST(sum(p) AS DOUBLE), 6) + 0.0 AS s
       FROM pairs GROUP BY 1, 2, 3 ORDER BY label, i, j""",
     // q156: q148's shingle CTE at batch grain — batch = the numeric
     // suffix of source, min(batch) per shingle marks first appearance
@@ -5094,7 +5146,7 @@ object SparkEntry {
             (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) -
              CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
             (1.0 - CAST(pe_num AS DOUBLE) /
-             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) END AS kappa
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) + 0.0 END AS kappa
       FROM tot CROSS JOIN pen""",
     // q174: token-grain join of occurrences onto vocab counts; the rarity
     // test is one integer comparison so the gate is exact
@@ -5270,7 +5322,7 @@ object SparkEntry {
         SELECT event_type,
           CAST(substring(CAST(CAST(round(CAST(value AS DOUBLE) * 100.0)
             AS DECIMAL(38,0)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
-        FROM events WHERE value > 0),
+        FROM events WHERE round(CAST(value AS DOUBLE) * 100.0) >= 1.0),
       c AS (
         SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
         FROM d GROUP BY 1, 2)
@@ -5280,7 +5332,7 @@ object SparkEntry {
         round($expList[CAST(digit AS INT)], 6) AS expected,
         round(CAST(n AS DOUBLE) /
           CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) -
-          $expList[CAST(digit AS INT)], 6) AS deviation
+          $expList[CAST(digit AS INT)], 6) + 0.0 AS deviation
       FROM c ORDER BY event_type, digit"""
     },
     // q181: FULL OUTER on the key; IS NOT DISTINCT FROM ≡ the engine's
@@ -5337,9 +5389,9 @@ object SparkEntry {
           CAST(sum(CAST(round(x * y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxy
         FROM ranked)
       SELECT n_types, n_tokens,
-        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
         round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 6)
-          AS intercept
+          + 0.0 AS intercept
       FROM sums""",
     // q183: integer x, fixed-point y — every moment sum DECIMAL-exact,
     // VARCHAR hop on the casts (the q99 >53-bit caveat)
@@ -5361,11 +5413,11 @@ object SparkEntry {
         FROM base GROUP BY g)
       SELECT g AS event_type, n,
         CASE WHEN nd * sxx - sx * sx = 0.0 THEN NULL
-          ELSE round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) END
+          ELSE round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) + 0.0 END
           AS slope,
         CASE WHEN nd * sxx - sx * sx = 0.0 THEN NULL
           ELSE round((sy - sx * ((nd * sxy - sx * sy) /
-            (nd * sxx - sx * sx))) / nd, 6) END AS intercept
+            (nd * sxx - sx * sx))) / nd, 6) + 0.0 END AS intercept
       FROM sums ORDER BY event_type""",
     "q184_weighted_pagerank" -> q184Oracle,
     // q192: q28's score + q178's entropy feed the skyline; survive iff
@@ -5621,7 +5673,7 @@ object SparkEntry {
         CASE WHEN st.ss / st.n - (st.s / st.n) * (st.s / st.n) <= 0.0
           THEN NULL
           ELSE round((CAST(b.v AS DOUBLE) - st.s / st.n) /
-            sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)), 6)
+            sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)), 6) + 0.0
           END AS zscore
       FROM base b JOIN stats st ON b.g = st.g
       ORDER BY event_id""",
@@ -5654,9 +5706,40 @@ object SparkEntry {
             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) = 0.0
           THEN NULL
           ELSE round((n * sxy - sx * sy) /
-            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 END
           AS autocorr
       FROM sums ORDER BY event_type""",
+    // q211: the CLUSTER-blocked truth over the SQL-derived clustered
+    // vectors (cluster = vec_id % n_clusters, n_clusters capped so cell
+    // population stays ~200) — the engine blocks by geometric cell
+    // assignment instead, so hash equality IS the recall-1.0 proof for
+    // bounded cell blocking
+    "q211_knn_bounded" -> """
+      WITH c AS (
+        SELECT greatest(10, least(128, count(*) // 200)) AS nc
+        FROM embeddings),
+      cl AS (
+        SELECT vec_id, vec_id % nc AS clabel,
+          [(CASE WHEN i = (vec_id % nc) % 64
+              THEN (CASE WHEN ((vec_id % nc) // 64) % 2 = 0
+                THEN 1.0 ELSE -1.0 END)
+              ELSE 0.0 END)
+             + 0.35 * CAST(embedding[i+1] AS DOUBLE)
+           for i in range(0, 64)] AS cvec
+        FROM embeddings CROSS JOIN c),
+      p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+          list_cosine_similarity(a.cvec, b.cvec) AS cos
+        FROM cl a JOIN cl b ON a.clabel = b.clabel AND a.vec_id < b.vec_id),
+      sym AS (
+        SELECT ia AS node, ib AS nbr, cos FROM p
+        UNION ALL
+        SELECT ib AS node, ia AS nbr, cos FROM p)
+      SELECT node, CAST(row_number() OVER w AS BIGINT) AS rank, nbr,
+        round(cos, 4) + 0.0 AS cosine
+      FROM sym
+      WINDOW w AS (PARTITION BY node ORDER BY round(cos, 6) DESC, nbr)
+      QUALIFY rank <= 3 ORDER BY node, rank""",
     // q205: the CDC resolution restated directly — final state = updated
     // rows for mod-3, dropped for mod-5, inserts otherwise
     "q205_cdc_apply" -> q205CdcOracle,
@@ -5972,7 +6055,7 @@ object SparkEntry {
       SELECT g.label, g.i, g.j, g.n_terms,
         round(CAST(g.s AS DOUBLE) / CAST(g.n_terms AS DOUBLE)
           - (CAST(di.m AS DOUBLE) / CAST(di.n AS DOUBLE))
-            * (CAST(dj.m AS DOUBLE) / CAST(dj.n AS DOUBLE)), 6) AS cov
+            * (CAST(dj.m AS DOUBLE) / CAST(dj.n AS DOUBLE)), 6) + 0.0 AS cov
       FROM gram g
       JOIN dims di ON g.label = di.label AND g.i = di.d
       JOIN dims dj ON g.label = dj.label AND g.j = dj.d
@@ -5992,7 +6075,7 @@ object SparkEntry {
           CAST(a.x * b.x AS DECIMAL(28,18)) AS p
         FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.idx <= b.idx),
       gram AS (
-        SELECT label, i, j, round(CAST(sum(p) AS DOUBLE), 6) AS s
+        SELECT label, i, j, round(CAST(sum(p) AS DOUBLE), 6) + 0.0 AS s
         FROM prs GROUP BY 1, 2, 3),
       m AS (
         SELECT label, i, j, s FROM gram
@@ -6021,8 +6104,8 @@ object SparkEntry {
             AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)) AS nrm
         FROM w2 GROUP BY 1)
       SELECT w2.label, CAST(w2.dim AS BIGINT) AS dim,
-        round(w2.w / n2.nrm, 6) AS component,
-        round(n2.nrm, 6) AS eigenvalue
+        round(w2.w / n2.nrm, 6) + 0.0 AS component,
+        round(n2.nrm, 6) + 0.0 AS eigenvalue
       FROM w2 JOIN n2 ON w2.label = n2.label
       ORDER BY w2.label, dim""",
     // q164: q159's und/deg CTEs folded to the symmetric moment
@@ -6069,7 +6152,7 @@ object SparkEntry {
         FROM d)
       SELECT n_edges,
         round((n * sxy - sx * sy) /
-          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
           AS assortativity
       FROM mom""",
     // q165: positional window pairs via nested list comprehensions;
@@ -6096,7 +6179,7 @@ object SparkEntry {
         round(ln(
           CAST(CAST(p.n_ab AS DECIMAL(38,0)) * nt.nt * nt.nt AS DOUBLE) /
           CAST(CAST(ua.n AS DECIMAL(38,0)) * ub.n * np.np AS DOUBLE)), 6)
-          AS pmi
+          + 0.0 AS pmi
       FROM pc p
       JOIN uc ua ON p.token_a = ua.w
       JOIN uc ub ON p.token_b = ub.w
@@ -6344,7 +6427,7 @@ object SparkEntry {
         CROSS JOIN range(1, 9) t(i))
       SELECT node, dim, count(v) AS n_nbrs,
         round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) /
-          CAST(count(v) AS DOUBLE), 6) AS mean_v
+          CAST(count(v) AS DOUBLE), 6) + 0.0 AS mean_v
       FROM cells GROUP BY 1, 2 ORDER BY 1, 2""",
     "q135_copurchase_lift" -> """
       WITH items AS (

@@ -7,39 +7,126 @@ import org.apache.spark.sql.functions._
 /** Model-evaluation operators over scored/labeled frames — the metrics a
   * training pipeline computes on every filter model, quality classifier
   * and retrieval ranker it ships: calibration bins, ROC-AUC, per-class
-  * precision/recall/F1. All rank/count based and oracle-exact; at 100 TB
-  * these run over evaluation SAMPLES (the q171 audit contract), so the
-  * single-partition rank windows are eval-set-grain by design, never
-  * corpus-grain.
+  * precision/recall/F1. All rank/count based and oracle-exact.
+  *
+  * Scale contract (round-6 rewrite): the rank arithmetic runs over the
+  * DISTINCT-SCORE sufficient statistic `(score → count, pos_count)`, and
+  * the one global prefix sum those ranks need is computed with the
+  * winsorize band device — a `percentile_approx` pivot grid splits the
+  * score axis into bands, band offsets come from a tiny band×band join,
+  * and the only cumulative windows are PARTITIONED (by band, or by score
+  * for tie-splitting) — so NO single-partition WindowExec survives in any
+  * plan here (PlanSpec pins that), and nothing serializes the eval set
+  * through one task even when "the eval set" is a full corpus scoring
+  * run. NaN scores are unsupported (filter upstream) — the band
+  * assignment, like [[Profile.winsorize]]'s sketch, has no defined rank
+  * for NaN.
   */
 object Eval {
 
-  /** Calibration (reliability) bins: rows ranked by `score` into
-    * `bins` equal-count buckets (ntile over the score-then-id total
-    * order), each reporting its mean score and positive rate — the
-    * curve that says whether a quality scorer's numbers MEAN anything
-    * (mean_score tracking pos_rate = calibrated; flat pos_rate = the
-    * score is noise). Returns (bin, n, mean_score, pos_rate).
+  /** Attach `__below` — the number of rows with STRICTLY smaller score
+    * (nulls ranked first, as one tied group) — to a distinct-score frame
+    * carrying (`__s`, `__n` weight). The distributed prefix sum: pivot
+    * grid → per-band totals → band offsets via the band×band self-join
+    * (band frame ≤ grid+2 rows, broadcast NL) → intra-band running sum
+    * partitioned by band. No unpartitioned window; every stage is
+    * result- or band-grain except the one partitioned cumulative pass.
+    */
+  private def withBelow(perScore: DataFrame): DataFrame = {
+    val grid = 256
+    val fracs = (0 to grid).map(_.toDouble / grid)
+    val piv = perScore.agg(percentile_approx(col("__s"),
+      lit(fracs.toArray), lit(1000)).as("__piv"))
+    // band = pivots strictly below the score; null scores (null predicate
+    // → element dropped) land in band 0 ahead of the smallest values,
+    // where the nulls-first intra-band sort ranks them first
+    val banded = perScore.crossJoin(broadcast(piv))
+      .withColumn("__band", size(filter(col("__piv"), p => p < col("__s"))))
+      .drop("__piv")
+    val bandTot = banded.groupBy(col("__band")).agg(sum(col("__n")).as("__bt"))
+    val bandOff = bandTot.alias("a")
+      .join(broadcast(bandTot.alias("b")),
+        col("a.__band") > col("b.__band"), "left")
+      .groupBy(col("a.__band").as("__band"))
+      .agg(coalesce(sum(col("b.__bt")), lit(0L)).as("__boff"))
+    val wIntra = Window.partitionBy(col("__band"))
+      .orderBy(col("__s").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    banded.join(broadcast(bandOff), Seq("__band"))
+      .withColumn("__below",
+        col("__boff") + sum(col("__n")).over(wIntra) - col("__n"))
+      .drop("__band", "__boff")
+  }
+
+  /** Calibration (reliability) bins: rows ranked by `score` (ties broken
+    * by `id`) into `bins` equal-count buckets with ntile's standard
+    * quotient-remainder fill (larger buckets first), each reporting its
+    * mean score and positive rate — the curve that says whether a
+    * quality scorer's numbers MEAN anything (mean_score tracking
+    * pos_rate = calibrated; flat pos_rate = the score is noise).
+    * Returns (bin, n, mean_score, pos_rate).
     *
-    * Determinism: mean scores ride the round-9 → decimal-sum idiom;
-    * rates are integer ratios; ntile's quotient-remainder fill is the
-    * SQL standard both engines implement over a total order.
+    * Plan shape: ntile boundaries are pure count arithmetic over the
+    * distinct-score frame (`[[withBelow]]` supplies each score group's
+    * rank interval; the bin of a rank is a closed-form expression in
+    * (n, bins)), so score groups that sit inside one bin never touch row
+    * grain. Only the ≤ bins−1 groups that STRADDLE a boundary resolve
+    * their tied rows individually — ranked by a window PARTITIONED BY
+    * SCORE (parallel, bounded by the biggest tie group), exactly the
+    * rows whose bin genuinely depends on the id tie-break.
+    *
+    * Determinism: mean scores ride the round-9 → decimal-sum idiom (a
+    * whole group contributes count × its rounded score — an exact
+    * decimal product); rates are integer ratios; the fill is the SQL
+    * standard both engines implement over a total order.
     */
   def reliabilityBins(df: DataFrame, id: Column, score: Column,
                       positive: Column, bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val w = Window.orderBy(col("__s").asc, col("__id").asc)
-    df.select(id.as("__id"), score.as("__s"),
-        positive.cast("boolean").as("__p"))
-      .withColumn("bin", ntile(bins).over(w).cast("long"))
+    val base = df.select(id.as("__id"), score.as("__s"),
+      positive.cast("boolean").as("__p"))
+    val perScore = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__np"),
+        sum(round(col("__s"), 9).cast("decimal(28,12)")).as("__ssum"))
+    val tot = perScore.agg(sum(col("__n")).as("__tot"))
+    // ntile fill over N rows: first (N mod bins) buckets hold q+1 rows,
+    // q = N div bins — bin(r) in closed form over the 1-indexed rank
+    val g = withBelow(perScore).crossJoin(broadcast(tot))
+      .withColumn("__q", expr(s"__tot DIV $bins"))
+      .withColumn("__rem", col("__tot") % bins)
+      .withColumn("__cut", col("__rem") * (col("__q") + lit(1L)))
+    def binOf(r: String) = expr(
+      s"CASE WHEN $r <= __cut THEN ($r + __q) DIV (__q + 1) " +
+        s"ELSE __rem + (($r - __cut + __q - 1) DIV __q) END")
+    val spanned = g
+      .withColumn("__blo", binOf("__below + 1"))
+      .withColumn("__bhi", binOf("__below + __n"))
+    val whole = spanned.filter(col("__blo") === col("__bhi"))
+      .select(col("__blo").as("bin"), col("__n"),
+        col("__ssum").as("__sc"), col("__np"))
+    // boundary-straddling tie groups (≤ bins−1 of them): resolve tied
+    // rows by the id order, window partitioned by score — parallel
+    val strad = spanned.filter(col("__blo") =!= col("__bhi"))
+      .select(col("__s").as("__s2"), col("__below"), col("__q"),
+        col("__rem"), col("__cut"))
+    val wid = Window.partitionBy(col("__s")).orderBy(col("__id").asc)
+    val split = base.join(broadcast(strad), col("__s") <=> col("__s2"))
+      .withColumn("__r", col("__below") + row_number().over(wid))
+      .withColumn("bin", binOf("__r"))
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("__s"), 9).cast("decimal(28,12)")).as("__ss"),
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("__s"), 9).cast("decimal(28,12)")).as("__sc"),
         sum(when(col("__p"), 1L).otherwise(0L)).as("__np"))
+      .select(col("bin"), col("__n"), col("__sc"), col("__np"))
+    whole.unionByName(split)
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(sum(col("__n")).as("n"), sum(col("__sc")).as("__ss"),
+        sum(col("__np")).as("__npt"))
       .select(col("bin"), col("n"),
         round(col("__ss").cast("double") / col("n").cast("double"), 6)
           .as("mean_score"),
-        round(col("__np").cast("double") / col("n").cast("double"), 6)
+        round(col("__npt").cast("double") / col("n").cast("double"), 6)
           .as("pos_rate"))
   }
 
@@ -50,25 +137,26 @@ object Eval {
     * toward the tie-break order. Returns one row (n_pos, n_neg, auc);
     * auc is null when either class is empty.
     *
-    * Determinism: average ranks are exact half-integers carried in
-    * DECIMAL(38,1); the final expression is one IEEE tree. Scale: one
-    * rank window over the eval set + one fold.
+    * Plan shape: the average tied rank is count arithmetic over the
+    * distinct-score frame — a score group with `__below` smaller rows
+    * and `__n` ties has average rank `__below + (__n+1)/2`, an exact
+    * half-integer carried in DECIMAL(38,1) — so the whole computation is
+    * one distinct-grain aggregation after [[withBelow]]'s banded prefix
+    * sum; no row-grain rank window at all.
     */
   def binaryAuc(df: DataFrame, score: Column, positive: Column): DataFrame = {
     val base = df.select(score.as("__s"), positive.cast("boolean").as("__p"))
-    val rw = Window.orderBy(col("__s").asc)
-    val sw = Window.partitionBy(col("__s"))
-    val ranked = base
-      .withColumn("__rmin", rank().over(rw).cast("long"))
-      .withColumn("__ties", count(lit(1)).over(sw))
-      // avg rank = rmin + (ties-1)/2, held exactly as a half-integer
-      .withColumn("__ar",
-        (lit(2L) * col("__rmin") + col("__ties") - lit(1L))
-          .cast("decimal(38,1)") / lit(2))
-    ranked.agg(
-        sum(when(col("__p"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(!col("__p"), 1L).otherwise(0L)).as("n_neg"),
-        sum(when(col("__p"), col("__ar"))).as("__sr"))
+    val perScore = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__np"))
+    // avg rank = below + (n+1)/2 = rmin + (ties-1)/2, the same exact
+    // half-integer the per-row rank()/count() windows produced
+    val ar = (lit(2L) * col("__below") + col("__n") + lit(1L))
+      .cast("decimal(38,1)") / lit(2)
+    withBelow(perScore).agg(
+        sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"),
+        sum(col("__np").cast("decimal(38,0)") * ar).as("__sr"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0L || col("n_neg") === 0L,
           lit(null).cast("double"))

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Readout
+
 /** Table profiling: per-column statistics in ONE aggregation pass — the
   * "analyze the corpus before you train on it" step (and the statistics a
   * cost-based planner would collect).
@@ -395,7 +397,7 @@ object Profile {
   def gramMatrix(df: DataFrame, group: Column, vec: Column): DataFrame =
     gramSums(df, group, vec)
       .select(col("group_key"), col("i"), col("j"), col("n_terms"),
-        round(col("__s").cast("double"), 6).as("s"))
+        Readout.rdz(col("__s").cast("double"), 6).as("s"))
 
   /** Shared core of [[gramMatrix]] and [[covarianceMatrix]]: per (group,
     * i ≤ j) cell, the contribution count and the UNROUNDED DECIMAL(28,18)
@@ -616,7 +618,8 @@ object Profile {
           .otherwise(round((v - col("__mn")) / (col("__mx") - col("__mn")),
             6)).as("minmax"),
         when(variance <= 0.0d, lit(null).cast("double"))
-          .otherwise(round((v - mean) / sqrt(variance), 6)).as("zscore"))
+          .otherwise(Readout.rdz((v - mean) / sqrt(variance), 6))
+          .as("zscore"))
   }
 
   /** Lag-1 autocorrelation of a per-group DAILY COUNT series: Pearson
@@ -658,7 +661,7 @@ object Profile {
       .select(col("group_key"), col("n_pairs"),
         when(col("n_pairs") < 2L || den === 0.0d,
           lit(null).cast("double"))
-          .otherwise(round(num / den, 6)).as("autocorr"))
+          .otherwise(Readout.rdz(num / den, 6)).as("autocorr"))
   }
 
   /** Equi-DEPTH histogram: per group, `buckets` value bands holding
@@ -816,7 +819,9 @@ object Profile {
     * string, first character taken — so no runtime log10 sits on the
     * gate path (a 1-ulp log10 divergence at a power-of-10 boundary would
     * flip the digit); the Benford expectations are Scala-computed
-    * literals injected identically into both engines. Rows with v ≤ 0
+    * literals injected identically into both engines. Rows whose scaled
+    * cents round below 1 — v ≤ 0 AND sub-cent positives in (0, 0.005),
+    * whose first "digit" would be 0 and crash the expectation lookup —
     * are excluded (Benford is undefined there). Scale: one groupBy over
     * (group, digit) — map-side combine, 9 rows per group out.
     */
@@ -826,9 +831,10 @@ object Profile {
     val expCol = element_at(
       array(expected.map(lit): _*), col("digit").cast("int"))
     val totals = Window.partitionBy(col("group_key"))
-    df.filter(value > 0)
+    val cents = round(value.cast("double") * 100.0d)
+    df.filter(cents >= 1.0d)
       .select(group.as("group_key"),
-        substring(round(value.cast("double") * 100.0d).cast("decimal(38,0)")
+        substring(cents.cast("decimal(38,0)")
           .cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy(col("group_key"), col("digit"))
       .agg(count(lit(1)).as("n"))
@@ -836,7 +842,7 @@ object Profile {
         round(col("n").cast("double") /
           sum(col("n")).over(totals).cast("double"), 6).as("share"),
         round(expCol, 6).as("expected"),
-        round(col("n").cast("double") /
+        Readout.rdz(col("n").cast("double") /
           sum(col("n")).over(totals).cast("double") - expCol, 6)
           .as("deviation"))
   }
@@ -873,10 +879,11 @@ object Profile {
         d(col("__x") * col("__y")).as("__sxy"))
       .select(col("__g").as("group_key"), col("n"),
         when(den === 0.0d, lit(null).cast("double"))
-          .otherwise(round(slope, 6)).as("slope"),
+          .otherwise(Readout.rdz(slope, 6)).as("slope"),
         when(den === 0.0d, lit(null).cast("double"))
-          .otherwise(round((col("__sy") - col("__sx") * slope) / col("__n"),
-            6)).as("intercept"))
+          .otherwise(Readout.rdz(
+            (col("__sy") - col("__sx") * slope) / col("__n"), 6))
+          .as("intercept"))
   }
 
   /** Cohen's kappa between two categorical labelings of the same rows —
@@ -910,7 +917,8 @@ object Profile {
     joined.select(col("n"), col("n_agree"),
       round(po, 6).as("po"), round(pe, 6).as("pe"),
       when(pe === 1.0d, lit(null).cast("double"))
-        .otherwise(round((po - pe) / (lit(1.0d) - pe), 6)).as("kappa"))
+        .otherwise(Readout.rdz((po - pe) / (lit(1.0d) - pe), 6))
+        .as("kappa"))
   }
 
   /** Robust outlier detection via the median absolute deviation: per

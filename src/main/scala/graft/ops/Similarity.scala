@@ -484,6 +484,44 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Cell-blocked k-NN graph — [[knnGraph]]'s BOUNDED-BLOCK production
+    * mode, the 100× lever ARCHITECTURE.md documents: corpus items are
+    * assigned to their nearest centroid once ([[assignToCentroids]] — a
+    * broadcast join + per-item argmax, map-side at any corpus size), and
+    * the pairwise join blocks on the CELL id instead of a fixed partition
+    * column. With the centroid count sized to the corpus (cells ≈
+    * n / targetCellSize, the per-block size cap), pair volume is
+    * Σ cell² ≈ n · targetCellSize — LINEAR in n — where a fixed block key
+    * (label, tenant, source) grows Σ block² quadratically as blocks fill
+    * (the measured n^1.1 wall shape on the r5 10× run, and worse at
+    * 100×).
+    *
+    * Approximation contract: edges exist only WITHIN cells. On a
+    * clustered corpus whose cells recover the clusters (the regime a
+    * coarse quantizer exists for), every true neighbor shares its node's
+    * cell and the graph EQUALS the fixed-block truth — q211 gates exactly
+    * that equality against the cluster-blocked oracle on a derived
+    * clustered fixture with the cap live (cells ∝ n); BASELINE.md carries
+    * the measured 10× wall. On boundary-heavy data the lost edges are the
+    * standard IVF trade — raise targetCellSize, refine centroids
+    * ([[kmeansIterations]]), or fall back to [[knnGraph]] with a
+    * guaranteed-complete block key.
+    *
+    * Assignment cost note: the broadcast argmax scores n·C centroid
+    * cosines; with C ∝ n/cap that term grows n²/cap and overtakes the
+    * pair join at extreme corpus sizes — balance with C ∝ √n (pairs and
+    * assignment both n^1.5) or assign hierarchically (√C super-cells
+    * then C, the standard two-level IVF quantizer) before that point.
+    */
+  def knnGraphCells(df: DataFrame, id: Column, vec: Column,
+                    centroids: DataFrame, centroidId: Column,
+                    centroidVec: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val assigned = assignToCentroids(Dedup.spread(df), id, vec,
+      centroids, centroidId, centroidVec)
+    knnGraph(assigned, col("item_id"), col("vec"), Seq(col("cell")), k)
+  }
+
   /** Incremental k-NN graph maintenance — the day-2 shape: when a new
     * batch of vectors arrives, only batch×corpus and batch×batch pairs
     * are scored (blocked equi-joins, the corpus NEVER self-joins again),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Readout
 import graft.functions.tokens
 
 /** Text analysis for training-data pipelines: language ID, quality scoring,
@@ -594,11 +595,15 @@ object TextAnalysis {
   }
 
   /** Pairwise corpus-overlap matrix between ingest groups (sources,
-    * snapshots, providers): for every group pair, the count of SHARED
-    * distinct word `n`-gram shingles and the Jaccard overlap of the two
-    * shingle sets — the "which of my sources duplicate each other"
-    * procurement readout, q156's novelty curve resolved to pairs.
-    * Returns (group_a, group_b, n_shared, n_a, n_b, jaccard), a < b.
+    * snapshots, providers): for every group pair WITH AT LEAST ONE SHARED
+    * shingle, the count of shared distinct word `n`-gram shingles and the
+    * Jaccard overlap of the two shingle sets — the "which of my sources
+    * duplicate each other" procurement readout, q156's novelty curve
+    * resolved to pairs. Fully-disjoint pairs are NOT emitted (the inner
+    * join on shingle drops them); a caller wanting the zero rows
+    * full-outer-joins this against the group-pair universe.
+    * Returns (group_a, group_b, n_shared, n_a, n_b, jaccard), a < b,
+    * n_shared ≥ 1.
     *
     * Scale shape: one distinct (shingle, group) posting build, a
     * self equi-join ON SHINGLE whose per-key fanout is bounded by the
@@ -732,10 +737,10 @@ object TextAnalysis {
         s9(col("__x") * col("__x")).as("__sxx"),
         s9(col("__x") * col("__y")).as("__sxy"))
       .select(col("n_types"), col("n_tokens"),
-        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+        Readout.rdz((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
           (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6)
           .as("slope"),
-        round((col("__sy") - col("__sx") *
+        Readout.rdz((col("__sy") - col("__sx") *
             ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
              (col("__n") * col("__sxx") - col("__sx") * col("__sx")))) /
           col("__n"), 6).as("intercept"))

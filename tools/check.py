@@ -10,6 +10,7 @@ import glob
 import json
 import math
 import os
+import struct
 import sys
 
 import duckdb
@@ -29,9 +30,12 @@ def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
+        # Driver-strict: compare IEEE bit patterns (NaN-canonicalized), so
+        # -0.0 != +0.0 here just like in the driver's hash gate. A plain
+        # == let q162's -0.0/+0.0 split ship in round 5.
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        return struct.pack("<d", a) == struct.pack("<d", b)
     try:
         if pd.isna(a) and pd.isna(b):
             return True
@@ -57,6 +61,15 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Pin the oracle-side negative-zero idiom (RoundReadoutSpec's DuckDB
+    # twin): round keeps -0.0's sign bit, `+ 0.0` must clear it.
+    raw, norm = con.execute(
+        "SELECT round(-1e-9, 6), round(-1e-9, 6) + 0.0").fetchone()
+    assert struct.pack("<d", norm) == struct.pack("<d", 0.0), (
+        f"DuckDB round(x,k)+0.0 no longer normalizes -0.0: got {norm!r}")
+    assert struct.pack("<d", raw) != struct.pack("<d", 0.0), (
+        "DuckDB round() stopped emitting -0.0 — the +0.0 idiom is moot; "
+        "revisit the rdz sweep rationale")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
