@@ -194,7 +194,10 @@ object Bench {
     "q208_cdc_stream",
     "q209_feature_scale",
     "q210_lag1_autocorr",
-    "q211_knn_bounded")
+    "q211_knn_bounded",
+    "q212_real_codec_roundtrip",
+    "q213_ranking_metrics",
+    "q214_knn_bounded_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -127,7 +127,32 @@ object PlanDump {
       ("Two retriever arms (brute-force cosine window + salted int8 " +
         "integer sweep) meet in ONE outer equi-join on (query, item) over " +
         "list-sized frames — fusion cost is output-sized; the fused " +
-        "ranking is a per-query window over <= 100 rows."))
+        "ranking is a per-query window over <= 100 rows."),
+    "q193_reliability_bins" ->
+      ("Round-6 distinct-grain rewrite: NO unpartitioned WindowExec " +
+        "(EvalDistinctGrainSpec pins it) — ntile boundaries are count " +
+        "arithmetic over the per-score aggregate, the one prefix sum " +
+        "rides the percentile_approx band grid + band-offset join + " +
+        "band-partitioned running sum, and only boundary-straddling tie " +
+        "groups rank row-wise under a score-partitioned window."),
+    "q194_auc" ->
+      ("Round-6 distinct-grain rewrite: tied ranks are exact half-" +
+        "integer count arithmetic (below + (n+1)/2) over the per-score " +
+        "aggregate — no row-grain rank window anywhere; the banded " +
+        "prefix sum is the only cumulative pass and it partitions by " +
+        "band."),
+    "q211_knn_bounded" ->
+      ("Bounded-block kNN: the pairwise join blocks on the GEOMETRIC " +
+        "cell assignment (broadcast centroid argmax), never a fixed " +
+        "partition column — cells ∝ corpus size / 200 keeps Σ cell² " +
+        "linear (BASELINE.md: 2.45× wall at 10× data vs 12.0× for the " +
+        "fixed-block q137); no cartesian, assignment is one broadcast " +
+        "join + per-item top-1 window."),
+    "q212_real_codec_roundtrip" ->
+      ("The real javax.imageio decode stage: mapPartitions with one " +
+        "codec init per partition (the arrow-batched-UDF shape), then " +
+        "imageStats/resize stay expression-only inside WholeStageCodegen " +
+        "— the PNG encode/decode never leaves the executor."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+// DuckDB-exact rounding shadow for every round() call site (Readout)
+import graft.Readout.round
 
 import graft.functions._
 import graft.enrich.Enrich
@@ -2838,6 +2840,112 @@ object SparkEntry {
       .orderBy("node", "rank")
   }
 
+  /** Multimodal 4 (round-6): the REAL `javax.imageio` codec on the gate
+    * path ([[graft.ops.Multimodal.ImageIoCodec]], r5 directive #8). Each
+    * document id becomes a genuine PNG encoded IN the query at
+    * closed-form dimensions (w = 16 + 7·id mod 120, h = 16 + 13·id mod
+    * 90, RGB), the asset then rides the production decode →
+    * [[graft.ops.Multimodal.imageStats]] → [[graft.ops.Multimodal.resize]]
+    * pipeline with the REAL decoder — no FakeCodec anywhere. The oracle
+    * recomputes the stats from the dimension RULE, so the hash gate
+    * passes iff ImageIoCodec decoded every PNG back to exactly the
+    * dimensions it was encoded with: an encode→decode round-trip proof,
+    * which is precisely the part of the stage DuckDB cannot replay (the
+    * q94 landed-file pattern inverted — here the closed form, not the
+    * landed bytes, is the shared ground truth).
+    */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"))
+      .filter(col("id") < 200).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 16 + (id * 7 % 120).toInt
+        val h = 16 + (id * 13 % 90).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color((id % 255).toInt, 64, 128))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image", bos.toByteArray)
+      }
+    }.toDF("asset_id", "modality", "payload")
+    val decoded = Multimodal.decode(assets, Multimodal.ImageIoCodec)
+    Multimodal.resize(Multimodal.imageStats(decoded), maxSide = 64)
+      .select(col("asset_id"), col("width"), col("height"), col("channels"),
+        col("aspect"), col("needs_resize"), col("pixels"),
+        col("out_width"), col("out_height"))
+      .orderBy("asset_id")
+  }
+
+  /** Similarity 14 (round-6): INCREMENTAL bounded-block kNN — q142's
+    * day-2 merge law composed with q211's cell blocking: the pre-batch
+    * corpus graph is built cell-blocked, the new batch (every 7th
+    * vector) scores only batch×(corpus ∪ batch) pairs WITHIN CELLS
+    * (assignment by the same full-corpus seeds — the production "frozen
+    * quantizer" contract), and the merged graph must equal the full
+    * cell-blocked recompute, which on the clustered fixture is the
+    * cluster-blocked truth — so the oracle is q211's VERBATIM. At 100 TB
+    * this is the bounded-block economics on ingest: Σ batch·cell, never
+    * Σ cell², and never a fixed key's growing blocks.
+    */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cFrame = e.agg(expr("greatest(10L, least(128L, count(1) DIV 200))")
+      .as("__C"))
+    val cl = e.crossJoin(broadcast(cFrame))
+      .withColumn("__cl", expr("vec_id % __C"))
+      .select(col("vec_id"), col("__cl"), expr(
+        "transform(sequence(0, 63), i -> " +
+          "(CASE WHEN i = CAST(__cl % 64 AS INT) THEN " +
+          "(CASE WHEN (__cl DIV 64) % 2 = 0 THEN 1.0D ELSE -1.0D END) " +
+          "ELSE 0.0D END) " +
+          "+ 0.35D * CAST(element_at(embedding, i + 1) AS DOUBLE))")
+        .as("cvec"))
+    val seeds = Similarity.minIdSeeds(cl, col("vec_id"), col("cvec"),
+      col("__cl"))
+    val assigned = Similarity.assignToCentroids(cl, col("vec_id"),
+        col("cvec"), seeds, col("cell"), col("cvec"))
+      .localCheckpoint() // both runs read the same frozen assignment
+    val corpus = assigned.filter(col("item_id") % 7 =!= 0)
+    val batch = assigned.filter(col("item_id") % 7 === 0)
+    val existing = Similarity.knnGraph(corpus, col("item_id"), col("vec"),
+      Seq(col("cell")), k = 3)
+    Similarity.knnGraphIncremental(existing, corpus, batch,
+        col("item_id"), col("vec"), Seq(col("cell")), k = 3)
+      .select(col("node"), col("rank"), col("nbr"),
+        rdz(col("cosine"), 4).as("cosine"))
+      .orderBy("node", "rank")
+  }
+
+  /** Eval 5 (round-6): AP@5 (the MAP constituent) and NDCG@5
+    * ([[graft.ops.Eval.rankingMetrics]]) of q146's IVF retrieval run
+    * against its brute-force truth — the two standard GRADED retrieval
+    * metrics beside q146's recall/MRR. The log2 discount table and its
+    * ideal-DCG prefix sums are Scala-computed literals injected into
+    * both engines (the q180 Benford device), so no runtime libm log
+    * reaches the gate.
+    */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k = 5)
+      .select(col("query_id"), col("item_id"))
+    val cent = Similarity.minIdSeeds(e, col("vec_id"), col("embedding"),
+      col("label"))
+    val approx = Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+        cent, col("cell"), col("cvec"),
+        qs, col("vec_id"), col("embedding"), k = 5, nprobe = 1)
+      .select(col("query_id"), col("item_id"), col("rank"))
+    graft.ops.Eval.rankingMetrics(approx, truth, k = 5)
+      .orderBy("query_id")
+  }
+
   /** Text 13 (round-5): adjacent-token pair mining — the corpus-wide top
     * 20 token bigrams by frequency, ties on the pair string: the FIRST
     * MERGE DECISION of a BPE-style tokenizer-training loop, as one
@@ -3997,7 +4105,10 @@ object SparkEntry {
     "q208_cdc_stream" -> q208 _,
     "q209_feature_scale" -> q209 _,
     "q210_lag1_autocorr" -> q210 _,
-    "q211_knn_bounded" -> q211 _)
+    "q211_knn_bounded" -> q211 _,
+    "q212_real_codec_roundtrip" -> q212 _,
+    "q213_ranking_metrics" -> q213 _,
+    "q214_knn_bounded_incremental" -> q214 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4356,6 +4467,80 @@ object SparkEntry {
     * [[graft.ops.Graph.labelPropagation]]'s per-round construction —
     * the same pattern as the PageRank oracles.
     */
+  /** Cluster-blocked kNN truth over the SQL-derived clustered vectors —
+    * q211's oracle, shared VERBATIM by q214 (the incremental bounded-
+    * block run must converge to the same graph).
+    */
+  private val q211Oracle: String = """
+      WITH c AS (
+        SELECT greatest(10, least(128, count(*) // 200)) AS nc
+        FROM embeddings),
+      cl AS (
+        SELECT vec_id, vec_id % nc AS clabel,
+          [(CASE WHEN i = (vec_id % nc) % 64
+              THEN (CASE WHEN ((vec_id % nc) // 64) % 2 = 0
+                THEN 1.0 ELSE -1.0 END)
+              ELSE 0.0 END)
+             + 0.35 * CAST(embedding[i+1] AS DOUBLE)
+           for i in range(0, 64)] AS cvec
+        FROM embeddings CROSS JOIN c),
+      p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+          list_cosine_similarity(a.cvec, b.cvec) AS cos
+        FROM cl a JOIN cl b ON a.clabel = b.clabel AND a.vec_id < b.vec_id),
+      sym AS (
+        SELECT ia AS node, ib AS nbr, cos FROM p
+        UNION ALL
+        SELECT ib AS node, ia AS nbr, cos FROM p)
+      SELECT node, CAST(row_number() OVER w AS BIGINT) AS rank, nbr,
+        round(cos, 4) + 0.0 AS cosine
+      FROM sym
+      WINDOW w AS (PARTITION BY node ORDER BY round(cos, 6) DESC, nbr)
+      QUALIFY rank <= 3 ORDER BY node, rank"""
+
+  /** Shared retrieval-evaluation chain (q146 recall/MRR, q213 AP/NDCG):
+    * brute-force truth, per-label IVF cells, nprobe-1 retrieval, and the
+    * rank-ordered `marked` relevance frame.
+    */
+  private val q146Cte: String = """
+      WITH truth AS (
+        SELECT query_id, item_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(c.embedding AS DOUBLE[])) AS cos
+          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 10)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY round(cos, 6) DESC, item_id) <= 5),
+      cent AS (
+        SELECT label AS cell, embedding AS cvec FROM embeddings
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+      assign AS (
+        SELECT e.vec_id AS item_id, e.embedding AS vec, c.cell
+        FROM embeddings e CROSS JOIN cent c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) = 1),
+      q AS (SELECT item_id AS query_id, vec AS qvec, cell
+            FROM assign WHERE item_id < 10),
+      scored AS (
+        SELECT q.query_id, a.item_id,
+          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+            CAST(a.vec AS DOUBLE[])) AS cos
+        FROM assign a JOIN q ON a.cell = q.cell AND a.item_id != q.query_id),
+      approx AS (
+        SELECT query_id, item_id,
+          CAST(row_number() OVER w AS BIGINT) AS rank
+        FROM scored
+        WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC,
+          item_id)
+        QUALIFY rank <= 5),
+      marked AS (
+        SELECT a.query_id, a.rank,
+          CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        FROM approx a LEFT JOIN truth t
+          ON a.query_id = t.query_id AND a.item_id = t.item_id)"""
+
   private val q138Oracle: String = {
     def lpaRound(prev: String, out: String) =
       s"""v_$out AS (
@@ -5714,32 +5899,32 @@ object SparkEntry {
     // population stays ~200) — the engine blocks by geometric cell
     // assignment instead, so hash equality IS the recall-1.0 proof for
     // bounded cell blocking
-    "q211_knn_bounded" -> """
-      WITH c AS (
-        SELECT greatest(10, least(128, count(*) // 200)) AS nc
-        FROM embeddings),
-      cl AS (
-        SELECT vec_id, vec_id % nc AS clabel,
-          [(CASE WHEN i = (vec_id % nc) % 64
-              THEN (CASE WHEN ((vec_id % nc) // 64) % 2 = 0
-                THEN 1.0 ELSE -1.0 END)
-              ELSE 0.0 END)
-             + 0.35 * CAST(embedding[i+1] AS DOUBLE)
-           for i in range(0, 64)] AS cvec
-        FROM embeddings CROSS JOIN c),
-      p AS (
-        SELECT a.vec_id AS ia, b.vec_id AS ib,
-          list_cosine_similarity(a.cvec, b.cvec) AS cos
-        FROM cl a JOIN cl b ON a.clabel = b.clabel AND a.vec_id < b.vec_id),
-      sym AS (
-        SELECT ia AS node, ib AS nbr, cos FROM p
-        UNION ALL
-        SELECT ib AS node, ia AS nbr, cos FROM p)
-      SELECT node, CAST(row_number() OVER w AS BIGINT) AS rank, nbr,
-        round(cos, 4) + 0.0 AS cosine
-      FROM sym
-      WINDOW w AS (PARTITION BY node ORDER BY round(cos, 6) DESC, nbr)
-      QUALIFY rank <= 3 ORDER BY node, rank""",
+    "q211_knn_bounded" -> q211Oracle,
+    // q214: the incremental cell-blocked graph must equal the full
+    // cell-blocked recompute (the q142 merge law under the bounded key),
+    // which on the clustered fixture is q211's truth VERBATIM
+    "q214_knn_bounded_incremental" -> q211Oracle,
+    // q212: the stats recomputed from the closed-form dimension rule the
+    // engine ENCODED the PNGs at — hash equality proves the real
+    // javax.imageio decode round-trips every dimension exactly
+    "q212_real_codec_roundtrip" -> """
+      WITH dims AS (
+        SELECT CAST(doc_id AS BIGINT) AS asset_id,
+          CAST(16 + (CAST(doc_id AS BIGINT) * 7) % 120 AS INT) AS width,
+          CAST(16 + (CAST(doc_id AS BIGINT) * 13) % 90 AS INT) AS height
+        FROM documents WHERE doc_id < 200)
+      SELECT asset_id, width, height, CAST(3 AS INT) AS channels,
+        round(CAST(width AS DOUBLE) /
+          nullif(CAST(height AS DOUBLE), 0.0), 4) AS aspect,
+        (width > 1024 OR height > 1024) AS needs_resize,
+        CAST(CAST(width AS BIGINT) * height AS BIGINT) AS pixels,
+        CAST(floor(width * (CASE WHEN greatest(width, height) <= 64
+            THEN 1.0 ELSE 64.0 / CAST(greatest(width, height) AS DOUBLE)
+            END)) AS INT) AS out_width,
+        CAST(floor(height * (CASE WHEN greatest(width, height) <= 64
+            THEN 1.0 ELSE 64.0 / CAST(greatest(width, height) AS DOUBLE)
+            END)) AS INT) AS out_height
+      FROM dims ORDER BY asset_id""",
     // q205: the CDC resolution restated directly — final state = updated
     // rows for mod-3, dropped for mod-5, inserts otherwise
     "q205_cdc_apply" -> q205CdcOracle,
@@ -6338,44 +6523,40 @@ object SparkEntry {
       FROM norms GROUP BY label ORDER BY label""",
     // q146: q25's brute-force CTE (truth) + q37's IVF CTE (approx) +
     // rational metrics — recall@5 and first-relevant reciprocal rank
-    "q146_retrieval_metrics" -> """
-      WITH truth AS (
-        SELECT query_id, item_id FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS item_id,
-            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-              CAST(c.embedding AS DOUBLE[])) AS cos
-          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
-          WHERE q.vec_id < 10)
-        QUALIFY row_number() OVER (PARTITION BY query_id
-          ORDER BY round(cos, 6) DESC, item_id) <= 5),
-      cent AS (
-        SELECT label AS cell, embedding AS cvec FROM embeddings
-        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
-      assign AS (
-        SELECT e.vec_id AS item_id, e.embedding AS vec, c.cell
-        FROM embeddings e CROSS JOIN cent c
-        QUALIFY row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-            CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) = 1),
-      q AS (SELECT item_id AS query_id, vec AS qvec, cell
-            FROM assign WHERE item_id < 10),
-      scored AS (
-        SELECT q.query_id, a.item_id,
-          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-            CAST(a.vec AS DOUBLE[])) AS cos
-        FROM assign a JOIN q ON a.cell = q.cell AND a.item_id != q.query_id),
-      approx AS (
-        SELECT query_id, item_id,
-          CAST(row_number() OVER w AS BIGINT) AS rank
-        FROM scored
-        WINDOW w AS (PARTITION BY query_id ORDER BY round(cos, 6) DESC,
-          item_id)
-        QUALIFY rank <= 5),
-      marked AS (
-        SELECT a.query_id, a.rank,
-          CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS rel
-        FROM approx a LEFT JOIN truth t
-          ON a.query_id = t.query_id AND a.item_id = t.item_id)
+    // q213: q146's retrieval chain through `marked` (q146Cte), then
+    // AP@5/NDCG@5 with the ENGINE-injected literal discount and
+    // ideal-DCG tables (Eval.rankingMetrics computes the same lists)
+    "q213_ranking_metrics" -> {
+      val gains = (1 to 5).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      val idcg = gains.scanLeft(0.0)(_ + _)
+      val gainList = gains.mkString("[", ", ", "]")
+      val idcgList = idcg.mkString("[", ", ", "]")
+      s"""$q146Cte,
+      g AS (
+        SELECT query_id, rank, rel,
+          sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+            ROWS UNBOUNDED PRECEDING) AS hits_upto
+        FROM marked),
+      rsz AS (SELECT query_id, CAST(count(*) AS BIGINT) AS r
+              FROM truth GROUP BY 1),
+      agg AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_returned,
+          CAST(sum(rel) AS BIGINT) AS hits,
+          CAST(sum(CAST(round(CASE WHEN rel = 1
+              THEN CAST(hits_upto AS DOUBLE) / CAST(rank AS DOUBLE)
+              ELSE 0.0 END, 9) AS DECIMAL(28,12))) AS DOUBLE) AS apn,
+          CAST(sum(CAST(round(CAST(rel AS DOUBLE) *
+              ($gainList)[CAST(rank AS INT)], 9)
+              AS DECIMAL(28,12))) AS DOUBLE) AS dcg
+        FROM g GROUP BY 1)
+      SELECT a.query_id, a.n_returned, a.hits,
+        round(a.apn / CAST(least(rsz.r, 5) AS DOUBLE), 6) AS ap,
+        round(a.dcg / ($idcgList)[CAST(least(rsz.r, 5) AS INT) + 1], 6)
+          AS ndcg
+      FROM agg a JOIN rsz ON a.query_id = rsz.query_id
+      ORDER BY a.query_id"""
+    },
+    "q146_retrieval_metrics" -> s"""$q146Cte
       SELECT query_id, CAST(count(*) AS BIGINT) AS n_returned,
         CAST(sum(rel) AS BIGINT) AS hits,
         round(CAST(sum(rel) AS DOUBLE) / 5.0, 6) AS recall_at_5,

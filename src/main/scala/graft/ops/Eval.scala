@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+// DuckDB-exact rounding shadow for every round() call site (Readout)
+import graft.Readout.round
 
 /** Model-evaluation operators over scored/labeled frames — the metrics a
   * training pipeline computes on every filter model, quality classifier
@@ -164,6 +166,65 @@ object Eval {
             (col("__sr").cast("double") -
               (col("n_pos") * (col("n_pos") + lit(1L))).cast("double") / 2.0d) /
               (col("n_pos") * col("n_neg")).cast("double"), 6)).as("auc"))
+  }
+
+  /** Graded ranking metrics per query — AP@k (average precision: the
+    * mean of precision-at-each-hit, the MAP constituent) and NDCG@k with
+    * binary gains — over a `retrieved` frame (query_id, item_id, rank ≤
+    * k) and a `truth` relevance set (query_id, item_id). Returns
+    * (query_id, n_returned, hits, ap, ndcg); ap normalizes by
+    * min(|truth(q)|, k), ndcg by the ideal DCG of min(|truth(q)|, k)
+    * relevant items at the top; both are null when the query has no
+    * truth rows.
+    *
+    * Determinism: the discount table 1/log2(r+1) and its ideal-DCG
+    * prefix sums are SCALA-COMPUTED literal doubles injected identically
+    * into both engines (the q180 Benford device) — no runtime libm log
+    * sits on the gate path; each per-query sum has ≤ k addends and runs
+    * round-9 → DECIMAL (order-free); precision terms are integer-fed
+    * divisions.
+    *
+    * Scale shape: one |retrieved|-grain join against truth, one
+    * rank-ordered window PARTITIONED BY QUERY (≤ k rows per partition),
+    * one per-query fold — list-sized throughout, never corpus-sized.
+    */
+  def rankingMetrics(retrieved: DataFrame, truth: DataFrame,
+                     k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val gains = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val idcg = gains.scanLeft(0.0)(_ + _) // prefix sums; index = #relevant
+    val gainArr = array(gains.map(lit): _*)
+    val idcgArr = array(idcg.map(lit): _*)
+    val rel = retrieved
+      .select(col("query_id"), col("item_id"), col("rank").cast("long").as("rank"))
+      .join(truth.select(col("query_id"), col("item_id"), lit(1L).as("__rel")),
+        Seq("query_id", "item_id"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val rSizes = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__r"))
+    def dec9(c: Column) = sum(round(c, 9).cast("decimal(28,12)"))
+    rel
+      .withColumn("__hits_upto", sum(col("__rel")).over(w))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(col("__rel")).as("hits"),
+        dec9(when(col("__rel") === 1L,
+          col("__hits_upto").cast("double") / col("rank").cast("double"))
+          .otherwise(lit(0.0d))).as("__apn"),
+        dec9(col("__rel").cast("double") *
+          element_at(gainArr, col("rank").cast("int"))).as("__dcg"))
+      .join(rSizes, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_returned"), col("hits"),
+        when(col("__r").isNull, lit(null).cast("double"))
+          .otherwise(round(col("__apn").cast("double") /
+            least(col("__r"), lit(k.toLong)).cast("double"), 6)).as("ap"),
+        when(col("__r").isNull, lit(null).cast("double"))
+          .otherwise(round(col("__dcg").cast("double") /
+            element_at(idcgArr,
+              least(col("__r"), lit(k.toLong)).cast("int") + 1), 6))
+          .as("ndcg"))
   }
 
   /** Per-class precision / recall / F1 from (actual, predicted) label

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+// DuckDB-exact rounding shadow for every round() call site (Readout)
+import graft.Readout.round
 
 /** N-stage ordered funnel over an event log: for users who performed
   * stage 0 < stage 1 < ... < stage N-1 strictly in event-time order, the

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
+// DuckDB-exact rounding shadow for every round() call site (Readout)
+import graft.Readout.round
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` payloads

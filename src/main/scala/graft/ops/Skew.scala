@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+// DuckDB-exact rounding shadow for every round() call site (Readout)
+import graft.Readout.round
 
 /** Skew-mitigation operators for hot keys at scale.
   *
