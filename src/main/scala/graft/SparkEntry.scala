@@ -2922,6 +2922,73 @@ object SparkEntry {
       .orderBy("node", "rank")
   }
 
+  /** Eval 6 (round-6): PR-AUC ([[graft.ops.Eval.averagePrecision]]) of
+    * the quality score against the is-English label — the PR-curve
+    * companion to q194's ROC-AUC, tie-aware at distinct-score grain
+    * (threshold-step AP, no trapezoid), banded prefix sums so nothing
+    * ranks in one task. Same score/label frame as q193/q194.
+    */
+  private def q215(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.averagePrecision(t(s, dir, "documents"),
+      round(TextAnalysis.qualityScore(col("text")), 6),
+      col("lang") === "en")
+
+  /** Eval 7 (round-6): Brier score + Expected Calibration Error
+    * ([[graft.ops.Eval.calibrationSummary]]) — q193's reliability curve
+    * folded to one number beside the proper-scoring-rule MSE, both
+    * decimal-exact. ECE's oracle EMBEDS q193's oracle verbatim (the
+    * q134 zero-duplication device), so the two gates can never drift.
+    */
+  private def q216(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.calibrationSummary(t(s, dir, "documents"),
+      col("doc_id"), round(TextAnalysis.qualityScore(col("text")), 6),
+      col("lang") === "en", bins = 10)
+
+  /** Graph 9 (round-6): HITS hubs & authorities
+    * ([[graft.ops.Graph.hits]], 2 rounds, max-normalized) over the
+    * DIRECTED part→supplier bipartite graph — parts score as hubs
+    * (they point at suppliers), suppliers as authorities, the two-sided
+    * importance signal q101's PageRank conflates. Oracle = both rounds
+    * unrolled from ONE generated CTE (q101's device), decimal-exact
+    * mass sums, sqrt-free max normalization.
+    */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "lineitem").select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    graft.ops.Graph.hits(e, col("src"), col("dst"), iters = 2)
+      .select(col("node"), round(col("hub"), 12).as("hub"),
+        round(col("auth"), 12).as("auth"))
+      .orderBy("node")
+  }
+
+  /** Timeseries 10 (round-6): exponentially-weighted daily event rate
+    * ([[graft.ops.Timeseries.ewmaDailyCounts]], 8 taps, half-life one
+    * observation) per event type — the smoothed-rate trend a drift
+    * monitor follows. Weights are powers of two and the truncated sum is
+    * a left-folded literal chain (q124's device), so every arithmetic
+    * step is the identical IEEE tree on both engines; normalizers ride
+    * in as Scala-computed literals (q213's device).
+    */
+  private def q218(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.ewmaDailyCounts(t(s, dir, "events"),
+        col("event_type"), col("ts"), taps = 8)
+      .withColumnRenamed("key", "event_type")
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("event_type", "day")
+
+  /** Sampling 9 (round-6): group-aware k-fold assignment
+    * ([[graft.ops.Sampling.groupKFold]], k = 5, grouped by source) —
+    * cross-validation folds that never leak a source across a
+    * train/eval boundary; q110's leakage law generalized to k
+    * interchangeable folds, pure integer hash arithmetic, map-side only.
+    */
+  private def q219(s: SparkSession, dir: String): DataFrame =
+    Sampling.groupKFold(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("source"), k = 5)
+      .orderBy("doc_id")
+
   /** Eval 5 (round-6): AP@5 (the MAP constituent) and NDCG@5
     * ([[graft.ops.Eval.rankingMetrics]]) of q146's IVF retrieval run
     * against its brute-force truth — the two standard GRADED retrieval
@@ -4108,7 +4175,12 @@ object SparkEntry {
     "q211_knn_bounded" -> q211 _,
     "q212_real_codec_roundtrip" -> q212 _,
     "q213_ranking_metrics" -> q213 _,
-    "q214_knn_bounded_incremental" -> q214 _)
+    "q214_knn_bounded_incremental" -> q214 _,
+    "q215_pr_auc" -> q215 _,
+    "q216_calibration_summary" -> q216 _,
+    "q217_hits" -> q217 _,
+    "q218_ewma_daily" -> q218 _,
+    "q219_group_kfold" -> q219 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -4708,6 +4780,163 @@ object SparkEntry {
             CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0) /
             CAST(n_pos * n_neg AS DOUBLE), 6) END AS auc
       FROM agg"""
+
+  /** q215's oracle: threshold-step AP at distinct-score grain — the same
+    * quality-score CTE as q194, cumulative counts via ascending window
+    * sums (oracle-side single partition is fine; the ENGINE is the side
+    * the banded prefix sum protects), every precision term the identical
+    * integer-fed IEEE tree [[graft.ops.Eval.averagePrecision]] builds.
+    */
+  private val q215Oracle: String = raw"""
+      WITH f AS (
+        SELECT lang,
+          CAST(len(tk) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+          CAST(len(text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            AS alpha
+        FROM (SELECT lang, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents)),
+      scored AS (
+        SELECT lang = 'en' AS p, round(least(greatest(
+          0.4 * least(nt / 50.0, 1.0) +
+          0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+          0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 6)
+          AS s
+        FROM f),
+      per AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS np
+        FROM scored GROUP BY s),
+      cum AS (
+        SELECT s, n, np,
+          sum(n) OVER (ORDER BY s) - n AS below,
+          sum(np) OVER (ORDER BY s) - np AS pbelow
+        FROM per),
+      tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+          CAST(sum(np) AS BIGINT) AS npos
+        FROM per)
+      SELECT t.npos AS n_pos, t.nt - t.npos AS n_neg,
+        CASE WHEN t.npos = 0 THEN NULL ELSE
+          round(CAST(sum(CAST(round(CASE WHEN t.npos > 0 THEN
+            (CAST(c.np AS DOUBLE) * CAST(t.npos - c.pbelow AS DOUBLE)) /
+            (CAST(t.npos AS DOUBLE) * CAST(t.nt - c.below AS DOUBLE))
+            ELSE 0.0 END, 9) AS DECIMAL(28,12))) AS DOUBLE), 6)
+        END AS ap
+      FROM cum c CROSS JOIN tot t GROUP BY t.npos, t.nt"""
+
+  /** q216's oracle: Brier in pure decimal off the scored CTE; ECE embeds
+    * q193's reliability-bin oracle VERBATIM as a subquery (the q134
+    * zero-duplication device) and folds it round-9 → decimal. The Brier
+    * sum hops through VARCHAR (its scaled DECIMAL(38,18) exceeds 2^53;
+    * see the q99 caveat on [[dsum]]).
+    */
+  private def q216Oracle: String = raw"""
+      SELECT b.n,
+        round(CAST(CAST(b.bsum AS VARCHAR) AS DOUBLE) /
+          CAST(b.n AS DOUBLE), 6) AS brier,
+        round(CAST(e.esum AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS ece
+      FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          sum(CAST((CAST(round(s, 9) AS DECIMAL(10,9)) -
+                CAST(CASE WHEN p THEN 1 ELSE 0 END AS DECIMAL(10,9))) *
+              (CAST(round(s, 9) AS DECIMAL(10,9)) -
+                CAST(CASE WHEN p THEN 1 ELSE 0 END AS DECIMAL(10,9)))
+              AS DECIMAL(28,18))) AS bsum
+        FROM (
+          WITH f AS (
+            SELECT lang,
+              CAST(len(tk) AS DOUBLE) AS nt,
+              CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+              CAST(len(text) AS DOUBLE) AS chars,
+              CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                AS DOUBLE) AS alpha
+            FROM (SELECT lang, text,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+              FROM documents))
+          SELECT lang = 'en' AS p, round(least(greatest(
+            0.4 * least(nt / 50.0, 1.0) +
+            0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+            0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 6)
+            AS s
+          FROM f)) b
+      CROSS JOIN (
+        SELECT sum(CAST(round(CAST(n AS DOUBLE) *
+            abs(pos_rate - mean_score), 9) AS DECIMAL(28,12))) AS esum
+        FROM ($q193Oracle)) e"""
+
+  /** q217's oracle: both HITS rounds unrolled from ONE generated CTE
+    * (q101's device) — decimal-exact mass sums with the VARCHAR hop,
+    * max-normalization as the identical `coalesce(m, 0.0) / mx` tree
+    * [[graft.ops.Graph.hits]] builds.
+    */
+  private val q217Oracle: String = {
+    def hitsRound(prev: String, k: Int) =
+      s"""ar_$k AS (
+        SELECT e.dst AS node,
+          CAST(CAST(sum(CAST(h.v AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE)
+            AS m
+        FROM $prev h JOIN e ON h.node = e.src GROUP BY 1),
+      am_$k AS (SELECT max(m) AS mx FROM ar_$k),
+      a_$k AS (
+        SELECT nodes.node, coalesce(ar.m, 0.0) / am_$k.mx AS v
+        FROM nodes CROSS JOIN am_$k
+        LEFT JOIN ar_$k ar ON nodes.node = ar.node),
+      hr_$k AS (
+        SELECT e.src AS node,
+          CAST(CAST(sum(CAST(a.v AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE)
+            AS m
+        FROM a_$k a JOIN e ON a.node = e.dst GROUP BY 1),
+      hm_$k AS (SELECT max(m) AS mx FROM hr_$k),
+      h_$k AS (
+        SELECT nodes.node, coalesce(hr.m, 0.0) / hm_$k.mx AS v
+        FROM nodes CROSS JOIN hm_$k
+        LEFT JOIN hr_$k hr ON nodes.node = hr.node)"""
+    s"""
+      WITH e AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      h_0 AS (SELECT node, 1.0 AS v FROM nodes),
+      ${hitsRound("h_0", 1)},
+      ${hitsRound("h_1", 2)}
+      SELECT h.node, round(h.v, 12) AS hub, round(a.v, 12) AS auth
+      FROM h_2 h JOIN a_2 a ON h.node = a.node ORDER BY h.node"""
+  }
+
+  /** q218's oracle: the identical left-folded EWMA chain, generated from
+    * the same tap/normalizer tables [[graft.ops.Timeseries]] exposes —
+    * weights are exact powers of two, normalizers shortest-repr literals
+    * that round-trip exactly through DuckDB's parser.
+    */
+  private val q218Oracle: String = {
+    val taps = 8
+    val terms = (0 until taps).map { j =>
+      val c = if (j == 0) "CAST(cnt AS DOUBLE)"
+        else s"CAST(coalesce(lag(cnt, $j) OVER w, 0) AS DOUBLE)"
+      s"($c * CAST(${math.pow(0.5, j)} AS DOUBLE))"
+    }
+    val num = terms.reduceLeft((a, b) => s"($a + $b)")
+    val normCase = graft.ops.Timeseries.ewmaNorms(taps).zipWithIndex
+      .map { case (v, i) => s"WHEN n_obs = ${i + 1} THEN CAST($v AS DOUBLE)" }
+      .mkString(" ")
+    s"""
+      WITH daily AS (
+        SELECT event_type AS key, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT key, day, cnt,
+          CAST(least(row_number() OVER w, $taps) AS BIGINT) AS n_obs,
+          $num AS num
+        FROM daily
+        WINDOW w AS (PARTITION BY key ORDER BY day ASC))
+      SELECT key AS event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+        n_obs, round(num / (CASE $normCase END), 6) AS ewma
+      FROM g ORDER BY event_type, day"""
+  }
 
   private val q195Oracle: String = raw"""
       WITH sc AS (
@@ -5904,6 +6133,15 @@ object SparkEntry {
     // cell-blocked recompute (the q142 merge law under the bounded key),
     // which on the clustered fixture is q211's truth VERBATIM
     "q214_knn_bounded_incremental" -> q211Oracle,
+    "q215_pr_auc" -> q215Oracle,
+    "q216_calibration_summary" -> q216Oracle,
+    "q217_hits" -> q217Oracle,
+    "q218_ewma_daily" -> q218Oracle,
+    "q219_group_kfold" -> s"""
+      SELECT doc_id, source,
+        CAST((${hashPosSql("'fold'", "source")} * 5) // 4294967296
+          AS BIGINT) AS fold
+      FROM documents ORDER BY doc_id""",
     // q212: the stats recomputed from the closed-form dimension rule the
     // engine ENCODED the PNGs at — hash equality proves the real
     // javax.imageio decode round-trips every dimension exactly

@@ -34,7 +34,8 @@ object Eval {
     * partitioned by band. No unpartitioned window; every stage is
     * result- or band-grain except the one partitioned cumulative pass.
     */
-  private def withBelow(perScore: DataFrame): DataFrame = {
+  private def withBelow(perScore: DataFrame,
+                        alsoPositives: Boolean = false): DataFrame = {
     val grid = 256
     val fracs = (0 to grid).map(_.toDouble / grid)
     val piv = perScore.agg(percentile_approx(col("__s"),
@@ -45,19 +46,26 @@ object Eval {
     val banded = perScore.crossJoin(broadcast(piv))
       .withColumn("__band", size(filter(col("__piv"), p => p < col("__s"))))
       .drop("__piv")
-    val bandTot = banded.groupBy(col("__band")).agg(sum(col("__n")).as("__bt"))
+    val bandTot = banded.groupBy(col("__band"))
+      .agg(sum(col("__n")).as("__bt"),
+        (if (alsoPositives) sum(col("__np")) else sum(lit(0L))).as("__bp"))
     val bandOff = bandTot.alias("a")
       .join(broadcast(bandTot.alias("b")),
         col("a.__band") > col("b.__band"), "left")
       .groupBy(col("a.__band").as("__band"))
-      .agg(coalesce(sum(col("b.__bt")), lit(0L)).as("__boff"))
+      .agg(coalesce(sum(col("b.__bt")), lit(0L)).as("__boff"),
+        coalesce(sum(col("b.__bp")), lit(0L)).as("__poff"))
     val wIntra = Window.partitionBy(col("__band"))
       .orderBy(col("__s").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
-    banded.join(broadcast(bandOff), Seq("__band"))
+    val joined = banded.join(broadcast(bandOff), Seq("__band"))
       .withColumn("__below",
         col("__boff") + sum(col("__n")).over(wIntra) - col("__n"))
-      .drop("__band", "__boff")
+    val withP =
+      if (alsoPositives) joined.withColumn("__pbelow",
+        col("__poff") + sum(col("__np")).over(wIntra) - col("__np"))
+      else joined
+    withP.drop("__band", "__boff", "__poff")
   }
 
   /** Calibration (reliability) bins: rows ranked by `score` (ties broken
@@ -225,6 +233,89 @@ object Eval {
             element_at(idcgArr,
               least(col("__r"), lit(k.toLong)).cast("int") + 1), 6))
           .as("ndcg"))
+  }
+
+  /** PR-AUC by the threshold-step (average-precision) identity, tie-aware
+    * at DISTINCT-SCORE grain: thresholds sweep the distinct scores
+    * descending, and each contributes `(ΔR)·P` with ΔR = the threshold
+    * group's positives / total positives and P = precision among all rows
+    * at-or-above the threshold — the step-function AP (no trapezoid
+    * interpolation), the PR-curve companion to [[binaryAuc]]'s ROC-AUC
+    * and the metric that stays informative under heavy class imbalance
+    * (a filter model that passes 0.1% of a corpus lives on the PR curve,
+    * not the ROC curve). Returns one row (n_pos, n_neg, ap); ap is null
+    * when there are no positives. Null scores are unsupported (the
+    * descending-threshold sweep has no defined place for them).
+    *
+    * Plan shape: [[withBelow]]'s banded distributed prefix sum supplies
+    * both cumulative counts (rows and positives strictly below), so the
+    * whole metric is one distinct-grain aggregation — no unpartitioned
+    * window, nothing row-grain. Determinism: every precision/recall term
+    * is an integer-fed IEEE tree evaluated identically by any engine;
+    * per-threshold contributions ride the round-9 → decimal-sum idiom
+    * (order-free), and only the final readout rounds.
+    */
+  def averagePrecision(df: DataFrame, score: Column,
+                       positive: Column): DataFrame = {
+    val base = df.select(score.as("__s"), positive.cast("boolean").as("__p"))
+    val perScore = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__np"))
+    val tot = perScore.agg(sum(col("__n")).as("__tot"),
+      sum(col("__np")).as("__pos"))
+    val g = withBelow(perScore, alsoPositives = true)
+      .crossJoin(broadcast(tot))
+    // at threshold s: TP = positives at-or-above, retrieved = rows
+    // at-or-above — both pure count arithmetic off the prefix sums
+    val contrib =
+      (col("__np").cast("double") *
+        (col("__pos") - col("__pbelow")).cast("double")) /
+        (col("__pos").cast("double") *
+          (col("__tot") - col("__below")).cast("double"))
+    g.agg(max(col("__pos")).as("n_pos"),
+        max(col("__tot") - col("__pos")).as("n_neg"),
+        sum(round(when(col("__pos") > 0L, contrib).otherwise(lit(0.0d)), 9)
+          .cast("decimal(28,12)")).as("__ap"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("__ap").cast("double"), 6)).as("ap"))
+  }
+
+  /** One-row calibration report card: the Brier score (mean squared
+    * error of the probability against the 0/1 outcome — the proper
+    * scoring rule that punishes confident wrongness) and the Expected
+    * Calibration Error (the [[reliabilityBins]] curve folded to one
+    * number: Σ n_b·|pos_rate_b − mean_score_b| / N over `bins`
+    * equal-count bins). Returns (n, brier, ece). Scores are treated as
+    * probabilities (the caller clamps to [0,1] upstream if needed — the
+    * arithmetic itself doesn't require it).
+    *
+    * Determinism: Brier runs ENTIRELY in decimal — round-9 scores cast
+    * to DECIMAL(10,9), the squared residual widened to DECIMAL(28,18)
+    * per row and summed exactly (order-free; map-side partial aggregation
+    * applies, so the pass is corpus-scale-safe), with one IEEE division
+    * at the readout. ECE folds the ALREADY-GATED [[reliabilityBins]]
+    * output (round-6 rates, ≤ `bins` rows) through the round-9 →
+    * decimal-sum idiom, so no engine-ordered float sum exists anywhere.
+    */
+  def calibrationSummary(df: DataFrame, id: Column, score: Column,
+                         positive: Column, bins: Int): DataFrame = {
+    val base = df.select(score.as("__s"), positive.cast("boolean").as("__p"))
+    val s9 = round(col("__s"), 9).cast("decimal(10,9)")
+    val y = when(col("__p"), lit(1)).otherwise(lit(0)).cast("decimal(10,9)")
+    val sq = ((s9 - y) * (s9 - y)).cast("decimal(28,18)")
+    val brier = base.agg(count(lit(1)).as("n"), sum(sq).as("__bsum"))
+    val rb = reliabilityBins(df, id, score, positive, bins)
+    val eceTerm = col("n").cast("double") *
+      abs(col("pos_rate") - col("mean_score"))
+    val ece = rb.agg(
+      sum(round(eceTerm, 9).cast("decimal(28,12)")).as("__esum"))
+    brier.crossJoin(broadcast(ece))
+      .select(col("n"),
+        round(col("__bsum").cast("double") / col("n").cast("double"), 6)
+          .as("brier"),
+        round(col("__esum").cast("double") / col("n").cast("double"), 6)
+          .as("ece"))
   }
 
   /** Per-class precision / recall / F1 from (actual, predicted) label

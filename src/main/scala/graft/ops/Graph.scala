@@ -511,4 +511,57 @@ object Graph {
             (col("__n") * col("__syy") - col("__sy") * col("__sy"))))
           .as("assortativity"))
   }
+
+  /** HITS (hubs & authorities), max-normalized: per round,
+    * `auth_raw(v) = Σ_{u→v} hub(u)`, `auth = auth_raw / max(auth_raw)`,
+    * then `hub_raw(u) = Σ_{u→v} auth(v)`, `hub = hub_raw / max(hub_raw)`;
+    * `hub₀ = 1`. Max-normalization (Kleinberg's convergence argument
+    * works for any norm) keeps the gate path sqrt-free: `max` over
+    * doubles is order-independent, and the per-node divide is one IEEE
+    * op — where an L2 norm would put an engine-ordered Σx² under a sqrt.
+    * On a directed link/citation graph hubs are the curators (pages that
+    * point at good content) and authorities the content — the two-sided
+    * importance signal PageRank's single score conflates. Returns
+    * (node, hub, auth); sink nodes keep hub 0, source nodes auth 0.
+    *
+    * Per-round shape: two equi-joins + two aggregations (one per
+    * direction) + two one-row max frames broadcast back — PageRank's
+    * recipe doubled, `localCheckpoint` per round to keep lineage flat.
+    * Determinism: mass sums ride the DECIMAL(28,18)-exact idiom; the
+    * normalize is `coalesce(mass, 0) / max` — identical IEEE trees both
+    * engines, so a fixed-unroll oracle matches bit-for-bit.
+    */
+  def hits(edges: DataFrame, src: Column, dst: Column,
+           iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(src.as("src"), dst.as("dst")).distinct()
+      .localCheckpoint()
+    require(e.limit(1).count() > 0, "hits: edge set is empty")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    def half(scores: DataFrame, joinSide: String,
+             groupSide: String): DataFrame = {
+      val raw = scores.join(e, col("node") === col(joinSide))
+        .groupBy(col(groupSide).as("node"))
+        .agg(sum(col("__v").cast("decimal(28,18)")).cast("double").as("__m"))
+      val mx = raw.agg(max(col("__m")).as("__mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          (coalesce(col("__m"), lit(0.0d)) / col("__mx")).as("__v"))
+        .localCheckpoint()
+    }
+    var hub = nodes.withColumn("__v", lit(1.0d))
+    var auth: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      auth = half(hub, "src", "dst")
+      hub = half(auth, "dst", "src")
+      it += 1
+    }
+    hub.select(col("node"), col("__v").as("hub"))
+      .join(auth.select(col("node"), col("__v").as("auth")), Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
+  }
 }

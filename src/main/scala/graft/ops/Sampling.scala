@@ -424,4 +424,24 @@ object Sampling {
           when(col("__rank") <= col("__rem"), 1L).otherwise(0L))
           .as("alloc"))
   }
+
+  /** Group-aware k-fold assignment: every row whose `group` matches lands
+    * in the same fold, so k-fold cross-validation never leaks a group
+    * (near-dup cluster, source domain, user) across a train/eval
+    * boundary — [[leakageFreeSplit]]'s law generalized from one named
+    * split to k interchangeable folds. Returns the input plus
+    * `fold ∈ [0, k)`.
+    *
+    * Purely integer: fold = ⌊hash·k / 2^32⌋ over the md5 draw in
+    * [0, 2^32) — exact, uniform (each fold owns an equal-width hash
+    * interval up to the unavoidable ±1 granularity of 2^32/k),
+    * deterministic across engines/retries/partitionings, and CONSISTENT
+    * with itself as data grows: a group's fold never changes when other
+    * groups arrive. Map-side only — no shuffle, no counting pass.
+    */
+  def groupKFold(df: DataFrame, group: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1024, s"k must be in [2, 1024], got $k")
+    df.withColumn("fold",
+      shiftright(hashPos(lit("fold"), group.cast("string")) * k, 32))
+  }
 }
