@@ -197,7 +197,12 @@ object Bench {
     "q211_knn_bounded",
     "q212_real_codec_roundtrip",
     "q213_ranking_metrics",
-    "q214_knn_bounded_incremental")
+    "q214_knn_bounded_incremental",
+    "q215_pr_auc",
+    "q216_calibration_summary",
+    "q217_hits",
+    "q218_ewma_daily",
+    "q219_group_kfold")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
