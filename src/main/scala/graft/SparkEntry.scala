@@ -2922,6 +2922,80 @@ object SparkEntry {
       .orderBy("node", "rank")
   }
 
+  /** Similarity 14 (round-6): DBSCAN within label blocks
+    * ([[Similarity.dbscanBlocks]], ε-cosine 0.25 — q111's measured-margin
+    * threshold — minPts 3): density-based semantic clustering with the
+    * core/border/noise triage — boilerplate clusters vs their periphery
+    * vs the diverse tail. Deterministic by construction (integer
+    * neighbor counts, min-id cluster labels, min-cluster border
+    * adoption); oracle = the same pair predicate + recursive-CTE
+    * components over the core subgraph + a min-fold for borders.
+    */
+  private def q220(s: SparkSession, dir: String): DataFrame =
+    Similarity.dbscanBlocks(t(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), Seq(col("label")), minCosine = 0.25, minPts = 3)
+      .withColumnRenamed("node", "vec_id")
+      .orderBy("vec_id")
+
+  /** Multimodal 4 (round-6): audio decode → frame energy
+    * ([[Multimodal.decodeAudio]] + [[Multimodal.frameEnergy]]) — the
+    * PCM-frame pipeline over audio-modality assets: per-partition codec
+    * init, frame fan-out inside the partition iterator, then
+    * expression-only integer features (Σ|s|, max|s| per frame) rolled to
+    * asset grain. The codec is the deterministic md5-PCM stand-in
+    * ([[Multimodal.FakePcmCodec]] — this container has no audio libs),
+    * which is exactly what lets DuckDB replay every sample and the gate
+    * hash the decode→feature path end-to-end (q33's device, arrays
+    * instead of scalars).
+    */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.fromText(t(s, dir, "documents"),
+      "doc_id", "text", "source", modality = "audio")
+    Multimodal.frameEnergy(Multimodal.decodeAudio(assets))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("total_energy"),
+        max(col("peak")).cast("long").as("peak"))
+      .orderBy("asset_id")
+  }
+
+  /** Streaming 16 (round-6): the EWMA rate monitor IN-FLIGHT
+    * ([[graft.streaming.Streaming.ewmaStream]]) — q218's smoothed daily
+    * rate with the (n_obs, recent-counts) fold carried in per-key
+    * GroupState. The staging harness splits events at a DAY boundary
+    * into two ordered micro-batch files (q119's forced-mod-time device),
+    * satisfying the day-monotone precondition the operator enforces; the
+    * gate is q218's generated-chain oracle VERBATIM — only correctly
+    * carried state can reproduce the batch fold across the batch seam.
+    */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q222")
+    val in = stage.resolve("in").toString
+    val ev = t(s, dir, "events").select(col("event_type"), col("ts"))
+    val dayNum =
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+    // split at the middle DAY so no day straddles the batch seam
+    val b = ev.agg(min(dayNum).as("a"), max(dayNum).as("b")).first()
+    val midDay = if (b.isNullAt(0)) 0L else (b.getLong(0) + b.getLong(1)) / 2L
+    ev.filter(dayNum < midDay).repartition(1).write.mode("append").parquet(in)
+    def parts = new java.io.File(in).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    val first = parts
+    ev.filter(dayNum >= midDay).repartition(1).write.mode("append").parquet(in)
+    val baseTime = new java.io.File(first.head).lastModified
+    (parts -- first).foreach(p =>
+      new java.io.File(p).setLastModified(baseTime + 120000L))
+    val stream = s.readStream.schema(s.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val out = graft.streaming.Streaming.ewmaStream(stream, taps = 8)
+    val mem = graft.streaming.Streaming.runToMemory(out, "q222_mem",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    deleteTree(stage)
+    mem.select(col("key").as("event_type"), col("day"), col("cnt"),
+        col("n_obs"), round(col("ewma_raw"), 6).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
   /** Eval 6 (round-6): PR-AUC ([[graft.ops.Eval.averagePrecision]]) of
     * the quality score against the is-English label — the PR-curve
     * companion to q194's ROC-AUC, tie-aware at distinct-score grain
@@ -4180,7 +4254,10 @@ object SparkEntry {
     "q216_calibration_summary" -> q216 _,
     "q217_hits" -> q217 _,
     "q218_ewma_daily" -> q218 _,
-    "q219_group_kfold" -> q219 _)
+    "q219_group_kfold" -> q219 _,
+    "q220_dbscan" -> q220 _,
+    "q221_audio_frame_energy" -> q221 _,
+    "q222_ewma_stream" -> q222 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6142,6 +6219,86 @@ object SparkEntry {
         CAST((${hashPosSql("'fold'", "source")} * 5) // 4294967296
           AS BIGINT) AS fold
       FROM documents ORDER BY doc_id""",
+    // q220: the same ε-pair predicate as q111, then neighbor counts →
+    // cores → recursive-CTE components over the CORE subgraph →
+    // min-cluster border adoption; cluster ids are min member ids on
+    // both sides (CC's label contract), so the triage is deterministic.
+    "q220_dbscan" -> """
+      WITH RECURSIVE p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          CAST(b.embedding AS DOUBLE[])) >= 0.25),
+      sym AS (
+        SELECT id_a AS s, id_b AS d FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      nc AS (SELECT s AS node, count(*) AS nn FROM sym GROUP BY 1),
+      core AS (SELECT node FROM nc WHERE nn + 1 >= 3),
+      ce AS (
+        SELECT p.id_a, p.id_b FROM p
+        JOIN core c1 ON p.id_a = c1.node
+        JOIN core c2 ON p.id_b = c2.node),
+      cesym AS (
+        SELECT id_a AS s, id_b AS d FROM ce
+        UNION ALL SELECT id_b, id_a FROM ce),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM cesym
+        UNION
+        SELECT reach.id, cesym.d FROM reach JOIN cesym ON reach.r = cesym.s),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      corec AS (
+        SELECT c.node, coalesce(m.component, c.node) AS comp
+        FROM core c LEFT JOIN comp m ON c.node = m.id),
+      border AS (
+        SELECT sym.s AS node, min(k.comp) AS comp
+        FROM sym JOIN corec k ON sym.d = k.node
+        WHERE sym.s NOT IN (SELECT node FROM core)
+        GROUP BY 1)
+      SELECT e.vec_id,
+        CASE WHEN k.node IS NOT NULL THEN 'core'
+             WHEN b.node IS NOT NULL THEN 'border'
+             ELSE 'noise' END AS role,
+        CAST(coalesce(k.comp, b.comp) AS BIGINT) AS cluster
+      FROM embeddings e
+      LEFT JOIN corec k ON e.vec_id = k.node
+      LEFT JOIN border b ON e.vec_id = b.node
+      ORDER BY e.vec_id""",
+    // q221: DuckDB replays FakePcmCodec sample-for-sample — frame j's 8
+    // int16s are hex fields of md5(text || '|' || j), energies/peaks
+    // pure integers.
+    "q221_audio_frame_energy" -> """
+      WITH base AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS bl
+        FROM documents),
+      fr AS (
+        SELECT doc_id, text, least(bl // 256 + 1, 4) AS nf FROM base),
+      fj AS (
+        SELECT doc_id, text, nf, unnest(generate_series(0, nf - 1)) AS j
+        FROM fr),
+      hx AS (
+        SELECT doc_id, nf, j,
+          md5(text || '|' || CAST(j AS VARCHAR)) AS h
+        FROM fj),
+      sm AS (
+        SELECT doc_id, nf, j, i,
+          ('0x' || substring(h, i * 4 + 1, 4))::BIGINT AS u
+        FROM hx, range(0, 8) r(i)),
+      sg AS (
+        SELECT doc_id, nf, j,
+          CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        FROM sm),
+      fe AS (
+        SELECT doc_id, nf, j, sum(abs(s)) AS energy, max(abs(s)) AS peak
+        FROM sg GROUP BY 1, 2, 3)
+      SELECT doc_id AS asset_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        CAST(sum(energy) AS BIGINT) AS total_energy,
+        CAST(max(peak) AS BIGINT) AS peak
+      FROM fe GROUP BY doc_id ORDER BY asset_id""",
+    // q222 streams the same daily series through GroupState; the landed
+    // table must equal the batch EWMA fold — the oracle is q218's
+    // generated chain VERBATIM (q136/q140's shared-oracle pattern)
+    "q222_ewma_stream" -> q218Oracle,
     // q212: the stats recomputed from the closed-form dimension rule the
     // engine ENCODED the PNGs at — hash equality proves the real
     // javax.imageio decode round-trips every dimension exactly

@@ -318,6 +318,49 @@ object Eval {
           .as("ece"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic: `D = max over observed
+    * values of |ECDF_A(v) − ECDF_B(v)|`, the sharpest "did this
+    * distribution shift" readout — the rank-based complement to
+    * [[Profile.histogramDrift]]'s binned L1 (KS sees a shift histogram
+    * bins can hide, and has no bin-edge parameter to tune). Splits rows
+    * into cohort A (`inA` true) and B; returns one row
+    * (n_a, n_b, ks); null when either cohort is empty. Null values are
+    * unsupported (an ECDF has no defined place for them — filter
+    * upstream).
+    *
+    * EXACT, not the asymptotic approximation: ECDFs are integer-count
+    * quotients evaluated at distinct-value grain, |difference| and `max`
+    * are order-independent IEEE ops — any engine computing the same
+    * quotients agrees bitwise, no tolerance needed. Plan shape: one
+    * distinct-value aggregation, then [[withBelow]]'s banded distributed
+    * prefix sum for both cumulative counts — no unpartitioned window
+    * even when the value column has millions of distinct values.
+    */
+  def ksStatistic(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val base = df.select(value.as("__s"), inA.cast("boolean").as("__p"))
+    val perScore = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__np"))
+    val tot = perScore.agg(sum(col("__np")).as("__na"),
+      sum(col("__n") - col("__np")).as("__nb"))
+    val g = withBelow(perScore, alsoPositives = true)
+      .crossJoin(broadcast(tot))
+    // at value v: ECDF_A = (A-rows ≤ v)/n_a, ECDF_B likewise — both
+    // cumulative counts fall out of the banded prefix sums
+    val cumA = (col("__pbelow") + col("__np")).cast("double") /
+      col("__na").cast("double")
+    val cumB = ((col("__below") + col("__n")) -
+      (col("__pbelow") + col("__np"))).cast("double") /
+      col("__nb").cast("double")
+    g.agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(when(col("__na") > 0L && col("__nb") > 0L, abs(cumA - cumB)))
+          .as("__d"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(col("__d"), 6)).as("ks"))
+  }
+
   /** Per-class precision / recall / F1 from (actual, predicted) label
     * pairs — the classifier report card. Classes are the UNION of
     * actual and predicted labels (a class the model invents shows up

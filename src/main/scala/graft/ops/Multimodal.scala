@@ -187,6 +187,84 @@ object Multimodal {
     .select(col("asset_id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** Audio codec boundary, mirroring [[MediaCodec]]: `newDecoder()` once
+    * per partition, payload → frames of signed 16-bit PCM samples. Null /
+    * undecodable payloads yield zero frames (one corrupt asset must not
+    * kill the stage). A real implementation resamples/decodes here
+    * (mp3/ogg/flac libs are absent in this container); the plumbing —
+    * per-partition init, frame row explosion, integer feature math — is
+    * production shape.
+    */
+  trait AudioCodec extends Serializable {
+    def newDecoder(): Array[Byte] => Array[Array[Int]]
+  }
+
+  /** Deterministic stand-in audio decoder: frame `j` of a payload is 8
+    * int16 samples read big-endian from md5(payload ‖ "|j"), and the
+    * frame count is `min(byte_len div 256 + 1, 4)` — so any engine with
+    * md5 reproduces every sample exactly, which is what lets the
+    * decode → frame-energy pipeline be oracle-checked end-to-end
+    * ([[FakeCodec]]'s device extended from scalar dims to PCM arrays).
+    */
+  object FakePcmCodec extends AudioCodec {
+    val samplesPerFrame = 8
+    val maxFrames = 4
+    def newDecoder(): Array[Byte] => Array[Array[Int]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      payload =>
+        if (payload == null) Array.empty
+        else {
+          val nf = math.min(payload.length / 256 + 1, maxFrames)
+          Array.tabulate(nf) { j =>
+            md.update(payload)
+            md.update(s"|$j".getBytes("UTF-8"))
+            val d = md.digest()
+            Array.tabulate(samplesPerFrame) { i =>
+              val u = ((d(2 * i) & 0xff) << 8) | (d(2 * i + 1) & 0xff)
+              if (u >= 32768) u - 65536 else u
+            }
+          }
+        }
+    }
+  }
+
+  private val audioFrameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("samples", ArrayType(IntegerType, containsNull = false))))
+
+  /** Audio decode stage: one (asset, frame) row per decoded frame —
+    * [[decode]]'s mapPartitions shape with a Generator-like fan-out
+    * (each asset explodes into its frames inside the partition iterator,
+    * so no shuffle and no interim array-of-arrays column).
+    */
+  def decodeAudio(assets: DataFrame,
+                  codec: AudioCodec = FakePcmCodec): DataFrame = {
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(audioFrameSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      val dec = codec.newDecoder()
+      it.flatMap { r =>
+        val frames = dec(r.getAs[Array[Byte]]("payload"))
+        frames.iterator.zipWithIndex.map { case (s, j) =>
+          Row(r.getLong(0), j, s.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame-energy features over decoded PCM frames, expression-only
+    * (higher-order functions stay in codegen; the samples array never
+    * explodes into rows): per frame, energy = Σ|s| and peak = max|s| —
+    * pure integer arithmetic, so the readout is exact on any engine.
+    * The silence/clipping screen an audio-corpus curation pass runs
+    * first.
+    */
+  def frameEnergy(frames: DataFrame): DataFrame = frames
+    .withColumn("energy", aggregate(col("samples"), lit(0L),
+      (acc, s) => acc + abs(s).cast("long")))
+    .withColumn("peak", array_max(transform(col("samples"), s => abs(s))))
+
   /** Size-aware repartitioning before a heavy decode: pack partitions to a
     * target byte budget so one huge video can't skew an executor. At 100 TB
     * this is the difference between a balanced decode stage and a straggler.

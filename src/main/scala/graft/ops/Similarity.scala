@@ -645,4 +645,74 @@ object Similarity {
           col("n_nbrs").cast("double"), 6).as("disagree_rate"),
         (col("n_disagree") * 2L >= col("n_nbrs")).as("suspect"))
   }
+
+  /** Density-based clustering (DBSCAN) within blocks: ε-neighbors are
+    * pairs with cosine ≥ `minCosine` INSIDE a block
+    * ([[graft.ops.Dedup.cosineNearDupPairs]]'s contract — the same
+    * label/cell blocking q111's semantic dedup uses, so block choice is
+    * the recall knob and the in-block result is exact); a point with ≥
+    * `minPts` neighbors INCLUDING ITSELF is a core; clusters are the
+    * connected components of the core–core ε-graph; a non-core point
+    * with a core neighbor is a border point adopted by the SMALLEST
+    * core-cluster id among its core neighbors (standard DBSCAN leaves
+    * border adoption order-dependent — the min pin is what makes the
+    * result deterministic and differentially testable); everything else
+    * is noise. The curation read: cores are dense semantic duplicates/
+    * templates, borders their periphery, noise the genuinely diverse
+    * tail — the "which documents are boilerplate clusters" signal at
+    * embedding grain. Returns (node, role ∈ core|border|noise,
+    * cluster — null for noise; cluster ids are min-member core ids).
+    *
+    * Scale shape: the pair stage is the blocked equi-join (Σ block²,
+    * bounded by the block key — cell-block to cap it, q211's lever);
+    * everything after is neighbor-list-sized: one count aggregation,
+    * CC's pointer-jumping rounds on the core subgraph, one min-fold for
+    * borders. Determinism: neighbor counts are integers, the core
+    * threshold an integer compare, cluster labels min-ids, border
+    * adoption a min — the only float on the gate path is the SAME
+    * cosine-vs-threshold compare q111 ships (margin measured there).
+    */
+  def dbscanBlocks(df: DataFrame, id: Column, vec: Column,
+                   blockCols: Seq[Column], minCosine: Double,
+                   minPts: Int): DataFrame = {
+    require(minPts >= 2, s"minPts must be >= 2, got $minPts")
+    val pairs = graft.ops.Dedup.cosineNearDupPairs(df, id, vec, blockCols,
+        minCosine)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // feeds the count, the core graph and the border fold
+    val sym = pairs.unionAll(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val cores = sym.groupBy(col("id_a").as("node"))
+      .agg(count(lit(1)).as("__nn"))
+      .filter(col("__nn") + 1L >= minPts.toLong)
+      .select(col("node"))
+      .localCheckpoint() // read by the core-edge filter and both joins below
+    val coreEdges = pairs
+      .join(cores.select(col("node").as("id_a")), Seq("id_a"))
+      .join(cores.select(col("node").as("id_b")), Seq("id_b"))
+    // cluster id = CC component (min member id); a core whose neighbors
+    // are all non-core forms its own singleton cluster
+    val coreCluster = cores
+      .join(graft.ops.Dedup.connectedComponents(coreEdges)
+        .withColumnRenamed("id", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node"))
+        .as("__comp"))
+      .localCheckpoint() // read by the border fold and the final union
+    val borders = sym
+      .join(coreCluster.select(col("node").as("id_b"), col("__comp")),
+        Seq("id_b"))
+      .select(col("id_a").as("node"), col("__comp"))
+      .join(cores, Seq("node"), "left_anti") // cores are not borders
+      .groupBy(col("node")).agg(min(col("__comp")).as("__comp"))
+    val universe = df.select(id.as("node")).distinct()
+    universe
+      .join(coreCluster.withColumn("__role", lit("core")), Seq("node"), "left")
+      .join(borders.select(col("node"), col("__comp").as("__bcomp")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__role"),
+          when(col("__bcomp").isNotNull, lit("border"))
+            .otherwise(lit("noise"))).as("role"),
+        coalesce(col("__comp"), col("__bcomp")).as("cluster"))
+  }
 }

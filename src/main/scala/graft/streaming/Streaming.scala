@@ -306,6 +306,71 @@ object Streaming {
       }.toDF()
   }
 
+  /** Streaming EWMA — [[graft.ops.Timeseries.ewmaDailyCounts]]'s stateful
+    * twin: the per-(key, day) count series folds through per-key
+    * GroupState carrying (observations so far, the last `taps−1` daily
+    * counts most-recent-first), one smoothed-rate row emitted per
+    * completed day — the online drift/anomaly monitor shape, O(taps)
+    * state per key.
+    *
+    * Bit-equality with the batch operator (the shared-oracle gate): each
+    * emission rebuilds the IDENTICAL left-folded chain — ascending-tap
+    * terms `cnt₋ⱼ·2^−j` (missing taps as exact +0.0 addends) summed in
+    * the same association order, divided by the same Scala-computed
+    * normalizer table — so the only difference from the batch plan is
+    * WHERE the lagged counts come from (GroupState instead of a window).
+    * The unrounded quotient is emitted; the caller applies the readout
+    * round, exactly as the batch query does.
+    *
+    * Preconditions (q119/q140's staging contract): batches are day-
+    * monotone per key (a day never splits across batches and days arrive
+    * in order) — enforced, not assumed: a day at-or-before the state's
+    * frontier throws rather than silently double-counting.
+    */
+  final case class EwmaEvent(event_type: String, ts: java.sql.Timestamp)
+  final case class EwmaState(n_obs: Long, last_day: Long, recent: List[Long])
+  final case class EwmaOut(key: String, day: String, cnt: Long,
+                           n_obs: Long, ewma_raw: Double)
+
+  def ewmaStream(events: DataFrame, taps: Int): DataFrame = {
+    require(taps >= 2 && taps <= 16, s"taps must be in [2, 16], got $taps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val weights = (0 until taps).map(j => math.pow(0.5, j))
+    val norms = graft.ops.Timeseries.ewmaNorms(taps)
+    events.selectExpr("event_type", "ts").as[EwmaEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          val byDay = rows.foldLeft(Map.empty[Long, Long]) { (m, e) =>
+            val d = math.floorDiv(tsMicros(e.ts), 86400000000L)
+            m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }.toSeq.sortBy(_._1)
+          var st = state.getOption.getOrElse(
+            EwmaState(0L, Long.MinValue, Nil))
+          val out = Vector.newBuilder[EwmaOut]
+          byDay.foreach { case (day, cnt) =>
+            if (day <= st.last_day)
+              throw new IllegalStateException(
+                s"ewmaStream: day $day for key $key arrived at-or-before " +
+                  s"the state frontier ${st.last_day} — batches must be " +
+                  "day-monotone per key")
+            val hist = cnt :: st.recent // most recent first, ≤ taps long
+            val num = (0 until taps).map { j =>
+              (if (j < hist.length) hist(j) else 0L).toDouble * weights(j)
+            }.reduceLeft(_ + _)
+            val m = math.min(st.n_obs + 1L, taps.toLong)
+            out += EwmaOut(key,
+              java.time.LocalDate.ofEpochDay(day).toString, cnt, m,
+              num / norms(m.toInt - 1))
+            st = EwmaState(st.n_obs + 1L, day, hist.take(taps - 1))
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Streaming CDC resolution — [[graft.idempotent.Idempotent.applyCdc]]
     * in-flight: per key, GroupState carries the highest (seq, op,
     * payload) seen so far; a micro-batch emits a key's new frontier only
