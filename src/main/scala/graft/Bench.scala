@@ -202,7 +202,13 @@ object Bench {
     "q216_calibration_summary",
     "q217_hits",
     "q218_ewma_daily",
-    "q219_group_kfold")
+    "q219_group_kfold",
+    "q220_dbscan",
+    "q221_audio_frame_energy",
+    "q222_ewma_stream",
+    "q223_unigram_lm_score",
+    "q224_bootstrap",
+    "q225_ks_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2996,6 +2996,45 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** Text 18 (round-6): corpus-typicality scoring
+    * ([[TextAnalysis.unigramLmScore]]) — per-doc MEAN and MIN unigram
+    * probability against the corpus' own unigram model: the libm-free
+    * LM-likelihood proxy a quality filter ranks on (high mean = everyday
+    * language; tiny min = random-string tripwire). One vocab-grain
+    * count + one token-partitioned join + one doc fold; probabilities
+    * round-9 → decimal-summed.
+    */
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLmScore(t(s, dir, "documents"), col("doc_id"),
+        col("text"))
+      .orderBy("doc_id")
+
+  /** Sampling 10 (round-6): deterministic Poisson bootstrap
+    * ([[Sampling.bootstrapReplicate]]) — the distributed
+    * with-replacement resample: Poisson(1) replica counts inverted off
+    * each row's md5 position against Scala-injected CDF thresholds
+    * (q110's splitBounds device), map-side explode only, stable under
+    * corpus growth. The uncertainty-quantification primitive (bootstrap
+    * a metric by re-running it over replicates).
+    */
+  private def q224(s: SparkSession, dir: String): DataFrame =
+    Sampling.bootstrapReplicate(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"))
+      .orderBy("doc_id", "copy")
+
+  /** Eval 8 (round-6): two-sample Kolmogorov–Smirnov
+    * ([[graft.ops.Eval.ksStatistic]]) — EXACT distribution-shift test
+    * between purchase and click order values at distinct-value grain
+    * (banded prefix sums, no unpartitioned window, no bin-edge
+    * parameter); the rank-based complement to q147's binned drift.
+    */
+  private def q225(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.ksStatistic(
+      t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase")),
+      col("value"), col("event_type") === "purchase")
+
   /** Eval 6 (round-6): PR-AUC ([[graft.ops.Eval.averagePrecision]]) of
     * the quality score against the is-English label — the PR-curve
     * companion to q194's ROC-AUC, tie-aware at distinct-score grain
@@ -4257,7 +4296,10 @@ object SparkEntry {
     "q219_group_kfold" -> q219 _,
     "q220_dbscan" -> q220 _,
     "q221_audio_frame_energy" -> q221 _,
-    "q222_ewma_stream" -> q222 _)
+    "q222_ewma_stream" -> q222 _,
+    "q223_unigram_lm_score" -> q223 _,
+    "q224_bootstrap" -> q224 _,
+    "q225_ks_drift" -> q225 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6299,6 +6341,61 @@ object SparkEntry {
     // table must equal the batch EWMA fold — the oracle is q218's
     // generated chain VERBATIM (q136/q140's shared-oracle pattern)
     "q222_ewma_stream" -> q218Oracle,
+    "q223_unigram_lm_score" -> raw"""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      freq AS (SELECT token, count(*) AS f FROM toks GROUP BY 1),
+      tot AS (SELECT count(*) AS N FROM toks),
+      j AS (
+        SELECT t.doc_id, f.f, tot.N
+        FROM toks t JOIN freq f ON t.token = f.token CROSS JOIN tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        round(CAST(sum(CAST(round(CAST(f AS DOUBLE) / CAST(N AS DOUBLE), 9)
+            AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS mean_prob,
+        round(CAST(min(f) AS DOUBLE) / CAST(max(N) AS DOUBLE), 6)
+          AS min_prob
+      FROM j GROUP BY doc_id ORDER BY doc_id""",
+    // q224: the Poisson CDF thresholds are the SAME Scala-computed Longs
+    // the engine compares against — pure integer replica counts
+    "q224_bootstrap" -> {
+      val cases = graft.ops.Sampling.poissonBounds(8)
+        .map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH b AS (
+        SELECT doc_id, source,
+          ${hashPosSql("'boot'", "CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents),
+      c AS (SELECT doc_id, source, ($cases) AS copies FROM b)
+      SELECT doc_id, source,
+        unnest(generate_series(0, copies - 1)) AS copy
+      FROM c WHERE copies > 0 ORDER BY doc_id, copy"""
+    },
+    "q225_ks_drift" -> """
+      WITH base AS (
+        SELECT value AS s, event_type = 'purchase' AS p FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      per AS (
+        SELECT s, count(*) AS n,
+          sum(CASE WHEN p THEN 1 ELSE 0 END) AS np
+        FROM base GROUP BY 1),
+      cum AS (
+        SELECT s, n, np,
+          sum(n) OVER (ORDER BY s) AS cn,
+          sum(np) OVER (ORDER BY s) AS cnp
+        FROM per),
+      tot AS (
+        SELECT CAST(sum(np) AS BIGINT) AS na,
+          CAST(sum(n) - sum(np) AS BIGINT) AS nb
+        FROM per)
+      SELECT t.na AS n_a, t.nb AS n_b,
+        CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL ELSE
+          round(max(abs(CAST(c.cnp AS DOUBLE) / CAST(t.na AS DOUBLE) -
+            CAST(c.cn - c.cnp AS DOUBLE) / CAST(t.nb AS DOUBLE))), 6)
+        END AS ks
+      FROM cum c CROSS JOIN tot t GROUP BY t.na, t.nb""",
     // q212: the stats recomputed from the closed-form dimension rule the
     // engine ENCODED the PNGs at — hash equality proves the real
     // javax.imageio decode round-trips every dimension exactly

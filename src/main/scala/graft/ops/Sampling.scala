@@ -444,4 +444,44 @@ object Sampling {
     df.withColumn("fold",
       shiftright(hashPos(lit("fold"), group.cast("string")) * k, 32))
   }
+
+  /** Deterministic Poisson bootstrap: each row receives
+    * `copies ~ Poisson(1)` replicas — the standard distributed bootstrap
+    * resample (sampling WITH replacement without any global shuffle or
+    * counting pass: at corpus scale the multinomial row-draw degenerates
+    * to independent Poisson(1) counts per row). The draw inverts the
+    * Poisson CDF on the row's md5 position: thresholds
+    * `⌊P(X ≤ k)·2^32⌋` are Scala-computed Longs injected identically
+    * into both engines ([[splitBounds]]'s device), so the copy count is
+    * a pure integer compare — deterministic across engines, retries and
+    * partitionings, and STABLE as the corpus grows (a row's replica
+    * count never changes when other rows arrive). Tail mass beyond
+    * `maxCopies` lumps into `maxCopies`. Returns the input with a
+    * `copy ∈ [0, copies)` index, rows with zero copies dropped —
+    * map-side explode only, E[output] = input size.
+    */
+  def bootstrapReplicate(df: DataFrame, id: Column,
+                         maxCopies: Int = 8): DataFrame = {
+    val bounds = poissonBounds(maxCopies)
+    val h = hashPos(lit("boot"), id.cast("string"))
+    val copies = bounds.map(t => when(h >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0L)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
+
+  /** Cumulative-Poisson(1) thresholds over [0, 2^32) for `k = 0 ..
+    * maxCopies−1`, exposed so oracle generators inject the IDENTICAL
+    * Longs. copies(h) = #{k : h ≥ T_k}.
+    */
+  private[graft] def poissonBounds(maxCopies: Int): Seq[Long] = {
+    require(maxCopies >= 1 && maxCopies <= 32,
+      s"maxCopies must be in [1, 32], got $maxCopies")
+    val pmf = (1 until maxCopies).scanLeft(math.exp(-1.0))((p, k) => p / k)
+    val cdf = pmf.scanLeft(0.0)(_ + _).tail
+    cdf.map(c => math.floor(c * 4294967296.0d).toLong)
+  }
 }

@@ -782,4 +782,42 @@ object TextAnalysis {
         round(col("n_rare").cast("double") /
           col("n_tokens").cast("double"), 6).as("rare_ratio"))
   }
+
+  /** Corpus-typicality scoring against the corpus' own unigram model —
+    * the libm-free proxy for per-document LM likelihood a quality filter
+    * ranks on: per document, the MEAN unigram probability of its tokens
+    * (`Σ f(t)/N / n_tok` — high = everyday language, low = rare/garbled)
+    * and the MINIMUM (the rarest token's probability — the "contains
+    * apparently-random strings" tripwire). DELIBERATELY the arithmetic
+    * mean of probabilities, not the geometric mean a log-likelihood
+    * implies: `log` is banned from gate paths (libm divergence,
+    * q106's measurement), and the arithmetic mean ranks typicality with
+    * the same intent while staying a pure rational-arithmetic readout.
+    * Returns (doc_id, n_tokens, mean_prob, min_prob).
+    *
+    * Determinism: each probability is one integer-fed IEEE division;
+    * per-doc sums ride round-9 → decimal (order-free); min is order-free.
+    * Scale shape: one vocab-grain count, one token→frequency join
+    * co-partitioned on the token, one doc-grain fold — rareTokenRatio's
+    * plan with a probability payload.
+    */
+  def unigramLmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = Dedup.spread(df)
+      .select(id.as("doc_id"), explode(tokens(text)).as("__tok"))
+      .localCheckpoint() // feeds vocab counts, the total scalar, the join
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__f"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val prob = col("__f").cast("double") / col("__total").cast("double")
+    toks.join(freq, Seq("__tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(round(prob, 9).cast("decimal(28,12)")).as("__ps"),
+        min(col("__f")).as("__minf"), max(col("__total")).as("__N"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__ps").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("mean_prob"),
+        round(col("__minf").cast("double") / col("__N").cast("double"), 6)
+          .as("min_prob"))
+  }
 }
