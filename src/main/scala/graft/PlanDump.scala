@@ -152,7 +152,29 @@ object PlanDump {
       ("The real javax.imageio decode stage: mapPartitions with one " +
         "codec init per partition (the arrow-batched-UDF shape), then " +
         "imageStats/resize stay expression-only inside WholeStageCodegen " +
-        "— the PNG encode/decode never leaves the executor."))
+        "— the PNG encode/decode never leaves the executor."),
+    "q215_pr_auc" ->
+      ("PR-AUC at distinct-score grain: every Window in the plan is " +
+        "PARTITIONED (by the percentile band) — the banded prefix sum " +
+        "carries BOTH cumulative counts, so no single-partition " +
+        "WindowExec survives even on a corpus-scale eval set; the AP " +
+        "fold is one distinct-grain aggregation."),
+    "q217_hits" ->
+      ("HITS rounds are PageRank's relational shape doubled: per " +
+        "half-round one equi-join (scores onto edges) + one decimal-sum " +
+        "aggregation + a one-row max broadcast back; localCheckpoint " +
+        "flattens lineage so round N's plan never re-derives round N−1."),
+    "q220_dbscan" ->
+      ("DBSCAN's only heavy stage is the blocked ε-pair join (the " +
+        "config-pinned ShuffledHashJoin, no cartesian); everything " +
+        "after is neighbor-list-sized: integer core counts, " +
+        "pointer-jumping CC on the core subgraph, one min-fold for " +
+        "borders."),
+    "q225_ks_drift" ->
+      ("The exact KS statistic needs one global prefix sum — supplied " +
+        "by the banded device, so the plan has NO unpartitioned window " +
+        "and one distinct-value aggregation even when the value column " +
+        "has millions of distinct values."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

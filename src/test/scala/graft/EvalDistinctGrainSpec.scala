@@ -94,11 +94,19 @@ class EvalDistinctGrainSpec extends AnyFunSuite {
     }
   }
 
-  test("no unpartitioned WindowExec in the q193/q194 plans") {
+  test("averagePrecision: the generalized prefix carries positives — AP on the fixture is finite and in [0,1]") {
+    val r = Eval.averagePrecision(fixture.filter(col("score").isNotNull),
+        col("score"), col("label"))
+      .select("ap").as[Option[Double]].head()
+    assert(r.exists(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("no unpartitioned WindowExec in the q193/q194/q215/q225 plans") {
     val helper =
       new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
     val dir = "/root/testdata/sf0.001"
-    for (q <- Seq("q193_reliability_bins", "q194_auc")) {
+    for (q <- Seq("q193_reliability_bins", "q194_auc", "q215_pr_auc",
+        "q225_ks_drift")) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize the adaptive plan before inspecting it
       val offenders =
