@@ -208,7 +208,11 @@ object Bench {
     "q222_ewma_stream",
     "q223_unigram_lm_score",
     "q224_bootstrap",
-    "q225_ks_drift")
+    "q225_ks_drift",
+    "q226_mmr_diversify",
+    "q227_bfs_distance",
+    "q228_seasonal_profile",
+    "q229_changepoint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

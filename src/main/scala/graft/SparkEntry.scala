@@ -2996,6 +2996,72 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** Similarity 15 (round-6): MMR diversification
+    * ([[Similarity.mmrDiversify]], k = 3, λ = 0.5) of each query's
+    * brute-force top-20 shortlist — the greedy rerank that stops
+    * retrieved context collapsing into near-duplicates. The argmax
+    * orders by the rdz-rounded score (a λ·rel ≈ (1−λ)·ms cancellation
+    * can land on ±0.0); the oracle unrolls all three greedy steps from
+    * one generated template with `greatest` as the selected-set max.
+    */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 10)
+    val shortlist = Similarity.bruteForceTopK(e, col("vec_id"),
+        col("embedding"), qs, col("vec_id"), col("embedding"), k = 20)
+      .join(e.select(col("vec_id").as("item_id"),
+        col("embedding").as("vec")), Seq("item_id"))
+      .select(col("query_id"), col("item_id"), col("cosine").as("rel"),
+        col("vec"))
+    Similarity.mmrDiversify(shortlist, k = 3, lambda = 0.5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Graph 10 (round-6): multi-source BFS
+    * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
+    * seed suppliers over the symmetric part↔supplier graph, capped at 4:
+    * the crawl-depth / curation-distance signal. Confluent integer
+    * layers, so the capped recursive oracle matches the early-stopping
+    * engine exactly.
+    */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ps = li.select(concat(lit("p"), col("l_partkey").cast("string"))
+      .as("src"), concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    val e = ps.unionByName(ps.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val seeds = t(s, dir, "supplier").filter(col("s_suppkey") <= 3)
+      .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+    graft.ops.Graph.bfsDistances(e, col("src"), col("dst"), seeds,
+        col("node"), maxDepth = 4)
+      .orderBy("node")
+  }
+
+  /** Timeseries 11 (round-6): weekly seasonality profile
+    * ([[graft.ops.Timeseries.seasonalProfile]]) — per (event_type,
+    * day-of-week) observed days, events, mean daily count and volume
+    * share; Sunday=0 on both engines (Spark `dayofweek`−1 = DuckDB
+    * `dayofweek`). The "does this metric need deseasonalizing" readout.
+    */
+  private def q228(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.seasonalProfile(t(s, dir, "events"),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "dow")
+
+  /** Timeseries 12 (round-6): CUSUM change-point
+    * ([[graft.ops.Timeseries.changePoint]]) — per event type, the day
+    * whose daily-sum prefix deviates most from the global trend
+    * (argmax |S_k − k·S_n/n|, decimal-exact sums, earliest-day
+    * tie-break): "when did this metric shift".
+    */
+  private def q229(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.changePoint(t(s, dir, "events"),
+        col("event_type"), col("ts"), col("value"))
+      .withColumnRenamed("key", "event_type")
+      .withColumn("change_day", date_format(col("change_day"), "yyyy-MM-dd"))
+      .orderBy("event_type")
+
   /** Text 18 (round-6): corpus-typicality scoring
     * ([[TextAnalysis.unigramLmScore]]) — per-doc MEAN and MIN unigram
     * probability against the corpus' own unigram model: the libm-free
@@ -4299,7 +4365,11 @@ object SparkEntry {
     "q222_ewma_stream" -> q222 _,
     "q223_unigram_lm_score" -> q223 _,
     "q224_bootstrap" -> q224 _,
-    "q225_ks_drift" -> q225 _)
+    "q225_ks_drift" -> q225 _,
+    "q226_mmr_diversify" -> q226 _,
+    "q227_bfs_distance" -> q227 _,
+    "q228_seasonal_profile" -> q228 _,
+    "q229_changepoint" -> q229 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6373,6 +6443,109 @@ object SparkEntry {
         unnest(generate_series(0, copies - 1)) AS copy
       FROM c WHERE copies > 0 ORDER BY doc_id, copy"""
     },
+    // q226: the three greedy MMR steps unrolled from ONE generated
+    // template (q101's device): step t scores every unpicked shortlist
+    // item against the picked set via greatest(), the same rdz-rounded
+    // ordering the engine's rank window uses.
+    "q226_mmr_diversify" -> {
+      def cosTo(p: String) = s"list_cosine_similarity(c.iv, $p.iv)"
+      def step(t: Int, prev: Seq[String]): String = {
+        val ms =
+          if (prev.isEmpty) "0.0"
+          else if (prev.size == 1) cosTo(prev.head)
+          else s"greatest(${prev.map(cosTo).mkString(", ")})"
+        val joins = prev.map(p =>
+          s"JOIN $p ON c.query_id = $p.query_id AND c.item_id <> $p.item_id")
+          .mkString(" ")
+        s"""p$t AS (
+          SELECT query_id, item_id, iv, score FROM (
+            SELECT c.query_id, c.item_id, c.iv,
+              (0.5 * c.rel - 0.5 * $ms) AS score,
+              row_number() OVER (PARTITION BY c.query_id
+                ORDER BY round(0.5 * c.rel - 0.5 * $ms, 6) + 0.0 DESC,
+                  c.item_id) AS rk
+            FROM sl c $joins)
+          WHERE rk = 1)"""
+      }
+      s"""
+      WITH sl AS (
+        SELECT query_id, item_id, rel, iv FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(c.embedding AS DOUBLE[])) AS rel,
+            CAST(c.embedding AS DOUBLE[]) AS iv
+          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 10)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY round(rel, 6) DESC, item_id) <= 20),
+      ${step(1, Nil)},
+      ${step(2, Seq("p1"))},
+      ${step(3, Seq("p1", "p2"))}
+      SELECT query_id, CAST(1 AS BIGINT) AS rank, item_id,
+        round(score, 6) + 0.0 AS score FROM p1
+      UNION ALL SELECT query_id, CAST(2 AS BIGINT), item_id,
+        round(score, 6) + 0.0 FROM p2
+      UNION ALL SELECT query_id, CAST(3 AS BIGINT), item_id,
+        round(score, 6) + 0.0 FROM p3
+      ORDER BY query_id, rank"""
+    },
+    "q227_bfs_distance" -> """
+      WITH RECURSIVE e AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+        UNION
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),
+          'p' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+      sd AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+             FROM supplier WHERE s_suppkey <= 3),
+      d(node, dist) AS (
+        SELECT node, 0 FROM sd
+        UNION
+        SELECT e.dst, d.dist + 1 FROM d JOIN e ON d.node = e.src
+        WHERE d.dist < 4)
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist
+      FROM d GROUP BY node ORDER BY node""",
+    "q228_seasonal_profile" -> """
+      WITH daily AS (
+        SELECT event_type AS key, CAST(ts AS DATE) AS day,
+          count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      bd AS (
+        SELECT key, CAST(dayofweek(day) AS BIGINT) AS dow,
+          CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(cnt) AS BIGINT) AS n_events
+        FROM daily GROUP BY 1, 2),
+      tot AS (SELECT key, sum(n_events) AS tt FROM bd GROUP BY 1)
+      SELECT bd.key AS event_type, bd.dow, bd.n_days, bd.n_events,
+        round(CAST(bd.n_events AS DOUBLE) / CAST(bd.n_days AS DOUBLE), 6)
+          AS mean_daily,
+        round(CAST(bd.n_events AS DOUBLE) / CAST(t.tt AS DOUBLE), 6)
+          AS share
+      FROM bd JOIN tot t ON bd.key = t.key ORDER BY event_type, dow""",
+    "q229_changepoint" -> """
+      WITH daily AS (
+        SELECT event_type AS key, CAST(ts AS DATE) AS day,
+          sum(CAST(value AS DECIMAL(18,2))) AS ds
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT key, day,
+          CAST(row_number() OVER wo AS BIGINT) AS k,
+          CAST(sum(CAST(ds AS DECIMAL(28,2))) OVER (PARTITION BY key
+            ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS sk,
+          CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+          CAST(sum(CAST(ds AS DECIMAL(28,2))) OVER (PARTITION BY key)
+            AS DOUBLE) AS sn
+        FROM daily WINDOW wo AS (PARTITION BY key ORDER BY day ASC)),
+      st AS (
+        SELECT key, day, n,
+          abs(sk - (CAST(k AS DOUBLE) * sn) / CAST(n AS DOUBLE)) AS stat
+        FROM g)
+      SELECT key AS event_type, strftime(day, '%Y-%m-%d') AS change_day,
+        n AS n_days, round(stat, 4) + 0.0 AS stat
+      FROM st
+      QUALIFY row_number() OVER (PARTITION BY key
+        ORDER BY stat DESC, day ASC) = 1
+      ORDER BY event_type""",
     "q225_ks_drift" -> """
       WITH base AS (
         SELECT value AS s, event_type = 'purchase' AS p FROM events

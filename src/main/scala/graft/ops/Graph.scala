@@ -564,4 +564,45 @@ object Graph {
       .join(auth.select(col("node"), col("__v").as("auth")), Seq("node"))
       .select(col("node"), col("hub"), col("auth"))
   }
+
+  /** Multi-source BFS: hop distance from the nearest seed, following
+    * directed edges, capped at `maxDepth` — the crawl-depth / curation-
+    * distance signal ("how many links from the trusted set is this
+    * document"). Returns (node, dist) for every node within reach;
+    * unreached nodes are absent (join with the universe and
+    * coalesce(dist, ∞-sentinel) downstream if needed).
+    *
+    * Per round: one equi-join (frontier onto edges) + one left-anti
+    * against the visited set + a lineage checkpoint — CC's recipe with
+    * sets instead of labels. Rounds stop early when a frontier empties
+    * (one cheap scalar per round, like kCore's convergence count).
+    * All-integer and confluent (BFS layers ARE min distances, whatever
+    * the discovery order), so a fixed-unroll recursive oracle matches
+    * exactly; a `maxDepth` large enough to exhaust the graph makes the
+    * early stop unobservable, which is what lets the capped oracle gate
+    * the early-stopping engine.
+    */
+  def bfsDistances(edges: DataFrame, src: Column, dst: Column,
+                   seeds: DataFrame, seed: Column,
+                   maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0 && maxDepth <= 64,
+      s"maxDepth must be in [0, 64], got $maxDepth")
+    val e = edges.select(src.as("src"), dst.as("dst")).distinct()
+      .localCheckpoint()
+    var visited = seeds.select(seed.as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && frontier.limit(1).count() > 0) {
+      depth += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth.toLong))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
 }

@@ -646,6 +646,71 @@ object Similarity {
         (col("n_disagree") * 2L >= col("n_nbrs")).as("suspect"))
   }
 
+  /** Maximal Marginal Relevance diversification of a per-query shortlist
+    * — the greedy rerank that keeps retrieved context from collapsing
+    * into near-duplicates: step t picks
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)`, so relevance
+    * trades off against similarity to what is ALREADY picked. Input is
+    * (query_id, item_id, rel, vec) — a shortlist (ANN/brute-force top-N)
+    * per query; returns (query_id, rank ∈ 1..k, item_id, score).
+    *
+    * Determinism (the oracle gate): the argmax orders by the ROUNDED
+    * score with negative-zero normalized ([[graft.Readout.rdz]] — a
+    * λ·rel ≈ (1−λ)·ms cancellation can land on ±0.0 and engines may
+    * order signed zeros differently), ties break on item_id; the
+    * max-over-selected is an order-free max of identical cosine trees.
+    * A fixed-k oracle unrolls the greedy steps (PageRank's generated-CTE
+    * device, with `greatest(...)` standing in for the t-row max).
+    *
+    * Scale shape: k driver rounds; each is one (query-keyed) join of
+    * remaining×selected (≤ shortlist·t rows per query), one
+    * (query, item) max aggregation, one query-partitioned rank window —
+    * shortlist-sized throughout, never corpus-sized; checkpoints keep
+    * round lineage flat.
+    */
+  def mmrDiversify(shortlist: DataFrame, k: Int,
+                   lambda: Double): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"lambda must be in (0, 1], got $lambda")
+    var selected: DataFrame = null
+    var remaining = shortlist.select(col("query_id"), col("item_id"),
+      col("rel"), col("vec")).localCheckpoint()
+    for (t <- 1 to k) {
+      val base =
+        if (t == 1) remaining.withColumn("__ms", lit(0.0d))
+        else {
+          val ms = remaining
+            .join(selected.select(col("query_id"), col("__svec")),
+              Seq("query_id"))
+            .groupBy(col("query_id"), col("item_id"))
+            .agg(max(cosine(col("vec"), col("__svec"))).as("__ms"))
+          remaining.join(ms, Seq("query_id", "item_id"))
+        }
+      val scored = base.withColumn("__score",
+        lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__ms"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(graft.Readout.rdz(col("__score"), 6).desc,
+          col("item_id").asc)
+      val pick = scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("query_id"), col("item_id"), col("vec"), col("__score"))
+        .localCheckpoint() // read by the union, the anti-join and round t+1
+      val news = pick.select(col("query_id"), lit(t.toLong).as("rank"),
+        col("item_id"), col("vec").as("__svec"),
+        graft.Readout.rdz(col("__score"), 6).as("score"))
+      selected =
+        if (selected == null) news.localCheckpoint()
+        else selected.unionByName(news).localCheckpoint()
+      remaining = remaining
+        .join(pick.select(col("query_id"), col("item_id")),
+          Seq("query_id", "item_id"), "left_anti")
+        .localCheckpoint()
+    }
+    selected.select(col("query_id"), col("rank"), col("item_id"),
+      col("score"))
+  }
+
   /** Density-based clustering (DBSCAN) within blocks: ε-neighbors are
     * pairs with cosine ≥ `minCosine` INSIDE a block
     * ([[graft.ops.Dedup.cosineNearDupPairs]]'s contract — the same
