@@ -212,7 +212,10 @@ object Bench {
     "q226_mmr_diversify",
     "q227_bfs_distance",
     "q228_seasonal_profile",
-    "q229_changepoint")
+    "q229_changepoint",
+    "q230_orc_roundtrip",
+    "q231_spearman",
+    "q232_binary_card")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2996,6 +2996,52 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** Sink/source 13 (round-6): ORC round-trip — the lake-format matrix
+    * gains Spark's second native columnar format
+    * ([[graft.sinks.Sinks.orcWrite]] → [[graft.ingest.Ingest.orc]]),
+    * identity-oracle-gated like the parquet-compaction (q116), CSV
+    * (q117) and JDBC (q118) loops: the export→import cycle must be
+    * lossless, doubles included.
+    */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q230")
+    graft.sinks.Sinks.orcWrite(
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("value")),
+      s"$stage/t")
+    materializeDropping(s, graft.ingest.Ingest.orc(s, s"$stage/t"), stage)
+      .orderBy("event_id")
+  }
+
+  /** Profile 23 (round-6): Spearman rank correlation
+    * ([[graft.ops.Profile.spearmanCorr]]) between document length and
+    * token count per language — the monotone-association complement to
+    * q99's Pearson. Doubled average tied ranks keep every moment sum in
+    * exact integer arithmetic; rank windows partitioned by group.
+    */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.tokens
+    graft.ops.Profile.spearmanCorr(
+        t(s, dir, "documents")
+          .select(col("lang"), col("n_chars"),
+            size(tokens(col("text"))).cast("long").as("__tc")),
+        col("lang"), col("n_chars"), col("__tc"))
+      .withColumnRenamed("group_key", "lang")
+      .orderBy("lang")
+  }
+
+  /** Eval 9 (round-6): binary-classifier report card
+    * ([[graft.ops.Eval.binaryCard]]) for "is this document English" as
+    * predicted by q27's language detector — accuracy, balanced accuracy,
+    * Youden's J and Matthews correlation from one confusion-matrix
+    * aggregation; the imbalance-honest summary beside q195's per-class
+    * table.
+    */
+  private def q232(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.binaryCard(t(s, dir, "documents"),
+      TextAnalysis.detectLanguage(col("text")) === "en",
+      col("lang") === "en")
+
   /** Similarity 15 (round-6): MMR diversification
     * ([[Similarity.mmrDiversify]], k = 3, λ = 0.5) of each query's
     * brute-force top-20 shortlist — the greedy rerank that stops
@@ -4369,7 +4415,10 @@ object SparkEntry {
     "q226_mmr_diversify" -> q226 _,
     "q227_bfs_distance" -> q227 _,
     "q228_seasonal_profile" -> q228 _,
-    "q229_changepoint" -> q229 _)
+    "q229_changepoint" -> q229 _,
+    "q230_orc_roundtrip" -> q230 _,
+    "q231_spearman" -> q231 _,
+    "q232_binary_card" -> q232 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6443,6 +6492,82 @@ object SparkEntry {
         unnest(generate_series(0, copies - 1)) AS copy
       FROM c WHERE copies > 0 ORDER BY doc_id, copy"""
     },
+    "q230_orc_roundtrip" -> eventsIdentityOracle,
+    "q231_spearman" -> raw"""
+      WITH f AS (
+        SELECT lang, n_chars,
+          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS BIGINT) AS tc
+        FROM documents),
+      r AS (
+        SELECT lang,
+          2 * rank() OVER (PARTITION BY lang ORDER BY n_chars) +
+            count(*) OVER (PARTITION BY lang, n_chars) - 1 AS rx,
+          2 * rank() OVER (PARTITION BY lang ORDER BY tc) +
+            count(*) OVER (PARTITION BY lang, tc) - 1 AS ry
+        FROM f),
+      m AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) AS DOUBLE) AS nd,
+          CAST(sum(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+          CAST(sum(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        FROM r GROUP BY 1)
+      SELECT lang, n,
+        CASE WHEN n < 2 OR nd * sxx = sx * sx OR nd * syy = sy * sy
+          THEN NULL
+          ELSE round((nd * sxy - sx * sy) /
+            sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) + 0.0
+        END AS spearman
+      FROM m ORDER BY lang""",
+    // q232: the q195 language-detector CTE collapsed to the is-English
+    // binary, then the identical report-card trees
+    "q232_binary_card" -> raw"""
+      WITH sc AS (
+        SELECT lang,
+          len(list_filter(tk, t -> t IN ('the','a','of','and','to'))) AS s_en,
+          len(list_filter(tk, t -> t IN ('el','la','de','que','y'))) AS s_es,
+          len(list_filter(tk, t -> t IN ('le','la','de','et','un'))) AS s_fr,
+          len(list_filter(tk, t -> t IN ('der','die','und','das','ein'))) AS s_de,
+          len(list_filter(tk, t -> t IN ('的','了','是','我','不'))) AS s_zh
+        FROM (SELECT lang,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents)),
+      pred AS (
+        SELECT lang = 'en' AS ac, (CASE
+          WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_en > 0 THEN 'en'
+          WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_es > 0 THEN 'es'
+          WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+          WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_de > 0 THEN 'de'
+          WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_zh > 0 THEN 'zh'
+          ELSE 'und' END) = 'en' AS pr
+        FROM sc),
+      cm AS (
+        SELECT
+          CAST(sum(CASE WHEN pr AND ac THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN pr AND NOT ac THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN NOT pr AND ac THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CAST(sum(CASE WHEN NOT pr AND NOT ac THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM pred)
+      SELECT tp, fp, fn, tn,
+        round(CAST(tp + tn AS DOUBLE) /
+          CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy,
+        CASE WHEN tp + fn = 0 OR tn + fp = 0 THEN NULL ELSE
+          round((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) +
+                 CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)) / 2.0, 6)
+        END AS balanced_accuracy,
+        CASE WHEN tp + fn = 0 OR tn + fp = 0 THEN NULL ELSE
+          round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) +
+                CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) - 1.0, 6) + 0.0
+        END AS youden_j,
+        CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0
+          THEN NULL ELSE
+          round(CAST(tp * tn - fp * fn AS DOUBLE) /
+            sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE) *
+                 CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) + 0.0
+        END AS mcc
+      FROM cm""",
     // q226: the three greedy MMR steps unrolled from ONE generated
     // template (q101's device): step t scores every unpicked shortlist
     // item against the picked set via greatest(), the same rdz-rounded

@@ -109,6 +109,15 @@ object Ingest {
     props.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
   }
 
+  /** Lake-format matrix, read side: ORC — Spark's second native columnar
+    * format (same predicate-pushdown / column-pruning / vectorized-read
+    * contract as parquet, warehouse ecosystems that standardized on ORC
+    * read it in place). q230 hash-gates the full ORC write→read loop
+    * against the events identity oracle.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S7: empty relation with an explicit schema, used as the graceful
     * fallback when a history/source read fails so that downstream anti-joins
     * still type-check (the reference's "V22 fix" shape).

@@ -318,6 +318,56 @@ object Eval {
           .as("ece"))
   }
 
+  /** One-row binary-classifier report card from (predicted, actual)
+    * boolean pairs: the confusion counts plus accuracy, balanced
+    * accuracy, Youden's J (tpr + tnr − 1, the chance-corrected
+    * threshold-quality readout) and the Matthews correlation
+    * coefficient — the single-number summary that stays honest under
+    * class imbalance where accuracy saturates. Returns (tp, fp, fn, tn,
+    * accuracy, balanced_accuracy, youden_j, mcc); balanced/J are null
+    * when a CLASS is empty, mcc when any margin is (its denominator
+    * factor hits 0).
+    *
+    * Determinism: the confusion matrix is 4 integers from one
+    * aggregation (map-side combinable); `tp·tn − fp·fn` stays exact
+    * 64-bit integer arithmetic (products ≤ n² < 2^63); only the
+    * denominator's 4-factor product runs in IEEE doubles — the same
+    * left-associated tree on both engines — under a correctly-rounded
+    * sqrt.
+    */
+  def binaryCard(df: DataFrame, predicted: Column,
+                 actual: Column): DataFrame = {
+    val base = df.select(predicted.cast("boolean").as("__pr"),
+      actual.cast("boolean").as("__ac"))
+    def n(p: Boolean, a: Boolean) =
+      sum(when(col("__pr") === p && col("__ac") === a, 1L).otherwise(0L))
+    val c = base.agg(n(true, true).as("tp"), n(true, false).as("fp"),
+      n(false, true).as("fn"), n(false, false).as("tn"))
+    val tpr = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+    val tnr = col("tn").cast("double") / (col("tn") + col("fp")).cast("double")
+    val mccDen = sqrt((col("tp") + col("fp")).cast("double") *
+      (col("tp") + col("fn")).cast("double") *
+      (col("tn") + col("fp")).cast("double") *
+      (col("tn") + col("fn")).cast("double"))
+    val anyZeroMargin = (col("tp") + col("fp")) === 0L ||
+      (col("tp") + col("fn")) === 0L || (col("tn") + col("fp")) === 0L ||
+      (col("tn") + col("fn")) === 0L
+    c.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6)
+        .as("accuracy"),
+      when((col("tp") + col("fn")) === 0L || (col("tn") + col("fp")) === 0L,
+        lit(null).cast("double"))
+        .otherwise(round((tpr + tnr) / lit(2.0d), 6)).as("balanced_accuracy"),
+      when((col("tp") + col("fn")) === 0L || (col("tn") + col("fp")) === 0L,
+        lit(null).cast("double"))
+        .otherwise(graft.Readout.rdz(tpr + tnr - lit(1.0d), 6)).as("youden_j"),
+      when(anyZeroMargin, lit(null).cast("double"))
+        .otherwise(graft.Readout.rdz(
+          (col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
+            mccDen, 6)).as("mcc"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic: `D = max over observed
     * values of |ECDF_A(v) − ECDF_B(v)|`, the sharpest "did this
     * distribution shift" readout — the rank-based complement to

@@ -962,4 +962,53 @@ object Profile {
         round(col("n_outliers").cast("double") /
           col("n").cast("double"), 6).as("outlier_rate"))
   }
+
+  /** Per-group Spearman rank correlation: Pearson's formula over the
+    * AVERAGE tied ranks of x and y — the monotone-association readout
+    * that, unlike q99's Pearson, ignores the variables' scales and
+    * outliers ("does quality rise with length at all", not "linearly").
+    * Returns (group_key, n, spearman); null for degenerate groups
+    * (n < 2 or a constant variable).
+    *
+    * Pure-integer rank trick: the DOUBLED average tied rank
+    * `2r + ties − 1` (rank() + the tie count) is always an integer, and
+    * Spearman is scale-invariant, so every moment sum runs in exact
+    * 64-bit/decimal integer arithmetic (q164's device) — the only
+    * floats are the final Pearson quotient's identical IEEE tree. Rank
+    * windows are PARTITIONED BY GROUP (per-task memory = the largest
+    * group, never the corpus).
+    */
+  def spearmanCorr(df: DataFrame, group: Column, x: Column,
+                   y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.as("__g"), x.as("__x"), y.as("__y"))
+    def dblRank(c: String) = {
+      val rw = Window.partitionBy(col("__g")).orderBy(col(c).asc)
+      val tw = Window.partitionBy(col("__g"), col(c))
+      lit(2L) * rank().over(rw).cast("long") +
+        count(lit(1)).over(tw) - lit(1L)
+    }
+    val ranked = base
+      .withColumn("__rx", dblRank("__x"))
+      .withColumn("__ry", dblRank("__y"))
+    def s(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val n = count(lit(1)).cast("double")
+    ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        n.as("__n"),
+        s(col("__rx")).as("__sx"), s(col("__ry")).as("__sy"),
+        s(col("__rx") * col("__rx")).as("__sxx"),
+        s(col("__ry") * col("__ry")).as("__syy"),
+        s(col("__rx") * col("__ry")).as("__sxy"))
+      .select(col("__g").as("group_key"), col("n"),
+        when(col("n") < 2L ||
+            col("__n") * col("__sxx") === col("__sx") * col("__sx") ||
+            col("__n") * col("__syy") === col("__sy") * col("__sy"),
+          lit(null).cast("double"))
+          .otherwise(Readout.rdz(
+            (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+              sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+                (col("__n") * col("__syy") - col("__sy") * col("__sy"))), 6))
+          .as("spearman"))
+  }
 }

@@ -80,6 +80,10 @@ object Sinks {
     * most `keep` remain (pipeline_manual.py:16-28: keep newest 5). Retention
     * is driver-side FS metadata work.
     */
+  /** Lake-format matrix, write side: ORC (see `Ingest.orc`). */
+  def orcWrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   def versionedCsv(df: DataFrame, dir: String, prefix: String = "analise",
                    keep: Int = 5, sep: String = ";"): String = {
     val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
