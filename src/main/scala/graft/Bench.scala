@@ -215,7 +215,8 @@ object Bench {
     "q229_changepoint",
     "q230_orc_roundtrip",
     "q231_spearman",
-    "q232_binary_card")
+    "q232_binary_card",
+    "q233_manifest_time_travel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

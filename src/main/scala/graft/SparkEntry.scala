@@ -2996,6 +2996,52 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** Sink/source 14 (round-6): manifest TIME TRAVEL — because manifests
+    * are immutable-once-published and data files append-only, any
+    * captured set of manifest names IS a consistent snapshot
+    * (`option("snapshot", ...)` on the V2 read). The gate lands the odd
+    * half, captures the version, lands the even half, then reads AT the
+    * captured version — the result must equal the odd half alone, while
+    * an unpinned read of the same table sees everything (asserted
+    * in-query). Iceberg-lite snapshot isolation with zero log replay.
+    */
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-q233")
+    val table = s"$base/t"
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"))
+    def land(odd: Boolean): Unit = ev
+      .filter((col("event_id") % 2 === 1) === odd)
+      .select(concat_ws("|", col("event_id"), col("event_type")).as("value"))
+      .write.format("graft-manifest").option("path", table)
+      .mode("append").save()
+    land(odd = true)
+    val v1 = graft.sources.Manifest.manifestNames(table)
+    land(odd = false)
+    require(graft.sources.Manifest.manifestNames(table).size > v1.size,
+      "second landing published no manifest — the snapshot gate is vacuous")
+    val back = s.read.format("graft-manifest").option("path", table)
+      .option("snapshot", v1.mkString(",")).load()
+      .select(split(col("value"), "\\|").as("p"))
+      .select(col("p").getItem(0).cast("long").as("event_id"),
+        col("p").getItem(1).as("event_type"))
+    val agg = back.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(agg.collect(): _*)
+    // the unpinned read must see BOTH halves (time travel, not data loss)
+    val total = s.read.format("graft-manifest").option("path", table)
+      .load().count()
+    val expected = ev.count()
+    require(total == expected,
+      s"unpinned manifest read saw $total of $expected rows")
+    val out = s.createDataFrame(rows, agg.schema)
+    deleteTree(base)
+    out.orderBy("event_type")
+  }
+
   /** Sink/source 13 (round-6): ORC round-trip — the lake-format matrix
     * gains Spark's second native columnar format
     * ([[graft.sinks.Sinks.orcWrite]] → [[graft.ingest.Ingest.orc]]),
@@ -4418,7 +4464,8 @@ object SparkEntry {
     "q229_changepoint" -> q229 _,
     "q230_orc_roundtrip" -> q230 _,
     "q231_spearman" -> q231 _,
-    "q232_binary_card" -> q232 _)
+    "q232_binary_card" -> q232 _,
+    "q233_manifest_time_travel" -> q233 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6493,6 +6540,13 @@ object SparkEntry {
       FROM c WHERE copies > 0 ORDER BY doc_id, copy"""
     },
     "q230_orc_roundtrip" -> eventsIdentityOracle,
+    // q233: the snapshot-pinned read must equal the FIRST landing alone —
+    // the odd event_ids — even though the table has since grown
+    "q233_manifest_time_travel" -> """
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        min(event_id) AS min_id, max(event_id) AS max_id
+      FROM events WHERE event_id % 2 = 1
+      GROUP BY event_type ORDER BY event_type""",
     "q231_spearman" -> raw"""
       WITH f AS (
         SELECT lang, n_chars,

@@ -58,7 +58,7 @@ class ManifestSink extends TableProvider
   }
 }
 
-private[sources] object Manifest {
+private[graft] object Manifest {
   val schema: StructType =
     StructType(Seq(StructField("value", StringType, nullable = false)))
 
@@ -104,18 +104,53 @@ private[sources] object Manifest {
   }
 
   /** All data files referenced by any manifest (sorted for determinism). */
-  def committedFiles(dir: String): Seq[String] = {
+  def committedFiles(dir: String): Seq[String] = committedFiles(dir, None)
+
+  /** [[committedFiles]] restricted to a SNAPSHOT — an explicit set of
+    * manifest names defining the visible table version (time travel:
+    * because manifests are immutable-once-published and data files are
+    * append-only, any past set of manifest names IS a consistent
+    * snapshot, readable forever). Unknown names THROW: a typo'd snapshot
+    * silently reading as empty would be a correctness trap.
+    */
+  def committedFiles(dir: String, snapshot: Option[Set[String]]): Seq[String] = {
     val f = fs(dir)
     val mdir = new Path(dir, "manifests")
-    if (!f.exists(mdir)) return Nil
-    f.listStatus(mdir).filter(_.isFile).map(_.getPath)
+    if (!f.exists(mdir)) {
+      snapshot.filter(_.nonEmpty).foreach(s => throw new IllegalArgumentException(
+        s"graft-manifest snapshot names ${s.mkString(",")} not found: " +
+          s"$mdir does not exist"))
+      return Nil
+    }
+    val all = f.listStatus(mdir).filter(_.isFile).map(_.getPath)
       .filterNot(_.getName.endsWith(".tmp"))
+    snapshot.foreach { s =>
+      val present = all.map(_.getName).toSet
+      val missing = s -- present
+      require(missing.isEmpty,
+        s"graft-manifest snapshot names not found: ${missing.mkString(",")}")
+    }
+    all
+      .filter(m => snapshot.forall(_.contains(m.getName)))
       .flatMap { m =>
         val in = f.open(m)
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
       }
       .filter(_.nonEmpty).sorted.toSeq
+  }
+
+  /** Published manifest names in commit order (modification time, then
+    * name) — the version log a caller captures to pin a snapshot.
+    */
+  def manifestNames(dir: String): Seq[String] = {
+    val f = fs(dir)
+    val mdir = new Path(dir, "manifests")
+    if (!f.exists(mdir)) return Nil
+    f.listStatus(mdir).filter(_.isFile)
+      .filterNot(_.getPath.getName.endsWith(".tmp"))
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+      .map(_.getPath.getName).toSeq
   }
 }
 
@@ -137,10 +172,15 @@ private[sources] class ManifestTable(path: String)
     }
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // time travel: option("snapshot", "name1,name2,...") pins the visible
+    // manifest set to a captured version (Manifest.manifestNames)
+    val snapshot = Option(options.get("snapshot"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     new ScanBuilder {
-      override def build(): Scan = new ManifestScan(path)
+      override def build(): Scan = new ManifestScan(path, snapshot)
     }
+  }
 }
 
 private[sources] class ManifestWrite(path: String)
@@ -242,12 +282,15 @@ private[sources] class ManifestDataWriter(dir: String,
   override def close(): Unit = ()
 }
 
-private[sources] class ManifestScan(path: String) extends Scan with Batch {
+private[sources] class ManifestScan(path: String,
+                                    snapshot: Option[Set[String]] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = Manifest.schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft-manifest read $path"
+  override def description(): String =
+    s"graft-manifest read $path${snapshot.fold("")(s => s" @${s.size} manifests")}"
   override def planInputPartitions(): Array[InputPartition] =
-    Manifest.committedFiles(path)
+    Manifest.committedFiles(path, snapshot)
       .map(f => ManifestFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(

@@ -115,4 +115,30 @@ class ManifestSinkSpec extends AnyFunSuite {
     val got = readBack(dir)
     assert(got.size === 100 && got("ev1") && got("ev100"))
   }
+
+  test("snapshot reads pin a version: later commits stay invisible, typos throw") {
+    val dir = TestSpark.tmpDir("graft-man") + "/t"
+    write(dir, Seq("a", "b"))
+    val v1 = graft.sources.Manifest.manifestNames(dir)
+    assert(v1.size === 1)
+    write(dir, Seq("c"))
+    // pinned read = version 1; unpinned read = everything
+    val pinned = spark.read.format("graft-manifest").option("path", dir)
+      .option("snapshot", v1.mkString(",")).load().as[String].collect().toSet
+    assert(pinned === Set("a", "b"))
+    assert(readBack(dir) === Set("a", "b", "c"))
+    // the snapshot stays readable as MORE commits land (append-only data)
+    write(dir, Seq("d"))
+    val again = spark.read.format("graft-manifest").option("path", dir)
+      .option("snapshot", v1.mkString(",")).load().as[String].collect().toSet
+    assert(again === Set("a", "b"))
+    // a typo'd snapshot name must throw, not read as empty
+    val err = intercept[Throwable] {
+      spark.read.format("graft-manifest").option("path", dir)
+        .option("snapshot", "no-such-manifest").load().collect()
+    }
+    val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("snapshot names not found"))
+  }
 }
