@@ -216,7 +216,8 @@ object Bench {
     "q230_orc_roundtrip",
     "q231_spearman",
     "q232_binary_card",
-    "q233_manifest_time_travel")
+    "q233_manifest_time_travel",
+    "q234_ks_drift_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

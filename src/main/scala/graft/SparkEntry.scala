@@ -2996,6 +2996,30 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** Streaming 17 (round-6): the exact KS drift test IN-FLIGHT
+    * ([[graft.streaming.Streaming.ksDriftStream]]) — `Eval.ksCounts` as
+    * a Complete-mode streaming aggregation finished through the SAME
+    * `ksFinish` fold as batch q225, whose oracle this gate shares
+    * verbatim (q150's sufficient-statistic device, rank flavor). Two
+    * forced micro-batches prove the statistic accumulates across the
+    * seam.
+    */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q234")
+    val src = stage.resolve("src").toString
+    t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val out = graft.streaming.Streaming.ksDriftStream(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+      col("value"), col("event_type") === "purchase", name = "q234_ks")
+    materializeDropping(s,
+      out.select(col("n_a"), col("n_b"), col("ks")), stage)
+  }
+
   /** Sink/source 14 (round-6): manifest TIME TRAVEL — because manifests
     * are immutable-once-published and data files append-only, any
     * captured set of manifest names IS a consistent snapshot
@@ -4465,7 +4489,8 @@ object SparkEntry {
     "q230_orc_roundtrip" -> q230 _,
     "q231_spearman" -> q231 _,
     "q232_binary_card" -> q232 _,
-    "q233_manifest_time_travel" -> q233 _)
+    "q233_manifest_time_travel" -> q233 _,
+    "q234_ks_drift_stream" -> q234 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6725,6 +6750,31 @@ object SparkEntry {
       QUALIFY row_number() OVER (PARTITION BY key
         ORDER BY stat DESC, day ASC) = 1
       ORDER BY event_type""",
+    // q234 streams the same sufficient statistic through a Complete-mode
+    // aggregation and shares the batch fold — oracle VERBATIM below
+    "q234_ks_drift_stream" -> """
+      WITH base AS (
+        SELECT value AS s, event_type = 'purchase' AS p FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      per AS (
+        SELECT s, count(*) AS n,
+          sum(CASE WHEN p THEN 1 ELSE 0 END) AS np
+        FROM base GROUP BY 1),
+      cum AS (
+        SELECT s, n, np,
+          sum(n) OVER (ORDER BY s) AS cn,
+          sum(np) OVER (ORDER BY s) AS cnp
+        FROM per),
+      tot AS (
+        SELECT CAST(sum(np) AS BIGINT) AS na,
+          CAST(sum(n) - sum(np) AS BIGINT) AS nb
+        FROM per)
+      SELECT t.na AS n_a, t.nb AS n_b,
+        CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL ELSE
+          round(max(abs(CAST(c.cnp AS DOUBLE) / CAST(t.na AS DOUBLE) -
+            CAST(c.cn - c.cnp AS DOUBLE) / CAST(t.nb AS DOUBLE))), 6)
+        END AS ks
+      FROM cum c CROSS JOIN tot t GROUP BY t.na, t.nb""",
     "q225_ks_drift" -> """
       WITH base AS (
         SELECT value AS s, event_type = 'purchase' AS p FROM events

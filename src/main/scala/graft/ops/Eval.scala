@@ -386,11 +386,27 @@ object Eval {
     * prefix sum for both cumulative counts — no unpartitioned window
     * even when the value column has millions of distinct values.
     */
-  def ksStatistic(df: DataFrame, value: Column, inA: Column): DataFrame = {
-    val base = df.select(value.as("__s"), inA.cast("boolean").as("__p"))
-    val perScore = base.groupBy(col("__s"))
+  def ksStatistic(df: DataFrame, value: Column, inA: Column): DataFrame =
+    ksFinish(ksCounts(df, value, inA))
+
+  /** The KS sufficient statistic: per distinct value, (rows, cohort-A
+    * rows). Runs as a batch aggregation here and as a Complete-mode
+    * STREAMING aggregation in `Streaming.ksDriftStream` — state is one
+    * (long, long) per distinct value, the same budget as the batch
+    * frame (q45/q150's exact-sufficient-statistic device).
+    */
+  private[graft] def ksCounts(df: DataFrame, value: Column,
+                              inA: Column): DataFrame =
+    df.select(value.as("__s"), inA.cast("boolean").as("__p"))
+      .groupBy(col("__s"))
       .agg(count(lit(1)).as("__n"),
         sum(when(col("__p"), 1L).otherwise(0L)).as("__np"))
+
+  /** Fold a [[ksCounts]] frame to the one-row KS readout — shared
+    * verbatim by the batch and streamed paths, so the streamed statistic
+    * is bit-identical to the batch one by construction.
+    */
+  private[graft] def ksFinish(perScore: DataFrame): DataFrame = {
     val tot = perScore.agg(sum(col("__np")).as("__na"),
       sum(col("__n") - col("__np")).as("__nb"))
     val g = withBelow(perScore, alsoPositives = true)

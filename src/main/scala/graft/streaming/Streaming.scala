@@ -533,6 +533,23 @@ object Streaming {
       runToMemory(graft.ops.Profile.binCounts(events, group, value,
         isCurrent, binWidth, nBins), name))
 
+  /** Streaming distribution-shift monitor, KS flavor: the exact
+    * two-sample Kolmogorov–Smirnov statistic over a live stream —
+    * `Eval.ksCounts` runs as a Complete-mode streaming aggregation
+    * (state = one (long, long) per distinct value; bounded whenever the
+    * value domain is, e.g. fixed-point prices — the q45/q150
+    * exact-sufficient-statistic budget) and the landed counts finish
+    * through the SAME `Eval.ksFinish` fold the batch statistic uses, so
+    * the streamed KS is bit-identical to batch and its gate shares the
+    * batch oracle verbatim. The rank-based companion to
+    * [[histogramDriftStream]] — no bin edges to tune, catches shifts
+    * bins hide.
+    */
+  def ksDriftStream(events: DataFrame, value: Column, inA: Column,
+                    name: String): DataFrame =
+    graft.ops.Eval.ksFinish(
+      runToMemory(graft.ops.Eval.ksCounts(events, value, inA), name))
+
   /** Streaming hot-key monitor: [[graft.ops.Skew.keyCounts]] as a
     * complete-mode streaming aggregation (state = one long per key —
     * bounded by key cardinality, the same budget as the batch counts
