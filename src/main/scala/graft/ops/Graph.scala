@@ -536,7 +536,12 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(src.as("src"), dst.as("dst")).distinct()
       .localCheckpoint()
-    require(e.limit(1).count() > 0, "hits: edge set is empty")
+    // empty graph: nothing to rank — return the empty (node, hub, auth)
+    // frame rather than dividing by a zero max (the empty-delta law
+    // every operator here obeys; EmptyInputSpec enforces it)
+    if (e.limit(1).count() == 0)
+      return e.select(col("src").as("node"))
+        .withColumn("hub", lit(0.0d)).withColumn("auth", lit(0.0d))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()

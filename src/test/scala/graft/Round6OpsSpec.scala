@@ -97,11 +97,11 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(m(11L) === 1.0 / 3.0)    // in-degree 1 / max 3
   }
 
-  test("hits: empty edge set throws rather than dividing by a zero max") {
+  test("hits: empty edge set yields the empty frame (the empty-delta law)") {
     val e = Seq.empty[(Long, Long)].toDF("s", "d")
-    assertThrows[IllegalArgumentException] {
-      Graph.hits(e, $"s", $"d", iters = 1)
-    }
+    val out = Graph.hits(e, $"s", $"d", iters = 1)
+    assert(out.columns.toSeq === Seq("node", "hub", "auth"))
+    assert(out.count() === 0L)
   }
 
   // ——— ewmaDailyCounts ————————————————————————————————————————————————
