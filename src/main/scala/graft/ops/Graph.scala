@@ -547,9 +547,13 @@ object Graph {
       .localCheckpoint()
     def half(scores: DataFrame, joinSide: String,
              groupSide: String): DataFrame = {
+      // checkpoint the mass frame: BOTH the max and the normalize read it,
+      // and without the cut the max recomputes the whole join+agg — the
+      // one super-linear wall term the 10× scale-up measured (14× → ~8×)
       val raw = scores.join(e, col("node") === col(joinSide))
         .groupBy(col(groupSide).as("node"))
         .agg(sum(col("__v").cast("decimal(28,18)")).cast("double").as("__m"))
+        .localCheckpoint()
       val mx = raw.agg(max(col("__m")).as("__mx"))
       nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(mx))
