@@ -3133,6 +3133,32 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Eval 10 (round-6 capstone): the COST of diversification, measured —
+    * q226's MMR picks scored by [[graft.ops.Eval.rankingMetrics]]
+    * against the brute-force top-5 truth: how much AP/NDCG does the
+    * near-dup-killing rerank trade away. Operator COMPOSITION gate
+    * (q87/q200's pattern): the oracle stitches q226's generated greedy
+    * template to q213's metric arithmetic, so neither constituent can
+    * drift from its own gate.
+    */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 10)
+    val shortlist = Similarity.bruteForceTopK(e, col("vec_id"),
+        col("embedding"), qs, col("vec_id"), col("embedding"), k = 20)
+      .join(e.select(col("vec_id").as("item_id"),
+        col("embedding").as("vec")), Seq("item_id"))
+      .select(col("query_id"), col("item_id"), col("cosine").as("rel"),
+        col("vec"))
+    val picks = Similarity.mmrDiversify(shortlist, k = 3, lambda = 0.5)
+      .select(col("query_id"), col("item_id"), col("rank"))
+    val truth = Similarity.bruteForceTopK(e, col("vec_id"),
+        col("embedding"), qs, col("vec_id"), col("embedding"), k = 5)
+      .select(col("query_id"), col("item_id"))
+    graft.ops.Eval.rankingMetrics(picks, truth, k = 3)
+      .orderBy("query_id")
+  }
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -4490,7 +4516,8 @@ object SparkEntry {
     "q231_spearman" -> q231 _,
     "q232_binary_card" -> q232 _,
     "q233_manifest_time_travel" -> q233 _,
-    "q234_ks_drift_stream" -> q234 _)
+    "q234_ks_drift_stream" -> q234 _,
+    "q235_mmr_eval" -> q235 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -5246,6 +5273,46 @@ object SparkEntry {
       SELECT key AS event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
         n_obs, round(num / (CASE $normCase END), 6) AS ewma
       FROM g ORDER BY event_type, day"""
+  }
+
+  /** q226/q235's shared MMR CTE chain: the brute top-20 shortlist plus
+    * the three greedy steps unrolled from one template — step t scores
+    * every unpicked item against the picked set via greatest(), ordered
+    * by the rdz-rounded score exactly as the engine's rank window.
+    */
+  private val mmrCtes: String = {
+    def cosTo(p: String) = s"list_cosine_similarity(c.iv, $p.iv)"
+    def step(t: Int, prev: Seq[String]): String = {
+      val ms =
+        if (prev.isEmpty) "0.0"
+        else if (prev.size == 1) cosTo(prev.head)
+        else s"greatest(${prev.map(cosTo).mkString(", ")})"
+      val joins = prev.map(p =>
+        s"JOIN $p ON c.query_id = $p.query_id AND c.item_id <> $p.item_id")
+        .mkString(" ")
+      s"""p$t AS (
+        SELECT query_id, item_id, iv, score FROM (
+          SELECT c.query_id, c.item_id, c.iv,
+            (0.5 * c.rel - 0.5 * $ms) AS score,
+            row_number() OVER (PARTITION BY c.query_id
+              ORDER BY round(0.5 * c.rel - 0.5 * $ms, 6) + 0.0 DESC,
+                c.item_id) AS rk
+          FROM sl c $joins)
+        WHERE rk = 1)"""
+    }
+    s"""sl AS (
+        SELECT query_id, item_id, rel, iv FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(c.embedding AS DOUBLE[])) AS rel,
+            CAST(c.embedding AS DOUBLE[]) AS iv
+          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 10)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY round(rel, 6) DESC, item_id) <= 20),
+      ${step(1, Nil)},
+      ${step(2, Seq("p1"))},
+      ${step(3, Seq("p1", "p2"))}"""
   }
 
   private val q195Oracle: String = raw"""
@@ -6651,47 +6718,68 @@ object SparkEntry {
     // template (q101's device): step t scores every unpicked shortlist
     // item against the picked set via greatest(), the same rdz-rounded
     // ordering the engine's rank window uses.
-    "q226_mmr_diversify" -> {
-      def cosTo(p: String) = s"list_cosine_similarity(c.iv, $p.iv)"
-      def step(t: Int, prev: Seq[String]): String = {
-        val ms =
-          if (prev.isEmpty) "0.0"
-          else if (prev.size == 1) cosTo(prev.head)
-          else s"greatest(${prev.map(cosTo).mkString(", ")})"
-        val joins = prev.map(p =>
-          s"JOIN $p ON c.query_id = $p.query_id AND c.item_id <> $p.item_id")
-          .mkString(" ")
-        s"""p$t AS (
-          SELECT query_id, item_id, iv, score FROM (
-            SELECT c.query_id, c.item_id, c.iv,
-              (0.5 * c.rel - 0.5 * $ms) AS score,
-              row_number() OVER (PARTITION BY c.query_id
-                ORDER BY round(0.5 * c.rel - 0.5 * $ms, 6) + 0.0 DESC,
-                  c.item_id) AS rk
-            FROM sl c $joins)
-          WHERE rk = 1)"""
-      }
-      s"""
-      WITH sl AS (
-        SELECT query_id, item_id, rel, iv FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS item_id,
-            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-              CAST(c.embedding AS DOUBLE[])) AS rel,
-            CAST(c.embedding AS DOUBLE[]) AS iv
-          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
-          WHERE q.vec_id < 10)
-        QUALIFY row_number() OVER (PARTITION BY query_id
-          ORDER BY round(rel, 6) DESC, item_id) <= 20),
-      ${step(1, Nil)},
-      ${step(2, Seq("p1"))},
-      ${step(3, Seq("p1", "p2"))}
+    "q226_mmr_diversify" -> s"""
+      WITH $mmrCtes
       SELECT query_id, CAST(1 AS BIGINT) AS rank, item_id,
         round(score, 6) + 0.0 AS score FROM p1
       UNION ALL SELECT query_id, CAST(2 AS BIGINT), item_id,
         round(score, 6) + 0.0 FROM p2
       UNION ALL SELECT query_id, CAST(3 AS BIGINT), item_id,
         round(score, 6) + 0.0 FROM p3
-      ORDER BY query_id, rank"""
+      ORDER BY query_id, rank""",
+    // q235: q226's greedy template composed with q213's metric
+    // arithmetic against the brute-force top-5 truth — the
+    // diversification-cost readout; shared CTEs mean the constituents
+    // cannot drift from their own gates
+    "q235_mmr_eval" -> {
+      val k = 3
+      val gains = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      val idcg = gains.scanLeft(0.0)(_ + _)
+      val gainList = gains.mkString("[", ", ", "]")
+      val idcgList = idcg.mkString("[", ", ", "]")
+      s"""
+      WITH $mmrCtes,
+      truth AS (
+        SELECT query_id, item_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(c.embedding AS DOUBLE[])) AS cos
+          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 10)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY round(cos, 6) DESC, item_id) <= 5),
+      retr AS (
+        SELECT query_id, item_id, CAST(1 AS BIGINT) AS rank FROM p1
+        UNION ALL SELECT query_id, item_id, CAST(2 AS BIGINT) FROM p2
+        UNION ALL SELECT query_id, item_id, CAST(3 AS BIGINT) FROM p3),
+      marked AS (
+        SELECT r.query_id, r.rank,
+          CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        FROM retr r LEFT JOIN truth t
+          ON r.query_id = t.query_id AND r.item_id = t.item_id),
+      g AS (
+        SELECT query_id, rank, rel,
+          sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+            ROWS UNBOUNDED PRECEDING) AS hits_upto
+        FROM marked),
+      rsz AS (SELECT query_id, CAST(count(*) AS BIGINT) AS r
+              FROM truth GROUP BY 1),
+      agg AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_returned,
+          CAST(sum(rel) AS BIGINT) AS hits,
+          CAST(sum(CAST(round(CASE WHEN rel = 1
+              THEN CAST(hits_upto AS DOUBLE) / CAST(rank AS DOUBLE)
+              ELSE 0.0 END, 9) AS DECIMAL(28,12))) AS DOUBLE) AS apn,
+          CAST(sum(CAST(round(CAST(rel AS DOUBLE) *
+              ($gainList)[CAST(rank AS INT)], 9)
+              AS DECIMAL(28,12))) AS DOUBLE) AS dcg
+        FROM g GROUP BY 1)
+      SELECT a.query_id, a.n_returned, a.hits,
+        round(a.apn / CAST(least(rsz.r, $k) AS DOUBLE), 6) AS ap,
+        round(a.dcg / ($idcgList)[CAST(least(rsz.r, $k) AS INT) + 1], 6)
+          AS ndcg
+      FROM agg a JOIN rsz ON a.query_id = rsz.query_id
+      ORDER BY a.query_id"""
     },
     "q227_bfs_distance" -> """
       WITH RECURSIVE e AS (
