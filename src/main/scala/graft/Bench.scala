@@ -218,7 +218,8 @@ object Bench {
     "q232_binary_card",
     "q233_manifest_time_travel",
     "q234_ks_drift_stream",
-    "q235_mmr_eval")
+    "q235_mmr_eval",
+    "q236_seasonal_anomaly_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3133,6 +3133,34 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming 18 (round-6): seasonality-aware anomaly screen IN-FLIGHT
+    * ([[graft.streaming.Streaming.seasonalAnomalyStream]]) — live daily
+    * counts as a Complete-mode aggregation, screened against q228's
+    * FROZEN day-of-week baseline (a Monday spike judged against
+    * Mondays): the online drift alarm composed from gated parts. Two
+    * forced micro-batches; the gate is the batch restatement embedding
+    * q228's profile arithmetic verbatim.
+    */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q236")
+    val src = stage.resolve("src").toString
+    t(s, dir, "events").select(col("event_type"), col("ts"))
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val profile = graft.ops.Timeseries.seasonalProfile(
+        t(s, dir, "events"), col("event_type"), col("ts"))
+      .withColumnRenamed("key", "key")
+    val schema = s.read.parquet(src).schema
+    val out = graft.streaming.Streaming.seasonalAnomalyStream(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+      col("event_type"), col("ts"), profile, factor = 1.05,
+      name = "q236_anom")
+    materializeDropping(s, out
+        .select(col("key").as("event_type"), col("day"),
+          col("dow"), col("cnt"), col("mean_daily")), stage)
+      .orderBy("event_type", "day")
+  }
+
   /** Eval 10 (round-6 capstone): the COST of diversification, measured —
     * q226's MMR picks scored by [[graft.ops.Eval.rankingMetrics]]
     * against the brute-force top-5 truth: how much AP/NDCG does the
@@ -4517,7 +4545,8 @@ object SparkEntry {
     "q232_binary_card" -> q232 _,
     "q233_manifest_time_travel" -> q233 _,
     "q234_ks_drift_stream" -> q234 _,
-    "q235_mmr_eval" -> q235 _)
+    "q235_mmr_eval" -> q235 _,
+    "q236_seasonal_anomaly_stream" -> q236 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6797,6 +6826,31 @@ object SparkEntry {
         WHERE d.dist < 4)
       SELECT node, CAST(min(dist) AS BIGINT) AS dist
       FROM d GROUP BY node ORDER BY node""",
+    // q236 streams the daily counts and screens against q228's frozen
+    // baseline — the oracle embeds the profile arithmetic verbatim
+    "q236_seasonal_anomaly_stream" -> """
+      WITH daily AS (
+        SELECT event_type AS key, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      bd AS (
+        SELECT key, CAST(dayofweek(day) AS BIGINT) AS dow,
+          CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(cnt) AS BIGINT) AS n_events
+        FROM daily GROUP BY 1, 2),
+      prof AS (
+        SELECT key, dow,
+          round(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+            AS mean_daily
+        FROM bd),
+      f AS (
+        SELECT d.key, d.day, p.dow, d.cnt, p.mean_daily
+        FROM daily d JOIN prof p
+          ON d.key = p.key AND CAST(dayofweek(d.day) AS BIGINT) = p.dow)
+      SELECT key AS event_type, strftime(day, '%Y-%m-%d') AS day, dow,
+        cnt, mean_daily
+      FROM f WHERE CAST(cnt AS DOUBLE) > CAST(1.05 AS DOUBLE) * mean_daily
+      ORDER BY event_type, day""",
     "q228_seasonal_profile" -> """
       WITH daily AS (
         SELECT event_type AS key, CAST(ts AS DATE) AS day,

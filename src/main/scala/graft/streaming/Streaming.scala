@@ -550,6 +550,24 @@ object Streaming {
     graft.ops.Eval.ksFinish(
       runToMemory(graft.ops.Eval.ksCounts(events, value, inA), name))
 
+  /** Streaming seasonality-aware anomaly screen: the live (key, day)
+    * counts run as a Complete-mode streaming aggregation
+    * (`Timeseries.dailyCounts` — state one long per observed (key, day))
+    * and the landed table is screened by the SAME
+    * `Timeseries.seasonalAnomalies` join against a FROZEN
+    * [[graft.ops.Timeseries.seasonalProfile]] baseline — a Monday spike
+    * judged against Mondays, online. The stream-side statistic is
+    * bit-identical to batch by construction, so the gate shares the
+    * batch oracle verbatim (the q150/q234 sufficient-statistic device;
+    * the static baseline side is q100's stream-static shape).
+    */
+  def seasonalAnomalyStream(events: DataFrame, key: Column, ts: Column,
+                            profile: DataFrame, factor: Double,
+                            name: String): DataFrame =
+    graft.ops.Timeseries.seasonalAnomalies(
+      runToMemory(graft.ops.Timeseries.dailyCounts(events, key, ts), name),
+      profile, factor)
+
   /** Streaming hot-key monitor: [[graft.ops.Skew.keyCounts]] as a
     * complete-mode streaming aggregation (state = one long per key —
     * bounded by key cardinality, the same budget as the batch counts

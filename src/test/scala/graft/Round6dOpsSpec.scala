@@ -103,6 +103,19 @@ class Round6dOpsSpec extends AnyFunSuite {
     assert(out._1.toString === "2024-01-05" && out._2 === 10L)
   }
 
+  test("seasonalAnomalies: a spike flags against ITS day-of-week baseline only") {
+    def t(d: Int, n: Int) = (1 to n).map(_ =>
+      ("a", Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")))
+    // Sundays 7/14 at 10 and 30 (mean 20); Monday 8 at 25 (its own mean)
+    val ev = (t(7, 10) ++ t(14, 30) ++ t(8, 25)).toDF("k", "ts")
+    val profile = Timeseries.seasonalProfile(ev, $"k", $"ts")
+    val daily = Timeseries.dailyCounts(ev, $"k", $"ts")
+    val out = Timeseries.seasonalAnomalies(daily, profile, factor = 1.2)
+      .select("day", "cnt").as[(String, Long)].collect().toSeq
+    // only the 30-count Sunday exceeds 1.2×20; Monday 25 IS its baseline
+    assert(out === Seq(("2024-01-14", 30L)))
+  }
+
   test("changePoint: constant series has stat 0 and earliest-day tie-break") {
     def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
     val ev = (1 to 6).map(d => ("a", t(d), 5.0)).toDF("k", "ts", "v")
