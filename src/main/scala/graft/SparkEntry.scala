@@ -3187,6 +3187,42 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Similarity 16 (round-7): BOUNDED-CELL DBSCAN
+    * ([[Similarity.dbscanCells]]) — the r6 verdict's one remaining
+    * Σ block² operator re-blocked on q211's capped-cell device: points
+    * assign to their 2 nearest centroids (multi-probe), ε-pairs generate
+    * inside cells only, and the triage is q220's verbatim
+    * (`dbscanTriage`, shared code). Fixture = q211's SQL-derived
+    * clustered vectors with the cap live (cells ∝ n, ~200/cell); ε = 0.55
+    * sits in the measured mixture gap (intra ≥ 0.83, inter ≤ 0.27 at all
+    * three SFs — margin ≥ 0.28 both sides, so probe-added cross-cell
+    * candidates MUST die on the threshold). The oracle computes the
+    * CLUSTER-blocked DBSCAN truth, so hash equality proves the capped
+    * cells + probes lose no ε-pair and invent none — recall 1.0 measured
+    * end-to-end, with per-node ε-degrees making any pair drift visible.
+    */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cFrame = e.agg(expr("greatest(10L, least(128L, count(1) DIV 200))")
+      .as("__C"))
+    val cl = e.crossJoin(broadcast(cFrame))
+      .withColumn("__cl", expr("vec_id % __C"))
+      .select(col("vec_id"), col("__cl"), expr(
+        "transform(sequence(0, 63), i -> " +
+          "(CASE WHEN i = CAST(__cl % 64 AS INT) THEN " +
+          "(CASE WHEN (__cl DIV 64) % 2 = 0 THEN 1.0D ELSE -1.0D END) " +
+          "ELSE 0.0D END) " +
+          "+ 0.35D * CAST(element_at(embedding, i + 1) AS DOUBLE))")
+        .as("cvec"))
+    val seeds = Similarity.minIdSeeds(cl, col("vec_id"), col("cvec"),
+      col("__cl"))
+    Similarity.dbscanCells(cl, col("vec_id"), col("cvec"),
+        seeds, col("cell"), col("cvec"),
+        minCosine = 0.55, minPts = 3, nprobe = 2)
+      .withColumnRenamed("node", "vec_id")
+      .orderBy("vec_id")
+  }
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -4546,7 +4582,8 @@ object SparkEntry {
     "q233_manifest_time_travel" -> q233 _,
     "q234_ks_drift_stream" -> q234 _,
     "q235_mmr_eval" -> q235 _,
-    "q236_seasonal_anomaly_stream" -> q236 _)
+    "q236_seasonal_anomaly_stream" -> q236 _,
+    "q237_dbscan_cells" -> q237 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6588,10 +6625,12 @@ object SparkEntry {
         CASE WHEN k.node IS NOT NULL THEN 'core'
              WHEN b.node IS NOT NULL THEN 'border'
              ELSE 'noise' END AS role,
-        CAST(coalesce(k.comp, b.comp) AS BIGINT) AS cluster
+        CAST(coalesce(k.comp, b.comp) AS BIGINT) AS cluster,
+        CAST(coalesce(n.nn, 0) AS BIGINT) AS n_nbrs
       FROM embeddings e
       LEFT JOIN corec k ON e.vec_id = k.node
       LEFT JOIN border b ON e.vec_id = b.node
+      LEFT JOIN nc n ON e.vec_id = n.node
       ORDER BY e.vec_id""",
     // q221: DuckDB replays FakePcmCodec sample-for-sample — frame j's 8
     // int16s are hex fields of md5(text || '|' || j), energies/peaks
@@ -6851,6 +6890,65 @@ object SparkEntry {
         cnt, mean_daily
       FROM f WHERE CAST(cnt AS DOUBLE) > CAST(1.05 AS DOUBLE) * mean_daily
       ORDER BY event_type, day""",
+    // q237: the CLUSTER-blocked DBSCAN truth over q211's SQL-derived
+    // clustered vectors (ε = 0.55 in the measured mixture gap) — the
+    // engine blocks by capped multi-probe cell assignment instead, so
+    // hash equality IS the ε-recall-1.0 proof for bounded-cell DBSCAN;
+    // per-node degrees pin the pair set itself, not just the triage
+    "q237_dbscan_cells" -> """
+      WITH RECURSIVE c AS (
+        SELECT greatest(10, least(128, count(*) // 200)) AS nc
+        FROM embeddings),
+      cl AS (
+        SELECT vec_id, vec_id % nc AS clabel,
+          [(CASE WHEN i = (vec_id % nc) % 64
+              THEN (CASE WHEN ((vec_id % nc) // 64) % 2 = 0
+                THEN 1.0 ELSE -1.0 END)
+              ELSE 0.0 END)
+             + 0.35 * CAST(embedding[i+1] AS DOUBLE)
+           for i in range(0, 64)] AS cvec
+        FROM embeddings CROSS JOIN c),
+      p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cl a JOIN cl b
+          ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.cvec, b.cvec) >= 0.55),
+      sym AS (
+        SELECT id_a AS s, id_b AS d FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      nc2 AS (SELECT s AS node, count(*) AS nn FROM sym GROUP BY 1),
+      core AS (SELECT node FROM nc2 WHERE nn + 1 >= 3),
+      ce AS (
+        SELECT p.id_a, p.id_b FROM p
+        JOIN core c1 ON p.id_a = c1.node
+        JOIN core c2 ON p.id_b = c2.node),
+      cesym AS (
+        SELECT id_a AS s, id_b AS d FROM ce
+        UNION ALL SELECT id_b, id_a FROM ce),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM cesym
+        UNION
+        SELECT reach.id, cesym.d FROM reach JOIN cesym ON reach.r = cesym.s),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      corec AS (
+        SELECT c.node, coalesce(m.component, c.node) AS comp
+        FROM core c LEFT JOIN comp m ON c.node = m.id),
+      border AS (
+        SELECT sym.s AS node, min(k.comp) AS comp
+        FROM sym JOIN corec k ON sym.d = k.node
+        WHERE sym.s NOT IN (SELECT node FROM core)
+        GROUP BY 1)
+      SELECT e.vec_id,
+        CASE WHEN k.node IS NOT NULL THEN 'core'
+             WHEN b.node IS NOT NULL THEN 'border'
+             ELSE 'noise' END AS role,
+        CAST(coalesce(k.comp, b.comp) AS BIGINT) AS cluster,
+        CAST(coalesce(n.nn, 0) AS BIGINT) AS n_nbrs
+      FROM embeddings e
+      LEFT JOIN corec k ON e.vec_id = k.node
+      LEFT JOIN border b ON e.vec_id = b.node
+      LEFT JOIN nc2 n ON e.vec_id = n.node
+      ORDER BY e.vec_id""",
     "q228_seasonal_profile" -> """
       WITH daily AS (
         SELECT event_type AS key, CAST(ts AS DATE) AS day,

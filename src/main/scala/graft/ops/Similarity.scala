@@ -739,16 +739,110 @@ object Similarity {
     */
   def dbscanBlocks(df: DataFrame, id: Column, vec: Column,
                    blockCols: Seq[Column], minCosine: Double,
-                   minPts: Int): DataFrame = {
+                   minPts: Int): DataFrame =
+    dbscanTriage(df.select(id.as("node")).distinct(),
+      graft.ops.Dedup.cosineNearDupPairs(df, id, vec, blockCols, minCosine),
+      minPts)
+
+  /** Bounded-cell DBSCAN — [[dbscanBlocks]]' production mode, the same
+    * capped-cell lever [[knnGraphCells]] applies to the kNN graph: points
+    * are assigned to their `nprobe` nearest centroids (multi-probe — the
+    * ε-recall device), ε-pairs are generated INSIDE cells only, deduped
+    * across shared cells, and the identical core/border/noise triage
+    * follows. With the centroid count sized to the corpus (cells ≈
+    * n / targetCellSize), pair volume is Σ occupancy² ≈ n · nprobe² ·
+    * targetCellSize — LINEAR in n — where a fixed block key (label,
+    * tenant) grows Σ block² quadratically as blocks fill (q220's measured
+    * 19× shuffle at 10× data, the r6 verdict's one remaining superlinear
+    * operator; q237 gates this replacement and BASELINE.md carries its
+    * 10× row).
+    *
+    * ε-recall contract: a true ε-pair is recovered iff its endpoints
+    * share at least one probed cell. `nprobe = 1` is plain IVF blocking
+    * (a pair straddling a cell boundary is lost); `nprobe ≥ 2` lets
+    * boundary points co-occupy their runner-up cells — the standard
+    * multi-probe trade, recall rising with nprobe at candidate volume
+    * nprobe²·cap per point. On a clustered corpus whose cells recover the
+    * clusters, every ε-pair is intra-cluster and already intra-cell at
+    * nprobe = 1 — q237 gates exactly that equality against the
+    * cluster-blocked truth with the cap and the probes live (extra
+    * cross-cell candidates MUST die on the ε threshold for the hash to
+    * match). Raise `targetCellSize`/`nprobe` or refine centroids
+    * ([[kmeansIterations]]) on boundary-heavy data.
+    *
+    * Determinism: candidate-set membership varies with the probe set, but
+    * the RESULT doesn't — every candidate pair faces the same exact
+    * cosine-vs-ε compare ([[graft.ops.Dedup.cosineNearDupPairs]]'
+    * contract), so extra candidates either are true ε-pairs (kept
+    * identically) or fail the threshold; the triage downstream of the
+    * pair set is [[dbscanBlocks]]' integer/min arithmetic verbatim.
+    */
+  def dbscanCells(df: DataFrame, id: Column, vec: Column,
+                  centroids: DataFrame, centroidId: Column,
+                  centroidVec: Column, minCosine: Double, minPts: Int,
+                  nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val occ = assignToCentroidsMulti(Dedup.spread(df), id, vec,
+      centroids, centroidId, centroidVec, nprobe)
+    // a pair sharing several probed cells surfaces once per shared cell
+    // with a BIT-IDENTICAL cosine (same expression tree over the same two
+    // vectors), so the id-pair dedup is deterministic
+    val pairs = graft.ops.Dedup.cosineNearDupPairs(occ, col("item_id"),
+        col("vec"), Seq(col("cell")), minCosine)
+      .dropDuplicates("id_a", "id_b")
+    dbscanTriage(df.select(id.as("node")).distinct(), pairs, minPts)
+  }
+
+  /** Multi-probe centroid assignment: each item lands in its `nprobe`
+    * nearest cells ([[assignToCentroids]] keeps rank 1 only) —
+    * (item_id, vec, cell, probe_rank) rows, nprobe per item. The map-side
+    * broadcast-argmax shape is unchanged; output volume is nprobe·n.
+    */
+  def assignToCentroidsMulti(corpus: DataFrame, corpusId: Column,
+                             corpusVec: Column, centroids: DataFrame,
+                             centroidId: Column, centroidVec: Column,
+                             nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val c = corpus.select(corpusId.as("item_id"), asDouble(corpusVec).as("vec"))
+    val ce = centroids.select(centroidId.as("cell"),
+      asDouble(centroidVec).as("__cvec"))
+    val scored = c.join(broadcast(ce))
+      .select(col("item_id"), col("vec"), col("cell"),
+        cosine(col("vec"), col("__cvec")).as("__sim"))
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(round(col("__sim"), 6).desc, col("cell").asc)
+    scored.withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("item_id"), col("vec"), col("cell"), col("probe_rank"))
+  }
+
+  /** The DBSCAN core/border/noise triage over an ε-pair frame
+    * (id_a, id_b) — everything downstream of candidate generation, shared
+    * verbatim by [[dbscanBlocks]] (fixed-key blocking) and [[dbscanCells]]
+    * (capped-cell blocking) so the two modes cannot drift. `universe` is
+    * the distinct (node) frame every input point appears in (noise rows
+    * are its anti-half). All stages are neighbor-list-sized: one count
+    * aggregation, CC's pointer-jumping rounds on the core subgraph, one
+    * min-fold for borders.
+    *
+    * The output carries each node's ε-degree `n_nbrs` (0 for isolated
+    * points) — the round-7 strengthening that makes ANY lost or invented
+    * ε-pair hash-visible even when the component structure absorbs it (a
+    * dropped intra-clique edge changes no role and no min-id cluster
+    * label, but always changes two degrees).
+    */
+  private def dbscanTriage(universe: DataFrame, pairs0: DataFrame,
+                           minPts: Int): DataFrame = {
     require(minPts >= 2, s"minPts must be >= 2, got $minPts")
-    val pairs = graft.ops.Dedup.cosineNearDupPairs(df, id, vec, blockCols,
-        minCosine)
+    val pairs = pairs0
       .select(col("id_a"), col("id_b"))
       .localCheckpoint() // feeds the count, the core graph and the border fold
     val sym = pairs.unionAll(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    val cores = sym.groupBy(col("id_a").as("node"))
+    val counts = sym.groupBy(col("id_a").as("node"))
       .agg(count(lit(1)).as("__nn"))
+      .localCheckpoint() // read by the core filter and the degree readout
+    val cores = counts
       .filter(col("__nn") + 1L >= minPts.toLong)
       .select(col("node"))
       .localCheckpoint() // read by the core-edge filter and both joins below
@@ -769,15 +863,16 @@ object Similarity {
       .select(col("id_a").as("node"), col("__comp"))
       .join(cores, Seq("node"), "left_anti") // cores are not borders
       .groupBy(col("node")).agg(min(col("__comp")).as("__comp"))
-    val universe = df.select(id.as("node")).distinct()
     universe
       .join(coreCluster.withColumn("__role", lit("core")), Seq("node"), "left")
       .join(borders.select(col("node"), col("__comp").as("__bcomp")),
         Seq("node"), "left")
+      .join(counts, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("__role"),
           when(col("__bcomp").isNotNull, lit("border"))
             .otherwise(lit("noise"))).as("role"),
-        coalesce(col("__comp"), col("__bcomp")).as("cluster"))
+        coalesce(col("__comp"), col("__bcomp")).as("cluster"),
+        coalesce(col("__nn"), lit(0L)).as("n_nbrs"))
   }
 }

@@ -31,10 +31,12 @@ class Round6bOpsSpec extends AnyFunSuite {
     ).toDF("id", "v").withColumn("blk", lit(0))
     val out = Similarity.dbscanBlocks(e, $"id", $"v", Seq($"blk"),
         minCosine = 0.9, minPts = 3)
-      .orderBy("node").as[(Long, String, Option[Long])].collect().toSeq
+      .orderBy("node").as[(Long, String, Option[Long], Long)].collect().toSeq
     assert(out === Seq(
-      (1L, "core", Some(1L)), (2L, "core", Some(1L)), (3L, "core", Some(1L)),
-      (4L, "noise", None), (5L, "noise", None), (6L, "noise", None)))
+      (1L, "core", Some(1L), 2L), (2L, "core", Some(1L), 2L),
+      (3L, "core", Some(1L), 2L),
+      (4L, "noise", None, 1L), (5L, "noise", None, 1L),
+      (6L, "noise", None, 0L)))
   }
 
   test("dbscanBlocks: borders attach through a core hub they can see") {
@@ -53,12 +55,13 @@ class Round6bOpsSpec extends AnyFunSuite {
     ).toDF("id", "v").withColumn("blk", lit(0))
     val out = Similarity.dbscanBlocks(e, $"id", $"v", Seq($"blk"),
         minCosine = 0.7, minPts = 5)
-      .orderBy("node").as[(Long, String, Option[Long])].collect().toSeq
+      .orderBy("node").as[(Long, String, Option[Long], Long)].collect().toSeq
     assert(out === Seq(
-      (1L, "core", Some(1L)), (2L, "core", Some(1L)), (3L, "core", Some(1L)),
-      (4L, "core", Some(1L)), (5L, "core", Some(1L)),
-      (7L, "border", Some(1L)), (8L, "border", Some(1L)),
-      (9L, "border", Some(1L))))
+      (1L, "core", Some(1L), 4L), (2L, "core", Some(1L), 4L),
+      (3L, "core", Some(1L), 4L), (4L, "core", Some(1L), 4L),
+      (5L, "core", Some(1L), 7L),
+      (7L, "border", Some(1L), 3L), (8L, "border", Some(1L), 3L),
+      (9L, "border", Some(1L), 3L)))
   }
 
   test("dbscanBlocks: block key partitions the pair space — no cross-block cluster") {
@@ -67,9 +70,28 @@ class Round6bOpsSpec extends AnyFunSuite {
       .toDF("id", "v", "blk")
     val out = Similarity.dbscanBlocks(e, $"id", $"v", Seq($"blk"),
         minCosine = 0.9, minPts = 3)
-      .orderBy("node").as[(Long, String, Option[Long])].collect().toSeq
+      .orderBy("node").as[(Long, String, Option[Long], Long)].collect().toSeq
     assert(out.map(_._3) === Seq(Some(1L), Some(1L), Some(1L),
       Some(4L), Some(4L), Some(4L)))
+  }
+
+  test("dbscanCells: nprobe=2 recovers the boundary ε-pair nprobe=1 loses") {
+    // centroids on axes 0 and 1; p2 = (1, 0.9, 0, 0) sits near the cell
+    // boundary (cos to c0 ≈ 0.743 > cos to c1 ≈ 0.669, so its PRIMARY
+    // cell is 0) while its ε-pair p3 = axis(1) lives in cell 1. At
+    // nprobe=1 the pair straddles the boundary and is lost (p3 isolated
+    // → noise); at nprobe=2 p2 also occupies its runner-up cell and the
+    // pair is found — the multi-probe ε-recall contract, pinned.
+    val cents = Seq((0L, axis(0)), (1L, axis(1))).toDF("cell", "cvec")
+    val pts = Seq((1L, axis(0)), (2L, Array(1.0f, 0.9f, 0.0f, 0.0f)),
+      (3L, axis(1))).toDF("id", "v")
+    def run(np: Int) = Similarity.dbscanCells(pts, $"id", $"v",
+        cents, $"cell", $"cvec", minCosine = 0.65, minPts = 2, nprobe = np)
+      .orderBy("node").as[(Long, String, Option[Long], Long)].collect().toSeq
+    assert(run(2) === Seq((1L, "core", Some(1L), 1L),
+      (2L, "core", Some(1L), 2L), (3L, "core", Some(1L), 1L)))
+    assert(run(1) === Seq((1L, "core", Some(1L), 1L),
+      (2L, "core", Some(1L), 1L), (3L, "noise", None, 0L)))
   }
 
   // ——— audio ——————————————————————————————————————————————————————————
