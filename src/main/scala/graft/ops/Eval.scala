@@ -34,31 +34,45 @@ object Eval {
     * partitioned by band. No unpartitioned window; every stage is
     * result- or band-grain except the one partitioned cumulative pass.
     */
-  private def withBelow(perScore: DataFrame,
-                        alsoPositives: Boolean = false): DataFrame = {
+  private[ops] def withBelow(perScore: DataFrame,
+                             alsoPositives: Boolean = false,
+                             groups: Seq[String] = Nil): DataFrame = {
     val grid = 256
     val fracs = (0 to grid).map(_.toDouble / grid)
-    val piv = perScore.agg(percentile_approx(col("__s"),
-      lit(fracs.toArray), lit(1000)).as("__piv"))
+    val gcols = groups.map(col)
+    val pivAgg = percentile_approx(col("__s"),
+      lit(fracs.toArray), lit(1000)).as("__piv")
     // band = pivots strictly below the score; null scores (null predicate
     // → element dropped) land in band 0 ahead of the smallest values,
-    // where the nulls-first intra-band sort ranks them first
-    val banded = perScore.crossJoin(broadcast(piv))
+    // where the nulls-first intra-band sort ranks them first. With
+    // `groups` set (round-7: the per-stratum form winsorize's in-band
+    // selection runs on), every stage keys by the group columns too and
+    // the grid is per-group; the group-grain pivot frame joins without a
+    // broadcast pin — |groups| × grid cells can exceed driver comfort,
+    // AQE decides.
+    val banded = (if (groups.isEmpty)
+        perScore.crossJoin(broadcast(perScore.agg(pivAgg)))
+      else perScore.join(perScore.groupBy(gcols: _*).agg(pivAgg), groups))
       .withColumn("__band", size(filter(col("__piv"), p => p < col("__s"))))
       .drop("__piv")
-    val bandTot = banded.groupBy(col("__band"))
+    val bandTot = banded.groupBy((gcols :+ col("__band")): _*)
       .agg(sum(col("__n")).as("__bt"),
         (if (alsoPositives) sum(col("__np")) else sum(lit(0L))).as("__bp"))
+    val aEqB = groups.map(g => col(s"a.$g") <=> col(s"b.$g"))
+      .foldLeft(col("a.__band") > col("b.__band"))(_ && _)
     val bandOff = bandTot.alias("a")
-      .join(broadcast(bandTot.alias("b")),
-        col("a.__band") > col("b.__band"), "left")
-      .groupBy(col("a.__band").as("__band"))
+      .join((if (groups.isEmpty) broadcast(bandTot.alias("b"))
+             else bandTot.alias("b")), aEqB, "left")
+      .groupBy((groups.map(g => col(s"a.$g").as(g)) :+
+        col("a.__band").as("__band")): _*)
       .agg(coalesce(sum(col("b.__bt")), lit(0L)).as("__boff"),
         coalesce(sum(col("b.__bp")), lit(0L)).as("__poff"))
-    val wIntra = Window.partitionBy(col("__band"))
+    val wIntra = Window.partitionBy((gcols :+ col("__band")): _*)
       .orderBy(col("__s").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val joined = banded.join(broadcast(bandOff), Seq("__band"))
+    val joined = banded
+      .join(if (groups.isEmpty) broadcast(bandOff) else bandOff,
+        groups :+ "__band")
       .withColumn("__below",
         col("__boff") + sum(col("__n")).over(wIntra) - col("__n"))
     val withP =
@@ -67,6 +81,75 @@ object Eval {
       else joined
     withP.drop("__band", "__boff", "__poff")
   }
+
+  /** Exact 1-indexed global rank of every row under (`value` asc,
+    * `tie` asc, `extraTie`... asc) — the [[withBelow]] banded-prefix
+    * device extended to ROW grain, so a total-order rank exists in the
+    * plan with NO unpartitioned window and NO single-task tie group
+    * (round-7: the device q186's ntiles and q182's vocab rank swap onto;
+    * before it, a value held by half the corpus serialized through one
+    * executor's sort).
+    *
+    * Two nested bandings, both order-preserving: the strict-below count
+    * per distinct value comes from [[withBelow]]'s percentile-grid prefix
+    * sum; WITHIN a tied value, rows band by a percentile grid over the
+    * NUMERIC `tie` column (monotone in the tie order, so band boundaries
+    * respect it), per-(value, band) counts fold to offsets via a
+    * band-inequality self-join (equi on the value — per-value ≤ grid²
+    * pairs), and the only window is PARTITIONED by (value, band) —
+    * bounded by tie-group-size / grid.
+    *
+    * Contracts: `value` and `tie` must be non-null and NUMERIC (the
+    * grids are percentile-based). Per-row rank determinism needs
+    * (`value`, `tie`, extraTie...) to be a total order; a non-unique
+    * `tie` (e.g. a hash of a string key) still yields the EXACT rank
+    * multiset per value group — sufficient for aggregate readouts —
+    * with `extraTie` columns restoring per-row determinism inside the
+    * window when the caller has a true tiebreaker (q182 passes the token
+    * itself). Returns the input columns + `__rank`.
+    */
+  private[ops] def globalRank(df: DataFrame, value: Column, tie: Column,
+                              extraTie: Column*): DataFrame = {
+    val base = df.withColumn("__v", value).withColumn("__t", tie)
+    val perV = base.groupBy(col("__v").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val below = withBelow(perV).select(col("__s").as("__v"), col("__below"))
+    val grid = 256
+    val fracs = (0 to grid).map(_.toDouble / grid)
+    val tpiv = base.agg(percentile_approx(col("__t"),
+      lit(fracs.toArray), lit(1000)).as("__tpiv"))
+    val banded = base.crossJoin(broadcast(tpiv))
+      .withColumn("__tband", size(filter(col("__tpiv"), p => p < col("__t"))))
+      .drop("__tpiv")
+    val btot = banded.groupBy(col("__v"), col("__tband"))
+      .agg(count(lit(1)).as("__bt"))
+    val boff = btot.alias("a")
+      .join(btot.alias("b"),
+        col("a.__v") === col("b.__v") && col("a.__tband") > col("b.__tband"),
+        "left")
+      .groupBy(col("a.__v").as("__v"), col("a.__tband").as("__tband"))
+      .agg(coalesce(sum(col("b.__bt")), lit(0L)).as("__toff"))
+    val wIntra = Window.partitionBy(col("__v"), col("__tband"))
+      .orderBy((col("__t").asc +: extraTie.map(_.asc)): _*)
+    banded.join(below, Seq("__v"))
+      .join(boff, Seq("__v", "__tband"))
+      .withColumn("__rank",
+        col("__below") + col("__toff") + row_number().over(wIntra))
+      .drop("__v", "__t", "__tband", "__toff", "__below")
+  }
+
+  /** The SQL-standard ntile fill in closed form over a 1-indexed rank:
+    * with `tot` rows and `bins` buckets, the first `tot mod bins` buckets
+    * hold q+1 rows (q = tot div bins) — shared by [[reliabilityBins]]'
+    * boundary arithmetic and [[Funnel.rfmScores]]' quintiles so the fill
+    * rule has one definition. Expects `__tot` in scope; `r` is a SQL
+    * expression string for the rank.
+    */
+  private[ops] def ntileOfRank(r: String, bins: Int): Column = expr(
+    s"CASE WHEN $r <= (__tot % $bins) * (__tot DIV $bins + 1) " +
+      s"THEN ($r + __tot DIV $bins) DIV (__tot DIV $bins + 1) " +
+      s"ELSE (__tot % $bins) + (($r - (__tot % $bins) * (__tot DIV $bins + 1)" +
+      s" + __tot DIV $bins - 1) DIV (__tot DIV $bins)) END")
 
   /** Calibration (reliability) bins: rows ranked by `score` (ties broken
     * by `id`) into `bins` equal-count buckets with ntile's standard

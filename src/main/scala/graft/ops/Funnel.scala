@@ -194,13 +194,20 @@ object Funnel {
     * highest value, concatenated to the "545"-style segment code.
     * Returns (user, recency_days, frequency, monetary, r, f, m, rfm).
     *
-    * Determinism: every ntile orders by the metric THEN the user id —
-    * total order, so bucket boundaries are reproducible across engines
-    * (ntile's quotient-remainder fill is the SQL standard both
-    * implement). Scale shape: one per-user aggregation, a broadcast
-    * one-row corpus-max frame, three rank windows over the USER-grain
-    * frame (not events). At true scale swap ntile for precomputed
-    * quantile boundaries — same output contract.
+    * Determinism: every quintile orders by the metric THEN the user id —
+    * total order, so bucket boundaries are reproducible across engines,
+    * and the fill is ntile's SQL-standard quotient-remainder rule
+    * ([[graft.ops.Eval.ntileOfRank]]'s closed form over the exact rank).
+    *
+    * Scale shape (round-7 rewrite): NO unpartitioned window — the naive
+    * three `ntile(5) OVER (ORDER BY …)` calls serialized the whole user
+    * table through one executor's sort; each quintile now derives from
+    * [[graft.ops.Eval.globalRank]]'s banded-prefix exact rank (value-
+    * grain prefix via the percentile-grid device + user-id-banded tie
+    * resolution, every window PARTITIONED — q98/q203's selection device
+    * at row grain; PlanSpec pins the plan shape) and the ntile fill is
+    * closed-form count arithmetic over that rank. Three user-grain rank
+    * passes + three user-keyed equi-joins back onto the metric frame.
     */
   def rfmScores(events: DataFrame, user: Column, ts: Column,
                 value: Column): DataFrame = {
@@ -211,16 +218,27 @@ object Funnel {
       .agg(max(col("__ts")).as("__last"), count(lit(1)).as("frequency"),
         sum(col("__v")).cast("double").as("monetary"))
     val corpusMax = perUser.agg(max(col("__last")).as("__cmax"))
-    def tile(order: Column) = ntile(5)
-      .over(Window.orderBy(order, col("user_id"))).cast("long")
-    perUser.crossJoin(broadcast(corpusMax))
+    val tot = perUser.agg(count(lit(1)).as("__tot"))
+    val metrics = perUser.crossJoin(broadcast(corpusMax))
       .select(col("user_id"),
         datediff(col("__cmax").cast("date"), col("__last").cast("date"))
           .cast("long").as("recency_days"),
-        col("frequency"), col("monetary"), col("__last"))
-      .withColumn("r", tile(col("recency_days").desc))
-      .withColumn("f", tile(col("frequency").asc))
-      .withColumn("m", tile(col("monetary").asc))
+        col("frequency"), col("monetary"))
+      .localCheckpoint() // read by three rank passes + the final joins
+    // quintile of one metric: exact banded rank under (value asc, user
+    // asc), then the closed-form ntile fill — `asc` negates for the
+    // recency DESC order (exact for longs)
+    def tile(valueAsc: Column, out: String): DataFrame =
+      graft.ops.Eval.globalRank(
+          metrics.select(col("user_id"), valueAsc.as("__m")),
+          col("__m"), col("user_id"))
+        .crossJoin(broadcast(tot))
+        .select(col("user_id"),
+          graft.ops.Eval.ntileOfRank("__rank", 5).cast("long").as(out))
+    metrics
+      .join(tile(-col("recency_days"), "r"), Seq("user_id"))
+      .join(tile(col("frequency").cast("long"), "f"), Seq("user_id"))
+      .join(tile(col("monetary"), "m"), Seq("user_id"))
       .withColumn("rfm", concat(col("r"), col("f"), col("m")))
       .select("user_id", "recency_days", "frequency", "monetary",
         "r", "f", "m", "rfm")
@@ -320,11 +338,15 @@ object Funnel {
       .groupBy(col("__gap")).agg(count(lit(1)).as("__c"))
     val days = starts.sparkSession.range(0, horizonDays + 1L)
       .toDF("day")
-    val cum = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    days.join(byGap, col("day") === col("__gap"), "left")
-      .select(col("day"), coalesce(col("__c"), lit(0L)).as("__d"))
-      .withColumn("n_converted", sum(col("__d")).over(cum))
+    // cumulative conversions by day: a gap-inequality aggregation join
+    // against the horizon-row literal day frame (≤ horizon·|gaps ≤
+    // horizon| pairs — both horizon-bounded), not a running-sum window;
+    // integer sums, so the join's order-freedom costs nothing (round-7:
+    // the former global-ORDER window was the plan's one single-task sort)
+    days.join(byGap.filter(col("__gap") <= horizonDays),
+        col("__gap") <= col("day"), "left")
+      .groupBy(col("day"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_converted"))
       .crossJoin(broadcast(cohort))
       .select(col("day"), col("__n").as("n_cohort"), col("n_converted"),
         round((col("__n") - col("n_converted")).cast("double") /

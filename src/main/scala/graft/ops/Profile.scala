@@ -178,17 +178,29 @@ object Profile {
         .as("__below_lo"),
       coalesce(sum(when(col("__v") < col("__hi_l"), col("__c"))), lit(0L))
         .as("__below_hi"))
-    val wCum = Window.partitionBy(col("__s")).orderBy(col("__v").asc)
     // exact selection inside each band: first value whose cumulative
-    // weighted count reaches the target rank
+    // weighted count reaches the target rank. The cumulative itself runs
+    // through the grouped banded-prefix device (round-7): the in-band
+    // frame is already ≤ a few 10⁻³ of the stratum, but that is still
+    // LINEAR in n, and the old per-stratum window serialized it through
+    // one task (unpartitioned outright for a constant stratum — q154's
+    // shape); Eval.withBelow sub-bands it so every window is
+    // (stratum, band)-partitioned. The stratum rides as a struct so a
+    // NULL stratum survives the device's name-equi-joins (struct
+    // equality treats null fields as equal — the standard null-safe-join
+    // wrap; WinsorizeScaleSpec pins the null-stratum law).
     def select1(lo: String, hi: String, belowCol: String, r: String,
                 out: String): DataFrame =
-      cnts.filter(col("__v") >= col(lo) && col("__v") <= col(hi))
-        .withColumn("__cum", sum(col("__c")).over(wCum))
-        .join(below, col("__s") <=> col("__s3"))
-        .filter(col(belowCol) + col("__cum") >= col(r))
-        .groupBy(col("__s").as(s"__s_$out"))
-        .agg(min(col("__v")).as(out))
+      graft.ops.Eval.withBelow(
+          cnts.filter(col("__v") >= col(lo) && col("__v") <= col(hi))
+            .select(struct(col("__s")).as("__g"), col("__v").as("__s"),
+              col("__c").as("__n"), col(r).as("__r")),
+          groups = Seq("__g"))
+        .join(below.select(struct(col("__s3")).as("__g"), col(belowCol)),
+          Seq("__g"))
+        .filter(col(belowCol) + col("__below") + col("__n") >= col("__r"))
+        .groupBy(col("__g.__s").as(s"__s_$out"))
+        .agg(min(col("__s")).as(out))
     val loThr = select1("__lo_l", "__lo_h", "__below_lo", "__rlo", "__t_lo")
     val hiThr = select1("__hi_l", "__hi_h", "__below_hi", "__rhi", "__t_hi")
     // a target rank inside the null prefix (nnRank <= 0) means the order
@@ -718,7 +730,10 @@ object Profile {
     * sum levels are DECIMAL-exact and order-independent; shares are
     * IEEE divisions of the exact sums (oracle side hops through VARCHAR
     * past 53 bits, the q99 caveat). Scale: one (parent, child) hash
-    * aggregation, then everything operates on the group-grain frame.
+    * aggregation, then everything operates on the group-grain frame;
+    * the grand total rides in as a broadcast one-row frame (round-7 —
+    * the former `partitionBy(lit(1))` window folded to an unpartitioned
+    * one-task pass over the whole group-grain frame).
     */
   def contributionShares(df: DataFrame, parent: Column, child: Column,
                          measure: Column, scale: Int = 4): DataFrame = {
@@ -727,13 +742,13 @@ object Profile {
         measure.cast(s"decimal(18,$scale)").as("__m"))
       .groupBy(col("parent"), col("child"))
       .agg(sum(col("__m").cast("decimal(38,8)")).as("__cm"))
+      .localCheckpoint() // read by the total fold and the windowed result
     val pw = Window.partitionBy(col("parent"))
-    val all = Window.partitionBy(lit(1))
     val rankW = Window.partitionBy(col("parent"))
       .orderBy(col("__cm").desc, col("child").asc)
     base
       .withColumn("__pm", sum(col("__cm")).over(pw))
-      .withColumn("__tm", sum(col("__cm")).over(all))
+      .crossJoin(broadcast(base.agg(sum(col("__cm")).as("__tm"))))
       .select(col("parent"), col("child"),
         col("__cm").cast("double").as("measure"),
         round(col("__cm").cast("double") / col("__pm").cast("double"), 6)
@@ -753,20 +768,44 @@ object Profile {
     * The sort-free characterization the implementation uses: with
     * G(x) = max y at the same x and M(x) = max y at any strictly
     * greater x, a row survives iff y = G(x) and y > M(x) (or no greater
-    * x exists). Scale shape: one groupBy to distinct-x grain, ONE
-    * running-max window over that distinct-x frame (single partition —
-    * bounded by |distinct x|, score grain, not row grain; at true scale
-    * pre-bucket x), one equi-join back. All comparisons are on values
-    * both engines computed identically — no floats are created here.
+    * x exists). Scale shape: one groupBy to distinct-x grain, then M(x)
+    * via the BANDED prefix-max (round-7 — the former running-max window
+    * serialized the distinct-x frame, score grain but still data-
+    * scaling, through one task): a percentile grid over x splits the
+    * distinct-x frame into bands, per-band maxima fold to
+    * strictly-above-band offsets through a grid²-pair self-join, and
+    * the only window is PARTITIONED by band (exclusive running max
+    * within it). One equi-join back. All comparisons are on values both
+    * engines computed identically — no floats are created here.
     */
   def paretoFrontier2D(df: DataFrame, id: Column, x: Column,
                        y: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(id.as("id"), x.as("x"), y.as("y"))
-    val wx = Window.orderBy(col("x").desc)
+    val grid = 256
+    val fracs = (0 to grid).map(_.toDouble / grid)
+    val gm0 = base.groupBy(col("x")).agg(max(col("y")).as("__gy"))
+    val piv = gm0.agg(percentile_approx(col("x"),
+      lit(fracs.toArray), lit(1000)).as("__piv"))
+    val banded = gm0.crossJoin(broadcast(piv))
+      .withColumn("__band", size(filter(col("__piv"), p => p < col("x"))))
+      .drop("__piv")
+    val bandMax = banded.groupBy(col("__band"))
+      .agg(max(col("__gy")).as("__bm"))
+    // max over strictly HIGHER bands (x desc order ⇒ larger band first)
+    val bandOff = bandMax.alias("a")
+      .join(broadcast(bandMax.alias("b")),
+        col("a.__band") < col("b.__band"), "left")
+      .groupBy(col("a.__band").as("__band"))
+      .agg(max(col("b.__bm")).as("__boff"))
+    val wIntra = Window.partitionBy(col("__band")).orderBy(col("x").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val gmax = base.groupBy(col("x")).agg(max(col("y")).as("__gy"))
-      .withColumn("__m", max(col("__gy")).over(wx))
+    // greatest() skips nulls, so an empty prefix on either level keeps
+    // the exact "no greater x" null the survivor predicate relies on
+    val gmax = banded.join(broadcast(bandOff), Seq("__band"))
+      .withColumn("__m",
+        greatest(max(col("__gy")).over(wIntra), col("__boff")))
+      .drop("__band", "__boff")
     base.join(broadcast(gmax), Seq("x"))
       .filter(col("y") === col("__gy") &&
         (col("__m").isNull || col("y") > col("__m")))

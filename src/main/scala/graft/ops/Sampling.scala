@@ -171,23 +171,28 @@ object Sampling {
     * sampler, excluded from the oracle gate.
     *
     * Scale shape: one count aggregate over the corpus (map-side partial),
-    * then windows over the per-source frame — rows = number of sources,
-    * thousands at most, so the unpartitioned windows are deliberate and
-    * never see corpus-sized data.
+    * then scalar folds over the per-source frame; the corpus total and
+    * the max smoothed share ride in as broadcast one-row frames (the
+    * repo's standard device — round-7 swapped them in for the former
+    * whole-frame windows, so no single-task sort exists even when
+    * "sources" are fine-grained domains).
     */
   def temperatureMix(df: DataFrame, source: Column, alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
-    val everything = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val share = col("n_docs").cast("double") /
-      sum("n_docs").over(everything).cast("double")
-    df.groupBy(source.as("source"))
+    val counts = df.groupBy(source.as("source"))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("share", share)
+    val tot = counts.agg(sum("n_docs").as("__tot"))
+    val smoothed = counts.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_docs").cast("double") / col("__tot").cast("double"))
       .withColumn("__sm",
         if (alpha == 0.5) sqrt(col("share")) else pow(col("share"), alpha))
-      .withColumn("mix_weight", col("__sm") / max("__sm").over(everything))
-      .drop("__sm")
+      .drop("__tot")
+      .localCheckpoint() // read by the max fold and the final projection
+    val mx = smoothed.agg(max(col("__sm")).as("__mx"))
+    smoothed.crossJoin(broadcast(mx))
+      .withColumn("mix_weight", col("__sm") / col("__mx"))
+      .drop("__sm", "__mx")
   }
 
   /** Leakage-free train/val/test split: every row is assigned a split by
@@ -337,17 +342,25 @@ object Sampling {
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
       .withColumn("__local", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
       .drop("__mid")
+    // NO checkpoint anywhere on this lineage: repartitionByRange samples
+    // its boundaries with an RDD-id-derived seed, so every part of the
+    // final plan MUST read the one shared range exchange (Spark's
+    // exchange reuse dedupes the identical subtrees). A localCheckpoint
+    // here materializes counts from a FIRST instantiation while the
+    // probe side re-instantiates a second with different boundaries —
+    // offsets then disagree with locals (measured: duplicate and
+    // overflowing rns at sf0.1).
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-    // one row per partition: the global-order window below runs on a
-    // frame the size of the partition count, never the data
-    val offsets = counts
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(
-        Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__n", sum(col("__cnt")).over(
-        Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    sorted.join(broadcast(offsets.drop("__cnt")), Seq("__pid"))
+    // one row per partition, and even that frame never sorts in one
+    // task: the strict-below offsets come from the banded prefix device
+    // (round-7 — a 100k-partition cluster stays distributed), the total
+    // from a broadcast one-row fold
+    val tot = counts.agg(sum(col("__cnt")).as("__n"))
+    val offsets = graft.ops.Eval.withBelow(
+        counts.select(col("__pid").as("__s"), col("__cnt").as("__n")))
+      .select(col("__s").as("__pid"), col("__below").as("__off"))
+      .crossJoin(broadcast(tot))
+    sorted.join(broadcast(offsets), Seq("__pid"))
       .withColumn("rn", col("__off") + col("__local"))
       .withColumn("shard", expr(s"CAST((rn * $shards) DIV __n AS BIGINT)"))
       .drop("__key", "__pid", "__local", "__off", "__n")
@@ -394,12 +407,17 @@ object Sampling {
     * This is the step between mixture weights ([[temperatureMix]]) and a
     * per-source token-budget plan.
     *
-    * Scale shape: runs at KEY grain (sources, domains — inherently small
-    * relative to the corpus), so the global rank window over fractional
-    * parts is a few thousand rows at most; the corpus itself never
-    * enters. Determinism: Σw goes through the round-9 → DECIMAL idiom
-    * (addition order cannot matter); ideal/floor/frac are then one IEEE
-    * expression both engines evaluate identically.
+    * Scale shape (round-7 rewrite): runs at KEY grain, but no stage
+    * assumes that grain is small — the fractional-part rank comes from
+    * [[graft.ops.Eval.withBelow]]'s banded prefix over the NEGATED
+    * fraction (asc ≡ frac desc) plus a tie window PARTITIONED by the
+    * fraction value ordering key asc (exact (frac desc, key asc) total
+    * order; fraction ties are float-coincidence-rare outside degenerate
+    * all-equal-weight inputs, and even there the window is per-value,
+    * not global), and the base-sum remainder rides in as a broadcast
+    * one-row frame. Determinism: Σw goes through the round-9 → DECIMAL
+    * idiom (addition order cannot matter); ideal/floor/frac are then one
+    * IEEE expression both engines evaluate identically.
     */
   def allocateBudget(df: DataFrame, key: Column, weight: Column,
                      total: Long): DataFrame = {
@@ -412,13 +430,17 @@ object Sampling {
       .select(col("key"), col("weight"), ideal.as("ideal"))
       .withColumn("__base", floor(col("ideal")).cast("long"))
       .withColumn("__frac", col("ideal") - col("__base"))
-    val rw = Window.orderBy(col("__frac").desc, col("key").asc)
-    val rem = lit(total) - sum(col("__base")).over(
-      Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing))
+      .localCheckpoint() // read by the rem fold, the rank device, the result
+    val rem = based.agg((lit(total) - sum(col("__base"))).as("__rem"))
+    val perFrac = based.groupBy((-col("__frac")).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val wTie = Window.partitionBy(col("__frac")).orderBy(col("key").asc)
     based
-      .withColumn("__rank", row_number().over(rw).cast("long"))
-      .withColumn("__rem", rem)
+      .join(graft.ops.Eval.withBelow(perFrac)
+        .select((-col("__s")).as("__frac"), col("__below")), Seq("__frac"))
+      .withColumn("__rank",
+        (col("__below") + row_number().over(wTie)).cast("long"))
+      .crossJoin(broadcast(rem))
       .select(col("key"), col("weight"), col("ideal"),
         (col("__base") +
           when(col("__rank") <= col("__rem"), 1L).otherwise(0L))

@@ -718,18 +718,27 @@ object TextAnalysis {
     * Determinism: ranks come from the repo's (freq desc, token asc)
     * total order; the four regression sums run the round-9 →
     * decimal-sum idiom (ln terms rounded to 9dp, summed exactly), and
-    * slope/intercept are one IEEE tree. Scale shape: one vocab
-    * aggregation, one rank window over the VOCAB (types, not tokens —
-    * Zipf-small), one scalar fold.
+    * slope/intercept are one IEEE tree.
+    *
+    * Scale shape (round-7 rewrite): NO unpartitioned window — "Zipf-
+    * small" vocab is still ~10⁸ types on a 100 TB corpus, and the old
+    * global `row_number` serialized it through one task's sort. The rank
+    * now comes from [[graft.ops.Eval.globalRank]]'s banded prefix device
+    * over (−freq asc, hash(token) asc, token asc): the readout is RANK-
+    * MULTISET-invariant within a freq tie (y = ln f is constant there,
+    * so Σln r, Σln²r, ln f·Σln r are the only rank terms), which is
+    * exactly the contract globalRank keeps under a hashed tie column —
+    * and the token itself rides as the in-window extra tiebreaker so
+    * even per-row ranks stay the total order's. One vocab aggregation,
+    * the banded rank passes, one scalar fold; PlanSpec pins the shape.
     */
   def zipfFit(df: DataFrame, text: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("__f").desc, col("__tok").asc)
-    val ranked = Dedup.spread(df)
-      .select(explode(tokens(text)).as("__tok"))
-      .groupBy(col("__tok")).agg(count(lit(1)).as("__f"))
-      .withColumn("__r", row_number().over(w).cast("long"))
-      .select(log(col("__r").cast("double")).as("__x"),
+    val ranked = graft.ops.Eval.globalRank(
+        Dedup.spread(df)
+          .select(explode(tokens(text)).as("__tok"))
+          .groupBy(col("__tok")).agg(count(lit(1)).as("__f")),
+        -col("__f"), xxhash64(col("__tok")), col("__tok"))
+      .select(log(col("__rank").cast("double")).as("__x"),
         log(col("__f").cast("double")).as("__y"), col("__f"))
     def s9(c: Column) = sum(round(c, 9).cast("decimal(28,12)")).cast("double")
     val n = count(lit(1)).cast("double")

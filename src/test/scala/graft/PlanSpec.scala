@@ -241,6 +241,36 @@ class PlanSpec extends AnyFunSuite {
       s"q148 reference join degenerated:\n$p")
   }
 
+  test("no gated query plans an unpartitioned row-grain Window (mechanical)") {
+    // the permanent form of the r6 verdict's findings 2–4 (q186 ntiles,
+    // q182 vocab rank, q220-family triage): an unpartitioned WindowExec
+    // serializes its whole input through ONE task's sort — fine after a
+    // limit (k rows), a scale cliff anywhere else. Sweep EVERY gated
+    // query's physical plan; a post-limit window (GlobalLimit /
+    // TakeOrderedAndProject below it) is exempt, nothing else is.
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan,
+      TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    val helper =
+      new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def postLimit(p: SparkPlan): Boolean = p.exists {
+      case _: GlobalLimitExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val exec = fn(spark, dir).queryExecution.executedPlan
+        helper.collect(exec) {
+          case w: WindowExecBase
+              if w.partitionSpec.isEmpty && !postLimit(w.child) =>
+            s"$name: ${w.nodeName} over [${w.orderSpec.mkString(", ")}]"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned row-grain windows:\n${offenders.mkString("\n")}")
+  }
+
   test("q147 drift: histogram counts aggregate with map-side partials") {
     val p = plan("q147_histogram_drift")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
