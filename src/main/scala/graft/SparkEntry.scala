@@ -1309,8 +1309,7 @@ object SparkEntry {
         lit(Long.MaxValue).as("event_id"))
     flush.repartition(1).write.mode("append").parquet(in)
     val baseTime = new java.io.File(first.head).lastModified
-    (parts -- first).foreach(p =>
-      new java.io.File(p).setLastModified(baseTime + 120000L))
+    (parts -- first).foreach(p => forceMtime(p, baseTime + 120000L))
     val stream = s.readStream.schema(s.read.parquet(in).schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
     val sess = graft.streaming.Streaming.sessionizeStream(
@@ -2451,8 +2450,7 @@ object SparkEntry {
     val first = parts
     ev.filter(us >= mid).repartition(1).write.mode("append").parquet(in)
     val baseTime = new java.io.File(first.head).lastModified
-    (parts -- first).foreach(p =>
-      new java.io.File(p).setLastModified(baseTime + 120000L))
+    (parts -- first).foreach(p => forceMtime(p, baseTime + 120000L))
     val stream = s.readStream.schema(s.read.parquet(in).schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
     val kept = graft.streaming.Streaming.debounceStream(stream,
@@ -2686,8 +2684,7 @@ object SparkEntry {
     log.filter(col("seq") > 1L).repartition(1)
       .write.mode("append").parquet(in)
     val baseTime = new java.io.File(first.head).lastModified
-    (parts -- first).foreach(p =>
-      new java.io.File(p).setLastModified(baseTime + 120000L))
+    (parts -- first).foreach(p => forceMtime(p, baseTime + 120000L))
     val stream = s.readStream.schema(s.read.parquet(in).schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
     val frontier = graft.streaming.Streaming.cdcApplyStream(stream,
@@ -2983,8 +2980,7 @@ object SparkEntry {
     val first = parts
     ev.filter(dayNum >= midDay).repartition(1).write.mode("append").parquet(in)
     val baseTime = new java.io.File(first.head).lastModified
-    (parts -- first).foreach(p =>
-      new java.io.File(p).setLastModified(baseTime + 120000L))
+    (parts -- first).foreach(p => forceMtime(p, baseTime + 120000L))
     val stream = s.readStream.schema(s.read.parquet(in).schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
     val out = graft.streaming.Streaming.ewmaStream(stream, taps = 8)
@@ -3133,19 +3129,39 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** Streaming 18 (round-6): seasonality-aware anomaly screen IN-FLIGHT
-    * ([[graft.streaming.Streaming.seasonalAnomalyStream]]) — live daily
-    * counts as a Complete-mode aggregation, screened against q228's
-    * FROZEN day-of-week baseline (a Monday spike judged against
-    * Mondays): the online drift alarm composed from gated parts. Two
-    * forced micro-batches; the gate is the batch restatement embedding
-    * q228's profile arithmetic verbatim.
+  /** Streaming 18 (round-6, RESTATED round-7): seasonality-aware anomaly
+    * screen IN-FLIGHT ([[graft.streaming.Streaming.seasonalAnomalyStream]])
+    * — live daily counts as a WATERMARKED Append-mode aggregation
+    * (closed days emit once and EVICT; the r6 Complete-mode form grew
+    * state and per-trigger output with stream age), screened against
+    * q228's FROZEN day-of-week baseline (a Monday spike judged against
+    * Mondays): the online drift alarm composed from gated parts. Three
+    * forced micro-batches: two data halves plus the FLUSH file — one
+    * sentinel row 35 days past the corpus max whose arrival pushes the
+    * watermark past every real day's end, so every real window emits
+    * before the memory sink is read (Append mode never emits a window
+    * the final watermark hasn't closed). The sentinel's key never joins
+    * the profile and its own still-open window is the only state left.
+    * The gate is the batch restatement embedding q228's profile
+    * arithmetic verbatim — unchanged across the r7 restatement, which is
+    * the point: same answer, bounded state.
     */
   private def q236(s: SparkSession, dir: String): DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft_q236")
     val src = stage.resolve("src").toString
-    t(s, dir, "events").select(col("event_type"), col("ts"))
-      .repartition(2).write.mode("overwrite").parquet(src)
+    val ev = t(s, dir, "events").select(col("event_type"), col("ts"))
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    def parts = new java.io.File(src).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    val real = parts
+    ev.agg(max(col("ts")).cast("timestamp").as("ts"))
+      .select(lit("__flush").as("event_type"),
+        (col("ts") + expr("INTERVAL 35 DAYS")).as("ts"))
+      .coalesce(1).write.mode("append").parquet(src)
+    // the flush file MUST be the last micro-batch: if it arrived first,
+    // its watermark would mark every real row late and drop it
+    val baseTime = real.map(p => new java.io.File(p).lastModified).max
+    (parts -- real).foreach(p => forceMtime(p, baseTime + 120000L))
     val profile = graft.ops.Timeseries.seasonalProfile(
         t(s, dir, "events"), col("event_type"), col("ts"))
       .withColumnRenamed("key", "key")
@@ -4119,6 +4135,17 @@ object SparkEntry {
     * idiom lives (round-trip harness queries, the q94 reaper, the
     * streaming landings all route through here).
     */
+  /** Force a staged file's mtime so the file-stream source orders
+    * micro-batches deterministically. The boolean result is CHECKED: the
+    * forced ordering is load-bearing for every batch-seam gate (a silent
+    * failure — read-only staging fs, coarse mtime granularity — would
+    * surface later as a misleading stream-operator error).
+    */
+  private def forceMtime(path: String, t: Long): Unit =
+    require(new java.io.File(path).setLastModified(t),
+      s"staging: setLastModified($t) failed for $path — the forced " +
+        "micro-batch ordering this gate depends on cannot be established")
+
   private def deleteTree(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -15,8 +15,16 @@ object Verify {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_ANSI=true/false pins throw-vs-null dialect for the
+    // sweep BASELINE.md records (SURVEY §7.3's named trap); unset keeps
+    // the session default, printed either way so every recorded run
+    // states its dialect
+    sys.env.get("SPARK_GRAFT_ANSI")
+      .foreach(v => builder.config("spark.sql.ansi.enabled", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    System.err.println(
+      s"[verify] spark.sql.ansi.enabled=${spark.conf.get("spark.sql.ansi.enabled")}")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (comma-separated names); driver leaves it unset.
     // An empty or misspelled filter must FAIL, not silently verify nothing.

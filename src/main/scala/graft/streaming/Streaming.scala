@@ -550,22 +550,53 @@ object Streaming {
     graft.ops.Eval.ksFinish(
       runToMemory(graft.ops.Eval.ksCounts(events, value, inA), name))
 
+  /** Watermarked daily counts — [[graft.ops.Timeseries.dailyCounts]]'
+    * streaming twin in APPEND mode (round-7, replacing the r6
+    * Complete-mode form whose (key, day) state AND per-trigger output
+    * grew without bound as the stream aged): counts aggregate per
+    * (key, event-time day window) under `withWatermark(delay)`, so a
+    * day's row is emitted ONCE when the watermark passes its end and its
+    * state is EVICTED — live state is bounded by keys × open days
+    * regardless of stream age (AppendStreamSpec pins the eviction
+    * through StreamingQueryProgress state counts). Day windows are
+    * UTC-epoch-aligned, identical to the batch `to_date` day under the
+    * repo's UTC session contract; the day lands as the ISO string for
+    * the same memory-sink decode reason as the batch frame.
+    *
+    * Append-mode caveat the caller owns: windows the final watermark has
+    * not passed are NEVER emitted. A bounded replay that must flush all
+    * real days appends a sentinel row with an event time > last real
+    * day's end + delay (q236's flush device) — the sentinel's own open
+    * window is the only state left behind.
+    */
+  def dailyCountsStream(events: DataFrame, key: Column, ts: Column,
+                        watermarkDelay: String): DataFrame =
+    events.select(key.as("key"), ts.as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(col("key"), window(col("__ts"), "1 day").as("__w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("key"),
+        date_format(col("__w.start"), "yyyy-MM-dd").as("day"), col("cnt"))
+
   /** Streaming seasonality-aware anomaly screen: the live (key, day)
-    * counts run as a Complete-mode streaming aggregation
-    * (`Timeseries.dailyCounts` — state one long per observed (key, day))
-    * and the landed table is screened by the SAME
-    * `Timeseries.seasonalAnomalies` join against a FROZEN
-    * [[graft.ops.Timeseries.seasonalProfile]] baseline — a Monday spike
-    * judged against Mondays, online. The stream-side statistic is
-    * bit-identical to batch by construction, so the gate shares the
-    * batch oracle verbatim (the q150/q234 sufficient-statistic device;
-    * the static baseline side is q100's stream-static shape).
+    * counts run as a WATERMARKED Append-mode streaming aggregation
+    * ([[dailyCountsStream]] — closed days emit once and evict, state
+    * bounded by open days, not stream age) and the landed table is
+    * screened by the SAME `Timeseries.seasonalAnomalies` join against a
+    * FROZEN [[graft.ops.Timeseries.seasonalProfile]] baseline — a Monday
+    * spike judged against Mondays, online. Each emitted (key, day, cnt)
+    * is the complete day's count by the watermark contract, so the
+    * statistic is bit-identical to batch and the gate shares the batch
+    * oracle verbatim (the q150/q234 sufficient-statistic device; the
+    * static baseline side is q100's stream-static shape).
     */
   def seasonalAnomalyStream(events: DataFrame, key: Column, ts: Column,
                             profile: DataFrame, factor: Double,
-                            name: String): DataFrame =
+                            name: String,
+                            watermarkDelay: String = "1 day"): DataFrame =
     graft.ops.Timeseries.seasonalAnomalies(
-      runToMemory(graft.ops.Timeseries.dailyCounts(events, key, ts), name),
+      runToMemory(dailyCountsStream(events, key, ts, watermarkDelay),
+        name, OutputMode.Append()),
       profile, factor)
 
   /** Streaming hot-key monitor: [[graft.ops.Skew.keyCounts]] as a
