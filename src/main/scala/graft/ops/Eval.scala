@@ -344,8 +344,15 @@ object Eval {
     val perScore = base.groupBy(col("__s"))
       .agg(count(lit(1)).as("__n"),
         sum(when(col("__p"), 1L).otherwise(0L)).as("__np"))
+    // null scores are declared unsupported above — ENFORCED here
+    // (round-7, ADVICE): a null would form its own score group, rank
+    // nulls-first in Spark but nulls-last in a DuckDB restatement, and
+    // silently shift every prefix count; the one-row readout instead
+    // fails loudly via raise_error, carried through the existing
+    // aggregate at zero extra passes
     val tot = perScore.agg(sum(col("__n")).as("__tot"),
-      sum(col("__np")).as("__pos"))
+      sum(col("__np")).as("__pos"),
+      sum(when(col("__s").isNull, col("__n")).otherwise(0L)).as("__snull"))
     val g = withBelow(perScore, alsoPositives = true)
       .crossJoin(broadcast(tot))
     // at threshold s: TP = positives at-or-above, retrieved = rows
@@ -357,10 +364,15 @@ object Eval {
           (col("__tot") - col("__below")).cast("double"))
     g.agg(max(col("__pos")).as("n_pos"),
         max(col("__tot") - col("__pos")).as("n_neg"),
+        max(col("__snull")).as("__snull"),
         sum(round(when(col("__pos") > 0L, contrib).otherwise(lit(0.0d)), 9)
           .cast("decimal(28,12)")).as("__ap"))
       .select(col("n_pos"), col("n_neg"),
-        when(col("n_pos") === 0L, lit(null).cast("double"))
+        when(col("__snull") > 0L, raise_error(concat(lit(
+            "averagePrecision: null scores are unsupported (found "),
+            col("__snull"), lit(" rows) — filter them upstream")))
+          .cast("double"))
+          .when(col("n_pos") === 0L, lit(null).cast("double"))
           .otherwise(round(col("__ap").cast("double"), 6)).as("ap"))
   }
 
@@ -490,8 +502,12 @@ object Eval {
     * is bit-identical to the batch one by construction.
     */
   private[graft] def ksFinish(perScore: DataFrame): DataFrame = {
+    // null values unsupported, ENFORCED (round-7, ADVICE): the same
+    // nulls-first-vs-last ECDF hazard as averagePrecision, failed loudly
+    // through the existing one-row fold instead of silently diverging
     val tot = perScore.agg(sum(col("__np")).as("__na"),
-      sum(col("__n") - col("__np")).as("__nb"))
+      sum(col("__n") - col("__np")).as("__nb"),
+      sum(when(col("__s").isNull, col("__n")).otherwise(0L)).as("__snull"))
     val g = withBelow(perScore, alsoPositives = true)
       .crossJoin(broadcast(tot))
     // at value v: ECDF_A = (A-rows ≤ v)/n_a, ECDF_B likewise — both
@@ -502,11 +518,16 @@ object Eval {
       (col("__pbelow") + col("__np"))).cast("double") /
       col("__nb").cast("double")
     g.agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(col("__snull")).as("__snull"),
         max(when(col("__na") > 0L && col("__nb") > 0L, abs(cumA - cumB)))
           .as("__d"))
       .select(col("n_a"), col("n_b"),
-        when(col("n_a") === 0L || col("n_b") === 0L,
-          lit(null).cast("double"))
+        when(col("__snull") > 0L, raise_error(concat(lit(
+            "ksStatistic: null values are unsupported (found "),
+            col("__snull"), lit(" rows) — filter them upstream")))
+          .cast("double"))
+          .when(col("n_a") === 0L || col("n_b") === 0L,
+            lit(null).cast("double"))
           .otherwise(round(col("__d"), 6)).as("ks"))
   }
 

@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Release the block-manager storage of a frame PRODUCED BY
+    * `localCheckpoint()`. `Dataset.unpersist` cannot do this — a local
+    * checkpoint's blocks live on the internal RDD captured in the plan's
+    * root `LogicalRDD`, not in the cache manager — so convergence loops
+    * that checkpoint per round would otherwise retain every superseded
+    * round's blocks for the life of the session (round-7, ADVICE on
+    * [[hits]]). Deliberately matches ONLY a checkpoint ROOT: collecting
+    * LogicalRDD leaves deeper in the plan would release frames the
+    * caller still reads (e.g. a shared `nodes` checkpoint under a
+    * derived frame).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** `iters` PageRank rounds over directed `edges` (duplicate edges are
     * collapsed). Returns (node, rank).
     *
@@ -555,18 +573,34 @@ object Graph {
         .agg(sum(col("__v").cast("decimal(28,18)")).cast("double").as("__m"))
         .localCheckpoint()
       val mx = raw.agg(max(col("__m")).as("__mx"))
-      nodes.join(raw, Seq("node"), "left")
+      val out = nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(mx))
         .select(col("node"),
           (coalesce(col("__m"), lit(0.0d)) / col("__mx")).as("__v"))
         .localCheckpoint()
+      // out is materialized (localCheckpoint is eager): the mass frame
+      // is never read again — release its blocks now instead of leaking
+      // 2 frames per half for the life of the session (round-7, ADVICE)
+      releaseCheckpoint(raw)
+      out
     }
     var hub = nodes.withColumn("__v", lit(1.0d))
     var auth: DataFrame = null
     var it = 0
     while (it < iters) {
+      val hubPrev = hub
+      val authPrev = auth
       auth = half(hub, "src", "dst")
       hub = half(auth, "dst", "src")
+      // both new halves are materialized; the superseded round's frames
+      // are never read again (the final join reads only the LAST pair) —
+      // releasing keeps retained storage flat at ~2 frames however many
+      // iterations run (round 0's literal hub is not a checkpoint root,
+      // so the release is a no-op there and `nodes` is never touched).
+      // NEVER release the frames just produced: a localCheckpoint's
+      // blocks are its ONLY copy (lineage is truncated).
+      if (authPrev != null) releaseCheckpoint(authPrev)
+      releaseCheckpoint(hubPrev)
       it += 1
     }
     hub.select(col("node"), col("__v").as("hub"))

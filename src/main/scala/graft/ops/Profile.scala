@@ -1020,7 +1020,13 @@ object Profile {
   def spearmanCorr(df: DataFrame, group: Column, x: Column,
                    y: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null x/y pairs are EXCLUDED — pairwise-complete deletion, the
+    // standard convention (round-7, ADVICE): ranking nulls instead would
+    // diverge silently across engines (Spark windows default NULLS
+    // FIRST, DuckDB's NULLS LAST), so the null contract is a filter, not
+    // an ordering accident
     val base = df.select(group.as("__g"), x.as("__x"), y.as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
     def dblRank(c: String) = {
       val rw = Window.partitionBy(col("__g")).orderBy(col(c).asc)
       val tw = Window.partitionBy(col("__g"), col(c))

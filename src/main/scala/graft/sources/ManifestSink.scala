@@ -140,8 +140,18 @@ private[graft] object Manifest {
       .filter(_.nonEmpty).sorted.toSeq
   }
 
-  /** Published manifest names in commit order (modification time, then
-    * name) — the version log a caller captures to pin a snapshot.
+  /** Published manifest names ordered by (modification time, name) — the
+    * version log a caller captures to pin a snapshot.
+    *
+    * Ordering caveat (round-7, ADVICE): this APPROXIMATES commit order.
+    * On filesystems with coarse (e.g. 1 s) mtime granularity, two
+    * manifests published inside one tick tie on time and fall back to
+    * lexicographic name order — effectively arbitrary between them.
+    * Snapshot pinning is SET-based ([[Manifest.readLines]] filters by
+    * name membership), so correctness never depends on this order; a
+    * deployment that needs a strict total commit order should embed a
+    * monotone sequence number in the manifest NAME at publish time and
+    * sort on that instead.
     */
   def manifestNames(dir: String): Seq[String] = {
     val f = fs(dir)

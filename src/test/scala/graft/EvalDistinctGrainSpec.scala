@@ -101,6 +101,27 @@ class EvalDistinctGrainSpec extends AnyFunSuite {
     assert(r.exists(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("averagePrecision / ksStatistic fail LOUDLY on null scores") {
+    // r6 ADVICE: a null score used to form its own group and rank
+    // nulls-first in Spark but nulls-last in a DuckDB restatement —
+    // a silently wrong statistic. The contract is now enforced via
+    // raise_error carried through the existing one-row fold.
+    val withNull = Seq((Some(0.9), true), (None, false), (Some(0.2), true))
+      .toDF("s", "p")
+    val e1 = intercept[Exception] {
+      graft.ops.Eval.averagePrecision(withNull, $"s", $"p").collect()
+    }
+    assert(e1.getMessage.contains("null scores are unsupported"))
+    val e2 = intercept[Exception] {
+      graft.ops.Eval.ksStatistic(withNull, $"s", $"p").collect()
+    }
+    assert(e2.getMessage.contains("null values are unsupported"))
+    // and non-null inputs still compute (the guard costs nothing)
+    val clean = Seq((0.9, true), (0.4, false), (0.2, true)).toDF("s", "p")
+    assert(!graft.ops.Eval.averagePrecision(clean, $"s", $"p")
+      .select("ap").head().isNullAt(0))
+  }
+
   test("no unpartitioned WindowExec in the q193/q194/q215/q225 plans") {
     val helper =
       new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}

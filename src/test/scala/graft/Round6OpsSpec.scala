@@ -97,6 +97,21 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(m(11L) === 1.0 / 3.0)    // in-degree 1 / max 3
   }
 
+  test("hits: superseded rounds release their checkpoint blocks (storage stays flat)") {
+    // r6 ADVICE: hits checkpointed 4 frames/round and never unpersisted —
+    // at high iters that leaks executor storage for the session's life.
+    // 8 iterations must retain O(1) persisted RDDs beyond the baseline,
+    // not 4·iters.
+    val edges = Seq(("u1", "v"), ("u2", "v"), ("u3", "v"), ("u1", "w"))
+      .toDF("s", "d")
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted
+    Graph.hits(edges, $"s", $"d", iters = 8).collect()
+    val retained = persisted - before
+    assert(retained <= 6,
+      s"hits retained $retained persisted RDDs after 8 iters (leak)")
+  }
+
   test("hits: empty edge set yields the empty frame (the empty-delta law)") {
     val e = Seq.empty[(Long, Long)].toDF("s", "d")
     val out = Graph.hits(e, $"s", $"d", iters = 1)

@@ -70,6 +70,18 @@ class Round6eOpsSpec extends AnyFunSuite {
     assert(m("a") === None && m("b") === Some(1.0))
   }
 
+  test("spearmanCorr: null x/y pairs are excluded (pairwise-complete)") {
+    // a null pair must not rank (Spark NULLS FIRST vs DuckDB NULLS LAST
+    // would diverge silently); it is dropped, so the remaining perfect
+    // monotone pairs score exactly 1 and n counts only complete pairs
+    val df = Seq(("a", Some(1.0), Some(1.0)), ("a", Some(2.0), Some(4.0)),
+      ("a", None, Some(9.9)), ("a", Some(3.0), None),
+      ("a", Some(3.5), Some(9.0))).toDF("g", "x", "y")
+    val r = Profile.spearmanCorr(df, $"g", $"x", $"y")
+      .select("n", "spearman").as[(Long, Option[Double])].head()
+    assert(r === ((3L, Some(1.0))))
+  }
+
   // ——— ORC round-trip ————————————————————————————————————————————————
 
   test("ORC write -> read preserves schema and values, doubles included") {
