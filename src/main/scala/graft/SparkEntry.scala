@@ -3239,6 +3239,53 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Multimodal 5 (round-7): the REAL `javax.sound.sampled` WAV codec on
+    * the gate path ([[graft.ops.Multimodal.WavPcmCodec]], r6 directive
+    * #7 — q221 gates only the md5 stand-in). Each document id becomes a
+    * GENUINE RIFF/WAV asset encoded IN the query from closed-form
+    * signed-16 samples (s(id, i) = (id·131 + i·7919) mod 2¹⁶ − 2¹⁵,
+    * n = 11 + id mod 50 — partial last frames included on purpose), then
+    * rides the production decodeAudio → frameEnergy pipeline with the
+    * REAL decoder. The oracle recomputes energy/peak from the sample
+    * RULE, so the hash passes iff AudioSystem decoded every sample back
+    * to exactly the value it encoded — the encode→decode round-trip
+    * proof, q212's real-image device extended to PCM.
+    */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"))
+      .filter(col("id") < 200).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (11 + id % 50).toInt
+        val pcm = new Array[Byte](2 * n)
+        var i = 0
+        while (i < n) {
+          val v = (((id * 131 + i.toLong * 7919) % 65536) - 32768).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          /* signed = */ true, /* bigEndian = */ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("asset_id", "payload")
+    Multimodal.frameEnergy(
+        Multimodal.decodeAudio(assets, Multimodal.WavPcmCodec))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("total_energy"),
+        max(col("peak")).cast("long").as("peak"))
+      .orderBy("asset_id")
+  }
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -4610,7 +4657,8 @@ object SparkEntry {
     "q234_ks_drift_stream" -> q234 _,
     "q235_mmr_eval" -> q235 _,
     "q236_seasonal_anomaly_stream" -> q236 _,
-    "q237_dbscan_cells" -> q237 _)
+    "q237_dbscan_cells" -> q237 _,
+    "q238_wav_roundtrip" -> q238 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6976,6 +7024,25 @@ object SparkEntry {
       LEFT JOIN border b ON e.vec_id = b.node
       LEFT JOIN nc2 n ON e.vec_id = n.node
       ORDER BY e.vec_id""",
+    // q238: energy/peak recomputed from the closed-form sample rule —
+    // the engine's WAV encode→decode must return every PCM sample
+    // bit-exactly for the hash to match (frames of 8, partial last kept)
+    "q238_wav_roundtrip" -> """
+      WITH ids AS (
+        SELECT doc_id AS id FROM documents WHERE doc_id < 200),
+      idx AS (
+        SELECT id, unnest(range(0, 11 + id % 50)) AS i FROM ids),
+      smp AS (
+        SELECT id, i, ((id * 131 + i * 7919) % 65536) - 32768 AS s,
+          i // 8 AS f
+        FROM idx),
+      fe AS (
+        SELECT id, f, sum(abs(s)) AS energy, max(abs(s)) AS peak
+        FROM smp GROUP BY 1, 2)
+      SELECT id AS asset_id, CAST(count(*) AS BIGINT) AS n_frames,
+        CAST(sum(energy) AS BIGINT) AS total_energy,
+        CAST(max(peak) AS BIGINT) AS peak
+      FROM fe GROUP BY id ORDER BY asset_id""",
     "q228_seasonal_profile" -> """
       WITH daily AS (
         SELECT event_type AS key, CAST(ts AS DATE) AS day,

@@ -228,6 +228,47 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec over the JDK's own `javax.sound.sampled` (WAV/AIFF
+    * RIFF parsing — no external dependency, no audio device needed):
+    * payloads decode to signed 16-bit little-endian PCM via a format-
+    * converting stream (so 8-bit or big-endian sources normalize), and
+    * samples frame into [[FakePcmCodec.samplesPerFrame]]-sample frames
+    * (partial last frame kept) for the SAME downstream
+    * [[frameEnergy]] arithmetic. Multi-channel payloads interleave as
+    * delivered — the curation features are channel-agnostic energy/peak.
+    * Null / undecodable payloads yield zero frames (the [[AudioCodec]]
+    * contract: one corrupt asset must not kill a 100 TB stage).
+    *
+    * The q221 oracle gate stays on [[FakePcmCodec]] (DuckDB cannot parse
+    * RIFF); THIS codec is gated by q238's encode→decode round-trip proof
+    * — closed-form samples are WAV-encoded in the query and the oracle
+    * recomputes the features from the sample RULE, so the hash passes
+    * iff every sample survives the round trip exactly (q212's
+    * real-image device, extended from scalar dims to PCM).
+    */
+  object WavPcmCodec extends AudioCodec {
+    def newDecoder(): Array[Byte] => Array[Array[Int]] = { payload =>
+      if (payload == null) Array.empty
+      else {
+        val buf =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val f = ais.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              f.getSampleRate, 16, f.getChannels,
+              /* signed = */ true, /* bigEndian = */ false)
+            javax.sound.sampled.AudioSystem
+              .getAudioInputStream(target, ais).readAllBytes()
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (buf == null) Array.empty
+        else Array.tabulate(buf.length / 2) { i =>
+            (buf(2 * i + 1).toInt << 8) | (buf(2 * i) & 0xff)
+          }.grouped(FakePcmCodec.samplesPerFrame).map(_.toArray).toArray
+      }
+    }
+  }
+
   private val audioFrameSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType),
     StructField("frame_idx", IntegerType),

@@ -112,6 +112,31 @@ class Round6bOpsSpec extends AnyFunSuite {
     assert(dec(small)(0)(0) === expected)
   }
 
+  test("WavPcmCodec: real WAV round-trips samples; corrupt payloads yield zero frames") {
+    // encode 19 known samples (2 full frames + a 3-sample partial) as a
+    // genuine RIFF/WAV via javax.sound.sampled, decode through the REAL
+    // codec, and require sample-exact recovery
+    val samples = Array.tabulate(19)(i => i * 1000 - 9000)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val dec = Multimodal.WavPcmCodec.newDecoder()
+    val frames = dec(bos.toByteArray)
+    assert(frames.map(_.length).toSeq === Seq(8, 8, 3))
+    assert(frames.flatten.toSeq === samples.toSeq)
+    // the AudioCodec contract: corrupt and null payloads never throw
+    assert(dec("not a wav at all".getBytes("UTF-8")).isEmpty)
+    assert(dec(null).isEmpty)
+  }
+
   test("decodeAudio + frameEnergy: integer features match a hand fold") {
     val df = Seq((1L, "hello world")).toDF("doc_id", "text")
     val assets = Multimodal.fromText(df, "doc_id", "text", "doc_id",
