@@ -219,7 +219,9 @@ object Bench {
     "q233_manifest_time_travel",
     "q234_ks_drift_stream",
     "q235_mmr_eval",
-    "q236_seasonal_anomaly_stream")
+    "q236_seasonal_anomaly_stream",
+    "q237_dbscan_cells",
+    "q238_wav_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
