@@ -644,9 +644,13 @@ object Dedup {
   def connectedComponentsWithRounds(edges: DataFrame, a: String = "id_a",
                                     b: String = "id_b",
                                     maxIter: Int = 30): (DataFrame, Int) = {
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
-      .localCheckpoint()
+    // pre-shuffled on the per-round neighbor-join key (the r7
+    // co-location device, see Graph.checkpointPartitionedBy): rounds
+    // shuffle the label frame, never the symmetric edge frame
+    val sym = graft.ops.Graph.checkpointPartitionedBy(
+      edges.select(col(a).as("src"), col(b).as("dst"))
+        .union(edges.select(col(b).as("src"), col(a).as("dst"))),
+      col("dst"))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

@@ -38,6 +38,34 @@ object Graph {
       case _ => ()
     }
 
+  /** Checkpoint `df` PRE-SHUFFLED on `key`, keeping the partitioning
+    * VISIBLE to later plans: every subsequent equi-join on that key
+    * reads the checkpoint blocks in place instead of re-shuffling the
+    * whole frame once per round — the co-location device that turns an
+    * iterative operator's per-round shuffle from edge-sized to
+    * frontier-sized (round-7; the 10× probe measured q227 BFS at 34×
+    * shuffle growth and q138 LPA at 19× from exactly this).
+    *
+    * AQE must be OFF while the checkpoint materializes: under AQE the
+    * captured plan is an AdaptiveSparkPlanExec whose outputPartitioning
+    * is UnknownPartitioning until finalized, so the LogicalRDD records
+    * no partitioning and the co-location is silently lost (probed —
+    * with the toggle, EnsureRequirements adds NO exchange on this side).
+    * The toggle is scoped to this one eager action; partition count is
+    * the session's shuffle-partition conf, which is also what the later
+    * joins require, so the partitioning always satisfies their
+    * distribution.
+    */
+  private[ops] def checkpointPartitionedBy(df: DataFrame,
+                                           key: Column): DataFrame = {
+    val s = df.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(aqeKey)
+    s.conf.set(aqeKey, "false")
+    try df.repartition(key).localCheckpoint()
+    finally s.conf.set(aqeKey, prev)
+  }
+
   /** `iters` PageRank rounds over directed `edges` (duplicate edges are
     * collapsed). Returns (node, rank).
     *
@@ -209,8 +237,10 @@ object Graph {
                        stopOnFixpoint: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     import org.apache.spark.sql.expressions.Window
-    val e = edges.select(src.as("src"), dst.as("dst")).distinct()
-      .localCheckpoint()
+    // pre-shuffled on the per-round vote-join key (the r7 co-location
+    // device): each round shuffles labels and votes, never the edges
+    val e = checkpointPartitionedBy(
+      edges.select(src.as("src"), dst.as("dst")).distinct(), col("src"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
@@ -278,6 +308,10 @@ object Graph {
     // (contrib + dangling anti) — materialize the aggregation once instead
     // of re-shuffling the edge frame for it every use
     val od = if (iters > 0) outDeg.localCheckpoint() else outDeg
+    // the edge frame feeds the contrib join on src EVERY round —
+    // pre-shuffle it once (r7 co-location device) so rounds shuffle only
+    // the rank frame and the per-dst aggregation
+    val ep = if (iters > 0) checkpointPartitionedBy(e, col("src")) else e
     // weighted: e carries integer edge weight __w and outdeg holds the
     // integer out-weight sum — contrib is (rank·w)/outw, the identical
     // two-op IEEE tree the oracle unrolls
@@ -286,7 +320,7 @@ object Graph {
       else col("rank") / col("outdeg")
     while (it < iters && !converged) {
       val contrib = ranks.join(od, Seq("node"))
-        .join(e, col("node") === col("src"))
+        .join(ep, col("node") === col("src"))
         .select(col("dst"), contribOf.as("c"))
       val summed = contrib.groupBy(col("dst").as("node"))
         .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("in_mass"))
@@ -563,12 +597,18 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
+    // the two halves join the edge frame on OPPOSITE keys every round —
+    // one pre-shuffled copy per key (r7 co-location device): rounds
+    // shuffle score frames only, never the edges
+    val eBy = Map(
+      "src" -> checkpointPartitionedBy(e, col("src")),
+      "dst" -> checkpointPartitionedBy(e, col("dst")))
     def half(scores: DataFrame, joinSide: String,
              groupSide: String): DataFrame = {
       // checkpoint the mass frame: BOTH the max and the normalize read it,
       // and without the cut the max recomputes the whole join+agg — the
       // one super-linear wall term the 10× scale-up measured (14× → ~8×)
-      val raw = scores.join(e, col("node") === col(joinSide))
+      val raw = scores.join(eBy(joinSide), col("node") === col(joinSide))
         .groupBy(col(groupSide).as("node"))
         .agg(sum(col("__v").cast("decimal(28,18)")).cast("double").as("__m"))
         .localCheckpoint()
@@ -630,8 +670,10 @@ object Graph {
                    maxDepth: Int): DataFrame = {
     require(maxDepth >= 0 && maxDepth <= 64,
       s"maxDepth must be in [0, 64], got $maxDepth")
-    val e = edges.select(src.as("src"), dst.as("dst")).distinct()
-      .localCheckpoint()
+    // pre-shuffled on the per-hop join key: each hop shuffles only the
+    // frontier, never the edge frame (the r7 co-location device)
+    val e = checkpointPartitionedBy(
+      edges.select(src.as("src"), dst.as("dst")).distinct(), col("src"))
     var visited = seeds.select(seed.as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = visited

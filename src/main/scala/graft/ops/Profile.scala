@@ -419,7 +419,11 @@ object Profile {
     * note). */
   private def gramSums(df: DataFrame, group: Column, vec: Column): DataFrame = {
     val v = col("__v")
-    val cells = df.select(group.as("__g"), vec.as("__v"))
+    // spread BEFORE the d²-per-row cell explode: embedding parquet
+    // arrives as one partition, and without this the whole gram pass —
+    // the operator's entire cost — runs on ONE core (the r7 10× probe
+    // measured q163 at 83 s/sf1 single-threaded, flat shuffle)
+    val cells = Dedup.spread(df).select(group.as("__g"), vec.as("__v"))
       .filter(size(col("__v")) > 0)
       .select(col("__g"), explode(flatten(transform(
         sequence(lit(0), size(v) - 1),
