@@ -174,7 +174,27 @@ object PlanDump {
       ("The exact KS statistic needs one global prefix sum — supplied " +
         "by the banded device, so the plan has NO unpartitioned window " +
         "and one distinct-value aggregation even when the value column " +
-        "has millions of distinct values."))
+        "has millions of distinct values."),
+    "q237_dbscan_cells" ->
+      ("Bounded-cell DBSCAN: the ε-pair join blocks on the capped " +
+        "multi-probe CELL assignment (broadcast centroid argmax, " +
+        "per-item top-nprobe window), so pair volume is n·nprobe²·cap — " +
+        "BASELINE.md's 10× row shows ~11× shuffle vs q220's 19× " +
+        "fixed-label blocks; triage downstream is q220's plan verbatim " +
+        "(shared dbscanTriage)."),
+    "q186_rfm_scores" ->
+      ("All three quintiles derive from the banded-prefix exact rank " +
+        "(Eval.globalRank) + the closed-form ntile fill: NO " +
+        "unpartitioned WindowExec anywhere in the plan (the r6 verdict's " +
+        "single-task ntile sort is gone; the mechanical PlanSpec guard " +
+        "holds this for every gated query permanently)."),
+    "q227_bfs_distance" ->
+      ("Per hop, the edge side of the frontier join arrives from the " +
+        "PRE-SHUFFLED checkpoint (Graph.checkpointPartitionedBy — " +
+        "hashpartitioning(src) visible to the planner, no per-hop edge " +
+        "exchange); only the frontier and the visited anti-join " +
+        "shuffle. 10× data → ~9× total shuffle bytes (BASELINE.md), " +
+        "where the un-co-located r6 plan paid 34×."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

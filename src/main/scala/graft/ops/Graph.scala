@@ -55,16 +55,52 @@ object Graph {
     * the session's shuffle-partition conf, which is also what the later
     * joins require, so the partitioning always satisfies their
     * distribution.
+    *
+    * SIZE-AWARE (measured, not guessed): below the session's
+    * autoBroadcastJoinThreshold the frame checkpoints PLAIN — a
+    * pre-partitioned LogicalRDD never becomes an AQE query stage, so
+    * AQE loses its runtime-broadcast option and every round pays an
+    * avoidable sort (measured: q220's CC regressed 2× at sf0.1 when
+    * small core graphs were co-located); broadcast-sized frames get
+    * zero-shuffle rounds from AQE anyway. At and above the threshold —
+    * where AQE would shuffle the frame per round — the co-location
+    * applies. The actual materialized bytes come from the checkpoint's
+    * own storage info, so the decision needs no stats guesswork.
     */
   private[ops] def checkpointPartitionedBy(df: DataFrame,
                                            key: Column): DataFrame = {
     val s = df.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prev = s.conf.get(aqeKey)
-    s.conf.set(aqeKey, "false")
-    try df.repartition(key).localCheckpoint()
-    finally s.conf.set(aqeKey, prev)
+    val plain = df.localCheckpoint()
+    val thresh =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        s.conf.get("spark.sql.autoBroadcastJoinThreshold", "64m"))
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    if (thresh >= 0L && storageBytes(plain) <= thresh) plain
+    else {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prev = s.conf.get(aqeKey)
+      s.conf.set(aqeKey, "false")
+      val out =
+        try plain.repartition(key).localCheckpoint()
+        finally s.conf.set(aqeKey, prev)
+      releaseCheckpoint(plain) // superseded by the partitioned copy
+      out
+    }
   }
+
+  /** Materialized bytes of a localCheckpoint result, read from the block
+    * manager (memory + disk of the captured RDD); Long.MaxValue when the
+    * frame is not a checkpoint root or not tracked — callers treat
+    * unknown as "large".
+    */
+  private def storageBytes(df: DataFrame): Long =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize).getOrElse(Long.MaxValue)
+      case _ => Long.MaxValue
+    }
 
   /** `iters` PageRank rounds over directed `edges` (duplicate edges are
     * collapsed). Returns (node, rank).
