@@ -221,7 +221,11 @@ object Bench {
     "q235_mmr_eval",
     "q236_seasonal_anomaly_stream",
     "q237_dbscan_cells",
-    "q238_wav_roundtrip")
+    "q238_wav_roundtrip",
+    "q239_silhouette",
+    "q240_kmv_distinct",
+    "q241_content_chunks",
+    "q242_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

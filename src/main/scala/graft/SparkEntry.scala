@@ -3286,6 +3286,78 @@ object SparkEntry {
       .orderBy("asset_id")
   }
 
+  /** Similarity 17 (round-7): simplified silhouette
+    * ([[Similarity.silhouetteSimplified]]) — cluster-quality readout for
+    * the label clustering against its own min-id seed centroids: per
+    * point a = distance to the ASSIGNED label's seed, b = nearest other
+    * seed, s = (b−a)/max(a,b); negative s = misfit (the point's label
+    * seed is not its nearest — diagnostic, since near-random embeddings
+    * under arbitrary labels SHOULD misfit heavily, and the gate pins
+    * exactly how heavily). Map-side scoring against the broadcast seed
+    * frame; one (point, cell) fold; rdz-rounded cosines before every
+    * compare so both engines branch together.
+    */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val seeds = Similarity.minIdSeeds(e, col("vec_id"), col("embedding"),
+      col("label"))
+    Similarity.silhouetteSimplified(e, col("vec_id"), col("embedding"),
+        col("label"), seeds, col("cell"), col("cvec"))
+      .orderBy("cell")
+  }
+
+  /** Sketch 1 (round-7): KMV distinct-count estimate
+    * ([[graft.ops.Sketch.kmvDistinct]], k = 256) of lineitem's part-key
+    * cardinality — the engine-portable alternative to HLL (whose
+    * register layout no external engine can replay): the k smallest
+    * distinct md5 positions are exact integers, so the estimator is
+    * deterministic and the oracle replays it verbatim. One distinct
+    * aggregation + a TakeOrdered top-k, never a global sort.
+    */
+  private def q240(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.kmvDistinct(t(s, dir, "lineitem"), col("l_partkey"),
+      k = 256)
+
+  /** Text 18 (round-7): content-defined chunking
+    * ([[TextAnalysis.contentChunks]], window 16, modulus 64) — per-doc
+    * chunk stats at the rsync/LBFS sub-document dedup grain: boundaries
+    * fall where the windowed md5 draw lands on 0 mod 64, so an edit
+    * shifts offsets but the chunk stream re-synchronizes right after it.
+    * The oracle recomputes every boundary from the same substring hash —
+    * the whole chunk stream is differentially pinned, not just counts.
+    */
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.contentChunks(t(s, dir, "documents"), col("doc_id"),
+        col("text"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("total_len"),
+        max(col("chunk_len")).as("max_chunk_len"),
+        min(col("chunk_hash")).as("min_chunk_hash"))
+      .orderBy("doc_id")
+
+  /** Text 19 (round-7): chunk-grain duplication summary — q241's chunk
+    * stream folded to the corpus readout chunk-level dedup acts on: how
+    * many chunk INSTANCES exist, how many distinct contents, how many
+    * contents recur (shared boilerplate exact doc-dedup misses), and the
+    * duplicated-instance ratio. All integer counts off one md5-keyed
+    * aggregation; the ratio is the only division.
+    */
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    val perHash = TextAnalysis.contentChunks(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      .groupBy(col("chunk_hash")).agg(count(lit(1)).as("__n"))
+    perHash.agg(sum(col("__n")).as("n_instances"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("__n") > 1L, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("__n") > 1L, col("__n")).otherwise(0L))
+          .as("n_dup_instances"))
+      .select(col("n_instances"), col("n_distinct"), col("n_shared"),
+        col("n_dup_instances"),
+        round(col("n_dup_instances").cast("double") /
+          col("n_instances").cast("double"), 6).as("dup_ratio"))
+  }
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -4658,7 +4730,11 @@ object SparkEntry {
     "q235_mmr_eval" -> q235 _,
     "q236_seasonal_anomaly_stream" -> q236 _,
     "q237_dbscan_cells" -> q237 _,
-    "q238_wav_roundtrip" -> q238 _)
+    "q238_wav_roundtrip" -> q238 _,
+    "q239_silhouette" -> q239 _,
+    "q240_kmv_distinct" -> q240 _,
+    "q241_content_chunks" -> q241 _,
+    "q242_chunk_dedup" -> q242 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -5672,6 +5748,34 @@ object SparkEntry {
   /** DuckDB SQL for `Sampling.hashPos`: position in [0, 2^32). */
   private def hashPosSql(strata: String, id: String): String =
     s"('0x' || substring(md5(${encSql(strata)} || '|' || ${encSql(id)}), 1, 8))::BIGINT"
+
+  /** Shared CTE chain replaying `TextAnalysis.contentChunks` (window 16,
+    * modulus 64) boundary-for-boundary: q241 rolls the chunk stream to
+    * doc grain, q242 to the corpus dup summary — one definition so the
+    * two gates cannot drift.
+    */
+  private val chunkCte: String = s"""
+      WITH base AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+        FROM documents WHERE length(text) > 0),
+      pos AS (
+        SELECT doc_id, len, unnest(range(16, len + 1)) AS i FROM base),
+      bnd AS (
+        SELECT p.doc_id, p.i FROM pos p JOIN base b ON p.doc_id = b.doc_id
+        WHERE ${hashPosSql("'cdc'",
+          "substring(b.text, CAST(p.i AS INT) - 15, 16)")} % 64 = 0
+        UNION
+        SELECT doc_id, len FROM base),
+      ch AS (
+        SELECT doc_id, i,
+          row_number() OVER w AS chunk_idx,
+          coalesce(lag(i) OVER w, 0) + 1 AS start
+        FROM bnd WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      cc AS (
+        SELECT c.doc_id, c.chunk_idx, c.start, c.i - c.start + 1 AS clen,
+          md5(substring(b.text, CAST(c.start AS INT),
+            CAST(c.i - c.start + 1 AS INT))) AS chash
+        FROM ch c JOIN base b ON c.doc_id = b.doc_id)"""
 
   // Oracle SQL (DuckDB) — identical aliases / types / ordering; see the
   // determinism rules at the top of this object.
@@ -7043,6 +7147,68 @@ object SparkEntry {
         CAST(sum(energy) AS BIGINT) AS total_energy,
         CAST(max(peak) AS BIGINT) AS peak
       FROM fe GROUP BY id ORDER BY asset_id""",
+    // q239: silhouette replayed from the same rdz-rounded centroid
+    // cosines — assignment is the LABEL, centroids its min-id seeds, so
+    // misfits are real and the gate pins the triage row-for-row
+    "q239_silhouette" -> """
+      WITH cent AS (
+        SELECT label AS cell, embedding AS cvec FROM embeddings
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+      sc AS (
+        SELECT e.vec_id, e.label, c.cell,
+          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            CAST(c.cvec AS DOUBLE[])), 6) + 0.0 AS cos
+        FROM embeddings e CROSS JOIN cent c),
+      per AS (
+        SELECT vec_id, label,
+          max(CASE WHEN cell = label THEN cos END) AS cown,
+          max(CASE WHEN cell <> label THEN cos END) AS cbest
+        FROM sc GROUP BY 1, 2),
+      sil AS (
+        SELECT label,
+          CASE WHEN greatest(1 - cown, 1 - cbest) <= 0 THEN 0.0
+            ELSE round(((1 - cbest) - (1 - cown)) /
+              greatest(1 - cown, 1 - cbest), 6) + 0.0
+          END AS s
+        FROM per)
+      SELECT label AS cell, CAST(count(*) AS BIGINT) AS n,
+        round(CAST(sum(CAST(round(s, 9) AS DECIMAL(28,12))) AS DOUBLE) /
+          count(*), 6) + 0.0 AS mean_sil,
+        CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
+      FROM sil GROUP BY 1 ORDER BY cell""",
+    // q240: the KMV estimator replayed from the same md5 positions —
+    // exact integers end-to-end, one rounded division at the readout
+    "q240_kmv_distinct" -> s"""
+      WITH h AS (
+        SELECT DISTINCT ${hashPosSql("'kmv'", "CAST(l_partkey AS VARCHAR)")}
+          AS hv
+        FROM lineitem),
+      m AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
+      SELECT CAST(count(*) AS BIGINT) AS n_min,
+        CAST(max(hv) AS BIGINT) AS kth_pos,
+        CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+             WHEN max(hv) = 0 THEN NULL
+             ELSE round(255.0 * 4294967296.0 / max(hv), 4) END
+          AS est_distinct
+      FROM m""",
+    // q241/q242: the chunk stream replayed boundary-for-boundary from
+    // the shared CTE (same windowed md5 predicate, same lag arithmetic)
+    "q241_content_chunks" -> s"""$chunkCte
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        CAST(sum(clen) AS BIGINT) AS total_len,
+        CAST(max(clen) AS BIGINT) AS max_chunk_len,
+        min(chash) AS min_chunk_hash
+      FROM cc GROUP BY 1 ORDER BY doc_id""",
+    "q242_chunk_dedup" -> s"""$chunkCte,
+      per AS (SELECT chash, count(*) AS n FROM cc GROUP BY 1)
+      SELECT CAST(sum(n) AS BIGINT) AS n_instances,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+          AS n_dup_instances,
+        round(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) /
+          CAST(sum(n) AS DOUBLE), 6) AS dup_ratio
+      FROM per""",
     "q228_seasonal_profile" -> """
       WITH daily AS (
         SELECT event_type AS key, CAST(ts AS DATE) AS day,

@@ -793,6 +793,56 @@ object Similarity {
     dbscanTriage(df.select(id.as("node")).distinct(), pairs, minPts)
   }
 
+  /** Simplified silhouette score per cluster — the cluster-quality
+    * readout for the IVF/k-means family (is this clustering SEPARATED,
+    * or are its cells arbitrary?): per point, a = cosine distance to its
+    * ASSIGNED cell's centroid, b = the smallest distance to any OTHER
+    * centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; negative s marks a
+    * MISFIT (a point whose assigned centroid is not its nearest — zero
+    * by construction for argmax assignments, diagnostic for external
+    * ones like labels). The "simplified" variant (centroid distances,
+    * not all-pairs member distances) is THE form that survives scale:
+    * one broadcast of the k×d centroid frame, map-side scoring, one
+    * (point, cell) fold — the corpus never self-joins. Returns
+    * (cell, n, mean_sil, n_misfit) per assigned cell.
+    *
+    * Contracts: every assigned cell must have a centroid (a's null
+    * propagates loudly into a null mean otherwise); with a single
+    * centroid no "other" exists and s is null. Determinism: cosines are
+    * rdz-rounded BEFORE any comparison (engines agree on the rounded
+    * value; ±0.0 normalized), s is one IEEE tree on rounded inputs, the
+    * misfit compare runs on the ROUNDED s, and the mean rides round-9 →
+    * DECIMAL (order-free) with an rdz readout (s sums are sign-capable).
+    */
+  def silhouetteSimplified(assigned: DataFrame, id: Column, vec: Column,
+                           cell: Column, centroids: DataFrame,
+                           centroidId: Column,
+                           centroidVec: Column): DataFrame = {
+    val c = Dedup.spread(assigned).select(id.as("__id"),
+      asDouble(vec).as("__v"), cell.as("__cell"))
+    val ce = centroids.select(centroidId.as("__ccell"),
+      asDouble(centroidVec).as("__cv"))
+    val scored = c.join(broadcast(ce))
+      .select(col("__id"), col("__cell"), col("__ccell"),
+        graft.Readout.rdz(cosine(col("__v"), col("__cv")), 6).as("__cos"))
+    val per = scored.groupBy(col("__id"), col("__cell"))
+      .agg(max(when(col("__ccell") === col("__cell"), col("__cos")))
+          .as("__cown"),
+        max(when(col("__ccell") =!= col("__cell"), col("__cos")))
+          .as("__cbest"))
+    val a = lit(1.0d) - col("__cown")
+    val b = lit(1.0d) - col("__cbest")
+    val s = when(greatest(a, b) <= lit(0.0d), lit(0.0d))
+      .otherwise((b - a) / greatest(a, b))
+    per.withColumn("__s", graft.Readout.rdz(s, 6))
+      .groupBy(col("__cell").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        graft.Readout.rdz(
+          sum(round(col("__s"), 9).cast("decimal(28,12)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_sil"),
+        sum(when(col("__s") < 0.0d, 1L).otherwise(0L)).as("n_misfit"))
+  }
+
   /** Multi-probe centroid assignment: each item lands in its `nprobe`
     * nearest cells ([[assignToCentroids]] keeps rank 1 only) —
     * (item_id, vec, cell, probe_rank) rows, nprobe per item. The map-side

@@ -829,4 +829,61 @@ object TextAnalysis {
         round(col("__minf").cast("double") / col("__N").cast("double"), 6)
           .as("min_prob"))
   }
+
+  /** Content-defined chunking — sub-document dedup grain: a chunk
+    * boundary falls AFTER position i wherever the hash of the last
+    * `window` characters lands on 0 mod `modulus` (expected chunk length
+    * ≈ modulus; the document end always closes the final chunk). Because
+    * boundaries depend only on LOCAL content, an insertion early in a
+    * document shifts every byte offset but re-synchronizes the chunk
+    * stream right after the edit — the property that lets chunk-grain
+    * dedup catch shared boilerplate exact dedup misses (the rsync/LBFS
+    * idea at corpus scale). Returns one row per chunk:
+    * (doc_id, chunk_idx ∈ 1.., start, chunk_len, chunk_hash).
+    *
+    * The boundary hash is the repo's md5 position draw over the WINDOWED
+    * substring — not a gear/Rabin ROLLING hash: same content-defined
+    * semantics, O(len·window) instead of O(len) per document, and — the
+    * reason it wins here — exactly replayable by any engine with md5 and
+    * substring, so the whole chunk stream is oracle-gateable. A
+    * production swap-in of a gear hash changes ONLY the boundary
+    * predicate; the row shape and everything downstream stay.
+    *
+    * Scale shape: one position explode (len rows per doc, map-side), the
+    * boundary filter, one per-DOC window (lag over ≤ len/modulus
+    * boundary rows — partitioned by doc, the q32 bound), one equi-join
+    * back to the text for the chunk hash. Empty/null texts yield zero
+    * chunks (the empty law). Characters, not bytes, in both engines.
+    */
+  def contentChunks(df: DataFrame, id: Column, text: Column,
+                    window: Int = 16, modulus: Int = 64): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    import org.apache.spark.sql.expressions.Window
+    val base = Dedup.spread(df)
+      .select(id.as("doc_id"), text.as("__t"),
+        length(text).cast("long").as("__len"))
+      .filter(col("__len") > 0L)
+      .localCheckpoint() // read by the boundary explode and the hash join
+    val bounds = base
+      .select(col("doc_id"), col("__len"),
+        explode(sequence(lit(window.toLong), col("__len"))).as("__i"))
+      .filter(Sampling.hashPos(lit("cdc"),
+        col("__t").substr((col("__i") - lit(window - 1)).cast("int"),
+          lit(window))) % modulus === 0L)
+      .select(col("doc_id"), col("__i"))
+      .unionByName(base.select(col("doc_id"), col("__len").as("__i")))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__i").asc)
+    bounds
+      .withColumn("chunk_idx", row_number().over(w).cast("long"))
+      .withColumn("start",
+        coalesce(lag(col("__i"), 1).over(w), lit(0L)) + 1L)
+      .withColumn("chunk_len", col("__i") - col("start") + 1L)
+      .join(base.select(col("doc_id"), col("__t")), Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        col("chunk_len"),
+        md5(col("__t").substr(col("start").cast("int"),
+          col("chunk_len").cast("int")).cast("binary")).as("chunk_hash"))
+  }
 }
