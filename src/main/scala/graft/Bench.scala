@@ -225,7 +225,8 @@ object Bench {
     "q239_silhouette",
     "q240_kmv_distinct",
     "q241_content_chunks",
-    "q242_chunk_dedup")
+    "q242_chunk_dedup",
+    "q243_kmv_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

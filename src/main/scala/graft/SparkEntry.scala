@@ -3358,6 +3358,30 @@ object SparkEntry {
           col("n_instances").cast("double"), 6).as("dup_ratio"))
   }
 
+  /** Sketch 2 (round-7): STREAMED KMV maintenance
+    * ([[graft.streaming.Streaming.kmvMaintain]]) — the part-key sketch
+    * folded batch-by-batch over three forced micro-batches; the merge
+    * law (commutative, associative, duplicate-insensitive) makes the
+    * landed sketch equal the batch one EXACTLY, so the gate is q240's
+    * oracle VERBATIM (q144's stream-equals-batch device for sketches).
+    * No mtime forcing needed: file order cannot matter, which is itself
+    * part of the law under test.
+    */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q243")
+    val src = stage.resolve("src").toString
+    t(s, dir, "lineitem").select(col("l_partkey"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    graft.streaming.Streaming.kmvMaintain(s, src, schema, "l_partkey",
+      k = 256, statePath = stage.resolve("state").toString,
+      checkpointDir = stage.resolve("ckpt").toString)
+    val out = graft.ops.Sketch.kmvEstimate(
+      graft.streaming.Streaming.latestKmvState(s,
+        stage.resolve("state").toString).localCheckpoint(), 256)
+    materializeDropping(s, out, stage)
+  }
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -4734,7 +4758,8 @@ object SparkEntry {
     "q239_silhouette" -> q239 _,
     "q240_kmv_distinct" -> q240 _,
     "q241_content_chunks" -> q241 _,
-    "q242_chunk_dedup" -> q242 _)
+    "q242_chunk_dedup" -> q242 _,
+    "q243_kmv_stream" -> q243 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -7179,6 +7204,21 @@ object SparkEntry {
     // q240: the KMV estimator replayed from the same md5 positions —
     // exact integers end-to-end, one rounded division at the readout
     "q240_kmv_distinct" -> s"""
+      WITH h AS (
+        SELECT DISTINCT ${hashPosSql("'kmv'", "CAST(l_partkey AS VARCHAR)")}
+          AS hv
+        FROM lineitem),
+      m AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
+      SELECT CAST(count(*) AS BIGINT) AS n_min,
+        CAST(max(hv) AS BIGINT) AS kth_pos,
+        CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+             WHEN max(hv) = 0 THEN NULL
+             ELSE round(255.0 * 4294967296.0 / max(hv), 4) END
+          AS est_distinct
+      FROM m""",
+    // q243: the streamed fold must land on the batch sketch exactly
+    // (merge law) - q240's oracle verbatim
+    "q243_kmv_stream" -> s"""
       WITH h AS (
         SELECT DISTINCT ${hashPosSql("'kmv'", "CAST(l_partkey AS VARCHAR)")}
           AS hv

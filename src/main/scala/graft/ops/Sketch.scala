@@ -44,16 +44,41 @@ object Sketch {
     * candidate minimum (the standard KMV pushdown) and turns the
     * distinct into a filter-then-distinct over a vanishing fraction.
     */
-  def kmvDistinct(df: DataFrame, value: Column, k: Int): DataFrame = {
+  def kmvDistinct(df: DataFrame, value: Column, k: Int): DataFrame =
+    kmvEstimate(kmvState(df, value, k), k)
+
+  /** The sketch STATE: the k smallest distinct positions, one `__h` row
+    * each — the mergeable object ([[kmvMergeStates]]) a streaming
+    * maintainer persists per batch. k rows max, kilobytes at any corpus
+    * size.
+    */
+  def kmvState(df: DataFrame, value: Column, k: Int): DataFrame = {
     require(k >= 2 && k <= (1 << 20), s"k must be in [2, 2^20], got $k")
-    val mins = df.select(Sampling.hashPos(lit("kmv"), value).as("__h"))
+    df.select(Sampling.hashPos(lit("kmv"), value).as("__h"))
       .distinct()
       .orderBy(col("__h").asc).limit(k)
-    mins.agg(count(lit(1)).as("n_min"), max(col("__h")).as("kth_pos"))
+  }
+
+  /** The KMV merge law: the sketch of A ∪ B is the k smallest of the
+    * two sketches' union — commutative, associative, and duplicate-
+    * insensitive (positions are a SET), which is why a stream can fold
+    * batches in any arrival order and land on the batch sketch EXACTLY
+    * (q243 gates that equality against q240's oracle verbatim).
+    */
+  def kmvMergeStates(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= (1 << 20), s"k must be in [2, 2^20], got $k")
+    a.select(col("__h")).unionByName(b.select(col("__h"))).distinct()
+      .orderBy(col("__h").asc).limit(k)
+  }
+
+  /** Fold a sketch state to the one-row readout (estimator contract in
+    * [[kmvDistinct]]).
+    */
+  def kmvEstimate(state: DataFrame, k: Int): DataFrame =
+    state.agg(count(lit(1)).as("n_min"), max(col("__h")).as("kth_pos"))
       .select(col("n_min"), col("kth_pos"),
         when(col("n_min") < k.toLong, col("n_min").cast("double"))
           .when(col("kth_pos") === 0L, lit(null).cast("double"))
           .otherwise(round(lit((k - 1).toDouble * 4294967296.0) /
             col("kth_pos").cast("double"), 4)).as("est_distinct"))
-  }
 }

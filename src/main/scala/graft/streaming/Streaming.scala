@@ -697,6 +697,83 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming KMV sketch maintenance — the mergeable-sketch day-2
+    * shape: each micro-batch's k-minimum positions fold into the
+    * persisted sketch via [[graft.ops.Sketch.kmvMergeStates]] (k rows in,
+    * k rows out — the state is KILOBYTES at any corpus size, and each
+    * batch costs one distinct over the batch, never a corpus recompute).
+    * Because the merge is commutative, associative and duplicate-
+    * insensitive (positions are a set), ANY partition of the stream into
+    * micro-batches lands on the batch sketch EXACTLY — q243 gates the
+    * streamed estimate against q240's batch oracle VERBATIM.
+    *
+    * State layout: `statePath/v{N}` holds the sketch AFTER batch N,
+    * computed from the latest `v{M}, M < N` — [[knnGraphMaintain]]'s
+    * versioned-overwrite protocol, so a redelivered batch rewrites only
+    * its own version from unmutated inputs and replay is idempotent.
+    */
+  def kmvMaintain(spark: SparkSession, sourceDir: String,
+                  schema: StructType, valueCol: String, k: Int,
+                  statePath: String, checkpointDir: String,
+                  maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__h",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val versions =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).toSeq
+              .map(_.getPath.getName)
+              .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+              .filter(_ < batchId)
+          else Seq.empty[Long]
+        val prior =
+          if (versions.isEmpty)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+          else s.read.schema(stateSchema).parquet(s"$statePath/v${versions.max}")
+        graft.ops.Sketch.kmvMergeStates(prior,
+            graft.ops.Sketch.kmvState(batch.toDF(),
+              org.apache.spark.sql.functions.col(valueCol), k), k)
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Latest landed sketch version under [[kmvMaintain]]'s state dir —
+    * or the EMPTY sketch when no batch ever landed (an AvailableNow run
+    * over an empty source fires zero batches; the empty sketch is the
+    * correct value of "the distincts seen so far", the empty law).
+    */
+  def latestKmvState(spark: SparkSession, statePath: String): DataFrame = {
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__h",
+        org.apache.spark.sql.types.LongType)))
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      else Seq.empty[Long]
+    if (versions.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    else spark.read.schema(stateSchema)
+      .parquet(s"$statePath/v${versions.max}")
+  }
+
   /** [[knnGraphMaintain]]'s graph schema, from the source schema: the
     * id type twice (node, nbr), the score, the rank. Declared rather than
     * inferred so rowless state dirs stay readable.

@@ -70,6 +70,18 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("kmv: the merge law — sketch(A ∪ B) = merge(sketch(A), sketch(B))") {
+    val a = spark.range(0, 3000).toDF("v")
+    val b = spark.range(2000, 6000).toDF("v") // overlapping ranges
+    val k = 64
+    val whole = Sketch.kmvEstimate(
+      Sketch.kmvState(a.union(b), $"v", k), k).collect().toSeq
+    val merged = Sketch.kmvEstimate(Sketch.kmvMergeStates(
+      Sketch.kmvState(a, $"v", k), Sketch.kmvState(b, $"v", k), k), k)
+      .collect().toSeq
+    assert(whole === merged)
+  }
+
   // ——— contentChunks ——————————————————————————————————————————————————
 
   private val lorem = ("the quick brown fox jumps over the lazy dog and " +
