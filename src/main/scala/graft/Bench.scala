@@ -226,7 +226,8 @@ object Bench {
     "q240_kmv_distinct",
     "q241_content_chunks",
     "q242_chunk_dedup",
-    "q243_kmv_stream")
+    "q243_kmv_stream",
+    "q244_chunk_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

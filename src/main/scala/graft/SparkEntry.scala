@@ -3382,6 +3382,20 @@ object SparkEntry {
     materializeDropping(s, out, stage)
   }
 
+  /** Dedup 12 (round-7): chunk-overlap near-dup pairs
+    * ([[graft.ops.Dedup.chunkOverlapPairs]]) — q241's CDC chunk stream
+    * turned into a document-similarity relation: pairs sharing >= 2
+    * distinct chunk contents, Jaccard over df-capped chunk sets. The
+    * boilerplate-assembly detector at a posting universe of len/64 per
+    * doc (vs len word-shingles); devices and their reasons inherit from
+    * containmentPairs (df-cap before pairing, aggregate-not-window,
+    * pinned shuffle-hash self-join).
+    */
+  private def q244(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.chunkOverlapPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      .orderBy("id_a", "id_b")
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -4759,7 +4773,8 @@ object SparkEntry {
     "q240_kmv_distinct" -> q240 _,
     "q241_content_chunks" -> q241 _,
     "q242_chunk_dedup" -> q242 _,
-    "q243_kmv_stream" -> q243 _)
+    "q243_kmv_stream" -> q243 _,
+    "q244_chunk_overlap" -> q244 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -7231,6 +7246,25 @@ object SparkEntry {
              ELSE round(255.0 * 4294967296.0 / max(hv), 4) END
           AS est_distinct
       FROM m""",
+    // q244: postings from the shared chunk CTE, df-capped, self-joined
+    // - integer counts, one rounded division
+    "q244_chunk_overlap" -> s"""$chunkCte,
+      post AS (SELECT DISTINCT doc_id, chash FROM cc),
+      keep AS (SELECT chash FROM post GROUP BY 1 HAVING count(*) <= 64),
+      inf AS (SELECT p.doc_id, p.chash FROM post p JOIN keep k
+        ON p.chash = k.chash),
+      sz AS (SELECT doc_id, count(*) AS n FROM inf GROUP BY 1),
+      pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM inf a JOIN inf b ON a.chash = b.chash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT pr.id_a, pr.id_b, CAST(pr.n_shared AS BIGINT) AS n_shared,
+        CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+        round(CAST(pr.n_shared AS DOUBLE) /
+          CAST(sa.n + sb.n - pr.n_shared AS DOUBLE), 6) AS jaccard
+      FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
+      JOIN sz sb ON pr.id_b = sb.doc_id
+      ORDER BY id_a, id_b""",
     // q241/q242: the chunk stream replayed boundary-for-boundary from
     // the shared CTE (same windowed md5 predicate, same lag arithmetic)
     "q241_content_chunks" -> s"""$chunkCte

@@ -715,4 +715,56 @@ object Dedup {
     if (minCosine == Double.NegativeInfinity) scored
     else scored.filter(col("cosine") >= minCosine)
   }
+
+  /** Chunk-overlap near-dup pairs — document similarity at the
+    * CONTENT-DEFINED chunk grain ([[graft.ops.TextAnalysis.contentChunks]]):
+    * two documents pair when they share ≥ `minShared` distinct chunk
+    * contents, scored by Jaccard over their chunk-hash sets. Where
+    * word-shingle Jaccard ([[jaccard]]-family) sees every n-gram, chunk
+    * overlap sees ~modulus-sized content blocks — the grain that catches
+    * documents ASSEMBLED from shared boilerplate (headers, license
+    * blocks, templated paragraphs) cheaply, because the posting universe
+    * is len/modulus per doc instead of len shingles.
+    *
+    * Same scale devices as [[containmentPairs]], same reasons: chunk
+    * hashes with document frequency > `maxDf` drop BEFORE pairing (a
+    * boilerplate chunk in a million docs would fan the self-join to
+    * 10¹² pairs; sizes are computed over the surviving sets so the
+    * measure is exact Jaccard of the df-capped sets), the df-cap is an
+    * aggregate + join (never a window over the hash), the posting
+    * self-join build side is config-pinned shuffle-hash. All integer
+    * counts; Jaccard is the one integer-fed division. Returns
+    * (id_a < id_b, n_shared, size_a, size_b, jaccard).
+    */
+  def chunkOverlapPairs(df: DataFrame, id: Column, text: Column,
+                        window: Int = 16, modulus: Int = 64,
+                        minShared: Long = 2, maxDf: Long = 64): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2 to ever pair, got $maxDf")
+    val postings = graft.ops.TextAnalysis
+      .contentChunks(df, id, text, window, modulus)
+      .select(col("doc_id").as("__id"), col("chunk_hash").as("__h"))
+      .dropDuplicates("__id", "__h")
+    val informative = graft.GraftConf.trackCache(postings.join(
+      postings.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("__h")),
+      "__h"))
+    val sizes = informative.groupBy(col("__id").as("id_a"))
+      .agg(count(lit(1)).as("size_a"))
+    val inter = informative.select(col("__id").as("id_a"), col("__h"))
+      .join(graft.GraftConf.hintPairJoin(
+        informative.select(col("__id").as("id_b"), col("__h"))), "__h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    inter.join(sizes, "id_a")
+      .join(sizes.select(col("id_a").as("id_b"), col("size_a").as("size_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("size_a"),
+        col("size_b"),
+        round(col("n_shared").cast("double") /
+          (col("size_a") + col("size_b") - col("n_shared")).cast("double"),
+          6).as("jaccard"))
+  }
 }

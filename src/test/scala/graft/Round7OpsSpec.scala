@@ -124,6 +124,19 @@ class Round7OpsSpec extends AnyFunSuite {
       s"only $shared of ${orig.size} chunks survived a prefix edit")
   }
 
+  test("chunkOverlapPairs: shared boilerplate pairs, disjoint text does not") {
+    // docs 1 and 2 share the long boilerplate block (several chunks);
+    // doc 3 is disjoint content of the same length — no pair
+    val boiler = lorem
+    val d1 = boiler + " UNIQUE TAIL ONE"
+    val d2 = "DIFFERENT HEAD >>> " + boiler
+    val d3 = boiler.reverse
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("id", "t")
+    val out = graft.ops.Dedup.chunkOverlapPairs(df, $"id", $"t")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L)))
+  }
+
   test("chunks: empty and null texts yield zero chunks (empty law)") {
     val df = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("id", "t")
     assert(TextAnalysis.contentChunks(df, $"id", $"t").count() === 0L)
