@@ -227,7 +227,9 @@ object Bench {
     "q241_content_chunks",
     "q242_chunk_dedup",
     "q243_kmv_stream",
-    "q244_chunk_overlap")
+    "q244_chunk_overlap",
+    "q245_regional_revenue",
+    "q246_epoch_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3396,6 +3396,51 @@ object SparkEntry {
         col("doc_id"), col("text"))
       .orderBy("id_a", "id_b")
 
+  /** OLAP 1 (round-7): the TPC-H Q5 shape — six-table regional-revenue
+    * join with the LOCAL-SUPPLY cycle (c_nationkey = s_nationkey closes
+    * a cycle between the customer and supplier arms, the classic
+    * join-graph stress the star queries q03/q04 don't have). Region and
+    * date predicates sit on the inputs so Catalyst pushes them to the
+    * scans; the lineitem⋈orders fact-fact edge is config-pinned
+    * shuffle-hash (q03's reasoning), every true dimension broadcasts.
+    * Revenue rides the q03 decimal idiom.
+    */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(GraftConf.hintPairJoin(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 6)
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** Sampling 12 (round-7): token-budget epoch plan
+    * ([[graft.ops.Sampling.epochPlan]], α=0.5, budget 500k tokens) — the
+    * mixture-planning readout: exact per-source token counts →
+    * temperature weights over TOKEN shares → largest-remainder token
+    * allocation → epochs (alloc/tokens: >1 repeats the boosted tail,
+    * <1 subsamples the damped head). Composition of gated parts (q38
+    * token counting, q105's damping, q168's integer allocation) whose
+    * oracle stitches their arithmetic into one chain.
+    */
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.epochPlan(t(s, dir, "documents"), col("source"),
+        col("text"), tokenBudget = 500000L)
+      .orderBy("source")
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -4774,7 +4819,9 @@ object SparkEntry {
     "q241_content_chunks" -> q241 _,
     "q242_chunk_dedup" -> q242 _,
     "q243_kmv_stream" -> q243 _,
-    "q244_chunk_overlap" -> q244 _)
+    "q244_chunk_overlap" -> q244 _,
+    "q245_regional_revenue" -> q245 _,
+    "q246_epoch_plan" -> q246 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -7947,6 +7994,46 @@ object SparkEntry {
       SELECT source, round(w, 6) AS weight, round(ideal, 6) AS ideal,
         CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc
       FROM r ORDER BY source""",
+    // q246: q168's largest-remainder chain over TOKEN-share temperature
+    // weights, with the epoch ratio readout
+    "q246_epoch_plan" -> """
+      WITH c AS (
+        SELECT source,
+          CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+            AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      s AS (
+        SELECT source, n_tokens,
+          CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+            AS share
+        FROM c),
+      m AS (SELECT source, n_tokens, share, sqrt(share) AS sm FROM s),
+      mw AS (
+        SELECT source, n_tokens, share, sm / max(sm) OVER () AS w FROM m),
+      sw AS (
+        SELECT CAST(sum(CAST(round(w, 9) AS DECIMAL(28,12))) AS DOUBLE)
+          AS sw
+        FROM mw),
+      b AS (
+        SELECT source, n_tokens, share, w, 500000.0 * w / sw AS ideal
+        FROM mw CROSS JOIN sw),
+      fr AS (
+        SELECT source, n_tokens, share, w, ideal,
+          CAST(floor(ideal) AS BIGINT) AS base,
+          ideal - floor(ideal) AS frac
+        FROM b),
+      r AS (
+        SELECT source, n_tokens, share, w, base,
+          row_number() OVER (ORDER BY frac DESC, source) AS rk,
+          (SELECT 500000 - sum(base) FROM fr) AS rem
+        FROM fr)
+      SELECT source, n_tokens, round(share, 6) AS share,
+        round(w, 6) AS mix_weight,
+        CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+          AS alloc_tokens,
+        round(CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS DOUBLE) /
+          CAST(n_tokens AS DOUBLE), 6) AS epochs
+      FROM r ORDER BY source""",
     // q148: q66's shingle CTE, scored as a per-doc coverage ratio
     "q148_coverage_score" -> """
       WITH toks AS (
@@ -8946,6 +9033,22 @@ object SparkEntry {
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q245_regional_revenue" -> """
+      SELECT n_name,
+        CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+        count(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+        AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY n_name""",
     "q04_left_join_enrich" -> """
       SELECT o_orderkey, o_totalprice,
         coalesce(c_name, 'Indefinido') AS cust_name,

@@ -447,6 +447,54 @@ object Sampling {
           .as("alloc"))
   }
 
+  /** Token-budget epoch plan — the mixture-planning readout a training
+    * run is configured FROM: per source, the exact token count and
+    * natural share, the α=0.5 temperature weight ([[temperatureMix]]'s
+    * damping over TOKEN shares rather than doc counts — a token budget
+    * is what a run actually spends), the largest-remainder token
+    * allocation ([[allocateBudget]] — Σ alloc ≡ budget exactly), and
+    * `epochs = alloc / tokens`: >1 means the source REPEATS under the
+    * mix (boosted tail), <1 it is subsampled (damped head). Returns
+    * (source, n_tokens, share, mix_weight, alloc_tokens, epochs).
+    *
+    * Determinism: token counts are exact integers; share and the
+    * epoch ratio are integer-fed IEEE divisions; √share is correctly
+    * rounded by IEEE mandate; the allocation is [[allocateBudget]]'s
+    * integer law. Scale shape: one map-side token count + source-grain
+    * folds with broadcast one-row totals — the corpus is read once.
+    */
+  def epochPlan(df: DataFrame, source: Column, text: Column,
+                tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 0L, s"tokenBudget must be >= 0, got $tokenBudget")
+    val perSource = df
+      .select(source.as("source"),
+        size(graft.functions.tokens(text)).cast("long").as("__nt"))
+      .groupBy(col("source")).agg(sum(col("__nt")).as("n_tokens"))
+      .localCheckpoint() // read by the total fold, the weights, the result
+    val tot = perSource.agg(sum(col("n_tokens")).as("__tot"))
+    val shared = perSource.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_tokens").cast("double") / col("__tot").cast("double"))
+      .withColumn("__sm", sqrt(col("share")))
+      .drop("__tot")
+      .localCheckpoint() // read by the max fold and the weight projection
+    val mx = shared.agg(max(col("__sm")).as("__mx"))
+    val weighted = shared.crossJoin(broadcast(mx))
+      .withColumn("mix_weight", col("__sm") / col("__mx"))
+      .drop("__sm", "__mx")
+    weighted
+      .join(allocateBudget(weighted, col("source"), col("mix_weight"),
+          tokenBudget)
+          .select(col("key").as("source"), col("alloc").as("alloc_tokens")),
+        Seq("source"))
+      .select(col("source"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("mix_weight"), 6).as("mix_weight"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("epochs"))
+  }
+
   /** Group-aware k-fold assignment: every row whose `group` matches lands
     * in the same fold, so k-fold cross-validation never leaks a group
     * (near-dup cluster, source domain, user) across a train/eval

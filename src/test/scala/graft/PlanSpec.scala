@@ -271,6 +271,15 @@ class PlanSpec extends AnyFunSuite {
       s"unpartitioned row-grain windows:\n${offenders.mkString("\n")}")
   }
 
+  test("q245 Q5 shape: dims broadcast, date predicate pushed, no cartesian") {
+    val p = plan("q245_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    val pf = p.indexOf("PushedFilters: [")
+    assert(pf >= 0 && p.indexOf("o_orderdate", pf) >= 0,
+      s"date predicate not pushed to the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct"), "local-supply cycle degenerated")
+  }
+
   test("q147 drift: histogram counts aggregate with map-side partials") {
     val p = plan("q147_histogram_drift")
     assert(p.contains("partial_sum") || p.contains("partial_count"),

@@ -82,6 +82,29 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(whole === merged)
   }
 
+  // ——— epochPlan ——————————————————————————————————————————————————————
+
+  test("epochPlan: allocation conserves the budget; damping boosts the tail") {
+    // head source: 10 docs × 8 tokens; tail source: 1 doc × 8 tokens —
+    // α=0.5 damping must allocate the tail MORE than its natural share
+    // (epochs > head's) while Σ alloc ≡ budget exactly
+    val docs = ((1 to 10).map(i => ("head", s"a b c d e f g h"))
+      :+ (("tail", "a b c d e f g h"))).toDF("src", "t")
+    val out = graft.ops.Sampling.epochPlan(docs, $"src", $"t",
+        tokenBudget = 1000L)
+      .orderBy("source")
+      .select("source", "n_tokens", "alloc_tokens", "epochs")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2) === Seq(80L, 8L))
+    assert(out.map(_._3).sum === 1000L) // the conservation law
+    val (headEp, tailEp) = (out(0)._4, out(1)._4)
+    assert(tailEp > headEp,
+      s"damping must boost the tail: head=$headEp tail=$tailEp")
+    // natural share would give tail 1000/11 ≈ 91 tokens (epochs ~11.4);
+    // sqrt damping gives it ~240 (epochs ~30) — check the boost is real
+    assert(tailEp > 2.0 * (1000.0 / 88) && headEp < 1000.0 / 88)
+  }
+
   // ——— contentChunks ——————————————————————————————————————————————————
 
   private val lorem = ("the quick brown fox jumps over the lazy dog and " +
