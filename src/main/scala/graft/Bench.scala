@@ -229,7 +229,9 @@ object Bench {
     "q243_kmv_stream",
     "q244_chunk_overlap",
     "q245_regional_revenue",
-    "q246_epoch_plan")
+    "q246_epoch_plan",
+    "q247_chunk_store_stream",
+    "q248_chunk_dup_groups")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

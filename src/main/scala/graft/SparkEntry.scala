@@ -3441,6 +3441,48 @@ object SparkEntry {
         col("text"), tokenBudget = 500000L)
       .orderBy("source")
 
+  /** Streaming 19 (round-7): chunk-store maintenance
+    * ([[graft.streaming.Streaming.chunkStoreMaintain]]) — the CDC chunk
+    * store folded over three forced micro-batches; set-union's
+    * commutativity/associativity/idempotence makes the landed store
+    * equal the batch chunk set EXACTLY, so the gate reads the store
+    * row-for-row against the chunk CTE (q243's merge-law device at the
+    * sub-document grain; no mtime forcing — order independence is part
+    * of the law). The day-2 economics for chunk dedup: novelty of a new
+    * batch is one anti-join against this store, never a corpus rechunk.
+    */
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q247")
+    val src = stage.resolve("src").toString
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    graft.streaming.Streaming.chunkStoreMaintain(s, src, schema,
+      "doc_id", "text", statePath = stage.resolve("state").toString,
+      checkpointDir = stage.resolve("ckpt").toString)
+    val out = graft.streaming.Streaming.latestChunkStore(s,
+        stage.resolve("state").toString).localCheckpoint()
+      .orderBy("chunk_hash")
+    materializeDropping(s, out, stage)
+  }
+
+  /** Dedup 13 (round-7): chunk-overlap dup GROUPS — q244's pair
+    * relation (jaccard ≥ 0.5, compared on the rounded value both
+    * engines share) resolved to connected components: the end-to-end
+    * sub-document dedup story (CDC chunks → overlap pairs → dup groups
+    * with min-id labels), q52's group device at the boilerplate grain.
+    * Pointer-jumping CC, O(log) rounds; the oracle walks the same pair
+    * graph with the recursive reach CTE.
+    */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Dedup.chunkOverlapPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      .filter(col("jaccard") >= 0.5)
+    graft.ops.Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component").as("dup_group"))
+      .orderBy("doc_id")
+  }
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -4821,7 +4863,9 @@ object SparkEntry {
     "q243_kmv_stream" -> q243 _,
     "q244_chunk_overlap" -> q244 _,
     "q245_regional_revenue" -> q245 _,
-    "q246_epoch_plan" -> q246 _)
+    "q246_epoch_plan" -> q246 _,
+    "q247_chunk_store_stream" -> q247 _,
+    "q248_chunk_dup_groups" -> q248 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -7312,6 +7356,38 @@ object SparkEntry {
       FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
       JOIN sz sb ON pr.id_b = sb.doc_id
       ORDER BY id_a, id_b""",
+    // q247: the landed store must BE the batch distinct chunk set -
+    // the set-union law, row-for-row
+    "q247_chunk_store_stream" -> s"""$chunkCte
+      SELECT DISTINCT chash AS chunk_hash FROM cc ORDER BY chunk_hash""",
+    // q248: q244's pair predicate (HAVING + rounded-jaccard threshold)
+    // then the recursive reach CTE - min-id components, q220's pattern
+    "q248_chunk_dup_groups" ->
+      s"""${chunkCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      post AS (SELECT DISTINCT doc_id, chash FROM cc),
+      keep AS (SELECT chash FROM post GROUP BY 1 HAVING count(*) <= 64),
+      inf AS (SELECT p.doc_id, p.chash FROM post p JOIN keep k
+        ON p.chash = k.chash),
+      sz AS (SELECT doc_id, count(*) AS n FROM inf GROUP BY 1),
+      pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+        FROM inf a JOIN inf b ON a.chash = b.chash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      pj AS (
+        SELECT pr.id_a, pr.id_b
+        FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
+        JOIN sz sb ON pr.id_b = sb.doc_id
+        WHERE round(CAST(pr.ns AS DOUBLE) /
+          CAST(sa.n + sb.n - pr.ns AS DOUBLE), 6) >= 0.5),
+      sym AS (
+        SELECT id_a AS s, id_b AS d FROM pj
+        UNION ALL SELECT id_b, id_a FROM pj),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s)
+      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS dup_group
+      FROM reach GROUP BY id ORDER BY doc_id""",
     // q241/q242: the chunk stream replayed boundary-for-boundary from
     // the shared CTE (same windowed md5 predicate, same lag arithmetic)
     "q241_content_chunks" -> s"""$chunkCte

@@ -774,6 +774,85 @@ object Streaming {
       .parquet(s"$statePath/v${versions.max}")
   }
 
+  /** Streaming chunk-store maintenance — sub-document dedup on INGEST:
+    * each micro-batch's documents chunk via
+    * [[graft.ops.TextAnalysis.contentChunks]] and their distinct chunk
+    * hashes union into the persisted store
+    * ([[knnGraphMaintain]]'s versioned-overwrite protocol, so replay is
+    * idempotent). Because set union is commutative, associative and
+    * duplicate-insensitive, ANY batch partition of the corpus lands on
+    * the batch chunk set EXACTLY — q247 gates the final store
+    * row-for-row against the batch oracle. Per batch the cost is
+    * chunking the BATCH plus one hash-keyed union-distinct against the
+    * store — the day-2 economics that lets chunk-grain dedup
+    * ([[graft.ops.Dedup.chunkOverlapPairs]]) run incrementally: a new
+    * document's novelty is one anti-join against this store, never a
+    * corpus rechunk.
+    */
+  def chunkStoreMaintain(spark: SparkSession, sourceDir: String,
+                         schema: StructType, idCol: String, textCol: String,
+                         statePath: String, checkpointDir: String,
+                         window: Int = 16, modulus: Int = 64,
+                         maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_hash",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val versions =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).toSeq
+              .map(_.getPath.getName)
+              .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+              .filter(_ < batchId)
+          else Seq.empty[Long]
+        val prior =
+          if (versions.isEmpty)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+          else s.read.schema(stateSchema)
+            .parquet(s"$statePath/v${versions.max}")
+        val batchChunks = graft.ops.TextAnalysis.contentChunks(
+            batch.toDF(), org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col(textCol), window, modulus)
+          .select(org.apache.spark.sql.functions.col("chunk_hash"))
+        prior.unionByName(batchChunks).distinct()
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Latest landed chunk store under [[chunkStoreMaintain]]'s state dir
+    * (the empty store when no batch landed — the empty law).
+    */
+  def latestChunkStore(spark: SparkSession, statePath: String): DataFrame = {
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_hash",
+        org.apache.spark.sql.types.StringType)))
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      else Seq.empty[Long]
+    if (versions.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    else spark.read.schema(stateSchema)
+      .parquet(s"$statePath/v${versions.max}")
+  }
+
   /** [[knnGraphMaintain]]'s graph schema, from the source schema: the
     * id type twice (node, nbr), the score, the rank. Declared rather than
     * inferred so rowless state dirs stay readable.
