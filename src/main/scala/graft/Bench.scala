@@ -231,7 +231,19 @@ object Bench {
     "q245_regional_revenue",
     "q246_epoch_plan",
     "q247_chunk_store_stream",
-    "q248_chunk_dup_groups")
+    "q248_chunk_dup_groups",
+    "q249_cms_build",
+    "q250_cms_estimate",
+    "q251_cms_stream",
+    "q252_linear_probe",
+    "q253_probe_eval",
+    "q254_semantic_dedup",
+    "q255_importance_weights",
+    "q256_uniform_sample",
+    "q257_sample_stream",
+    "q258_small_qty_revenue",
+    "q259_cms_heavy_hitters",
+    "q260_probe_score_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

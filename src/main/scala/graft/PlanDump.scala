@@ -194,7 +194,27 @@ object PlanDump {
         "hashpartitioning(src) visible to the planner, no per-hop edge " +
         "exchange); only the frontier and the visited anti-join " +
         "shuffle. 10× data → ~9× total shuffle bytes (BASELINE.md), " +
-        "where the un-co-located r6 plan paid 34×."))
+        "where the un-co-located r6 plan paid 34×."),
+    "q249_cms_build" ->
+      ("The groupBy key space is <= depth*width = 256 cells, so " +
+        "partial_count collapses every partition to <= 256 rows before " +
+        "the one exchange — the shuffle is CONSTANT in corpus size " +
+        "(the whole point vs. an exact groupBy on a billion-key " +
+        "column). The 4-wide coord explode is a map-side Generate " +
+        "inside WholeStageCodegen."),
+    "q255_importance_weights" ->
+      ("One vocab-grain aggregation carries BOTH counts (the target " +
+        "count is a conditional partial_sum in the same pass — no " +
+        "second shuffle); the token->frequency join is co-partitioned " +
+        "on the token; the one-row totals frame broadcasts; the top-50 " +
+        "is TakeOrdered, never a global sort."),
+    "q259_cms_heavy_hitters" ->
+      ("The two-pass pattern's plan: pass 1 is q249's constant-shuffle " +
+        "sketch; pass 2's exact groupBy is fed through a BROADCAST " +
+        "left-semi join on the candidate keys, so the corpus-grain " +
+        "count aggregation shuffles only the candidate subset's " +
+        "partials — sketch prefilter at the scan, exactness on a " +
+        "vanishing fraction."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

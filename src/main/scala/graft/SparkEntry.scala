@@ -3217,11 +3217,18 @@ object SparkEntry {
     * cells + probes lose no ε-pair and invent none — recall 1.0 measured
     * end-to-end, with per-node ε-degrees making any pair drift visible.
     */
-  private def q237(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+  /** The clustered-embedding construction q237 and q254 share (one
+    * definition so the two cell-device gates cannot drift): C =
+    * clamp(n/200, [10, 128]) synthetic clusters, each vector pulled
+    * toward its cluster's signed axis with a 0.35 noise mix of the
+    * original embedding — clustered enough that capped multi-probe
+    * cells recover the true clusters exactly (the equality both gates
+    * pin). Returns (vec_id, __cl, cvec).
+    */
+  private def clusteredVecs(e: DataFrame): DataFrame = {
     val cFrame = e.agg(expr("greatest(10L, least(128L, count(1) DIV 200))")
       .as("__C"))
-    val cl = e.crossJoin(broadcast(cFrame))
+    e.crossJoin(broadcast(cFrame))
       .withColumn("__cl", expr("vec_id % __C"))
       .select(col("vec_id"), col("__cl"), expr(
         "transform(sequence(0, 63), i -> " +
@@ -3230,6 +3237,11 @@ object SparkEntry {
           "ELSE 0.0D END) " +
           "+ 0.35D * CAST(element_at(embedding, i + 1) AS DOUBLE))")
         .as("cvec"))
+  }
+
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cl = clusteredVecs(e)
     val seeds = Similarity.minIdSeeds(cl, col("vec_id"), col("cvec"),
       col("__cl"))
     Similarity.dbscanCells(cl, col("vec_id"), col("cvec"),
@@ -3482,6 +3494,456 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("component").as("dup_group"))
       .orderBy("doc_id")
   }
+
+  /** Sketch 3 (round-7): Count-Min frequency sketch
+    * ([[graft.ops.Sketch.cmsState]], depth 4, width 64) over lineitem's
+    * part keys — the frequency complement of q240's KMV: "how often does
+    * this key occur" in depth·width exact counters, no full-cardinality
+    * groupBy. Engine-portable because each hash row is the repo's md5
+    * position draw (salted `cms0..cms3`) mod width, so the oracle
+    * rebuilds every cell bit-for-bit. Scale shape: the groupBy key space
+    * is ≤ 256 cells, so map-side combine bounds the shuffle at 256 rows
+    * per partition at ANY corpus size.
+    */
+  private def q249(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.cmsState(t(s, dir, "lineitem"), col("l_partkey"),
+        depth = 4, width = 64)
+      .orderBy("r", "c")
+
+  /** Sketch 4 (round-7): CMS point estimates vs exact truth
+    * ([[graft.ops.Sketch.cmsEstimate]]) — a supplier-key sketch probed
+    * with every supplier, joined to the exact per-key counts: the
+    * one-sided error contract (est ≥ exact always; excess ≤ collisions)
+    * made visible per key, which is the calibration readout that says
+    * whether depth/width fit the corpus. The probe explodes the keys
+    * frame 4-wide and hash-joins the ≤ 256-row broadcast state — the
+    * corpus is touched only by the sketch build, never at query time.
+    */
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    val state = graft.ops.Sketch.cmsState(t(s, dir, "lineitem"),
+      col("l_suppkey"), depth = 4, width = 64)
+    val est = graft.ops.Sketch.cmsEstimate(t(s, dir, "supplier"),
+      col("s_suppkey"), state, depth = 4, width = 64)
+    val exact = t(s, dir, "lineitem").groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("key"), "left")
+      .select(col("key"), col("est_count"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        (col("est_count") - coalesce(col("exact_count"), lit(0L)))
+          .as("overcount"))
+      .orderBy("key")
+  }
+
+  /** Sketch 5 (round-7): STREAMED Count-Min maintenance
+    * ([[graft.streaming.Streaming.cmsMaintain]]) — the part-key sketch
+    * folded cell-wise over three forced micro-batches; vector addition
+    * commutes, so the landed sketch equals the batch one EXACTLY and the
+    * gate is q249's oracle VERBATIM (q243's stream-equals-batch device
+    * for counters). Unlike KMV the fold is not duplicate-insensitive —
+    * idempotent replay rides the versioned-overwrite protocol instead,
+    * which is the property this gate exercises end-to-end.
+    */
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q251")
+    val src = stage.resolve("src").toString
+    t(s, dir, "lineitem").select(col("l_partkey"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    graft.streaming.Streaming.cmsMaintain(s, src, schema, "l_partkey",
+      depth = 4, width = 64, statePath = stage.resolve("state").toString,
+      checkpointDir = stage.resolve("ckpt").toString)
+    val out = graft.streaming.Streaming.latestCmsState(s,
+        stage.resolve("state").toString).localCheckpoint()
+      .orderBy("r", "c")
+    materializeDropping(s, out, stage)
+  }
+
+  /** The q252/q253 probe configuration — label: lang = 'en'; features:
+    * bias, n_chars, whitespace count (integer-valued string ops only, no
+    * regex dialects); 3 GD iterations at rate 1e-5. One definition so
+    * the weights gate and the fit-readout gate train the SAME model.
+    */
+  private val probeFeatures: Seq[(String, Column)] = Seq(
+    "bias" -> lit(1.0d),
+    "chars" -> col("n_chars"),
+    "spaces" -> (length(col("text")) -
+      length(regexp_replace(col("text"), lit(" "), lit("")))))
+  // when/otherwise, not a bare boolean cast: a NULL lang must land in
+  // the ELSE branch exactly like the oracle's CASE WHEN
+  private val probeLabel: Column =
+    when(col("lang") === lit("en"), lit(1.0d)).otherwise(lit(0.0d))
+
+  /** Train 1 (round-7): in-engine linear-probe training
+    * ([[graft.ops.Train.linearProbe]]) — a quality-classifier fit (label:
+    * lang = 'en'; features: bias, n_chars, whitespace count) by three
+    * full-batch gradient-descent rounds entirely inside the engine. The
+    * link is the ELLIOTT sigmoid ½(1+z/(1+|z|)) — rational arithmetic
+    * only, because exp/log are banned from gate paths (q106's libm
+    * measurement); gradient sums ride the decimal(28,18) order-free
+    * device and every update rounds with the DuckDB-exact readout, so the
+    * unrolled 3-iteration oracle lands on the SAME weight bits. Per
+    * round: one codegen'd map-side pass, a one-row aggregate — the
+    * iterative-driver scalar pattern at any corpus size.
+    */
+  private def q252(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Train.linearProbe(t(s, dir, "documents"), probeLabel,
+      probeFeatures, iters = 3, rate = 1e-5)
+
+  /** Train 2 (round-7): the fitted probe's training-fit readout
+    * ([[graft.ops.Train.linearProbeEval]]) — n, correct@½, accuracy and
+    * mean |residual| of q252's exact weights, scored by the SAME
+    * z/σ expression tree the trainer used (train/serve drift is
+    * structurally impossible). The oracle re-trains through the shared
+    * unrolled chain and scores identically.
+    */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = graft.ops.Train.linearProbeWeights(docs, probeLabel,
+      probeFeatures, iters = 3, rate = 1e-5)
+    graft.ops.Train.linearProbeEval(docs, probeLabel, probeFeatures, w)
+  }
+
+  /** Dedup 14 (round-7): SemDeDup semantic dedup keep-list
+    * ([[Similarity.semanticDedup]]) — q237's clustered corpus resolved
+    * to embedding-space dup GROUPS: capped multi-probe cells bound the
+    * candidate volume (linear in n), cosine ≥ 0.55 pairs → connected
+    * components → keep the min-id representative per group. The
+    * Abbas-et-al. recipe as a first-class keep-list (q248's chunk-grain
+    * story at the EMBEDDING grain); oracle = pairs within the TRUE
+    * clusters + recursive reach, the q237 equality argument (cross-cell
+    * candidates must die on the threshold for the hash to match).
+    */
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    val cl = clusteredVecs(t(s, dir, "embeddings"))
+    val seeds = Similarity.minIdSeeds(cl, col("vec_id"), col("cvec"),
+      col("__cl"))
+    Similarity.semanticDedup(cl, col("vec_id"), col("cvec"),
+        seeds, col("cell"), col("cvec"), minCosine = 0.55, nprobe = 2)
+      .orderBy("id")
+  }
+
+  /** Text 20 (round-7): DSIR-style importance weights
+    * ([[TextAnalysis.importanceWeights]], target = lang 'en') — the
+    * data-selection readout: per doc, the mean smoothed unigram-
+    * probability RATIO target-vs-corpus (rational form; log is banned
+    * from gate paths), top 50 by importance. One vocab-grain pass
+    * carries both counts; the token join is co-partitioned —
+    * unigramLmScore's plan with a second payload column.
+    */
+  private def q255(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.importanceWeights(t(s, dir, "documents"), col("doc_id"),
+        col("text"), col("lang") === lit("en"))
+      .orderBy(col("importance").desc, col("doc_id").asc)
+      .limit(50)
+
+  /** Sampling 13 (round-7): deterministic bounded uniform sample WITH
+    * payload ([[graft.ops.Sampling.uniformTopKSample]], k = 64) — the
+    * reservoir-sample answer without sequential-order dependence: the
+    * 64 smallest salted md5 positions, ties by id. Nesting (k′ < k is a
+    * prefix) and mergeable (KMV's law with payload rows) — q257 streams
+    * the same sample. One TakeOrdered, never a global sort.
+    */
+  private def q256(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.uniformTopKSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("source")),
+        col("doc_id"), k = 64)
+      .orderBy("__pos", "doc_id")
+
+  /** Streaming 20 (round-7): STREAMED bounded-sample maintenance
+    * ([[graft.streaming.Streaming.sampleMaintain]]) — the payload
+    * reservoir folded union-then-top-k over three forced micro-batches;
+    * the merge law lands on the batch sample EXACTLY, so the gate is
+    * q256's oracle VERBATIM (q243's device with payload rows). State is
+    * k rows forever — the day-2 economics of "keep a representative
+    * corpus sample as data streams in".
+    */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q257")
+    val src = stage.resolve("src").toString
+    t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    graft.streaming.Streaming.sampleMaintain(s, src, schema, "doc_id",
+      k = 64, statePath = stage.resolve("state").toString,
+      checkpointDir = stage.resolve("ckpt").toString)
+    val out = graft.streaming.Streaming.latestSample(s,
+        stage.resolve("state").toString, schema).localCheckpoint()
+      .orderBy("__pos", "doc_id")
+    materializeDropping(s, out, stage)
+  }
+
+  /** Train 3 / Streaming 21 (round-7): STREAMED probe scoring
+    * ([[graft.ops.Train.linearProbeScore]] over a file stream) — the
+    * production serving shape: the probe is FIT offline (q252's exact
+    * weights, trained batch-side here), then scores documents AS THEY
+    * ARRIVE as a stateless map over the stream — so stream output equals
+    * batch output row-for-row across any micro-batch seam, which is the
+    * gate (the q243 device for a stateless operator: order independence
+    * is trivial, exactly-once lands on the file sink's commit log).
+    */
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q260")
+    val src = stage.resolve("src").toString
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val w = graft.ops.Train.linearProbeWeights(docs, probeLabel,
+      probeFeatures, iters = 3, rate = 1e-5)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val scored = graft.ops.Train.linearProbeScore(stream, probeFeatures, w)
+      .select(col("doc_id"), col("score"), col("predicted"))
+    val land = stage.resolve("land").toString
+    val q = scored.writeStream.format("parquet")
+      .option("path", land)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.read.parquet(land).localCheckpoint().orderBy("doc_id")
+    materializeDropping(s, out, stage)
+  }
+
+  /** Sketch 6 (round-7): CMS-prefiltered heavy hitters — the production
+    * two-pass at 100 TB: pass 1 builds the 256-cell sketch; candidates
+    * are keys whose estimate clears the N/64 frequency bar (est·64 ≥ N,
+    * integer arithmetic — no division); pass 2 exact-counts ONLY the
+    * candidate keys (broadcast semi-join at the scan, so the groupBy
+    * shuffles a vanishing key subset). CMS's one-sided error is the
+    * correctness of the pattern: estimates never under-count, so NO true
+    * heavy hitter can be missed — collisions only add false candidates,
+    * and the exact pass kills those (is_true marks the survivors).
+    */
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"))
+    val state = graft.ops.Sketch.cmsState(li, col("l_suppkey"),
+      depth = 4, width = 64)
+    val est = graft.ops.Sketch.cmsEstimate(
+      t(s, dir, "supplier").select(col("s_suppkey")), col("s_suppkey"),
+      state, depth = 4, width = 64)
+    val tot = li.agg(count(lit(1)).as("__N"))
+    val cand = est.crossJoin(broadcast(tot))
+      .filter(col("est_count") * lit(64L) >= col("__N"))
+    val exact = li
+      .join(broadcast(cand.select(col("key"))),
+        col("l_suppkey") === col("key"), "left_semi")
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("exact_count"))
+    cand.join(exact, Seq("key"), "left")
+      .select(col("key"), col("est_count"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        (coalesce(col("exact_count"), lit(0L)) * lit(64L) >= col("__N"))
+          .cast("int").as("is_true"))
+      .orderBy("key")
+  }
+
+  /** OLAP 2 (round-7): the TPC-H Q17 small-quantity-order shape —
+    * a correlated scalar subquery ("quantity below 20% of THIS part's
+    * average") DECORRELATED Spark-first: one per-part threshold
+    * aggregation over the brand-filtered lineitems, joined back, then
+    * the revenue fold. The filtered part dim broadcasts; the threshold
+    * join is part-key equi (no window, no correlated re-scan per row —
+    * the thing the naive translation gets wrong at scale). Decimal-
+    * exact sums; the 0.2·avg threshold is one IEEE tree on
+    * decimal-exact inputs, compared identically in both engines.
+    */
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_brand") === lit("Brand#4"))
+      .select(col("p_partkey"))
+    val lp = t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .localCheckpoint() // feeds the threshold agg AND the revenue filter
+    val th = lp.groupBy(col("l_partkey").as("__pk"))
+      .agg((lit(0.2d) * (sum(col("l_quantity").cast("decimal(18,4)"))
+        .cast("double") / count(lit(1)).cast("double"))).as("__th"))
+    lp.join(th, col("l_partkey") === col("__pk"))
+      .filter(col("l_quantity") < col("__th"))
+      .agg(count(lit(1)).as("n_small"),
+        rdz(dsum(col("l_extendedprice"), 4) / lit(7.0d), 2)
+          .as("avg_yearly"))
+  }
+
+  /** Sketch 5 (round-7): KMV set algebra
+    * ([[graft.ops.Sketch.kmvOverlap]], k = 256) — Jaccard / union /
+    * intersection estimates between the part-key vocabularies of two
+    * ship-date halves of lineitem, read entirely from two k-row
+    * sketches. The two-corpus question ("how much does this period's
+    * catalog overlap last period's?") costs one independent
+    * distinct+top-k per side — the corpora are NEVER co-shuffled; the
+    * overlap read is O(k) broadcast joins. The estimator is the classic
+    * n_both/|U| over the union sketch (kth(U) ≤ both sides' kth minima,
+    * so both-membership is exact for every position the readout sees);
+    * the oracle replays the same min-k sets from the same md5 draw.
+    */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.filter(col("l_shipdate") < to_timestamp(lit("1995-06-01")))
+    val b = li.filter(col("l_shipdate") >= to_timestamp(lit("1995-06-01")))
+    graft.ops.Sketch.kmvOverlap(a, col("l_partkey"), b, col("l_partkey"),
+      k = 256)
+  }
+
+  /** Multimodal 9 (round-7): perceptual dHash over the grid-decode
+    * stage ([[Multimodal.decodeGrid]] → [[Multimodal.withDhash]]) — the
+    * 64-bit gradient-sign hash every image-dedup pass starts from,
+    * assembled expression-only from the 9×8 luminance grid (the codec
+    * boundary is the only non-codegen step; the bit/band/readout
+    * arithmetic is exact integers both engines replay). The fake grid
+    * codec derives cells from md5(payload ‖ "|g" ‖ i) so the oracle
+    * rebuilds every luminance, every comparison bit, and the final
+    * BIGINT hash verbatim; [[Multimodal.ImageIoGridCodec]] is the
+    * production swap-in, spec-gated on real PNG pixels.
+    */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      .withColumn("modality", lit("image"))
+    val assets = Multimodal.fromText(docs, "doc_id", "text", "source")
+    Multimodal.withDhash(Multimodal.decodeGrid(assets))
+      .select(col("asset_id"), col("dhash"))
+      .orderBy("asset_id")
+  }
+
+  /** Multimodal 10 (round-7): Hamming near-duplicate pairs
+    * ([[Multimodal.hammingNearDupPairs]]) — the multimodal dedup leg:
+    * every 17th asset gets a PLANTED variant (one grid cell bumped — a
+    * small local edit, ≤ 2 dHash bits) and the pigeonhole band join
+    * must recover exactly the base↔variant pairs. Bands are 4×16 bits
+    * (row bands joined pairwise), licensing maxDist ≤ 3 while keeping
+    * candidate volume ~n²/2¹⁶ per band — the LSH-shaped equi-join that
+    * replaces the all-pairs scan at corpus scale; unrelated images sit
+    * near Hamming 32 and never survive. The oracle replays grids,
+    * perturbation, bands, the band join, and the XOR popcount distance.
+    */
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      .withColumn("modality", lit("image"))
+    val base = Multimodal.decodeGrid(
+      Multimodal.fromText(docs, "doc_id", "text", "source"))
+    // compute the perturb index BEFORE re-aliasing asset_id: a lateral
+    // column alias wins name resolution inside the transform lambda, so
+    // an inline pmod(asset_id, 72) would read the VARIANT id, not the base
+    val variants = base.filter(pmod(col("asset_id"), lit(17)) === 0)
+      .withColumn("__pix", pmod(col("asset_id"), lit(72)).cast("int"))
+      .select((col("asset_id") + lit(10000000L)).as("asset_id"),
+        transform(col("grid"), (v, i) =>
+          when(i === col("__pix"),
+            pmod(v + lit(7), lit(256))).otherwise(v)).as("grid"))
+    val hashed = Multimodal.withDhash(base.unionByName(variants))
+      .withColumn("b16", array((0 until 4).map(j =>
+        element_at(col("bands"), 2 * j + 1) +
+          element_at(col("bands"), 2 * j + 2) * lit(256)): _*))
+    Multimodal.hammingNearDupPairs(hashed, col("asset_id"), col("b16"),
+        maxDist = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Eval 9 (round-7): one-pass Poisson-bootstrap AUC spread
+    * ([[graft.ops.Eval.bootstrapAuc]], 16 replicates) — the error bar
+    * on a corpus-scale metric WITHOUT B re-runs: each replicate is
+    * carried as per-row integer Poisson(1) weights (salted per rep), so
+    * 16 resampled AUCs cost one map-side fan-out + one (rep, score)
+    * aggregation + the banded prefix sum partitioned by rep. Exact
+    * weighted tied ranks; the oracle replays every weight from the
+    * injected inverse-CDF thresholds and every rank from windows.
+    */
+  private def q264(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.bootstrapAuc(t(s, dir, "documents"), col("doc_id"),
+        pmod(col("n_chars"), lit(97)).cast("int"), col("lang") === "en",
+        reps = 16, maxCopies = 8)
+      .orderBy("rep")
+
+  /** Eval 10 (round-7): the bootstrap CI readout
+    * ([[graft.ops.Eval.bootstrapAucSummary]]) — q264's 16 replicate
+    * AUCs folded to (n_reps, mean, lo, hi): the number a model-quality
+    * gate actually thresholds on. Decimal mean over rounded per-rep
+    * values; min/max envelope.
+    */
+  private def q265(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.bootstrapAucSummary(
+      graft.ops.Eval.bootstrapAuc(t(s, dir, "documents"), col("doc_id"),
+        pmod(col("n_chars"), lit(97)).cast("int"), col("lang") === "en",
+        reps = 16, maxCopies = 8))
+
+  /** Text 21 (round-7): in-engine BPE tokenizer TRAINING
+    * ([[graft.ops.Bpe.bpeMerges]], 6 merges) — vocabulary induction
+    * over the documents word-count table (the Zipf-small sufficient
+    * statistic; the corpus-scale pass is only the initial word count).
+    * The spaced-string representation makes greedy merge application a
+    * literal `replace` both engines execute identically, so the oracle
+    * UNROLLS all six train iterations relationally (list_zip adjacent
+    * pairs → deterministic argmax with lexicographic tie-break →
+    * replace) and must land on the same merge table bit-for-bit —
+    * [[graft.ops.Train]]'s unrolled-GD device, applied to a tokenizer.
+    */
+  private def q266(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.bpeMerges(
+        graft.ops.Bpe.wordCounts(t(s, dir, "documents"), col("text")),
+        col("word"), col("cnt"), iters = 6)
+      .orderBy("ord")
+
+  /** Text 22 (round-7): BPE ENCODE with a pinned merge table
+    * ([[graft.ops.Bpe.encodeSpaced]]) — the serving leg: a fixed
+    * tokenizer artifact applied corpus-wide as one codegen'd map-side
+    * replace chain, zero shuffles before the per-doc fold. Gates
+    * (n_words, n_chars, n_tokens) per doc; compression = chars vs
+    * tokens is the readout a tokenizer eval tracks.
+    */
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+    words
+      .withColumn("__nt",
+        size(graft.ops.Bpe.encodeSpaced(col("word"), pinnedBpeMerges)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(col("__nt").cast("long")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The pinned q267 tokenizer artifact: a fixed English-ish merge
+    * list — production tokenizers ship as static files; both engines
+    * receive these literals.
+    */
+  private val pinnedBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t", "s" -> "t")
+
+  /** Text 23 (round-7): Luhn-validated card scan
+    * ([[TextAnalysis.luhnCardScan]]) — the checksum-gated PII detector:
+    * 16-digit candidates synthesized from order keys (the corpus has no
+    * long digit runs), split into Luhn-valid vs -invalid with the pure
+    * integer double-and-fold arithmetic both engines replay. The fold
+    * keys on validity and pins the extreme runs of each class.
+    */
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    val txt = t(s, dir, "orders").select(col("o_orderkey"),
+      concat(lit("order card 45320151"),
+        lpad(pmod(col("o_orderkey"), lit(100000000L)).cast("string"),
+          8, "0"),
+        lit(" ref 1234")).as("text"))
+    TextAnalysis.luhnCardScan(txt, col("o_orderkey"), col("text"))
+      .groupBy(col("luhn_ok"))
+      .agg(count(lit(1)).as("n"), min(col("run")).as("first_run"),
+        max(col("run")).as("last_run"))
+      .orderBy("luhn_ok")
+  }
+
+  /** Text 24 (round-7): Flesch readability
+    * ([[TextAnalysis.readability]]) — the libm-free reading-ease score
+    * per document: integer word / sentence / vowel-group counts into
+    * two IEEE divisions, rounded at 4; the quality-scoring family's
+    * readability leg.
+    */
+  private def q269(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(t(s, dir, "documents"), col("doc_id"),
+        col("text"))
+      .orderBy("doc_id")
 
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
@@ -4865,7 +5327,28 @@ object SparkEntry {
     "q245_regional_revenue" -> q245 _,
     "q246_epoch_plan" -> q246 _,
     "q247_chunk_store_stream" -> q247 _,
-    "q248_chunk_dup_groups" -> q248 _)
+    "q248_chunk_dup_groups" -> q248 _,
+    "q249_cms_build" -> q249 _,
+    "q250_cms_estimate" -> q250 _,
+    "q251_cms_stream" -> q251 _,
+    "q252_linear_probe" -> q252 _,
+    "q253_probe_eval" -> q253 _,
+    "q254_semantic_dedup" -> q254 _,
+    "q255_importance_weights" -> q255 _,
+    "q256_uniform_sample" -> q256 _,
+    "q257_sample_stream" -> q257 _,
+    "q258_small_qty_revenue" -> q258 _,
+    "q259_cms_heavy_hitters" -> q259 _,
+    "q260_probe_score_stream" -> q260 _,
+    "q261_kmv_jaccard" -> q261 _,
+    "q262_image_dhash" -> q262 _,
+    "q263_image_neardup" -> q263 _,
+    "q264_bootstrap_auc" -> q264 _,
+    "q265_bootstrap_auc_ci" -> q265 _,
+    "q266_bpe_merges" -> q266 _,
+    "q267_bpe_encode" -> q267 _,
+    "q268_pii_luhn" -> q268 _,
+    "q269_readability" -> q269 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -5431,6 +5914,118 @@ object SparkEntry {
           CAST(count(*) AS DOUBLE), 6) AS pos_rate
       FROM binned GROUP BY bin ORDER BY bin"""
 
+  /** q264/q265's oracle: replicate weights from the SAME injected
+    * Poisson inverse-CDF thresholds the engine compares against, then
+    * the weighted tied-rank AUC per replicate via window sums (oracle-
+    * side single partition is fine; the ENGINE rides the banded prefix
+    * device). The summary form folds the replicate frame to
+    * (n_reps, mean, lo, hi) with the identical decimal-mean arithmetic.
+    */
+  private def bootstrapAucOracle(withSummary: Boolean): String = {
+    val cases = graft.ops.Sampling.poissonBounds(8)
+      .map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    val perRep = s"""
+      WITH reps AS (SELECT CAST(t.i AS INT) AS rep FROM range(16) t(i)),
+      b AS (
+        SELECT r.rep, CAST(d.n_chars % 97 AS INT) AS s,
+          (d.lang = 'en') AS p,
+          ${hashPosSql("'boot' || CAST(r.rep AS VARCHAR)",
+            "CAST(d.doc_id AS VARCHAR)")} AS h
+        FROM documents d CROSS JOIN reps r),
+      w AS (SELECT rep, s, p, ($cases) AS w FROM b),
+      per AS (
+        SELECT rep, s, CAST(sum(w) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN p THEN w ELSE 0 END) AS BIGINT) AS np
+        FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+      cum AS (
+        SELECT rep, n, np,
+          sum(n) OVER (PARTITION BY rep ORDER BY s) - n AS below
+        FROM per),
+      ag AS (
+        SELECT rep, CAST(sum(np) AS BIGINT) AS n_pos,
+          CAST(sum(n - np) AS BIGINT) AS n_neg,
+          sum(CAST(np AS DECIMAL(38,0)) *
+            (CAST(2 * below + n + 1 AS DECIMAL(38,1)) / 2)) AS sr
+        FROM cum GROUP BY 1),
+      rr AS (
+        SELECT rep, n_pos, n_neg,
+          CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE round((CAST(sr AS DOUBLE) -
+              CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0) /
+              CAST(n_pos * n_neg AS DOUBLE), 6) END AS auc
+        FROM ag)"""
+    if (!withSummary) s"$perRep SELECT rep, n_pos, n_neg, auc FROM rr ORDER BY rep"
+    else s"""$perRep,
+      nn AS (SELECT rep, auc FROM rr WHERE auc IS NOT NULL)
+      SELECT CAST(count(*) AS BIGINT) AS n_reps,
+        round(CAST(sum(CAST(auc AS DECIMAL(28,12))) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS mean_auc,
+        min(auc) AS lo_auc, max(auc) AS hi_auc
+      FROM nn"""
+  }
+
+  /** q266's oracle: the WHOLE 6-iteration BPE trainer unrolled as CTE
+    * blocks — per round: list_zip adjacent pairs over the spaced vocab,
+    * integer-weighted counts, deterministic argmax (count desc, left,
+    * right), then the literal spaced replace whose left-to-right
+    * non-overlapping scan IS greedy merge application. Lands on the
+    * identical merge table or the hash gate fails.
+    */
+  private def bpeMergesOracle(iters: Int): String = {
+    val w0 = raw"""w0 AS (
+        SELECT '  ' || trim(regexp_replace(word, '(.)', ' \1 ', 'g'))
+          || '  ' AS w, cnt AS n
+        FROM (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+              AS word
+            FROM documents)
+          WHERE word <> '' GROUP BY 1))"""
+    val rounds = (0 until iters).map { i =>
+      s"""p$i AS (
+        SELECT pr[1] AS l, pr[2] AS r, CAST(sum(n) AS BIGINT) AS c
+        FROM (
+          SELECT n, unnest(list_zip(tl[1:len(tl)-1], tl[2:len(tl)])) AS pr
+          FROM (SELECT n, string_split(trim(w), '  ') AS tl FROM w$i))
+        GROUP BY 1, 2 HAVING sum(n) >= 2),
+      b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+      w${i + 1} AS (
+        SELECT replace(v.w, ' ' || b.l || '  ' || b.r || ' ',
+          ' ' || b.l || b.r || ' ') AS w, v.n
+        FROM w$i v CROSS JOIN b$i b)"""
+    }
+    val sel = (0 until iters).map(i =>
+      s"""SELECT $i AS ord, l AS "left", r AS "right", l || r AS merged,
+        c AS pair_count FROM b$i""").mkString("\n      UNION ALL ")
+    s"""WITH ${(w0 +: rounds).mkString(",\n      ")}
+      $sel ORDER BY ord"""
+  }
+
+  /** q267's oracle: the pinned merge table applied as the identical
+    * nested literal-replace chain, folded per doc.
+    */
+  private def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
+    val sp = raw"'  ' || trim(regexp_replace(word, '(.)', ' \1 ', 'g')) || '  '"
+    val chain = merges.foldLeft(sp) { case (acc, (l, r)) =>
+      s"replace($acc, ' $l  $r ', ' $l$r ')"
+    }
+    s"""
+      WITH words AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+          FROM documents)
+        WHERE word <> ''),
+      enc AS (
+        SELECT doc_id, len(word) AS wl,
+          len(string_split(trim($chain), '  ')) AS nt
+        FROM words)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(wl) AS BIGINT) AS n_chars,
+        CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM enc GROUP BY 1 ORDER BY doc_id"""
+  }
+
   private val q194Oracle: String = raw"""
       WITH f AS (
         SELECT lang,
@@ -5879,6 +6474,75 @@ object SparkEntry {
   /** DuckDB SQL for `Sampling.hashPos`: position in [0, 2^32). */
   private def hashPosSql(strata: String, id: String): String =
     s"('0x' || substring(md5(${encSql(strata)} || '|' || ${encSql(id)}), 1, 8))::BIGINT"
+
+  /** DuckDB CTE chain rebuilding `Sketch.cmsState(depth = 4, width = 64)`
+    * cell-for-cell over `keyExpr`: the same four salted (`cms0..cms3`)
+    * md5 position draws mod 64. One definition shared by q249 (batch),
+    * q250 (probe) and q251 (streamed fold) so the three gates cannot
+    * drift. Ends with `cms AS (r, c, cnt)`.
+    */
+  private def cmsCellsSql(table: String, keyExpr: String): String = s"""
+      rows_ AS (SELECT unnest(range(4)) AS r),
+      cells AS (
+        SELECT CAST(rw.r AS INTEGER) AS r,
+          ${hashPosSql("'cms' || CAST(rw.r AS VARCHAR)", keyExpr)} % 64 AS c
+        FROM $table CROSS JOIN rows_ rw),
+      cms AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c)"""
+
+  /** DuckDB CTE chain replaying `Train.linearProbeWeights` on the
+    * q252/q253 configuration (label lang='en'; features bias/n_chars/
+    * whitespace count; 3 iterations, rate 1e-5) weight-bit-for-weight-
+    * bit: the same Elliott-sigmoid IEEE tree, the same decimal(28,18)
+    * gradient sums, the same round(w + rate*g/n, 12) update. Ends with
+    * `feats` (y, x0, x1, x2) and `w3` (w0, w1, w2). One definition so
+    * q252 (weights) and q253 (fit readout) cannot drift.
+    */
+  private val probeTrainCte: String = {
+    val iterCtes = (1 to 3).map { i =>
+      s"""s$i AS (SELECT f.y, f.x0, f.x1, f.x2,
+        (w.w0 * f.x0) + (w.w1 * f.x1) + (w.w2 * f.x2) AS z
+        FROM feats f CROSS JOIN w${i - 1} w),
+      p$i AS (SELECT y, x0, x1, x2,
+        0.5 * (1.0 + z / (1.0 + abs(z))) AS p FROM s$i),
+      g$i AS (SELECT count(*) AS n,
+        CAST(sum(CAST((y - p) * x0 AS DECIMAL(28,18))) AS DOUBLE) AS g0,
+        CAST(sum(CAST((y - p) * x1 AS DECIMAL(28,18))) AS DOUBLE) AS g1,
+        CAST(sum(CAST((y - p) * x2 AS DECIMAL(28,18))) AS DOUBLE) AS g2
+        FROM p$i),
+      w$i AS (SELECT
+        round(w.w0 + 1e-05 * g.g0 / CAST(g.n AS DOUBLE), 12) AS w0,
+        round(w.w1 + 1e-05 * g.g1 / CAST(g.n AS DOUBLE), 12) AS w1,
+        round(w.w2 + 1e-05 * g.g2 / CAST(g.n AS DOUBLE), 12) AS w2
+        FROM w${i - 1} w CROSS JOIN g$i g)"""
+    }.mkString(",\n      ")
+    s"""WITH feats AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS y,
+          CAST(1.0 AS DOUBLE) AS x0,
+          CAST(n_chars AS DOUBLE) AS x1,
+          CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS x2
+        FROM documents),
+      w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+        CAST(0.0 AS DOUBLE) AS w2),
+      $iterCtes"""
+  }
+
+  /** DuckDB twin of [[clusteredVecs]] — the q237/q254 synthetic
+    * clustered-embedding frame, shared so both gates replay the SAME
+    * vectors. Provides CTEs `c` (nc) and `cl` (vec_id, clabel, cvec).
+    */
+  private val clusteredVecsCte: String = """c AS (
+        SELECT greatest(10, least(128, count(*) // 200)) AS nc
+        FROM embeddings),
+      cl AS (
+        SELECT vec_id, vec_id % nc AS clabel,
+          [(CASE WHEN i = (vec_id % nc) % 64
+              THEN (CASE WHEN ((vec_id % nc) // 64) % 2 = 0
+                THEN 1.0 ELSE -1.0 END)
+              ELSE 0.0 END)
+             + 0.35 * CAST(embedding[i+1] AS DOUBLE)
+           for i in range(0, 64)] AS cvec
+        FROM embeddings CROSS JOIN c)"""
 
   /** Shared CTE chain replaying `TextAnalysis.contentChunks` (window 16,
     * modulus 64) boundary-for-boundary: q241 rolls the chunk stream to
@@ -7205,19 +7869,8 @@ object SparkEntry {
     // engine blocks by capped multi-probe cell assignment instead, so
     // hash equality IS the ε-recall-1.0 proof for bounded-cell DBSCAN;
     // per-node degrees pin the pair set itself, not just the triage
-    "q237_dbscan_cells" -> """
-      WITH RECURSIVE c AS (
-        SELECT greatest(10, least(128, count(*) // 200)) AS nc
-        FROM embeddings),
-      cl AS (
-        SELECT vec_id, vec_id % nc AS clabel,
-          [(CASE WHEN i = (vec_id % nc) % 64
-              THEN (CASE WHEN ((vec_id % nc) // 64) % 2 = 0
-                THEN 1.0 ELSE -1.0 END)
-              ELSE 0.0 END)
-             + 0.35 * CAST(embedding[i+1] AS DOUBLE)
-           for i in range(0, 64)] AS cvec
-        FROM embeddings CROSS JOIN c),
+    "q237_dbscan_cells" -> s"""
+      WITH RECURSIVE $clusteredVecsCte,
       p AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM cl a JOIN cl b
@@ -7406,6 +8059,347 @@ object SparkEntry {
         round(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) /
           CAST(sum(n) AS DOUBLE), 6) AS dup_ratio
       FROM per""",
+    // q249: every CMS cell rebuilt from the same four salted md5 draws
+    "q249_cms_build" -> s"""WITH
+      ${cmsCellsSql("lineitem", "CAST(l_partkey AS VARCHAR)")}
+      SELECT r, c, CAST(cnt AS BIGINT) AS cnt FROM cms ORDER BY r, c""",
+    // q251: the streamed fold must land on the batch sketch EXACTLY -
+    // q249's oracle verbatim (cell-wise-sum merge law)
+    "q251_cms_stream" -> s"""WITH
+      ${cmsCellsSql("lineitem", "CAST(l_partkey AS VARCHAR)")}
+      SELECT r, c, CAST(cnt AS BIGINT) AS cnt FROM cms ORDER BY r, c""",
+    // q250: probe coords replay the same draws over the keys frame;
+    // est = min over rows, missing cell = 0; exact joined for the
+    // one-sided-error readout
+    "q250_cms_estimate" -> s"""WITH
+      ${cmsCellsSql("lineitem", "CAST(l_suppkey AS VARCHAR)")},
+      probe AS (
+        SELECT s_suppkey AS key, CAST(rw.r AS INTEGER) AS r,
+          ${hashPosSql("'cms' || CAST(rw.r AS VARCHAR)",
+            "CAST(s_suppkey AS VARCHAR)")} % 64 AS c
+        FROM supplier CROSS JOIN rows_ rw),
+      est AS (
+        SELECT p.key, min(coalesce(m.cnt, 0)) AS est_count
+        FROM probe p LEFT JOIN cms m ON p.r = m.r AND p.c = m.c
+        GROUP BY 1),
+      exact AS (
+        SELECT l_suppkey AS key, count(*) AS exact_count
+        FROM lineitem GROUP BY 1)
+      SELECT e.key, CAST(e.est_count AS BIGINT) AS est_count,
+        CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count,
+        CAST(e.est_count - coalesce(x.exact_count, 0) AS BIGINT) AS overcount
+      FROM est e LEFT JOIN exact x ON e.key = x.key ORDER BY e.key""",
+    // q254: pairs within the TRUE clusters (q237's equality argument:
+    // the engine's capped multi-probe candidates must recover exactly
+    // these, extras dying on the threshold), recursive reach, min-id
+    // groups, kept = id == group
+    "q254_semantic_dedup" -> s"""
+      WITH RECURSIVE $clusteredVecsCte,
+      p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cl a JOIN cl b
+          ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.cvec, b.cvec) >= 0.55),
+      sym AS (
+        SELECT id_a AS s, id_b AS d FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
+      comp AS (SELECT id, min(r) AS g FROM reach GROUP BY id)
+      SELECT e.vec_id AS id,
+        CAST(coalesce(m.g, e.vec_id) AS BIGINT) AS dup_group,
+        CAST(CASE WHEN coalesce(m.g, e.vec_id) = e.vec_id
+          THEN 1 ELSE 0 END AS INTEGER) AS kept
+      FROM embeddings e LEFT JOIN comp m ON e.vec_id = m.id
+      ORDER BY id""",
+    // q255: the smoothed ratio replayed term-for-term (same 4-node IEEE
+    // tree over integer-fed doubles, same round-9 decimal sums)
+    "q255_importance_weights" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      freq AS (
+        SELECT tok, count(*) AS fa, sum(tgt) AS ft FROM toks GROUP BY 1),
+      tot AS (
+        SELECT sum(fa) AS na, sum(ft) AS nt, count(*) AS v FROM freq),
+      r AS (
+        SELECT t.doc_id,
+          (CAST(f.ft + 1 AS DOUBLE) * CAST(o.na + o.v AS DOUBLE)) /
+          (CAST(f.fa + 1 AS DOUBLE) * CAST(o.nt + o.v AS DOUBLE)) AS ratio
+        FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot o),
+      d AS (
+        SELECT doc_id, count(*) AS n_tokens,
+          CAST(sum(CAST(round(ratio, 9) AS DECIMAL(28,12))) AS DOUBLE) AS rs
+        FROM r GROUP BY 1)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        round(rs / CAST(n_tokens AS DOUBLE), 6) AS importance
+      FROM d ORDER BY importance DESC, doc_id LIMIT 50""",
+    // q256: the k smallest salted positions, ties by id — replayed from
+    // the same md5 draw
+    "q256_uniform_sample" -> s"""
+      SELECT doc_id, lang, source,
+        ${hashPosSql("'sample'", "CAST(doc_id AS VARCHAR)")} AS __pos
+      FROM documents ORDER BY __pos, doc_id LIMIT 64""",
+    // q257: the streamed fold must land on the batch sample EXACTLY -
+    // q256's oracle verbatim (top-k merge law with payload)
+    "q257_sample_stream" -> s"""
+      SELECT doc_id, lang, source,
+        ${hashPosSql("'sample'", "CAST(doc_id AS VARCHAR)")} AS __pos
+      FROM documents ORDER BY __pos, doc_id LIMIT 64""",
+    // q258: the decorrelated Q17 shape — per-part threshold agg join,
+    // decimal-exact sums, one IEEE threshold tree
+    "q258_small_qty_revenue" -> """
+      WITH lp AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#4'),
+      th AS (
+        SELECT l_partkey AS pk,
+          CAST(0.2 AS DOUBLE) *
+            (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE)) AS th
+        FROM lp GROUP BY 1),
+      f AS (
+        SELECT lp.l_extendedprice FROM lp JOIN th ON lp.l_partkey = th.pk
+        WHERE lp.l_quantity < th.th)
+      SELECT CAST(count(*) AS BIGINT) AS n_small,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+          / 7.0, 2) + 0.0 AS avg_yearly
+      FROM f""",
+    // q259: sketch prefilter (est*64 >= N, integer) then exact verify
+    // of candidates only — one-sided error = no missed heavy hitter
+    "q259_cms_heavy_hitters" -> s"""WITH
+      ${cmsCellsSql("lineitem", "CAST(l_suppkey AS VARCHAR)")},
+      probe AS (
+        SELECT s_suppkey AS key, CAST(rw.r AS INTEGER) AS r,
+          ${hashPosSql("'cms' || CAST(rw.r AS VARCHAR)",
+            "CAST(s_suppkey AS VARCHAR)")} % 64 AS c
+        FROM supplier CROSS JOIN rows_ rw),
+      est AS (
+        SELECT p.key, min(coalesce(m.cnt, 0)) AS est_count
+        FROM probe p LEFT JOIN cms m ON p.r = m.r AND p.c = m.c
+        GROUP BY 1),
+      tot AS (SELECT count(*) AS n FROM lineitem),
+      cand AS (
+        SELECT e.key, e.est_count FROM est e CROSS JOIN tot
+        WHERE e.est_count * 64 >= tot.n),
+      exact AS (
+        SELECT l_suppkey AS key, count(*) AS exact_count
+        FROM lineitem WHERE l_suppkey IN (SELECT key FROM cand)
+        GROUP BY 1)
+      SELECT cd.key, CAST(cd.est_count AS BIGINT) AS est_count,
+        CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count,
+        CAST(CASE WHEN coalesce(x.exact_count, 0) * 64 >= tot.n
+          THEN 1 ELSE 0 END AS INTEGER) AS is_true
+      FROM cand cd LEFT JOIN exact x ON cd.key = x.key CROSS JOIN tot
+      ORDER BY cd.key""",
+    // q260: fit offline, score the stream — stateless map, so the
+    // streamed landing must equal the batch scoring row-for-row
+    "q260_probe_score_stream" -> s"""$probeTrainCte,
+      scz AS (
+        SELECT f.doc_id,
+          (w.w0 * f.x0) + (w.w1 * f.x1) + (w.w2 * f.x2) AS z
+        FROM feats f CROSS JOIN w3 w),
+      sc AS (
+        SELECT doc_id, round(0.5 * (1.0 + z / (1.0 + abs(z))), 9) AS score
+        FROM scz)
+      SELECT doc_id, score,
+        CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INTEGER)
+          AS predicted
+      FROM sc ORDER BY doc_id""",
+    // q261: KMV set algebra — both min-k sets, the union sketch, and
+    // the n_both/|U| Jaccard replayed from the same md5 positions;
+    // est_intersection multiplies the two already-rounded components
+    "q261_kmv_jaccard" -> s"""
+      WITH ha AS (
+        SELECT DISTINCT ${hashPosSql("'kmv'", "CAST(l_partkey AS VARCHAR)")}
+          AS hv
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'),
+      sa AS (SELECT hv FROM ha ORDER BY hv LIMIT 256),
+      hb AS (
+        SELECT DISTINCT ${hashPosSql("'kmv'", "CAST(l_partkey AS VARCHAR)")}
+          AS hv
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01'),
+      sb AS (SELECT hv FROM hb ORDER BY hv LIMIT 256),
+      u AS (
+        SELECT DISTINCT hv FROM (
+          SELECT hv FROM sa UNION ALL SELECT hv FROM sb)
+        ORDER BY hv LIMIT 256),
+      f AS (
+        SELECT hv,
+          CASE WHEN hv IN (SELECT hv FROM sa)
+                AND hv IN (SELECT hv FROM sb) THEN 1 ELSE 0 END AS inb
+        FROM u),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_union_min,
+          CAST(sum(inb) AS BIGINT) AS n_both,
+          round(CAST(sum(inb) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS jaccard_est,
+          CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+               WHEN max(hv) = 0 THEN NULL
+               ELSE round(255.0 * 4294967296.0 / max(hv), 4) END
+            AS est_union
+        FROM f)
+      SELECT n_union_min, n_both, jaccard_est, est_union,
+        round(jaccard_est * est_union, 4) AS est_intersection
+      FROM m""",
+    // q262: the 72-cell md5 grid, every gradient-sign bit, the 8 row
+    // bands and the BIGINT reassembly — all exact integers
+    "q262_image_dhash" -> """
+      WITH cells AS (
+        SELECT d.doc_id, t.i,
+          ('0x' || substring(md5(d.text || '|g' || CAST(t.i AS VARCHAR)),
+            1, 2))::BIGINT AS v
+        FROM documents d, range(72) t(i)
+        WHERE d.text IS NOT NULL),
+      bits AS (
+        SELECT a.doc_id, a.i // 9 AS r, a.i % 9 AS c,
+          CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.i % 9 < 8),
+      bands AS (
+        SELECT doc_id, r, CAST(sum(bit * (1::BIGINT << c)) AS BIGINT) AS band
+        FROM bits GROUP BY 1, 2)
+      SELECT doc_id AS asset_id,
+        string_agg(printf('%02x', band), '' ORDER BY r) AS dhash
+      FROM bands GROUP BY 1 ORDER BY asset_id""",
+    // q263: planted one-cell variants, the 4x16-bit pigeonhole band
+    // join, XOR popcount distance — the base<->variant pairs and ONLY
+    // those survive maxDist 3
+    "q263_image_neardup" -> """
+      WITH cells0 AS (
+        SELECT d.doc_id, t.i,
+          ('0x' || substring(md5(d.text || '|g' || CAST(t.i AS VARCHAR)),
+            1, 2))::BIGINT AS v
+        FROM documents d, range(72) t(i)
+        WHERE d.text IS NOT NULL),
+      vcells AS (
+        SELECT c0.doc_id + 10000000 AS doc_id, c0.i,
+          CASE WHEN c0.i = c0.doc_id % 72 THEN (c0.v + 7) % 256
+               ELSE c0.v END AS v
+        FROM cells0 c0 WHERE c0.doc_id % 17 = 0),
+      cells AS (
+        SELECT doc_id, i, v FROM cells0
+        UNION ALL SELECT doc_id, i, v FROM vcells),
+      bits AS (
+        SELECT a.doc_id, a.i // 9 AS r, a.i % 9 AS c,
+          CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.i % 9 < 8),
+      bands AS (
+        SELECT doc_id, r, CAST(sum(bit * (1::BIGINT << c)) AS BIGINT) AS band
+        FROM bits GROUP BY 1, 2),
+      b16 AS (
+        SELECT doc_id, r // 2 AS j,
+          CAST(sum(band * (CASE WHEN r % 2 = 0 THEN 1 ELSE 256 END))
+            AS BIGINT) AS bv
+        FROM bands GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM b16 a JOIN b16 b
+          ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.id_a, c.id_b,
+          CAST(sum(bit_count(xor(x.bv, y.bv))) AS INT) AS hamming
+        FROM cand c
+        JOIN b16 x ON x.doc_id = c.id_a
+        JOIN b16 y ON y.doc_id = c.id_b AND y.j = x.j
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, hamming FROM ham
+      WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    // q264: 16 Poisson-weighted resamples, each AUC'd with the exact
+    // weighted tied-rank identity — thresholds are the SAME Scala longs
+    "q264_bootstrap_auc" -> bootstrapAucOracle(withSummary = false),
+    // q265: q264's replicate frame folded to the (mean, lo, hi) readout
+    "q265_bootstrap_auc_ci" -> bootstrapAucOracle(withSummary = true),
+    // q266: the 6-iteration BPE trainer unrolled relationally — same
+    // pair counts, same lexicographic argmax, same greedy replace
+    "q266_bpe_merges" -> bpeMergesOracle(6),
+    // q267: the pinned tokenizer as the identical literal replace chain
+    "q267_bpe_encode" -> bpeEncodeOracle(pinnedBpeMerges),
+    // q268: the same candidate synthesis, split-explode, and integer
+    // Luhn fold — validity classes and their extreme runs
+    "q268_pii_luhn" -> """
+      WITH txt AS (
+        SELECT o_orderkey,
+          'order card 45320151' ||
+          lpad(CAST(o_orderkey % 100000000 AS VARCHAR), 8, '0') ||
+          ' ref 1234' AS text
+        FROM orders),
+      runs AS (
+        SELECT o_orderkey AS doc_id, run FROM (
+          SELECT o_orderkey,
+            unnest(string_split_regex(text, '[^0-9]+')) AS run
+          FROM txt)
+        WHERE len(run) BETWEEN 13 AND 19),
+      pos AS (
+        SELECT doc_id, run,
+          unnest(generate_series(0, len(run) - 1)) AS i
+        FROM runs),
+      d AS (
+        SELECT doc_id, run, i,
+          CAST(substring(reverse(run), i + 1, 1) AS INT) AS dg
+        FROM pos),
+      s AS (
+        SELECT doc_id, run,
+          sum(CASE WHEN i % 2 = 0 THEN dg
+              ELSE 2 * dg - CASE WHEN dg > 4 THEN 9 ELSE 0 END END) AS tot
+        FROM d GROUP BY 1, 2)
+      SELECT (tot % 10 = 0) AS luhn_ok, CAST(count(*) AS BIGINT) AS n,
+        min(run) AS first_run, max(run) AS last_run
+      FROM s GROUP BY 1 ORDER BY luhn_ok""",
+    // q269: identical integer counting contracts (marker device for
+    // vowel groups), two IEEE divisions, round 4
+    "q269_readability" -> """
+      WITH f AS (
+        SELECT doc_id,
+          len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS w,
+          greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+            x -> trim(x) <> '')), 1) AS sn,
+          len(m) - len(replace(m, '#', '')) AS sy
+        FROM (
+          SELECT doc_id, text,
+            regexp_replace(replace(lower(text), '#', ''),
+              '[aeiouy]+', '#', 'g') AS m
+          FROM documents))
+      SELECT doc_id, CAST(w AS INT) AS n_words,
+        CAST(sn AS INT) AS n_sentences, CAST(sy AS INT) AS n_syllables,
+        CASE WHEN w = 0 THEN NULL
+          ELSE round(206.835 - 1.015 * (CAST(w AS DOUBLE) /
+            CAST(sn AS DOUBLE)) - 84.6 * (CAST(sy AS DOUBLE) /
+            CAST(w AS DOUBLE)), 4) END AS flesch
+      FROM f ORDER BY doc_id""",
+    // q252: the 3-iteration GD unroll lands on the same weight bits
+    "q252_linear_probe" -> s"""$probeTrainCte
+      SELECT 0 AS ord, 'bias' AS feature, w0 AS weight FROM w3
+      UNION ALL SELECT 1, 'chars', w1 FROM w3
+      UNION ALL SELECT 2, 'spaces', w2 FROM w3
+      ORDER BY ord""",
+    // q253: re-train through the shared chain, score with the same
+    // sigma tree rounded at 9, fold to the fit readout
+    "q253_probe_eval" -> s"""$probeTrainCte,
+      scz AS (
+        SELECT f.y,
+          (w.w0 * f.x0) + (w.w1 * f.x1) + (w.w2 * f.x2) AS z
+        FROM feats f CROSS JOIN w3 w),
+      sc AS (
+        SELECT y, round(0.5 * (1.0 + z / (1.0 + abs(z))), 9) AS score
+        FROM scz),
+      m AS (
+        SELECT count(*) AS n,
+          sum(CASE WHEN (CASE WHEN score >= 0.5 THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END) = y
+              THEN 1 ELSE 0 END) AS n_correct,
+          CAST(sum(CAST(abs(y - score) AS DECIMAL(28,18))) AS DOUBLE) AS sr
+        FROM sc)
+      SELECT CAST(n AS BIGINT) AS n, CAST(n_correct AS BIGINT) AS n_correct,
+        round(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+        round(sr / CAST(n AS DOUBLE), 6) AS mean_abs_resid
+      FROM m""",
     "q228_seasonal_profile" -> """
       WITH daily AS (
         SELECT event_type AS key, CAST(ts AS DATE) AS day,

@@ -259,6 +259,85 @@ object Eval {
               (col("n_pos") * col("n_neg")).cast("double"), 6)).as("auc"))
   }
 
+  /** ONE-PASS Poisson-bootstrap confidence spread for ROC-AUC: `reps`
+    * independent bootstrap resamples of the scored frame, each AUC'd
+    * with [[binaryAuc]]'s exact tied-rank estimator, WITHOUT ever
+    * materializing a resample — each replicate's multiset is carried as
+    * integer weights (the [[Sampling.bootstrapReplicate]] Poisson(1)
+    * draw, salted per replicate), so the whole family costs one
+    * map-side ×reps fan-out into ONE (rep, score)-grain aggregation
+    * plus [[withBelow]]'s banded prefix sum PARTITIONED BY REP. The
+    * corpus is never duplicated, never resampled row-wise, and never
+    * sorted globally — this is how you put an error bar on a metric at
+    * 100 TB (the naive "draw B resamples and re-run" costs B corpus
+    * scans and B shuffles; this costs ~1 of each).
+    *
+    * Weighted tied-rank correctness: a score group with weighted count
+    * n and weighted positive count np in replicate r is EXACTLY n tied
+    * copies in the resampled multiset, so avg rank = below + (n+1)/2
+    * and the Mann–Whitney identity applies verbatim — the per-rep AUC
+    * equals [[binaryAuc]] run on the materialized resample, bit for
+    * bit (the spec pins that equality). Zero-weight score groups are
+    * dropped (absent from the resample). Returns one row per replicate:
+    * (rep, n_pos, n_neg, auc); auc is null when a replicate lost an
+    * entire class.
+    *
+    * Determinism: the Poisson inverse-CDF thresholds are Scala-computed
+    * Longs injected identically into both engines
+    * ([[Sampling.poissonBounds]]); weights and counts are exact
+    * integers; the only IEEE arithmetic is [[binaryAuc]]'s final
+    * integer-fed division, rounded at the readout.
+    */
+  def bootstrapAuc(df: DataFrame, id: Column, score: Column,
+                   positive: Column, reps: Int,
+                   maxCopies: Int = 8): DataFrame = {
+    require(reps >= 2 && reps <= 64, s"reps must be in [2, 64], got $reps")
+    val bounds = Sampling.poissonBounds(maxCopies)
+    val base = df.select(id.cast("string").as("__id"), score.as("__s"),
+        positive.cast("boolean").as("__p"))
+      .withColumn("__rep", explode(array((0 until reps).map(lit): _*)))
+    val h = Sampling.hashPos(
+      concat(lit("boot"), col("__rep").cast("string")), col("__id"))
+    val w = bounds.map(t => when(h >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val perScore = base.withColumn("__w", w)
+      .groupBy(col("__rep"), col("__s"))
+      .agg(sum(col("__w")).as("__n"),
+        sum(when(col("__p"), col("__w")).otherwise(0L)).as("__np"))
+      .filter(col("__n") > 0L)
+    val ar = (lit(2L) * col("__below") + col("__n") + lit(1L))
+      .cast("decimal(38,1)") / lit(2)
+    withBelow(perScore, groups = Seq("__rep"))
+      .groupBy(col("__rep").as("rep"))
+      .agg(sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"),
+        sum(col("__np").cast("decimal(38,0)") * ar).as("__sr"))
+      .select(col("rep"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("__sr").cast("double") -
+              (col("n_pos") * (col("n_pos") + lit(1L))).cast("double") / 2.0d) /
+              (col("n_pos") * col("n_neg")).cast("double"), 6)).as("auc"))
+  }
+
+  /** Fold [[bootstrapAuc]]'s per-replicate frame to the error-bar
+    * readout: (n_reps, mean_auc, lo_auc, hi_auc) — mean over the
+    * rounded per-rep AUCs (decimal sum, order-free), spread as the
+    * replicate min/max (the conservative bootstrap envelope; with
+    * reps = B that brackets ≈ a (B−1)/(B+1) interval). Null per-rep
+    * AUCs (a replicate that lost a class) are excluded from all three,
+    * n_reps counts the non-null ones.
+    */
+  def bootstrapAucSummary(perRep: DataFrame): DataFrame = perRep
+    .filter(col("auc").isNotNull)
+    .agg(count(lit(1)).as("n_reps"),
+      sum(col("auc").cast("decimal(28,12)")).as("__sa"),
+      min(col("auc")).as("lo_auc"), max(col("auc")).as("hi_auc"))
+    .select(col("n_reps"),
+      round(col("__sa").cast("double") / col("n_reps").cast("double"), 6)
+        .as("mean_auc"),
+      col("lo_auc"), col("hi_auc"))
+
   /** Graded ranking metrics per query — AP@k (average precision: the
     * mean of precision-at-each-hit, the MAP constituent) and NDCG@k with
     * binary gains — over a `retrieved` frame (query_id, item_id, rank ≤

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 // DuckDB-exact rounding shadow for every round() call site (Readout)
@@ -305,6 +305,175 @@ object Multimodal {
     .withColumn("energy", aggregate(col("samples"), lit(0L),
       (acc, s) => acc + abs(s).cast("long")))
     .withColumn("peak", array_max(transform(col("samples"), s => abs(s))))
+
+  /** Luminance-grid codec boundary for PERCEPTUAL hashing, mirroring
+    * [[MediaCodec]]: `newDecoder()` once per partition, payload → a
+    * row-major [[gridH]]×[[gridW]] grid of 8-bit luminances (the
+    * downsampled thumbnail every perceptual hash starts from). Null /
+    * undecodable payloads yield an empty array (one corrupt asset must
+    * not kill the stage — downstream filters on `size(grid) > 0`).
+    */
+  trait GridCodec extends Serializable {
+    def newDecoder(): Array[Byte] => Array[Int]
+  }
+
+  /** dHash grid geometry: 9 columns × 8 rows — 8 horizontal adjacent
+    * comparisons per row × 8 rows = the classic 64-bit difference hash.
+    */
+  val gridW = 9
+  val gridH = 8
+
+  /** Deterministic stand-in grid decoder: cell `i` of the 72-cell grid
+    * is the first byte of md5(payload ‖ "|g" ‖ i) — so any engine with
+    * md5 reproduces every luminance exactly, which is what lets the
+    * grid → dHash → Hamming-near-dup pipeline be oracle-checked
+    * end-to-end ([[FakeCodec]]'s device extended from scalar dims to a
+    * pixel grid).
+    */
+  object FakeGridCodec extends GridCodec {
+    def newDecoder(): Array[Byte] => Array[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      payload =>
+        if (payload == null) Array.empty
+        else Array.tabulate(gridW * gridH) { i =>
+          md.update(payload)
+          md.update(s"|g$i".getBytes("UTF-8"))
+          md.digest()(0) & 0xff
+        }
+    }
+  }
+
+  /** REAL grid decoder over `javax.imageio`: decode the frame, then
+    * block-mean Rec.601 luminance into the 9×8 grid — integer
+    * arithmetic only (per-pixel lum = (299R+587G+114B)/1000 floor;
+    * cell = floor(Σlum / n_pixels)), so the grid is deterministic for
+    * identical pixels on any JVM. The oracle gates stay on
+    * [[FakeGridCodec]] (DuckDB cannot decode images); THIS codec is the
+    * production swap-in, spec-gated on real PNG bytes
+    * (MultimodalRealCodecSpec's q212 device): a small local edit moves
+    * only the cells it touches, so near-identical images land within a
+    * small Hamming radius while unrelated images sit near 32.
+    */
+  object ImageIoGridCodec extends GridCodec {
+    def newDecoder(): Array[Byte] => Array[Int] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      payload =>
+        if (payload == null) Array.empty
+        else {
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < gridW || img.getHeight < gridH)
+            Array.empty
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            Array.tabulate(gridW * gridH) { i =>
+              val r = i / gridW; val c = i % gridW
+              // half-open pixel block [x0,x1)×[y0,y1) of cell (r,c)
+              val x0 = c * w / gridW; val x1 = (c + 1) * w / gridW
+              val y0 = r * h / gridH; val y1 = (r + 1) * h / gridH
+              var sum = 0L; var n = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (299 * ((rgb >> 16) & 0xff) +
+                    587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                  sum += lum; n += 1; x += 1
+                }
+                y += 1
+              }
+              (sum / n).toInt
+            }
+          }
+        }
+    }
+  }
+
+  private val gridSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("grid", ArrayType(IntegerType, containsNull = false))))
+
+  /** Grid decode stage: (asset_id, grid) per asset — [[decode]]'s
+    * mapPartitions shape (one codec init per partition, streaming
+    * iteration).
+    */
+  def decodeGrid(assets: DataFrame,
+                 codec: GridCodec = FakeGridCodec): DataFrame = {
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(gridSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      val dec = codec.newDecoder()
+      it.map(r => Row(r.getLong(0), dec(r.getAs[Array[Byte]]("payload")).toSeq))
+    }(enc)
+  }
+
+  /** dHash over a decoded grid, expression-only (stays in codegen):
+    * bit (r,c) is set iff grid(r,c) > grid(r,c+1) — the classic
+    * gradient-sign hash, invariant to global brightness/contrast shifts
+    * because only ORDER between neighbors matters. Emitted as
+    * `bands` = 8 per-row bytes (band r = Σ_c bit(r,c)·2^c — the
+    * Hamming-join blocking unit) and `dhash` = the 16-hex-char string
+    * of the bands in row order (a full 64-bit value overflows a SIGNED
+    * BIGINT — 255·2⁵⁶ > 2⁶³ — so the canonical readout is hex: the
+    * same integers, formatted identically by any engine, and ANSI-mode
+    * safe). Empty grids (undecodable payloads) yield null bands/dhash.
+    */
+  def withDhash(gridDf: DataFrame): DataFrame = {
+    def cell(i: Int) = element_at(col("grid"), i + 1) // 1-based
+    val bands = array((0 until gridH).map { r =>
+      (0 until gridW - 1).map { c =>
+        when(cell(r * gridW + c) > cell(r * gridW + c + 1),
+          lit(1 << c)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    gridDf
+      .withColumn("bands",
+        when(size(col("grid")) === gridW * gridH, bands))
+      .withColumn("dhash",
+        when(col("bands").isNotNull,
+          concat((0 until gridH).map(r =>
+            lpad(lower(hex(element_at(col("bands"), r + 1))), 2, "0")): _*)))
+  }
+
+  /** Hamming near-duplicate pairs over banded bit-vectors — the
+    * multimodal dedup leg: rows whose total Hamming distance
+    * (Σ bit_count(band_a XOR band_b)) is ≤ `maxDist`, found by the
+    * PIGEONHOLE band join (two vectors within Hamming d of each other
+    * must agree EXACTLY on at least one of b > d bands), never an
+    * all-pairs scan. Pass bands wide enough for the corpus: candidate
+    * volume is Σ_bands n²/2^bits-per-band, so 4×16-bit bands (join
+    * [[withDhash]]'s 8-bit row bands pairwise) keep a 10⁸-asset corpus'
+    * candidate set linear-ish while licensing maxDist ≤ 3. Dedup
+    * semantics (id_a < id_b, distinct pairs) match the MinHash-LSH
+    * family's contract; the band join is an equi-join on
+    * (band_idx, band_val) — bucketed, broadcast-free, skew-bounded by
+    * band-value balance of the hash itself.
+    */
+  def hammingNearDupPairs(df: DataFrame, id: Column, bands: Column,
+                          maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val base = df.select(id.cast("long").as("__id"), bands.as("__b"))
+      .filter(col("__b").isNotNull)
+    val posed = base.select(col("__id"), col("__b"),
+      posexplode(col("__b")).as(Seq("__r", "__v")))
+    val cand = posed.as("a")
+      .join(posed.as("b"),
+        col("a.__r") === col("b.__r") && col("a.__v") === col("b.__v") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__b").as("__ba"), col("b.__b").as("__bb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        aggregate(zip_with(col("__ba"), col("__bb"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+          lit(0), (acc, d) => acc + d))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 
   /** Size-aware repartitioning before a heavy decode: pack partitions to a
     * target byte budget so one huge video can't skew an executor. At 100 TB

@@ -58,6 +58,27 @@ object Sampling {
     df.filter(hashPos(strata, id) < (fraction * 4294967296.0).toLong)
   }
 
+  /** Bounded uniform sample WITH payload — the deterministic reservoir:
+    * keep the `k` rows whose md5 positions (salted "sample") are
+    * smallest, ties by id. Functionally a k-row uniform sample that is
+    * (a) engine-portable (any engine replays the draw), (b) NESTING
+    * (the k'-sample for k' < k is a prefix of the k-sample — the hash is
+    * fixed, only the cutoff moves), and (c) MERGEABLE like a KMV sketch
+    * with payload: sample(A ⊎ B) = top-k(sample(A) ∪ sample(B)), which
+    * is what lets a stream maintain a bounded uniform corpus sample
+    * forever at k-row state ([[graft.streaming.Streaming.sampleMaintain]])
+    * — the classic reservoir-sampling job, without reservoir sampling's
+    * sequential-order dependence. Returns the input columns plus
+    * `__pos`. Scale shape: one TakeOrdered top-k (per-partition heads,
+    * never a global sort).
+    */
+  def uniformTopKSample(df: DataFrame, id: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")
+    df.withColumn("__pos", hashPos(lit("sample"), id))
+      .orderBy(col("__pos").asc, id.asc)
+      .limit(k)
+  }
+
   /** Cap every stratum at `maxRows` rows — the hot-domain downsampler: a
     * training mix that caps each source/domain at N documents keeps one
     * mega-crawl from drowning the rest. Rows are ranked inside the stratum

@@ -793,6 +793,47 @@ object Similarity {
     dbscanTriage(df.select(id.as("node")).distinct(), pairs, minPts)
   }
 
+  /** SemDeDup-style semantic dedup keep-list — the embedding-space
+    * analogue of exact/MinHash dedup: cluster the corpus (the caller's
+    * centroids — IVF cells, k-means, or any partitioner), generate
+    * cosine-≥-τ near-dup pairs INSIDE capped multi-probe cells only
+    * ([[dbscanCells]]' candidate device verbatim), resolve the pair
+    * relation to connected components, and keep ONE representative per
+    * component (the min id — deterministic, like every dup-group op in
+    * [[graft.ops.Dedup]]). Returns one row per input point:
+    * (id, dup_group, kept) — `kept = (id = dup_group)`; singletons keep
+    * themselves. This is the Abbas et al. SemDeDup recipe re-expressed
+    * on the repo's bounded-cell machinery: pair volume is
+    * n·nprobe²·cellsize (LINEAR in n), never the corpus self-join the
+    * naive τ-threshold scan implies.
+    *
+    * ε-recall contract and determinism are [[dbscanCells]]': a cross-
+    * cell true pair needs a shared probed cell (raise nprobe /refine
+    * centroids on boundary-heavy data); every candidate faces the same
+    * exact rounded-cosine compare, so extra candidates die identically
+    * in any engine. Downstream is integer/min arithmetic only
+    * (pointer-jumping CC, O(log) rounds).
+    */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column,
+                    centroids: DataFrame, centroidId: Column,
+                    centroidVec: Column, minCosine: Double,
+                    nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val occ = assignToCentroidsMulti(Dedup.spread(df), id, vec,
+      centroids, centroidId, centroidVec, nprobe)
+    val pairs = graft.ops.Dedup.cosineNearDupPairs(occ, col("item_id"),
+        col("vec"), Seq(col("cell")), minCosine)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.ops.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "node")
+    df.select(id.as("node")).distinct()
+      .join(comp, Seq("node"), "left")
+      .select(col("node").as("id"),
+        coalesce(col("component"), col("node")).as("dup_group"))
+      .withColumn("kept", (col("id") === col("dup_group")).cast("int"))
+  }
+
   /** Simplified silhouette score per cluster — the cluster-quality
     * readout for the IVF/k-means family (is this clustering SEPARATED,
     * or are its cells arbitrary?): per point, a = cosine distance to its

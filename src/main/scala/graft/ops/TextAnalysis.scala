@@ -830,6 +830,56 @@ object TextAnalysis {
           .as("min_prob"))
   }
 
+  /** DSIR-style importance weights — "which documents LOOK like the
+    * target domain": per document, the mean over its tokens of the
+    * smoothed unigram-probability RATIO between a target sub-corpus
+    * (rows where `target` is true) and the whole corpus,
+    * `r(t) = ((f_tgt(t)+1)·(N_all+V)) / ((f_all(t)+1)·(N_tgt+V))`
+    * (add-one smoothing over the shared vocabulary V). High importance =
+    * the doc's tokens are over-represented in the target domain — the
+    * data-selection score DSIR resamples by. DELIBERATELY the arithmetic
+    * mean of probability ratios, not the log-likelihood ratio the paper
+    * writes: `log` is banned from gate paths (q106's libm measurement,
+    * [[unigramLmScore]]'s same trade), and the rational form ranks with
+    * the same intent while staying integer-fed IEEE arithmetic any
+    * engine replays exactly.
+    *
+    * Determinism: counts are exact integers; each ratio is a fixed
+    * 4-node IEEE tree over integer-valued doubles; per-doc sums ride
+    * round-9 → decimal (order-free); readout rounds at 6.
+    * Scale shape: one vocab-grain aggregation carrying both counts (the
+    * target count is a conditional sum in the SAME pass — no second
+    * shuffle), one token→frequency equi-join co-partitioned on the
+    * token, one broadcast one-row totals frame, one doc-grain fold —
+    * [[unigramLmScore]]'s plan with a second payload column. Returns
+    * (doc_id, n_tokens, importance).
+    */
+  def importanceWeights(df: DataFrame, id: Column, text: Column,
+                        target: Column): DataFrame = {
+    val toks = Dedup.spread(df)
+      .select(id.as("doc_id"),
+        when(target, lit(1L)).otherwise(lit(0L)).as("__tgt"),
+        explode(tokens(text)).as("__tok"))
+      .localCheckpoint() // feeds the vocab counts, the totals, the join
+    val freq = toks.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__fa"), sum(col("__tgt")).as("__ft"))
+    val tot = freq.agg(sum(col("__fa")).as("__na"),
+      sum(col("__ft")).as("__nt"), count(lit(1)).as("__v"))
+    val ratio =
+      ((col("__ft") + lit(1L)).cast("double") *
+        (col("__na") + col("__v")).cast("double")) /
+      ((col("__fa") + lit(1L)).cast("double") *
+        (col("__nt") + col("__v")).cast("double"))
+    toks.join(freq, Seq("__tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(round(ratio, 9).cast("decimal(28,12)")).as("__rs"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__rs").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("importance"))
+  }
+
   /** Content-defined chunking — sub-document dedup grain: a chunk
     * boundary falls AFTER position i wherever the hash of the last
     * `window` characters lands on 0 mod `modulus` (expected chunk length
@@ -885,5 +935,75 @@ object TextAnalysis {
         col("chunk_len"),
         md5(col("__t").substr(col("start").cast("int"),
           col("chunk_len").cast("int")).cast("binary")).as("chunk_hash"))
+  }
+
+  /** Luhn-validated payment-card scan — the PII detector the regex
+    * family ([[piiRedact]]) cannot express: a 13–19 digit run is only a
+    * card NUMBER if its Luhn checksum closes, which cuts the false-
+    * positive rate on invoice/order/serial numbers by 10× (only 1 in 10
+    * random digit runs pass). Returns one row per candidate digit run:
+    * (doc_id, run, run_len, luhn_ok).
+    *
+    * The checksum is pure integer arithmetic replayed identically by
+    * any engine: digits from the REVERSED run, odd positions doubled
+    * with the classic −9 fold, valid iff the sum ≡ 0 (mod 10).
+    *
+    * Scale shape: one split-explode for candidate runs (map-side), one
+    * position explode bounded by 19 digits per run, one run-grain
+    * integer fold — no shuffle wider than the (doc, run) grain, no
+    * window. Runs arrive via [[Dedup.spread]] so a single-file corpus
+    * still fans out.
+    */
+  def luhnCardScan(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val runs = Dedup.spread(df)
+      .select(id.as("doc_id"),
+        explode(split(text, "[^0-9]+")).as("run"))
+      .filter(length(col("run")).between(13, 19))
+    runs
+      .withColumn("__i",
+        explode(sequence(lit(0), length(col("run")) - 1)))
+      .withColumn("__d",
+        reverse(col("run")).substr(col("__i") + 1, lit(1)).cast("int"))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(sum(when(col("__i") % 2 === 0, col("__d"))
+        .otherwise(lit(2) * col("__d") -
+          when(col("__d") > 4, 9).otherwise(0))).as("__tot"))
+      .select(col("doc_id"), col("run"),
+        length(col("run")).as("run_len"),
+        (col("__tot") % 10 === 0).as("luhn_ok"))
+  }
+
+  /** Flesch reading-ease score, libm-free: 206.835 − 1.015·(words per
+    * sentence) − 84.6·(syllable groups per word) — the readability
+    * quality signal, with syllables approximated by [aeiouy]+ vowel
+    * groups (the standard cheap proxy). Everything is integer counts
+    * into two IEEE divisions, so both engines land the same bits;
+    * rounded at 4.
+    *
+    * Counting contracts (identical in the oracle): words = non-empty
+    * [a-z0-9]+ runs; sentences = non-blank [.!?]+-delimited segments
+    * (min 1 — a fragment is one sentence); vowel groups are counted
+    * with the marker device (existing '#' stripped first so original
+    * text cannot inflate the count). Map-side expressions only.
+    */
+  def readability(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = size(filter(split(lower(text), "[^a-z0-9]+"),
+      w => w =!= ""))
+    val sents = greatest(
+      size(filter(split(text, "[.!?]+"), s => trim(s) =!= "")), lit(1))
+    val marked = regexp_replace(
+      regexp_replace(lower(text), "#", ""), "[aeiouy]+", "#")
+    val syll = length(marked) -
+      length(regexp_replace(marked, "#", ""))
+    df.select(id.as("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        syll.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(graft.Readout.round(
+            lit(206.835d) -
+              lit(1.015d) * (col("n_words").cast("double") /
+                col("n_sentences").cast("double")) -
+              lit(84.6d) * (col("n_syllables").cast("double") /
+                col("n_words").cast("double")), 4)))
   }
 }

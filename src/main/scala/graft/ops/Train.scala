@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+// DuckDB-exact rounding shadow for every round() call site (Readout)
+import graft.Readout.round
+
+/** In-engine model training — the "quality classifier" leg of a
+  * training-data pipeline: fit a small linear probe over cheap document
+  * features entirely inside the engine, so corpus-scale filtering
+  * decisions (keep/drop by predicted quality) never leave Spark.
+  *
+  * The design constraint that shapes everything here is the repo's
+  * differential gate: every arithmetic step must be REPLAYABLE by
+  * another engine bit-for-bit. That rules out `exp` (libm divergence —
+  * the q106 measurement banned `log`/`exp` from gate paths), so the
+  * link function is the ELLIOTT sigmoid `σ(z) = ½(1 + z/(1+|z|))` — the
+  * classic rational squashing function: same shape, σ(0)=½, strictly
+  * monotone, and composed ONLY of IEEE add/mul/div/abs, which are
+  * exactly-rounded and therefore identical in every IEEE-754 engine.
+  * Gradient sums ride the repo's decimal(28,18) order-free device
+  * (pageRank's discipline), and each weight update is rounded with the
+  * DuckDB-exact readout, so a fixed-iteration unrolled SQL oracle lands
+  * on the SAME weight bits.
+  *
+  * Scale shape per iteration: ONE map-side pass over the feature frame
+  * (the z/σ/residual expressions are codegen'd projections) into a
+  * single all-columns aggregation — shuffle is one row per partition
+  * (the partial gradient), driver state is the weight vector (a few
+  * doubles), exactly the iterative-driver scalar pattern the graph
+  * family uses. No step depends on row count beyond the linear scan, so
+  * the loop costs `iters` corpus scans at ANY scale — at 100 TB you
+  * train on a stratified sample ([[Sampling.stratifiedSample]]) and
+  * SCORE the corpus with the one-pass [[linearProbeScore]].
+  */
+object Train {
+
+  /** Fit weights by `iters` rounds of full-batch gradient descent from
+    * w = 0, update `w_j ← rd(w_j + rate·Σᵢ(yᵢ−pᵢ)·xᵢⱼ / n, 12)`.
+    * `features` are (name, column) pairs; pass `lit(1.0)` for the bias.
+    * Labels must be 0/1 (cast to double). Returns the weight vector
+    * driver-side — the scalar state of the iteration, like
+    * [[Graph]]'s per-round tolerance read. An EMPTY frame returns the
+    * all-zero init (the empty law: no evidence, no update).
+    *
+    * Determinism: z and the per-row gradient terms are fixed-shape IEEE
+    * expression trees over exactly-represented inputs (integer-valued
+    * features, 12-dp-rounded weights); per-feature gradient sums cast to
+    * decimal(28,18) so partition order cannot move a bit; the update's
+    * divide-then-round matches the oracle's `round(w + rate*g/n, 12)`.
+    */
+  def linearProbeWeights(df: DataFrame, label: Column,
+                         features: Seq[(String, Column)],
+                         iters: Int, rate: Double): Seq[(String, Double)] = {
+    require(features.nonEmpty, "at least one feature required")
+    require(iters >= 0 && iters <= 64, s"iters must be in [0,64], got $iters")
+    val names = features.map(_._1)
+    val feats = Dedup.spread(df)
+      .select(label.cast("double").as("__y") +:
+        features.map { case (n, c) => c.cast("double").as(n) }: _*)
+      .localCheckpoint() // scanned once per iteration
+    var w = Array.fill(names.size)(0.0d)
+    var it = 0
+    while (it < iters) {
+      val z = names.zip(w).map { case (n, wj) => lit(wj) * col(n) }
+        .reduce(_ + _)
+      val p = lit(0.5d) * (lit(1.0d) + z / (lit(1.0d) + abs(z)))
+      val resid = (col("__y") - p).as("__r")
+      val grads = names.map(n =>
+        sum((col("__r") * col(n)).cast("decimal(28,18)"))
+          .cast("double").as(s"__g_$n"))
+      val aggExprs = count(lit(1)).as("__n") +: grads
+      val agg = feats.select(col("__y") +: names.map(col) :+ resid: _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+      val updated = agg.select(names.zip(w).map { case (n, wj) =>
+        when(col("__n") === 0L, lit(wj))
+          .otherwise(round(lit(wj) + lit(rate) * col(s"__g_$n") /
+            col("__n").cast("double"), 12)).as(n)
+      }: _*).head()
+      w = names.indices.map(updated.getDouble).toArray
+      it += 1
+    }
+    names.zip(w)
+  }
+
+  /** [[linearProbeWeights]] as a gateable frame: one (feature, weight)
+    * row per feature, in feature order (`ord` carries it through the
+    * driver's name-sorted compare).
+    */
+  def linearProbe(df: DataFrame, label: Column,
+                  features: Seq[(String, Column)],
+                  iters: Int, rate: Double): DataFrame = {
+    val w = linearProbeWeights(df, label, features, iters, rate)
+    val s = df.sparkSession
+    import s.implicits._
+    w.zipWithIndex.map { case ((n, wj), i) => (i, n, wj) }
+      .toDF("ord", "feature", "weight")
+  }
+
+  /** Score rows with a fitted probe: the SAME z/σ expression tree the
+    * trainer used (so train-time and serve-time probabilities cannot
+    * drift), as a one-pass map-side projection — this is the leg that
+    * runs over the FULL corpus. Returns the input plus
+    * (score = σ(z) rounded 9, predicted = score ≥ ½).
+    */
+  def linearProbeScore(df: DataFrame, features: Seq[(String, Column)],
+                       weights: Seq[(String, Double)]): DataFrame = {
+    require(features.map(_._1) == weights.map(_._1),
+      s"feature/weight name mismatch: ${features.map(_._1)} vs ${weights.map(_._1)}")
+    val z = features.zip(weights).map { case ((_, c), (_, wj)) =>
+      lit(wj) * c.cast("double")
+    }.reduce(_ + _)
+    val p = lit(0.5d) * (lit(1.0d) + z / (lit(1.0d) + abs(z)))
+    df.withColumn("score", round(p, 9))
+      .withColumn("predicted", (col("score") >= lit(0.5d)).cast("int"))
+  }
+
+  /** Training-fit readout for a fitted probe: one row of
+    * (n, n_correct, accuracy, mean_abs_resid), decimal-summed and
+    * readout-rounded. `accuracy` counts `σ(z) ≥ ½` as predicting 1.
+    */
+  def linearProbeEval(df: DataFrame, label: Column,
+                      features: Seq[(String, Column)],
+                      weights: Seq[(String, Double)]): DataFrame = {
+    val scored = linearProbeScore(df, features, weights)
+      .select(label.cast("double").as("__y"), col("score"),
+        col("predicted"))
+    scored.agg(count(lit(1)).as("n"),
+        sum(when(col("predicted").cast("double") === col("__y"), 1L)
+          .otherwise(0L)).as("n_correct"),
+        sum(abs(col("__y") - col("score")).cast("decimal(28,18)"))
+          .as("__sr"))
+      .select(col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n").cast("double"), 6)
+          .as("accuracy"),
+        round(col("__sr").cast("double") / col("n").cast("double"), 6)
+          .as("mean_abs_resid"))
+  }
+}

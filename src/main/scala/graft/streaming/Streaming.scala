@@ -751,6 +751,157 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming Count-Min maintenance — the frequency complement of
+    * [[kmvMaintain]]: each micro-batch's cell table
+    * ([[graft.ops.Sketch.cmsState]]) folds into the persisted sketch by
+    * cell-wise sum ([[graft.ops.Sketch.cmsMergeStates]]); state is
+    * ≤ depth·width rows at any corpus size. The fold is commutative and
+    * associative but NOT duplicate-insensitive (counters add), so
+    * exactly-once rides the versioned-overwrite protocol: `v{N}` is
+    * computed from the latest `v{M}, M < N` plus batch N alone — a
+    * redelivered batch rewrites its own version from unmutated inputs
+    * instead of double-counting. Because vector addition commutes, ANY
+    * batch partition of the corpus lands on the batch sketch EXACTLY —
+    * the gate reads the final store cell-for-cell against the batch
+    * oracle.
+    */
+  def cmsMaintain(spark: SparkSession, sourceDir: String,
+                  schema: StructType, keyCol: String, depth: Int, width: Int,
+                  statePath: String, checkpointDir: String,
+                  maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val versions =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).toSeq
+              .map(_.getPath.getName)
+              .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+              .filter(_ < batchId)
+          else Seq.empty[Long]
+        val prior =
+          if (versions.isEmpty)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], cmsSchema)
+          else s.read.schema(cmsSchema).parquet(s"$statePath/v${versions.max}")
+        graft.ops.Sketch.cmsMergeStates(prior,
+            graft.ops.Sketch.cmsState(batch.toDF(),
+              org.apache.spark.sql.functions.col(keyCol), depth, width))
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming bounded-uniform-sample maintenance — reservoir sampling's
+    * job without its sequential-order dependence: each micro-batch's
+    * deterministic top-k sample
+    * ([[graft.ops.Sampling.uniformTopKSample]]: k smallest salted md5
+    * positions, WITH payload) folds into the persisted sample by
+    * union-then-top-k — the KMV merge law with payload rows, so ANY
+    * batch partition of the corpus lands on the batch sample EXACTLY
+    * and state is k rows forever. Versioned-overwrite protocol as
+    * [[kmvMaintain]] (replay rewrites, never re-adds). The day-2 shape
+    * for "keep a representative corpus sample as data streams in"
+    * (eval-set carving, drift eyeballing) at kilobyte state.
+    */
+  def sampleMaintain(spark: SparkSession, sourceDir: String,
+                     schema: StructType, idCol: String, k: Int,
+                     statePath: String, checkpointDir: String,
+                     maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val stateSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("__pos",
+        org.apache.spark.sql.types.LongType))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val versions =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).toSeq
+              .map(_.getPath.getName)
+              .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+              .filter(_ < batchId)
+          else Seq.empty[Long]
+        val prior =
+          if (versions.isEmpty)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+          else s.read.schema(stateSchema)
+            .parquet(s"$statePath/v${versions.max}")
+        val c = org.apache.spark.sql.functions.col _
+        prior.unionByName(
+            graft.ops.Sampling.uniformTopKSample(batch.toDF(), c(idCol), k))
+          .orderBy(c("__pos").asc, c(idCol).asc).limit(k)
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Latest landed sample under [[sampleMaintain]]'s state dir (empty
+    * sample when no batch landed — the empty law). `schema` is the
+    * SOURCE schema; `__pos` is appended.
+    */
+  def latestSample(spark: SparkSession, statePath: String,
+                   schema: StructType): DataFrame = {
+    val stateSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("__pos",
+        org.apache.spark.sql.types.LongType))
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      else Seq.empty[Long]
+    if (versions.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    else spark.read.schema(stateSchema).parquet(s"$statePath/v${versions.max}")
+  }
+
+  private val cmsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("r",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("c",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cnt",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Latest landed CMS under [[cmsMaintain]]'s state dir (the empty
+    * sketch — all-zero cells, represented sparsely as zero rows — when
+    * no batch landed: the empty law).
+    */
+  def latestCmsState(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      else Seq.empty[Long]
+    if (versions.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cmsSchema)
+    else spark.read.schema(cmsSchema).parquet(s"$statePath/v${versions.max}")
+  }
+
   /** Latest landed sketch version under [[kmvMaintain]]'s state dir —
     * or the EMPTY sketch when no batch ever landed (an AvailableNow run
     * over an empty source fires zero batches; the empty sketch is the
