@@ -3817,8 +3817,14 @@ object SparkEntry {
     * near Hamming 32 and never survive. The oracle replays grids,
     * perturbation, bands, the band join, and the XOR popcount distance.
     */
-  private def q263(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+  /** Shared q263/q270/q272 band frame over a documents-shaped input:
+    * base grids + the planted one-cell variants, folded to the 4×16-bit
+    * pigeonhole bands as (id, bands). Works identically on the whole
+    * corpus (batch gates) and on a micro-batch (the streamed
+    * maintainer's `toBands` leg) because everything is per-document.
+    */
+  private def dhashBandFrame(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.filter(col("text").isNotNull)
       .withColumn("modality", lit("image"))
     val base = Multimodal.decodeGrid(
       Multimodal.fromText(docs, "doc_id", "text", "source"))
@@ -3831,13 +3837,78 @@ object SparkEntry {
         transform(col("grid"), (v, i) =>
           when(i === col("__pix"),
             pmod(v + lit(7), lit(256))).otherwise(v)).as("grid"))
-    val hashed = Multimodal.withDhash(base.unionByName(variants))
-      .withColumn("b16", array((0 until 4).map(j =>
-        element_at(col("bands"), 2 * j + 1) +
-          element_at(col("bands"), 2 * j + 2) * lit(256)): _*))
-    Multimodal.hammingNearDupPairs(hashed, col("asset_id"), col("b16"),
-        maxDist = 3)
+    Multimodal.withDhash(base.unionByName(variants))
+      .select(col("asset_id").as("id"),
+        array((0 until 4).map(j =>
+          element_at(col("bands"), 2 * j + 1) +
+            element_at(col("bands"), 2 * j + 2) * lit(256)): _*).as("bands"))
+  }
+
+  private def q263(s: SparkSession, dir: String): DataFrame =
+    Multimodal.hammingNearDupPairs(dhashBandFrame(t(s, dir, "documents")),
+        col("id"), col("bands"), maxDist = 3)
       .orderBy("id_a", "id_b")
+
+  /** Multimodal 11 (round-7): image dedup GROUPS — q263's Hamming pairs
+    * resolved to canonical duplicate groups by the pointer-jumping
+    * connected components ([[graft.ops.Dedup.connectedComponents]],
+    * O(log diameter) rounds): the keep-list grain an image-dedup pass
+    * acts on, mirroring the chunk (q248) and MinHash families. The
+    * oracle re-derives every pair and closes the components with a
+    * recursive CTE.
+    */
+  private def q270(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Multimodal.hammingNearDupPairs(
+      dhashBandFrame(t(s, dir, "documents")), col("id"), col("bands"),
+      maxDist = 3)
+    graft.ops.Dedup.connectedComponents(pairs)
+      .select(col("id").as("asset_id"), col("component").as("dup_group"))
+      .orderBy("asset_id")
+  }
+
+  /** Sketch 7 (round-7): CMS join-size estimation
+    * ([[graft.ops.Sketch.cmsJoinSize]]) — the cardinality-planner read:
+    * how big is lineitem ⋈ lineitem on part key, asked of two 256-cell
+    * sketches instead of the corpora (the inner-product bound, one-sided
+    * like every CMS read). Gated against the exact Σ n² truth with the
+    * overcount ratio as the calibration readout — all integer
+    * arithmetic, one rounded division.
+    */
+  private def q271(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"))
+    val est = graft.ops.Sketch.cmsJoinSize(li, col("l_partkey"),
+      li, col("l_partkey"), depth = 4, width = 64)
+    val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n") * col("__n")).as("exact_join_size"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est_join_size"), col("exact_join_size"),
+        round(col("est_join_size").cast("double") /
+          col("exact_join_size").cast("double"), 4).as("overcount_ratio"))
+  }
+
+  /** Streaming 23 (round-7): STREAMED perceptual dedup
+    * ([[graft.streaming.Streaming.dhashPairsMaintain]]) — q263's band
+    * frame maintained incrementally over three forced micro-batches:
+    * per batch, near-dup pairs are batch×batch plus batch×index band
+    * joins (the corpus never re-self-joins), each pair landing exactly
+    * once in its later member's batch. The landed log must equal the
+    * batch pairs EXACTLY, so the gate is q263's oracle VERBATIM —
+    * q144's stream-equals-batch device for image dedup.
+    */
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q272")
+    val src = stage.resolve("src").toString
+    t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    graft.streaming.Streaming.dhashPairsMaintain(s, src, schema,
+      dhashBandFrame, maxDist = 3,
+      statePath = stage.resolve("state").toString,
+      checkpointDir = stage.resolve("ckpt").toString)
+    val out = graft.streaming.Streaming.latestDhashPairs(s,
+        stage.resolve("state").toString).localCheckpoint()
+      .orderBy("id_a", "id_b")
+    materializeDropping(s, out, stage)
   }
 
   /** Eval 9 (round-7): one-pass Poisson-bootstrap AUC spread
@@ -5348,7 +5419,10 @@ object SparkEntry {
     "q266_bpe_merges" -> q266 _,
     "q267_bpe_encode" -> q267 _,
     "q268_pii_luhn" -> q268 _,
-    "q269_readability" -> q269 _)
+    "q269_readability" -> q269 _,
+    "q270_image_dedup_groups" -> q270 _,
+    "q271_cms_join_size" -> q271 _,
+    "q272_image_neardup_stream" -> q272 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -5963,6 +6037,52 @@ object SparkEntry {
         min(auc) AS lo_auc, max(auc) AS hi_auc
       FROM nn"""
   }
+
+  /** The shared q263/q270/q272 pair derivation: md5 grid cells, planted
+    * one-cell variants, gradient-sign bits, 8-bit row bands joined
+    * pairwise to 16-bit pigeonhole bands, the band equi-join, and the
+    * XOR popcount distance. Ends with `ham` (id_a, id_b, hamming). One
+    * definition so the batch pairs, the dedup groups, and the streamed
+    * log cannot drift.
+    */
+  private val dhashPairsCte: String = """cells0 AS (
+        SELECT d.doc_id, t.i,
+          ('0x' || substring(md5(d.text || '|g' || CAST(t.i AS VARCHAR)),
+            1, 2))::BIGINT AS v
+        FROM documents d, range(72) t(i)
+        WHERE d.text IS NOT NULL),
+      vcells AS (
+        SELECT c0.doc_id + 10000000 AS doc_id, c0.i,
+          CASE WHEN c0.i = c0.doc_id % 72 THEN (c0.v + 7) % 256
+               ELSE c0.v END AS v
+        FROM cells0 c0 WHERE c0.doc_id % 17 = 0),
+      cells AS (
+        SELECT doc_id, i, v FROM cells0
+        UNION ALL SELECT doc_id, i, v FROM vcells),
+      bits AS (
+        SELECT a.doc_id, a.i // 9 AS r, a.i % 9 AS c,
+          CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.i % 9 < 8),
+      bands AS (
+        SELECT doc_id, r, CAST(sum(bit * (1::BIGINT << c)) AS BIGINT) AS band
+        FROM bits GROUP BY 1, 2),
+      b16 AS (
+        SELECT doc_id, r // 2 AS j,
+          CAST(sum(band * (CASE WHEN r % 2 = 0 THEN 1 ELSE 256 END))
+            AS BIGINT) AS bv
+        FROM bands GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM b16 a JOIN b16 b
+          ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.id_a, c.id_b,
+          CAST(sum(bit_count(xor(x.bv, y.bv))) AS INT) AS hamming
+        FROM cand c
+        JOIN b16 x ON x.doc_id = c.id_a
+        JOIN b16 y ON y.doc_id = c.id_b AND y.j = x.j
+        GROUP BY 1, 2)"""
 
   /** q266's oracle: the WHOLE 6-iteration BPE trainer unrolled as CTE
     * blocks — per round: list_zip adjacent pairs over the spaced vocab,
@@ -8269,47 +8389,43 @@ object SparkEntry {
     // q263: planted one-cell variants, the 4x16-bit pigeonhole band
     // join, XOR popcount distance — the base<->variant pairs and ONLY
     // those survive maxDist 3
-    "q263_image_neardup" -> """
-      WITH cells0 AS (
-        SELECT d.doc_id, t.i,
-          ('0x' || substring(md5(d.text || '|g' || CAST(t.i AS VARCHAR)),
-            1, 2))::BIGINT AS v
-        FROM documents d, range(72) t(i)
-        WHERE d.text IS NOT NULL),
-      vcells AS (
-        SELECT c0.doc_id + 10000000 AS doc_id, c0.i,
-          CASE WHEN c0.i = c0.doc_id % 72 THEN (c0.v + 7) % 256
-               ELSE c0.v END AS v
-        FROM cells0 c0 WHERE c0.doc_id % 17 = 0),
-      cells AS (
-        SELECT doc_id, i, v FROM cells0
-        UNION ALL SELECT doc_id, i, v FROM vcells),
-      bits AS (
-        SELECT a.doc_id, a.i // 9 AS r, a.i % 9 AS c,
-          CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
-        FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-        WHERE a.i % 9 < 8),
-      bands AS (
-        SELECT doc_id, r, CAST(sum(bit * (1::BIGINT << c)) AS BIGINT) AS band
-        FROM bits GROUP BY 1, 2),
-      b16 AS (
-        SELECT doc_id, r // 2 AS j,
-          CAST(sum(band * (CASE WHEN r % 2 = 0 THEN 1 ELSE 256 END))
-            AS BIGINT) AS bv
-        FROM bands GROUP BY 1, 2),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM b16 a JOIN b16 b
-          ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id),
-      ham AS (
-        SELECT c.id_a, c.id_b,
-          CAST(sum(bit_count(xor(x.bv, y.bv))) AS INT) AS hamming
-        FROM cand c
-        JOIN b16 x ON x.doc_id = c.id_a
-        JOIN b16 y ON y.doc_id = c.id_b AND y.j = x.j
-        GROUP BY 1, 2)
+    "q263_image_neardup" -> s"""WITH $dhashPairsCte
       SELECT id_a, id_b, hamming FROM ham
       WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    // q270: q263's pairs closed to duplicate groups by a recursive CTE
+    // (min reachable id = the canonical group)
+    "q270_image_dedup_groups" -> s"""WITH RECURSIVE $dhashPairsCte,
+      pj AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+      sym AS (
+        SELECT id_a AS s, id_b AS d FROM pj
+        UNION ALL SELECT id_b, id_a FROM pj),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s)
+      SELECT id AS asset_id, CAST(min(r) AS BIGINT) AS dup_group
+      FROM reach GROUP BY id ORDER BY asset_id""",
+    // q272: the streamed pair log must equal the batch pairs exactly —
+    // q263's oracle verbatim
+    "q272_image_neardup_stream" -> s"""WITH $dhashPairsCte
+      SELECT id_a, id_b, hamming FROM ham
+      WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    // q271: both CMS chains are the same sketch (self inner product);
+    // the dot per hash row, the min, and the exact sum-of-squares truth
+    "q271_cms_join_size" -> s"""
+      WITH ${cmsCellsSql("lineitem", "CAST(l_partkey AS VARCHAR)")},
+      dots AS (
+        SELECT a.r, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+        FROM cms a JOIN cms b ON a.r = b.r AND a.c = b.c
+        GROUP BY 1),
+      e AS (SELECT CAST(min(dot) AS BIGINT) AS est FROM dots),
+      x AS (
+        SELECT CAST(sum(n * n) AS BIGINT) AS exact FROM (
+          SELECT count(*) AS n FROM lineitem GROUP BY l_partkey))
+      SELECT e.est AS est_join_size, x.exact AS exact_join_size,
+        round(CAST(e.est AS DOUBLE) / CAST(x.exact AS DOUBLE), 4)
+          AS overcount_ratio
+      FROM e CROSS JOIN x""",
     // q264: 16 Poisson-weighted resamples, each AUC'd with the exact
     // weighted tied-rank identity — thresholds are the SAME Scala longs
     "q264_bootstrap_auc" -> bootstrapAucOracle(withSummary = false),

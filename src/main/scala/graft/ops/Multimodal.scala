@@ -475,6 +475,45 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** [[hammingNearDupPairs]] ACROSS two frames — the incremental-dedup
+    * leg: pairs between a NEW batch and the existing corpus index, so a
+    * streamed maintainer only ever joins batch×corpus on the band key
+    * (the q74/q144 incremental economics applied to perceptual hashes:
+    * the corpus never re-self-joins). Ids must be disjoint between the
+    * frames; pairs come out (least, greatest) so the union of
+    * within-batch and across pairs over a batch sequence equals the
+    * whole-corpus [[hammingNearDupPairs]] EXACTLY — each pair lands
+    * once, in the batch of its later-arriving member.
+    */
+  def hammingNearDupPairsAcross(a: DataFrame, aId: Column, aBands: Column,
+                                b: DataFrame, bId: Column, bBands: Column,
+                                maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    def posed(df: DataFrame, id: Column, bands: Column) = df
+      .select(id.cast("long").as("__id"), bands.as("__b"))
+      .filter(col("__b").isNotNull)
+      .select(col("__id"), col("__b"),
+        posexplode(col("__b")).as(Seq("__r", "__v")))
+    val cand = posed(a, aId, aBands).as("a")
+      .join(posed(b, bId, bBands).as("b"),
+        col("a.__r") === col("b.__r") && col("a.__v") === col("b.__v") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+        greatest(col("a.__id"), col("b.__id")).as("id_b"),
+        when(col("a.__id") < col("b.__id"), col("a.__b"))
+          .otherwise(col("b.__b")).as("__ba"),
+        when(col("a.__id") < col("b.__id"), col("b.__b"))
+          .otherwise(col("a.__b")).as("__bb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        aggregate(zip_with(col("__ba"), col("__bb"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+          lit(0), (acc, d) => acc + d))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Size-aware repartitioning before a heavy decode: pack partitions to a
     * target byte budget so one huge video can't skew an executor. At 100 TB
     * this is the difference between a balanced decode stage and a straggler.

@@ -156,6 +156,33 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  /** CMS INNER PRODUCT — equi-join SIZE estimation from two frequency
+    * sketches: |A ⋈ B on key| = Σ_v cntA(v)·cntB(v), and the sketch
+    * estimate is min over hash rows of Σ_c cntA(r,c)·cntB(r,c) — the
+    * classic Count-Min inner-product bound (one-sided: collisions only
+    * ADD mass, so est ≥ truth always; excess ≤ ‖A‖₁‖B‖₁/width per row
+    * with prob. 1−2⁻ᵈᵉᵖᵗʰ). This is the cardinality-planner read a
+    * query optimizer wants before committing to a join order: both
+    * sides cost one sketch build (bounded shuffle, see [[cmsState]]),
+    * the product costs a ≤ depth·width-row join — the corpora are never
+    * co-shuffled to ask "how big would this join be".
+    *
+    * Determinism: exact integer counts, integer products, integer sums
+    * (bounded by n_a·n_b ≤ 2⁶³ for any realistic pair), one integer
+    * min — no IEEE arithmetic at all.
+    */
+  def cmsJoinSizeStates(sa: DataFrame, sb: DataFrame): DataFrame =
+    sa.join(sb.select(col("r"), col("c"), col("cnt").as("__cb")),
+        Seq("r", "c"))
+      .groupBy(col("r")).agg(sum(col("cnt") * col("__cb")).as("__dot"))
+      .agg(min(col("__dot")).as("est_join_size"))
+
+  /** [[cmsJoinSizeStates]] from raw key columns. */
+  def cmsJoinSize(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+                  depth: Int, width: Int): DataFrame =
+    cmsJoinSizeStates(cmsState(a, aKey, depth, width),
+      cmsState(b, bKey, depth, width))
+
   /** KMV SET ALGEBRA over two sketches — Jaccard / union / intersection
     * estimates from two [[kmvState]]s, completing the sketch family's
     * algebra (KMV union already exists as [[kmvMergeStates]]; this is

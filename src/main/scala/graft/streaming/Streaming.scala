@@ -801,6 +801,95 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming perceptual-dedup maintenance — the multimodal dedup leg
+    * run incrementally: each micro-batch's assets are banded
+    * (`toBands`: the caller's decode → dHash → band composition) and
+    * near-dup pairs are found as batch×batch PLUS batch×corpus-index
+    * band joins ([[graft.ops.Multimodal.hammingNearDupPairsAcross]]) —
+    * the corpus NEVER re-self-joins, which is the q74/q144 incremental
+    * economics for image dedup: per batch cost is |batch|·(corpus
+    * band-bucket occupancy), not corpus².
+    *
+    * Each pair lands exactly once — in the batch of its later-arriving
+    * member — so the landed union over any batch partition of the
+    * corpus equals the whole-corpus batch pairs EXACTLY (q272 gates
+    * that against the batch oracle verbatim). Both the band index and
+    * the pair log ride partitioned overwrite by `__batch_id`
+    * ([[graft.idempotent.Idempotent.overwritePartitions]]): a
+    * redelivered batch rewrites only its own partition from unmutated
+    * inputs — idempotent replay without a versioned full rewrite (the
+    * pair log is additive, unlike the CMS fold).
+    */
+  def dhashPairsMaintain(spark: SparkSession, sourceDir: String,
+                         schema: StructType,
+                         toBands: DataFrame => DataFrame,
+                         maxDist: Int, statePath: String,
+                         checkpointDir: String,
+                         maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val indexDir = s"$statePath/index"
+    val pairsDir = s"$statePath/pairs"
+    val indexSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bands",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("__batch_id",
+        org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("latestFirst", "false")
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bb = toBands(batch.toDF())
+          .select(col("id").cast("long").as("id"), col("bands"))
+          .localCheckpoint() // read by two joins and the index landing
+        val prior =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+            s.read.schema(indexSchema).parquet(indexDir)
+              .filter(col("__batch_id") < batchId)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
+        val within = graft.ops.Multimodal.hammingNearDupPairs(
+          bb, col("id"), col("bands"), maxDist)
+        val across = graft.ops.Multimodal.hammingNearDupPairsAcross(
+          bb, col("id"), col("bands"),
+          prior, col("id"), col("bands"), maxDist)
+        graft.idempotent.Idempotent.overwritePartitions(
+          within.unionByName(across).withColumn("__batch_id", lit(batchId)),
+          pairsDir, Seq("__batch_id"))
+        graft.idempotent.Idempotent.overwritePartitions(
+          bb.withColumn("__batch_id", lit(batchId)),
+          indexDir, Seq("__batch_id"))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The landed pair log of [[dhashPairsMaintain]] — additive across
+    * batches, read with the explicit schema (empty-batch law).
+    */
+  def latestDhashPairs(spark: SparkSession, statePath: String): DataFrame = {
+    val pairsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id_b",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("hamming",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("__batch_id",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(pairsSchema).parquet(s"$statePath/pairs")
+      .drop("__batch_id")
+  }
+
   /** Streaming bounded-uniform-sample maintenance — reservoir sampling's
     * job without its sequential-order dependence: each micro-batch's
     * deterministic top-k sample

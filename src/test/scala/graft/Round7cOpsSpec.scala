@@ -200,6 +200,47 @@ class Round7cOpsSpec extends AnyFunSuite {
     assert(aucs.length === 8 && aucs.forall(_ === 1.0d))
   }
 
+  // ——— CMS join-size / incremental Hamming ————————————————————————————
+
+  test("cmsJoinSize: collision-free sketch gives the exact join size") {
+    // A: a x3, b x2; B: a x4, c x5 → |A join B| = 3*4 = 12
+    val a = Seq("a", "a", "a", "b", "b").toDF("k")
+    val b = Seq("a", "a", "a", "a", "c", "c", "c", "c", "c").toDF("k")
+    val est = Sketch.cmsJoinSize(a, $"k", b, $"k",
+      depth = 4, width = 1 << 16).head().getLong(0)
+    assert(est === 12L)
+  }
+
+  test("cmsJoinSize: one-sided — narrow sketch only ever overcounts") {
+    val a = Seq.tabulate(400)(i => s"k${i % 29}").toDF("k")
+    val exact = a.groupBy("k").count()
+      .agg(sum($"count" * $"count")).head().getLong(0)
+    val est = Sketch.cmsJoinSize(a, $"k", a, $"k",
+      depth = 4, width = 8).head().getLong(0)
+    assert(est >= exact, s"CMS inner product undercounted: $est < $exact")
+  }
+
+  test("hamming across: batch split law — within(all) == within each + across") {
+    val rows = Seq(
+      (1L, Seq(10, 20, 30, 40)), (2L, Seq(10, 21, 30, 40)),
+      (3L, Seq(99, 98, 30, 40)), (4L, Seq(99, 98, 30, 41)),
+      (5L, Seq(10, 20, 31, 40)))
+    val all = rows.toDF("id", "bands")
+    val (h1, h2) = (rows.take(2).toDF("id", "bands"),
+      rows.drop(2).toDF("id", "bands"))
+    val whole = Multimodal.hammingNearDupPairs(all, $"id", $"bands", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val pieced =
+      Multimodal.hammingNearDupPairs(h1, $"id", $"bands", 3)
+        .as[(Long, Long, Int)].collect().toSet ++
+      Multimodal.hammingNearDupPairs(h2, $"id", $"bands", 3)
+        .as[(Long, Long, Int)].collect().toSet ++
+      Multimodal.hammingNearDupPairsAcross(h1, $"id", $"bands",
+          h2, $"id", $"bands", 3)
+        .as[(Long, Long, Int)].collect().toSet
+    assert(whole === pieced && whole.nonEmpty)
+  }
+
   // ——— BPE trainer / encoder ——————————————————————————————————————————
 
   test("bpe: learns the textbook merge sequence on a hand corpus") {
