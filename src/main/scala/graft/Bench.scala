@@ -243,7 +243,19 @@ object Bench {
     "q257_sample_stream",
     "q258_small_qty_revenue",
     "q259_cms_heavy_hitters",
-    "q260_probe_score_stream")
+    "q260_probe_score_stream",
+    "q261_kmv_jaccard",
+    "q262_image_dhash",
+    "q263_image_neardup",
+    "q264_bootstrap_auc",
+    "q265_bootstrap_auc_ci",
+    "q266_bpe_merges",
+    "q267_bpe_encode",
+    "q268_pii_luhn",
+    "q269_readability",
+    "q270_image_dedup_groups",
+    "q271_cms_join_size",
+    "q272_image_neardup_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3798,7 +3798,11 @@ object SparkEntry {
     * production swap-in, spec-gated on real PNG pixels.
     */
   private def q262(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    // spread before the codec boundary — the single-partition documents
+    // parquet would otherwise run the whole decode on one core
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(col("text").isNotNull)
       .withColumn("modality", lit("image"))
     val assets = Multimodal.fromText(docs, "doc_id", "text", "source")
     Multimodal.withDhash(Multimodal.decodeGrid(assets))
@@ -3824,10 +3828,19 @@ object SparkEntry {
     * maintainer's `toBands` leg) because everything is per-document.
     */
   private def dhashBandFrame(docsIn: DataFrame): DataFrame = {
-    val docs = docsIn.filter(col("text").isNotNull)
+    // spread BEFORE the codec boundary (documents parquet arrives as one
+    // partition — an unspread decodeGrid runs the whole corpus single-
+    // core), and checkpoint the band frame: the pair join reads it from
+    // BOTH sides and CC iterates over it, so an uncut lineage re-decodes
+    // the corpus once per reader (measured 12.7 s → the decode ran ~4x
+    // on one core; spread+checkpoint cut q263 to band-join cost)
+    val docs = docsIn
+      .repartition(docsIn.sparkSession.sparkContext.defaultParallelism)
+      .filter(col("text").isNotNull)
       .withColumn("modality", lit("image"))
     val base = Multimodal.decodeGrid(
       Multimodal.fromText(docs, "doc_id", "text", "source"))
+      .localCheckpoint()
     // compute the perturb index BEFORE re-aliasing asset_id: a lateral
     // column alias wins name resolution inside the transform lambda, so
     // an inline pmod(asset_id, 72) would read the VARIANT id, not the base
@@ -3842,6 +3855,7 @@ object SparkEntry {
         array((0 until 4).map(j =>
           element_at(col("bands"), 2 * j + 1) +
             element_at(col("bands"), 2 * j + 2) * lit(256)): _*).as("bands"))
+      .localCheckpoint()
   }
 
   private def q263(s: SparkSession, dir: String): DataFrame =
