@@ -255,7 +255,9 @@ object Bench {
     "q269_readability",
     "q270_image_dedup_groups",
     "q271_cms_join_size",
-    "q272_image_neardup_stream")
+    "q272_image_neardup_stream",
+    "q273_sample_quantiles",
+    "q274_kmv_by_group")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

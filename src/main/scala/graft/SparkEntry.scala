@@ -4030,6 +4030,60 @@ object SparkEntry {
         col("text"))
       .orderBy("doc_id")
 
+  /** Sampling 12 (round-7): quantiles FROM the deterministic reservoir
+    * ([[Sampling.uniformTopKSample]], k = 1024) vs the exact
+    * interpolated corpus quantiles — the mergeable-quantile readout
+    * that completes the sketch family (cardinality/frequency/sample →
+    * quantiles): a streamed k-row sample ([[graft.streaming.Streaming
+    * .sampleMaintain]]) answers quantile queries at any corpus size,
+    * and THIS gate measures how well, per quantile, with both sides'
+    * interpolation on the q172 percentile ≡ quantile_cont device.
+    */
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("id"),
+      col("l_extendedprice").cast("double").as("v"))
+    val fr = array(lit(0.25d), lit(0.5d), lit(0.75d), lit(0.9d))
+    val est = Sampling.uniformTopKSample(li, col("id"), 1024)
+      .agg(percentile(col("v"), fr).as("__e"))
+    val ex = li.agg(percentile(col("v"), fr).as("__x"))
+    est.crossJoin(broadcast(ex))
+      .select(col("__x"), posexplode(col("__e")).as(Seq("__i", "__est")))
+      .select(
+        element_at(fr, col("__i").cast("int") + 1).as("p"),
+        round(col("__est"), 4).as("est_quantile"),
+        round(element_at(col("__x"), col("__i").cast("int") + 1), 4)
+          .as("exact_quantile"),
+        round(abs(col("__est") -
+          element_at(col("__x"), col("__i").cast("int") + 1)), 4)
+          .as("abs_err"))
+      .orderBy("p")
+  }
+
+  /** Sketch 8 (round-7): per-group KMV cardinality profile
+    * ([[graft.ops.Sketch.kmvDistinctBy]], k = 64) — distinct users per
+    * event type in one pass, joined to the exact truth as the
+    * calibration readout. The only window is partitioned by group over
+    * the deduped (group, position) frame; the estimator is q240's,
+    * per group. (The exact leg exists for the GATE — production runs
+    * only the sketch side; nulls count as a value in the sketch but
+    * not in COUNT(DISTINCT), documented divergence of the readout.)
+    */
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val est = graft.ops.Sketch.kmvDistinctBy(ev, col("event_type"),
+      col("user_id"), k = 64)
+    val ex = ev.groupBy(col("event_type").as("group"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    est.join(ex, Seq("group"))
+      .select(col("group").as("event_type"), col("n_min"), col("kth_pos"),
+        col("est_distinct"), col("exact_distinct"),
+        round(col("est_distinct") / col("exact_distinct").cast("double"), 4)
+          .as("est_ratio"))
+      .orderBy("event_type")
+  }
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -5436,7 +5490,9 @@ object SparkEntry {
     "q269_readability" -> q269 _,
     "q270_image_dedup_groups" -> q270 _,
     "q271_cms_join_size" -> q271 _,
-    "q272_image_neardup_stream" -> q272 _)
+    "q272_image_neardup_stream" -> q272 _,
+    "q273_sample_quantiles" -> q273 _,
+    "q274_kmv_by_group" -> q274 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -8503,6 +8559,58 @@ object SparkEntry {
             CAST(sn AS DOUBLE)) - 84.6 * (CAST(sy AS DOUBLE) /
             CAST(w AS DOUBLE)), 4) END AS flesch
       FROM f ORDER BY doc_id""",
+    // q273: the same deterministic reservoir (pos, id tie) and the
+    // same interpolated quantiles on both the sample and the corpus
+    "q273_sample_quantiles" -> s"""
+      WITH li AS (
+        SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+          CAST(l_linenumber AS VARCHAR) AS id,
+          CAST(l_extendedprice AS DOUBLE) AS v
+        FROM lineitem),
+      sm AS (
+        SELECT v FROM (
+          SELECT v, ${hashPosSql("'sample'", "id")} AS pos, id FROM li)
+        ORDER BY pos, id LIMIT 1024),
+      e AS (SELECT quantile_cont(v, [0.25, 0.5, 0.75, 0.9]) AS l FROM sm),
+      x AS (SELECT quantile_cont(v, [0.25, 0.5, 0.75, 0.9]) AS l FROM li),
+      i AS (SELECT unnest([1, 2, 3, 4]) AS i)
+      SELECT CASE i.i WHEN 1 THEN 0.25 WHEN 2 THEN 0.5
+        WHEN 3 THEN 0.75 ELSE 0.9 END AS p,
+        round(e.l[i.i], 4) AS est_quantile,
+        round(x.l[i.i], 4) AS exact_quantile,
+        round(abs(e.l[i.i] - x.l[i.i]), 4) AS abs_err
+      FROM i CROSS JOIN e CROSS JOIN x ORDER BY p""",
+    // q274: per-group min-k via a PARTITIONED rank over the deduped
+    // (group, position) frame; q240's estimator per group; exact truth
+    "q274_kmv_by_group" -> s"""
+      WITH pos AS (
+        SELECT DISTINCT event_type AS grp,
+          ${hashPosSql("'kmv'", "CAST(user_id AS VARCHAR)")} AS hv
+        FROM events),
+      rk AS (
+        SELECT grp, hv,
+          row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+        FROM pos),
+      m AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_min,
+          CAST(max(hv) AS BIGINT) AS kth_pos
+        FROM rk WHERE rn <= 64 GROUP BY 1),
+      est AS (
+        SELECT grp, n_min, kth_pos,
+          CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
+               WHEN kth_pos = 0 THEN NULL
+               ELSE round(63.0 * 4294967296.0 / kth_pos, 4) END
+            AS est_distinct
+        FROM m),
+      ex AS (
+        SELECT event_type AS grp,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1)
+      SELECT est.grp AS event_type, n_min, kth_pos, est_distinct,
+        exact_distinct,
+        round(est_distinct / CAST(exact_distinct AS DOUBLE), 4)
+          AS est_ratio
+      FROM est JOIN ex ON est.grp = ex.grp ORDER BY event_type""",
     // q252: the 3-iteration GD unroll lands on the same weight bits
     "q252_linear_probe" -> s"""$probeTrainCte
       SELECT 0 AS ord, 'bias' AS feature, w0 AS weight FROM w3

@@ -156,6 +156,35 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  /** PER-GROUP KMV — the cardinality PROFILE: distinct-count estimates
+    * for every group in one pass ("distinct users per event type",
+    * "distinct tokens per language") without a per-group exact distinct
+    * shuffle at full cardinality. Same estimator as [[kmvDistinct]],
+    * per group; the only window is PARTITIONED BY GROUP over the
+    * deduped (group, position) frame — bounded by the group's distinct
+    * count, never the corpus (and the [[kmvDistinct]] threshold
+    * pushdown applies per group when even that is too big). Returns
+    * (group, n_min, kth_pos, est_distinct).
+    */
+  def kmvDistinctBy(df: DataFrame, group: Column, value: Column,
+                    k: Int): DataFrame = {
+    require(k >= 2 && k <= (1 << 20), s"k must be in [2, 2^20], got $k")
+    import org.apache.spark.sql.expressions.Window
+    val pos = df.select(group.as("group"),
+        Sampling.hashPos(lit("kmv"), value).as("__h"))
+      .distinct()
+    val w = Window.partitionBy(col("group")).orderBy(col("__h").asc)
+    pos.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_min"), max(col("__h")).as("kth_pos"))
+      .select(col("group"), col("n_min"), col("kth_pos"),
+        when(col("n_min") < k.toLong, col("n_min").cast("double"))
+          .when(col("kth_pos") === 0L, lit(null).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * 4294967296.0) /
+            col("kth_pos").cast("double"), 4)).as("est_distinct"))
+  }
+
   /** CMS INNER PRODUCT — equi-join SIZE estimation from two frequency
     * sketches: |A ⋈ B on key| = Σ_v cntA(v)·cntB(v), and the sketch
     * estimate is min over hash rows of Σ_c cntA(r,c)·cntB(r,c) — the

@@ -200,6 +200,26 @@ class Round7cOpsSpec extends AnyFunSuite {
     assert(aucs.length === 8 && aucs.forall(_ === 1.0d))
   }
 
+  // ——— per-group KMV ——————————————————————————————————————————————————
+
+  test("kmvDistinctBy: below-k groups report the exact distinct count") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 2), ("b", 9), ("b", 8),
+      ("b", 7), ("b", 7)).toDF("g", "v")
+    val got = Sketch.kmvDistinctBy(df, $"g", $"v", k = 64)
+      .select($"group", $"est_distinct").as[(String, Double)]
+      .collect().toMap
+    assert(got === Map("a" -> 2.0d, "b" -> 3.0d))
+  }
+
+  test("kmvDistinctBy: a group's estimate ignores other groups' rows") {
+    val a = Seq.tabulate(500)(i => ("a", s"v$i")).toDF("g", "v")
+    val ab = a.unionAll(Seq.tabulate(900)(i => ("b", s"w$i")).toDF("g", "v"))
+    val solo = Sketch.kmvDistinctBy(a, $"g", $"v", k = 32).collect()
+    val mixed = Sketch.kmvDistinctBy(ab, $"g", $"v", k = 32)
+      .filter($"group" === "a").collect()
+    assert(solo === mixed)
+  }
+
   // ——— CMS join-size / incremental Hamming ————————————————————————————
 
   test("cmsJoinSize: collision-free sketch gives the exact join size") {
