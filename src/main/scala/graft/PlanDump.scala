@@ -214,7 +214,32 @@ object PlanDump {
         "left-semi join on the candidate keys, so the corpus-grain " +
         "count aggregation shuffles only the candidate subset's " +
         "partials — sketch prefilter at the scan, exactness on a " +
-        "vanishing fraction."))
+        "vanishing fraction."),
+    "q263_image_neardup" ->
+      ("The perceptual-dedup shape: the band frame is a " +
+        "localCheckpoint-ed LogicalRDD (decode runs ONCE, spread across " +
+        "the cluster — the single-partition input would otherwise " +
+        "serialize the codec stage; BASELINE.md's found-and-fixed 10× " +
+        "row), the candidate join is a plain shuffle EQUI-join on " +
+        "(band_idx, band_val) — no CartesianProduct, no BNLJ — and the " +
+        "XOR popcount verify is a codegen'd projection on the " +
+        "candidate frame only."),
+    "q264_bootstrap_auc" ->
+      ("All 16 bootstrap replicates in ONE plan: the ×reps fan-out is " +
+        "a map-side Generate, the (rep, score) sufficient statistic is " +
+        "one partial_sum aggregation, and every cumulative window is " +
+        "PARTITIONED (by rep × band — withBelow's grouped banded " +
+        "prefix); the mechanical PlanSpec guard proves no " +
+        "unpartitioned WindowExec survives. B error-bar resamples " +
+        "cost ~one corpus scan."),
+    "q266_bpe_merges" ->
+      ("One training round's plan: the spaced-vocab scan is a " +
+        "LogicalRDD (localCheckpoint per round — lineage, and hence " +
+        "re-tokenization, cannot grow with rounds), adjacent pairs are " +
+        "a map-side Generate over arrays_zip slices, the pair count is " +
+        "a vocab-grain partial_sum aggregation, and the argmax is " +
+        "TakeOrdered(1) — never a global sort; the corpus itself is " +
+        "touched only by the initial word count."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps
