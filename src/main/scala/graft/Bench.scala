@@ -257,7 +257,8 @@ object Bench {
     "q271_cms_join_size",
     "q272_image_neardup_stream",
     "q273_sample_quantiles",
-    "q274_kmv_by_group")
+    "q274_kmv_by_group",
+    "q275_audio_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

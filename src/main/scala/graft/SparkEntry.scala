@@ -4084,6 +4084,49 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Multimodal 12 (round-7): AUDIO near-duplicate pairs
+    * ([[Multimodal.audioSignBands]] → [[Multimodal
+    * .hammingNearDupPairs]]) — the perceptual-dedup machinery crossed
+    * into the audio modality: per-frame sign-of-difference fingerprints
+    * (Haitsma-Kalker-style robustness — amplitude bumps flip only the
+    * comparisons they touch), planted one-sample variants, and the same
+    * pigeonhole band join. Variants with ≥ 2 frames are recovered
+    * (d ≤ 2 < bands); single-frame variants deterministically are not
+    * (the pigeonhole premise, honestly visible in the gate) — both
+    * engines replay the identical algorithm from the md5 PCM rule.
+    */
+  private def q275(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(col("text").isNotNull)
+      .withColumn("modality", lit("audio"))
+    val frames = Multimodal.decodeAudio(
+      Multimodal.fromText(docs, "doc_id", "text", "source"))
+    // perturb index from the BASE id, computed before re-aliasing
+    // (q263's lateral-alias lesson)
+    val variants = frames.filter(pmod(col("asset_id"), lit(17)) === 0)
+      .withColumn("__pix", pmod(col("asset_id"), lit(8)).cast("int"))
+      .select((col("asset_id") + lit(10000000L)).as("asset_id"),
+        col("frame_idx"),
+        when(col("frame_idx") === 0,
+          transform(col("samples"), (v, i) =>
+            when(i === col("__pix"), v + 1).otherwise(v)))
+          .otherwise(col("samples")).as("samples"))
+    // minimum-duration contract: a single sub-fingerprint band has no
+    // pigeonhole partner — real audio fingerprinting requires a minimum
+    // run of sub-fingerprints for the same reason. With 22 bits/frame
+    // and ≥ 2 frames, a random pair needs Hamming ≤ 8 over ≥ 44 bits
+    // AND one exactly-equal band (~1e-10) while the planted one-sample
+    // bump flips ≤ 8 bits, ALL inside frame 0's band — frame 1's band
+    // matches exactly, so recall does not depend on d < bands here
+    val bands = Multimodal.audioSignBands(frames.unionByName(variants))
+      .filter(size(col("bands")) >= 2)
+      .localCheckpoint() // both sides of the pair join read it
+    Multimodal.hammingNearDupPairs(bands, col("asset_id"), col("bands"),
+        maxDist = 8)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -5492,7 +5535,8 @@ object SparkEntry {
     "q271_cms_join_size" -> q271 _,
     "q272_image_neardup_stream" -> q272 _,
     "q273_sample_quantiles" -> q273 _,
-    "q274_kmv_by_group" -> q274 _)
+    "q274_kmv_by_group" -> q274 _,
+    "q275_audio_neardup" -> q275 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -8611,6 +8655,64 @@ object SparkEntry {
         round(est_distinct / CAST(exact_distinct AS DOUBLE), 4)
           AS est_ratio
       FROM est JOIN ex ON est.grp = ex.grp ORDER BY event_type""",
+    // q275: samples from the md5 PCM rule (q221's device), the planted
+    // one-sample bump, sign-bit bands, and the same pigeonhole +
+    // popcount pipeline; equal-frame-count constraint mirrors the
+    // engine's null-padded zip_with drop
+    "q275_audio_neardup" -> """
+      WITH base AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS bl
+        FROM documents WHERE text IS NOT NULL),
+      fr AS (
+        SELECT doc_id, text, least(bl // 256 + 1, 4) AS nf FROM base),
+      fj AS (
+        SELECT doc_id, text, nf, unnest(generate_series(0, nf - 1)) AS j
+        FROM fr),
+      hx AS (
+        SELECT doc_id, nf, j,
+          md5(text || '|' || CAST(j AS VARCHAR)) AS h
+        FROM fj),
+      sm AS (
+        SELECT doc_id, nf, j, r.i,
+          ('0x' || substring(h, r.i * 4 + 1, 4))::BIGINT AS u
+        FROM hx, range(0, 8) r(i)),
+      sg0 AS (
+        SELECT doc_id, nf, j, i,
+          CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        FROM sm),
+      vsg AS (
+        SELECT s0.doc_id + 10000000 AS doc_id, s0.nf, s0.j, s0.i,
+          CASE WHEN s0.j = 0 AND s0.i = s0.doc_id % 8 THEN s0.s + 1
+               ELSE s0.s END AS s
+        FROM sg0 s0 WHERE s0.doc_id % 17 = 0),
+      sg AS (
+        SELECT doc_id, nf, j, i, s FROM sg0
+        UNION ALL SELECT doc_id, nf, j, i, s FROM vsg),
+      sb AS (
+        SELECT a.doc_id, a.nf, a.j,
+          CAST(sum(CASE WHEN b.s > a.s THEN
+            (1::BIGINT << ((CASE b.i - a.i WHEN 1 THEN 0 WHEN 2 THEN 7
+              WHEN 3 THEN 13 ELSE 18 END) + a.i))
+            ELSE 0 END) AS BIGINT) AS band
+        FROM sg a JOIN sg b
+          ON a.doc_id = b.doc_id AND a.j = b.j
+          AND b.i > a.i AND b.i - a.i <= 4
+        GROUP BY 1, 2, 3),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sb a JOIN sb b
+          ON a.j = b.j AND a.band = b.band AND a.nf = b.nf
+          AND a.doc_id < b.doc_id
+        WHERE a.nf >= 2),
+      ham AS (
+        SELECT c.id_a, c.id_b,
+          CAST(sum(bit_count(xor(x.band, y.band))) AS INT) AS hamming
+        FROM cand c
+        JOIN sb x ON x.doc_id = c.id_a
+        JOIN sb y ON y.doc_id = c.id_b AND y.j = x.j
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, hamming FROM ham
+      WHERE hamming <= 8 ORDER BY id_a, id_b""",
     // q252: the 3-iteration GD unroll lands on the same weight bits
     "q252_linear_probe" -> s"""$probeTrainCte
       SELECT 0 AS ord, 'bias' AS feature, w0 AS weight FROM w3

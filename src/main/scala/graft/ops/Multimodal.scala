@@ -475,6 +475,43 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Audio FINGERPRINT bands over decoded PCM frames — [[withDhash]]'s
+    * gradient-sign idea in the time domain: per frame, 22 bits of
+    * sample sign comparisons at lags 1–4 (sample i+lag > sample i),
+    * folded to a per-asset band array in frame order. Sign-of-difference is
+    * the Haitsma-Kalker-style robustness trick: a small amplitude
+    * perturbation flips at most the comparisons it touches, while
+    * gain/offset shifts flip nothing — so near-identical audio lands
+    * within a small Hamming radius and the SAME
+    * [[hammingNearDupPairs]] pigeonhole machinery dedups it. Assets
+    * with different frame counts never pair (band arrays of different
+    * length fail the distance verify by construction) — dedup within a
+    * duration class, the standard contract. Expression-only after the
+    * codec boundary; frames must carry full
+    * [[FakePcmCodec.samplesPerFrame]]-sample arrays (the fake codec
+    * always does; guard partial WAV tail frames upstream when using
+    * [[WavPcmCodec]] — ANSI element_at would throw).
+    */
+  def audioSignBands(frames: DataFrame): DataFrame = {
+    val n = FakePcmCodec.samplesPerFrame
+    // comparisons at lags 1..4 — 7+6+5+4 = 22 bits per frame; one more
+    // lag would halve again but the planted-perturbation flip count
+    // grows with lags too (a sample sits in up to 2 comparisons per lag)
+    val lags = Seq(1, 2, 3, 4)
+    val offsets = lags.scanLeft(0)((acc, l) => acc + (n - l))
+    val band = lags.zip(offsets).flatMap { case (l, off) =>
+      (0 until n - l).map(i =>
+        when(element_at(col("samples"), i + l + 1) >
+          element_at(col("samples"), i + 1), lit(1 << (off + i)))
+          .otherwise(lit(0)))
+    }.reduce(_ + _)
+    frames.withColumn("__band", band)
+      .groupBy(col("asset_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("__band")))),
+        x => x.getField("__band")).as("bands"))
+  }
+
   /** [[hammingNearDupPairs]] ACROSS two frames — the incremental-dedup
     * leg: pairs between a NEW batch and the existing corpus index, so a
     * streamed maintainer only ever joins batch×corpus on the band key

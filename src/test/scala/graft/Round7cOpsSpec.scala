@@ -114,6 +114,33 @@ class Round7cOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet === Set((1L, 2L, 2)))
   }
 
+  // ——— audio fingerprint ——————————————————————————————————————————————
+
+  test("audioSignBands: gain shifts flip nothing; a bump flips only local bits") {
+    val s0 = Seq(100, -50, 300, 20, -200, 150, 80, -10)
+    val gained = s0.map(_ * 2) // same ORDER everywhere
+    val bumped = s0.updated(4, 25) // -200 -> 25: crosses s3=20, flips locally
+    val frames = Seq((1L, 0, s0), (2L, 0, gained), (3L, 0, bumped))
+      .toDF("asset_id", "frame_idx", "samples")
+    val b = Multimodal.audioSignBands(frames)
+      .select($"asset_id", $"bands").as[(Long, Seq[Int])].collect().toMap
+    assert(b(1L) === b(2L), "gain shift changed the fingerprint")
+    val d = Integer.bitCount(b(1L).head ^ b(3L).head)
+    assert(d >= 1 && d <= 8, s"one-sample bump flipped $d bits")
+  }
+
+  test("audioSignBands: bands come out in frame order") {
+    // frame 1 strictly increasing (all comparison bits set),
+    // frame 0 strictly decreasing (none) — delivered out of order
+    val inc = (1 to 8).map(_ * 10)
+    val dec = inc.reverse
+    val frames = Seq((1L, 1, inc), (1L, 0, dec))
+      .toDF("asset_id", "frame_idx", "samples")
+    val b = Multimodal.audioSignBands(frames)
+      .select($"bands").as[Seq[Int]].head()
+    assert(b === Seq(0, (1 << 22) - 1))
+  }
+
   // ——— real ImageIO grid codec ————————————————————————————————————————
 
   private def pngBytes(w: Int, h: Int,
