@@ -258,7 +258,8 @@ object Bench {
     "q272_image_neardup_stream",
     "q273_sample_quantiles",
     "q274_kmv_by_group",
-    "q275_audio_neardup")
+    "q275_audio_neardup",
+    "q276_bradley_terry")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

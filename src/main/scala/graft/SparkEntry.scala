@@ -4127,6 +4127,29 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Train 3 (round-7): Bradley–Terry preference scores
+    * ([[graft.ops.Train.bradleyTerryScores]], 3 rounds, rate 0.5) —
+    * per-item latent quality from a pairwise-comparison log (the
+    * aggregation a preference pipeline runs over annotator duels),
+    * synthesized deterministically from lineitem (part-item vs
+    * supplier-item, quantity decides the winner). Scores live in a
+    * frame (items scale to corpus size); each round is two equi-joins
+    * + an item-grain decimal gradient fold; the Elliott sigmoid keeps
+    * the gate libm-free and the oracle unrolls all three rounds to the
+    * same score bits (q252's device, per entity).
+    */
+  private def q276(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = concat(lit("i"), pmod(col("l_partkey"), lit(20)).cast("string"))
+    val b = concat(lit("i"), pmod(col("l_suppkey"), lit(20)).cast("string"))
+    val pairs = li.select(
+      when(col("l_quantity") > 25, a).otherwise(b).as("winner"),
+      when(col("l_quantity") > 25, b).otherwise(a).as("loser"))
+    graft.ops.Train.bradleyTerryScores(pairs, col("winner"), col("loser"),
+        iters = 3, rate = 0.5)
+      .orderBy("item")
+  }
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -5536,7 +5559,8 @@ object SparkEntry {
     "q272_image_neardup_stream" -> q272 _,
     "q273_sample_quantiles" -> q273 _,
     "q274_kmv_by_group" -> q274 _,
-    "q275_audio_neardup" -> q275 _)
+    "q275_audio_neardup" -> q275 _,
+    "q276_bradley_terry" -> q276 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6197,6 +6221,57 @@ object SparkEntry {
         JOIN b16 x ON x.doc_id = c.id_a
         JOIN b16 y ON y.doc_id = c.id_b AND y.j = x.j
         GROUP BY 1, 2)"""
+
+  /** q276's oracle: the Bradley–Terry fit unrolled — per round, the
+    * SAME Elliott-sigmoid (1−p) terms from the current score frame,
+    * signed per side, decimal-summed per item, update rounded at 12.
+    */
+  private def bradleyTerryOracle(iters: Int): String = {
+    def oneMinusP(sw: String, sl: String) =
+      s"1.0 - 0.5 * (1.0 + ($sw - $sl) / (1.0 + abs($sw - $sl)))"
+    val base = """pl AS (
+        SELECT winner AS w, loser AS l FROM (
+          SELECT CASE WHEN l_quantity > 25 THEN a ELSE b END AS winner,
+                 CASE WHEN l_quantity > 25 THEN b ELSE a END AS loser
+          FROM (
+            SELECT 'i' || CAST(l_partkey % 20 AS VARCHAR) AS a,
+                   'i' || CAST(l_suppkey % 20 AS VARCHAR) AS b,
+                   l_quantity
+            FROM lineitem))
+        WHERE winner <> loser),
+      tal AS (
+        SELECT item, CAST(sum(win) AS BIGINT) AS n_wins,
+          CAST(sum(1 - win) AS BIGINT) AS n_losses
+        FROM (SELECT w AS item, 1 AS win FROM pl
+              UNION ALL SELECT l, 0 FROM pl)
+        GROUP BY 1),
+      s0 AS (SELECT item, CAST(0.0 AS DOUBLE) AS score FROM tal)"""
+    val rounds = (0 until iters).map { k =>
+      s"""g$k AS (
+        SELECT item, CAST(sum(gc) AS DOUBLE) AS grad FROM (
+          SELECT p.w AS item,
+            CAST(${oneMinusP("sw.score", "sl.score")} AS DECIMAL(28,18))
+              AS gc
+          FROM pl p JOIN s$k sw ON p.w = sw.item
+            JOIN s$k sl ON p.l = sl.item
+          UNION ALL
+          SELECT p.l,
+            -CAST(${oneMinusP("sw.score", "sl.score")} AS DECIMAL(28,18))
+          FROM pl p JOIN s$k sw ON p.w = sw.item
+            JOIN s$k sl ON p.l = sl.item)
+        GROUP BY 1),
+      s${k + 1} AS (
+        SELECT s.item,
+          CASE WHEN g.grad IS NULL THEN s.score
+            ELSE round(s.score + 0.5 * g.grad /
+              CAST(t.n_wins + t.n_losses AS DOUBLE), 12) END AS score
+        FROM s$k s LEFT JOIN g$k g ON s.item = g.item
+          JOIN tal t ON s.item = t.item)"""
+    }
+    s"""WITH ${(base +: rounds).mkString(",\n      ")}
+      SELECT s.item, s.score, t.n_wins, t.n_losses
+      FROM s$iters s JOIN tal t ON s.item = t.item ORDER BY s.item"""
+  }
 
   /** q266's oracle: the WHOLE 6-iteration BPE trainer unrolled as CTE
     * blocks — per round: list_zip adjacent pairs over the spaced vocab,
@@ -8713,6 +8788,8 @@ object SparkEntry {
         GROUP BY 1, 2)
       SELECT id_a, id_b, hamming FROM ham
       WHERE hamming <= 8 ORDER BY id_a, id_b""",
+    // q276: three Bradley-Terry rounds unrolled to the same score bits
+    "q276_bradley_terry" -> bradleyTerryOracle(3),
     // q252: the 3-iteration GD unroll lands on the same weight bits
     "q252_linear_probe" -> s"""$probeTrainCte
       SELECT 0 AS ord, 'bias' AS feature, w0 AS weight FROM w3

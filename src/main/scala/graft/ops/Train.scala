@@ -115,6 +115,79 @@ object Train {
       .withColumn("predicted", (col("score") >= lit(0.5d)).cast("int"))
   }
 
+  /** Bradley–Terry preference fitting — per-ENTITY latent scores from
+    * pairwise outcomes ("annotators preferred completion A over B",
+    * "document A beat B in a quality duel"): the aggregation a
+    * preference pipeline runs over its comparison log before any
+    * downstream selection. Unlike [[linearProbeWeights]] (a fixed
+    * feature vector in the driver), scores live in a FRAME — items can
+    * number in the millions; each iteration is two equi-joins of the
+    * pair log against the score frame plus one item-grain gradient
+    * aggregation, the join-based-Pregel shape the graph family uses.
+    *
+    * Model: P(w beats l) = σ(s_w − s_l) with the ELLIOTT sigmoid
+    * (rational IEEE only — [[linearProbeWeights]]'s libm ban), fit by
+    * `iters` rounds of gradient ascent from s = 0:
+    * `s_i ← rd(s_i + rate·g_i/n_i, 12)` where `g_i = Σ_{i wins}(1−p) −
+    * Σ_{i loses}(1−p)` and `n_i` is the item's pair count. Gradient
+    * sums ride decimal(28,18) (order-free); updates round through the
+    * DuckDB-exact readout, so a fixed-iteration unrolled SQL oracle
+    * lands on the same score bits. Scores are identified up to a
+    * shared shift (the model only sees differences) — the zero init
+    * pins the gauge deterministically.
+    *
+    * Returns (item, score, n_wins, n_losses), one row per distinct
+    * item in the pair log. Each round localCheckpoints the score frame
+    * (lineage, and hence re-scoring, cannot grow with rounds).
+    */
+  def bradleyTerryScores(pairs: DataFrame, winner: Column, loser: Column,
+                         iters: Int, rate: Double): DataFrame = {
+    require(iters >= 0 && iters <= 64, s"iters must be in [0,64], got $iters")
+    val pl = Dedup.spread(pairs)
+      .select(winner.cast("string").as("__w"), loser.cast("string").as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+      .localCheckpoint() // read every round
+    val tallies = pl.select(col("__w").as("item"), lit(1L).as("__win"))
+      .unionByName(pl.select(col("__l").as("item"), lit(0L).as("__win")))
+      .groupBy(col("item"))
+      .agg(sum(col("__win")).as("n_wins"),
+        sum(lit(1L) - col("__win")).as("n_losses"))
+      .localCheckpoint()
+    var scores = tallies.select(col("item"), lit(0.0d).as("score"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val sw = scores.select(col("item").as("__w"), col("score").as("__sw"))
+      val sl = scores.select(col("item").as("__l"), col("score").as("__sl"))
+      val z = col("__sw") - col("__sl")
+      val oneMinusP =
+        lit(1.0d) - lit(0.5d) * (lit(1.0d) + z / (lit(1.0d) + abs(z)))
+      val scored = pl.join(sw, "__w").join(sl, "__l")
+        .withColumn("__g", oneMinusP)
+      val grads = scored
+        .select(col("__w").as("item"), col("__g").cast("decimal(28,18)")
+          .as("__gc"))
+        .unionByName(scored.select(col("__l").as("item"),
+          (-col("__g")).cast("decimal(28,18)").as("__gc")))
+        .groupBy(col("item"))
+        .agg(sum(col("__gc")).cast("double").as("__grad"))
+      val next = scores.join(grads, Seq("item"), "left")
+        .join(tallies, Seq("item"))
+        .select(col("item"),
+          when(col("__grad").isNull, col("score"))
+            .otherwise(round(col("score") + lit(rate) * col("__grad") /
+              (col("n_wins") + col("n_losses")).cast("double"), 12))
+            .as("score"))
+        .localCheckpoint()
+      scores.unpersist()
+      scores = next
+      it += 1
+    }
+    scores.join(tallies, Seq("item"))
+      .select(col("item"), col("score"), col("n_wins"), col("n_losses"))
+  }
+
   /** Training-fit readout for a fitted probe: one row of
     * (n, n_correct, accuracy, mean_abs_resid), decimal-summed and
     * readout-rounded. `accuracy` counts `σ(z) ≥ ½` as predicting 1.

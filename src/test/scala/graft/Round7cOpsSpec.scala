@@ -335,6 +335,36 @@ class Round7cOpsSpec extends AnyFunSuite {
     assert(enc("cat") === Seq("c", "a", "t"))
   }
 
+  // ——— Bradley–Terry ——————————————————————————————————————————————————
+
+  test("bradleyTerry: the item that wins every duel gets the top score") {
+    val pairs = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d")).toDF("w", "l") // total order a > b > c > d
+    val s = graft.ops.Train.bradleyTerryScores(pairs, $"w", $"l",
+        iters = 5, rate = 1.0)
+      .select($"item", $"score").as[(String, Double)].collect().toMap
+    assert(s("a") > s("b") && s("b") > s("c") && s("c") > s("d"),
+      s"learned order wrong: $s")
+  }
+
+  test("bradleyTerry: zero iterations keep the zero init; tallies exact") {
+    val pairs = Seq(("x", "y"), ("y", "x"), ("x", "y")).toDF("w", "l")
+    val m = graft.ops.Train.bradleyTerryScores(pairs, $"w", $"l",
+        iters = 0, rate = 1.0)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(m("x") === ((0.0d, 2L, 1L)))
+    assert(m("y") === ((0.0d, 1L, 2L)))
+  }
+
+  test("bradleyTerry: self-pairs and null sides are dropped") {
+    val pairs = Seq(Some("a") -> Some("a"), Some("a") -> None,
+      None -> Some("b"), Some("a") -> Some("b")).toDF("w", "l")
+    val n = graft.ops.Train.bradleyTerryScores(pairs, $"w", $"l",
+      iters = 1, rate = 1.0).count()
+    assert(n === 2L) // only items a and b, from the one valid pair
+  }
+
   // ——— Luhn / readability —————————————————————————————————————————————
 
   test("luhnCardScan: validates the classic test numbers, rejects off-by-one") {
