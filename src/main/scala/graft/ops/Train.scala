@@ -163,13 +163,17 @@ object Train {
       val z = col("__sw") - col("__sl")
       val oneMinusP =
         lit(1.0d) - lit(0.5d) * (lit(1.0d) + z / (lit(1.0d) + abs(z)))
-      val scored = pl.join(sw, "__w").join(sl, "__l")
+      // ONE pass over the joined pair log: each pair contributes
+      // (+g to the winner, −g to the loser) via a 2-wide explode — a
+      // union of two selects would recompute the joins twice
+      val grads = pl.join(sw, "__w").join(sl, "__l")
         .withColumn("__g", oneMinusP)
-      val grads = scored
-        .select(col("__w").as("item"), col("__g").cast("decimal(28,18)")
-          .as("__gc"))
-        .unionByName(scored.select(col("__l").as("item"),
-          (-col("__g")).cast("decimal(28,18)").as("__gc")))
+        .select(explode(array(
+          struct(col("__w").as("item"), col("__g").as("__gv")),
+          struct(col("__l").as("item"), (-col("__g")).as("__gv"))))
+          .as("__e"))
+        .select(col("__e.item").as("item"),
+          col("__e.__gv").cast("decimal(28,18)").as("__gc"))
         .groupBy(col("item"))
         .agg(sum(col("__gc")).cast("double").as("__grad"))
       val next = scores.join(grads, Seq("item"), "left")
