@@ -451,6 +451,11 @@ object Multimodal {
     * family's contract; the band join is an equi-join on
     * (band_idx, band_val) — bucketed, broadcast-free, skew-bounded by
     * band-value balance of the hash itself.
+    *
+    * Band arrays of DIFFERENT lengths never pair: the zip_with distance
+    * null-pads the shorter side, the popcount goes null, and the
+    * maxDist filter drops the pair — dedup compares like with like
+    * (q275 leans on this as its duration-class contract).
     */
   def hammingNearDupPairs(df: DataFrame, id: Column, bands: Column,
                           maxDist: Int): DataFrame = {
@@ -487,10 +492,11 @@ object Multimodal {
     * with different frame counts never pair (band arrays of different
     * length fail the distance verify by construction) — dedup within a
     * duration class, the standard contract. Expression-only after the
-    * codec boundary; frames must carry full
-    * [[FakePcmCodec.samplesPerFrame]]-sample arrays (the fake codec
-    * always does; guard partial WAV tail frames upstream when using
-    * [[WavPcmCodec]] — ANSI element_at would throw).
+    * codec boundary; partial frames (a [[WavPcmCodec]] tail with fewer
+    * than [[FakePcmCodec.samplesPerFrame]] samples) are DROPPED before
+    * the bit expressions — otherwise ANSI element_at throws mid-corpus
+    * ([[FakePcmCodec]] frames are always full, so its gates are
+    * unaffected).
     */
   def audioSignBands(frames: DataFrame): DataFrame = {
     val n = FakePcmCodec.samplesPerFrame
@@ -505,7 +511,8 @@ object Multimodal {
           element_at(col("samples"), i + 1), lit(1 << (off + i)))
           .otherwise(lit(0)))
     }.reduce(_ + _)
-    frames.withColumn("__band", band)
+    frames.filter(size(col("samples")) === n)
+      .withColumn("__band", band)
       .groupBy(col("asset_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("frame_idx"), col("__band")))),
