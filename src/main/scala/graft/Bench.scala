@@ -259,7 +259,9 @@ object Bench {
     "q273_sample_quantiles",
     "q274_kmv_by_group",
     "q275_audio_neardup",
-    "q276_bradley_terry")
+    "q276_bradley_terry",
+    "q277_waiting_orders",
+    "q278_min_cost_supplier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4150,6 +4150,76 @@ object SparkEntry {
       .orderBy("item")
   }
 
+  /** OLAP 3 (round-7): the TPC-H Q21 waiting-orders shape — the
+    * hardest classic decorrelation: EXISTS (another supplier in the
+    * order) AND NOT EXISTS (another LATE supplier in the order),
+    * restated Spark-first as one left-semi and one left-anti equi-join
+    * on the order key with the supplier-inequality as a join-side
+    * predicate — no correlated re-scan per row, all three legs shuffle
+    * on the same key (co-partitioned exchanges), the supplier dim
+    * broadcasts. Late = receipt after commit; status 'F' orders only.
+    */
+  private def q277(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val lo = li.join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus")),
+      col("l_orderkey") === col("o_orderkey"))
+    // "late" adapted to the fixture's columns: shipped > 60 days after
+    // the order date (no commit/receipt dates in this lineitem)
+    val isLate = col("l_shipdate") > col("o_orderdate") +
+      expr("INTERVAL 60 DAYS")
+    val late = lo.filter(isLate)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .localCheckpoint() // read by l1 and the NOT EXISTS leg
+    val l1 = lo.filter(col("o_orderstatus") === "F" && isLate)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val anyOther = li.select(col("l_orderkey").as("__ok"),
+      col("l_suppkey").as("__sk"))
+    val lateOther = late.select(col("l_orderkey").as("__ok"),
+      col("l_suppkey").as("__sk"))
+    val waiting = l1
+      .join(anyOther, col("l_orderkey") === col("__ok") &&
+        col("l_suppkey") =!= col("__sk"), "left_semi")
+      .join(lateOther, col("l_orderkey") === col("__ok") &&
+        col("l_suppkey") =!= col("__sk"), "left_anti")
+    waiting.join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(25)
+  }
+
+  /** OLAP 4 (round-7): the TPC-H Q2 minimum-cost shape (adapted — the
+    * fixture has no partsupp, so observed lineitem unit price stands in
+    * for supply cost): for small parts, the supplier with the MINIMUM
+    * unit price — a correlated scalar subquery decorrelated as one
+    * per-part min aggregation joined back, ties resolved by the
+    * smallest supplier key (deterministic total order). Unit price is
+    * a decimal-exact division rounded at 4 BEFORE the min, so the
+    * min/tie arithmetic compares identical bits in both engines.
+    */
+  private def q278(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_size") <= 10)
+      .select(col("p_partkey"))
+    val lp = t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity") > 0)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice").cast("double") /
+          col("l_quantity").cast("double"), 4).as("__uc"))
+      .localCheckpoint() // feeds the min agg AND the join-back
+    val mins = lp.groupBy(col("l_partkey").as("__pk"))
+      .agg(min(col("__uc")).as("min_unit_cost"))
+    lp.join(mins, col("l_partkey") === col("__pk") &&
+        col("__uc") === col("min_unit_cost"))
+      .groupBy(col("l_partkey").as("p_partkey"), col("min_unit_cost"))
+      .agg(min(col("l_suppkey")).as("best_suppkey"))
+      .select(col("p_partkey"), col("best_suppkey"), col("min_unit_cost"))
+      .orderBy("p_partkey")
+  }
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -5560,7 +5630,9 @@ object SparkEntry {
     "q273_sample_quantiles" -> q273 _,
     "q274_kmv_by_group" -> q274 _,
     "q275_audio_neardup" -> q275 _,
-    "q276_bradley_terry" -> q276 _)
+    "q276_bradley_terry" -> q276 _,
+    "q277_waiting_orders" -> q277 _,
+    "q278_min_cost_supplier" -> q278 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -8788,6 +8860,49 @@ object SparkEntry {
         GROUP BY 1, 2)
       SELECT id_a, id_b, hamming FROM ham
       WHERE hamming <= 8 ORDER BY id_a, id_b""",
+    // q277: the Q21 shape — EXISTS/NOT EXISTS in the oracle, the
+    // engine's semi/anti equi-joins must land on the same waiters
+    "q277_waiting_orders" -> """
+      WITH lo AS (
+        SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate,
+          o.o_orderdate, o.o_orderstatus
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      late AS (
+        SELECT l_orderkey, l_suppkey FROM lo
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+      l1 AS (
+        SELECT l_orderkey, l_suppkey FROM lo
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+      w AS (
+        SELECT * FROM l1
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey))
+      SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+      GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""",
+    // q278: the Q2 correlated-min shape decorrelated — round-4 unit
+    // price BEFORE the min so both engines compare identical bits
+    "q278_min_cost_supplier" -> """
+      WITH lp AS (
+        SELECT l.l_partkey, l.l_suppkey,
+          round(CAST(l.l_extendedprice AS DOUBLE) /
+            CAST(l.l_quantity AS DOUBLE), 4) AS uc
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 10 AND l.l_quantity > 0),
+      m AS (SELECT l_partkey, min(uc) AS min_unit_cost FROM lp GROUP BY 1)
+      SELECT lp.l_partkey AS p_partkey,
+        CAST(min(lp.l_suppkey) AS BIGINT) AS best_suppkey,
+        m.min_unit_cost
+      FROM lp JOIN m ON lp.l_partkey = m.l_partkey
+        AND lp.uc = m.min_unit_cost
+      GROUP BY 1, 3 ORDER BY p_partkey""",
     // q276: three Bradley-Terry rounds unrolled to the same score bits
     "q276_bradley_terry" -> bradleyTerryOracle(3),
     // q252: the 3-iteration GD unroll lands on the same weight bits

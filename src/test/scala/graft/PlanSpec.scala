@@ -280,6 +280,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "local-supply cycle degenerated")
   }
 
+  test("q277 Q21 shape: EXISTS/NOT EXISTS run as semi/anti equi-joins") {
+    val p = plan("q277_waiting_orders")
+    assert(p.contains("LeftSemi"), s"EXISTS leg not a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS leg not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "supplier-inequality predicate degenerated to a cartesian")
+  }
+
   test("q147 drift: histogram counts aggregate with map-side partials") {
     val p = plan("q147_histogram_drift")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
