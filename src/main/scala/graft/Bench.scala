@@ -261,7 +261,8 @@ object Bench {
     "q275_audio_neardup",
     "q276_bradley_terry",
     "q277_waiting_orders",
-    "q278_min_cost_supplier")
+    "q278_min_cost_supplier",
+    "q279_grouped_auc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4220,6 +4220,18 @@ object SparkEntry {
       .orderBy("p_partkey")
   }
 
+  /** Eval 11 (round-7): AUC PER GROUP ([[graft.ops.Eval.binaryAucBy]])
+    * — the segment-wise readout (here: per source) an eval pipeline
+    * reports beside q194's global number, all groups in ONE pass via
+    * the grouped banded prefix device; exact weighted tied ranks per
+    * group, oracle via per-group windows.
+    */
+  private def q279(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.binaryAucBy(t(s, dir, "documents"), col("source"),
+        pmod(col("n_chars"), lit(97)).cast("int"), col("lang") === "en")
+      .withColumnRenamed("group", "source")
+      .orderBy("source")
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -5632,7 +5644,8 @@ object SparkEntry {
     "q275_audio_neardup" -> q275 _,
     "q276_bradley_terry" -> q276 _,
     "q277_waiting_orders" -> q277 _,
-    "q278_min_cost_supplier" -> q278 _)
+    "q278_min_cost_supplier" -> q278 _,
+    "q279_grouped_auc" -> q279 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -8903,6 +8916,31 @@ object SparkEntry {
       FROM lp JOIN m ON lp.l_partkey = m.l_partkey
         AND lp.uc = m.min_unit_cost
       GROUP BY 1, 3 ORDER BY p_partkey""",
+    // q279: per-group weighted tied-rank AUC — windows partitioned by
+    // the group on the oracle side, grouped banded device on the engine
+    "q279_grouped_auc" -> """
+      WITH per AS (
+        SELECT source AS grp, CAST(n_chars % 97 AS INT) AS s,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS np
+        FROM documents GROUP BY 1, 2),
+      cum AS (
+        SELECT grp, n, np,
+          sum(n) OVER (PARTITION BY grp ORDER BY s) - n AS below
+        FROM per),
+      ag AS (
+        SELECT grp, CAST(sum(np) AS BIGINT) AS n_pos,
+          CAST(sum(n - np) AS BIGINT) AS n_neg,
+          sum(CAST(np AS DECIMAL(38,0)) *
+            (CAST(2 * below + n + 1 AS DECIMAL(38,1)) / 2)) AS sr
+        FROM cum GROUP BY 1)
+      SELECT grp AS source, n_pos, n_neg,
+        CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+          ELSE round((CAST(sr AS DOUBLE) -
+            CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0) /
+            CAST(n_pos * n_neg AS DOUBLE), 6) END AS auc
+      FROM ag ORDER BY source""",
     // q276: three Bradley-Terry rounds unrolled to the same score bits
     "q276_bradley_terry" -> bradleyTerryOracle(3),
     // q252: the 3-iteration GD unroll lands on the same weight bits

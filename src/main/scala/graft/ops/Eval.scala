@@ -259,6 +259,39 @@ object Eval {
               (col("n_pos") * col("n_neg")).cast("double"), 6)).as("auc"))
   }
 
+  /** [[binaryAuc]] PER GROUP — segment-wise model evaluation ("AUC per
+    * language / per source / per time slice"), the fairness-and-drift
+    * readout an eval pipeline reports beside the global number. One
+    * (group, score)-grain aggregation + [[withBelow]]'s banded prefix
+    * sum with the group columns in every stage key (grids are
+    * per-group; no window is partitioned by less than the group) —
+    * all groups in ONE pass, never a per-group re-run. Returns
+    * (group, n_pos, n_neg, auc); auc is null where a group lost a
+    * class.
+    */
+  def binaryAucBy(df: DataFrame, group: Column, score: Column,
+                  positive: Column): DataFrame = {
+    val base = df.select(group.as("__grp"), score.as("__s"),
+      positive.cast("boolean").as("__p"))
+    val perScore = base.groupBy(col("__grp"), col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__np"))
+    val ar = (lit(2L) * col("__below") + col("__n") + lit(1L))
+      .cast("decimal(38,1)") / lit(2)
+    withBelow(perScore, groups = Seq("__grp"))
+      .groupBy(col("__grp").as("group"))
+      .agg(sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"),
+        sum(col("__np").cast("decimal(38,0)") * ar).as("__sr"))
+      .select(col("group"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("__sr").cast("double") -
+              (col("n_pos") * (col("n_pos") + lit(1L))).cast("double") / 2.0d) /
+              (col("n_pos") * col("n_neg")).cast("double"), 6)).as("auc"))
+  }
+
   /** ONE-PASS Poisson-bootstrap confidence spread for ROC-AUC: `reps`
     * independent bootstrap resamples of the scored frame, each AUC'd
     * with [[binaryAuc]]'s exact tied-rank estimator, WITHOUT ever

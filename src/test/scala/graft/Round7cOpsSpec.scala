@@ -335,6 +335,21 @@ class Round7cOpsSpec extends AnyFunSuite {
     assert(enc("cat") === Seq("c", "a", "t"))
   }
 
+  test("binaryAucBy: each group's AUC equals binaryAuc on that group alone") {
+    val df = (0 until 300).map { i =>
+      (s"g${i % 3}", i % 17, (i * 11) % 7 < 3)
+    }.toDF("g", "s", "p")
+    val grouped = Eval.binaryAucBy(df, $"g", $"s", $"p")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Eval.binaryAuc(df.filter($"g" === g), $"s", $"p").head()
+      assert(grouped(g) ===
+        ((solo.getLong(0), solo.getLong(1), solo.getDouble(2))),
+        s"group $g diverged from the solo run")
+    }
+  }
+
   // ——— Bradley–Terry ——————————————————————————————————————————————————
 
   test("bradleyTerry: the item that wins every duel gets the top score") {
