@@ -262,7 +262,8 @@ object Bench {
     "q276_bradley_terry",
     "q277_waiting_orders",
     "q278_min_cost_supplier",
-    "q279_grouped_auc")
+    "q279_grouped_auc",
+    "q280_tokenizer_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4232,6 +4232,34 @@ object SparkEntry {
       .withColumnRenamed("group", "source")
       .orderBy("source")
 
+  /** Text 25 (round-7): tokenizer FERTILITY by language — tokens per
+    * word under the pinned BPE artifact ([[graft.ops.Bpe.encodeSpaced]]
+    * with q267's merge table), per lang: the standard tokenizer-eval
+    * readout (an English-trained merge table compresses English words
+    * hardest; fertility quantifies the cross-lingual tax). One
+    * map-side encode + a lang-grain fold; integer counts into one
+    * rounded division.
+    */
+  private def q280(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+    words
+      .withColumn("__nt",
+        size(graft.ops.Bpe.encodeSpaced(col("word"), pinnedBpeMerges)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nt").cast("long")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 4).as("fertility"),
+        round(col("n_chars").cast("double") /
+          col("n_tokens").cast("double"), 4).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** Graph 10 (round-6): multi-source BFS
     * ([[graft.ops.Graph.bfsDistances]]) — hop distance from the q121
     * seed suppliers over the symmetric part↔supplier graph, capped at 4:
@@ -5645,7 +5673,8 @@ object SparkEntry {
     "q276_bradley_terry" -> q276 _,
     "q277_waiting_orders" -> q277 _,
     "q278_min_cost_supplier" -> q278 _,
-    "q279_grouped_auc" -> q279 _)
+    "q279_grouped_auc" -> q279 _,
+    "q280_tokenizer_fertility" -> q280 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -8708,6 +8737,37 @@ object SparkEntry {
     // q266: the 6-iteration BPE trainer unrolled relationally — same
     // pair counts, same lexicographic argmax, same greedy replace
     "q266_bpe_merges" -> bpeMergesOracle(6),
+    // q280: q267's replace chain folded per language — the fertility
+    // readout from the same integer counts
+    "q280_tokenizer_fertility" -> {
+      val sp =
+        raw"'  ' || trim(regexp_replace(word, '(.)', ' \1 ', 'g')) || '  '"
+      val chain = pinnedBpeMerges.foldLeft(sp) { case (acc, (l, r)) =>
+        s"replace($acc, ' $l  $r ', ' $l$r ')"
+      }
+      s"""
+      WITH words AS (
+        SELECT lang, word FROM (
+          SELECT lang,
+            unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+          FROM documents)
+        WHERE word <> ''),
+      enc AS (
+        SELECT lang, len(word) AS wl,
+          len(string_split(trim($chain), '  ')) AS nt
+        FROM words),
+      g AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(nt) AS BIGINT) AS n_tokens,
+          CAST(sum(wl) AS BIGINT) AS n_chars
+        FROM enc GROUP BY 1)
+      SELECT lang, n_words, n_tokens,
+        round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+          AS fertility,
+        round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+          AS chars_per_token
+      FROM g ORDER BY lang"""
+    },
     // q267: the pinned tokenizer as the identical literal replace chain
     "q267_bpe_encode" -> bpeEncodeOracle(pinnedBpeMerges),
     // q268: the same candidate synthesis, split-explode, and integer
