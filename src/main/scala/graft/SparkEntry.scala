@@ -3846,7 +3846,10 @@ object SparkEntry {
     // an inline pmod(asset_id, 72) would read the VARIANT id, not the base
     val variants = base.filter(pmod(col("asset_id"), lit(17)) === 0)
       .withColumn("__pix", pmod(col("asset_id"), lit(72)).cast("int"))
-      .select((col("asset_id") + lit(10000000L)).as("asset_id"),
+      // variant ids set bit 62 (collision-proof for any real id < 2^62;
+      // a small additive offset would collide with real ids in a large
+      // corpus and break the across-join's disjoint-id contract)
+      .select((col("asset_id") + lit(1L << 62)).as("asset_id"),
         transform(col("grid"), (v, i) =>
           when(i === col("__pix"),
             pmod(v + lit(7), lit(256))).otherwise(v)).as("grid"))
@@ -4019,6 +4022,32 @@ object SparkEntry {
       .orderBy("luhn_ok")
   }
 
+  /** Text 25 (round-8): formatted + repeated card runs — the two Luhn
+    * contracts an advisor proved gate-invisible in q268 (the oracle
+    * replayed the same collapse): a SPACE/DASH-formatted card ("4111
+    * 1111 1111 1111") must still be a candidate (separator collapse
+    * before the run split), and a run repeated m times in one document
+    * must be checksummed ONCE — the planted "…1116" run has single-sum
+    * ≡ 5 (mod 10) and appears twice, so the pre-fix m-fold sum lands
+    * ≡ 0 and falsely validates it. Both engines now replay the fixed
+    * contracts; [[graft.TextAnalysisSpec]] additionally pins the
+    * failure mode itself (the duplicated ≡5 run classifies invalid).
+    */
+  private def q281(s: SparkSession, dir: String): DataFrame = {
+    val txt = t(s, dir, "orders").select(col("o_orderkey"),
+      concat(
+        lit("pay 4111 1111 1111 1111 then 4111-1111-1111-1116 and " +
+          "again 4111 1111 1111 1111 ref 4111-1111-1111-1116 order " +
+          "45320151"),
+        lpad(pmod(col("o_orderkey"), lit(100000000L)).cast("string"),
+          8, "0")).as("text"))
+    TextAnalysis.luhnCardScan(txt, col("o_orderkey"), col("text"))
+      .groupBy(col("luhn_ok"))
+      .agg(count(lit(1)).as("n"), min(col("run")).as("first_run"),
+        max(col("run")).as("last_run"))
+      .orderBy("luhn_ok")
+  }
+
   /** Text 24 (round-7): Flesch readability
     * ([[TextAnalysis.readability]]) — the libm-free reading-ease score
     * per document: integer word / sentence / vowel-group counts into
@@ -4106,7 +4135,10 @@ object SparkEntry {
     // (q263's lateral-alias lesson)
     val variants = frames.filter(pmod(col("asset_id"), lit(17)) === 0)
       .withColumn("__pix", pmod(col("asset_id"), lit(8)).cast("int"))
-      .select((col("asset_id") + lit(10000000L)).as("asset_id"),
+      // variant ids set bit 62 (collision-proof for any real id < 2^62;
+      // a small additive offset would collide with real ids in a large
+      // corpus and break the across-join's disjoint-id contract)
+      .select((col("asset_id") + lit(1L << 62)).as("asset_id"),
         col("frame_idx"),
         when(col("frame_idx") === 0,
           transform(col("samples"), (v, i) =>
@@ -5674,7 +5706,8 @@ object SparkEntry {
     "q277_waiting_orders" -> q277 _,
     "q278_min_cost_supplier" -> q278 _,
     "q279_grouped_auc" -> q279 _,
-    "q280_tokenizer_fertility" -> q280 _)
+    "q280_tokenizer_fertility" -> q280 _,
+    "q281_luhn_formatted" -> q281 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6304,7 +6337,7 @@ object SparkEntry {
         FROM documents d, range(72) t(i)
         WHERE d.text IS NOT NULL),
       vcells AS (
-        SELECT c0.doc_id + 10000000 AS doc_id, c0.i,
+        SELECT c0.doc_id + 4611686018427387904 AS doc_id, c0.i,
           CASE WHEN c0.i = c0.doc_id % 72 THEN (c0.v + 7) % 256
                ELSE c0.v END AS v
         FROM cells0 c0 WHERE c0.doc_id % 17 = 0),
@@ -8780,9 +8813,45 @@ object SparkEntry {
           ' ref 1234' AS text
         FROM orders),
       runs AS (
-        SELECT o_orderkey AS doc_id, run FROM (
+        SELECT DISTINCT o_orderkey AS doc_id, run FROM (
           SELECT o_orderkey,
-            unnest(string_split_regex(text, '[^0-9]+')) AS run
+            unnest(string_split_regex(
+              regexp_replace(text, '([0-9])[ -]([0-9])', '\1\2', 'g'),
+              '[^0-9]+')) AS run
+          FROM txt)
+        WHERE len(run) BETWEEN 13 AND 19),
+      pos AS (
+        SELECT doc_id, run,
+          unnest(generate_series(0, len(run) - 1)) AS i
+        FROM runs),
+      d AS (
+        SELECT doc_id, run, i,
+          CAST(substring(reverse(run), i + 1, 1) AS INT) AS dg
+        FROM pos),
+      s AS (
+        SELECT doc_id, run,
+          sum(CASE WHEN i % 2 = 0 THEN dg
+              ELSE 2 * dg - CASE WHEN dg > 4 THEN 9 ELSE 0 END END) AS tot
+        FROM d GROUP BY 1, 2)
+      SELECT (tot % 10 = 0) AS luhn_ok, CAST(count(*) AS BIGINT) AS n,
+        min(run) AS first_run, max(run) AS last_run
+      FROM s GROUP BY 1 ORDER BY luhn_ok""",
+    // q281: the fixed Luhn contracts replayed — separator collapse
+    // inside digit groups, DISTINCT (doc, run) before the checksum
+    "q281_luhn_formatted" -> """
+      WITH txt AS (
+        SELECT o_orderkey,
+          'pay 4111 1111 1111 1111 then 4111-1111-1111-1116 and ' ||
+          'again 4111 1111 1111 1111 ref 4111-1111-1111-1116 order ' ||
+          '45320151' ||
+          lpad(CAST(o_orderkey % 100000000 AS VARCHAR), 8, '0') AS text
+        FROM orders),
+      runs AS (
+        SELECT DISTINCT o_orderkey AS doc_id, run FROM (
+          SELECT o_orderkey,
+            unnest(string_split_regex(
+              regexp_replace(text, '([0-9])[ -]([0-9])', '\1\2', 'g'),
+              '[^0-9]+')) AS run
           FROM txt)
         WHERE len(run) BETWEEN 13 AND 19),
       pos AS (
@@ -8901,7 +8970,7 @@ object SparkEntry {
           CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
         FROM sm),
       vsg AS (
-        SELECT s0.doc_id + 10000000 AS doc_id, s0.nf, s0.j, s0.i,
+        SELECT s0.doc_id + 4611686018427387904 AS doc_id, s0.nf, s0.j, s0.i,
           CASE WHEN s0.j = 0 AND s0.i = s0.doc_id % 8 THEN s0.s + 1
                ELSE s0.s END AS s
         FROM sg0 s0 WHERE s0.doc_id % 17 = 0),

@@ -50,9 +50,19 @@ object Eval {
     // the grid is per-group; the group-grain pivot frame joins without a
     // broadcast pin — |groups| × grid cells can exceed driver comfort,
     // AQE decides.
+    // group-key joins are NULL-SAFE (<=> , like the bandOff stage):
+    // a plain equi-join would silently drop rows whose group key is
+    // null while any SQL oracle's GROUP BY retains the null group —
+    // a latent gate mismatch and data loss on nullable group columns
     val banded = (if (groups.isEmpty)
         perScore.crossJoin(broadcast(perScore.agg(pivAgg)))
-      else perScore.join(perScore.groupBy(gcols: _*).agg(pivAgg), groups))
+      else {
+        val piv = perScore.groupBy(gcols: _*).agg(pivAgg)
+          .select(groups.map(g => col(g).as(s"__g_$g")) :+ col("__piv"): _*)
+        perScore.join(piv,
+            groups.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _))
+          .drop(groups.map(g => s"__g_$g"): _*)
+      })
       .withColumn("__band", size(filter(col("__piv"), p => p < col("__s"))))
       .drop("__piv")
     val bandTot = banded.groupBy((gcols :+ col("__band")): _*)
@@ -70,9 +80,14 @@ object Eval {
     val wIntra = Window.partitionBy((gcols :+ col("__band")): _*)
       .orderBy(col("__s").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
+    val offR = bandOff.select(
+      groups.map(g => col(g).as(s"__g_$g")) ++
+        Seq(col("__band").as("__g_band"), col("__boff"), col("__poff")): _*)
     val joined = banded
-      .join(if (groups.isEmpty) broadcast(bandOff) else bandOff,
-        groups :+ "__band")
+      .join(if (groups.isEmpty) broadcast(offR) else offR,
+        groups.map(g => col(g) <=> col(s"__g_$g"))
+          .foldLeft(col("__band") === col("__g_band"))(_ && _))
+      .drop(groups.map(g => s"__g_$g") :+ "__g_band": _*)
       .withColumn("__below",
         col("__boff") + sum(col("__n")).over(wIntra) - col("__n"))
     val withP =

@@ -71,6 +71,14 @@ object Sampling {
     * sequential-order dependence. Returns the input columns plus
     * `__pos`. Scale shape: one TakeOrdered top-k (per-partition heads,
     * never a global sort).
+    *
+    * PRECONDITION: `id` must be UNIQUE. The draw is keyed and
+    * tie-broken by `id`; rows sharing an id share a (`__pos`, id) sort
+    * key, so which of them survives the cutoff is arbitrary under
+    * `limit` — silently breaking the nesting and merge laws the
+    * stream-equals-batch gate depends on. Dedupe on id upstream if the
+    * key can repeat (as [[graft.ops.Sketch.kmvState]] does implicitly
+    * via distinct()).
     */
   def uniformTopKSample(df: DataFrame, id: Column, k: Int): DataFrame = {
     require(k >= 1 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")

@@ -941,12 +941,26 @@ object TextAnalysis {
     * family ([[piiRedact]]) cannot express: a 13–19 digit run is only a
     * card NUMBER if its Luhn checksum closes, which cuts the false-
     * positive rate on invoice/order/serial numbers by 10× (only 1 in 10
-    * random digit runs pass). Returns one row per candidate digit run:
-    * (doc_id, run, run_len, luhn_ok).
+    * random digit runs pass). Returns one row per DISTINCT candidate
+    * digit run per document: (doc_id, run, run_len, luhn_ok).
     *
     * The checksum is pure integer arithmetic replayed identically by
     * any engine: digits from the REVERSED run, odd positions doubled
     * with the classic −9 fold, valid iff the sum ≡ 0 (mod 10).
+    *
+    * Two contracts hardened in round 8 (an advisor found both; the
+    * original gate replayed the same collapse and could not): (1) a
+    * run repeated m times in one document is checksummed ONCE — the
+    * per-occurrence explode is deduped to (doc, run) grain before the
+    * position explode, else the m-fold sum flips validity whenever the
+    * single-run sum ≡ k (mod 10) with m·k ≡ 0; (2) formatted card
+    * numbers ("4111 1111 1111 1111", dashes likewise) are candidates —
+    * a single space/dash BETWEEN digits is collapsed before the run
+    * split. The collapse regex `([0-9])[ -]([0-9])` under a global
+    * left-to-right non-overlapping scan (identical in Java regex and
+    * RE2) closes every separator of multi-digit groups in one pass:
+    * each separator keeps an unconsumed digit before it because its
+    * group has ≥ 2 digits.
     *
     * Scale shape: one split-explode for candidate runs (map-side), one
     * position explode bounded by 19 digits per run, one run-grain
@@ -957,8 +971,11 @@ object TextAnalysis {
   def luhnCardScan(df: DataFrame, id: Column, text: Column): DataFrame = {
     val runs = Dedup.spread(df)
       .select(id.as("doc_id"),
-        explode(split(text, "[^0-9]+")).as("run"))
+        explode(split(
+          regexp_replace(text, "([0-9])[ -]([0-9])", "$1$2"),
+          "[^0-9]+")).as("run"))
       .filter(length(col("run")).between(13, 19))
+      .distinct()
     runs
       .withColumn("__i",
         explode(sequence(lit(0), length(col("run")) - 1)))

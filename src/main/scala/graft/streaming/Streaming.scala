@@ -638,6 +638,32 @@ object Streaming {
     * final graph, which is what lets SparkEntry's q144 hash-gate the
     * streamed result against q137's full-recompute oracle verbatim.
     */
+  /** Retention for the versioned-overwrite state protocol: after a
+    * successful `v{N}` landing, delete every version except the newest
+    * `keep`. Without this, state STORAGE grows linearly with batch
+    * count even when each version is bounded — the "k rows forever" /
+    * "≤ depth·width rows" claims hold per version, not per directory,
+    * and these folds run per-batch forever in the day-2 story.
+    *
+    * keep = 2 is the correctness floor: under one checkpointed
+    * AvailableNow query the only replayable batch is the LAST
+    * uncommitted one, and its recompute reads the latest version
+    * strictly below it — the predecessor must survive the prune.
+    * Everything older is unreachable (batches commit serially).
+    */
+  private def pruneStateVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: String, keep: Int = 2): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(root)) {
+      val versions = fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+        .sorted
+      versions.dropRight(keep).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
+      }
+    }
+  }
+
   def knnGraphMaintain(spark: SparkSession, sourceDir: String,
                        schema: StructType, idCol: String, vecCol: String,
                        blockCols: Seq[String], k: Int, statePath: String,
@@ -688,6 +714,7 @@ object Streaming {
           priorGraph, priorCorpus, batch.toDF(), col(idCol), col(vecCol),
           blockCols.map(col), k)
         next.write.mode("overwrite").parquet(s"$graphDir/v$batchId")
+        pruneStateVersions(fs, graphDir)
         graft.idempotent.Idempotent.overwritePartitions(
           batch.toDF().withColumn("__batch_id", lit(batchId)),
           corpusDir, Seq("__batch_id"))
@@ -745,6 +772,7 @@ object Streaming {
             graft.ops.Sketch.kmvState(batch.toDF(),
               org.apache.spark.sql.functions.col(valueCol), k), k)
           .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        pruneStateVersions(fs, statePath)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -795,6 +823,7 @@ object Streaming {
             graft.ops.Sketch.cmsState(batch.toDF(),
               org.apache.spark.sql.functions.col(keyCol), depth, width))
           .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        pruneStateVersions(fs, statePath)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -937,6 +966,7 @@ object Streaming {
             graft.ops.Sampling.uniformTopKSample(batch.toDF(), c(idCol), k))
           .orderBy(c("__pos").asc, c(idCol).asc).limit(k)
           .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        pruneStateVersions(fs, statePath)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -1066,6 +1096,7 @@ object Streaming {
           .select(org.apache.spark.sql.functions.col("chunk_hash"))
         prior.unionByName(batchChunks).distinct()
           .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        pruneStateVersions(fs, statePath)
       }
       .trigger(Trigger.AvailableNow())
       .start()
