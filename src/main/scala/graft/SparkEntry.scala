@@ -1804,6 +1804,22 @@ object SparkEntry {
       .withColumnRenamed("group_key", "label")
       .orderBy("label", "i", "j")
 
+  /** Profile 17 (round-8): DIM-TILED Gram matrix
+    * ([[graft.ops.Profile.gramMatrixTiled]], tile = 16 over d = 64 so
+    * the tiling genuinely fans: 4 tiles → 10 tile pairs per row) —
+    * the production variant for modern embedding widths, where q155's
+    * flat generator would materialize an 8.4M-struct array per row at
+    * d = 4096. Identical cell set and DECIMAL sums by construction;
+    * gated against q155's oracle VERBATIM, so any tile-boundary slip
+    * (lost diagonal, double-counted edge cell, descending-sequence
+    * wraparound) fails the hash.
+    */
+  private def q285(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.gramMatrixTiled(t(s, dir, "embeddings"),
+        col("label"), col("embedding"), tile = 16)
+      .withColumnRenamed("group_key", "label")
+      .orderBy("label", "i", "j")
+
   /** Text 14 (round-5): shingle novelty per ingest batch
     * ([[graft.ops.TextAnalysis.shingleNovelty]]) — the fixture's
     * `src<N>` sources read as ingest generations (batch = N, numeric so
@@ -4048,6 +4064,101 @@ object SparkEntry {
       .orderBy("luhn_ok")
   }
 
+  /** Text 26 (round-8): DEEP BPE training — 256 merges through the
+    * incremental pair-delta trainer ([[graft.ops.Bpe.bpeMerges]],
+    * round-8 rewrite: per-round shuffle tracks the affected-word count,
+    * not the vocabulary), gated bit-for-bit against the oracle's
+    * UNROLLED full-recount trainer (256 CTE rounds) — the two
+    * formulations agree only if the delta law (+pairs(rewritten) −
+    * pairs(affected), untouched words passed through) is exact at every
+    * round, so one drifted count anywhere in 256 rounds fails the hash.
+    * The vocabulary is md5-derived (8-hex-char words from order keys):
+    * the synthetic documents corpus has 31 distinct words and dries at
+    * ~89 merges, while hex words give every SF a deep pair structure.
+    */
+  private def q282(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "orders")
+      .select(substring(md5(col("o_orderkey").cast("string")
+        .cast("binary")), 1, 8).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    graft.ops.Bpe.bpeMerges(words, col("word"), col("cnt"), iters = 256)
+      .orderBy("ord")
+  }
+
+  /** Text 27 (round-8): deep-artifact BPE ENCODE
+    * ([[graft.ops.Bpe.encode]] — the ONE-expression rank-loop encoder,
+    * [[graft.functions.BpeEncode]]): train 96 merges in-engine, collect
+    * the artifact (the standard tokenizer-ships-as-a-file read), then
+    * encode the corpus words with the native expression instead of
+    * [[graft.ops.Bpe.encodeSpaced]]'s per-merge replace chain — one
+    * plan node at ANY table depth, which is the serving path a 30k-
+    * merge production artifact needs. The oracle never sees the encoder:
+    * it replays the TRAINING chain and reads the final vocab state
+    * (w96), whose spaced rows are by construction the chain-encode of
+    * every word — so the gate proves rank-loop ≡ learn-order chain on a
+    * genuinely trained table at every SF ([[graft.BpeSpec]] pins the
+    * same law at 300 merges against the literal chain).
+    */
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "orders")
+      .select(substring(md5(col("o_orderkey").cast("string")
+        .cast("binary")), 1, 8).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // read by the trainer's rounds AND the encode scan
+    val merges = graft.ops.Bpe.bpeMerges(words, col("word"), col("cnt"),
+        iters = 96)
+      .orderBy("ord").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    words
+      .select(col("word"),
+        graft.ops.Bpe.encode(col("word"), merges).as("__t"))
+      .select(col("word"), size(col("__t")).as("n_tokens"),
+        element_at(col("__t"), 1).as("first_token"),
+        element_at(col("__t"), -1).as("last_token"))
+      .orderBy("word")
+  }
+
+  /** Multimodal 13 (round-8): the REAL video container lane
+    * ([[graft.ops.Multimodal.AviDibCodec]]) — closes the r7 verdict's
+    * "video still rides only the md5 fake": each document id becomes a
+    * GENUINE uncompressed RIFF/AVI asset (BI_RGB DIB frames, the format
+    * `ffmpeg -c:v rawvideo` writes) encoded IN the query from a
+    * closed-form pixel rule, then rides the production
+    * decodeVideo → stride-sample → frameRgbStats pipeline with the real
+    * container parser (hdrl/strl/strf walked, bit depth checked,
+    * bottom-up padded rows flipped). The oracle recomputes the channel
+    * sums from the pixel RULE, so the hash passes iff every pixel of
+    * every frame survived the encode→parse round trip exactly — q238's
+    * WAV device extended to video, completing the real-codec triple
+    * (image q212, audio q238, video here).
+    */
+  private def q284(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"))
+      .filter(col("id") < 200).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 10; val h = 6
+        val nf = (2 + id % 5).toInt
+        val frames = (0 until nf).map { f =>
+          Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            val r = ((id * 7 + f * 13 + y * w + x) % 256).toInt
+            val g = ((id * 11 + f * 17 + x * 3 + y * 5) % 256).toInt
+            val b = ((id * 13 + f * 19 + x * 7 + y * 11) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+        }
+        (id, graft.ops.Multimodal.encodeAviRgb(frames, w, h))
+      }
+    }.toDF("asset_id", "payload")
+    Multimodal.frameRgbStats(
+        Multimodal.decodeVideo(assets, Multimodal.AviDibCodec))
+      .filter(col("frame_idx") % 2 === 0) // the video frame-sample stride
+      .orderBy("asset_id", "frame_idx")
+  }
+
   /** Text 24 (round-7): Flesch readability
     * ([[TextAnalysis.readability]]) — the libm-free reading-ease score
     * per document: integer word / sentence / vowel-group counts into
@@ -4179,6 +4290,42 @@ object SparkEntry {
       when(col("l_quantity") > 25, b).otherwise(a).as("loser"))
     graft.ops.Train.bradleyTerryScores(pairs, col("winner"), col("loser"),
         iters = 3, rate = 0.5)
+      .orderBy("item")
+  }
+
+  /** Train 4 (round-8): Bradley–Terry at TRUE item cardinality
+    * ([[graft.ops.Train.bradleyTerryScores]] with the shuffle-hash
+    * score-join hint) — q276's 20-item table legitimately broadcasts,
+    * which left the Scaladoc's "scores live in a FRAME, items in the
+    * millions" claim unmeasured (the r7 verdict's flag). Here the duel
+    * log draws 4 md5 duels per lineitem row over a 20 000-item space
+    * (≥ 10⁴ distinct items at every SF, winner = higher item-quality
+    * q = id % 997, ties to the smaller id), the score frame joins ride
+    * the config-pinned shuffle-hash hint, and the 10× table records
+    * the shape idle. Gradient math, decimal folds, and the unrolled
+    * oracle are q276's verbatim.
+    */
+  private def q286(s: SparkSession, dir: String): DataFrame = {
+    def h(salt: String, pid: Column, k: Column): Column =
+      pmod(conv(substring(md5(concat(lit(salt), lit("|"), pid, lit("|"),
+        k.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long"),
+        lit(20000L))
+    val duels = t(s, dir, "lineitem")
+      .select(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("pid"))
+      .select(col("pid"), explode(sequence(lit(0), lit(3))).as("k"))
+      .select(h("bta", col("pid"), col("k")).as("ia"),
+        h("btb", col("pid"), col("k")).as("ib"))
+      .filter(col("ia") =!= col("ib"))
+    val qa = col("ia") % 997
+    val qb = col("ib") % 997
+    val pairs = duels.select(
+      concat(lit("i"), when(qa > qb, col("ia")).when(qb > qa, col("ib"))
+        .otherwise(least(col("ia"), col("ib"))).cast("string")).as("winner"),
+      concat(lit("i"), when(qa > qb, col("ib")).when(qb > qa, col("ia"))
+        .otherwise(greatest(col("ia"), col("ib"))).cast("string")).as("loser"))
+    graft.ops.Train.bradleyTerryScores(pairs, col("winner"), col("loser"),
+        iters = 2, rate = 0.5, scoreJoinHint = "shuffle_hash")
       .orderBy("item")
   }
 
@@ -5707,7 +5854,12 @@ object SparkEntry {
     "q278_min_cost_supplier" -> q278 _,
     "q279_grouped_auc" -> q279 _,
     "q280_tokenizer_fertility" -> q280 _,
-    "q281_luhn_formatted" -> q281 _)
+    "q281_luhn_formatted" -> q281 _,
+    "q282_bpe_deep" -> q282 _,
+    "q283_bpe_encode_trained" -> q283 _,
+    "q284_avi_roundtrip" -> q284 _,
+    "q285_gram_tiled" -> q285 _,
+    "q286_bradley_terry_scale" -> q286 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6373,10 +6525,7 @@ object SparkEntry {
     * SAME Elliott-sigmoid (1−p) terms from the current score frame,
     * signed per side, decimal-summed per item, update rounded at 12.
     */
-  private def bradleyTerryOracle(iters: Int): String = {
-    def oneMinusP(sw: String, sl: String) =
-      s"1.0 - 0.5 * (1.0 + ($sw - $sl) / (1.0 + abs($sw - $sl)))"
-    val base = """pl AS (
+  private val q276PairsSql: String = """
         SELECT winner AS w, loser AS l FROM (
           SELECT CASE WHEN l_quantity > 25 THEN a ELSE b END AS winner,
                  CASE WHEN l_quantity > 25 THEN b ELSE a END AS loser
@@ -6385,8 +6534,38 @@ object SparkEntry {
                    'i' || CAST(l_suppkey % 20 AS VARCHAR) AS b,
                    l_quantity
             FROM lineitem))
-        WHERE winner <> loser),
-      tal AS (
+        WHERE winner <> loser"""
+
+  /** q286's duel log: 4 md5-drawn duels per lineitem row over a 20k
+    * item space, winner = higher quality q(item) = item % 997 (ties to
+    * the smaller id) — ≥ 10⁴ distinct items at every SF, the
+    * cardinality where the score frame stops broadcasting.
+    */
+  private val q286PairsSql: String = """
+        SELECT 'i' || CAST(CASE WHEN ia % 997 > ib % 997 THEN ia
+            WHEN ib % 997 > ia % 997 THEN ib
+            ELSE least(ia, ib) END AS VARCHAR) AS w,
+          'i' || CAST(CASE WHEN ia % 997 > ib % 997 THEN ib
+            WHEN ib % 997 > ia % 997 THEN ia
+            ELSE greatest(ia, ib) END AS VARCHAR) AS l
+        FROM (
+          SELECT
+            ('0x' || substring(md5('bta|' || pid || '|' ||
+              CAST(k AS VARCHAR)), 1, 8))::BIGINT % 20000 AS ia,
+            ('0x' || substring(md5('btb|' || pid || '|' ||
+              CAST(k AS VARCHAR)), 1, 8))::BIGINT % 20000 AS ib
+          FROM (
+            SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+              CAST(l_linenumber AS VARCHAR) AS pid
+            FROM lineitem), (SELECT unnest(range(4)) AS k))
+        WHERE ia <> ib"""
+
+  private def bradleyTerryOracle(iters: Int,
+                                 pairsSql: String = q276PairsSql): String = {
+    def oneMinusP(sw: String, sl: String) =
+      s"1.0 - 0.5 * (1.0 + ($sw - $sl) / (1.0 + abs($sw - $sl)))"
+    val base = s"""pl AS MATERIALIZED ($pairsSql),
+      tal AS MATERIALIZED (
         SELECT item, CAST(sum(win) AS BIGINT) AS n_wins,
           CAST(sum(1 - win) AS BIGINT) AS n_losses
         FROM (SELECT w AS item, 1 AS win FROM pl
@@ -6394,7 +6573,7 @@ object SparkEntry {
         GROUP BY 1),
       s0 AS (SELECT item, CAST(0.0 AS DOUBLE) AS score FROM tal)"""
     val rounds = (0 until iters).map { k =>
-      s"""g$k AS (
+      s"""g$k AS MATERIALIZED (
         SELECT item, CAST(sum(gc) AS DOUBLE) AS grad FROM (
           SELECT p.w AS item,
             CAST(${oneMinusP("sw.score", "sl.score")} AS DECIMAL(28,18))
@@ -6407,7 +6586,7 @@ object SparkEntry {
           FROM pl p JOIN s$k sw ON p.w = sw.item
             JOIN s$k sl ON p.l = sl.item)
         GROUP BY 1),
-      s${k + 1} AS (
+      s${k + 1} AS MATERIALIZED (
         SELECT s.item,
           CASE WHEN g.grad IS NULL THEN s.score
             ELSE round(s.score + 0.5 * g.grad /
@@ -6420,41 +6599,94 @@ object SparkEntry {
       FROM s$iters s JOIN tal t ON s.item = t.item ORDER BY s.item"""
   }
 
-  /** q266's oracle: the WHOLE 6-iteration BPE trainer unrolled as CTE
-    * blocks — per round: list_zip adjacent pairs over the spaced vocab,
-    * integer-weighted counts, deterministic argmax (count desc, left,
-    * right), then the literal spaced replace whose left-to-right
-    * non-overlapping scan IS greedy merge application. Lands on the
-    * identical merge table or the hash gate fails.
+  /** q266/q282's oracle: the WHOLE BPE trainer unrolled as CTE blocks,
+    * one per iteration — per round: list_zip adjacent pairs over the
+    * spaced vocab, integer-weighted counts, deterministic argmax (count
+    * desc, left, right), then the literal spaced replace whose
+    * left-to-right non-overlapping scan IS greedy merge application.
+    * Lands on the identical merge table or the hash gate fails. A DRY
+    * round is structurally correct: its `b` block is empty, so the
+    * replacement cross join empties the vocab and every later round
+    * contributes zero output rows — exactly the engine's early stop.
+    * The oracle replays the pre-round-8 FULL-RECOUNT semantics; the
+    * engine's incremental pair-delta trainer must land bit-identically
+    * on it, which is what makes the q282 gate meaningful.
+    *
+    * `wordsSql` yields (word, cnt) — defaults to the documents word
+    * count; q282 passes the md5-derived vocabulary (richer pair
+    * structure, so 256 merges exist at every SF).
     */
-  private def bpeMergesOracle(iters: Int): String = {
-    val w0 = raw"""w0 AS (
-        SELECT '  ' || trim(regexp_replace(word, '(.)', ' \1 ', 'g'))
-          || '  ' AS w, cnt AS n
-        FROM (
+  private def bpeMergesOracle(
+      iters: Int,
+      wordsSql: String = """
           SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
             SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
               AS word
             FROM documents)
-          WHERE word <> '' GROUP BY 1))"""
+          WHERE word <> '' GROUP BY 1"""): String = {
+    val (w0, rounds) = bpeTrainChain(iters, wordsSql)
+    // the output union is CHUNKED through intermediate CTEs: a flat
+    // 256-way UNION ALL parses as a ~4·iters-deep expression and trips
+    // DuckDB's max_expression_depth at 1000; ≤64-way chunks keep every
+    // statement shallow
+    val sels = (0 until iters).map(i =>
+      s"""SELECT $i AS ord, l AS "left", r AS "right", l || r AS merged,
+        c AS pair_count FROM b$i""")
+    val chunks = sels.grouped(64).toSeq
+    val chunkCtes = chunks.zipWithIndex.map { case (g, j) =>
+      s"""u$j AS MATERIALIZED (${g.mkString("\n      UNION ALL ")})"""
+    }
+    val finalSel = chunks.indices.map(j => s"SELECT * FROM u$j")
+      .mkString("\n      UNION ALL ")
+    s"""WITH ${((w0 +: rounds) ++ chunkCtes).mkString(",\n      ")}
+      $finalSel ORDER BY ord"""
+  }
+
+  /** The unrolled training chain shared by the q266/q282/q283 oracles.
+    * Every block is AS MATERIALIZED: w$i and b$i are each referenced
+    * twice, and DuckDB's default CTE inlining would expand the chain
+    * EXPONENTIALLY (2^iters scans of the base table — at 256 rounds it
+    * exhausts file handles before it exhausts patience).
+    */
+  private def bpeTrainChain(iters: Int,
+                            wordsSql: String): (String, Seq[String]) = {
+    val w0 = raw"""w0 AS MATERIALIZED (
+        SELECT '  ' || trim(regexp_replace(word, '(.)', ' \1 ', 'g'))
+          || '  ' AS w, cnt AS n
+        FROM ($wordsSql))"""
     val rounds = (0 until iters).map { i =>
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
         SELECT pr[1] AS l, pr[2] AS r, CAST(sum(n) AS BIGINT) AS c
         FROM (
           SELECT n, unnest(list_zip(tl[1:len(tl)-1], tl[2:len(tl)])) AS pr
           FROM (SELECT n, string_split(trim(w), '  ') AS tl FROM w$i))
         GROUP BY 1, 2 HAVING sum(n) >= 2),
-      b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-      w${i + 1} AS (
+      b$i AS MATERIALIZED (
+        SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+      w${i + 1} AS MATERIALIZED (
         SELECT replace(v.w, ' ' || b.l || '  ' || b.r || ' ',
           ' ' || b.l || b.r || ' ') AS w, v.n
         FROM w$i v CROSS JOIN b$i b)"""
     }
-    val sel = (0 until iters).map(i =>
-      s"""SELECT $i AS ord, l AS "left", r AS "right", l || r AS merged,
-        c AS pair_count FROM b$i""").mkString("\n      UNION ALL ")
-    s"""WITH ${(w0 +: rounds).mkString(",\n      ")}
-      $sel ORDER BY ord"""
+    (w0, rounds)
+  }
+
+  /** q283's oracle: the trained-encode law — after `iters` training
+    * rounds the vocab state w{iters} IS the chain-encode of every word
+    * under the learned table, so the oracle reads it directly (the raw
+    * word reconstructs by dropping spaces) and never needs the engine's
+    * rank-loop encoder it gates.
+    */
+  private def bpeEncodeTrainedOracle(iters: Int, wordsSql: String): String = {
+    val (w0, rounds) = bpeTrainChain(iters, wordsSql)
+    s"""WITH ${(w0 +: rounds).mkString(",\n      ")},
+      enc AS MATERIALIZED (
+        SELECT replace(trim(w), ' ', '') AS word,
+          string_split(trim(w), '  ') AS tl
+        FROM w$iters)
+      SELECT word, CAST(len(tl) AS INT) AS n_tokens,
+        tl[1] AS first_token, tl[len(tl)] AS last_token
+      FROM enc ORDER BY word"""
   }
 
   /** q267's oracle: the pinned merge table applied as the identical
@@ -7255,6 +7487,22 @@ object SparkEntry {
     // summed in DECIMAL — the q99 idiom; engine generates the same cells
     // map-side
     "q155_gram_matrix" -> """
+      WITH comp AS (
+        SELECT label, vec_id,
+          unnest(CAST(embedding AS DOUBLE[])) AS x,
+          generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS idx
+        FROM embeddings),
+      pairs AS (
+        SELECT a.label, a.idx - 1 AS i, b.idx - 1 AS j,
+          CAST(a.x * b.x AS DECIMAL(28,18)) AS p
+        FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.idx <= b.idx)
+      SELECT label, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        CAST(count(*) AS BIGINT) AS n_terms,
+        round(CAST(sum(p) AS DOUBLE), 6) + 0.0 AS s
+      FROM pairs GROUP BY 1, 2, 3 ORDER BY label, i, j""",
+    // q285: the tiled generator must land on q155's oracle verbatim —
+    // identical cells, identical DECIMAL sums, different fan-out shape
+    "q285_gram_tiled" -> """
       WITH comp AS (
         SELECT label, vec_id,
           unnest(CAST(embedding AS DOUBLE[])) AS x,
@@ -8770,6 +9018,41 @@ object SparkEntry {
     // q266: the 6-iteration BPE trainer unrolled relationally — same
     // pair counts, same lexicographic argmax, same greedy replace
     "q266_bpe_merges" -> bpeMergesOracle(6),
+    // q282: 256 unrolled full-recount rounds vs the engine's
+    // incremental pair-delta trainer — any drifted delta fails the hash
+    "q282_bpe_deep" -> bpeMergesOracle(256, """
+          SELECT substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS word,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM orders GROUP BY 1"""),
+    // q284: channel sums recomputed from the closed-form pixel rule —
+    // equality proves the AVI container round trip is pixel-exact
+    "q284_avi_roundtrip" -> """
+      WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+        WHERE doc_id < 200),
+      fr AS (
+        SELECT id, f FROM ids, (SELECT unnest(range(6)) AS f)
+        WHERE f < 2 + id % 5 AND f % 2 = 0),
+      px AS (
+        SELECT id, f, x, y FROM fr,
+          (SELECT unnest(range(10)) AS x), (SELECT unnest(range(6)) AS y)),
+      s AS (
+        SELECT id, f,
+          CAST(sum((id * 7 + f * 13 + y * 10 + x) % 256) AS BIGINT) AS sum_r,
+          CAST(sum((id * 11 + f * 17 + x * 3 + y * 5) % 256) AS BIGINT)
+            AS sum_g,
+          CAST(sum((id * 13 + f * 19 + x * 7 + y * 11) % 256) AS BIGINT)
+            AS sum_b
+        FROM px GROUP BY 1, 2)
+      SELECT id AS asset_id, CAST(f AS INT) AS frame_idx,
+        10 AS width, 6 AS height, sum_r, sum_g, sum_b
+      FROM s ORDER BY asset_id, frame_idx""",
+    // q283: the trained-encode law — w96 read directly (see
+    // bpeEncodeTrainedOracle); gates the native rank-loop encoder
+    "q283_bpe_encode_trained" -> bpeEncodeTrainedOracle(96, """
+          SELECT substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS word,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM orders GROUP BY 1"""),
     // q280: q267's replace chain folded per language — the fertility
     // readout from the same integer counts
     "q280_tokenizer_fertility" -> {
@@ -9072,6 +9355,8 @@ object SparkEntry {
       FROM ag ORDER BY source""",
     // q276: three Bradley-Terry rounds unrolled to the same score bits
     "q276_bradley_terry" -> bradleyTerryOracle(3),
+    // q286: q276's unrolled fit over the 20k-item md5 duel log
+    "q286_bradley_terry_scale" -> bradleyTerryOracle(2, q286PairsSql),
     // q252: the 3-iteration GD unroll lands on the same weight bits
     "q252_linear_probe" -> s"""$probeTrainCte
       SELECT 0 AS ord, 'bias' AS feature, w0 AS weight FROM w3

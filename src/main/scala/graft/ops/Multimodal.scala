@@ -392,6 +392,206 @@ object Multimodal {
     }
   }
 
+  /** Video codec boundary, mirroring [[AudioCodec]]: `newDecoder()` once
+    * per partition, payload → decoded frames of (width, height, row-major
+    * TOP-DOWN 0xRRGGBB pixels). Null / undecodable payloads yield zero
+    * frames (one corrupt asset must not kill a 100 TB stage).
+    */
+  trait VideoCodec extends Serializable {
+    def newDecoder(): Array[Byte] => Array[(Int, Int, Array[Int])]
+  }
+
+  /** REAL video container codec: uncompressed RIFF/AVI with BI_RGB DIB
+    * frames — a genuine, standard on-disk video format (`ffmpeg -c:v
+    * rawvideo` emits it) that is fully parseable with zero external
+    * dependencies, the same sandbox trade [[WavPcmCodec]] makes for
+    * audio (both are RIFF containers; MJPEG/H.264 payload decoding
+    * would need codec libs this container lacks). The parser is a real
+    * container walk, not a byte-offset hack: RIFF header → `hdrl` LIST
+    * (avih main header) → `strl` LIST (strh/strf; the
+    * BITMAPINFOHEADER must declare 24-bit BI_RGB) → `movi` LIST, whose
+    * `00db`/`00dc` chunks each decode as a DIB — bottom-up BGR rows
+    * (top-down when biHeight < 0), 4-byte row stride padding, emitted
+    * as top-down packed RGB. Any structural violation (bad magic,
+    * truncated chunk, wrong bit depth, frame-size mismatch) degrades to
+    * zero frames per the [[VideoCodec]] contract.
+    *
+    * The q284 gate runs [[encodeAviRgb]]-built assets through THIS
+    * decoder and an oracle that recomputes features from the pixel
+    * RULE — q238's encode→decode round-trip proof, extended from PCM
+    * samples to container-parsed video frames.
+    */
+  object AviDibCodec extends VideoCodec {
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    def newDecoder(): Array[Byte] => Array[(Int, Int, Array[Int])] = { p =>
+      try {
+        if (p == null || p.length < 12 || fourcc(p, 0) != "RIFF" ||
+          fourcc(p, 8) != "AVI ") Array.empty
+        else {
+          var bitCount = -1
+          var compression = -1
+          var biW = 0
+          var biH = 0
+          val frames =
+            scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Int])]
+          def walk(from: Int, to: Int): Unit = {
+            var off = from
+            while (off + 8 <= to) {
+              val id = fourcc(p, off)
+              val size = le32(p, off + 4)
+              val body = off + 8
+              if (size < 0 || body + size > to) return // truncated: stop
+              if (id == "LIST" && size >= 4) {
+                val lt = fourcc(p, body)
+                // descend into the structural lists only
+                if (lt == "hdrl" || lt == "strl" || lt == "movi")
+                  walk(body + 4, body + size)
+              } else if (id == "strf" && size >= 20) {
+                biW = le32(p, body + 4)
+                biH = le32(p, body + 8)
+                bitCount = le16(p, body + 14)
+                compression = le32(p, body + 16)
+              } else if ((id == "00db" || id == "00dc") &&
+                bitCount == 24 && compression == 0 && biW > 0 && biH != 0) {
+                val h = math.abs(biH)
+                val stride = ((biW * 3 + 3) / 4) * 4
+                if (size == stride * h) {
+                  val pix = new Array[Int](biW * h)
+                  var y = 0
+                  while (y < h) {
+                    // positive biHeight = bottom-up rows; negative = top-down
+                    val srcRow = if (biH > 0) h - 1 - y else y
+                    val ro = body + srcRow * stride
+                    var x = 0
+                    while (x < biW) {
+                      val b = p(ro + 3 * x) & 0xff
+                      val g = p(ro + 3 * x + 1) & 0xff
+                      val r = p(ro + 3 * x + 2) & 0xff
+                      pix(y * biW + x) = (r << 16) | (g << 8) | b
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  frames += ((biW, h, pix))
+                }
+              }
+              off = body + size + (size & 1) // RIFF chunks pad to even
+            }
+          }
+          walk(12, p.length)
+          frames.toArray
+        }
+      } catch { case scala.util.control.NonFatal(_) => Array.empty }
+    }
+  }
+
+  /** Build a standards-conformant uncompressed AVI from top-down packed
+    * RGB frames — the fixture encoder for the q284 round-trip gate and
+    * the real-codec specs (the inverse of [[AviDibCodec]]). All frames
+    * must share (width, height).
+    */
+  def encodeAviRgb(frames: Seq[Array[Int]], width: Int, height: Int,
+                   fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty && width > 0 && height > 0)
+    require(frames.forall(_.length == width * height),
+      "all frames must be width*height pixels")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val frameBytes = stride * height
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val moviSize = 4 + frames.length * (8 + frameBytes)
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    cc("RIFF"); w32(4 + (8 + hdrlSize) + (8 + moviSize)); cc("AVI ")
+    cc("LIST"); w32(hdrlSize); cc("hdrl")
+    cc("avih"); w32(56)
+    w32(1000000 / fps); w32(frameBytes * fps); w32(0)
+    w32(0x10) // AVIF_HASINDEX off; AVIF_WASCAPTUREFILE-style flags minimal
+    w32(frames.length); w32(0); w32(1); w32(frameBytes)
+    w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
+    cc("LIST"); w32(strlSize); cc("strl")
+    cc("strh"); w32(56)
+    cc("vids"); cc("DIB "); w32(0); w16(0); w16(0); w32(0)
+    w32(1); w32(fps) // scale/rate
+    w32(0); w32(frames.length); w32(frameBytes); w32(-1); w32(0)
+    w16(0); w16(0); w16(width); w16(height) // rcFrame
+    cc("strf"); w32(40)
+    w32(40); w32(width); w32(height); w16(1); w16(24)
+    w32(0) // BI_RGB
+    w32(frameBytes); w32(0); w32(0); w32(0); w32(0)
+    cc("LIST"); w32(moviSize); cc("movi")
+    frames.foreach { f =>
+      cc("00db"); w32(frameBytes)
+      var y = height - 1 // DIB rows bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val p = f(y * width + x)
+          bos.write(p & 0xff); bos.write((p >> 8) & 0xff)
+          bos.write((p >> 16) & 0xff)
+          x += 1
+        }
+        var pad = width * 3
+        while (pad < stride) { bos.write(0); pad += 1 }
+        y -= 1
+      }
+    }
+    bos.toByteArray
+  }
+
+  private val videoFrameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("pix", ArrayType(IntegerType, containsNull = false))))
+
+  /** Video decode stage: one (asset, frame) row per container frame —
+    * [[decodeAudio]]'s mapPartitions shape (one codec init per
+    * partition, frames fan out inside the partition iterator; no
+    * shuffle, no interim array-of-frames column).
+    */
+  def decodeVideo(assets: DataFrame,
+                  codec: VideoCodec = AviDibCodec): DataFrame = {
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(videoFrameSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      val dec = codec.newDecoder()
+      it.flatMap { r =>
+        dec(r.getAs[Array[Byte]]("payload")).iterator.zipWithIndex.map {
+          case ((w, h, pix), j) => Row(r.getLong(0), j, w, h, pix.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-frame channel statistics over decoded video frames,
+    * expression-only (the pixel array never explodes into rows): exact
+    * integer channel sums — the brightness/color screen a video-corpus
+    * curation pass runs first, and the integer readout the q284
+    * round-trip gate hashes.
+    */
+  def frameRgbStats(frames: DataFrame): DataFrame = frames
+    .withColumn("sum_r", aggregate(col("pix"), lit(0L),
+      (acc, p) => acc + shiftright(p, 16).bitwiseAND(lit(255)).cast("long")))
+    .withColumn("sum_g", aggregate(col("pix"), lit(0L),
+      (acc, p) => acc + shiftright(p, 8).bitwiseAND(lit(255)).cast("long")))
+    .withColumn("sum_b", aggregate(col("pix"), lit(0L),
+      (acc, p) => acc + p.bitwiseAND(lit(255)).cast("long")))
+    .drop("pix")
+
   private val gridSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType),
     StructField("grid", ArrayType(IntegerType, containsNull = false))))

@@ -438,6 +438,55 @@ object Profile {
         sum(col("__c.p").cast("decimal(28,18)")).as("__s"))
   }
 
+  /** [[gramMatrix]] with DIM-TILED cell generation — the production
+    * shape for modern embedding widths. The flat generator materializes
+    * an intermediate d·(d+1)/2-struct array PER ROW inside the project:
+    * perfect at d = 64 (2 080 cells), but at d = 4096 that is 8.4M
+    * structs per row — a per-row allocation cliff long before the
+    * shuffle (which only ever carries partial sums) notices. Here each
+    * row first fans out over the (d/tile)·(d/tile+1)/2 TILE pairs (a
+    * small index array), and only then generates its ≤ tile² cells per
+    * fanned row — identical cell set, identical DECIMAL sums, identical
+    * output, but the largest transient array is tile² (default 64² =
+    * 4 096) regardless of d, and the d² CPU spreads across the fanned
+    * rows instead of spiking inside one projection. Same single
+    * shuffle of partial sums; no join. q285 gates it cell-for-cell
+    * against [[gramMatrix]]'s oracle on a tile that genuinely fans
+    * (tile < d), and the 10× table records the d ≥ 512 behavior the
+    * flat generator cannot reach.
+    */
+  def gramMatrixTiled(df: DataFrame, group: Column, vec: Column,
+                      tile: Int = 64): DataFrame = {
+    require(tile >= 2 && tile <= 1024, s"tile must be in [2, 1024], got $tile")
+    val v = col("__v")
+    val d = size(v)
+    // ceil(d / tile) — Column `/` is DOUBLE division, so cast back (the
+    // quotient is exact at any real dim, and sequence() needs integral)
+    val nt = ((d + lit(tile) - 1) / lit(tile)).cast("int")
+    val tilePairs = flatten(transform(sequence(lit(0), nt - 1),
+      bi => transform(sequence(bi, nt - 1),
+        bj => struct(bi.as("bi"), bj.as("bj")))))
+    val rows = Dedup.spread(df).select(group.as("__g"), vec.as("__v"))
+      .filter(size(col("__v")) > 0)
+      .select(col("__g"), col("__v"), explode(tilePairs).as("__t"))
+    val bi = col("__t.bi")
+    val bj = col("__t.bj")
+    val cells = rows.select(col("__g"), explode(flatten(transform(
+      sequence(bi * tile, least((bi + 1) * tile, d) - 1),
+      i => transform(
+        sequence(greatest(i, bj * tile), least((bj + 1) * tile, d) - 1),
+        j => struct(i.cast("long").as("i"), j.cast("long").as("j"),
+          (element_at(v, i + 1).cast("double") *
+            element_at(v, j + 1).cast("double")).as("p")))))).as("__c"))
+    cells
+      .groupBy(col("__g").as("group_key"), col("__c.i").as("i"),
+        col("__c.j").as("j"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__c.p").cast("decimal(28,18)")).as("__s"))
+      .select(col("group_key"), col("i"), col("j"), col("n_terms"),
+        Readout.rdz(col("__s").cast("double"), 6).as("s"))
+  }
+
   /** Per-group POPULATION covariance matrix of an embedding column:
     * cov(i,j) = S_ij/n − (s_i/n_i)(s_j/n_j) — the gram second moment
     * centered by the mean outer product, i.e. exactly what PCA /

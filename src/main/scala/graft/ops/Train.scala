@@ -141,7 +141,8 @@ object Train {
     * (lineage, and hence re-scoring, cannot grow with rounds).
     */
   def bradleyTerryScores(pairs: DataFrame, winner: Column, loser: Column,
-                         iters: Int, rate: Double): DataFrame = {
+                         iters: Int, rate: Double,
+                         scoreJoinHint: String = ""): DataFrame = {
     require(iters >= 0 && iters <= 64, s"iters must be in [0,64], got $iters")
     val pl = Dedup.spread(pairs)
       .select(winner.cast("string").as("__w"), loser.cast("string").as("__l"))
@@ -158,8 +159,17 @@ object Train {
       .localCheckpoint()
     var it = 0
     while (it < iters) {
-      val sw = scores.select(col("item").as("__w"), col("score").as("__sw"))
-      val sl = scores.select(col("item").as("__l"), col("score").as("__sl"))
+      // at true item cardinality the score frame outgrows broadcast and
+      // the rounds become shuffle equi-joins on the item key; q286 pins
+      // that shape with scoreJoinHint = "shuffle_hash" (the config-
+      // pinned fact-fact idiom) and measures it idle — q276's 20-item
+      // table legitimately broadcasts, so the default stays unhinted
+      def hinted(df: DataFrame): DataFrame =
+        if (scoreJoinHint.isEmpty) df else df.hint(scoreJoinHint)
+      val sw = hinted(
+        scores.select(col("item").as("__w"), col("score").as("__sw")))
+      val sl = hinted(
+        scores.select(col("item").as("__l"), col("score").as("__sl")))
       val z = col("__sw") - col("__sl")
       val oneMinusP =
         lit(1.0d) - lit(0.5d) * (lit(1.0d) + z / (lit(1.0d) + abs(z)))

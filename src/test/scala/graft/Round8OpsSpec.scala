@@ -53,6 +53,69 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got === List((1L, "4532015112830366", true)))
   }
 
+  // ——— AVI container codec ————————————————————————————————————————————
+
+  test("AviDibCodec: encode→decode round-trips every pixel, both row orders") {
+    import graft.ops.Multimodal
+    val w = 5; val h = 3
+    val f0 = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256 << 16) |
+      ((i * 53 + 7) % 256 << 8) | ((i * 91 + 3) % 256))
+    val f1 = f0.map(p => (p + 0x010101) & 0xffffff)
+    val avi = Multimodal.encodeAviRgb(Seq(f0, f1), w, h)
+    val dec = Multimodal.AviDibCodec.newDecoder()(avi)
+    assert(dec.length === 2)
+    assert(dec(0)._1 === w && dec(0)._2 === h)
+    assert(dec(0)._3.toSeq === f0.toSeq)
+    assert(dec(1)._3.toSeq === f1.toSeq)
+  }
+
+  test("AviDibCodec: garbage, truncation and wrong depth degrade to 0 frames") {
+    import graft.ops.Multimodal
+    val dec = Multimodal.AviDibCodec.newDecoder()
+    assert(dec(null).isEmpty)
+    assert(dec(Array[Byte](1, 2, 3)).isEmpty)
+    assert(dec("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    val good = Multimodal.encodeAviRgb(
+      Seq(Array.fill(4)(0x102030)), 2, 2)
+    assert(dec(good).length === 1)
+    assert(dec(good.dropRight(5)).isEmpty) // truncated movi frame
+  }
+
+  test("decodeVideo fans frames inside partitions; stats are exact") {
+    import graft.ops.Multimodal
+    val w = 4; val h = 2
+    val frame = Array.tabulate(w * h)(i => (i << 16) | ((2 * i) << 8) | 3 * i)
+    val avi = Multimodal.encodeAviRgb(Seq(frame), w, h)
+    val assets = Seq((1L, avi)).toDF("asset_id", "payload")
+    val r = Multimodal.frameRgbStats(
+        Multimodal.decodeVideo(assets, Multimodal.AviDibCodec))
+      .head()
+    assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+    assert(r.getAs[Long]("sum_r") === (0 until 8).map(_.toLong).sum)
+    assert(r.getAs[Long]("sum_g") === (0 until 8).map(i => 2L * i).sum)
+    assert(r.getAs[Long]("sum_b") === (0 until 8).map(i => 3L * i).sum)
+  }
+
+  // ——— dim-tiled gram ——————————————————————————————————————————————————
+
+  test("gramMatrixTiled == gramMatrix on ragged dims and odd tile splits") {
+    import graft.ops.Profile
+    val vecs = Seq(
+      (1L, "a", Array(1.0f, 2.0f, 3.0f, 4.0f, 5.0f)),
+      (2L, "a", Array(0.5f, -1.0f, 2.5f, -3.0f, 1.0f)),
+      (3L, "b", Array(1.5f, 0.25f, -0.75f, 2.0f, -1.0f)),
+      (4L, "b", Array(-2.0f, 1.0f, 0.0f, 0.5f, 3.0f)))
+      .toDF("id", "g", "v")
+    // tile = 2 over d = 5: a ragged final tile exercises the least()
+    // bounds; the two generators must agree cell-for-cell
+    val flat = Profile.gramMatrix(vecs, $"g", $"v")
+      .orderBy("group_key", "i", "j").collect().map(_.toSeq)
+    val tiled = Profile.gramMatrixTiled(vecs, $"g", $"v", tile = 2)
+      .orderBy("group_key", "i", "j").collect().map(_.toSeq)
+    assert(tiled.toSeq === flat.toSeq)
+    assert(flat.length === 2 * 15) // 2 groups × d(d+1)/2
+  }
+
   // ——— null-group retention in the banded device ——————————————————————
 
   test("binaryAucBy: a NULL group key is retained, not dropped") {
