@@ -273,7 +273,8 @@ object Bench {
     "q284_avi_roundtrip",
     "q285_gram_tiled",
     "q286_bradley_terry_scale",
-    "q288_excess_stock")
+    "q288_excess_stock",
+    "q289_bpe_stream_wordcounts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4167,6 +4167,35 @@ object SparkEntry {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** Streaming 24 (round-8): streamed TOKENIZER sufficient statistic
+    * ([[graft.streaming.Streaming.wordCountsMaintain]]) — the word
+    * count IS all the BPE trainer ever reads of the corpus, so
+    * maintaining it incrementally (word-grain commutative fold,
+    * versioned-overwrite exactly-once, pruned state) is what lets a
+    * tokenizer retrain as data streams in with NO corpus re-scan. The
+    * gate forces 3 micro-batch seams and then TRAINS from the folded
+    * state; the oracle trains from the whole corpus in one piece —
+    * equality proves the streamed statistic is exact, not just close
+    * (one miscounted word anywhere shifts an argmax somewhere in 8
+    * rounds).
+    */
+  private def q289(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q289")
+    val src = stage.resolve("src").toString
+    t(s, dir, "documents").select(col("text"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    graft.streaming.Streaming.wordCountsMaintain(s, src, schema, "text",
+      statePath = stage.resolve("state").toString,
+      checkpointDir = stage.resolve("ckpt").toString)
+    val words = graft.streaming.Streaming.latestWordCounts(s,
+      stage.resolve("state").toString).localCheckpoint()
+    val out = graft.ops.Bpe.bpeMerges(words, col("word"), col("cnt"),
+        iters = 8)
+      .orderBy("ord")
+    materializeDropping(s, out, stage)
+  }
+
   /** Text 24 (round-7): Flesch readability
     * ([[TextAnalysis.readability]]) — the libm-free reading-ease score
     * per document: integer word / sentence / vowel-group counts into
@@ -5932,7 +5961,8 @@ object SparkEntry {
     "q284_avi_roundtrip" -> q284 _,
     "q285_gram_tiled" -> q285 _,
     "q286_bradley_terry_scale" -> q286 _,
-    "q288_excess_stock" -> q288 _)
+    "q288_excess_stock" -> q288 _,
+    "q289_bpe_stream_wordcounts" -> q289 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -9093,6 +9123,9 @@ object SparkEntry {
     "q266_bpe_merges" -> bpeMergesOracle(6),
     // q282: 256 unrolled full-recount rounds vs the engine's
     // incremental pair-delta trainer — any drifted delta fails the hash
+    // q289: train FROM the streamed word-count fold; the oracle trains
+    // from the whole corpus — exact-statistic equality across 3 seams
+    "q289_bpe_stream_wordcounts" -> bpeMergesOracle(8),
     "q282_bpe_deep" -> bpeMergesOracle(256, """
           SELECT substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS word,
             CAST(count(*) AS BIGINT) AS cnt

@@ -1044,6 +1044,91 @@ object Streaming {
       .parquet(s"$statePath/v${versions.max}")
   }
 
+  /** Streaming word-count maintenance — the tokenizer family's day-2
+    * leg: [[graft.ops.Bpe.wordCounts]] is the SUFFICIENT STATISTIC of
+    * BPE training (the trainer never re-reads the corpus after the one
+    * word-count pass), so maintaining it incrementally is exactly what
+    * lets a tokenizer retrain as data streams in without ever
+    * re-scanning the corpus. Each micro-batch's word counts fold into
+    * the persisted table by word-grain sum — commutative and
+    * associative, so ANY batch partition of the corpus lands on the
+    * batch word count EXACTLY (q289 gates a trainer run FROM the
+    * folded state against the whole-corpus training oracle verbatim).
+    * NOT duplicate-insensitive (counts add), so exactly-once rides the
+    * same versioned-overwrite protocol as [[cmsMaintain]]: `v{N}` is
+    * computed from the latest `v{M}, M < N` plus batch N alone, and
+    * [[pruneStateVersions]] bounds the directory. State is vocab-grain
+    * — Zipf-small relative to the corpus, the same asymmetry that makes
+    * the trainer itself corpus-free after one pass.
+    */
+  def wordCountsMaintain(spark: SparkSession, sourceDir: String,
+                         schema: StructType, textCol: String,
+                         statePath: String, checkpointDir: String,
+                         maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val versions =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).toSeq
+              .map(_.getPath.getName)
+              .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+              .filter(_ < batchId)
+          else Seq.empty[Long]
+        val prior =
+          if (versions.isEmpty)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+          else s.read.schema(stateSchema)
+            .parquet(s"$statePath/v${versions.max}")
+        prior.unionByName(graft.ops.Bpe.wordCounts(batch.toDF(),
+            org.apache.spark.sql.functions.col(textCol)))
+          .groupBy(org.apache.spark.sql.functions.col("word"))
+          .agg(org.apache.spark.sql.functions
+            .sum(org.apache.spark.sql.functions.col("cnt")).as("cnt"))
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        pruneStateVersions(fs, statePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Latest landed word-count table under [[wordCountsMaintain]]'s
+    * state dir (empty when no batch landed — the empty law).
+    */
+  def latestWordCounts(spark: SparkSession, statePath: String): DataFrame = {
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      else Seq.empty[Long]
+    if (versions.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    else spark.read.schema(stateSchema)
+      .parquet(s"$statePath/v${versions.max}")
+  }
+
   /** Streaming chunk-store maintenance — sub-document dedup on INGEST:
     * each micro-batch's documents chunk via
     * [[graft.ops.TextAnalysis.contentChunks]] and their distinct chunk

@@ -14,6 +14,17 @@ class PlanSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  /** One construction per gated query, shared by BOTH mechanical
+    * sweeps: constructing a query runs its checkpoint/training phases
+    * (q282/q283 train at construction — minutes each), so each extra
+    * full-registry pass would re-pay that.
+    */
+  private lazy val allExecutedPlans
+      : Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan
+    }
+
   test("q02 pushes filters and prunes columns at the parquet scan") {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
@@ -258,9 +269,8 @@ class PlanSpec extends AnyFunSuite {
       case _: TakeOrderedAndProjectExec => true
       case _ => false
     }
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .flatMap { case (name, fn) =>
-        val exec = fn(spark, dir).queryExecution.executedPlan
+    val offenders = allExecutedPlans
+      .flatMap { case (name, exec) =>
         helper.collect(exec) {
           case w: WindowExecBase
               if w.partitionSpec.isEmpty && !postLimit(w.child) =>
@@ -294,9 +304,8 @@ class PlanSpec extends AnyFunSuite {
       case a: AdaptiveSparkPlanExec => reachesUnspreadScan(a.executedPlan)
       case other => other.children.exists(reachesUnspreadScan)
     }
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .flatMap { case (name, fn) =>
-        val exec = fn(spark, dir).queryExecution.executedPlan
+    val offenders = allExecutedPlans
+      .flatMap { case (name, exec) =>
         helper.collect(exec) {
           case m: MapPartitionsExec if reachesUnspreadScan(m.child) =>
             s"$name: MapPartitions over an unspread single-file scan"
