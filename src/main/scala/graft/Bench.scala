@@ -274,7 +274,9 @@ object Bench {
     "q285_gram_tiled",
     "q286_bradley_terry_scale",
     "q288_excess_stock",
-    "q289_bpe_stream_wordcounts")
+    "q289_bpe_stream_wordcounts",
+    "q290_pq_codebooks",
+    "q291_pq_adc_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4196,6 +4196,48 @@ object SparkEntry {
     materializeDropping(s, out, stage)
   }
 
+  /** Similarity 14 (round-8): product-quantization codebook training
+    * ([[Similarity.pqTrain]]) — d = 64 split into m = 8 subspaces, one
+    * Lloyd round from the shared min-id-per-label seeds, exact-decimal
+    * distances throughout so the WHOLE training unrolls into the oracle.
+    * Readout per (sub, cell): final member count + trained-centroid norm
+    * (q64's k-means readout, per subspace). The codes this trains are
+    * the billion-vector regime: m bytes per vector instead of 4·d.
+    */
+  private def q290(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (codes, perDim, _) = Similarity.pqTrain(e, col("vec_id"),
+      col("embedding"), col("label"), m = 8, lloydRounds = 1)
+    val norms = perDim.groupBy(col("sub"), col("cell"))
+      .agg(sqrt(sum((col("avg_val") * col("avg_val")).cast("decimal(27,12)"))
+        .cast("double")).as("centroid_norm"))
+    val members = codes.groupBy(col("sub"), col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    norms.join(members, Seq("sub", "cell"), "left")
+      .select(col("sub"), col("cell"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        round(col("centroid_norm"), 6).as("centroid_norm"))
+      .orderBy("sub", "cell")
+  }
+
+  /** Similarity 15 (round-8): PQ asymmetric-distance search
+    * ([[Similarity.pqAdcTopK]]) — the trained codes answer a top-10
+    * neighbor query for vec_id 7 without touching the original floats:
+    * one broadcast m×k distance table, per-candidate cost = m lookups
+    * summed in exact decimal, then a true-cosine re-rank of the 10
+    * finalists only. The complete compressed-domain ANN read path
+    * (train → code → ADC shortlist → exact re-rank), end-to-end under
+    * one oracle.
+    */
+  private def q291(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (codes, _, books) = Similarity.pqTrain(e, col("vec_id"),
+      col("embedding"), col("label"), m = 8, lloydRounds = 1)
+    Similarity.pqAdcTopK(codes, books, e, col("vec_id"), col("embedding"),
+        lit(7L), k = 10, m = 8)
+      .orderBy("rank")
+  }
+
   /** Text 24 (round-7): Flesch readability
     * ([[TextAnalysis.readability]]) — the libm-free reading-ease score
     * per document: integer word / sentence / vowel-group counts into
@@ -5962,7 +6004,9 @@ object SparkEntry {
     "q285_gram_tiled" -> q285 _,
     "q286_bradley_terry_scale" -> q286 _,
     "q288_excess_stock" -> q288 _,
-    "q289_bpe_stream_wordcounts" -> q289 _)
+    "q289_bpe_stream_wordcounts" -> q289 _,
+    "q290_pq_codebooks" -> q290 _,
+    "q291_pq_adc_ann" -> q291 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6719,6 +6763,65 @@ object SparkEntry {
     * count; q282 passes the md5-derived vocabulary (richer pair
     * structure, so 256 merges exist at every SF).
     */
+  /** The 8-term exact-decimal squared-L2 sum matching
+    * [[Similarity]]'s `l2sqDec` fold: decimal addition is associative
+    * and these terms (round-9 squares) can never overflow the scale,
+    * so the SQL's left-to-right `+` chain equals Spark's array fold
+    * exactly. `a`/`b` are 1-based DOUBLE[] expressions of length dsub.
+    */
+  private def pqL2Sql(a: String, b: String, dsub: Int): String =
+    (1 to dsub).map(i =>
+      s"CAST(round(($a[$i]-$b[$i])*($a[$i]-$b[$i]),9) AS DECIMAL(28,12))")
+      .mkString(" +\n          ")
+
+  /** Shared PQ-training CTE block for the q290/q291 oracles — replays
+    * [[Similarity.pqTrain]] (m contiguous subspaces, 1 Lloyd round from
+    * the min-id-per-label seeds) verbatim: seed books → exact-decimal
+    * argmin assignment (ties to the smaller cell) → per-dim decimal
+    * means → rebuilt books → final codes. Multiply-referenced CTEs are
+    * MATERIALIZED (DuckDB's default inlining re-expands them
+    * exponentially — round-8 lesson from the deep-BPE oracles).
+    */
+  private def pqTrainCtes(m: Int, dsub: Int): String = s"""
+      subsrange AS (
+        SELECT CAST(unnest(generate_series(0, ${m - 1})) AS INTEGER) AS sub),
+      subs AS MATERIALIZED (
+        SELECT e.vec_id AS item_id, s.sub,
+          (CAST(e.embedding AS DOUBLE[]))[s.sub*$dsub+1 : s.sub*$dsub+$dsub]
+            AS subvec
+        FROM embeddings e CROSS JOIN subsrange s),
+      seeds AS (
+        SELECT label AS cell, embedding AS cvec FROM embeddings
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+      books0 AS (
+        SELECT s.sub, d.cell,
+          (CAST(d.cvec AS DOUBLE[]))[s.sub*$dsub+1 : s.sub*$dsub+$dsub] AS cvec
+        FROM seeds d CROSS JOIN subsrange s),
+      a1 AS (
+        SELECT su.item_id, su.sub, b.cell,
+          ${pqL2Sql("su.subvec", "b.cvec", dsub)} AS d2
+        FROM subs su JOIN books0 b ON su.sub = b.sub
+        QUALIFY row_number() OVER (PARTITION BY su.item_id, su.sub
+          ORDER BY d2, b.cell) = 1),
+      pqdims AS (
+        SELECT a.sub, a.cell, generate_subscripts(su.subvec, 1) AS pos,
+          unnest(su.subvec) AS val
+        FROM a1 a JOIN subs su ON a.item_id = su.item_id AND a.sub = su.sub),
+      perdim AS MATERIALIZED (
+        SELECT sub, cell, pos,
+          CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,8))) AS DOUBLE)
+            / count(*) AS avg_val
+        FROM pqdims GROUP BY sub, cell, pos),
+      books1 AS MATERIALIZED (
+        SELECT sub, cell, list(avg_val ORDER BY pos) AS cvec
+        FROM perdim GROUP BY sub, cell),
+      pqcodes AS MATERIALIZED (
+        SELECT su.item_id, su.sub, b.cell,
+          ${pqL2Sql("su.subvec", "b.cvec", dsub)} AS d2
+        FROM subs su JOIN books1 b ON su.sub = b.sub
+        QUALIFY row_number() OVER (PARTITION BY su.item_id, su.sub
+          ORDER BY d2, b.cell) = 1)"""
+
   private def bpeMergesOracle(
       iters: Int,
       wordsSql: String = """
@@ -9126,6 +9229,46 @@ object SparkEntry {
     // q289: train FROM the streamed word-count fold; the oracle trains
     // from the whole corpus — exact-statistic equality across 3 seams
     "q289_bpe_stream_wordcounts" -> bpeMergesOracle(8),
+    "q290_pq_codebooks" -> s"""
+      WITH ${pqTrainCtes(8, 8)},
+      norms AS (
+        SELECT sub, cell,
+          sqrt(CAST(sum(CAST(avg_val*avg_val AS DECIMAL(27,12))) AS DOUBLE))
+            AS centroid_norm
+        FROM perdim GROUP BY sub, cell),
+      members AS (
+        SELECT sub, cell, count(*) AS n_members FROM pqcodes GROUP BY sub, cell)
+      SELECT n.sub, n.cell, coalesce(m.n_members, 0) AS n_members,
+        round(n.centroid_norm, 6) AS centroid_norm
+      FROM norms n LEFT JOIN members m ON n.sub = m.sub AND n.cell = m.cell
+      ORDER BY n.sub, n.cell""",
+    "q291_pq_adc_ann" -> s"""
+      WITH ${pqTrainCtes(8, 8)},
+      q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 7),
+      qsubs AS (
+        SELECT q.query_id, s.sub, (q.qv)[s.sub*8+1 : s.sub*8+8] AS qs
+        FROM q CROSS JOIN subsrange s),
+      dt AS (
+        SELECT qs.query_id, qs.sub, b.cell,
+          ${pqL2Sql("qs.qs", "b.cvec", 8)} AS dtv
+        FROM qsubs qs JOIN books1 b ON qs.sub = b.sub),
+      short AS (
+        SELECT c.item_id, sum(d.dtv) AS approx
+        FROM pqcodes c JOIN dt d ON c.sub = d.sub AND c.cell = d.cell
+        WHERE c.item_id <> d.query_id
+        GROUP BY c.item_id
+        ORDER BY approx, c.item_id LIMIT 10),
+      ex AS (
+        SELECT s.item_id, s.approx,
+          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+        FROM short s JOIN embeddings e ON e.vec_id = s.item_id CROSS JOIN q)
+      SELECT CAST(row_number() OVER w AS BIGINT) AS rank, item_id,
+        round(CAST(approx AS DOUBLE), 6) AS approx_d2,
+        round(cos, 4) AS cosine
+      FROM ex WINDOW w AS (ORDER BY round(cos, 6) DESC, item_id)
+      ORDER BY rank""",
     "q282_bpe_deep" -> bpeMergesOracle(256, """
           SELECT substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS word,
             CAST(count(*) AS BIGINT) AS cnt

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Product-quantization laws + the measured recall ladder that makes the
+  * compressed-domain read path (q290/q291) a credible 10⁹-vector story:
+  *
+  *  - structural: every vector gets exactly m codes (one per subspace),
+  *    every code names a trained cell;
+  *  - the ADC shortlist is a real approximation with a MEASURED recall
+  *    against q25-style brute-force truth, and over-fetching the
+  *    shortlist monotonically recovers it — the same
+  *    recall-vs-candidate-volume discipline AnnRecallSpec pins for
+  *    LSH/IVF. Floors are pinned at measured values on the sf0.001
+  *    embeddings (near-random vectors, the hard case): recall@10 is
+  *    0.5 at 1× over-fetch, 0.7 at 4×, 0.9 at 16×.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val e = graft.Tables.load(spark, sfDir, "embeddings")
+
+  private lazy val trained = Similarity.pqTrain(e, col("vec_id"),
+    col("embedding"), col("label"), m = 8, lloydRounds = 1)
+
+  test("every vector is coded once per subspace, against trained cells") {
+    val (codes, _, books) = trained
+    val n = e.count()
+    assert(codes.count() === n * 8)
+    assert(codes.groupBy("item_id", "sub").count()
+      .filter(col("count") =!= 1).count() === 0)
+    // codes reference only cells the trained books actually contain
+    val orphan = codes.join(books.select(col("sub"), col("cell")),
+      Seq("sub", "cell"), "left_anti")
+    assert(orphan.count() === 0)
+  }
+
+  test("codebooks: m subspaces × one entry per surviving seed cell") {
+    val (_, perDim, books) = trained
+    assert(books.select("sub").distinct().count() === 8)
+    // every (sub, cell) book entry has d/m = 8 dims in perDim
+    assert(perDim.groupBy("sub", "cell").count()
+      .filter(col("count") =!= 8).count() === 0)
+  }
+
+  private def top10(overfetch: Int): Set[Long] = {
+    val (codes, _, books) = trained
+    Similarity.pqAdcTopK(codes, books, e, col("vec_id"), col("embedding"),
+        lit(7L), k = 10, m = 8, overfetch = overfetch)
+      .select("item_id").as[Long].collect().toSet
+  }
+
+  private lazy val truth: Set[Long] =
+    Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") === 7L), col("vec_id"), col("embedding"),
+        k = 10)
+      .select("item_id").as[Long].collect().toSet
+
+  test("ADC recall@10 ladder: measured floors, monotone in over-fetch") {
+    val r1 = top10(1).intersect(truth).size / 10.0
+    val r4 = top10(4).intersect(truth).size / 10.0
+    val r16 = top10(16).intersect(truth).size / 10.0
+    info(s"recall@10: 1x=$r1 4x=$r4 16x=$r16")
+    assert(r1 >= 0.5, s"recall@10 at 1x over-fetch regressed: $r1")
+    assert(r4 >= r1, s"over-fetch must not lose recall: $r1 -> $r4")
+    assert(r4 >= 0.7, s"recall@10 at 4x over-fetch regressed: $r4")
+    assert(r16 >= r4, s"over-fetch must not lose recall: $r4 -> $r16")
+    assert(r16 >= 0.9, s"recall@10 at 16x over-fetch regressed: $r16")
+  }
+
+  test("over-fetched top-k still returns exactly k ranked rows") {
+    val (codes, _, books) = trained
+    val out = Similarity.pqAdcTopK(codes, books, e, col("vec_id"),
+      col("embedding"), lit(7L), k = 10, m = 8, overfetch = 4)
+    val rows = out.select("rank").as[Long].collect().sorted
+    assert(rows.toSeq === (1L to 10L))
+  }
+}
