@@ -276,7 +276,9 @@ object Bench {
     "q288_excess_stock",
     "q289_bpe_stream_wordcounts",
     "q290_pq_codebooks",
-    "q291_pq_adc_ann")
+    "q291_pq_adc_ann",
+    "q292_bigram_lm",
+    "q293_html_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

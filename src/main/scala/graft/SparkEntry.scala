@@ -4196,6 +4196,46 @@ object SparkEntry {
     materializeDropping(s, out, stage)
   }
 
+  /** Text 25 (round-8): bigram-LM typicality scoring
+    * ([[TextAnalysis.bigramLmScore]]) — the CCNet-style perplexity-
+    * filter analogue: mean + min add-one-smoothed transition
+    * probability per document under the corpus' own bigram model.
+    * Completes the LM-scoring ladder (unigram q223 → importance-ratio
+    * q255 → bigram sequence model).
+    */
+  private def q292(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(t(s, dir, "documents"), col("doc_id"),
+        col("text"))
+      .orderBy("doc_id")
+
+  /** Text 26 (round-8): HTML main-content extraction
+    * ([[TextAnalysis.htmlExtract]]) — the crawl-processing front door,
+    * gated by the closed-form-fixture device (q238 WAV / q284 AVI):
+    * each document is wrapped IN THE QUERY into deterministic HTML
+    * (title, conditional nav, styled head, one or two content
+    * paragraphs, a "read more" stub, a script with pipes in the code,
+    * a © footer), the production strip+boilerplate path extracts the
+    * main text, and the oracle recomputes from the same wrapping rule —
+    * nav/footer/title/stub lines must drop, prose must survive
+    * verbatim (the gate hashes the extracted text itself).
+    */
+  private def q293(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p { margin: 0; }</style></head><body>"),
+      when(col("doc_id") % 2 === 0,
+        lit("<nav>Home | About | Contact</nav>")).otherwise(lit("")),
+      lit("<div id=\"main\"><p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<p>"), upper(col("text")), lit("</p>")))
+        .otherwise(lit("")),
+      lit("<div>read more</div></div>"),
+      lit("<script>var x = 1; // | pipes in code</script>"),
+      lit("<footer>© example.com | Terms | Privacy</footer></body></html>"))
+    TextAnalysis.htmlExtract(t(s, dir, "documents"), col("doc_id"), html)
+      .orderBy("doc_id")
+  }
+
   /** Similarity 14 (round-8): product-quantization codebook training
     * ([[Similarity.pqTrain]]) — d = 64 split into m = 8 subspaces, one
     * Lloyd round from the shared min-id-per-label seeds, exact-decimal
@@ -6006,7 +6046,9 @@ object SparkEntry {
     "q288_excess_stock" -> q288 _,
     "q289_bpe_stream_wordcounts" -> q289 _,
     "q290_pq_codebooks" -> q290 _,
-    "q291_pq_adc_ann" -> q291 _)
+    "q291_pq_adc_ann" -> q291 _,
+    "q292_bigram_lm" -> q292 _,
+    "q293_html_extract" -> q293 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -9242,6 +9284,69 @@ object SparkEntry {
         round(n.centroid_norm, 6) AS centroid_norm
       FROM norms n LEFT JOIN members m ON n.sub = m.sub AND n.cell = m.cell
       ORDER BY n.sub, n.cell""",
+    "q293_html_extract" -> raw"""
+      WITH h AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title><style>p { margin: 0; }</style></head><body>' ||
+          CASE WHEN doc_id % 2 = 0
+            THEN '<nav>Home | About | Contact</nav>' ELSE '' END ||
+          '<div id="main"><p>' || text || '</p>' ||
+          CASE WHEN doc_id % 3 = 0
+            THEN '<p>' || upper(text) || '</p>' ELSE '' END ||
+          '<div>read more</div></div>' ||
+          '<script>var x = 1; // | pipes in code</script>' ||
+          '<footer>© example.com | Terms | Privacy</footer></body></html>'
+            AS html
+        FROM documents),
+      s1 AS (SELECT doc_id,
+        regexp_replace(html, '(?s)<script[^>]*>.*?</script>', '', 'g') AS t
+        FROM h),
+      s2 AS (SELECT doc_id,
+        regexp_replace(t, '(?s)<style[^>]*>.*?</style>', '', 'g') AS t
+        FROM s1),
+      s3 AS (SELECT doc_id,
+        regexp_replace(t, '<[^>]*>', chr(10), 'g') AS t FROM s2),
+      vis AS (
+        SELECT doc_id,
+          list_filter(list_transform(string_split(t, chr(10)),
+            x -> trim(x)), x -> x <> '') AS vis
+        FROM s3),
+      kept AS (
+        SELECT doc_id, vis,
+          list_filter(vis, x -> NOT contains(x, '|')
+            AND NOT contains(x, '©')
+            AND len(regexp_split_to_array(x, '\s+')) >= 5) AS kept
+        FROM vis)
+      SELECT doc_id, CAST(len(vis) AS INTEGER) AS n_lines,
+        CAST(len(kept) AS INTEGER) AS n_kept,
+        array_to_string(kept, ' ') AS main_text
+      FROM kept ORDER BY doc_id""",
+    "q292_bigram_lm" -> raw"""
+      WITH arrs AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      toks AS MATERIALIZED (
+        SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+        FROM arrs),
+      big AS MATERIALIZED (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      c2 AS MATERIALIZED (
+        SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+      c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+      v AS (SELECT count(DISTINCT w) AS V FROM toks),
+      j AS (
+        SELECT g.doc_id,
+          round(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.V AS DOUBLE), 9)
+            AS p
+        FROM big g JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS mean_p,
+        round(min(p), 6) AS min_p
+      FROM j GROUP BY doc_id ORDER BY doc_id""",
     "q291_pq_adc_ann" -> s"""
       WITH ${pqTrainCtes(8, 8)},
       q AS (

@@ -830,6 +830,101 @@ object TextAnalysis {
           .as("min_prob"))
   }
 
+  /** HTML → trimmed visible-text lines: script and style elements are
+    * removed whole (content included), every remaining tag becomes a
+    * line break, lines are trimmed and empties dropped. RE2-common
+    * regexes only (no backreferences, no lookarounds) so the exact
+    * pipeline replays in any engine — the crawl-processing front door
+    * ahead of every quality/dedup op in this file. Pure per-row map
+    * work: no shuffle, codegen'd end to end.
+    */
+  def htmlVisibleLines(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", "")
+    val untag = regexp_replace(noStyle, "<[^>]*>", "\n")
+    filter(transform(split(untag, "\n"), x => trim(x)), x => x =!= "")
+  }
+
+  /** Boilerplate-stripping main-content extraction over an HTML column —
+    * the jusText/trafilatura-shaped rule set reduced to its deterministic
+    * core: a visible line is KEPT as content when it has at least
+    * `minWords` words and none of the boilerplate tells (link-list pipes,
+    * copyright marks) — short nav rows, footers, and "read more" stubs
+    * drop; running prose survives. Returns per document the visible-line
+    * count, kept-line count, and the extracted main text (kept lines
+    * joined by a single space) — the text column every downstream
+    * dedup/LM/quality op in this engine would consume. Map-side only.
+    */
+  def htmlExtract(df: DataFrame, id: Column, html: Column,
+                  minWords: Int = 5): DataFrame =
+    Dedup.spread(df)
+      .select(id.as("doc_id"), htmlVisibleLines(html).as("__vis"))
+      .withColumn("__kept", filter(col("__vis"), x =>
+        !x.contains("|") && !x.contains("©") &&
+          size(split(x, "\\s+")) >= minWords))
+      .select(col("doc_id"), size(col("__vis")).as("n_lines"),
+        size(col("__kept")).as("n_kept"),
+        array_join(col("__kept"), " ").as("main_text"))
+
+  /** CCNet-style bigram-LM typicality scoring — the quality filter one
+    * rung above [[unigramLmScore]]: each document is scored by how
+    * predictable its word SEQUENCE is under the corpus' own add-one-
+    * smoothed bigram model, `p(b|a) = (c(a,b)+1) / (c(a·)+V)`. Garbled
+    * or shuffled text has common WORDS in impossible ORDER — exactly
+    * what the unigram score cannot see and the bigram mean collapses
+    * on; `min_p` is the single-most-surprising transition (the
+    * "sentence glued from two documents" tripwire). As with the whole
+    * LM family, DELIBERATELY the arithmetic mean of probabilities, not
+    * log-perplexity: `log` is banned from gate paths (libm divergence,
+    * q106's measurement) and the rational form ranks with the same
+    * intent in exactly replayable IEEE arithmetic.
+    *
+    * Determinism: all counts are exact integers; each probability is
+    * one integer-fed IEEE division rounded at 9; per-doc sums ride
+    * decimal (order-free); min is order-free.
+    * Scale shape: bigrams are a MAP-SIDE `zip_with` over each doc's
+    * own token array (no position self-join, no window); the model is
+    * one bigram-grain count (c1 derives from c2 — no second corpus
+    * pass), scoring is one bigram-grain equi-join + one prefix-grain
+    * equi-join (both co-partitioned on their keys) + a broadcast
+    * one-row vocabulary scalar, then a doc-grain fold. Documents with
+    * fewer than two tokens have no transitions and are excluded.
+    * Returns (doc_id, n_bigrams, mean_p, min_p).
+    */
+  def bigramLmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val arr = tokens(text)
+    val big = Dedup.spread(df)
+      .select(id.as("doc_id"), arr.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("doc_id"), col("__bg.w1").as("__w1"),
+        col("__bg.w2").as("__w2"))
+      .localCheckpoint() // feeds c2, (through it) c1, and the scoring join
+    val c2 = big.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c2"))
+      .localCheckpoint() // feeds c1 and the join
+    val c1 = c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
+    val vocab = Dedup.spread(df)
+      .select(explode(tokens(text)).as("__tok"))
+      .agg(countDistinct(col("__tok")).as("__V"))
+    val p = round((col("__c2") + lit(1L)).cast("double") /
+      (col("__c1") + col("__V")).cast("double"), 9)
+    big.join(c2, Seq("__w1", "__w2"))
+      .join(c1, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(p.cast("decimal(28,12)")).as("__ps"),
+        min(p).as("__minp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__ps").cast("double") /
+          col("n_bigrams").cast("double"), 6).as("mean_p"),
+        round(col("__minp"), 6).as("min_p"))
+  }
+
   /** DSIR-style importance weights — "which documents LOOK like the
     * target domain": per document, the mean over its tokens of the
     * smoothed unigram-probability RATIO between a target sub-corpus
