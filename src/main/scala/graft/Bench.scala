@@ -278,7 +278,8 @@ object Bench {
     "q290_pq_codebooks",
     "q291_pq_adc_ann",
     "q292_bigram_lm",
-    "q293_html_extract")
+    "q293_html_extract",
+    "q294_ivfpq_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

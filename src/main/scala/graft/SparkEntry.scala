@@ -4208,6 +4208,32 @@ object SparkEntry {
         col("text"))
       .orderBy("doc_id")
 
+  /** Similarity 16 (round-8): IVF-PQ — the two ANN levers composed
+    * into the architecture that serves 10⁹+ vectors
+    * ([[Similarity.ivfPqResiduals]] + [[Similarity.pqTrain]] on the
+    * residuals + [[Similarity.ivfPqAdcTopK]]): coarse cells prune WHICH
+    * items are read (nprobe = 2 of 10 cells), residual-trained PQ codes
+    * make each read cost m = 8 byte-lookups instead of a 64-float
+    * scan, finalists re-rank on true cosine. Every stage is the exact-
+    * decimal machinery, so the oracle replays coarse assignment,
+    * residuals, codebook training, per-cell distance tables, and the
+    * shortlist verbatim.
+    */
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val seeds = Similarity.minIdSeeds(e, col("vec_id"), col("embedding"),
+        col("label"))
+      .localCheckpoint() // the coarse quantizer: read by assignment, residuals, probes
+    val resid = Similarity.ivfPqResiduals(e, col("vec_id"),
+        col("embedding"), seeds, col("cell"), col("cvec"))
+      .localCheckpoint() // read by training, coding, and the search's cell lookup
+    val (codes, _, books) = Similarity.pqTrain(resid, col("vec_id"),
+      col("residual"), col("cell"), m = 8, lloydRounds = 1)
+    Similarity.ivfPqAdcTopK(codes, books, resid, e, seeds, col("vec_id"),
+        col("embedding"), lit(7L), k = 10, m = 8, nprobe = 2)
+      .orderBy("rank")
+  }
+
   /** Text 26 (round-8): HTML main-content extraction
     * ([[TextAnalysis.htmlExtract]]) — the crawl-processing front door,
     * gated by the closed-form-fixture device (q238 WAV / q284 AVI):
@@ -6048,7 +6074,8 @@ object SparkEntry {
     "q290_pq_codebooks" -> q290 _,
     "q291_pq_adc_ann" -> q291 _,
     "q292_bigram_lm" -> q292 _,
-    "q293_html_extract" -> q293 _)
+    "q293_html_extract" -> q293 _,
+    "q294_ivfpq_ann" -> q294 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -6824,16 +6851,17 @@ object SparkEntry {
     * MATERIALIZED (DuckDB's default inlining re-expands them
     * exponentially — round-8 lesson from the deep-BPE oracles).
     */
-  private def pqTrainCtes(m: Int, dsub: Int): String = s"""
+  private def pqTrainCtes(m: Int, dsub: Int,
+                          src: String = "embeddings"): String = s"""
       subsrange AS (
         SELECT CAST(unnest(generate_series(0, ${m - 1})) AS INTEGER) AS sub),
       subs AS MATERIALIZED (
         SELECT e.vec_id AS item_id, s.sub,
           (CAST(e.embedding AS DOUBLE[]))[s.sub*$dsub+1 : s.sub*$dsub+$dsub]
             AS subvec
-        FROM embeddings e CROSS JOIN subsrange s),
+        FROM $src e CROSS JOIN subsrange s),
       seeds AS (
-        SELECT label AS cell, embedding AS cvec FROM embeddings
+        SELECT label AS cell, embedding AS cvec FROM $src
         QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
       books0 AS (
         SELECT s.sub, d.cell,
@@ -9284,6 +9312,58 @@ object SparkEntry {
         round(n.centroid_norm, 6) AS centroid_norm
       FROM norms n LEFT JOIN members m ON n.sub = m.sub AND n.cell = m.cell
       ORDER BY n.sub, n.cell""",
+    "q294_ivfpq_ann" -> s"""
+      WITH cseeds AS MATERIALIZED (
+        SELECT label AS ccell, CAST(embedding AS DOUBLE[]) AS ccv
+        FROM embeddings
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+      cassign AS MATERIALIZED (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.ccell, c.ccv
+        FROM embeddings e CROSS JOIN cseeds c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_cosine_similarity(
+            CAST(e.embedding AS DOUBLE[]), c.ccv), 6) DESC, c.ccell) = 1),
+      resid AS MATERIALIZED (
+        SELECT vec_id,
+          [v[i] - ccv[i] FOR i IN generate_series(1, 64)] AS embedding,
+          ccell AS label
+        FROM cassign),
+      ${pqTrainCtes(8, 8, "resid")},
+      q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 7),
+      probes AS MATERIALIZED (
+        SELECT q.query_id, c.ccell,
+          [q.qv[i] - c.ccv[i] FOR i IN generate_series(1, 64)] AS qres
+        FROM q CROSS JOIN cseeds c
+        QUALIFY row_number() OVER (PARTITION BY q.query_id
+          ORDER BY round(list_cosine_similarity(q.qv, c.ccv), 6) DESC,
+            c.ccell) <= 2),
+      qsubs AS (
+        SELECT p.query_id, p.ccell, s.sub,
+          (p.qres)[s.sub*8+1 : s.sub*8+8] AS qs
+        FROM probes p CROSS JOIN subsrange s),
+      dt AS MATERIALIZED (
+        SELECT qs.query_id, qs.ccell, qs.sub, b.cell,
+          ${pqL2Sql("qs.qs", "b.cvec", 8)} AS dtv
+        FROM qsubs qs JOIN books1 b ON qs.sub = b.sub),
+      shortl AS (
+        SELECT c.item_id, sum(d.dtv) AS approx
+        FROM pqcodes c
+        JOIN cassign a ON a.vec_id = c.item_id
+        JOIN dt d ON d.ccell = a.ccell AND d.sub = c.sub AND d.cell = c.cell
+        WHERE c.item_id <> d.query_id
+        GROUP BY c.item_id
+        ORDER BY approx, c.item_id LIMIT 10),
+      ex AS (
+        SELECT s.item_id, s.approx,
+          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+        FROM shortl s JOIN embeddings e ON e.vec_id = s.item_id CROSS JOIN q)
+      SELECT CAST(row_number() OVER w AS BIGINT) AS rank, item_id,
+        round(CAST(approx AS DOUBLE), 6) AS approx_d2,
+        round(cos, 4) AS cosine
+      FROM ex WINDOW w AS (ORDER BY round(cos, 6) DESC, item_id)
+      ORDER BY rank""",
     "q293_html_extract" -> raw"""
       WITH h AS (
         SELECT doc_id,

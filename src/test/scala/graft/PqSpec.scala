@@ -73,6 +73,39 @@ class PqSpec extends AnyFunSuite {
     assert(r16 >= 0.9, s"recall@10 at 16x over-fetch regressed: $r16")
   }
 
+  private def ivfPqTop10(nprobe: Int, overfetch: Int = 1): Set[Long] = {
+    val seeds = Similarity.minIdSeeds(e, col("vec_id"), col("embedding"),
+      col("label")).localCheckpoint()
+    val resid = Similarity.ivfPqResiduals(e, col("vec_id"),
+      col("embedding"), seeds, col("cell"), col("cvec")).localCheckpoint()
+    val (codes, _, books) = Similarity.pqTrain(resid, col("vec_id"),
+      col("residual"), col("cell"), m = 8, lloydRounds = 1)
+    Similarity.ivfPqAdcTopK(codes, books, resid, e, seeds, col("vec_id"),
+        col("embedding"), lit(7L), k = 10, m = 8, nprobe = nprobe,
+        overfetch = overfetch)
+      .select("item_id").as[Long].collect().toSet
+  }
+
+  test("IVF-PQ: measured recall floors; over-fetch is the recovery lever") {
+    // Near-random vectors are IVF-PQ's worst case twice over: true
+    // neighbors scatter across coarse cells (nprobe=2 reads only 20% of
+    // the corpus), and residuals carry no cluster structure for the
+    // codebooks to exploit (on clustered production corpora residuals
+    // concentrate near zero and quantize finer — here they don't, the
+    // same caveat AnnRecallSpec documents for sign-LSH). Pinned measured
+    // values, sf0.001 query 7: 0.3 at nprobe=2/1x. The production
+    // recovery lever is over-fetch: the true neighbors ARE in the probed
+    // cells' ADC tail, and re-ranking a longer shortlist recovers them.
+    val r2 = ivfPqTop10(2).intersect(truth).size / 10.0
+    val r2o8 = ivfPqTop10(2, 8).intersect(truth).size / 10.0
+    val rFull = ivfPqTop10(10, 8).intersect(truth).size / 10.0
+    info(s"ivfpq recall@10: nprobe2/1x=$r2 nprobe2/8x=$r2o8 full/8x=$rFull")
+    assert(r2 >= 0.3, s"nprobe=2 recall regressed: $r2")
+    assert(r2o8 >= r2, s"over-fetch must not lose recall: $r2 -> $r2o8")
+    assert(rFull >= r2o8,
+      s"wider probe must not lose recall: $r2o8 -> $rFull")
+  }
+
   test("over-fetched top-k still returns exactly k ranked rows") {
     val (codes, _, books) = trained
     val out = Similarity.pqAdcTopK(codes, books, e, col("vec_id"),
