@@ -279,7 +279,8 @@ object Bench {
     "q291_pq_adc_ann",
     "q292_bigram_lm",
     "q293_html_extract",
-    "q294_ivfpq_ann")
+    "q294_ivfpq_ann",
+    "q295_pq_code_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4234,6 +4234,38 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** Streaming 25 (round-8): streamed PQ coding against the frozen
+    * books ([[graft.streaming.Streaming.pqCodesMaintain]]) — train
+    * once batch-side, then code three micro-batch slices map-side into
+    * per-batch store partitions; the assembled store must equal the
+    * batch coding of the whole corpus (the oracle's training unroll).
+    * Completes the PQ family's day-2 story: codes are maintained
+    * incrementally, the artifact never retrains mid-stream.
+    */
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q295")
+    val src = stage.resolve("src").toString
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    (0 to 2).foreach { i =>
+      e.filter(col("vec_id") % 3 === i).repartition(1)
+        .write.mode("append").parquet(src)
+    }
+    val (_, _, books) = Similarity.pqTrain(e, col("vec_id"),
+      col("embedding"), col("label"), m = 8, lloydRounds = 1)
+    val frozen = books.localCheckpoint() // the once-trained artifact
+    val schema = s.read.parquet(src).schema
+    graft.streaming.Streaming.pqCodesMaintain(s, src, schema,
+      "vec_id", "embedding", frozen, m = 8,
+      storePath = stage.resolve("store").toString,
+      checkpointDir = stage.resolve("ckpt").toString)
+    materializeDropping(s,
+      s.read.parquet(stage.resolve("store").toString)
+        .select(col("item_id"), col("sub"), col("cell")),
+      stage)
+      .orderBy("item_id", "sub")
+  }
+
   /** Text 26 (round-8): HTML main-content extraction
     * ([[TextAnalysis.htmlExtract]]) — the crawl-processing front door,
     * gated by the closed-form-fixture device (q238 WAV / q284 AVI):
@@ -6075,7 +6107,8 @@ object SparkEntry {
     "q291_pq_adc_ann" -> q291 _,
     "q292_bigram_lm" -> q292 _,
     "q293_html_extract" -> q293 _,
-    "q294_ivfpq_ann" -> q294 _)
+    "q294_ivfpq_ann" -> q294 _,
+    "q295_pq_code_stream" -> q295 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -9312,6 +9345,9 @@ object SparkEntry {
         round(n.centroid_norm, 6) AS centroid_norm
       FROM norms n LEFT JOIN members m ON n.sub = m.sub AND n.cell = m.cell
       ORDER BY n.sub, n.cell""",
+    "q295_pq_code_stream" -> s"""
+      WITH ${pqTrainCtes(8, 8)}
+      SELECT item_id, sub, cell FROM pqcodes ORDER BY item_id, sub""",
     "q294_ivfpq_ann" -> s"""
       WITH cseeds AS MATERIALIZED (
         SELECT label AS ccell, CAST(embedding AS DOUBLE[]) AS ccv

@@ -1050,6 +1050,15 @@ object Similarity {
     (pqAssign(subs, books), perDim, books)
   }
 
+  /** Code vectors against a FROZEN codebook — the map-side day-2 path
+    * (broadcast books, no training, no state): [[pqTrain]]'s final
+    * assignment exposed for incremental code stores and streamed coding
+    * ([[graft.streaming.Streaming.pqCodesMaintain]]).
+    */
+  def pqCode(df: DataFrame, id: Column, vec: Column, books: DataFrame,
+             m: Int): DataFrame =
+    pqAssign(subRows(df, id, vec, m), books)
+
   /** Nearest codebook entry per (vector, subspace): broadcast the tiny
     * codebook, exact-decimal distance, argmin with ties to the smaller
     * cell. Returns (item_id, sub, cell). */

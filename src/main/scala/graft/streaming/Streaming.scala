@@ -1109,6 +1109,38 @@ object Streaming {
   /** Latest landed word-count table under [[wordCountsMaintain]]'s
     * state dir (empty when no batch landed — the empty law).
     */
+  /** Streamed PQ coding against a FROZEN codebook artifact — the day-2
+    * economics of the compressed-domain index ([[graft.ops.Similarity
+    * .pqTrain]] runs once on the base corpus; arriving batches never
+    * retrain): each micro-batch is coded MAP-SIDE (broadcast books, no
+    * state read at all — coding is stateless given the artifact) and
+    * lands in its own `batch=<batchId>` partition, so a replayed batch
+    * overwrites itself (idempotent) and the assembled store equals the
+    * batch coding of the whole corpus — q295 gates exactly that
+    * equality against the training unroll's final codes.
+    */
+  def pqCodesMaintain(spark: SparkSession, sourceDir: String,
+                      schema: StructType, idCol: String, vecCol: String,
+                      books: DataFrame, m: Int, storePath: String,
+                      checkpointDir: String,
+                      maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Similarity.pqCode(batch.toDF(),
+            org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col(vecCol), books, m)
+          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def latestWordCounts(spark: SparkSession, statePath: String): DataFrame = {
     val stateSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("word",
