@@ -280,7 +280,8 @@ object Bench {
     "q292_bigram_lm",
     "q293_html_extract",
     "q294_ivfpq_ann",
-    "q295_pq_code_stream")
+    "q295_pq_code_stream",
+    "q296_prefix_dim_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

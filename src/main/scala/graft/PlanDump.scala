@@ -239,7 +239,23 @@ object PlanDump {
         "a map-side Generate over arrays_zip slices, the pair count is " +
         "a vocab-grain partial_sum aggregation, and the argmax is " +
         "TakeOrdered(1) — never a global sort; the corpus itself is " +
-        "touched only by the initial word count."))
+        "touched only by the initial word count."),
+    "q291_pq_adc_ann" ->
+      ("The compressed-domain read path: the m×k distance table is " +
+        "BUILT from two tiny frames and arrives at the codes scan as a " +
+        "BroadcastHashJoin (codes never shuffle to meet it); the " +
+        "per-candidate ADC sum is one partial_sum aggregation on the " +
+        "(query,item) grain; the shortlist is TakeOrdered(k·overfetch) " +
+        "— never a global sort — and only the finalists join the full " +
+        "floats for the exact re-rank."),
+    "q294_ivfpq_ann" ->
+      ("IVF-PQ composes the pruning and compression levers: probed " +
+        "cells and their residual distance tables broadcast to the " +
+        "codes scan (the inner join on (cell, sub, code) IS the IVF " +
+        "prune — items outside probed cells never leave the scan); " +
+        "training rounds sit behind LogicalRDD checkpoints so the " +
+        "search plan does not re-derive them; shortlist TakeOrdered, " +
+        "finalists-only float re-rank."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

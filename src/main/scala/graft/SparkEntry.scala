@@ -4266,6 +4266,38 @@ object SparkEntry {
       .orderBy("item_id", "sub")
   }
 
+  /** Similarity 17 (round-8): prefix-dimension retrieval calibration —
+    * the Matryoshka-embedding serving question, measured in-engine: how
+    * much of the true top-5 does a 16-of-64-dim prefix shortlist
+    * already capture, per query? (The production pattern shortlists on
+    * cheap prefix dims and re-ranks finalists on full vectors — 4×
+    * less scan bandwidth; this readout is the calibration number that
+    * decision needs, like q161's LSH calibration and PqSpec's ADC
+    * ladder.) Two brute-force top-5 runs (full vs sliced prefix, the
+    * q25 tie-break rule) and a per-query overlap count.
+    */
+  private def q296(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val full = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5)
+      .select(col("query_id"), col("item_id"))
+    val pre = Similarity.bruteForceTopK(
+        e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("pvec")),
+        col("vec_id"), col("pvec"),
+        queries.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("pvec")),
+        col("vec_id"), col("pvec"), k = 5)
+      .select(col("query_id"), col("item_id"))
+    val common = full.join(pre, Seq("query_id", "item_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .orderBy("query_id")
+  }
+
   /** Text 26 (round-8): HTML main-content extraction
     * ([[TextAnalysis.htmlExtract]]) — the crawl-processing front door,
     * gated by the closed-form-fixture device (q238 WAV / q284 AVI):
@@ -6108,7 +6140,8 @@ object SparkEntry {
     "q292_bigram_lm" -> q292 _,
     "q293_html_extract" -> q293 _,
     "q294_ivfpq_ann" -> q294 _,
-    "q295_pq_code_stream" -> q295 _)
+    "q295_pq_code_stream" -> q295 _,
+    "q296_prefix_dim_recall" -> q296 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -9348,6 +9381,32 @@ object SparkEntry {
     "q295_pq_code_stream" -> s"""
       WITH ${pqTrainCtes(8, 8)}
       SELECT item_id, sub, cell FROM pqcodes ORDER BY item_id, sub""",
+    "q296_prefix_dim_recall" -> """
+      WITH fullk AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS item_id
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY round(list_cosine_similarity(
+            CAST(q.embedding AS DOUBLE[]),
+            CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) <= 5),
+      prek AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS item_id
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY round(list_cosine_similarity(
+            (CAST(q.embedding AS DOUBLE[]))[1:16],
+            (CAST(c.embedding AS DOUBLE[]))[1:16]), 6) DESC,
+            c.vec_id) <= 5),
+      common AS (
+        SELECT f.query_id, count(*) AS n_common
+        FROM fullk f JOIN prek p
+          ON f.query_id = p.query_id AND f.item_id = p.item_id
+        GROUP BY 1)
+      SELECT q.vec_id AS query_id, coalesce(c.n_common, 0) AS n_common
+      FROM embeddings q LEFT JOIN common c ON c.query_id = q.vec_id
+      WHERE q.vec_id < 10 ORDER BY query_id""",
     "q294_ivfpq_ann" -> s"""
       WITH cseeds AS MATERIALIZED (
         SELECT label AS ccell, CAST(embedding AS DOUBLE[]) AS ccv
