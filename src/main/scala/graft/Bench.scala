@@ -273,6 +273,7 @@ object Bench {
     "q284_avi_roundtrip",
     "q285_gram_tiled",
     "q286_bradley_terry_scale",
+    "q287_pq_quant_error",
     "q288_excess_stock",
     "q289_bpe_stream_wordcounts",
     "q290_pq_codebooks",

@@ -4266,6 +4266,22 @@ object SparkEntry {
       .orderBy("item_id", "sub")
   }
 
+  /** Similarity 18 (round-8): PQ quantization-error health report
+    * ([[Similarity.pqQuantizationError]]) — per subspace, mean + max
+    * exact-decimal squared distance between vectors and their assigned
+    * codewords. The index-health monitor of the PQ family (rising
+    * error on fresh data = frozen books drifted, retrain); completes
+    * the train/code/search/stream surface with its observability leg.
+    */
+  private def q287(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (codes, _, books) = Similarity.pqTrain(e, col("vec_id"),
+      col("embedding"), col("label"), m = 8, lloydRounds = 1)
+    Similarity.pqQuantizationError(codes, books, e, col("vec_id"),
+        col("embedding"), m = 8)
+      .orderBy("sub")
+  }
+
   /** Similarity 17 (round-8): prefix-dimension retrieval calibration —
     * the Matryoshka-embedding serving question, measured in-engine: how
     * much of the true top-5 does a 16-of-64-dim prefix shortlist
@@ -6140,6 +6156,7 @@ object SparkEntry {
     "q292_bigram_lm" -> q292 _,
     "q293_html_extract" -> q293 _,
     "q294_ivfpq_ann" -> q294 _,
+    "q287_pq_quant_error" -> q287 _,
     "q295_pq_code_stream" -> q295 _,
     "q296_prefix_dim_recall" -> q296 _)
 
@@ -9381,6 +9398,17 @@ object SparkEntry {
     "q295_pq_code_stream" -> s"""
       WITH ${pqTrainCtes(8, 8)}
       SELECT item_id, sub, cell FROM pqcodes ORDER BY item_id, sub""",
+    "q287_pq_quant_error" -> s"""
+      WITH ${pqTrainCtes(8, 8)},
+      err AS (
+        SELECT su.sub, ${pqL2Sql("su.subvec", "b.cvec", 8)} AS d2
+        FROM subs su
+        JOIN pqcodes c ON c.item_id = su.item_id AND c.sub = su.sub
+        JOIN books1 b ON b.sub = c.sub AND b.cell = c.cell)
+      SELECT sub, CAST(count(*) AS BIGINT) AS n_vectors,
+        round(CAST(sum(d2) AS DOUBLE) / count(*), 6) AS mean_sq_err,
+        round(CAST(max(d2) AS DOUBLE), 6) AS max_sq_err
+      FROM err GROUP BY sub ORDER BY sub""",
     "q296_prefix_dim_recall" -> """
       WITH fullk AS (
         SELECT q.vec_id AS query_id, c.vec_id AS item_id

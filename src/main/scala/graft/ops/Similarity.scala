@@ -1050,6 +1050,26 @@ object Similarity {
     (pqAssign(subs, books), perDim, books)
   }
 
+  /** Per-subspace quantization-error report — the "how lossy is this
+    * index" health readout every PQ deployment monitors (rising error
+    * on fresh data = the frozen books have drifted off the corpus and
+    * need retraining): for each subspace, the mean and max exact-
+    * decimal squared distance between vectors and their assigned
+    * codewords. One broadcast join + one m-grain fold.
+    */
+  def pqQuantizationError(codes: DataFrame, books: DataFrame,
+                          corpus: DataFrame, id: Column, vec: Column,
+                          m: Int): DataFrame =
+    subRows(corpus, id, vec, m)
+      .join(codes, Seq("item_id", "sub"))
+      .join(broadcast(books), Seq("sub", "cell"))
+      .select(col("sub"), l2sqDec(col("subvec"), col("cvec")).as("__d2"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("__d2")).cast("double") / count(lit(1)), 6)
+          .as("mean_sq_err"),
+        round(max(col("__d2")).cast("double"), 6).as("max_sq_err"))
+
   /** Code vectors against a FROZEN codebook — the map-side day-2 path
     * (broadcast books, no training, no state): [[pqTrain]]'s final
     * assignment exposed for incremental code stores and streamed coding
