@@ -1016,6 +1016,13 @@ object Similarity {
     * in DECIMAL — each round is exactly replayable, so the gate checks
     * the real training, not a fixture.
     *
+    * At 10⁹+ vectors, train the books on a deterministic sample
+    * ([[graft.ops.Sampling.uniformTopKSample]] — k·d rows bound the
+    * codebook fit like any k-means) and code the full corpus against
+    * the frozen artifact ([[pqCode]] / [[graft.streaming.Streaming
+    * .pqCodesMaintain]]): training cost then never scales with the
+    * corpus, and coding is embarrassingly parallel map work.
+    *
     * @return (codes (item_id, sub, cell), perDim (sub, cell, pos, avg_val),
     *         books (sub, cell, cvec) — the trained codebook arrays the ADC
     *         read path joins against)
