@@ -282,7 +282,8 @@ object Bench {
     "q293_html_extract",
     "q294_ivfpq_ann",
     "q295_pq_code_stream",
-    "q296_prefix_dim_recall")
+    "q296_prefix_dim_recall",
+    "q297_sdc_closest_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

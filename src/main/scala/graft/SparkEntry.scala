@@ -4282,6 +4282,29 @@ object SparkEntry {
       .orderBy("sub")
   }
 
+  /** Similarity 19 (round-8 post-close): compressed-domain closest
+    * pairs ([[Similarity.sdcClosestPairs]]) — the SDC counterpart of
+    * q291's ADC: the 20 most-similar same-coarse-cell pairs scored
+    * entirely from m-byte codes via the broadcast codeword-pair
+    * distance table, no float reads in the pair join. The candidate
+    * scorer near-dup pairing / SemDeDup uses at 10⁹ vectors (32× less
+    * shuffle weight than exact-cosine pair scans; survivors re-check
+    * exact, as the LSH family does).
+    */
+  private def q297(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val seeds = Similarity.minIdSeeds(e, col("vec_id"), col("embedding"),
+        col("label"))
+      .localCheckpoint() // read by blocking assignment (and nothing else twice)
+    val blocks = Similarity.assignToCentroids(e, col("vec_id"),
+        col("embedding"), seeds, col("cell"), col("cvec"))
+      .select(col("item_id").as("vec_id"), col("cell"))
+    val (codes, _, books) = Similarity.pqTrain(e, col("vec_id"),
+      col("embedding"), col("label"), m = 8, lloydRounds = 1)
+    Similarity.sdcClosestPairs(codes, books, blocks, k = 20)
+      .orderBy("approx_d2", "id_a", "id_b")
+  }
+
   /** Similarity 17 (round-8): prefix-dimension retrieval calibration —
     * the Matryoshka-embedding serving question, measured in-engine: how
     * much of the true top-5 does a 16-of-64-dim prefix shortlist
@@ -6158,7 +6181,8 @@ object SparkEntry {
     "q294_ivfpq_ann" -> q294 _,
     "q287_pq_quant_error" -> q287 _,
     "q295_pq_code_stream" -> q295 _,
-    "q296_prefix_dim_recall" -> q296 _)
+    "q296_prefix_dim_recall" -> q296 _,
+    "q297_sdc_closest_pairs" -> q297 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -9398,6 +9422,37 @@ object SparkEntry {
     "q295_pq_code_stream" -> s"""
       WITH ${pqTrainCtes(8, 8)}
       SELECT item_id, sub, cell FROM pqcodes ORDER BY item_id, sub""",
+    "q297_sdc_closest_pairs" -> s"""
+      WITH ${pqTrainCtes(8, 8)},
+      cseeds AS (
+        SELECT label AS ccell, CAST(embedding AS DOUBLE[]) AS ccv
+        FROM embeddings
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+      cassign AS MATERIALIZED (
+        SELECT e.vec_id, c.ccell
+        FROM embeddings e CROSS JOIN cseeds c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_cosine_similarity(
+            CAST(e.embedding AS DOUBLE[]), c.ccv), 6) DESC, c.ccell) = 1),
+      sdc AS MATERIALIZED (
+        SELECT a.sub, a.cell AS cell_a, b.cell AS cell_b,
+          ${pqL2Sql("a.cvec", "b.cvec", 8)} AS d2
+        FROM books1 a JOIN books1 b ON a.sub = b.sub),
+      prs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM cassign x JOIN cassign y
+          ON x.ccell = y.ccell AND x.vec_id < y.vec_id),
+      scored AS (
+        SELECT p.id_a, p.id_b, sum(s.d2) AS approx
+        FROM prs p
+        JOIN pqcodes ca ON ca.item_id = p.id_a
+        JOIN pqcodes cb ON cb.item_id = p.id_b AND cb.sub = ca.sub
+        JOIN sdc s ON s.sub = ca.sub AND s.cell_a = ca.cell
+          AND s.cell_b = cb.cell
+        GROUP BY p.id_a, p.id_b
+        ORDER BY approx, id_a, id_b LIMIT 20)
+      SELECT id_a, id_b, round(CAST(approx AS DOUBLE), 6) AS approx_d2
+      FROM scored ORDER BY approx, id_a, id_b""",
     "q287_pq_quant_error" -> s"""
       WITH ${pqTrainCtes(8, 8)},
       err AS (

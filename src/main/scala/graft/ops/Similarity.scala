@@ -1077,6 +1077,62 @@ object Similarity {
           .as("mean_sq_err"),
         round(max(col("__d2")).cast("double"), 6).as("max_sq_err"))
 
+  /** The SDC (symmetric distance computation) table: exact-decimal
+    * squared distances between every pair of codewords, per subspace —
+    * m·k² tiny rows, always broadcast. Where ADC compares a LIVE query
+    * vector against codes, SDC compares two CODED vectors without
+    * touching floats on either side: approx d²(x, y) = Σ_sub
+    * sdc(code_x, code_y) — the table every compressed-domain all-pairs
+    * job (near-dup pairing, kNN-graph builds, SemDeDup at 10⁹ vectors)
+    * reads instead of the vectors themselves.
+    */
+  def sdcTable(books: DataFrame): DataFrame =
+    books.select(col("sub"), col("cell").as("cell_a"), col("cvec").as("__va"))
+      .join(books.select(col("sub"), col("cell").as("cell_b"),
+        col("cvec").as("__vb")), Seq("sub"))
+      .select(col("sub"), col("cell_a"), col("cell_b"),
+        l2sqDec(col("__va"), col("__vb")).as("sdc_d2"))
+
+  /** Compressed-domain closest pairs: candidates are same-coarse-cell
+    * pairs (the IVF blocking device — swap in [[dbscanCells]]' capped
+    * multi-probe occupancy when cells can run hot), scored ENTIRELY
+    * from codes via the broadcast [[sdcTable]] (m lookups per pair, no
+    * float reads), global top-k by exact-decimal approximate distance.
+    * This is near-dup pairing/SemDeDup's candidate scorer at the
+    * 10⁹-vector scale: the pair join carries m small integers per side
+    * instead of d floats — 32× less shuffle weight than the exact-
+    * cosine pair scan, with the exact re-check applied to survivors
+    * only (as [[graft.ops.Dedup.cosineNearDupPairs]] does for LSH
+    * candidates).
+    *
+    * @param assignments (vec_id, cell) coarse blocking cells
+    */
+  def sdcClosestPairs(codes: DataFrame, books: DataFrame,
+                      assignments: DataFrame, k: Int): DataFrame = {
+    val sdc = broadcast(sdcTable(books).withColumnRenamed("sub", "__ssub"))
+    val a = assignments.select(col("vec_id").as("id_a"),
+      col("cell").as("__ccell"))
+    val b = assignments.select(col("vec_id").as("id_b"),
+      col("cell").as("__ccell"))
+    val pairs = a.join(b, Seq("__ccell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val ca = codes.select(col("item_id").as("id_a"), col("sub"),
+      col("cell").as("__ca"))
+    val cb = codes.select(col("item_id").as("id_b"), col("sub"),
+      col("cell").as("__cb"))
+    pairs.join(ca, Seq("id_a"))
+      .join(cb, Seq("id_b", "sub"))
+      .join(sdc, col("sub") === col("__ssub") &&
+        col("__ca") === col("cell_a") && col("__cb") === col("cell_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("sdc_d2")).as("__approx"))
+      .orderBy(col("__approx").asc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
+      .select(col("id_a"), col("id_b"),
+        round(col("__approx").cast("double"), 6).as("approx_d2"))
+  }
+
   /** Code vectors against a FROZEN codebook — the map-side day-2 path
     * (broadcast books, no training, no state): [[pqTrain]]'s final
     * assignment exposed for incremental code stores and streamed coding

@@ -106,6 +106,18 @@ class PqSpec extends AnyFunSuite {
       s"wider probe must not lose recall: $r2o8 -> $rFull")
   }
 
+  test("SDC table: symmetric with an exactly-zero diagonal") {
+    val (codes, _, books) = trained
+    val sdc = Similarity.sdcTable(books)
+      .select("sub", "cell_a", "cell_b", "sdc_d2")
+      .as[(Int, Int, Int, java.math.BigDecimal)].collect()
+    val m = sdc.map { case (s, a, b, d) => (s, a, b) -> d }.toMap
+    assert(sdc.forall { case (s, a, b, d) =>
+      m((s, b, a)).compareTo(d) == 0 }, "sdc(a,b) must equal sdc(b,a)")
+    assert(sdc.filter { case (_, a, b, _) => a == b }
+      .forall(_._4.signum == 0), "sdc(a,a) must be exactly zero")
+  }
+
   test("over-fetched top-k still returns exactly k ranked rows") {
     val (codes, _, books) = trained
     val out = Similarity.pqAdcTopK(codes, books, e, col("vec_id"),
