@@ -283,7 +283,9 @@ object Bench {
     "q294_ivfpq_ann",
     "q295_pq_code_stream",
     "q296_prefix_dim_recall",
-    "q297_sdc_closest_pairs")
+    "q297_sdc_closest_pairs",
+    "q298_jsonl_roundtrip",
+    "q299_mixed_language")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4282,6 +4282,57 @@ object SparkEntry {
       .orderBy("sub")
   }
 
+  /** Sink/source 13 (round-8 post-close): JSONL round-trip —
+    * newline-delimited JSON is the LLM-training-data interchange
+    * format; [[graft.sinks.Sinks.jsonLines]] exports the documents
+    * table and Spark's JSON reader re-imports it; the identity oracle
+    * proves the loop lossless (escaping, Unicode, numeric widths).
+    */
+  private def q298(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q298")
+    val out = stage.resolve("jsonl").toString
+    graft.sinks.Sinks.jsonLines(
+      t(s, dir, "documents").select(col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")), out)
+    materializeDropping(s,
+      s.read.json(out).select(col("doc_id").cast("long").as("doc_id"),
+        col("text"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars")),
+      stage)
+      .orderBy("doc_id")
+  }
+
+  /** Text 27 (round-8 post-close): mixed-language detection at chunk
+    * grain — documents whose 32-token chunks disagree on language are
+    * spliced/multilingual and usually filtered or split before
+    * training: per document, chunk count, distinct chunk-language
+    * count, the majority chunk language (ties to the alphabetically
+    * first — deterministic), and the mixed flag. Composes the gated
+    * chunker (q86) with the gated language heuristic (q27); one
+    * map-side chunk+classify pass, two doc-grain folds.
+    */
+  private def q299(s: SparkSession, dir: String): DataFrame = {
+    val ch = TextAnalysis.chunkWithStride(t(s, dir, "documents"),
+        col("doc_id"), col("text"), window = 32, stride = 32)
+      .select(col("doc_id"),
+        TextAnalysis.detectLanguage(col("chunk")).as("__cl"))
+      .localCheckpoint() // read by the count fold and the majority fold
+    val agg = ch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("__cl")).as("n_langs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__c").desc, col("__cl").asc)
+    val maj = ch.groupBy(col("doc_id"), col("__cl"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("__cl").as("majority_lang"))
+    agg.join(maj, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("majority_lang"), (col("n_langs") > 1).as("mixed"))
+      .orderBy("doc_id")
+  }
+
   /** Similarity 19 (round-8 post-close): compressed-domain closest
     * pairs ([[Similarity.sdcClosestPairs]]) — the SDC counterpart of
     * q291's ADC: the 20 most-similar same-coarse-cell pairs scored
@@ -6182,7 +6233,9 @@ object SparkEntry {
     "q287_pq_quant_error" -> q287 _,
     "q295_pq_code_stream" -> q295 _,
     "q296_prefix_dim_recall" -> q296 _,
-    "q297_sdc_closest_pairs" -> q297 _)
+    "q297_sdc_closest_pairs" -> q297 _,
+    "q298_jsonl_roundtrip" -> q298 _,
+    "q299_mixed_language" -> q299 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -9422,6 +9475,47 @@ object SparkEntry {
     "q295_pq_code_stream" -> s"""
       WITH ${pqTrainCtes(8, 8)}
       SELECT item_id, sub, cell FROM pqcodes ORDER BY item_id, sub""",
+    "q298_jsonl_roundtrip" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents ORDER BY doc_id""",
+    "q299_mixed_language" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      ch AS (
+        SELECT doc_id, t[s:s+31] AS ck
+        FROM (SELECT doc_id, t,
+          unnest(generate_series(1, len(t), 32)) AS s FROM toks)),
+      sc AS (
+        SELECT doc_id,
+          len(list_filter(ck, x -> x IN ('the','a','of','and','to'))) AS s_en,
+          len(list_filter(ck, x -> x IN ('el','la','de','que','y'))) AS s_es,
+          len(list_filter(ck, x -> x IN ('le','la','de','et','un'))) AS s_fr,
+          len(list_filter(ck, x -> x IN ('der','die','und','das','ein'))) AS s_de,
+          len(list_filter(ck, x -> x IN ('的','了','是','我','不'))) AS s_zh
+        FROM ch),
+      pred AS (
+        SELECT doc_id, CASE
+          WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_en > 0 THEN 'en'
+          WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_es > 0 THEN 'es'
+          WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+          WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_de > 0 THEN 'de'
+          WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_zh > 0 THEN 'zh'
+          ELSE 'und' END AS clang
+        FROM sc),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST(count(DISTINCT clang) AS BIGINT) AS n_langs
+        FROM pred GROUP BY 1),
+      maj AS (
+        SELECT doc_id, clang AS majority_lang FROM (
+          SELECT doc_id, clang, count(*) AS c FROM pred GROUP BY 1, 2)
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+          ORDER BY c DESC, clang) = 1)
+      SELECT a.doc_id, a.n_chunks, a.n_langs, m.majority_lang,
+        a.n_langs > 1 AS mixed
+      FROM agg a JOIN maj m ON a.doc_id = m.doc_id
+      ORDER BY a.doc_id""",
     "q297_sdc_closest_pairs" -> s"""
       WITH ${pqTrainCtes(8, 8)},
       cseeds AS (
