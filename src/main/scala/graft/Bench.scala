@@ -285,7 +285,8 @@ object Bench {
     "q296_prefix_dim_recall",
     "q297_sdc_closest_pairs",
     "q298_jsonl_roundtrip",
-    "q299_mixed_language")
+    "q299_mixed_language",
+    "q300_curation_funnel_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4333,6 +4333,46 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Pipeline 4 (round-8 post-close, q300): the crawl-to-corpus
+    * curation funnel END TO END in one gated query — HTML fixtures
+    * ([[fixtureHtml]]) → main-content extraction
+    * ([[TextAnalysis.htmlExtract]]) → quality gate on the EXTRACTED
+    * text (q28's composite score at round-4 ≥ 0.5) → exact dedup of
+    * survivors (md5 fingerprint, min-id keeps) → per-source funnel
+    * counts and keep rate. Every stage is individually oracle-gated
+    * (q293/q28/q20's devices); this gate pins their COMPOSITION — the
+    * shape an actual training-data run executes.
+    */
+  private def q300(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ext = TextAnalysis.htmlExtract(docs, col("doc_id"), fixtureHtml)
+      .select(col("doc_id"), col("main_text"))
+    val q = TextAnalysis.qualityScore(col("main_text"))
+    val staged = ext
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("__extracted", col("main_text") =!= "")
+      .withColumn("__quality",
+        col("__extracted") && round(q, 4) >= 0.5)
+      .withColumn("__fp", md5(col("main_text")))
+      .localCheckpoint() // read by the dedup window and the funnel fold
+    val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id").asc)
+    val kept = staged.filter(col("__quality"))
+      .withColumn("__kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("__kept"))
+    staged.join(kept, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__extracted"), 1L).otherwise(0L)).as("n_extracted"),
+        sum(when(col("__quality"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(coalesce(col("__kept"), lit(false)), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_extracted"),
+        col("n_quality"), col("n_kept"),
+        round(col("n_kept").cast("double") /
+          col("n_docs").cast("double"), 4).as("keep_rate"))
+      .orderBy("source")
+  }
+
   /** Similarity 19 (round-8 post-close): compressed-domain closest
     * pairs ([[Similarity.sdcClosestPairs]]) — the SDC counterpart of
     * q291's ADC: the 20 most-similar same-coarse-cell pairs scored
@@ -4399,22 +4439,26 @@ object SparkEntry {
     * nav/footer/title/stub lines must drop, prose must survive
     * verbatim (the gate hashes the extracted text itself).
     */
-  private def q293(s: SparkSession, dir: String): DataFrame = {
-    val html = concat(
-      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-      lit("</title><style>p { margin: 0; }</style></head><body>"),
-      when(col("doc_id") % 2 === 0,
-        lit("<nav>Home | About | Contact</nav>")).otherwise(lit("")),
-      lit("<div id=\"main\"><p>"), col("text"), lit("</p>"),
-      when(col("doc_id") % 3 === 0,
-        concat(lit("<p>"), upper(col("text")), lit("</p>")))
-        .otherwise(lit("")),
-      lit("<div>read more</div></div>"),
-      lit("<script>var x = 1; // | pipes in code</script>"),
-      lit("<footer>© example.com | Terms | Privacy</footer></body></html>"))
-    TextAnalysis.htmlExtract(t(s, dir, "documents"), col("doc_id"), html)
+  /** The deterministic HTML wrapping rule shared by q293 and q300 —
+    * one definition on each engine side ([[fixtureHtmlSql]] is the SQL
+    * twin). */
+  private def fixtureHtml: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style>p { margin: 0; }</style></head><body>"),
+    when(col("doc_id") % 2 === 0,
+      lit("<nav>Home | About | Contact</nav>")).otherwise(lit("")),
+    lit("<div id=\"main\"><p>"), col("text"), lit("</p>"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("<p>"), upper(col("text")), lit("</p>")))
+      .otherwise(lit("")),
+    lit("<div>read more</div></div>"),
+    lit("<script>var x = 1; // | pipes in code</script>"),
+    lit("<footer>© example.com | Terms | Privacy</footer></body></html>"))
+
+  private def q293(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.htmlExtract(t(s, dir, "documents"), col("doc_id"),
+        fixtureHtml)
       .orderBy("doc_id")
-  }
 
   /** Similarity 14 (round-8): product-quantization codebook training
     * ([[Similarity.pqTrain]]) — d = 64 split into m = 8 subspaces, one
@@ -6235,7 +6279,8 @@ object SparkEntry {
     "q296_prefix_dim_recall" -> q296 _,
     "q297_sdc_closest_pairs" -> q297 _,
     "q298_jsonl_roundtrip" -> q298 _,
-    "q299_mixed_language" -> q299 _)
+    "q299_mixed_language" -> q299 _,
+    "q300_curation_funnel_e2e" -> q300 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -7051,6 +7096,45 @@ object SparkEntry {
         FROM subs su JOIN books1 b ON su.sub = b.sub
         QUALIFY row_number() OVER (PARTITION BY su.item_id, su.sub
           ORDER BY d2, b.cell) = 1)"""
+
+  /** SQL twin of [[fixtureHtml]] + the [[graft.ops.TextAnalysis
+    * .htmlExtract]] strip pipeline — shared by the q293/q300 oracles.
+    * Emits CTEs ending in `hkept` = (doc_id, vis, kept) line lists.
+    */
+  private def htmlExtractCtes: String = raw"""
+      h AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title><style>p { margin: 0; }</style></head><body>' ||
+          CASE WHEN doc_id % 2 = 0
+            THEN '<nav>Home | About | Contact</nav>' ELSE '' END ||
+          '<div id="main"><p>' || text || '</p>' ||
+          CASE WHEN doc_id % 3 = 0
+            THEN '<p>' || upper(text) || '</p>' ELSE '' END ||
+          '<div>read more</div></div>' ||
+          '<script>var x = 1; // | pipes in code</script>' ||
+          '<footer>© example.com | Terms | Privacy</footer></body></html>'
+            AS html
+        FROM documents),
+      s1 AS (SELECT doc_id,
+        regexp_replace(html, '(?s)<script[^>]*>.*?</script>', '', 'g') AS t
+        FROM h),
+      s2 AS (SELECT doc_id,
+        regexp_replace(t, '(?s)<style[^>]*>.*?</style>', '', 'g') AS t
+        FROM s1),
+      s3 AS (SELECT doc_id,
+        regexp_replace(t, '<[^>]*>', chr(10), 'g') AS t FROM s2),
+      vis AS (
+        SELECT doc_id,
+          list_filter(list_transform(string_split(t, chr(10)),
+            x -> trim(x)), x -> x <> '') AS vis
+        FROM s3),
+      hkept AS (
+        SELECT doc_id, vis,
+          list_filter(vis, x -> NOT contains(x, '|')
+            AND NOT contains(x, '©')
+            AND len(regexp_split_to_array(x, '\s+')) >= 5) AS kept
+        FROM vis)"""
 
   private def bpeMergesOracle(
       iters: Int,
@@ -9478,6 +9562,47 @@ object SparkEntry {
     "q298_jsonl_roundtrip" -> """
       SELECT doc_id, text, lang, source, n_chars
       FROM documents ORDER BY doc_id""",
+    "q300_curation_funnel_e2e" -> s"""
+      WITH $htmlExtractCtes,
+      extj AS (
+        SELECT k.doc_id, d.source,
+          array_to_string(k.kept, ' ') AS main_text
+        FROM hkept k JOIN documents d ON k.doc_id = d.doc_id),
+      feats AS (
+        SELECT doc_id, source, main_text,
+          CAST(len(tk) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+          CAST(len(main_text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(main_text, '[^a-zA-Z]', '', 'g'))
+            AS DOUBLE) AS alpha
+        FROM (SELECT doc_id, source, main_text,
+          regexp_split_to_array(trim(lower(main_text)), '\\s+') AS tk
+          FROM extj)),
+      st AS (
+        SELECT doc_id, source, main_text,
+          main_text <> '' AS extracted,
+          main_text <> '' AND round(least(greatest(
+            0.4 * least(nt / 50.0, 1.0) +
+            0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+            0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0),
+            0.0), 1.0), 4) >= 0.5 AS quality
+        FROM feats),
+      kp AS (
+        SELECT doc_id,
+          row_number() OVER (PARTITION BY md5(main_text)
+            ORDER BY doc_id) = 1 AS kept
+        FROM st WHERE quality)
+      SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN s.extracted THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_extracted,
+        CAST(sum(CASE WHEN s.quality THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_quality,
+        CAST(sum(CASE WHEN coalesce(k.kept, false) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        round(CAST(sum(CASE WHEN coalesce(k.kept, false) THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*), 4) AS keep_rate
+      FROM st s LEFT JOIN kp k ON s.doc_id = k.doc_id
+      GROUP BY s.source ORDER BY s.source""",
     "q299_mixed_language" -> raw"""
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -9636,44 +9761,12 @@ object SparkEntry {
         round(cos, 4) AS cosine
       FROM ex WINDOW w AS (ORDER BY round(cos, 6) DESC, item_id)
       ORDER BY rank""",
-    "q293_html_extract" -> raw"""
-      WITH h AS (
-        SELECT doc_id,
-          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-          '</title><style>p { margin: 0; }</style></head><body>' ||
-          CASE WHEN doc_id % 2 = 0
-            THEN '<nav>Home | About | Contact</nav>' ELSE '' END ||
-          '<div id="main"><p>' || text || '</p>' ||
-          CASE WHEN doc_id % 3 = 0
-            THEN '<p>' || upper(text) || '</p>' ELSE '' END ||
-          '<div>read more</div></div>' ||
-          '<script>var x = 1; // | pipes in code</script>' ||
-          '<footer>© example.com | Terms | Privacy</footer></body></html>'
-            AS html
-        FROM documents),
-      s1 AS (SELECT doc_id,
-        regexp_replace(html, '(?s)<script[^>]*>.*?</script>', '', 'g') AS t
-        FROM h),
-      s2 AS (SELECT doc_id,
-        regexp_replace(t, '(?s)<style[^>]*>.*?</style>', '', 'g') AS t
-        FROM s1),
-      s3 AS (SELECT doc_id,
-        regexp_replace(t, '<[^>]*>', chr(10), 'g') AS t FROM s2),
-      vis AS (
-        SELECT doc_id,
-          list_filter(list_transform(string_split(t, chr(10)),
-            x -> trim(x)), x -> x <> '') AS vis
-        FROM s3),
-      kept AS (
-        SELECT doc_id, vis,
-          list_filter(vis, x -> NOT contains(x, '|')
-            AND NOT contains(x, '©')
-            AND len(regexp_split_to_array(x, '\s+')) >= 5) AS kept
-        FROM vis)
+    "q293_html_extract" -> s"""
+      WITH $htmlExtractCtes
       SELECT doc_id, CAST(len(vis) AS INTEGER) AS n_lines,
         CAST(len(kept) AS INTEGER) AS n_kept,
         array_to_string(kept, ' ') AS main_text
-      FROM kept ORDER BY doc_id""",
+      FROM hkept ORDER BY doc_id""",
     "q292_bigram_lm" -> raw"""
       WITH arrs AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
