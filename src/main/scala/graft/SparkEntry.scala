@@ -4291,13 +4291,17 @@ object SparkEntry {
   private def q298(s: SparkSession, dir: String): DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft_q298")
     val out = stage.resolve("jsonl").toString
-    graft.sinks.Sinks.jsonLines(
-      t(s, dir, "documents").select(col("doc_id"), col("text"),
-        col("lang"), col("source"), col("n_chars")), out)
+    val src = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars"))
+    graft.sinks.Sinks.jsonLines(src, out)
+    // explicit reader schema — the at-scale JSONL pattern (no inference
+    // scan), and the reason an EMPTY export round-trips to an empty
+    // frame instead of an unresolvable zero-column relation
     materializeDropping(s,
-      s.read.json(out).select(col("doc_id").cast("long").as("doc_id"),
-        col("text"), col("lang"), col("source"),
-        col("n_chars").cast("long").as("n_chars")),
+      s.read.schema(src.schema).json(out)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars")),
       stage)
       .orderBy("doc_id")
   }
