@@ -4377,6 +4377,74 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Train 5 (round-9): multinomial Naive Bayes training
+    * ([[graft.ops.Train.naiveBayesModel]]) — the fastText-shaped
+    * supervised text classifier (the CCNet/GPT-3 "model-based quality
+    * filter" lane the GD probes cover for NUMERIC features, here over
+    * the token bag): trained on the even-doc_id half of the corpus
+    * with lang as the label, the full (class × vocab) model frame is
+    * gated — Laplace-smoothed rounded-ln log-likelihoods (the
+    * PMI/entropy ln-at-9dp idiom) plus document-count log-priors.
+    * Training is ONE token-grain counting shuffle (map-side combine);
+    * no iteration — the sufficient statistic IS the model, which is
+    * what makes this the cheapest corpus-scale classifier to refresh.
+    */
+  private def q301(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Train.naiveBayesModel(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        col("lang"), col("text"))
+      .orderBy("class", "token")
+
+  /** Train 6 (round-9): Naive Bayes held-out scoring
+    * ([[graft.ops.Train.naiveBayesScore]]) — q301's model applied to
+    * the odd-doc_id half it never saw: token explode → model equi-join
+    * (co-partitioned on the token key; the model broadcasts at C·V
+    * rows) → per-(doc, class) decimal-summed log-likelihood + prior →
+    * deterministic argmax. Per-doc prediction vs the true lang label —
+    * the supervised twin of q27's heuristic detector.
+    */
+  private def q302(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = graft.ops.Train.naiveBayesModel(
+      docs.filter(col("doc_id") % 2 === 0), col("lang"), col("text"))
+    graft.ops.Train.naiveBayesScore(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+        model)
+      .join(docs.select(col("doc_id"), col("lang").as("true_lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("pred_class"), col("score"),
+        col("true_lang"), (col("pred_class") === col("true_lang"))
+          .as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Eval 14 (round-9): the held-out confusion matrix of q302's
+    * classifier — (true_lang × pred_class) counts plus per-true-class
+    * recall, the readout a filter-model owner actually watches (which
+    * languages leak into which). Grain: at most C² rows regardless of
+    * corpus size — the doc-grain frame folds immediately.
+    */
+  private def q303(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = graft.ops.Train.naiveBayesModel(
+      docs.filter(col("doc_id") % 2 === 0), col("lang"), col("text"))
+    val scored = graft.ops.Train.naiveBayesScore(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+        model)
+      .join(docs.select(col("doc_id"), col("lang").as("true_lang")),
+        Seq("doc_id"))
+      .localCheckpoint() // read by the cell counts and the row totals
+    val cells = scored.groupBy(col("true_lang"), col("pred_class"))
+      .agg(count(lit(1)).as("n"))
+    val totals = scored.groupBy(col("true_lang"))
+      .agg(count(lit(1)).as("__tot"))
+    cells.join(totals, Seq("true_lang"))
+      .select(col("true_lang"), col("pred_class"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("frac"))
+      .orderBy("true_lang", "pred_class")
+  }
+
   /** Similarity 19 (round-8 post-close): compressed-domain closest
     * pairs ([[Similarity.sdcClosestPairs]]) — the SDC counterpart of
     * q291's ADC: the 20 most-similar same-coarse-cell pairs scored
@@ -6284,7 +6352,10 @@ object SparkEntry {
     "q297_sdc_closest_pairs" -> q297 _,
     "q298_jsonl_roundtrip" -> q298 _,
     "q299_mixed_language" -> q299 _,
-    "q300_curation_funnel_e2e" -> q300 _)
+    "q300_curation_funnel_e2e" -> q300 _,
+    "q301_nb_model" -> q301 _,
+    "q302_nb_predict" -> q302 _,
+    "q303_nb_confusion" -> q303 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -7709,6 +7780,74 @@ object SparkEntry {
     * `feats` (y, x0, x1, x2) and `w3` (w0, w1, w2). One definition so
     * q252 (weights) and q253 (fit readout) cannot drift.
     */
+  /** DuckDB twin of [[graft.ops.Train.naiveBayesModel]] on the even-
+    * doc_id train split (label = lang), shared by the q301/q302/q303
+    * oracles so the three gates replay the SAME model: counting CTEs,
+    * the vocab grid, and the rounded-ln smoothed log-likelihoods
+    * (ln-at-9dp — the PMI/entropy idiom). Provides `nbmodel`
+    * (class, token, logp, prior) and the scoring chain `nbpred`
+    * (doc_id, pred_class, score, in_vocab) over the odd-doc_id split.
+    */
+  private val nbModelCtes: String = raw"""nbtrain AS (
+        SELECT doc_id, lang AS class, text FROM documents
+        WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+      nbtoks AS (
+        SELECT class, unnest(regexp_split_to_array(trim(lower(text)),
+          '\s+')) AS token
+        FROM nbtrain),
+      nbtoks2 AS (SELECT class, token FROM nbtoks WHERE token <> ''),
+      nbcnt AS (
+        SELECT class, token, count(*) AS cnt FROM nbtoks2 GROUP BY 1, 2),
+      nbvocab AS (
+        SELECT token FROM (
+          SELECT token, sum(cnt) AS tot FROM nbcnt GROUP BY 1)
+        WHERE tot >= 1),
+      nbv AS (SELECT count(*) AS v FROM nbvocab),
+      nbdocs AS (SELECT class, count(*) AS docs FROM nbtrain GROUP BY 1),
+      nbn AS (SELECT sum(docs) AS n FROM nbdocs),
+      nbctok AS (SELECT class, count(*) AS ctok FROM nbtoks2 GROUP BY 1),
+      nbclasses AS (
+        SELECT d.class, d.docs, coalesce(c.ctok, 0) AS ctok, v.v,
+          round(ln(CAST(d.docs AS DOUBLE) / CAST(n.n AS DOUBLE)), 9)
+            AS prior
+        FROM nbdocs d LEFT JOIN nbctok c ON d.class = c.class
+        CROSS JOIN nbn n CROSS JOIN nbv v),
+      nbmodel AS (
+        SELECT cl.class, vb.token,
+          round(ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE) /
+            CAST(cl.ctok + cl.v AS DOUBLE)), 9) AS logp,
+          cl.prior
+        FROM nbvocab vb CROSS JOIN nbclasses cl
+        LEFT JOIN nbcnt ct ON ct.class = cl.class AND ct.token = vb.token),
+      nbscore_in AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      nbstoks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+          '\s+')) AS token
+        FROM nbscore_in),
+      nbstoks2 AS (SELECT doc_id, token FROM nbstoks WHERE token <> ''),
+      nbll AS (
+        SELECT s.doc_id, m.class,
+          round(CAST(sum(CAST(m.logp AS DECIMAL(28,12))) AS DOUBLE)
+            + min(m.prior), 9) AS score
+        FROM nbstoks2 s JOIN nbmodel m ON s.token = m.token
+        GROUP BY 1, 2),
+      nbbest AS (
+        SELECT doc_id, class AS pred_class, score
+        FROM nbll
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, class) = 1),
+      nbfb AS (
+        SELECT class AS fb, prior AS fbs FROM (
+          SELECT DISTINCT class, prior FROM nbmodel)
+        ORDER BY prior DESC, class LIMIT 1),
+      nbpred AS (
+        SELECT i.doc_id, coalesce(b.pred_class, f.fb) AS pred_class,
+          coalesce(b.score, f.fbs) AS score,
+          b.pred_class IS NOT NULL AS in_vocab
+        FROM nbscore_in i LEFT JOIN nbbest b ON i.doc_id = b.doc_id
+        CROSS JOIN nbfb f)"""
+
   private val probeTrainCte: String = {
     val iterCtes = (1 to 3).map { i =>
       s"""s$i AS (SELECT f.y, f.x0, f.x1, f.x2,
@@ -9607,6 +9746,30 @@ object SparkEntry {
             AS DOUBLE) / count(*), 4) AS keep_rate
       FROM st s LEFT JOIN kp k ON s.doc_id = k.doc_id
       GROUP BY s.source ORDER BY s.source""",
+    "q301_nb_model" -> s"""
+      WITH $nbModelCtes
+      SELECT class, token, logp, prior FROM nbmodel
+      ORDER BY class, token""",
+    "q302_nb_predict" -> s"""
+      WITH $nbModelCtes
+      SELECT p.doc_id, p.pred_class, p.score, d.lang AS true_lang,
+        p.pred_class = d.lang AS correct
+      FROM nbpred p JOIN documents d ON p.doc_id = d.doc_id
+      ORDER BY p.doc_id""",
+    "q303_nb_confusion" -> s"""
+      WITH $nbModelCtes,
+      nbj AS (
+        SELECT p.doc_id, p.pred_class, d.lang AS true_lang
+        FROM nbpred p JOIN documents d ON p.doc_id = d.doc_id),
+      nbcells AS (
+        SELECT true_lang, pred_class, CAST(count(*) AS BIGINT) AS n
+        FROM nbj GROUP BY 1, 2),
+      nbtot AS (
+        SELECT true_lang, count(*) AS tot FROM nbj GROUP BY 1)
+      SELECT c.true_lang, c.pred_class, c.n,
+        round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS frac
+      FROM nbcells c JOIN nbtot t ON c.true_lang = t.true_lang
+      ORDER BY c.true_lang, c.pred_class""",
     "q299_mixed_language" -> raw"""
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 // DuckDB-exact rounding shadow for every round() call site (Readout)
 import graft.Readout.round
@@ -237,5 +238,118 @@ object Train {
           .as("accuracy"),
         round(col("__sr").cast("double") / col("n").cast("double"), 6)
           .as("mean_abs_resid"))
+  }
+
+  // ——————————————————————————————————————————— multinomial Naive Bayes
+
+  /** Multinomial Naive Bayes over whitespace tokens — the fastText-shaped
+    * bag-of-words text classifier every curation stack trains first (the
+    * CCNet/GPT-3 "model-based quality filter" and the classic supervised
+    * language identifier): per class c and vocab token t, the
+    * Laplace-smoothed log-likelihood `ln((cnt(c,t)+1)/(tokens(c)+V))`,
+    * plus the log-prior `ln(docs(c)/docs)`. Training is pure counting —
+    * ONE token-grain shuffle with map-side combine over the labeled set
+    * (at 100 TB you train on a labeled sample and score the corpus; both
+    * legs below are corpus-size-linear) — so unlike the GD probes there
+    * is no iteration at all: the sufficient statistic IS the model.
+    *
+    * Determinism: counts are integers; each ln lands on a double ratio of
+    * exactly-represented integers and is rounded to 9 decimals before any
+    * summation (the PMI/entropy gate idiom — rounding absorbs the ≤1-ulp
+    * libm spread measured in [[TextAnalysis]]), so a SQL oracle replays
+    * the model bit-for-bit.
+    *
+    * Returns the (class × vocab) model frame
+    * `(class, token, logp, prior)` — a class-absent token carries the
+    * smoothed floor `ln(1/(tokens(c)+V))`, so scoring is a single inner
+    * equi-join with no OOV branch. Rows: C·V (C = #classes, V = vocab
+    * after the `minCount` floor — the lever that bounds model size on a
+    * web-scale vocab; df-style flooring is what fastText's `-minCount`
+    * does).
+    */
+  def naiveBayesModel(train: DataFrame, label: Column, text: Column,
+                      minCount: Int = 1): DataFrame = {
+    require(minCount >= 1, s"minCount must be ≥ 1, got $minCount")
+    val toks = Dedup.spread(train)
+      .select(label.cast("string").as("class"),
+        explode(graft.functions.tokens(text)).as("token"))
+      .filter(col("class").isNotNull && col("token") =!= "")
+      .localCheckpoint() // feeds counts, class totals and the vocab
+    val counts = toks.groupBy(col("class"), col("token"))
+      .agg(count(lit(1)).as("__cnt"))
+    // vocab floor on the CORPUS count (sum over classes), then V
+    val vocab = counts.groupBy(col("token"))
+      .agg(sum(col("__cnt")).as("__tot"))
+      .filter(col("__tot") >= minCount)
+      .select(col("token"))
+      .localCheckpoint() // read by the grid and the V scalar
+    val vSize = vocab.agg(count(lit(1)).as("__v"))
+    // class priors over DOCUMENT counts (not token counts)
+    val docs = Dedup.spread(train)
+      .select(label.cast("string").as("class"))
+      .filter(col("class").isNotNull)
+      .groupBy(col("class")).agg(count(lit(1)).as("__docs"))
+    val nDocs = docs.agg(sum(col("__docs")).as("__n"))
+    val classTok = toks.groupBy(col("class"))
+      .agg(count(lit(1)).as("__ctok"))
+    val classes = docs.join(classTok, Seq("class"), "left")
+      .na.fill(0L, Seq("__ctok"))
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(vSize))
+      .select(col("class"), col("__docs"), col("__ctok"), col("__v"),
+        round(log(col("__docs").cast("double") / col("__n").cast("double")),
+          9).as("prior"))
+    // the full class × vocab grid: a broadcast of the (small) class list
+    // against the vocab — absent (class, token) pairs take the floor
+    vocab.crossJoin(broadcast(classes))
+      .join(counts, Seq("class", "token"), "left")
+      .select(col("class"), col("token"),
+        round(log((coalesce(col("__cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__ctok") + col("__v")).cast("double")), 9).as("logp"),
+        col("prior"))
+  }
+
+  /** Score documents against a [[naiveBayesModel]]: explode tokens, inner
+    * equi-join the model on the token key (vocab-absent tokens drop, the
+    * standard multinomial treatment), per (doc, class) decimal-sum the
+    * rounded log-likelihood terms plus the prior, keep the argmax class
+    * (ties broken by class name — deterministic). A document with NO
+    * in-vocab tokens falls back to the max-prior class (same
+    * tie-break), flagged `in_vocab = false`.
+    *
+    * Scale shape: the token→model join co-partitions on the token key
+    * (the unigramLmScore plan) and the model frame broadcasts whenever
+    * C·V fits the threshold; everything else is one (doc, class)-grain
+    * aggregation and one doc-grain argmax — corpus-linear, stateless,
+    * which is why the streamed twin can reuse this verbatim per batch.
+    */
+  def naiveBayesScore(df: DataFrame, id: Column, text: Column,
+                      model: DataFrame): DataFrame = {
+    val toks = Dedup.spread(df)
+      .select(id.as("doc_id"), explode(graft.functions.tokens(text))
+        .as("token"))
+      .filter(col("token") =!= "")
+    val scores = toks.join(model, Seq("token"))
+      .groupBy(col("doc_id"), col("class"))
+      .agg(sum(col("logp").cast("decimal(28,12)")).as("__ll"),
+        min(col("prior")).as("__prior"))
+      .select(col("doc_id"), col("class"),
+        round(col("__ll").cast("double") + col("__prior"), 9).as("__score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__score").desc, col("class").asc)
+    val best = scores.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("class").as("__pred"),
+        col("__score").as("__s"))
+    // prior-only fallback for docs with zero in-vocab tokens
+    val fallback = model.select(col("class"), col("prior")).distinct()
+      .orderBy(col("prior").desc, col("class").asc).limit(1)
+      .select(col("class").as("__fb"), col("prior").as("__fbs"))
+    df.select(id.as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .crossJoin(broadcast(fallback))
+      .select(col("doc_id"),
+        coalesce(col("__pred"), col("__fb")).as("pred_class"),
+        coalesce(col("__s"), col("__fbs")).as("score"),
+        col("__pred").isNotNull.as("in_vocab"))
   }
 }
