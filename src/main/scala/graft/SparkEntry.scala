@@ -4445,6 +4445,63 @@ object SparkEntry {
       .orderBy("true_lang", "pred_class")
   }
 
+  /** The q304/q305 shared held-out scored frame: the q252 probe trained
+    * on the EVEN-doc_id half (3 GD iterations), scored over the odd
+    * half it never saw — (doc_id, __y, score), the input every post-hoc
+    * calibration op consumes.
+    */
+  private def plattScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = graft.ops.Train.linearProbeWeights(
+      docs.filter(col("doc_id") % 2 === 0), probeLabel, probeFeatures,
+      iters = 3, rate = 1e-5)
+    graft.ops.Train.linearProbeScore(
+        docs.filter(col("doc_id") % 2 === 1), probeFeatures, w)
+      .select(col("doc_id"), probeLabel.as("__y"), col("score"))
+  }
+
+  /** Train 7 (round-9): Platt scaling ([[graft.ops.Train.plattFit]]) —
+    * the 2-parameter post-hoc recalibration map σ(A·score + B) fit on
+    * the held-out probe scores by 3 more GD rounds: the standard fix
+    * for a filter model that RANKS well but whose probabilities drift
+    * (q193's reliability-bin diagnosis). Inherits the full GD
+    * determinism contract (Elliott sigmoid, decimal gradient sums,
+    * 12-dp updates), so the oracle unrolls probe-then-Platt — six
+    * nested fixed-point iterations — and lands on the same (B, A) bits.
+    */
+  private def q304(s: SparkSession, dir: String): DataFrame = {
+    val sc = plattScored(s, dir)
+    graft.ops.Train.linearProbe(sc, col("__y"),
+      Seq("bias" -> lit(1.0d), "score" -> col("score")),
+      iters = 12, rate = 2.0)
+  }
+
+  /** Eval 15 (round-9): the calibration before/after readout of q304's
+    * map — Brier + ECE ([[graft.ops.Eval.calibrationSummary]], q216's
+    * gated device) of the RAW held-out probe scores beside the
+    * Platt-calibrated ones, one row. This is the number that justifies
+    * (or rejects) shipping the recalibration: both summaries fold the
+    * same 10-bin reliability curve, decimal-exact. On the gated corpus
+    * the verdict is REJECT (ECE does not improve — the probe's held-out
+    * scores are weakly anti-correlated, q304's negative score weight),
+    * which is exactly the decision this readout exists to make.
+    */
+  private def q305(s: SparkSession, dir: String): DataFrame = {
+    val sc = plattScored(s, dir).localCheckpoint() // fit + two summaries
+    val w = graft.ops.Train.plattFit(sc, col("score"), col("__y"),
+      iters = 12, rate = 2.0)
+    val cal = sc.withColumn("cal_score",
+      graft.ops.Train.plattApply(col("score"), w))
+    val raw = graft.ops.Eval.calibrationSummary(sc, col("doc_id"),
+      col("score"), col("__y") === 1.0d, bins = 10)
+    val calS = graft.ops.Eval.calibrationSummary(cal, col("doc_id"),
+      col("cal_score"), col("__y") === 1.0d, bins = 10)
+    raw.select(col("n"), col("brier").as("brier_raw"),
+        col("ece").as("ece_raw"))
+      .crossJoin(broadcast(calS.select(col("brier").as("brier_cal"),
+        col("ece").as("ece_cal"))))
+  }
+
   /** Similarity 19 (round-8 post-close): compressed-domain closest
     * pairs ([[Similarity.sdcClosestPairs]]) — the SDC counterpart of
     * q291's ADC: the 20 most-similar same-coarse-cell pairs scored
@@ -6355,7 +6412,9 @@ object SparkEntry {
     "q300_curation_funnel_e2e" -> q300 _,
     "q301_nb_model" -> q301 _,
     "q302_nb_predict" -> q302 _,
-    "q303_nb_confusion" -> q303 _)
+    "q303_nb_confusion" -> q303 _,
+    "q304_platt_fit" -> q304 _,
+    "q305_platt_calibration" -> q305 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -7847,6 +7906,112 @@ object SparkEntry {
           b.pred_class IS NOT NULL AS in_vocab
         FROM nbscore_in i LEFT JOIN nbbest b ON i.doc_id = b.doc_id
         CROSS JOIN nbfb f)"""
+
+  /** DuckDB twin of the q304/q305 probe-then-Platt chain: the q252 GD
+    * device trained on the EVEN split (pw0..pw3), held-out odd-split
+    * scores (`oddraw`: doc_id, y, s), the 2-parameter Platt GD
+    * (cw0..cw12, rate 2.0) and the calibrated scores (`oddcal`). One
+    * definition for both gates so fit and readout cannot drift.
+    */
+  private val plattCtes: String = {
+    val probeIters = (1 to 3).map { i =>
+      s"""ps$i AS (SELECT f.y, f.x0, f.x1, f.x2,
+        (w.w0 * f.x0) + (w.w1 * f.x1) + (w.w2 * f.x2) AS z
+        FROM pfeats f CROSS JOIN pw${i - 1} w),
+      pp$i AS (SELECT y, x0, x1, x2,
+        0.5 * (1.0 + z / (1.0 + abs(z))) AS p FROM ps$i),
+      pg$i AS (SELECT count(*) AS n,
+        CAST(sum(CAST((y - p) * x0 AS DECIMAL(28,18))) AS DOUBLE) AS g0,
+        CAST(sum(CAST((y - p) * x1 AS DECIMAL(28,18))) AS DOUBLE) AS g1,
+        CAST(sum(CAST((y - p) * x2 AS DECIMAL(28,18))) AS DOUBLE) AS g2
+        FROM pp$i),
+      pw$i AS (SELECT
+        round(w.w0 + 1e-05 * g.g0 / CAST(g.n AS DOUBLE), 12) AS w0,
+        round(w.w1 + 1e-05 * g.g1 / CAST(g.n AS DOUBLE), 12) AS w1,
+        round(w.w2 + 1e-05 * g.g2 / CAST(g.n AS DOUBLE), 12) AS w2
+        FROM pw${i - 1} w CROSS JOIN pg$i g)"""
+    }.mkString(",\n      ")
+    val calIters = (1 to 12).map { i =>
+      s"""cs$i AS (SELECT o.y, o.s,
+        (w.a0 * 1.0) + (w.a1 * o.s) AS z
+        FROM oddraw o CROSS JOIN cw${i - 1} w),
+      cp$i AS (SELECT y, s,
+        0.5 * (1.0 + z / (1.0 + abs(z))) AS p FROM cs$i),
+      cg$i AS (SELECT count(*) AS n,
+        CAST(sum(CAST((y - p) * 1.0 AS DECIMAL(28,18))) AS DOUBLE) AS g0,
+        CAST(sum(CAST((y - p) * s AS DECIMAL(28,18))) AS DOUBLE) AS g1
+        FROM cp$i),
+      cw$i AS (SELECT
+        round(w.a0 + 2.0 * g.g0 / CAST(g.n AS DOUBLE), 12) AS a0,
+        round(w.a1 + 2.0 * g.g1 / CAST(g.n AS DOUBLE), 12) AS a1
+        FROM cw${i - 1} w CROSS JOIN cg$i g)"""
+    }.mkString(",\n      ")
+    s"""pfeats AS (
+        SELECT CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS y,
+          CAST(1.0 AS DOUBLE) AS x0,
+          CAST(n_chars AS DOUBLE) AS x1,
+          CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+            AS x2
+        FROM documents WHERE doc_id % 2 = 0),
+      pw0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+        CAST(0.0 AS DOUBLE) AS w2),
+      $probeIters,
+      oddraw AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS y,
+          round(0.5 * (1.0 + z / (1.0 + abs(z))), 9) AS s
+        FROM (
+          SELECT d.doc_id, d.lang,
+            (w.w0 * CAST(1.0 AS DOUBLE)) +
+            (w.w1 * CAST(d.n_chars AS DOUBLE)) +
+            (w.w2 * CAST(length(d.text) - length(replace(d.text, ' ', ''))
+              AS DOUBLE)) AS z
+          FROM documents d CROSS JOIN pw3 w
+          WHERE d.doc_id % 2 = 1)),
+      cw0 AS (SELECT CAST(0.0 AS DOUBLE) AS a0, CAST(0.0 AS DOUBLE) AS a1),
+      $calIters,
+      oddcal AS (
+        SELECT zz.doc_id, zz.y,
+          round(0.5 * (1.0 + zz.z2 / (1.0 + abs(zz.z2))), 9) AS s
+        FROM (SELECT o.doc_id, o.y, (w.a0 + (w.a1 * o.s)) AS z2
+              FROM oddraw o CROSS JOIN cw12 w) zz)"""
+  }
+
+  /** q216's one-row Brier+ECE summary parameterized over a scored CTE
+    * with columns (doc_id, y ∈ {0.0, 1.0}, s) — used twice by q305
+    * (raw vs Platt-calibrated), the identical decimal arithmetic both
+    * times.
+    */
+  private def calibSummarySql(cte: String): String = s"""
+      SELECT b.n,
+        round(CAST(CAST(b.bsum AS VARCHAR) AS DOUBLE) /
+          CAST(b.n AS DOUBLE), 6) AS brier,
+        round(CAST(e.esum AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS ece
+      FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          sum(CAST((CAST(round(s, 9) AS DECIMAL(10,9)) -
+                CAST(CASE WHEN y = 1.0 THEN 1 ELSE 0 END
+                  AS DECIMAL(10,9))) *
+              (CAST(round(s, 9) AS DECIMAL(10,9)) -
+                CAST(CASE WHEN y = 1.0 THEN 1 ELSE 0 END
+                  AS DECIMAL(10,9)))
+              AS DECIMAL(28,18))) AS bsum
+        FROM $cte) b
+      CROSS JOIN (
+        SELECT sum(CAST(round(CAST(n AS DOUBLE) *
+            abs(pos_rate - mean_score), 9) AS DECIMAL(28,12))) AS esum
+        FROM (
+          SELECT bin, CAST(count(*) AS BIGINT) AS n,
+            round(CAST(sum(CAST(round(s, 9) AS DECIMAL(28,12)))
+                AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+            round(CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+          FROM (
+            SELECT CAST(ntile(10) OVER (ORDER BY s ASC, doc_id ASC)
+              AS BIGINT) AS bin, s, y, doc_id
+            FROM $cte) GROUP BY bin)) e"""
 
   private val probeTrainCte: String = {
     val iterCtes = (1 to 3).map { i =>
@@ -9770,6 +9935,18 @@ object SparkEntry {
         round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS frac
       FROM nbcells c JOIN nbtot t ON c.true_lang = t.true_lang
       ORDER BY c.true_lang, c.pred_class""",
+    "q304_platt_fit" -> s"""
+      WITH $plattCtes
+      SELECT 0 AS ord, 'bias' AS feature, a0 AS weight FROM cw12
+      UNION ALL SELECT 1, 'score', a1 FROM cw12
+      ORDER BY ord""",
+    "q305_platt_calibration" -> s"""
+      WITH $plattCtes,
+      br AS (${calibSummarySql("oddraw")}),
+      bc AS (${calibSummarySql("oddcal")})
+      SELECT br.n, br.brier AS brier_raw, br.ece AS ece_raw,
+        bc.brier AS brier_cal, bc.ece AS ece_cal
+      FROM br CROSS JOIN bc""",
     "q299_mixed_language" -> raw"""
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t

@@ -240,6 +240,35 @@ object Train {
           .as("mean_abs_resid"))
   }
 
+  // ———————————————————————————————————————————————— Platt calibration
+
+  /** Platt scaling — fit the 2-parameter recalibration map
+    * `p_cal = σ(A·score + B)` on a held-out (score, label) frame: THE
+    * standard post-hoc fix for a filter model whose ranking is good but
+    * whose probabilities aren't (the reliability-bin diagnosis
+    * [[Eval.reliabilityBins]] makes). Exactly a 2-feature
+    * [[linearProbeWeights]] run (bias + the raw score), so it inherits
+    * the whole determinism contract: Elliott sigmoid (no libm),
+    * decimal(28,18) gradient sums, 12-dp readout-rounded updates — a
+    * fixed-iteration unrolled SQL oracle lands on the same (A, B) bits.
+    * Returns weights in the order (bias = B, score = A).
+    */
+  def plattFit(df: DataFrame, score: Column, label: Column,
+               iters: Int, rate: Double): Seq[(String, Double)] =
+    linearProbeWeights(df, label,
+      Seq("bias" -> lit(1.0d), "score" -> score), iters, rate)
+
+  /** Apply a [[plattFit]] map: `cal_score = rd(σ(B + A·s), 9)` as a pure
+    * map-side projection (the serve leg — corpus-linear, stateless).
+    */
+  def plattApply(score: Column,
+                 weights: Seq[(String, Double)]): Column = {
+    require(weights.map(_._1) == Seq("bias", "score"),
+      s"expected (bias, score) weights, got ${weights.map(_._1)}")
+    val z = lit(weights(0)._2) + lit(weights(1)._2) * score.cast("double")
+    round(lit(0.5d) * (lit(1.0d) + z / (lit(1.0d) + abs(z))), 9)
+  }
+
   // ——————————————————————————————————————————— multinomial Naive Bayes
 
   /** Multinomial Naive Bayes over whitespace tokens — the fastText-shaped
