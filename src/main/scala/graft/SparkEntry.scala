@@ -4502,6 +4502,101 @@ object SparkEntry {
         col("ece").as("ece_cal"))))
   }
 
+  /** The deterministic URL fixture shared by q306/q307/q308 — each
+    * document gets a crawl-shaped URL derived from its own fields (the
+    * q293/q238 closed-form-fixture device; [[urlFixtureSql]] is the SQL
+    * twin): mixed-case `WWW.` hosts, three TLD shapes (one on a
+    * second-level registry), an `/ads/` path arm, trailing-slash
+    * variants, tracking parameters in two arrangements, and fragments —
+    * every rule [[graft.ops.Web.urlCanonicalize]] owns is exercised.
+    */
+  private def fixtureUrl: Column = concat(
+    lit("https://"),
+    when(col("doc_id") % 4 === 0, lit("WWW.")).otherwise(lit("")),
+    col("source"),
+    when(col("doc_id") % 3 === 0, lit(".example.com"))
+      .when(col("doc_id") % 3 === 1, lit(".blogspot.com"))
+      .otherwise(lit(".example.co.uk")),
+    when(col("doc_id") % 5 === 0, lit("/ads/")).otherwise(lit("/posts/")),
+    (col("doc_id") % 50).cast("string"),
+    when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("?utm_source=feed&id="), (col("doc_id") % 10).cast("string")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("?id="), (col("doc_id") % 10).cast("string"),
+          lit("&utm_campaign=x&b=2")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+
+  /** Web 1 (round-9): crawl-frontier URL dedup
+    * ([[graft.ops.Web.urlCanonicalize]]) — the fixture URLs collapsed
+    * under the canonical form (case-folded de-www'd host, fragment and
+    * tracking-param strip, param sort, trailing-slash strip): per
+    * canonical target, how many documents and distinct raw URLs landed
+    * on it and which doc survives (min id — q20's keeper rule). Pure
+    * map-side normalization + ONE hash aggregate: the shape that
+    * frontier-dedups a 10¹¹-URL crawl list.
+    */
+  private def q306(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), fixtureUrl.as("url"))
+      .withColumn("canonical_url", graft.ops.Web.urlCanonicalize(col("url")))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_urls"),
+        min(col("doc_id")).as("keeper"))
+      .orderBy("canonical_url")
+
+  /** Web 2 (round-9): per-registrable-domain corpus statistics
+    * ([[graft.ops.Web.registeredDomain]] — last-2 labels, last-3 under
+    * a second-level registry, so `srcN.example.co.uk` folds to
+    * `example.co.uk`): document counts, distinct-host fan-out, and the
+    * decimal-mean q28 quality score per domain — the table a curation
+    * run ranks to decide which sites to keep, cap, or crawl deeper.
+    */
+  private def q307(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), fixtureUrl.as("url"))
+      .withColumn("__host", graft.ops.Web.urlHost(col("url")))
+      .withColumn("domain", graft.ops.Web.registeredDomain(
+        regexp_replace(col("__host"), "^www\\.", "")))
+    docs.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__host")).as("n_hosts"),
+        sum(round(TextAnalysis.qualityScore(col("text")), 6)
+          .cast("decimal(28,12)")).as("__qs"))
+      .select(col("domain"), col("n_docs"), col("n_hosts"),
+        round(col("__qs").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_quality"))
+      .orderBy("domain")
+  }
+
+  /** Web 3 (round-9): the staged URL blocklist funnel — domain rule
+    * first (registrable domain ∈ blocklist: `blogspot.com`), then the
+    * path rule on domain-survivors (`/ads/` prefix), per-source drop
+    * counts and keep rate: q300's funnel discipline applied at the URL
+    * layer, which is where a real pipeline drops documents BEFORE
+    * paying to fetch or tokenize them. Map-side rules + one aggregate.
+    */
+  private def q308(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), fixtureUrl.as("url"))
+      .withColumn("__dom", graft.ops.Web.registeredDomain(
+        regexp_replace(graft.ops.Web.urlHost(col("url")), "^www\\.", "")))
+      .withColumn("__dom_b", col("__dom") === "blogspot.com")
+      .withColumn("__path_b", !col("__dom_b") &&
+        graft.ops.Web.urlPath(col("url")).startsWith("/ads/"))
+    staged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dom_b"), 1L).otherwise(0L)).as("n_domain_blocked"),
+        sum(when(col("__path_b"), 1L).otherwise(0L)).as("n_path_blocked"),
+        sum(when(!col("__dom_b") && !col("__path_b"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("keep_rate",
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 4))
+      .orderBy("source")
+  }
+
   /** Similarity 19 (round-8 post-close): compressed-domain closest
     * pairs ([[Similarity.sdcClosestPairs]]) — the SDC counterpart of
     * q291's ADC: the 20 most-similar same-coarse-cell pairs scored
@@ -6414,7 +6509,10 @@ object SparkEntry {
     "q302_nb_predict" -> q302 _,
     "q303_nb_confusion" -> q303 _,
     "q304_platt_fit" -> q304 _,
-    "q305_platt_calibration" -> q305 _)
+    "q305_platt_calibration" -> q305 _,
+    "q306_url_canonical_dedup" -> q306 _,
+    "q307_domain_stats" -> q307 _,
+    "q308_blocklist_funnel" -> q308 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -7906,6 +8004,61 @@ object SparkEntry {
           b.pred_class IS NOT NULL AS in_vocab
         FROM nbscore_in i LEFT JOIN nbbest b ON i.doc_id = b.doc_id
         CROSS JOIN nbfb f)"""
+
+  /** DuckDB twin of [[fixtureUrl]] + the [[graft.ops.Web]] lane, shared
+    * by the q306/q307/q308 oracles: the fixture URL expression, host/
+    * path/query regex extraction, canonicalization (www/fragment/
+    * tracking strip, param sort, trailing-slash strip) and the
+    * registrable-domain rule — one definition so the three gates replay
+    * the SAME strings. Plain (non-interpolated) string: the regexes
+    * carry `$` anchors.
+    */
+  private val urlFixtureCtes: String = """uf AS (
+        SELECT doc_id, source, text,
+          'https://' ||
+          CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END || source ||
+          CASE WHEN doc_id % 3 = 0 THEN '.example.com'
+               WHEN doc_id % 3 = 1 THEN '.blogspot.com'
+               ELSE '.example.co.uk' END ||
+          CASE WHEN doc_id % 5 = 0 THEN '/ads/' ELSE '/posts/' END ||
+          CAST(doc_id % 50 AS VARCHAR) ||
+          CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0
+            THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+               WHEN doc_id % 3 = 1
+            THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) ||
+              '&utm_campaign=x&b=2'
+               ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END AS url
+        FROM documents),
+      up AS (
+        SELECT doc_id, source, text, url,
+          lower(regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+          regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+          regexp_extract(url, '\?([^#]*)', 1) AS q
+        FROM uf),
+      up2 AS (
+        SELECT doc_id, source, text, url, host, path,
+          regexp_replace(host, '^www\.', '') AS bhost,
+          array_to_string(list_sort(list_filter(string_split(q, '&'),
+            p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+              AND p <> '')), '&') AS sq
+        FROM up),
+      ucanon AS (
+        SELECT doc_id, source, text, url, host, path,
+          'https://' || bhost || regexp_replace(path, '/$', '') ||
+            CASE WHEN length(sq) > 0 THEN '?' || sq ELSE '' END AS curl,
+          CASE WHEN regexp_extract(bhost, '([^.]+\.[^.]+)$', 1) IN
+                ('co.uk','org.uk','ac.uk','com.br','com.au','co.jp',
+                 'co.in','com.mx','co.za','com.cn')
+              AND regexp_extract(bhost, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+            THEN regexp_extract(bhost, '([^.]+\.[^.]+\.[^.]+)$', 1)
+            WHEN regexp_extract(bhost, '([^.]+\.[^.]+)$', 1) <> ''
+            THEN regexp_extract(bhost, '([^.]+\.[^.]+)$', 1)
+            ELSE bhost END AS domain
+        FROM up2)"""
 
   /** DuckDB twin of the q304/q305 probe-then-Platt chain: the q252 GD
     * device trained on the EVEN split (pw0..pw3), held-out odd-split
@@ -9947,6 +10100,53 @@ object SparkEntry {
       SELECT br.n, br.brier AS brier_raw, br.ece AS ece_raw,
         bc.brier AS brier_cal, bc.ece AS ece_cal
       FROM br CROSS JOIN bc""",
+    "q306_url_canonical_dedup" -> s"""
+      WITH $urlFixtureCtes
+      SELECT curl AS canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+        min(doc_id) AS keeper
+      FROM ucanon GROUP BY 1 ORDER BY 1""",
+    "q307_domain_stats" -> s"""
+      WITH $urlFixtureCtes,
+      qf AS (
+        SELECT u.doc_id, u.domain, u.host,
+          round(least(greatest(
+            0.4 * least(nt / 50.0, 1.0) +
+            0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+            0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0), 0.0), 1.0), 6)
+            AS q
+        FROM (
+          SELECT doc_id, domain, host,
+            CAST(len(tk) AS DOUBLE) AS nt,
+            CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+            CAST(len(text) AS DOUBLE) AS chars,
+            CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              AS DOUBLE) AS alpha
+          FROM (SELECT doc_id, domain, host, text,
+            regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM ucanon)) u)
+      SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        round(CAST(sum(CAST(q AS DECIMAL(28,12))) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS mean_quality
+      FROM qf GROUP BY 1 ORDER BY 1""",
+    "q308_blocklist_funnel" -> s"""
+      WITH $urlFixtureCtes,
+      bf AS (
+        SELECT source,
+          domain = 'blogspot.com' AS dom_b,
+          (NOT domain = 'blogspot.com') AND path LIKE '/ads/%' AS path_b
+        FROM ucanon)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN dom_b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_domain_blocked,
+        CAST(sum(CASE WHEN path_b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_path_blocked,
+        CAST(sum(CASE WHEN NOT dom_b AND NOT path_b THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        round(CAST(sum(CASE WHEN NOT dom_b AND NOT path_b THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS keep_rate
+      FROM bf GROUP BY 1 ORDER BY 1""",
     "q299_mixed_language" -> raw"""
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
