@@ -4597,6 +4597,30 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Governance 1 (round-9): k-anonymity audit
+    * ([[graft.ops.Privacy.kAnonymityHistogram]]) — the customer table's
+    * re-identification histogram under the QI tuple (nation, market
+    * segment): how many equivalence classes of each size exist, with
+    * classes under k = 5 flagged. Two chained map-side-combinable
+    * aggregations, no joins — the release gate that runs casually over
+    * the full table at any scale.
+    */
+  private def q309(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.kAnonymityHistogram(t(s, dir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment")), k = 5)
+
+  /** Governance 2 (round-9): l-diversity audit
+    * ([[graft.ops.Privacy.lDiversityHistogram]]) — the same QI classes
+    * scored by DISTINCT sensitive values (account-balance bucket,
+    * floor(bal/1000)): l = 1 classes disclose the balance bracket to
+    * any QI match even when k-anonymity passes (the homogeneity
+    * attack). Same two-aggregation shape as q309.
+    */
+  private def q310(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.lDiversityHistogram(t(s, dir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment")),
+      floor(col("c_acctbal") / 1000.0d), l = 2)
+
   /** Similarity 19 (round-8 post-close): compressed-domain closest
     * pairs ([[Similarity.sdcClosestPairs]]) — the SDC counterpart of
     * q291's ADC: the 20 most-similar same-coarse-cell pairs scored
@@ -6512,7 +6536,9 @@ object SparkEntry {
     "q305_platt_calibration" -> q305 _,
     "q306_url_canonical_dedup" -> q306 _,
     "q307_domain_stats" -> q307 _,
-    "q308_blocklist_funnel" -> q308 _)
+    "q308_blocklist_funnel" -> q308 _,
+    "q309_k_anonymity" -> q309 _,
+    "q310_l_diversity" -> q310 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -10147,6 +10173,22 @@ object SparkEntry {
         round(CAST(sum(CASE WHEN NOT dom_b AND NOT path_b THEN 1 ELSE 0 END)
             AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS keep_rate
       FROM bf GROUP BY 1 ORDER BY 1""",
+    "q309_k_anonymity" -> """
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
+        FROM customer GROUP BY 1, 2)
+      SELECT sz AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(sum(sz) AS BIGINT) AS n_rows, sz < 5 AS at_risk
+      FROM g GROUP BY sz ORDER BY sz""",
+    "q310_l_diversity" -> """
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+          CAST(count(DISTINCT floor(c_acctbal / 1000.0)) AS BIGINT) AS l,
+          CAST(count(*) AS BIGINT) AS sz
+        FROM customer GROUP BY 1, 2)
+      SELECT l AS l_distinct, CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(sum(sz) AS BIGINT) AS n_rows, l < 2 AS at_risk
+      FROM g GROUP BY l ORDER BY l""",
     "q299_mixed_language" -> raw"""
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
