@@ -4423,6 +4423,12 @@ object SparkEntry {
     * recall, the readout a filter-model owner actually watches (which
     * languages leak into which). Grain: at most C² rows regardless of
     * corpus size — the doc-grain frame folds immediately.
+    *
+    * On the synthetic corpus this matrix EXPOSES a data property: the
+    * driver's documents share one vocabulary across lang labels (no
+    * lexical signal), so the classifier collapses to the 'en' prior —
+    * which is precisely the diagnosis this readout exists to make
+    * (and why q311 selects models on a separable target instead).
     */
   private def q303(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -4620,6 +4626,116 @@ object SparkEntry {
     graft.ops.Privacy.lDiversityHistogram(t(s, dir, "customer"),
       Seq(col("c_nationkey"), col("c_mktsegment")),
       floor(col("c_acctbal") / 1000.0d), l = 2)
+
+  /** Train 8 (round-9): the cross-validated MODEL-SELECTION sweep — the
+    * in-engine AutoML-lite loop a filter-model owner actually runs:
+    * 3 md5-deterministic folds ([[Sampling.groupKFold]]'s device, each
+    * doc its own group) × 3 nested feature sets (bias-only / +chars /
+    * +spaces), each cell a full q252 GD fit on the out-of-fold docs
+    * evaluated on the held-out fold, means folded per config and the
+    * winner flagged. (Feature sets, not learning rates: with a sign
+    * thresholded linear model, accuracy is invariant under the weight
+    * scaling a rate sweep produces — a rate grid would be 9 cells of
+    * the same answer.) 27 unrolled GD rounds in the oracle — model
+    * SELECTION, not just fitting, is oracle-pinned. At 100 TB the
+    * identical code runs over a stratified sample (the probe-training
+    * discipline); every cell is corpus-linear.
+    *
+    * Target and features: the long-document flag (n_chars ≥ 157)
+    * against CENTERED length features. Two deliberate choices, both
+    * documented: the synthetic corpus carries no lexical language
+    * signal (q303's prior-collapse readout), so the is-English target
+    * would tie every config at the majority rate — a selection gate
+    * needs configs whose generalization genuinely differs; and
+    * centering is what lets a zero-init GD probe flip the sign of z at
+    * the class boundary at all (uncentered positive features under a
+    * positive label correlation drive every prediction to 1 — the
+    * all-majority degeneracy).
+    */
+  private def q311(s: SparkSession, dir: String): DataFrame = {
+    val folded = Sampling.groupKFold(t(s, dir, "documents"),
+      col("doc_id"), k = 3).localCheckpoint() // 9 train + 9 eval reads
+    val lenLabel = when(col("n_chars") >= 157, lit(1.0d))
+      .otherwise(lit(0.0d))
+    val fLen = "len_c" -> (col("n_chars") - lit(157)).cast("double")
+    val fSp = "spaces_c" -> (length(col("text")) -
+      length(regexp_replace(col("text"), lit(" "), lit(""))) - lit(53))
+      .cast("double")
+    val configs = Seq(
+      ("bias_only", Seq("bias" -> lit(1.0d))),
+      ("bias_len", Seq("bias" -> lit(1.0d), fLen)),
+      ("full", Seq("bias" -> lit(1.0d), fLen, fSp)))
+    val cells = for ((name, feats) <- configs; f <- 0 until 3) yield {
+      val w = graft.ops.Train.linearProbeWeights(
+        folded.filter(col("fold") =!= f), lenLabel, feats,
+        iters = 3, rate = 1e-5)
+      graft.ops.Train.linearProbeEval(
+          folded.filter(col("fold") === f), lenLabel, feats, w)
+        .select(lit(name).as("config"), lit(f).as("fold"), col("n"),
+          col("accuracy"))
+    }
+    val all = cells.reduce(_ unionByName _).localCheckpoint()
+    val means = all.groupBy(col("config"))
+      .agg(sum(col("accuracy").cast("decimal(28,12)")).as("__s"),
+        count(lit(1)).as("__k"))
+      .select(col("config"),
+        round(col("__s").cast("double") / col("__k").cast("double"), 6)
+          .as("mean_accuracy"))
+    val mx = means.agg(max(col("mean_accuracy")).as("__mx"))
+    all.join(means, Seq("config"))
+      .crossJoin(broadcast(mx))
+      .select(col("config"), col("fold"), col("n"), col("accuracy"),
+        col("mean_accuracy"),
+        (col("mean_accuracy") === col("__mx")).as("is_best"))
+      .orderBy("config", "fold")
+  }
+
+  /** Streaming 20 (round-9): the streamed twin of q302's Naive Bayes
+    * scoring — the corpus-scoring leg as it actually deploys (new
+    * documents arrive; the frozen model scores each micro-batch). The
+    * odd-doc_id half is staged as 3 parquet files and replayed
+    * one-file-per-trigger through foreachBatch →
+    * [[graft.ops.Train.naiveBayesScore]] → append landing; scoring is
+    * per-document stateless (tokens never cross documents), so the
+    * landed frame must equal the batch result VERBATIM — the oracle IS
+    * q302's, the streamed-twin discipline.
+    */
+  private def q312(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q312")
+    val src = stage.resolve("src").toString
+    val docs = t(s, dir, "documents")
+    val model = graft.ops.Train.naiveBayesModel(
+        docs.filter(col("doc_id") % 2 === 0), col("lang"), col("text"))
+      .localCheckpoint() // read by every micro-batch
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val land = stage.resolve("land").toString
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.ops.Train.naiveBayesScore(batch, col("doc_id"),
+              col("text"), model)
+            .write.mode("append").parquet(land)
+          ()
+      }
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.read.parquet(land)
+      .join(docs.select(col("doc_id"), col("lang").as("true_lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("pred_class"), col("score"),
+        col("true_lang"), (col("pred_class") === col("true_lang"))
+          .as("correct"))
+      .localCheckpoint().orderBy("doc_id")
+    materializeDropping(s, out, stage)
+  }
 
   /** Similarity 19 (round-8 post-close): compressed-domain closest
     * pairs ([[Similarity.sdcClosestPairs]]) — the SDC counterpart of
@@ -6538,7 +6654,9 @@ object SparkEntry {
     "q307_domain_stats" -> q307 _,
     "q308_blocklist_funnel" -> q308 _,
     "q309_k_anonymity" -> q309 _,
-    "q310_l_diversity" -> q310 _)
+    "q310_l_diversity" -> q310 _,
+    "q311_cv_probe_sweep" -> q311 _,
+    "q312_nb_score_stream" -> q312 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -8085,6 +8203,95 @@ object SparkEntry {
             THEN regexp_extract(bhost, '([^.]+\.[^.]+)$', 1)
             ELSE bhost END AS domain
         FROM up2)"""
+
+  /** The q302/q312 shared oracle (the streamed twin gates against the
+    * batch SQL verbatim — scoring is per-document stateless).
+    */
+  private lazy val nbPredictSql: String = s"""
+      WITH $nbModelCtes
+      SELECT p.doc_id, p.pred_class, p.score, d.lang AS true_lang,
+        p.pred_class = d.lang AS correct
+      FROM nbpred p JOIN documents d ON p.doc_id = d.doc_id
+      ORDER BY p.doc_id"""
+
+  /** Generated DuckDB twin of q311's fold × feature-set sweep: the q252
+    * GD chain instantiated per (config, fold) cell — 9 chains × 3
+    * iterations of unrolled gradient descent over the md5-assigned
+    * folds (each chain carrying only its config's feature arity), each
+    * evaluated on its held-out fold with [[graft.ops.Train
+    * .linearProbeEval]]'s exact accuracy arithmetic (round-9 scores at
+    * the ½ threshold), means decimal-folded per config, winner by max.
+    */
+  private val cvSweepSql: String = {
+    val configs = Seq(("bias_only", "c0", 1), ("bias_len", "c1", 2),
+      ("full", "c2", 3))
+    def zSql(nf: Int): String =
+      (0 until nf).map(j => s"(w.w$j * f.x$j)").mkString(" + ")
+    val cells = for ((name, tag, nf) <- configs; f <- 0 until 3) yield {
+      val p = s"${tag}f$f"
+      val xs = (0 until nf).map(j => s"f.x$j").mkString(", ")
+      val iters = (1 to 3).map { i =>
+        val gs = (0 until nf).map(j =>
+          s"CAST(sum(CAST((y - p) * x$j AS DECIMAL(28,18))) AS DOUBLE) AS g$j")
+          .mkString(",\n          ")
+        val ws = (0 until nf).map(j =>
+          s"round(w.w$j + 1e-05 * g.g$j / CAST(g.n AS DOUBLE), 12) AS w$j")
+          .mkString(",\n          ")
+        val xcols = (0 until nf).map(j => s"x$j").mkString(", ")
+        s"""${p}s$i AS (SELECT f.y, $xs, ${zSql(nf)} AS z
+          FROM cvdocs f CROSS JOIN ${p}w${i - 1} w WHERE f.fold <> $f),
+        ${p}p$i AS (SELECT y, $xcols,
+          0.5 * (1.0 + z / (1.0 + abs(z))) AS p FROM ${p}s$i),
+        ${p}g$i AS (SELECT count(*) AS n,
+          $gs
+          FROM ${p}p$i),
+        ${p}w$i AS (SELECT
+          $ws
+          FROM ${p}w${i - 1} w CROSS JOIN ${p}g$i g)"""
+      }.mkString(",\n      ")
+      val w0 = (0 until nf).map(j => s"CAST(0.0 AS DOUBLE) AS w$j")
+        .mkString(", ")
+      s"""${p}w0 AS (SELECT $w0),
+      $iters,
+      ${p}ev AS (
+        SELECT '$name' AS config, $f AS fold,
+          CAST(count(*) AS BIGINT) AS n,
+          round(CAST(sum(CASE WHEN
+              (CASE WHEN round(p, 9) >= 0.5 THEN 1.0 ELSE 0.0 END) = y
+              THEN 1 ELSE 0 END) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE), 6) AS accuracy
+        FROM (SELECT y, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p FROM (
+          SELECT f.y, ${zSql(nf)} AS z
+          FROM cvdocs f CROSS JOIN ${p}w3 w WHERE f.fold = $f)))"""
+    }
+    val unionAll = (for ((_, tag, _) <- configs; f <- 0 until 3)
+      yield s"SELECT * FROM ${tag}f${f}ev")
+      .mkString("\n        UNION ALL ")
+    s"""WITH cvdocs AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN n_chars >= 157 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS y,
+          CAST(1.0 AS DOUBLE) AS x0,
+          CAST(n_chars - 157 AS DOUBLE) AS x1,
+          CAST(length(text) - length(replace(text, ' ', '')) - 53
+            AS DOUBLE) AS x2,
+          (${hashPosSql("'fold'", "CAST(doc_id AS VARCHAR)")} * 3) >> 32
+            AS fold
+        FROM documents),
+      ${cells.mkString(",\n      ")},
+      cvall AS (
+        $unionAll),
+      cvmeans AS (
+        SELECT config,
+          round(CAST(sum(CAST(accuracy AS DECIMAL(28,12))) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE), 6) AS mean_accuracy
+        FROM cvall GROUP BY config),
+      cvmax AS (SELECT max(mean_accuracy) AS mx FROM cvmeans)
+      SELECT a.config, a.fold, a.n, a.accuracy, m.mean_accuracy,
+        m.mean_accuracy = x.mx AS is_best
+      FROM cvall a JOIN cvmeans m ON a.config = m.config CROSS JOIN cvmax x
+      ORDER BY a.config, a.fold"""
+  }
 
   /** DuckDB twin of the q304/q305 probe-then-Platt chain: the q252 GD
     * device trained on the EVEN split (pw0..pw3), held-out odd-split
@@ -10094,12 +10301,10 @@ object SparkEntry {
       WITH $nbModelCtes
       SELECT class, token, logp, prior FROM nbmodel
       ORDER BY class, token""",
-    "q302_nb_predict" -> s"""
-      WITH $nbModelCtes
-      SELECT p.doc_id, p.pred_class, p.score, d.lang AS true_lang,
-        p.pred_class = d.lang AS correct
-      FROM nbpred p JOIN documents d ON p.doc_id = d.doc_id
-      ORDER BY p.doc_id""",
+    "q302_nb_predict" -> nbPredictSql,
+    // q312 streams the identical stateless scoring one file per
+    // trigger — the landed frame must equal the batch result verbatim
+    "q312_nb_score_stream" -> nbPredictSql,
     "q303_nb_confusion" -> s"""
       WITH $nbModelCtes,
       nbj AS (
@@ -10173,6 +10378,7 @@ object SparkEntry {
         round(CAST(sum(CASE WHEN NOT dom_b AND NOT path_b THEN 1 ELSE 0 END)
             AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS keep_rate
       FROM bf GROUP BY 1 ORDER BY 1""",
+    "q311_cv_probe_sweep" -> cvSweepSql,
     "q309_k_anonymity" -> """
       WITH g AS (
         SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
