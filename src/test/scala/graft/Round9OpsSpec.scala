@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Privacy, Train, Web}
+
+/** Hand-checked laws for the round-9 surface: the Naive Bayes model
+  * contract (Laplace floor, grid completeness, prior fallback), Platt
+  * identities, the URL canonicalization rules one case at a time, the
+  * registrable-domain suffix rule, and the governance-histogram mass
+  * conservation laws.
+  */
+class Round9OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ——— Naive Bayes ————————————————————————————————————————————————————
+
+  private def nbFixture = Seq(
+    (0L, "en", "the cat sat"),
+    (1L, "en", "the dog ran"),
+    (2L, "es", "el gato corre"),
+    (3L, "es", "el perro el"))
+    .toDF("id", "lang", "text")
+
+  test("naiveBayesModel: full class × vocab grid with the Laplace floor") {
+    val m = Train.naiveBayesModel(nbFixture, $"lang", $"text")
+    val rows = m.as[(String, String, Double, Double)].collect()
+    // vocab = {the,cat,sat,dog,ran,el,gato,corre,perro} = 9; classes = 2
+    assert(rows.length === 18)
+    val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+    // es never saw "cat": floor ln(1/(6+9)) — es has 6 tokens, V=9
+    assert(byKey(("es", "cat")) ===
+      BigDecimal(math.log(1.0 / 15.0)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // "el" appears 3× in es: ln((3+1)/15)
+    assert(byKey(("es", "el")) ===
+      BigDecimal(math.log(4.0 / 15.0)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // priors: 2 docs each of 4 → ln(1/2), carried on every row
+    val priors = rows.map(r => r._1 -> r._4).distinct
+    assert(priors.toMap.values.toSet ===
+      Set(BigDecimal(math.log(0.5)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("naiveBayesScore: class-marker tokens decide; OOV docs fall back") {
+    val m = Train.naiveBayesModel(nbFixture, $"lang", $"text")
+    val test = Seq((10L, "el gato"), (11L, "the dog"), (12L, "zzz qqq"))
+      .toDF("id", "text")
+    val got = Train.naiveBayesScore(test, $"id", $"text", m)
+      .select($"doc_id", $"pred_class", $"in_vocab")
+      .as[(Long, String, Boolean)].collect().toSet
+    // doc 12 has zero in-vocab tokens → max-prior class, tie broken by
+    // class name ascending ('en' before 'es' at equal priors)
+    assert(got === Set((10L, "es", true), (11L, "en", true),
+      (12L, "en", false)))
+  }
+
+  test("naiveBayesModel: empty train → empty model; scoring still total") {
+    val empty = nbFixture.filter($"id" < 0)
+    val m = Train.naiveBayesModel(empty, $"lang", $"text")
+    assert(m.count() === 0)
+  }
+
+  test("naiveBayesModel: minCount floors the vocab on the corpus count") {
+    val m = Train.naiveBayesModel(nbFixture, $"lang", $"text", minCount = 2)
+    // only "the" (2×) and "el" (3×) survive; 2 classes × 2 tokens
+    val toks = m.select($"token").distinct().as[String].collect().toSet
+    assert(toks === Set("the", "el"))
+    assert(m.count() === 4)
+  }
+
+  // ——— Platt ——————————————————————————————————————————————————————————
+
+  test("plattApply: zero weights give exactly ½; fit names are enforced") {
+    val out = Seq((1L, 0.3), (2L, 0.9)).toDF("id", "s")
+      .select(Train.plattApply($"s", Seq("bias" -> 0.0, "score" -> 0.0))
+        .as("p")).as[Double].collect()
+    assert(out.toSet === Set(0.5))
+    intercept[IllegalArgumentException] {
+      Train.plattApply($"s", Seq("a" -> 1.0, "b" -> 2.0))
+    }
+  }
+
+  test("plattFit is exactly the 2-feature GD probe (shared device)") {
+    val df = Seq((0.2, 0.0), (0.8, 1.0), (0.6, 1.0), (0.1, 0.0))
+      .toDF("s", "y")
+    val viaPlatt = Train.plattFit(df, $"s", $"y", iters = 2, rate = 0.5)
+    val viaProbe = Train.linearProbeWeights(df, $"y",
+      Seq("bias" -> lit(1.0d), "score" -> $"s"), iters = 2, rate = 0.5)
+    assert(viaPlatt === viaProbe)
+  }
+
+  // ——— URL lane ———————————————————————————————————————————————————————
+
+  private def canon(u: String): String =
+    Seq(u).toDF("u").select(Web.urlCanonicalize($"u").as("c"))
+      .as[String].head()
+
+  test("urlCanonicalize: every rule, one case each") {
+    // case-fold + www strip
+    assert(canon("https://WWW.Example.COM/a") === "https://example.com/a")
+    // fragment strip
+    assert(canon("https://a.com/x#frag") === "https://a.com/x")
+    // tracking params drop, remainder sorted
+    assert(canon("https://a.com/x?utm_source=t&b=2&a=1&fbclid=z") ===
+      "https://a.com/x?a=1&b=2")
+    // all params tracking → no query at all
+    assert(canon("https://a.com/x?utm_a=1&gclid=2&ref=3") ===
+      "https://a.com/x")
+    // trailing slash strip
+    assert(canon("http://a.com/x/") === "https://a.com/x")
+    // scheme normalized to https
+    assert(canon("http://a.com/x") === "https://a.com/x")
+    // bare host: empty path survives
+    assert(canon("https://a.com") === "https://a.com")
+  }
+
+  test("registeredDomain: plain, second-level registry, passthrough") {
+    val got = Seq("a.b.example.com", "news.bbc.co.uk", "x.com", "localhost")
+      .toDF("h").select(Web.registeredDomain($"h").as("d"))
+      .as[String].collect().toList
+    assert(got === List("example.com", "bbc.co.uk", "x.com", "localhost"))
+  }
+
+  // ——— Governance histograms ——————————————————————————————————————————
+
+  test("kAnonymityHistogram: mass conservation and the at-risk flag") {
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"), ("a", "x"), ("a", "x"),
+      ("b", "x"), ("b", "x"), ("c", "y"))
+      .toDF("qi1", "qi2")
+    val h = Privacy.kAnonymityHistogram(df, Seq($"qi1", $"qi2"), k = 5)
+      .as[(Long, Long, Long, Boolean)].collect().toList
+    // groups: (a,x)=5, (b,x)=2, (c,y)=1 → sizes 1,2,5
+    assert(h === List((1L, 1L, 1L, true), (2L, 1L, 2L, true),
+      (5L, 1L, 5L, false)))
+    // n_rows across the histogram = input rows
+    assert(h.map(_._3).sum === 8L)
+  }
+
+  test("lDiversityHistogram: homogeneity is flagged even when k passes") {
+    val df = Seq(
+      // group (a): 5 rows, all sensitive=1 → k-anonymous, l = 1
+      ("a", 1), ("a", 1), ("a", 1), ("a", 1), ("a", 1),
+      // group (b): 2 rows, 2 distinct → l = 2
+      ("b", 1), ("b", 2))
+      .toDF("qi", "s")
+    val h = Privacy.lDiversityHistogram(df, Seq($"qi"), $"s", l = 2)
+      .as[(Long, Long, Long, Boolean)].collect().toList
+    assert(h === List((1L, 1L, 5L, true), (2L, 1L, 2L, false)))
+  }
+}
