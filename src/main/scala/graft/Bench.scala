@@ -286,7 +286,19 @@ object Bench {
     "q297_sdc_closest_pairs",
     "q298_jsonl_roundtrip",
     "q299_mixed_language",
-    "q300_curation_funnel_e2e")
+    "q300_curation_funnel_e2e",
+    "q301_nb_model",
+    "q302_nb_predict",
+    "q303_nb_confusion",
+    "q304_platt_fit",
+    "q305_platt_calibration",
+    "q306_url_canonical_dedup",
+    "q307_domain_stats",
+    "q308_blocklist_funnel",
+    "q309_k_anonymity",
+    "q310_l_diversity",
+    "q311_cv_probe_sweep",
+    "q312_nb_score_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

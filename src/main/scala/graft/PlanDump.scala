@@ -255,7 +255,26 @@ object PlanDump {
         "prune — items outside probed cells never leave the scan); " +
         "training rounds sit behind LogicalRDD checkpoints so the " +
         "search plan does not re-derive them; shortlist TakeOrdered, " +
-        "finalists-only float re-rank."))
+        "finalists-only float re-rank."),
+    "q301_nb_model" ->
+      ("Naive Bayes training is pure counting: ONE token-grain " +
+        "hash aggregation with map-side partial_count over the exploded " +
+        "tokens (no iteration, no window); the class×vocab grid is a " +
+        "BroadcastNestedLoopJoin of the vocab against the tiny " +
+        "broadcast class frame, and the count join back onto the grid " +
+        "is a co-partitioned equi-join on (class, token)."),
+    "q302_nb_predict" ->
+      ("The corpus-scoring leg: exploded tokens meet the C·V model " +
+        "frame via BroadcastHashJoin on the token key (the model " +
+        "broadcasts; the corpus never shuffles to score), then one " +
+        "(doc, class)-grain partial-agg sum and a doc-partitioned " +
+        "row_number argmax — no unpartitioned window, corpus-linear."),
+    "q306_url_canonical_dedup" ->
+      ("The whole canonicalization (host fold, tracking strip, param " +
+        "sort, slash strip) is codegen'd string/array expressions " +
+        "inside the scan's WholeStageCodegen span — zero shuffle until " +
+        "the single canonical-key hash aggregate with map-side combine; " +
+        "the crawl-frontier shape at any corpus size."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

@@ -4737,6 +4737,148 @@ object SparkEntry {
     materializeDropping(s, out, stage)
   }
 
+  /** Streaming 21 (round-9): Naive Bayes trained FROM maintained
+    * state ([[graft.streaming.Streaming.nbStateMaintain]] →
+    * [[graft.ops.Train.naiveBayesFromState]]) — the even-doc_id train
+    * split replayed one file per trigger, (class, token)/doc counts
+    * folded per batch into the versioned statistic, and the model
+    * trained from the FINAL state: must equal q301's batch model
+    * bit-for-bit (integer merge + closed-form training — the q289
+    * train-from-state discipline). The labeled corpus is never
+    * rescanned; this is the continuously-retrained quality filter's
+    * cost model.
+    */
+  private def q313(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q313")
+    val src = stage.resolve("src").toString
+    t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val statePath = stage.resolve("state").toString
+    graft.streaming.Streaming.nbStateMaintain(s, src, schema,
+      labelCol = "lang", textCol = "text", statePath = statePath,
+      checkpointDir = stage.resolve("ckpt").toString)
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val last = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
+      .map(_.getPath.getName).collect { case n if n.startsWith("v") =>
+        n.drop(1).toLong }.max
+    val out = graft.ops.Train.naiveBayesFromState(
+        s.read.parquet(s"$statePath/v$last"))
+      .localCheckpoint().orderBy("class", "token")
+    materializeDropping(s, out, stage)
+  }
+
+  /** cos(lat₀) for the round-9 geo lane's equirectangular projection —
+    * lat₀ ≈ −14.2° (central Brazil), written as the short decimal BOTH
+    * the engine and the oracle SQL parse to the identical double.
+    */
+  private val geoCosLat0 = 0.9692d
+
+  /** Geo 1 (round-9): exact nearest-centroid enrichment
+    * ([[graft.ops.Geo.nearestCentroid]]) — every customer point (md5-
+    * synthesized coordinates in the Brazil bbox; a real corpus drops the
+    * synthesis for its lat/lon columns) assigned to the nearest nation
+    * centroid under the decimal-literal-pinned equirectangular metric,
+    * folded per centroid. The reference's município-enrichment theme
+    * (pipeline.py:95-106 joins codigo_ibge by NAME) re-expressed for
+    * the coordinate-bearing case. Plan: the 25-row centroid frame
+    * broadcasts (nested-loop — the dim × corpus shape), argmin is ONE
+    * map-side-partial min(struct) fold; no window, no join-back.
+    */
+  private def q314(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").select(col("c_custkey"),
+      graft.ops.Geo.synthLat(col("c_custkey")).as("plat"),
+      graft.ops.Geo.synthLon(col("c_custkey")).as("plon"))
+    val nat = t(s, dir, "nation")
+    val cents = nat.select(col("n_nationkey"),
+      graft.ops.Geo.synthLat(concat(lit("n"),
+        col("n_nationkey").cast("string"))).as("clat"),
+      graft.ops.Geo.synthLon(concat(lit("n"),
+        col("n_nationkey").cast("string"))).as("clon"))
+    graft.ops.Geo.nearestCentroid(pts, col("c_custkey"), col("plat"),
+        col("plon"), cents, col("n_nationkey"), col("clat"), col("clon"),
+        geoCosLat0)
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+        col("centroid_id") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(round(col("dist_km"), 9).cast("decimal(28,12)")).as("__s"),
+        min(col("dist_km")).as("__mn"), max(col("dist_km")).as("__mx"))
+      .select(col("n_name"), col("n_pts"),
+        round(col("__s").cast("double") / col("n_pts").cast("double"), 6)
+          .as("mean_km"),
+        round(col("__mn"), 6).as("min_km"), round(col("__mx"), 6).as("max_km"))
+      .orderBy("n_name")
+  }
+
+  /** Geo 2 (round-9): radius-bounded nearest WITHOUT broadcast
+    * ([[graft.ops.Geo.nearestWithinRadius]], R = 500 km) — the grid-
+    * blocked twin that survives a centroid side too big to broadcast:
+    * both sides land in R-wide cells of the projected plane, centroids
+    * replicate to their 3×3 neighborhood, and the match is an EQUI-join
+    * on the cell key (candidates = points × density, never points ×
+    * centroids). Customers whose nearest centroid is out of range land
+    * in the "(none)" bucket — the containment law (grid ≡ broadcast
+    * argmin filtered to ≤ R) is spec-pinned AND differentially gated
+    * here (the oracle computes the unblocked global argmin).
+    */
+  private def q315(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").select(col("c_custkey"),
+      graft.ops.Geo.synthLat(col("c_custkey")).as("plat"),
+      graft.ops.Geo.synthLon(col("c_custkey")).as("plon"))
+    val nat = t(s, dir, "nation")
+    val cents = nat.select(col("n_nationkey"),
+      graft.ops.Geo.synthLat(concat(lit("n"),
+        col("n_nationkey").cast("string"))).as("clat"),
+      graft.ops.Geo.synthLon(concat(lit("n"),
+        col("n_nationkey").cast("string"))).as("clon"))
+    val nn = graft.ops.Geo.nearestWithinRadius(pts, col("c_custkey"),
+      col("plat"), col("plon"), cents, col("n_nationkey"), col("clat"),
+      col("clon"), radiusKm = 500.0, cosLat0 = geoCosLat0)
+    pts.select(col("c_custkey").as("point_id"))
+      .join(nn, Seq("point_id"), "left")
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+        col("centroid_id") === col("n_nationkey"), "left")
+      .groupBy(coalesce(col("n_name"), lit("(none)")).as("n_name"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(round(col("dist_km"), 9).cast("decimal(28,12)")).as("__s"),
+        count(col("dist_km")).as("__nd"))
+      .select(col("n_name"), col("n_pts"),
+        round(col("__s").cast("double") / col("__nd").cast("double"), 6)
+          .as("mean_km"))
+      .orderBy("n_name")
+  }
+
+  /** Train 7 (round-9): DoReMi-lite domain reweighting
+    * ([[graft.ops.Train.domainMixWeights]], η = 10, ε = 0.1, budget =
+    * 1M tokens) — the data-mixture optimizer's weight-update step run
+    * in-engine: each source's proxy loss is its mean token
+    * IMPROBABILITY under the corpus unigram LM (1 − mean_prob from
+    * [[TextAnalysis.unigramLmScore]] — the libm-free likelihood proxy),
+    * excess over the cross-domain mean is clamped at 0 and upweighted
+    * through the second-order multiplicative-weights surrogate
+    * (1 + η·x)², smoothed ε-uniform, and turned into per-domain token
+    * allocations. Corpus-sized work is exactly q223's plan; everything
+    * after is K-row broadcast arithmetic.
+    */
+  private def q316(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val perDoc = TextAnalysis.unigramLmScore(docs, col("doc_id"),
+      col("text"))
+    val perSource = perDoc
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("mean_prob").cast("decimal(28,12)")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("source"), round(lit(1.0d) -
+        col("__s").cast("double") / col("__n").cast("double"), 6).as("loss"))
+    graft.ops.Train.domainMixWeights(perSource, col("source"), col("loss"),
+        eta = 10.0, eps = 0.1, tokenBudget = 1000000L)
+      .orderBy("domain")
+  }
+
   /** Similarity 19 (round-8 post-close): compressed-domain closest
     * pairs ([[Similarity.sdcClosestPairs]]) — the SDC counterpart of
     * q291's ADC: the 20 most-similar same-coarse-cell pairs scored
@@ -6656,7 +6798,11 @@ object SparkEntry {
     "q309_k_anonymity" -> q309 _,
     "q310_l_diversity" -> q310 _,
     "q311_cv_probe_sweep" -> q311 _,
-    "q312_nb_score_stream" -> q312 _)
+    "q312_nb_score_stream" -> q312 _,
+    "q313_nb_state_stream" -> q313 _,
+    "q314_geo_nearest" -> q314 _,
+    "q315_geo_radius_grid" -> q315 _,
+    "q316_doremi_mix" -> q316 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -8203,6 +8349,46 @@ object SparkEntry {
             THEN regexp_extract(bhost, '([^.]+\.[^.]+)$', 1)
             ELSE bhost END AS domain
         FROM up2)"""
+
+  /** The q301/q313 shared oracle (the train-from-state twin gates
+    * against the batch SQL verbatim — the statistic merge is exact).
+    */
+  private lazy val nbModelSql: String = s"""
+      WITH $nbModelCtes
+      SELECT class, token, logp, prior FROM nbmodel
+      ORDER BY class, token"""
+
+  /** Shared q314/q315 geo CTEs: the md5-synthesized customer points and
+    * nation centroids, and the all-pairs squared equirectangular
+    * distances — the SAME IEEE expression tree [[graft.ops.Geo]]
+    * evaluates (every op exactly rounded, so d2 is bit-identical); the
+    * projection constant is interpolated from the one Scala double.
+    */
+  private lazy val geoCtes: String = {
+    val kx = graft.ops.Geo.KmPerDeg * geoCosLat0
+    def lat(idExpr: String) =
+      s"-33.75 + (CAST(${hashPosSql("'lat'", idExpr)} AS DOUBLE) " +
+        "/ 4294967296.0) * 38.75"
+    def lon(idExpr: String) =
+      s"-73.99 + (CAST(${hashPosSql("'lon'", idExpr)} AS DOUBLE) " +
+        "/ 4294967296.0) * 39.2"
+    s"""p AS (
+        SELECT c_custkey AS pid,
+          ${lat("CAST(c_custkey AS VARCHAR)")} AS plat,
+          ${lon("CAST(c_custkey AS VARCHAR)")} AS plon
+        FROM customer),
+      cc AS (
+        SELECT n_nationkey AS cid, n_name,
+          ${lat("'n' || CAST(n_nationkey AS VARCHAR)")} AS clat,
+          ${lon("'n' || CAST(n_nationkey AS VARCHAR)")} AS clon
+        FROM nation),
+      pr AS (
+        SELECT p.pid, cc.cid,
+          ((p.plon - cc.clon) * $kx) * ((p.plon - cc.clon) * $kx) +
+          ((p.plat - cc.clat) * 111.195) * ((p.plat - cc.clat) * 111.195)
+            AS d2
+        FROM p CROSS JOIN cc)"""
+  }
 
   /** The q302/q312 shared oracle (the streamed twin gates against the
     * batch SQL verbatim — scoring is per-document stateless).
@@ -10297,10 +10483,93 @@ object SparkEntry {
             AS DOUBLE) / count(*), 4) AS keep_rate
       FROM st s LEFT JOIN kp k ON s.doc_id = k.doc_id
       GROUP BY s.source ORDER BY s.source""",
-    "q301_nb_model" -> s"""
-      WITH $nbModelCtes
-      SELECT class, token, logp, prior FROM nbmodel
-      ORDER BY class, token""",
+    "q301_nb_model" -> nbModelSql,
+    // q313 folds the same counts batch-by-batch and trains from state —
+    // the result must equal the batch model verbatim
+    "q313_nb_state_stream" -> nbModelSql,
+    // q314: the synthesized coordinates, the equirectangular metric and
+    // the argmin are all replayed from the same md5 draws and IEEE
+    // arithmetic; ties resolved (min d2, then min cid) on both sides
+    "q314_geo_nearest" -> s"""
+      WITH $geoCtes,
+      mn AS (SELECT pid, min(d2) AS d2 FROM pr GROUP BY 1),
+      best AS (
+        SELECT pr.pid, pr.d2, min(pr.cid) AS cid
+        FROM pr JOIN mn ON pr.pid = mn.pid AND pr.d2 = mn.d2
+        GROUP BY pr.pid, pr.d2)
+      SELECT c.n_name, CAST(count(*) AS BIGINT) AS n_pts,
+        round(CAST(sum(CAST(round(sqrt(best.d2), 9) AS DECIMAL(28,12)))
+            AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_km,
+        round(min(sqrt(best.d2)), 6) AS min_km,
+        round(max(sqrt(best.d2)), 6) AS max_km
+      FROM best JOIN cc c ON best.cid = c.cid
+      GROUP BY 1 ORDER BY 1""",
+    // q315: the oracle computes the UNBLOCKED global argmin filtered to
+    // the radius — the gate proves the 3x3 grid join loses nothing
+    "q315_geo_radius_grid" -> s"""
+      WITH $geoCtes,
+      flt AS (SELECT * FROM pr WHERE d2 <= 250000.0),
+      mn AS (SELECT pid, min(d2) AS d2 FROM flt GROUP BY 1),
+      best AS (
+        SELECT f.pid, f.d2, min(f.cid) AS cid
+        FROM flt f JOIN mn ON f.pid = mn.pid AND f.d2 = mn.d2
+        GROUP BY f.pid, f.d2),
+      j AS (
+        SELECT p.pid, b.cid, b.d2 FROM p LEFT JOIN best b ON p.pid = b.pid)
+      SELECT coalesce(c.n_name, '(none)') AS n_name,
+        CAST(count(*) AS BIGINT) AS n_pts,
+        round(CAST(sum(CAST(round(sqrt(j.d2), 9) AS DECIMAL(28,12)))
+            AS DOUBLE) / CAST(count(j.d2) AS DOUBLE), 6) AS mean_km
+      FROM j LEFT JOIN cc c ON j.cid = c.cid
+      GROUP BY 1 ORDER BY 1""",
+    // q316: q223's unigram-LM CTEs at source grain, then the DoReMi-lite
+    // weight math unrolled — the (1 + eta*x)^2 no-libm surrogate, decimal
+    // normalization, 6-dp weights
+    "q316_doremi_mix" -> raw"""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      freq AS (SELECT token, count(*) AS f FROM toks GROUP BY 1),
+      tot AS (SELECT count(*) AS N FROM toks),
+      j AS (
+        SELECT t.doc_id, f.f, tot.N
+        FROM toks t JOIN freq f ON t.token = f.token CROSS JOIN tot),
+      perdoc AS (
+        SELECT doc_id,
+          round(CAST(sum(CAST(round(CAST(f AS DOUBLE) / CAST(N AS DOUBLE), 9)
+              AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS mean_prob
+        FROM j GROUP BY doc_id),
+      lossc AS (
+        SELECT d.source AS domain,
+          round(1.0 - CAST(sum(CAST(p.mean_prob AS DECIMAL(28,12)))
+              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS loss
+        FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id GROUP BY 1),
+      ref AS (
+        SELECT CAST(sum(CAST(round(loss, 9) AS DECIMAL(28,12))) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE) AS refv,
+          CAST(count(*) AS BIGINT) AS k
+        FROM lossc),
+      ex AS (
+        SELECT l.domain, l.loss,
+          greatest(0.0, round(l.loss - r.refv, 9)) AS excess, r.k
+        FROM lossc l CROSS JOIN ref r),
+      rw AS (
+        SELECT domain, loss, excess, k,
+          round((1.0 + 10.0 * excess) * (1.0 + 10.0 * excess), 9) AS rawv
+        FROM ex),
+      tt AS (
+        SELECT CAST(sum(CAST(rawv AS DECIMAL(28,12))) AS DOUBLE) AS tot
+        FROM rw)
+      SELECT rw.domain, round(rw.loss, 6) AS loss,
+        round(rw.excess, 6) AS excess,
+        round(0.9 * (rw.rawv / tt.tot) + 0.1 / CAST(rw.k AS DOUBLE), 6)
+          AS weight,
+        CAST(round(round(0.9 * (rw.rawv / tt.tot) +
+          0.1 / CAST(rw.k AS DOUBLE), 6) * 1000000.0, 0) AS BIGINT)
+          AS tokens_alloc
+      FROM rw CROSS JOIN tt ORDER BY domain""",
     "q302_nb_predict" -> nbPredictSql,
     // q312 streams the identical stateless scoring one file per
     // trigger — the landed frame must equal the batch result verbatim

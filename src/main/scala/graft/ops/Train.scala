@@ -297,15 +297,59 @@ object Train {
     * does).
     */
   def naiveBayesModel(train: DataFrame, label: Column, text: Column,
-                      minCount: Int = 1): DataFrame = {
+                      minCount: Int = 1): DataFrame =
+    naiveBayesFromState(naiveBayesState(train, label, text), minCount)
+
+  /** The MERGEABLE sufficient statistic behind [[naiveBayesModel]]: one
+    * frame of (kind, class, token, cnt) rows — `kind = 'tok'` carries
+    * the (class, token) occurrence counts, `kind = 'doc'` the per-class
+    * document counts (token = ''). Pure integer counts, so
+    * state(A ∪ B) = merge(state(A), state(B)) EXACTLY (the KMV/CMS
+    * merge-law discipline) — which is what lets the streamed twin fold
+    * batches forever and train the identical model from state.
+    */
+  def naiveBayesState(train: DataFrame, label: Column,
+                      text: Column): DataFrame = {
+    val base = Dedup.spread(train)
+      .select(label.cast("string").as("class"), text.as("__text"))
+      .filter(col("class").isNotNull)
+      .localCheckpoint() // feeds token counts and doc counts
+    val tok = base
+      .select(col("class"),
+        explode(graft.functions.tokens(col("__text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("class"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("tok").as("kind"), col("class"), col("token"), col("cnt"))
+    val doc = base.groupBy(col("class"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("doc").as("kind"), col("class"), lit("").as("token"),
+        col("cnt"))
+    tok.unionByName(doc)
+  }
+
+  /** Exact merge of two [[naiveBayesState]] frames — integer count sums
+    * on the (kind, class, token) key; associative and commutative.
+    */
+  def naiveBayesMergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("kind"), col("class"), col("token"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Train the (class × vocab) model from a sufficient-statistic frame —
+    * the closed-form step (no corpus access): vocab floor, class token
+    * totals, document priors and the Laplace grid all derive from the
+    * counts. `naiveBayesModel = naiveBayesFromState ∘ naiveBayesState`
+    * by construction, so a state maintained incrementally over batches
+    * trains the bit-identical model (q313 gates this against q301's
+    * batch oracle verbatim).
+    */
+  def naiveBayesFromState(state: DataFrame, minCount: Int = 1): DataFrame = {
     require(minCount >= 1, s"minCount must be ≥ 1, got $minCount")
-    val toks = Dedup.spread(train)
-      .select(label.cast("string").as("class"),
-        explode(graft.functions.tokens(text)).as("token"))
-      .filter(col("class").isNotNull && col("token") =!= "")
-      .localCheckpoint() // feeds counts, class totals and the vocab
-    val counts = toks.groupBy(col("class"), col("token"))
-      .agg(count(lit(1)).as("__cnt"))
+    val st = state.localCheckpoint() // read by counts and doc rows
+    val counts = st.filter(col("kind") === "tok")
+      .select(col("class"), col("token"), col("cnt").as("__cnt"))
+      .localCheckpoint() // feeds vocab, class totals and the grid join
     // vocab floor on the CORPUS count (sum over classes), then V
     val vocab = counts.groupBy(col("token"))
       .agg(sum(col("__cnt")).as("__tot"))
@@ -314,13 +358,11 @@ object Train {
       .localCheckpoint() // read by the grid and the V scalar
     val vSize = vocab.agg(count(lit(1)).as("__v"))
     // class priors over DOCUMENT counts (not token counts)
-    val docs = Dedup.spread(train)
-      .select(label.cast("string").as("class"))
-      .filter(col("class").isNotNull)
-      .groupBy(col("class")).agg(count(lit(1)).as("__docs"))
+    val docs = st.filter(col("kind") === "doc")
+      .select(col("class"), col("cnt").as("__docs"))
     val nDocs = docs.agg(sum(col("__docs")).as("__n"))
-    val classTok = toks.groupBy(col("class"))
-      .agg(count(lit(1)).as("__ctok"))
+    val classTok = counts.groupBy(col("class"))
+      .agg(sum(col("__cnt")).as("__ctok"))
     val classes = docs.join(classTok, Seq("class"), "left")
       .na.fill(0L, Seq("__ctok"))
       .crossJoin(broadcast(nDocs)).crossJoin(broadcast(vSize))
@@ -380,5 +422,63 @@ object Train {
         coalesce(col("__pred"), col("__fb")).as("pred_class"),
         coalesce(col("__s"), col("__fbs")).as("score"),
         col("__pred").isNotNull.as("in_vocab"))
+  }
+
+  /** DoReMi-lite domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * turn per-domain proxy losses into a training-mixture weight per
+    * domain — domains with EXCESS loss over the cross-domain reference
+    * get upweighted multiplicatively, then the whole mixture is smoothed
+    * toward uniform. The full algorithm alternates proxy-model training
+    * with weight updates; the in-engine lite keeps the weight-update
+    * step (the part that is a data-pipeline operator) over a caller-
+    * supplied loss column, with the reference loss taken as the
+    * unweighted cross-domain mean.
+    *
+    *  - excess_d = max(0, loss_d − mean(loss))  (DoReMi's clamp)
+    *  - raw_d    = (1 + η·excess_d)²            (see below)
+    *  - weight_d = (1−ε)·raw_d/Σraw + ε/K       (uniform smoothing)
+    *  - tokens_d = round(weight_d · tokenBudget)
+    *
+    * The multiplicative-weights `exp(η·excess)` is replaced by its
+    * second-order expansion `(1 + η·excess)²` — the same no-libm
+    * surrogate move as the Elliott sigmoid: strictly increasing,
+    * positive, equal to exp to O((ηx)³) at DoReMi's step sizes
+    * (η·excess ≪ 1), and composed only of exactly-rounded IEEE ops, so
+    * the oracle replays the weights bit-for-bit. Excess losses and raw
+    * weights are readout-rounded at 9 dp and normalized through the
+    * decimal(28,12) order-free sum.
+    *
+    * Scale: the input is ALREADY per-domain (one row per domain — the
+    * corpus-sized work happened in whatever produced `loss`), so every
+    * join here is a broadcast of one- or K-row frames; cost is O(K).
+    */
+  def domainMixWeights(perDomain: DataFrame, domain: Column, loss: Column,
+                       eta: Double, eps: Double,
+                       tokenBudget: Long): DataFrame = {
+    require(eta > 0.0, s"eta must be > 0, got $eta")
+    require(eps >= 0.0 && eps < 1.0, s"eps must be in [0,1), got $eps")
+    require(tokenBudget > 0L, s"tokenBudget must be > 0, got $tokenBudget")
+    val d = perDomain.select(domain.cast("string").as("domain"),
+      loss.cast("double").as("loss"))
+    val ref = d.agg(
+      (sum(round(col("loss"), 9).cast("decimal(28,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("__ref"),
+      count(lit(1)).as("__k"))
+    val ex = d.crossJoin(broadcast(ref))
+      .withColumn("excess",
+        greatest(lit(0.0d), round(col("loss") - col("__ref"), 9)))
+      .withColumn("__base", lit(1.0d) + lit(eta) * col("excess"))
+      .withColumn("__raw", round(col("__base") * col("__base"), 9))
+    val tot = ex.agg(
+      sum(col("__raw").cast("decimal(28,12)")).cast("double").as("__tot"))
+    ex.crossJoin(broadcast(tot))
+      .withColumn("weight", round(
+        lit(1.0d - eps) * (col("__raw") / col("__tot")) +
+          lit(eps) / col("__k").cast("double"), 6))
+      .select(col("domain"), round(col("loss"), 6).as("loss"),
+        round(col("excess"), 6).as("excess"), col("weight"),
+        round(col("weight") * lit(tokenBudget.toDouble), 0)
+          .cast("long").as("tokens_alloc"))
   }
 }

@@ -830,6 +830,70 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming Naive Bayes sufficient-statistic maintenance — the
+    * classifier day-2 shape ([[kmvMaintain]]'s protocol over
+    * [[graft.ops.Train.naiveBayesState]]): each micro-batch's
+    * (class, token) and per-class document counts fold into the
+    * persisted state via [[graft.ops.Train.naiveBayesMergeStates]] —
+    * integer sums on the state key, so ANY partition of the labeled
+    * stream into batches lands on the batch statistic EXACTLY, and
+    * [[graft.ops.Train.naiveBayesFromState]] trains the bit-identical
+    * model from it (q313 gates this against q301's batch oracle
+    * VERBATIM — the q289 train-from-state discipline). Per batch the
+    * cost is one token-grain aggregate over the BATCH plus a state-key
+    * merge — the labeled corpus is never rescanned, which is what makes
+    * a continuously-retrained quality filter affordable.
+    *
+    * State layout: `statePath/v{N}` = the statistic AFTER batch N,
+    * derived from the latest `v{M}, M < N`; superseded versions pruned
+    * to the last 2 — replay-idempotent, storage-bounded.
+    */
+  def nbStateMaintain(spark: SparkSession, sourceDir: String,
+                      schema: StructType, labelCol: String, textCol: String,
+                      statePath: String, checkpointDir: String,
+                      maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("class",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val versions =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).toSeq
+              .map(_.getPath.getName)
+              .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+              .filter(_ < batchId)
+          else Seq.empty[Long]
+        val prior =
+          if (versions.isEmpty)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+          else s.read.schema(stateSchema).parquet(s"$statePath/v${versions.max}")
+        graft.ops.Train.naiveBayesMergeStates(prior,
+            graft.ops.Train.naiveBayesState(batch.toDF(), col(labelCol),
+              col(textCol)))
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        pruneStateVersions(fs, statePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming perceptual-dedup maintenance — the multimodal dedup leg
     * run incrementally: each micro-batch's assets are banded
     * (`toBands`: the caller's decode → dHash → band composition) and

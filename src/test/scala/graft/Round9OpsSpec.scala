@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Privacy, Train, Web}
+import graft.ops.{Geo, Privacy, Train, Web}
 
 /** Hand-checked laws for the round-9 surface: the Naive Bayes model
   * contract (Laplace floor, grid completeness, prior fallback), Platt
@@ -70,6 +70,24 @@ class Round9OpsSpec extends AnyFunSuite {
     val toks = m.select($"token").distinct().as[String].collect().toSet
     assert(toks === Set("the", "el"))
     assert(m.count() === 4)
+  }
+
+  test("naiveBayesState merge law: state(A ∪ B) = merge(state(A), state(B))") {
+    val a = nbFixture.filter($"id" < 2)
+    val b = nbFixture.filter($"id" >= 2)
+    val merged = Train.naiveBayesMergeStates(
+      Train.naiveBayesState(a, $"lang", $"text"),
+      Train.naiveBayesState(b, $"lang", $"text"))
+    val whole = Train.naiveBayesState(nbFixture, $"lang", $"text")
+    val key = Seq("kind", "class", "token", "cnt")
+    assert(merged.select(key.map(col): _*).collect().toSet ===
+      whole.select(key.map(col): _*).collect().toSet)
+    // and the model trained from the merged state is the batch model
+    val mA = Train.naiveBayesFromState(merged)
+      .as[(String, String, Double, Double)].collect().toSet
+    val mB = Train.naiveBayesModel(nbFixture, $"lang", $"text")
+      .as[(String, String, Double, Double)].collect().toSet
+    assert(mA === mB)
   }
 
   // ——— Platt ——————————————————————————————————————————————————————————
@@ -151,5 +169,77 @@ class Round9OpsSpec extends AnyFunSuite {
     val h = Privacy.lDiversityHistogram(df, Seq($"qi"), $"s", l = 2)
       .as[(Long, Long, Long, Boolean)].collect().toList
     assert(h === List((1L, 1L, 5L, true), (2L, 1L, 2L, false)))
+  }
+
+  // ——— Geo ————————————————————————————————————————————————————————————
+
+  test("nearestCentroid: hand-checked argmin with the min-cid tie-break") {
+    // points on a line of latitude; centroids at lat 0, lon 0 / 10 / 20
+    val pts = Seq((1L, 0.0, 1.0), (2L, 0.0, 9.0), (3L, 0.0, 16.0))
+      .toDF("id", "lat", "lon")
+    val cs = Seq((10L, 0.0, 0.0), (20L, 0.0, 10.0), (30L, 0.0, 20.0))
+      .toDF("cid", "lat", "lon")
+    val got = Geo.nearestCentroid(pts, $"id", $"lat", $"lon",
+        cs, $"cid", $"lat", $"lon", cosLat0 = 1.0)
+      .select($"point_id", $"centroid_id").as[(Long, Long)]
+      .collect().toMap
+    assert(got === Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // exact tie (lon 5 between centroids 0 and 10) → smaller cid wins
+    val tie = Seq((9L, 0.0, 5.0)).toDF("id", "lat", "lon")
+    val t = Geo.nearestCentroid(tie, $"id", $"lat", $"lon",
+        cs, $"cid", $"lat", $"lon", cosLat0 = 1.0)
+      .select($"centroid_id").as[Long].head()
+    assert(t === 10L)
+  }
+
+  test("nearestWithinRadius containment law: grid ≡ broadcast argmin ≤ R") {
+    // the q314/q315 coordinate synthesis at sf0.001 scale
+    val spark0 = spark
+    import spark0.implicits._
+    val pts = (1L to 400L).toDF("id")
+      .select($"id", Geo.synthLat($"id").as("lat"),
+        Geo.synthLon($"id").as("lon"))
+    val cs = (0L to 24L).toDF("cid")
+      .select($"cid",
+        Geo.synthLat(concat(lit("n"), $"cid".cast("string"))).as("lat"),
+        Geo.synthLon(concat(lit("n"), $"cid".cast("string"))).as("lon"))
+    val r = 500.0
+    val grid = Geo.nearestWithinRadius(pts, $"id", $"lat", $"lon",
+        cs, $"cid", $"lat", $"lon", radiusKm = r, cosLat0 = 0.9692)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Geo.nearestCentroid(pts, $"id", $"lat", $"lon",
+        cs, $"cid", $"lat", $"lon", cosLat0 = 0.9692)
+      .filter($"dist_km" <= r)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(grid === brute)
+    assert(grid.nonEmpty && grid.size < 400) // both regimes exercised
+  }
+
+  // ——— DoReMi-lite ————————————————————————————————————————————————————
+
+  test("domainMixWeights: uniform losses → uniform weights, full budget") {
+    val d = Seq(("a", 0.5), ("b", 0.5), ("c", 0.5), ("d", 0.5))
+      .toDF("dom", "l")
+    val w = Train.domainMixWeights(d, $"dom", $"l", eta = 10.0, eps = 0.1,
+        tokenBudget = 1000000L)
+      .as[(String, Double, Double, Double, Long)].collect().toList.sorted
+    assert(w.forall(_._3 === 0.0)) // zero excess everywhere
+    assert(w.forall(_._4 === 0.25))
+    assert(w.map(_._5).sum === 1000000L)
+  }
+
+  test("domainMixWeights: excess clamps at zero and upweights hard domains") {
+    val d = Seq(("easy", 0.1), ("mid", 0.3), ("hard", 0.8))
+      .toDF("dom", "l")
+    val w = Train.domainMixWeights(d, $"dom", $"l", eta = 10.0, eps = 0.1,
+        tokenBudget = 1000000L)
+      .as[(String, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // ref = 0.4: easy and mid are below → excess 0; hard is 0.4 over
+    assert(w("easy")._3 === 0.0 && w("mid")._3 === 0.0)
+    assert(w("hard")._3 === 0.4)
+    assert(w("hard")._4 > w("mid")._4 && w("mid")._4 === w("easy")._4)
+    // weights sum to 1 within the 6-dp rounding
+    assert(math.abs(w.values.map(_._4).sum - 1.0) < 1e-5)
   }
 }
