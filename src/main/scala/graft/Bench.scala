@@ -298,7 +298,14 @@ object Bench {
     "q309_k_anonymity",
     "q310_l_diversity",
     "q311_cv_probe_sweep",
-    "q312_nb_score_stream")
+    "q312_nb_score_stream",
+    "q313_nb_state_stream",
+    "q314_geo_nearest",
+    "q315_geo_radius_grid",
+    "q316_doremi_mix",
+    "q317_q18_big_orders",
+    "q318_q22_idle_customers",
+    "q319_encoding_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

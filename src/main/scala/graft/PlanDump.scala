@@ -274,7 +274,22 @@ object PlanDump {
         "sort, slash strip) is codegen'd string/array expressions " +
         "inside the scan's WholeStageCodegen span — zero shuffle until " +
         "the single canonical-key hash aggregate with map-side combine; " +
-        "the crawl-frontier shape at any corpus size."))
+        "the crawl-frontier shape at any corpus size."),
+    "q314_geo_nearest" ->
+      ("The 25-row centroid frame broadcasts into a nested-loop join " +
+        "(dim × corpus — the points never shuffle to be scored); the " +
+        "argmin is ONE min(struct(d2, cid)) hash aggregate with " +
+        "map-side partials, so the shuffle carries one row per point " +
+        "regardless of centroid count. No window, no join-back, no " +
+        "driver collect; the metric is codegen'd IEEE arithmetic at " +
+        "the scan."),
+    "q317_q18_big_orders" ->
+      ("Q18 without the double fact read: the per-order quantity " +
+        "aggregate (map-side partial sums on the order key) serves " +
+        "BOTH the HAVING filter and the output column — lineitem is " +
+        "scanned once (PlanSpec-pinned scans == 3), the orders join " +
+        "reuses the aggregate's order-key partitioning, and the " +
+        "deterministic top-100 is a TakeOrdered, never a global sort."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

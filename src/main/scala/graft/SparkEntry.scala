@@ -4879,6 +4879,89 @@ object SparkEntry {
       .orderBy("domain")
   }
 
+  /** OLAP 7 (round-9): the TPC-H Q18 large-volume-order shape — the
+    * IN-subquery-on-a-grouped-HAVING classic. The naive translation
+    * scans lineitem TWICE (once for the HAVING set, once for the final
+    * sum); here the SAME per-order quantity aggregation serves both —
+    * the HAVING filter is applied to it and its sum IS the output
+    * column, so lineitem is scanned ONCE (PlanSpec-pinned), then
+    * equi-joins to orders on the already-shuffled order key and to the
+    * customer dim. Decimal quantity sums; full orderBy tie-break
+    * (totalprice desc, date, orderkey) makes the LIMIT deterministic.
+    */
+  private def q317(s: SparkSession, dir: String): DataFrame = {
+    val oq = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__qty"))
+      .filter(col("__qty") > lit(240))
+    oq.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("__qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** OLAP 8 (round-9): the TPC-H Q22 global-sales-opportunity shape —
+    * the two-subquery decorrelation: an UNCORRELATED scalar aggregate
+    * (the positive-balance average over the selected nations) becomes a
+    * one-row broadcast crossJoin feeding the filter, and the correlated
+    * NOT EXISTS against orders becomes one left-anti equi-join on the
+    * customer key with the date predicate PUSHED INSIDE the anti leg's
+    * scan — no per-row re-scan of either side. ("No orders" is adapted
+    * to "no orders since 2001" — the fixture's order generator gives
+    * every customer at least one lifetime order, so Q22's dormancy
+    * test needs the recency form to select anyone; same decorrelation
+    * either way.) The selected customer frame is checkpointed once and
+    * feeds BOTH the scalar and the main leg.
+    */
+  private def q318(s: SparkSession, dir: String): DataFrame = {
+    val sel = t(s, dir, "customer")
+      .filter(col("c_nationkey").isin(1, 3, 7, 12, 18))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .localCheckpoint() // feeds the scalar average AND the main leg
+    val avgPos = sel.filter(col("c_acctbal") > lit(0.0d))
+      .agg(davg(col("c_acctbal")).as("__avg"))
+    sel.crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("__avg"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        rdz(dsum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Quality 11 (round-9): encoding-anomaly audit
+    * ([[TextAnalysis.encodingAnomalies]]) — the mojibake/replacement-
+    * char curation dimension (C4/CCNet drop these documents): anomalies
+    * are PLANTED deterministically (mojibake digraphs on doc_id ≡ 0
+    * mod 7, a U+FFFD on ≡ 0 mod 11 — the planted-variant device) so
+    * the detector runs against known truth, then per-source keep/drop
+    * rates fold out. Pure codegen'd string expressions at the scan —
+    * the whole audit is shuffle-free until the K-row source rollup.
+    */
+  private def q319(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" donâ€™t cafÃ© niÃ±o"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" bad\uFFFDbyte"))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.encodingAnomalies(planted, col("doc_id"), col("text"))
+      .join(planted.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_repl")).as("tot_repl"),
+        sum(col("n_moji")).as("tot_moji"))
+      .orderBy("source")
+  }
+
   /** Similarity 19 (round-8 post-close): compressed-domain closest
     * pairs ([[Similarity.sdcClosestPairs]]) — the SDC counterpart of
     * q291's ADC: the 20 most-similar same-coarse-cell pairs scored
@@ -6802,7 +6885,10 @@ object SparkEntry {
     "q313_nb_state_stream" -> q313 _,
     "q314_geo_nearest" -> q314 _,
     "q315_geo_radius_grid" -> q315 _,
-    "q316_doremi_mix" -> q316 _)
+    "q316_doremi_mix" -> q316 _,
+    "q317_q18_big_orders" -> q317 _,
+    "q318_q22_idle_customers" -> q318 _,
+    "q319_encoding_audit" -> q319 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -10522,6 +10608,73 @@ object SparkEntry {
             AS DOUBLE) / CAST(count(j.d2) AS DOUBLE), 6) AS mean_km
       FROM j LEFT JOIN cc c ON j.cid = c.cid
       GROUP BY 1 ORDER BY 1""",
+    // q317: Q18 written the classic way (HAVING subquery + re-join);
+    // the engine's single-scan plan must land on the identical rows
+    "q317_q18_big_orders" -> """
+      WITH oq AS (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 240)
+      SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        o.o_totalprice, CAST(oq.qty AS DOUBLE) AS total_qty
+      FROM oq JOIN orders o ON oq.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o_orderdate, o.o_orderkey
+      LIMIT 100""",
+    // q318: Q22 written the classic way (scalar subquery + NOT EXISTS);
+    // the engine decorrelates into a broadcast scalar + anti join
+    "q318_q22_idle_customers" -> """
+      WITH sel AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        WHERE c_nationkey IN (1, 3, 7, 12, 18)),
+      av AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) AS a
+        FROM sel WHERE c_acctbal > 0.0),
+      f AS (
+        SELECT s.c_nationkey, s.c_acctbal FROM sel s CROSS JOIN av
+        WHERE s.c_acctbal > av.a
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = s.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01'))
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+          + 0.0 AS totacctbal
+      FROM f GROUP BY 1 ORDER BY 1""",
+    // q319: the planting rule, the replace-and-measure occurrence
+    // counts, and the flag rule all replayed verbatim
+    "q319_encoding_audit" -> {
+      val moji = graft.ops.TextAnalysis.MojibakePatterns
+      val occ = (p: String) =>
+        s"CAST((len(text) - len(replace(text, '$p', ''))) / ${p.length} AS BIGINT)"
+      s"""
+      WITH planted AS (
+        SELECT doc_id, source,
+          text ||
+            (CASE WHEN doc_id % 7 = 0 THEN ' donâ€™t cafÃ© niÃ±o'
+              ELSE '' END) ||
+            (CASE WHEN doc_id % 11 = 0 THEN ' bad�byte' ELSE '' END)
+            AS text
+        FROM documents),
+      audit AS (
+        SELECT doc_id, source, len(text) AS n_chars,
+          ${occ("�")} AS n_repl,
+          ${moji.map(occ).mkString("(", " + ", ")")} AS n_moji
+        FROM planted),
+      fl AS (
+        SELECT source, n_repl, n_moji,
+          n_repl > 0 OR (CASE WHEN n_chars > 0
+            THEN round(CAST(n_repl + n_moji AS DOUBLE) /
+              CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END) > 0.001 AS flagged
+        FROM audit)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_flagged,
+        CAST(sum(n_repl) AS BIGINT) AS tot_repl,
+        CAST(sum(n_moji) AS BIGINT) AS tot_moji
+      FROM fl GROUP BY 1 ORDER BY 1"""
+    },
     // q316: q223's unigram-LM CTEs at source grain, then the DoReMi-lite
     // weight math unrolled — the (1 + eta*x)^2 no-libm surrogate, decimal
     // normalization, 6-dp weights

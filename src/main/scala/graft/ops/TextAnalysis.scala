@@ -1118,4 +1118,49 @@ object TextAnalysis {
               lit(84.6d) * (col("n_syllables").cast("double") /
                 col("n_words").cast("double")), 4)))
   }
+
+  /** The mojibake tells [[encodingAnomalies]] counts by default: the
+    * classic UTF-8-decoded-as-Latin-1 digraphs (á é ó ú ñ ç read as
+    * 'Ã©' etc., smart quotes as 'â€™'/'â€œ') plus the NBSP artifact
+    * 'Â '. All BMP characters, so the per-pattern length is the same
+    * number in Spark (codepoints) and any replaying engine.
+    */
+  val MojibakePatterns: Seq[String] =
+    Seq("Ã©", "Ã¡", "Ã³", "Ãº", "Ã±", "Ã§", "â€™", "â€œ", "Â ")
+
+  /** Encoding-anomaly audit — the curation dimension every web-crawl
+    * cleaner runs alongside language-ID and quality scoring (C4/CCNet
+    * drop or repair these documents): per document, counts of U+FFFD
+    * replacement characters (a decoder already gave up) and of
+    * mojibake digraphs (UTF-8 bytes mis-decoded as Latin-1 — the 'Ã©'
+    * family), their ratio over the character count, and a keep/drop
+    * flag (ANY replacement char, or ratio above `flagRatio`).
+    *
+    * Counting is the replace-and-measure device (no regex needed):
+    * occurrences(p) = (len(text) − len(replace(text, p, ''))) / len(p)
+    * — pure codegen'd string expressions, exact integers, replayable
+    * verbatim by any engine with len/replace. Map-side only: no
+    * shuffle, no UDF, scales with the scan.
+    */
+  def encodingAnomalies(df: DataFrame, id: Column, text: Column,
+                        flagRatio: Double = 0.001,
+                        patterns: Seq[String] = MojibakePatterns)
+      : DataFrame = {
+    require(flagRatio >= 0.0, s"flagRatio must be >= 0, got $flagRatio")
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be non-empty strings")
+    def occurrences(p: String): Column =
+      ((length(text) - length(replace(text, lit(p), lit("")))) /
+        lit(p.length)).cast("long")
+    val nRepl = occurrences("\uFFFD")
+    val nMoji = patterns.map(occurrences).reduce(_ + _)
+    df.select(id.as("doc_id"), length(text).as("n_chars"),
+        nRepl.as("n_repl"), nMoji.as("n_moji"))
+      .withColumn("bad_ratio",
+        when(col("n_chars") > 0, graft.Readout.round(
+          (col("n_repl") + col("n_moji")).cast("double") /
+            col("n_chars").cast("double"), 6)).otherwise(lit(0.0d)))
+      .withColumn("flagged",
+        col("n_repl") > 0L || col("bad_ratio") > lit(flagRatio))
+  }
 }

@@ -354,6 +354,31 @@ class PlanSpec extends AnyFunSuite {
       "supplier-inequality predicate degenerated to a cartesian")
   }
 
+  test("q317 Q18 shape: one lineitem scan serves HAVING and output sum") {
+    val p = plan("q317_q18_big_orders")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(p).length
+    assert(scans == 3,
+      s"expected 3 parquet scans (lineitem/orders/customer once each), " +
+        s"got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q318 Q22 shape: scalar broadcast, NOT EXISTS as anti, date pushed") {
+    val p = plan("q318_q22_idle_customers")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS leg not an anti join:\n$p")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"expected only the orders scan (customer behind the checkpoint), " +
+        s"got $scans:\n$p")
+    val rdd = "Scan ExistingRDD".r.findAllIn(p).length
+    assert(rdd == 2,
+      s"expected scalar + main legs on the checkpointed customers:\n$p")
+    val pf = p.indexOf("PushedFilters: [")
+    assert(pf >= 0 && p.indexOf("o_orderdate", pf) >= 0,
+      s"date predicate not pushed into the anti leg's scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q147 drift: histogram counts aggregate with map-side partials") {
     val p = plan("q147_histogram_drift")
     assert(p.contains("partial_sum") || p.contains("partial_count"),

@@ -242,4 +242,23 @@ class Round9OpsSpec extends AnyFunSuite {
     // weights sum to 1 within the 6-dp rounding
     assert(math.abs(w.values.map(_._4).sum - 1.0) < 1e-5)
   }
+
+  // ——— Encoding anomalies —————————————————————————————————————————————
+
+  test("encodingAnomalies: hand-checked counts, ratio, and flag rule") {
+    val df = Seq(
+      (1L, "clean plain text"),
+      (2L, "donâ€™t cafÃ© cafÃ©"),   // 1 smart quote + 2 mojibake é
+      (3L, "bad\uFFFDbyte"),          // replacement char → always flagged
+      (4L, ""))                       // empty → ratio 0, unflagged
+      .toDF("id", "txt")
+    val got = graft.ops.TextAnalysis
+      .encodingAnomalies(df, $"id", $"txt")
+      .as[(Long, Int, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._3 === 0L && got(1L)._4 === 0L && !got(1L)._6)
+    assert(got(2L)._3 === 0L && got(2L)._4 === 3L && got(2L)._6)
+    assert(got(3L)._3 === 1L && got(3L)._6)
+    assert(got(4L)._2 === 0 && got(4L)._5 === 0.0 && !got(4L)._6)
+  }
 }
