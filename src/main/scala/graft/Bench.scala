@@ -305,7 +305,8 @@ object Bench {
     "q316_doremi_mix",
     "q317_q18_big_orders",
     "q318_q22_idle_customers",
-    "q319_encoding_audit")
+    "q319_encoding_audit",
+    "q320_keyword_risk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4962,6 +4962,43 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** The q320 wordlist: overlapping members ("win" inside "window") and
+    * a spaced phrase exercise the automaton where chained LIKEs and the
+    * replace-length device both break down. Weights are the blocklist
+    * severities the risk score folds with.
+    */
+  private val kwList = Seq("win", "window", "scan", "order",
+    "batch batch", "merge")
+  private val kwWeights = Seq(5L, 1L, 2L, 1L, 3L, 2L)
+
+  /** Function 6 (round-9): multi-keyword risk scoring via the native
+    * Aho–Corasick expression ([[graft.functions.keywordCounts]]) — the
+    * safety/blocklist-wordlist scorer: per-keyword occurrence counts in
+    * ONE codegen'd text pass (a 10k-term list costs the same scan),
+    * folded with array functions into total hits and a severity-
+    * weighted risk score, rolled up per source. The oracle replays
+    * keyword-by-keyword with regex counts — the expression's documented
+    * leftmost-non-overlapping contract is exactly RE2's, which is what
+    * makes the automaton differentially gateable at all.
+    */
+  private def q320(s: SparkSession, dir: String): DataFrame = {
+    val wts = array(kwWeights.map(lit): _*)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.keywordCounts(lower(col("text")), kwList).as("__c"))
+      .withColumn("__hits",
+        aggregate(col("__c"), lit(0L), (acc, x) => acc + x))
+      .withColumn("__score",
+        aggregate(zip_with(col("__c"), wts, (c, w) => c * w),
+          lit(0L), (acc, x) => acc + x))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__score") > 0L, 1L).otherwise(0L)).as("n_risky"),
+        sum(col("__hits")).as("tot_hits"),
+        sum(col("__score")).as("tot_score"))
+      .orderBy("source")
+  }
+
   /** Similarity 19 (round-8 post-close): compressed-domain closest
     * pairs ([[Similarity.sdcClosestPairs]]) — the SDC counterpart of
     * q291's ADC: the 20 most-similar same-coarse-cell pairs scored
@@ -6888,7 +6925,8 @@ object SparkEntry {
     "q316_doremi_mix" -> q316 _,
     "q317_q18_big_orders" -> q317 _,
     "q318_q22_idle_customers" -> q318 _,
-    "q319_encoding_audit" -> q319 _)
+    "q319_encoding_audit" -> q319 _,
+    "q320_keyword_risk" -> q320 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -10674,6 +10712,26 @@ object SparkEntry {
         CAST(sum(n_repl) AS BIGINT) AS tot_repl,
         CAST(sum(n_moji) AS BIGINT) AS tot_moji
       FROM fl GROUP BY 1 ORDER BY 1"""
+    },
+    // q320: the automaton's per-keyword counts replayed keyword-by-
+    // keyword as RE2 non-overlapping regex counts (the documented
+    // contract), then the same integer folds
+    "q320_keyword_risk" -> {
+      val occ = kwList.map(k =>
+        s"CAST(len(regexp_extract_all(lower(text), '${k}')) AS BIGINT)")
+      val hits = occ.mkString("(", " + ", ")")
+      val score = kwWeights.zip(occ)
+        .map { case (w, o) => s"$w * $o" }.mkString("(", " + ", ")")
+      s"""
+      WITH sc AS (
+        SELECT source, $hits AS hits, $score AS score
+        FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_risky,
+        CAST(sum(hits) AS BIGINT) AS tot_hits,
+        CAST(sum(score) AS BIGINT) AS tot_score
+      FROM sc GROUP BY 1 ORDER BY 1"""
     },
     // q316: q223's unigram-LM CTEs at source grain, then the DoReMi-lite
     // weight math unrolled — the (1 + eta*x)^2 no-libm surrogate, decimal

@@ -114,6 +114,25 @@ package object functions {
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
   }
 
+  /** Per-keyword occurrence counts (`array<bigint>`, keyword order) via
+    * the codegen'd Aho–Corasick [[KeywordCounts]] expression — one text
+    * pass for ANY list size (see the expression's Scaladoc).
+    */
+  def keywordCounts(text: Column, keywords: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(KeywordCounts(ColumnBridge.expression(text), keywords))
+  }
+
+  /** Built-ins-only twin of [[keywordCounts]] — one `regexp_count` per
+    * keyword (N text passes) — the formulation the automaton must agree
+    * with bit-for-bit; kept for differential testing.
+    */
+  def keywordCountsCompositional(text: Column,
+                                 keywords: Seq[String]): Column =
+    array(keywords.map(k =>
+      regexp_count(text, lit(java.util.regex.Pattern.quote(k)))
+        .cast("long")): _*)
+
   /** Register the engine's SQL-callable functions on a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{cosine, cosineCompositional, intDot, intDotCompositional, registerAll}
+import graft.functions.{cosine, cosineCompositional, intDot, intDotCompositional, keywordCounts, keywordCountsCompositional, registerAll}
 
 class ExpressionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -161,5 +161,28 @@ class ExpressionSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT int_dot_product(array(2L, 3L), array(4L, 5L)) AS d")
       .head().getLong(0) === 23L)
+  }
+
+  test("codegen'd keyword counts are bit-identical to regexp_count") {
+    val kws = Seq("win", "window", "scan", "batch batch", "aa")
+    val df = Seq(
+      "window window win",          // win inside window counts; 3/2/0/0/0
+      "batch batch batch",          // phrase non-overlap: 1, not 2
+      "aaaa",                       // aa non-overlap: 2, not 3
+      "scan the window scan scan",  // plain hits
+      "",                           // empty text: all zeros
+      "no hits here at all")
+      .toDF("t")
+    val out = df.select(keywordCounts($"t", kws).as("fast"),
+      keywordCountsCompositional($"t", kws).as("ref")).collect()
+    out.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // hand values for the tricky rows
+    assert(out(0).getSeq[Long](0) === Seq(3L, 2L, 0L, 0L, 0L))
+    assert(out(1).getSeq[Long](0) === Seq(0L, 0L, 0L, 1L, 0L))
+    assert(out(2).getSeq[Long](0) === Seq(0L, 0L, 0L, 0L, 2L))
+    // null text → null array, never an error
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(keywordCounts($"t", kws)).collect()
+    assert(n(0).isNullAt(0))
   }
 }
