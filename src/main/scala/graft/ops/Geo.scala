@@ -70,7 +70,10 @@ object Geo {
   /** Exact nearest-centroid assignment: every point gets the centroid
     * minimizing [[equirectKm2]], ties broken by smallest centroid id —
     * a total, engine-portable order. Returns
-    * (point_id, centroid_id, dist_km).
+    * (point_id, centroid_id, dist_km). PRECONDITION (both paths):
+    * coordinates must be non-null — a null lat/lon makes the distance
+    * null, whose placement under the argmin fold is engine-specific;
+    * filter or impute upstream.
     *
     * Plan: the centroid frame BROADCASTS into a nested-loop join (the
     * K-row dim × corpus shape — the corpus never shuffles to be

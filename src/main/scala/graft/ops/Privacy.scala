@@ -47,6 +47,11 @@ object Privacy {
     * where a QI match discloses the sensitive value (l = 1: everyone in
     * the class shares it — k-anonymity alone does not prevent this
     * homogeneity attack, which is the whole reason l-diversity exists).
+    *
+    * NULL sensitive values are NOT counted as a distinct value
+    * (count-distinct SQL semantics, identical in any replaying engine):
+    * a group whose sensitive attribute is entirely null reads l = 0 —
+    * flagged at-risk, which is the conservative direction.
     */
   def lDiversityHistogram(df: DataFrame, qi: Seq[Column],
                           sensitive: Column, l: Int): DataFrame = {

@@ -243,6 +243,17 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(w.values.map(_._4).sum - 1.0) < 1e-5)
   }
 
+  test("domainMixWeights: one domain → weight 1, whole budget; empty → empty") {
+    val one = Train.domainMixWeights(Seq(("only", 0.7)).toDF("d", "l"),
+        $"d", $"l", eta = 10.0, eps = 0.1, tokenBudget = 500L)
+      .as[(String, Double, Double, Double, Long)].head()
+    assert(one._3 === 0.0 && one._4 === 1.0 && one._5 === 500L)
+    val none = Train.domainMixWeights(
+      Seq.empty[(String, Double)].toDF("d", "l"),
+      $"d", $"l", eta = 10.0, eps = 0.1, tokenBudget = 500L)
+    assert(none.count() === 0)
+  }
+
   // ——— Encoding anomalies —————————————————————————————————————————————
 
   test("encodingAnomalies: hand-checked counts, ratio, and flag rule") {
