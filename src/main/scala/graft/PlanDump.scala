@@ -278,18 +278,24 @@ object PlanDump {
     "q314_geo_nearest" ->
       ("The 25-row centroid frame broadcasts into a nested-loop join " +
         "(dim × corpus — the points never shuffle to be scored); the " +
-        "argmin is ONE min(struct(d2, cid)) hash aggregate with " +
-        "map-side partials, so the shuffle carries one row per point " +
-        "regardless of centroid count. No window, no join-back, no " +
-        "driver collect; the metric is codegen'd IEEE arithmetic at " +
-        "the scan."),
+        "argmin is ONE min(struct(d2, cid)) fold — struct ordering is " +
+        "sort-agg-only in Spark, so it runs as a SortAggregate pair " +
+        "with the PARTIAL side before the exchange: each task folds " +
+        "its K candidates per point locally (one per-partition sort " +
+        "of the pair frame, the documented log-factor trade for " +
+        "tie-deterministic argmin in one operator) and the shuffle " +
+        "still carries exactly one row per point regardless of " +
+        "centroid count. No window, no join-back, no driver collect; " +
+        "the metric is codegen'd IEEE arithmetic at the scan."),
     "q317_q18_big_orders" ->
       ("Q18 without the double fact read: the per-order quantity " +
         "aggregate (map-side partial sums on the order key) serves " +
         "BOTH the HAVING filter and the output column — lineitem is " +
-        "scanned once (PlanSpec-pinned scans == 3), the orders join " +
-        "reuses the aggregate's order-key partitioning, and the " +
-        "deterministic top-100 is a TakeOrdered, never a global sort."))
+        "scanned once (PlanSpec-pinned scans == 3); orders and " +
+        "customer broadcast at gate scale (AQE swaps to equi-joins " +
+        "on the aggregate's already-exchanged order key when they " +
+        "outgrow the threshold), and the deterministic top-100 is a " +
+        "TakeOrderedAndProject, never a global sort."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

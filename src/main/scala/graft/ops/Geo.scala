@@ -81,6 +81,11 @@ object Geo {
     * map-side partial: each task folds its K candidates per point
     * locally, so the shuffle carries exactly one row per point
     * regardless of K. No window, no join-back, no driver collect.
+    * Struct min is sort-agg-only in Spark, so the partial fold pays
+    * one per-partition sort of the pair frame — the documented
+    * log-factor trade for a tie-deterministic argmin in a single
+    * operator (the alternative, a hash-agg min(d²) plus a join-back
+    * and a tie fold, re-reads the pair frame and shuffles twice).
     */
   def nearestCentroid(points: DataFrame, pointId: Column,
                       pLat: Column, pLon: Column,
