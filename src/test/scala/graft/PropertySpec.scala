@@ -290,4 +290,65 @@ class PropertySpec extends AnyFunSuite {
         assert(out.count() === rows.length)
       }
   }
+
+  test("law: Aho–Corasick counts equal brute leftmost-non-overlap, always") {
+    // pure-JVM differential: hundreds of adversarial cases (tiny
+    // alphabet maximizes overlaps/self-overlaps) against a per-keyword
+    // greedy reference scan — no Spark job per case
+    def brute(text: String, kw: String): Long = {
+      var i = 0; var n = 0L
+      while (i <= text.length - kw.length) {
+        if (text.regionMatches(i, kw, 0, kw.length)) { n += 1; i += kw.length }
+        else i += 1
+      }
+      n
+    }
+    val kwGen = Gen.nonEmptyListOf(
+      Gen.choose(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', ' ')).map(_.mkString)))
+      .map(_.distinct.take(8))
+    val textGen = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+    samples(Gen.zip(kwGen, Gen.listOfN(40, textGen)), 8).foreach {
+      case (kws, texts) =>
+        val ac = new graft.functions.AhoCorasick(kws)
+        texts.foreach { t =>
+          val got = ac.counts(t).toSeq
+          val want = kws.map(brute(t, _))
+          assert(got === want, s"kws=$kws text='$t'")
+        }
+    }
+    // and one Spark pass so the CODEGEN path sees adversarial cases too
+    val kws = Seq("ab", "aba", "a", "b b")
+    val texts = samples(textGen, 30).toList
+    val df = texts.toDF("t")
+    val out = df.select(
+      graft.functions.keywordCounts($"t", kws).as("fast"),
+      graft.functions.keywordCountsCompositional($"t", kws).as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("law: grid radius-nearest equals broadcast argmin filtered, always") {
+    import org.apache.spark.sql.functions._
+    val ptGen = for {
+      id <- Gen.choose(1L, 500L)
+      la <- Gen.choose(-33.0, 4.0); lo <- Gen.choose(-73.0, -35.0)
+    } yield (id, la, lo)
+    val (ptsRaw, csRaw) =
+      samples(Gen.zip(Gen.listOfN(120, ptGen), Gen.listOfN(12, ptGen)), 1).head
+    val pts = ptsRaw.distinctBy(_._1).toDF("id", "lat", "lon")
+    val cs = csRaw.distinctBy(_._1).toDF("cid", "clat", "clon")
+    for (r <- Seq(150.0, 700.0, 2500.0)) {
+      val grid = graft.ops.Geo.nearestWithinRadius(pts, $"id", $"lat",
+          $"lon", cs, $"cid", $"clat", $"clon", radiusKm = r,
+          cosLat0 = 0.9692)
+        .as[(Long, Long, Double)].collect().toSet
+      val brute = graft.ops.Geo.nearestCentroid(pts, $"id", $"lat", $"lon",
+          cs, $"cid", $"clat", $"clon", cosLat0 = 0.9692)
+        .filter($"dist_km" <= r)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(grid === brute, s"radius $r")
+    }
+  }
 }
