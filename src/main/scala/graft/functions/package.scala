@@ -146,6 +146,25 @@ package object functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int_dot_product", exprs => IntDotProduct(exprs(0), exprs(1)),
       "scala_udf")
+    // keyword list must be a FOLDABLE array of string literals — the
+    // automaton is built at plan time, not per row
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "keyword_counts", { exprs =>
+        val kws = exprs(1) match {
+          case a: org.apache.spark.sql.catalyst.expressions.CreateArray
+              if a.children.forall(_.foldable) =>
+            a.children.map(_.eval(null).toString)
+          case l if l.foldable && l.dataType.isInstanceOf[
+              org.apache.spark.sql.types.ArrayType] =>
+            l.eval(null)
+              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(_.toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"keyword_counts needs a foldable string-array keyword list, got $other")
+        }
+        KeywordCounts(exprs(0), kws)
+      }, "scala_udf")
   }
 
   /** Deterministic per-seed MinHash value over an array of 64-bit element

@@ -184,5 +184,10 @@ class ExpressionSpec extends AnyFunSuite {
     val n = Seq(Option.empty[String]).toDF("t")
       .select(keywordCounts($"t", kws)).collect()
     assert(n(0).isNullAt(0))
+    // SQL registration: literal-array keyword list, automaton at plan time
+    registerAll(spark)
+    assert(spark.sql(
+      "SELECT keyword_counts('window win', array('win', 'window')) AS c")
+      .head().getSeq[Long](0) === Seq(2L, 1L))
   }
 }
