@@ -306,7 +306,8 @@ object Bench {
     "q317_q18_big_orders",
     "q318_q22_idle_customers",
     "q319_encoding_audit",
-    "q320_keyword_risk")
+    "q320_keyword_risk",
+    "q321_geo_zone_tag")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

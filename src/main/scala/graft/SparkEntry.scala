@@ -4962,6 +4962,50 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** The q321 zone polygons (lat, lon vertices, closed implicitly) —
+    * non-convex shapes with horizontal edges included deliberately
+    * (both crossing-rule branches exercised); constants are interpolated
+    * into the oracle SQL from these SAME doubles.
+    */
+  private val geoZones: Seq[(String, Seq[(Double, Double)])] = Seq(
+    "zone_north" -> Seq((4.0, -70.0), (4.0, -50.0), (-5.0, -45.0),
+      (-5.0, -72.0)),
+    "zone_coast" -> Seq((-3.0, -34.9), (-15.0, -36.0), (-10.0, -45.0)),
+    "zone_south" -> Seq((-20.0, -58.0), (-22.0, -45.0), (-30.0, -50.0),
+      (-33.0, -55.0), (-25.0, -60.0)))
+
+  /** Geo 3 (round-9): point-in-polygon zone tagging
+    * ([[graft.ops.Geo.pointInPolygon]]) — the containment primitive
+    * that completes the geo enrich pair (nearest-centroid = "closest
+    * seat", this = "which region am I IN"): every customer point tested
+    * against three fixed zone polygons by the crossing-number rule,
+    * first match wins, unmatched points land in "(none)". The whole
+    * test is codegen'd IEEE arithmetic at the scan — zero shuffle until
+    * the K-row zone rollup; the oracle replays every edge test from the
+    * same interpolated constants.
+    */
+  private def q321(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").select(col("c_custkey"),
+      graft.ops.Geo.synthLat(col("c_custkey")).as("plat"),
+      graft.ops.Geo.synthLon(col("c_custkey")).as("plon"))
+    val tag = geoZones.reverse.foldLeft(lit("(none)")) {
+      case (acc, (name, poly)) =>
+        when(graft.ops.Geo.pointInPolygon(col("plat"), col("plon"), poly),
+          lit(name)).otherwise(acc)
+    }
+    pts.withColumn("zone", tag)
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(round(col("plat"), 9).cast("decimal(28,12)")).as("__sla"),
+        sum(round(col("plon"), 9).cast("decimal(28,12)")).as("__slo"))
+      .select(col("zone"), col("n_pts"),
+        round(col("__sla").cast("double") / col("n_pts").cast("double"), 6)
+          .as("mean_lat"),
+        round(col("__slo").cast("double") / col("n_pts").cast("double"), 6)
+          .as("mean_lon"))
+      .orderBy("zone")
+  }
+
   /** The q320 wordlist: overlapping members ("win" inside "window") and
     * a spaced phrase exercise the automaton where chained LIKEs and the
     * replace-length device both break down. Weights are the blocklist
@@ -6926,7 +6970,8 @@ object SparkEntry {
     "q317_q18_big_orders" -> q317 _,
     "q318_q22_idle_customers" -> q318 _,
     "q319_encoding_audit" -> q319 _,
-    "q320_keyword_risk" -> q320 _)
+    "q320_keyword_risk" -> q320 _,
+    "q321_geo_zone_tag" -> q321 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -10732,6 +10777,37 @@ object SparkEntry {
         CAST(sum(hits) AS BIGINT) AS tot_hits,
         CAST(sum(score) AS BIGINT) AS tot_score
       FROM sc GROUP BY 1 ORDER BY 1"""
+    },
+    // q321: every edge's crossing test replayed from the SAME
+    // interpolated vertex constants; first-match CASE order as the
+    // engine's fold
+    "q321_geo_zone_tag" -> {
+      def polySql(poly: Seq[(Double, Double)]): String = {
+        val terms = poly.indices.map { i =>
+          val (y1, x1) = poly(i)
+          val (y2, x2) = poly((i + 1) % poly.length)
+          if (y1 == y2) "0"
+          else s"(CASE WHEN (($y1 > p.plat) <> ($y2 > p.plat)) AND " +
+            s"p.plon < ${x2 - x1} * (p.plat - $y1) / ${y2 - y1} + $x1 " +
+            "THEN 1 ELSE 0 END)"
+        }
+        s"((${terms.mkString(" + ")}) % 2 = 1)"
+      }
+      val cases = geoZones.map { case (n, poly) =>
+        s"WHEN ${polySql(poly)} THEN '$n'"
+      }.mkString("\n          ")
+      s"""
+      WITH $geoCtes,
+      z AS (
+        SELECT p.pid, p.plat, p.plon,
+          CASE $cases ELSE '(none)' END AS zone
+        FROM p)
+      SELECT zone, CAST(count(*) AS BIGINT) AS n_pts,
+        round(CAST(sum(CAST(round(plat, 9) AS DECIMAL(28,12))) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS mean_lat,
+        round(CAST(sum(CAST(round(plon, 9) AS DECIMAL(28,12))) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS mean_lon
+      FROM z GROUP BY 1 ORDER BY 1"""
     },
     // q316: q223's unigram-LM CTEs at source grain, then the DoReMi-lite
     // weight math unrolled — the (1 + eta*x)^2 no-libm surrogate, decimal

@@ -105,6 +105,36 @@ object Geo {
         sqrt(col("__best.__d2")).as("dist_km"))
   }
 
+  /** Point-in-polygon containment by the crossing-number (odd–even)
+    * rule: a horizontal ray from the point crosses the polygon's edges
+    * an odd number of times iff the point is inside. The polygon is a
+    * caller-fixed literal vertex list in (lat, lon) order (closed
+    * implicitly), so every edge constant — Δx, Δy, the vertex
+    * coordinates — is compiled into the expression, and the whole test
+    * is IEEE compare/multiply/divide on identical trees in any
+    * replaying engine: bit-deterministic except for points EXACTLY on
+    * an edge (measure-zero; both engines still agree, since they
+    * evaluate the same arithmetic). Pure map-side codegen — the
+    * "which state/region is this record in" enrich tag costs zero
+    * shuffle at any corpus size. Non-convex polygons work (the rule is
+    * the general one); holes = test the hole polygon separately.
+    */
+  def pointInPolygon(lat: Column, lon: Column,
+                     poly: Seq[(Double, Double)]): Column = {
+    require(poly.length >= 3, s"polygon needs >= 3 vertices, got ${poly.length}")
+    val crossings = poly.indices.map { i =>
+      val (y1, x1) = poly(i)
+      val (y2, x2) = poly((i + 1) % poly.length)
+      if (y1 == y2) lit(0) // horizontal edge: never crossed by the ray rule
+      else {
+        val cond = (lit(y1) > lat) =!= (lit(y2) > lat)
+        val xint = lit(x2 - x1) * (lat - lit(y1)) / lit(y2 - y1) + lit(x1)
+        when(cond && lon < xint, 1).otherwise(0)
+      }
+    }
+    crossings.reduce(_ + _) % 2 === 1
+  }
+
   /** Radius-bounded nearest centroid WITHOUT broadcasting: both sides
     * land in a square grid of `radiusKm`-wide cells in the projected km
     * plane; centroids replicate to their 3×3 cell neighborhood and the

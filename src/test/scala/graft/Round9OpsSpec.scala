@@ -215,6 +215,32 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(grid.nonEmpty && grid.size < 400) // both regimes exercised
   }
 
+  test("pointInPolygon: square, L-shape concavity, horizontal edges") {
+    // (lat, lon) squares/L-shapes; horizontal edges are skipped by the
+    // crossing rule and must not break containment
+    val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    // L-shape: the notch (lat>5, lon>5) is OUTSIDE
+    val ell = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (5.0, 5.0),
+      (5.0, 10.0), (0.0, 10.0))
+    val pts = Seq(
+      (1L, 5.0, 5.0 - 0.5),   // inside both
+      (2L, 15.0, 5.0),        // above both
+      (3L, 5.0, -1.0),        // left of both
+      (4L, 7.0, 7.0),         // inside square, in the L's notch
+      (5L, 2.0, 7.0))         // inside both (below the notch)
+      .toDF("id", "la", "lo")
+    val got = pts.select($"id",
+        Geo.pointInPolygon($"la", $"lo", square).as("sq"),
+        Geo.pointInPolygon($"la", $"lo", ell).as("el"))
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === (true, true))
+    assert(got(2L) === (false, false))
+    assert(got(3L) === (false, false))
+    assert(got(4L) === (true, false))
+    assert(got(5L) === (true, true))
+  }
+
   // ——— DoReMi-lite ————————————————————————————————————————————————————
 
   test("domainMixWeights: uniform losses → uniform weights, full budget") {
