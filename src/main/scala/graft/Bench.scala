@@ -307,7 +307,10 @@ object Bench {
     "q318_q22_idle_customers",
     "q319_encoding_audit",
     "q320_keyword_risk",
-    "q321_geo_zone_tag")
+    "q321_geo_zone_tag",
+    "q322_model_curation_funnel",
+    "q323_psl_domain",
+    "q324_zone_table_pip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

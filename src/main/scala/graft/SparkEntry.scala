@@ -4468,12 +4468,13 @@ object SparkEntry {
 
   /** Train 7 (round-9): Platt scaling ([[graft.ops.Train.plattFit]]) —
     * the 2-parameter post-hoc recalibration map σ(A·score + B) fit on
-    * the held-out probe scores by 3 more GD rounds: the standard fix
+    * the held-out probe scores by 12 more GD rounds: the standard fix
     * for a filter model that RANKS well but whose probabilities drift
     * (q193's reliability-bin diagnosis). Inherits the full GD
     * determinism contract (Elliott sigmoid, decimal gradient sums,
-    * 12-dp updates), so the oracle unrolls probe-then-Platt — six
-    * nested fixed-point iterations — and lands on the same (B, A) bits.
+    * 12-dp updates), so the oracle unrolls probe-then-Platt — fifteen
+    * nested fixed-point iterations (3 probe + 12 Platt, the cw0..cw12
+    * chain) — and lands on the same (B, A) bits.
     */
   private def q304(s: SparkSession, dir: String): DataFrame = {
     val sc = plattScored(s, dir)
@@ -5004,6 +5005,193 @@ object SparkEntry {
         round(col("__slo").cast("double") / col("n_pts").cast("double"), 6)
           .as("mean_lon"))
       .orderBy("zone")
+  }
+
+  /** The q324 many-zone fixture: 40 deterministic polygons tiling the
+    * Brazil bbox — irregular hexagons with a concave notch (non-convex:
+    * both crossing-rule branches live), every fourth zone carrying a
+    * horizontal top edge (the never-crossed rule exercised on DATA
+    * edges), sizes varying 1.5°–4.3° so neighbors overlap (a point can
+    * match several zones — containment-pair semantics, not first-match).
+    * Constants are plain Scala arithmetic, interpolated verbatim into
+    * the oracle.
+    */
+  private val q324Zones: Seq[(String, Seq[(Double, Double)])] =
+    (0 until 40).map { z =>
+      val cy = -30.0 + (z % 8) * 4.5
+      val cx = -70.0 + (z / 8) * 7.0
+      val r = 1.5 + (z % 5) * 0.7
+      val verts =
+        if (z % 4 == 0) Seq(
+          (cy + r, cx - 0.4 * r), (cy + r, cx + 0.4 * r), // horizontal edge
+          (cy + 0.2 * r, cx + r), (cy - r, cx + 0.6 * r),
+          (cy - 0.3 * r, cx), // concave notch
+          (cy - r, cx - 0.6 * r), (cy + 0.2 * r, cx - r))
+        else Seq(
+          (cy + r, cx), (cy + 0.2 * r, cx + r), (cy - r, cx + 0.6 * r),
+          (cy - 0.3 * r, cx), (cy - r, cx - 0.6 * r),
+          (cy + 0.2 * r, cx - r))
+      (f"zone_$z%02d", verts)
+    }
+
+  /** Geo 4 (round-10): zone-TABLE point-in-polygon
+    * ([[graft.ops.Geo.zoneTagJoin]]) — q321's containment tagging when
+    * the zones are a table, not K compile-time literals: bbox-grid
+    * prefilter (500 km cells, the q315 cell device) → candidate
+    * (point, zone) equi-join on the cell key → exact crossing-number
+    * verify on the exploded edge arrays. Candidate volume is points ×
+    * (zone bboxes per cell) — corpus-linear at fixed zone density, the
+    * shape that survives a 10⁴-polygon parcel table. Output: per-zone
+    * containment counts + coordinate means (overlapping zones both
+    * count their shared points; zone-less points land in "(none)").
+    * The oracle replays the UNBLOCKED all-zones test from the same
+    * interpolated vertex constants — the gate proves the grid path
+    * loses nothing; Round10OpsSpec pins data-edge ≡ literal-edge
+    * arithmetic on the q321 zones.
+    */
+  private def q324(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = t(s, dir, "customer").select(col("c_custkey"),
+        graft.ops.Geo.synthLat(col("c_custkey")).as("plat"),
+        graft.ops.Geo.synthLon(col("c_custkey")).as("plon"))
+      .localCheckpoint() // read by the candidate join and the (none) leg
+    val zones = q324Zones.toDF("zone", "__vs")
+      .select(col("zone"), transform(col("__vs"), v =>
+        struct(v.getField("_1").as("lat"), v.getField("_2").as("lon")))
+        .as("verts"))
+    val pairs = graft.ops.Geo.zoneTagJoin(pts, col("c_custkey"),
+      col("plat"), col("plon"), zones, col("zone"), col("verts"),
+      cellKm = 500.0, cosLat0 = geoCosLat0)
+    pts.join(pairs, col("c_custkey") === col("point_id"), "left")
+      .select(coalesce(col("zone"), lit("(none)")).as("zone"),
+        col("plat"), col("plon"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(round(col("plat"), 9).cast("decimal(28,12)")).as("__sla"),
+        sum(round(col("plon"), 9).cast("decimal(28,12)")).as("__slo"))
+      .select(col("zone"), col("n_pts"),
+        round(col("__sla").cast("double") / col("n_pts").cast("double"), 6)
+          .as("mean_lat"),
+        round(col("__slo").cast("double") / col("n_pts").cast("double"), 6)
+          .as("mean_lon"))
+      .orderBy("zone")
+  }
+
+  /** The q322 planted-label fixture (the q319 planted-variant device,
+    * classifier flavor): every fifth document gets a spam-marker tail
+    * and the label 'low'; the rest are 'high'. The markers give the
+    * corpus the lexical signal the driver's shared-vocabulary documents
+    * lack (q303's diagnosis), so a supervised filter has ground truth to
+    * recover — and the SAME rule replays in the oracle's CTEs.
+    */
+  private val q322PlantTail =
+    " click here buy now free offer limited deal click here buy now"
+  private def q322Text: Column = concat(col("text"),
+    when(col("doc_id") % 5 === 0, lit(q322PlantTail)).otherwise(lit("")))
+  private def q322Label: Column =
+    when(col("doc_id") % 5 === 0, lit("low")).otherwise(lit("high"))
+
+  /** Pipeline 5 (round-10 capstone): MODEL-BASED curation funnel — the
+    * CCNet/GPT-3 "model-based quality filter" end to end, in-engine:
+    * q301's Naive Bayes training chain ([[graft.ops.Train
+    * .naiveBayesModel]], trained on the even-doc_id half of the
+    * planted-label fixture) REPLACES the rule-based
+    * [[TextAnalysis.qualityScore]] gate in the q300 funnel — model
+    * scores the WHOLE corpus ([[graft.ops.Train.naiveBayesScore]], the
+    * stateless broadcast-model leg), keep = predicted 'high', exact
+    * dedup of keepers (md5 fingerprint, min-id keeps), per-source
+    * funnel counts. The heuristic keep flag rides along so the gate
+    * itself pins the swap's NON-VACUOUSNESS: `n_disagree` counts docs
+    * where model and heuristic decide differently (> 0 on every SF —
+    * Round10OpsSpec asserts it; low-quality unplanted docs and
+    * high-quality planted ones are exactly where a learned filter and
+    * a length/ratio rule part ways).
+    *
+    * Scale shape: training is one token-grain counting shuffle over the
+    * labeled half (at 100 TB: a labeled sample); scoring broadcasts the
+    * C·V model so the corpus never shuffles to be scored; the funnel
+    * adds one fingerprint-grain window over model-keepers and one
+    * source-grain rollup — the q300 plan with the quality stage's
+    * regex scan replaced by the model join.
+    */
+  private def q322(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), q322Text.as("__text"),
+        q322Label.as("__label"))
+      .localCheckpoint() // read by train, score, heuristic and funnel
+    val model = graft.ops.Train.naiveBayesModel(
+      planted.filter(col("doc_id") % 2 === 0), col("__label"), col("__text"))
+    val scored = graft.ops.Train.naiveBayesScore(planted, col("doc_id"),
+        col("__text"), model)
+      .select(col("doc_id"), col("pred_class"))
+    val staged = planted.join(scored, Seq("doc_id"))
+      .withColumn("__model_keep", col("pred_class") === "high")
+      .withColumn("__heur_keep",
+        round(TextAnalysis.qualityScore(col("__text")), 4) >= 0.5)
+      .withColumn("__fp", md5(col("__text")))
+      .localCheckpoint() // read by the dedup window and the funnel fold
+    val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id").asc)
+    val kept = staged.filter(col("__model_keep"))
+      .withColumn("__kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("__kept"))
+    staged.join(kept, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__model_keep"), 1L).otherwise(0L)).as("n_model_kept"),
+        sum(when(col("__heur_keep"), 1L).otherwise(0L)).as("n_heur_kept"),
+        sum(when(col("__model_keep") =!= col("__heur_keep"), 1L)
+          .otherwise(0L)).as("n_disagree"),
+        sum(when(coalesce(col("__kept"), lit(false)), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_model_kept"),
+        col("n_heur_kept"), col("n_disagree"), col("n_kept"),
+        round(col("n_kept").cast("double") /
+          col("n_docs").cast("double"), 4).as("keep_rate"))
+      .orderBy("source")
+  }
+
+  /** The q323 host fixture: six suffix shapes, THREE of which the
+    * round-9 literal list ([[graft.ops.Web.secondLevelSuffixes]]) does
+    * not contain (`gov.br`, `edu.au`, and the 3-label `k12.ca.us`),
+    * plus a plain TLD, an unknown TLD (the PSL `*` default path), and
+    * a host that IS a public suffix (NULL registrable).
+    */
+  private def q323Host: Column =
+    when(col("doc_id") % 6 === 0,
+      concat(col("source"), lit(".portal.gov.br")))
+      .when(col("doc_id") % 6 === 1,
+        concat(col("source"), lit(".example.com")))
+      .when(col("doc_id") % 6 === 2,
+        concat(lit("www."), col("source"), lit(".schools.k12.ca.us")))
+      .when(col("doc_id") % 6 === 3,
+        concat(col("source"), lit(".uni.edu.au")))
+      .when(col("doc_id") % 6 === 4,
+        concat(col("source"), lit(".startup.xyz")))
+      .otherwise(lit("com.br"))
+
+  /** Web 4 (round-10): TABLE-driven registrable domain
+    * ([[graft.ops.Web.registeredDomainPsl]]) — the round-9 literal
+    * second-level list made real: a public-suffix-shaped rule table
+    * (~200 broadcast rows, [[graft.ops.Web.pslSuffixes]]) with
+    * longest-matching-suffix semantics, exercised on suffix shapes the
+    * literal list cannot resolve. Per registrable domain: document and
+    * distinct-host counts — q307's readout under the table rule.
+    * Candidates are a ≤4-wide map-side array explode (no regex), the
+    * rule join broadcasts, the longest-hit fold is one map-side-partial
+    * max(struct) per host; the oracle replays the same longest-match
+    * CASE from the same interpolated rule list.
+    */
+  private def q323(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), q323Host.as("host"))
+    val psl = graft.ops.Web.pslSuffixes.toDF("suffix")
+    graft.ops.Web.registeredDomainPsl(docs, col("doc_id"), col("host"), psl)
+      .groupBy(coalesce(col("registered_domain"), lit("(none)"))
+        .as("registered_domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"))
+      .orderBy("registered_domain")
   }
 
   /** The q320 wordlist: overlapping members ("win" inside "window") and
@@ -6971,7 +7159,10 @@ object SparkEntry {
     "q318_q22_idle_customers" -> q318 _,
     "q319_encoding_audit" -> q319 _,
     "q320_keyword_risk" -> q320 _,
-    "q321_geo_zone_tag" -> q321 _)
+    "q321_geo_zone_tag" -> q321 _,
+    "q322_model_curation_funnel" -> q322 _,
+    "q323_psl_domain" -> q323 _,
+    "q324_zone_table_pip" -> q324 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -8396,73 +8587,88 @@ object SparkEntry {
     * `feats` (y, x0, x1, x2) and `w3` (w0, w1, w2). One definition so
     * q252 (weights) and q253 (fit readout) cannot drift.
     */
-  /** DuckDB twin of [[graft.ops.Train.naiveBayesModel]] on the even-
-    * doc_id train split (label = lang), shared by the q301/q302/q303
-    * oracles so the three gates replay the SAME model: counting CTEs,
-    * the vocab grid, and the rounded-ln smoothed log-likelihoods
-    * (ln-at-9dp — the PMI/entropy idiom). Provides `nbmodel`
-    * (class, token, logp, prior) and the scoring chain `nbpred`
-    * (doc_id, pred_class, score, in_vocab) over the odd-doc_id split.
+  /** Parameterized DuckDB twin of the
+    * [[graft.ops.Train.naiveBayesModel]] →
+    * [[graft.ops.Train.naiveBayesScore]] chain — ONE definition of the
+    * counting CTEs, the vocab grid, the rounded-ln smoothed
+    * log-likelihoods (ln-at-9dp — the PMI/entropy idiom) and the
+    * argmax/fallback scoring, instantiated per oracle (the q134
+    * zero-duplication device): `train` names a CTE providing
+    * (doc_id, class, text), `scoreIn` one providing (doc_id, text).
+    * Emits `${p}model` (class, token, logp, prior) and `${p}pred`
+    * (doc_id, pred_class, score, in_vocab).
     */
-  private val nbModelCtes: String = raw"""nbtrain AS (
-        SELECT doc_id, lang AS class, text FROM documents
-        WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
-      nbtoks AS (
+  private def nbChainCtes(p: String, train: String,
+                          scoreIn: String): String = raw"""${p}toks AS (
         SELECT class, unnest(regexp_split_to_array(trim(lower(text)),
           '\s+')) AS token
-        FROM nbtrain),
-      nbtoks2 AS (SELECT class, token FROM nbtoks WHERE token <> ''),
-      nbcnt AS (
-        SELECT class, token, count(*) AS cnt FROM nbtoks2 GROUP BY 1, 2),
-      nbvocab AS (
+        FROM $train),
+      ${p}toks2 AS (SELECT class, token FROM ${p}toks WHERE token <> ''),
+      ${p}cnt AS (
+        SELECT class, token, count(*) AS cnt FROM ${p}toks2 GROUP BY 1, 2),
+      ${p}vocab AS (
         SELECT token FROM (
-          SELECT token, sum(cnt) AS tot FROM nbcnt GROUP BY 1)
+          SELECT token, sum(cnt) AS tot FROM ${p}cnt GROUP BY 1)
         WHERE tot >= 1),
-      nbv AS (SELECT count(*) AS v FROM nbvocab),
-      nbdocs AS (SELECT class, count(*) AS docs FROM nbtrain GROUP BY 1),
-      nbn AS (SELECT sum(docs) AS n FROM nbdocs),
-      nbctok AS (SELECT class, count(*) AS ctok FROM nbtoks2 GROUP BY 1),
-      nbclasses AS (
+      ${p}v AS (SELECT count(*) AS v FROM ${p}vocab),
+      ${p}docs AS (SELECT class, count(*) AS docs FROM $train GROUP BY 1),
+      ${p}n AS (SELECT sum(docs) AS n FROM ${p}docs),
+      ${p}ctok AS (
+        SELECT t.class, count(*) AS ctok
+        FROM ${p}toks2 t JOIN ${p}vocab v ON t.token = v.token GROUP BY 1),
+      ${p}classes AS (
         SELECT d.class, d.docs, coalesce(c.ctok, 0) AS ctok, v.v,
           round(ln(CAST(d.docs AS DOUBLE) / CAST(n.n AS DOUBLE)), 9)
             AS prior
-        FROM nbdocs d LEFT JOIN nbctok c ON d.class = c.class
-        CROSS JOIN nbn n CROSS JOIN nbv v),
-      nbmodel AS (
+        FROM ${p}docs d LEFT JOIN ${p}ctok c ON d.class = c.class
+        CROSS JOIN ${p}n n CROSS JOIN ${p}v v),
+      ${p}model AS (
         SELECT cl.class, vb.token,
           round(ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE) /
             CAST(cl.ctok + cl.v AS DOUBLE)), 9) AS logp,
           cl.prior
-        FROM nbvocab vb CROSS JOIN nbclasses cl
-        LEFT JOIN nbcnt ct ON ct.class = cl.class AND ct.token = vb.token),
-      nbscore_in AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
-      nbstoks AS (
+        FROM ${p}vocab vb CROSS JOIN ${p}classes cl
+        LEFT JOIN ${p}cnt ct ON ct.class = cl.class AND ct.token = vb.token),
+      ${p}stoks AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
           '\s+')) AS token
-        FROM nbscore_in),
-      nbstoks2 AS (SELECT doc_id, token FROM nbstoks WHERE token <> ''),
-      nbll AS (
+        FROM $scoreIn),
+      ${p}stoks2 AS (SELECT doc_id, token FROM ${p}stoks WHERE token <> ''),
+      ${p}ll AS (
         SELECT s.doc_id, m.class,
           round(CAST(sum(CAST(m.logp AS DECIMAL(28,12))) AS DOUBLE)
             + min(m.prior), 9) AS score
-        FROM nbstoks2 s JOIN nbmodel m ON s.token = m.token
+        FROM ${p}stoks2 s JOIN ${p}model m ON s.token = m.token
         GROUP BY 1, 2),
-      nbbest AS (
+      ${p}best AS (
         SELECT doc_id, class AS pred_class, score
-        FROM nbll
+        FROM ${p}ll
         QUALIFY row_number() OVER (PARTITION BY doc_id
           ORDER BY score DESC, class) = 1),
-      nbfb AS (
+      ${p}fb AS (
         SELECT class AS fb, prior AS fbs FROM (
-          SELECT DISTINCT class, prior FROM nbmodel)
+          SELECT DISTINCT class, prior FROM ${p}model)
         ORDER BY prior DESC, class LIMIT 1),
-      nbpred AS (
+      ${p}pred AS (
         SELECT i.doc_id, coalesce(b.pred_class, f.fb) AS pred_class,
           coalesce(b.score, f.fbs) AS score,
           b.pred_class IS NOT NULL AS in_vocab
-        FROM nbscore_in i LEFT JOIN nbbest b ON i.doc_id = b.doc_id
-        CROSS JOIN nbfb f)"""
+        FROM (SELECT doc_id FROM $scoreIn) i
+        LEFT JOIN ${p}best b ON i.doc_id = b.doc_id
+        CROSS JOIN ${p}fb f)"""
+
+  /** DuckDB twin of [[graft.ops.Train.naiveBayesModel]] on the even-
+    * doc_id train split (label = lang), shared by the q301/q302/q303
+    * oracles so the three gates replay the SAME model — the lang-label
+    * instantiation of [[nbChainCtes]] (prefix `nb`, so the CTE names
+    * `nbmodel`/`nbpred` the round-9 oracles reference are unchanged).
+    */
+  private val nbModelCtes: String = raw"""nbtrain AS (
+        SELECT doc_id, lang AS class, text FROM documents
+        WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+      nbscore_in AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      """ + nbChainCtes("nb", "nbtrain", "nbscore_in")
 
   /** DuckDB twin of [[fixtureUrl]] + the [[graft.ops.Web]] lane, shared
     * by the q306/q307/q308 oracles: the fixture URL expression, host/
@@ -8502,13 +8708,14 @@ object SparkEntry {
         SELECT doc_id, source, text, url, host, path,
           regexp_replace(host, '^www\.', '') AS bhost,
           array_to_string(list_sort(list_filter(string_split(q, '&'),
-            p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+            p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)')
               AND p <> '')), '&') AS sq
         FROM up),
       ucanon AS (
         SELECT doc_id, source, text, url, host, path,
-          'https://' || bhost || regexp_replace(path, '/$', '') ||
-            CASE WHEN length(sq) > 0 THEN '?' || sq ELSE '' END AS curl,
+          CASE WHEN host = '' THEN NULL
+            ELSE 'https://' || bhost || regexp_replace(path, '/$', '') ||
+              CASE WHEN length(sq) > 0 THEN '?' || sq ELSE '' END END AS curl,
           CASE WHEN regexp_extract(bhost, '([^.]+\.[^.]+)$', 1) IN
                 ('co.uk','org.uk','ac.uk','com.br','com.au','co.jp',
                  'co.in','com.mx','co.za','com.cn')
@@ -8557,6 +8764,23 @@ object SparkEntry {
           ((p.plat - cc.clat) * 111.195) * ((p.plat - cc.clat) * 111.195)
             AS d2
         FROM p CROSS JOIN cc)"""
+  }
+
+  /** DuckDB twin of [[graft.ops.Geo.pointInPolygon]] over the `p` CTE's
+    * (plat, plon): every edge's crossing test from the SAME interpolated
+    * vertex constants — shared by the q321 (literal-expression) and
+    * q324 (zone-table) oracles so both replay identical arithmetic.
+    */
+  private def pipSql(poly: Seq[(Double, Double)]): String = {
+    val terms = poly.indices.map { i =>
+      val (y1, x1) = poly(i)
+      val (y2, x2) = poly((i + 1) % poly.length)
+      if (y1 == y2) "0"
+      else s"(CASE WHEN (($y1 > p.plat) <> ($y2 > p.plat)) AND " +
+        s"p.plon < ${x2 - x1} * (p.plat - $y1) / ${y2 - y1} + $x1 " +
+        "THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
   }
 
   /** The q302/q312 shared oracle (the streamed twin gates against the
@@ -10782,19 +11006,8 @@ object SparkEntry {
     // interpolated vertex constants; first-match CASE order as the
     // engine's fold
     "q321_geo_zone_tag" -> {
-      def polySql(poly: Seq[(Double, Double)]): String = {
-        val terms = poly.indices.map { i =>
-          val (y1, x1) = poly(i)
-          val (y2, x2) = poly((i + 1) % poly.length)
-          if (y1 == y2) "0"
-          else s"(CASE WHEN (($y1 > p.plat) <> ($y2 > p.plat)) AND " +
-            s"p.plon < ${x2 - x1} * (p.plat - $y1) / ${y2 - y1} + $x1 " +
-            "THEN 1 ELSE 0 END)"
-        }
-        s"((${terms.mkString(" + ")}) % 2 = 1)"
-      }
       val cases = geoZones.map { case (n, poly) =>
-        s"WHEN ${polySql(poly)} THEN '$n'"
+        s"WHEN ${pipSql(poly)} THEN '$n'"
       }.mkString("\n          ")
       s"""
       WITH $geoCtes,
@@ -10808,6 +11021,31 @@ object SparkEntry {
         round(CAST(sum(CAST(round(plon, 9) AS DECIMAL(28,12))) AS DOUBLE) /
           CAST(count(*) AS DOUBLE), 6) AS mean_lon
       FROM z GROUP BY 1 ORDER BY 1"""
+    },
+    // q324: the UNBLOCKED all-zones containment test replayed per zone
+    // from the same interpolated vertex constants (pipSql — q321's
+    // device over the 40-zone table); the gate proves the bbox-grid
+    // candidate join loses no (point, zone) pair
+    "q324_zone_table_pip" -> {
+      val conds = q324Zones.map { case (n, poly) => (n, pipSql(poly)) }
+      val pairSelects = conds.map { case (n, c) =>
+        s"SELECT p.pid, p.plat, p.plon, '$n' AS zone FROM p WHERE $c"
+      }.mkString("\n        UNION ALL ")
+      val anyCond = conds.map(_._2).mkString("(", " OR ", ")")
+      s"""
+      WITH $geoCtes,
+      zpairs AS (
+        $pairSelects),
+      ztag AS (
+        SELECT zone, plat, plon FROM zpairs
+        UNION ALL
+        SELECT '(none)', p.plat, p.plon FROM p WHERE NOT $anyCond)
+      SELECT zone, CAST(count(*) AS BIGINT) AS n_pts,
+        round(CAST(sum(CAST(round(plat, 9) AS DECIMAL(28,12))) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS mean_lat,
+        round(CAST(sum(CAST(round(plon, 9) AS DECIMAL(28,12))) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 6) AS mean_lon
+      FROM ztag GROUP BY 1 ORDER BY 1"""
     },
     // q316: q223's unigram-LM CTEs at source grain, then the DoReMi-lite
     // weight math unrolled — the (1 + eta*x)^2 no-libm surrogate, decimal
@@ -10861,6 +11099,65 @@ object SparkEntry {
     // q312 streams the identical stateless scoring one file per
     // trigger — the landed frame must equal the batch result verbatim
     "q312_nb_score_stream" -> nbPredictSql,
+    // q322: the NB training chain (nbChainCtes — q301's oracle logic
+    // verbatim, instantiated on the planted-label fixture) stitched
+    // into the q300 funnel CTEs; the heuristic flag replays q300's
+    // quality arithmetic on the planted text
+    "q322_model_curation_funnel" -> {
+      val plant = s"' ${q322PlantTail.trim}'"
+      raw"""
+      WITH fplant AS (
+        SELECT doc_id, source,
+          text || (CASE WHEN doc_id % 5 = 0 THEN $plant ELSE '' END)
+            AS text,
+          CASE WHEN doc_id % 5 = 0 THEN 'low' ELSE 'high' END AS class
+        FROM documents),
+      ftrain AS (
+        SELECT doc_id, class, text FROM fplant WHERE doc_id % 2 = 0),
+      fscore_in AS (SELECT doc_id, text FROM fplant),
+      ${nbChainCtes("f", "ftrain", "fscore_in")},
+      ffeats AS (
+        SELECT doc_id,
+          CAST(len(tk) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+          CAST(len(text) AS DOUBLE) AS chars,
+          CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+            AS DOUBLE) AS alpha
+        FROM (SELECT doc_id, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM fplant)),
+      fheur AS (
+        SELECT doc_id,
+          round(least(greatest(
+            0.4 * least(nt / 50.0, 1.0) +
+            0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+            0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0),
+            0.0), 1.0), 4) >= 0.5 AS heur_keep
+        FROM ffeats),
+      fst AS (
+        SELECT p.doc_id, p.source, p.text,
+          r.pred_class = 'high' AS model_keep, h.heur_keep
+        FROM fplant p JOIN fpred r ON p.doc_id = r.doc_id
+        JOIN fheur h ON p.doc_id = h.doc_id),
+      fkp AS (
+        SELECT doc_id,
+          row_number() OVER (PARTITION BY md5(text)
+            ORDER BY doc_id) = 1 AS kept
+        FROM fst WHERE model_keep)
+      SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN s.model_keep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_model_kept,
+        CAST(sum(CASE WHEN s.heur_keep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_heur_kept,
+        CAST(sum(CASE WHEN s.model_keep <> s.heur_keep THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_disagree,
+        CAST(sum(CASE WHEN coalesce(k.kept, false) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        round(CAST(sum(CASE WHEN coalesce(k.kept, false) THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*), 4) AS keep_rate
+      FROM fst s LEFT JOIN fkp k ON s.doc_id = k.doc_id
+      GROUP BY s.source ORDER BY s.source"""
+    },
     "q303_nb_confusion" -> s"""
       WITH $nbModelCtes,
       nbj AS (
@@ -10893,6 +11190,54 @@ object SparkEntry {
         CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
         min(doc_id) AS keeper
       FROM ucanon GROUP BY 1 ORDER BY 1""",
+    // q323: the same ~200-row PSL-shaped rule list interpolated, the
+    // longest-match picked by an explicit k=4..1 CASE, the '*' default
+    // and the host-is-a-suffix NULL replayed verbatim
+    "q323_psl_domain" -> {
+      val rules = graft.ops.Web.pslSuffixes.map(s => s"'$s'").mkString(",")
+      raw"""
+      WITH psl AS (SELECT unnest([$rules]) AS suffix),
+      hosts AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 6 = 0 THEN source || '.portal.gov.br'
+               WHEN doc_id % 6 = 1 THEN source || '.example.com'
+               WHEN doc_id % 6 = 2 THEN 'www.' || source ||
+                 '.schools.k12.ca.us'
+               WHEN doc_id % 6 = 3 THEN source || '.uni.edu.au'
+               WHEN doc_id % 6 = 4 THEN source || '.startup.xyz'
+               ELSE 'com.br' END AS host
+        FROM documents),
+      cand AS (
+        SELECT doc_id, host,
+          len(string_split(host, '.')) AS nl,
+          regexp_extract(host, '([^.]+)$$', 1) AS s1,
+          regexp_extract(host, '([^.]+\.[^.]+)$$', 1) AS s2,
+          regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$$', 1) AS s3,
+          regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$$', 1) AS s4,
+          regexp_extract(host,
+            '([^.]+\.[^.]+\.[^.]+\.[^.]+\.[^.]+)$$', 1) AS s5
+        FROM hosts),
+      km AS (
+        SELECT doc_id, host, nl, s2, s3, s4, s5,
+          CASE WHEN s4 <> '' AND s4 IN (SELECT suffix FROM psl) THEN 4
+               WHEN s3 <> '' AND s3 IN (SELECT suffix FROM psl) THEN 3
+               WHEN s2 <> '' AND s2 IN (SELECT suffix FROM psl) THEN 2
+               WHEN s1 <> '' AND s1 IN (SELECT suffix FROM psl) THEN 1
+               ELSE 0 END AS kk
+        FROM cand),
+      rd AS (
+        SELECT doc_id, host,
+          CASE WHEN kk = 0 THEN
+                 (CASE WHEN nl >= 2 THEN s2 ELSE NULL END)
+               WHEN nl <= kk THEN NULL
+               WHEN kk = 1 THEN s2 WHEN kk = 2 THEN s3
+               WHEN kk = 3 THEN s4 ELSE s5 END AS registered_domain
+        FROM km)
+      SELECT coalesce(registered_domain, '(none)') AS registered_domain,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+      FROM rd GROUP BY 1 ORDER BY 1"""
+    },
     "q307_domain_stats" -> s"""
       WITH $urlFixtureCtes,
       qf AS (

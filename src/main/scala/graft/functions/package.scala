@@ -150,16 +150,25 @@ package object functions {
     // automaton is built at plan time, not per row
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "keyword_counts", { exprs =>
+        // a NULL element must raise the same clean plan-time error the
+        // non-foldable path gets, not an NPE out of .toString
+        def str(v: Any): String = {
+          if (v == null) throw new IllegalArgumentException(
+            "keyword_counts needs a foldable string-array keyword list " +
+              "(found a NULL element)")
+          v.toString
+        }
         val kws = exprs(1) match {
           case a: org.apache.spark.sql.catalyst.expressions.CreateArray
               if a.children.forall(_.foldable) =>
-            a.children.map(_.eval(null).toString)
+            a.children.map(c => str(c.eval(null)))
           case l if l.foldable && l.dataType.isInstanceOf[
               org.apache.spark.sql.types.ArrayType] =>
-            l.eval(null)
-              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            val arr = l.eval(null) // a NULL array literal fails cleanly too
+            if (arr == null) str(null)
+            arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
               .toObjectArray(org.apache.spark.sql.types.StringType)
-              .map(_.toString).toSeq
+              .map(str).toSeq
           case other => throw new IllegalArgumentException(
             s"keyword_counts needs a foldable string-array keyword list, got $other")
         }

@@ -135,6 +135,75 @@ object Geo {
     crossings.reduce(_ + _) % 2 === 1
   }
 
+  /** TABLE-driven point-in-polygon zone tagging — [[pointInPolygon]]'s
+    * literal-expression form compiles K zones into the plan, which is
+    * right for a handful of regions and wrong for a 10⁴-polygon zone
+    * table (the plan would be megabytes of generated code). This form
+    * takes the zones as DATA: `zones` carries (zone, vertices) with
+    * `vertices: array<struct<lat: double, lon: double>>` (closed
+    * implicitly), and containment is decided in three stages:
+    *  1. bounding-box grid prefilter (the [[nearestWithinRadius]] cell
+    *     device): each zone replicates to every `cellKm`-wide cell its
+    *     bbox covers, each point lands in its one cell — a point inside
+    *     a polygon is inside its bbox, so its cell is covered and the
+    *     prefilter can lose nothing;
+    *  2. candidate (point, zone) EQUI-join on the cell key — candidate
+    *     volume is points × (zone bboxes per cell), never points ×
+    *     zones, and the join is shuffle-partitioned/AQE-skew-splittable;
+    *  3. exact crossing-number verify on the candidate's exploded edge
+    *     array — the SAME IEEE compare/multiply/divide tree as the
+    *     literal form evaluated over vertex DATA instead of constants
+    *     (subtraction of the same doubles is exactly rounded, so the
+    *     two forms agree bit-for-bit; Round10OpsSpec pins the
+    *     equivalence on the q321 zones).
+    * Returns ALL containment pairs (point_id, zone) — overlapping zones
+    * each emit a row; callers wanting first-match-wins fold afterwards.
+    * Horizontal edges never count as crossings (the [[pointInPolygon]]
+    * rule); same non-null-coordinate precondition as the other paths.
+    */
+  def zoneTagJoin(points: DataFrame, pointId: Column,
+                  pLat: Column, pLon: Column,
+                  zones: DataFrame, zoneName: Column, vertices: Column,
+                  cellKm: Double, cosLat0: Double): DataFrame = {
+    require(cellKm > 0.0, s"cellKm must be > 0, got $cellKm")
+    val kx = KmPerDeg * cosLat0
+    def cellX(lon: Column): Column = floor(lon * lit(kx) / lit(cellKm)).cast("long")
+    def cellY(lat: Column): Column =
+      floor(lat * lit(KmPerDeg) / lit(cellKm)).cast("long")
+    val p = points.select(pointId.as("point_id"),
+        pLat.as("__plat"), pLon.as("__plon"))
+      .withColumn("__cx", cellX(col("__plon")))
+      .withColumn("__cy", cellY(col("__plat")))
+    val z = zones.select(zoneName.as("zone"), vertices.as("__verts"))
+      .withColumn("__latmin",
+        array_min(transform(col("__verts"), v => v.getField("lat"))))
+      .withColumn("__latmax",
+        array_max(transform(col("__verts"), v => v.getField("lat"))))
+      .withColumn("__lonmin",
+        array_min(transform(col("__verts"), v => v.getField("lon"))))
+      .withColumn("__lonmax",
+        array_max(transform(col("__verts"), v => v.getField("lon"))))
+      .withColumn("__cx", explode(sequence(cellX(col("__lonmin")),
+        cellX(col("__lonmax")))))
+      .withColumn("__cy", explode(sequence(cellY(col("__latmin")),
+        cellY(col("__latmax")))))
+      .select(col("zone"), col("__verts"), col("__cx"), col("__cy"))
+    val nv = size(col("__verts"))
+    // crossing-number over the edge array: edge i = verts[i] → verts[(i+1) % n]
+    val crossings = size(filter(sequence(lit(0), nv - 1), i => {
+      val v1 = element_at(col("__verts"), i + 1)
+      val v2 = element_at(col("__verts"), pmod(i + 1, nv) + 1)
+      val y1 = v1.getField("lat"); val x1 = v1.getField("lon")
+      val y2 = v2.getField("lat"); val x2 = v2.getField("lon")
+      val xint = (x2 - x1) * (col("__plat") - y1) / (y2 - y1) + x1
+      (y1 =!= y2) && ((y1 > col("__plat")) =!= (y2 > col("__plat"))) &&
+        (col("__plon") < xint)
+    }))
+    p.join(z, Seq("__cx", "__cy"))
+      .filter(pmod(crossings, lit(2)) === 1)
+      .select(col("point_id"), col("zone"))
+  }
+
   /** Radius-bounded nearest centroid WITHOUT broadcasting: both sides
     * land in a square grid of `radiusKm`-wide cells in the projected km
     * plane; centroids replicate to their 3×3 cell neighborhood and the

@@ -49,6 +49,14 @@ object Train {
     * features, 12-dp-rounded weights); per-feature gradient sums cast to
     * decimal(28,18) so partition order cannot move a bit; the update's
     * divide-then-round matches the oracle's `round(w + rate*g/n, 12)`.
+    *
+    * Cost contract at corpus scale: each iteration is ONE full scan of
+    * `df` (the localCheckpoint'd feature frame), so `iters` iterations
+    * cost `iters` scans — fit on a labeled/held-out SAMPLE sized to a
+    * few scans' budget (the [[naiveBayesModel]] "train on a labeled
+    * sample, score the corpus" statement applies verbatim to this whole
+    * GD family, [[plattFit]] included) and push only the one-pass
+    * [[linearProbeScore]]/[[plattApply]] legs over the full corpus.
     */
   def linearProbeWeights(df: DataFrame, label: Column,
                          features: Seq[(String, Column)],
@@ -252,6 +260,12 @@ object Train {
     * decimal(28,18) gradient sums, 12-dp readout-rounded updates — a
     * fixed-iteration unrolled SQL oracle lands on the same (A, B) bits.
     * Returns weights in the order (bias = B, score = A).
+    *
+    * Scale note: inherits [[linearProbeWeights]]' one-scan-per-iteration
+    * cost, so calibration fits on a HELD-OUT SAMPLE of the scored frame
+    * (Platt's own prescription — the map has 2 parameters; thousands of
+    * rows saturate it), never on the full scored corpus; the fitted map
+    * then applies corpus-wide as the stateless [[plattApply]] projection.
     */
   def plattFit(df: DataFrame, score: Column, label: Column,
                iters: Int, rate: Double): Seq[(String, Double)] =
@@ -361,7 +375,14 @@ object Train {
     val docs = st.filter(col("kind") === "doc")
       .select(col("class"), col("cnt").as("__docs"))
     val nDocs = docs.agg(sum(col("__docs")).as("__n"))
-    val classTok = counts.groupBy(col("class"))
+    // class token totals over the RETAINED vocab only (standard
+    // multinomial NB drops pruned counts): with minCount > 1 the Laplace
+    // denominator tokens(c)+V must not keep vocab-floored token mass, or
+    // the smoothed probabilities over the retained vocab stop summing
+    // to 1 (Round10OpsSpec pins the mass law at minCount = 2; at the
+    // gated minCount = 1 the join is the identity)
+    val classTok = counts.join(vocab, Seq("token"))
+      .groupBy(col("class"))
       .agg(sum(col("__cnt")).as("__ctok"))
     val classes = docs.join(classTok, Seq("class"), "left")
       .na.fill(0L, Seq("__ctok"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL operators for web-corpus curation — the RefinedWeb/C4-shaped
@@ -48,16 +48,26 @@ object Web {
     * Two URLs with equal canonical forms are the same fetch target;
     * exact dedup on this column is the crawl-frontier dedup every
     * pipeline runs before fetching, and again before ingestion.
+    *
+    * Edge rules (round-10 ADVICE closure): tracking parameters match
+    * with OR without a value (`?fbclid` is as much tracking noise as
+    * `?fbclid=x`), and a URL with no scheme-host shape (schemeless or
+    * relative) canonicalizes to NULL — collapsing every malformed input
+    * onto one shared `https://` key would silently merge unrelated
+    * documents in dedup, the exact failure the canonical key exists to
+    * prevent. Callers treat NULL as "not a fetchable absolute URL".
     */
   def urlCanonicalize(url: Column): Column = {
-    val host = regexp_replace(urlHost(url), "^www\\.", "")
+    val rawHost = urlHost(url)
+    val host = regexp_replace(rawHost, "^www\\.", "")
     val path = regexp_replace(urlPath(url), "/$", "")
     val params = filter(split(urlQuery(url), "&"),
-      p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") && p =!= "")
+      p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)") && p =!= "")
     val sortedQ = concat_ws("&", array_sort(params))
-    concat(lit("https://"), host, path,
-      when(length(sortedQ) > 0, concat(lit("?"), sortedQ))
-        .otherwise(lit("")))
+    when(length(rawHost) === 0, lit(null).cast("string"))
+      .otherwise(concat(lit("https://"), host, path,
+        when(length(sortedQ) > 0, concat(lit("?"), sortedQ))
+          .otherwise(lit(""))))
   }
 
   /** Second-level registries (public-suffix-list-lite) under which the
@@ -86,5 +96,83 @@ object Web {
     when(last2.isin(secondLevelSuffixes: _*) && last3 =!= "", last3)
       .when(last2 =!= "", last2)
       .otherwise(host)
+  }
+
+  /** A public-suffix-list-SHAPED rule table (Mozilla-PSL subset, plain
+    * rules only — no wildcard/exception entries): the generic and
+    * country TLDs, the com/org/net/edu/gov/ac/co/mil second-level
+    * registries across the major ccTLDs, and a handful of real 3-label
+    * registries (US school districts, AU state education domains). A
+    * production deployment replaces this Seq with the full published
+    * list — [[registeredDomainPsl]]'s longest-matching-suffix RULE is
+    * what the operator pins, and it is the PSL algorithm's.
+    */
+  val pslSuffixes: Seq[String] = {
+    val tlds = Seq("com", "org", "net", "edu", "gov", "mil", "int",
+      "info", "biz", "io", "ai", "dev", "app", "co", "uk", "br", "au",
+      "jp", "in", "mx", "za", "cn", "ar", "tr", "fr", "de", "it", "nl",
+      "es", "pt", "ru", "pl", "se", "no", "fi", "dk", "ch", "at", "be",
+      "cz", "gr", "hu", "ie", "il", "kr", "nz", "sg", "th", "tw", "ua",
+      "vn", "us", "ca", "eu")
+    val second = for {
+      a <- Seq("com", "org", "net", "edu", "gov", "ac", "co", "mil")
+      c <- Seq("uk", "br", "au", "jp", "in", "mx", "za", "cn", "ar",
+        "tr", "nz", "sg", "il", "kr", "th", "tw", "ua", "vn")
+    } yield s"$a.$c"
+    val third = Seq("k12.ca.us", "k12.ny.us", "k12.tx.us", "cc.ca.us",
+      "lib.ca.us", "act.edu.au", "nsw.edu.au", "vic.edu.au", "qld.edu.au",
+      "wa.edu.au")
+    tlds ++ second ++ third
+  }
+
+  /** Table-driven registrable domain — the PSL algorithm over a
+    * broadcast rule table instead of [[registeredDomain]]'s literal
+    * second-level list: for each host, every last-k-label candidate
+    * (k ≤ 4, the longest rule in any real PSL snapshot this engine
+    * carries) equi-joins the suffix table, the LONGEST hit wins, and
+    * the registrable domain is that suffix plus one more label.
+    * PSL edge semantics, both pinned in Round10OpsSpec:
+    *  - a host that IS a public suffix has no registrable domain → NULL
+    *    (it isn't a registration, it's a registry);
+    *  - a host matching NO rule falls to the PSL's prevailing `*` rule
+    *    (last label is the suffix) → registrable = last two labels,
+    *    NULL for a single-label host.
+    *
+    * `psl` is one `suffix` string column ([[pslSuffixes]] or the full
+    * published list). Returns (id, host, registered_domain).
+    *
+    * Scale shape: candidates are a ≤4-wide map-side explode (array
+    * slices of the split host — codegen'd, no regex), the rule join
+    * BROADCASTS (the full Mozilla PSL is ~10k rows — kilobytes), and
+    * the longest-hit fold is one groupBy(id) max(struct) with map-side
+    * partials: one shuffle row per host, the [[Geo.nearestCentroid]]
+    * argmin discipline. Corpus-linear at any host cardinality.
+    */
+  def registeredDomainPsl(hosts: DataFrame, id: Column, host: Column,
+                          psl: DataFrame): DataFrame = {
+    val h = hosts.select(id.as("__id"), host.as("__host"))
+    val labels = split(col("__host"), "\\.")
+    val n = size(labels)
+    def lastK(k: Int): Column = concat_ws(".", slice(labels, -k, k))
+    val cands = h.select(col("__id"),
+        explode(filter(array((1 to 4).map { k =>
+          struct(lit(k).as("k"),
+            when(n >= k, lastK(k)).otherwise(lit(null)).as("suffix"),
+            when(n >= k + 1, lastK(k + 1)).otherwise(lit(null)).as("reg"))
+        }: _*), c => c.getField("suffix").isNotNull)).as("__c"))
+      .select(col("__id"), col("__c.k").as("__k"),
+        col("__c.suffix").as("__suffix"), col("__c.reg").as("__reg"))
+    val hits = cands
+      .join(broadcast(psl.select(col("suffix").as("__suffix"))),
+        Seq("__suffix"))
+      .groupBy(col("__id"))
+      .agg(max(struct(col("__k"), col("__reg"))).as("__best"))
+      .select(col("__id"), col("__best.__k").as("__bk"),
+        col("__best.__reg").as("__breg"))
+    h.join(hits, Seq("__id"), "left")
+      .select(col("__id").as("id"), col("__host").as("host"),
+        when(col("__bk").isNotNull, col("__breg")) // hit; NULL if host IS a suffix
+          .otherwise(when(n >= 2, lastK(2))) // the PSL '*' default rule
+          .as("registered_domain"))
   }
 }

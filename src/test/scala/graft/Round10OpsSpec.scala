@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Geo, Train, Web}
+
+/** Round-10 ADVICE closures, pinned as laws:
+  *  - the Naive Bayes vocab-floor mass law (pruned tokens leave the
+  *    Laplace denominator, so smoothed probabilities over the retained
+  *    vocab sum to 1 at ANY minCount);
+  *  - the URL canonicalization edge rules (bare tracking params drop;
+  *    schemeless input yields NULL, never a shared junk key);
+  *  - keyword_counts' clean plan-time error on NULL keyword elements.
+  */
+class Round10OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ——— Naive Bayes vocab floor ————————————————————————————————————————
+
+  test("naiveBayesFromState: minCount prunes mass from the denominator") {
+    // corpus counts: "the"=3, "cat"=2, "rare"=1 — minCount=2 drops "rare"
+    val df = Seq(
+      (0L, "a", "the the cat rare"),
+      (1L, "a", "the cat"),
+      (2L, "b", "the"))
+      .toDF("id", "lang", "text")
+    val m = Train.naiveBayesModel(df, $"lang", $"text", minCount = 2)
+    val rows = m.as[(String, String, Double, Double)].collect()
+    // grid = 2 classes × 2 retained tokens
+    assert(rows.map(r => (r._1, r._2)).toSet ===
+      Set(("a", "the"), ("a", "cat"), ("b", "the"), ("b", "cat")))
+    val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+    // class a retained-token total = the(3) + cat(2) = 5 (NOT 6 — the
+    // pruned "rare" count must leave the denominator), V = 2:
+    // p(the|a) = 4/7, p(cat|a) = 3/7
+    def ln9(x: Double) = BigDecimal(math.log(x))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byKey(("a", "the")) === ln9(4.0 / 7.0))
+    assert(byKey(("a", "cat")) === ln9(3.0 / 7.0))
+    // class b: the(1), cat(0) → totals 1, denominators 1+2
+    assert(byKey(("b", "the")) === ln9(2.0 / 3.0))
+    assert(byKey(("b", "cat")) === ln9(1.0 / 3.0))
+    // mass law: per class, Σ_vocab (cnt+1)/(ctok+V) = 1 exactly
+    for (c <- Seq("a", "b")) {
+      val mass = rows.filter(_._1 == c).map(r => math.exp(r._3)).sum
+      assert(math.abs(mass - 1.0) < 1e-8,
+        s"class $c smoothed mass over retained vocab = $mass, want 1")
+    }
+  }
+
+  test("naiveBayesModel: minCount=1 keeps the round-9 gated arithmetic") {
+    // identity at the gated floor: the vocab join changes nothing
+    val df = Seq((0L, "en", "the cat"), (1L, "es", "el gato"))
+      .toDF("id", "lang", "text")
+    val m = Train.naiveBayesModel(df, $"lang", $"text")
+    val byKey = m.as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def ln9(x: Double) = BigDecimal(math.log(x))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // en: 2 tokens, V=4 → p(the|en) = 2/6
+    assert(byKey(("en", "the")) === ln9(2.0 / 6.0))
+    assert(byKey(("en", "el")) === ln9(1.0 / 6.0))
+  }
+
+  // ——— URL canonicalization edges —————————————————————————————————————
+
+  test("urlCanonicalize: bare (valueless) tracking params drop") {
+    val got = Seq(
+      "https://a.com/x?fbclid",
+      "https://a.com/x?utm_source",
+      "https://a.com/x?fbclid&id=1",
+      "https://a.com/x?ref")
+      .toDF("url").select(Web.urlCanonicalize($"url")).as[String]
+      .collect()
+    assert(got.toSeq === Seq("https://a.com/x", "https://a.com/x",
+      "https://a.com/x?id=1", "https://a.com/x"))
+    // and a param that merely STARTS like a tracker is NOT dropped
+    val kept = Seq("https://a.com/x?reference=2").toDF("url")
+      .select(Web.urlCanonicalize($"url")).as[String].head()
+    assert(kept === "https://a.com/x?reference=2")
+  }
+
+  test("urlCanonicalize: schemeless/relative input yields NULL") {
+    val got = Seq("example.com/x", "/relative/path", "", "ftp+x")
+      .toDF("url")
+      .select(Web.urlCanonicalize($"url").as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.forall(_.isEmpty),
+      s"malformed URLs must canonicalize to NULL, got ${got.mkString(",")}")
+    // absolute URLs are unaffected
+    val ok = Seq("http://WWW.A.com/x/").toDF("url")
+      .select(Web.urlCanonicalize($"url")).as[String].head()
+    assert(ok === "https://a.com/x")
+  }
+
+  // ——— zone-table point-in-polygon ————————————————————————————————————
+
+  /** The q321 zone literals (duplicated here as the spec's own fixture —
+    * non-convex, horizontal edges included).
+    */
+  private val zones3: Seq[(String, Seq[(Double, Double)])] = Seq(
+    "zone_north" -> Seq((4.0, -70.0), (4.0, -50.0), (-5.0, -45.0),
+      (-5.0, -72.0)),
+    "zone_coast" -> Seq((-3.0, -34.9), (-15.0, -36.0), (-10.0, -45.0)),
+    "zone_south" -> Seq((-20.0, -58.0), (-22.0, -45.0), (-30.0, -50.0),
+      (-33.0, -55.0), (-25.0, -60.0)))
+
+  test("zoneTagJoin: data-edge arithmetic equals the literal expression") {
+    // a dense deterministic point grid spanning the zones' extent
+    val pts = spark.range(0, 900).select($"id",
+      (lit(-34.0) + ($"id" % 30).cast("double") * 1.35).as("plat"),
+      (lit(-73.5) + ($"id" / 30).cast("double") * 1.32).as("plon"))
+      .localCheckpoint()
+    val zones = zones3.toDF("zone", "__vs")
+      .select($"zone", transform($"__vs", v =>
+        struct(v.getField("_1").as("lat"), v.getField("_2").as("lon")))
+        .as("verts"))
+    val viaTable = Geo.zoneTagJoin(pts, $"id", $"plat", $"plon",
+        zones, $"zone", $"verts", cellKm = 400.0, cosLat0 = 0.9692)
+      .as[(Long, String)].collect().toSet
+    val viaLiteral = zones3.flatMap { case (name, poly) =>
+      pts.filter(Geo.pointInPolygon($"plat", $"plon", poly))
+        .select($"id").as[Long].collect().map(_ -> name)
+    }.toSet
+    assert(viaTable === viaLiteral,
+      s"table-driven and literal containment disagree: " +
+        s"only-table=${(viaTable -- viaLiteral).take(5)} " +
+        s"only-literal=${(viaLiteral -- viaTable).take(5)}")
+    assert(viaLiteral.nonEmpty, "no point landed in any zone — vacuous")
+  }
+
+  test("zoneTagJoin: overlapping zones emit one pair each") {
+    val zones = Seq(
+      ("za", Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0))),
+      ("zb", Seq((5.0, 5.0), (5.0, 15.0), (15.0, 15.0), (15.0, 5.0))))
+      .toDF("zone", "__vs")
+      .select($"zone", transform($"__vs", v =>
+        struct(v.getField("_1").as("lat"), v.getField("_2").as("lon")))
+        .as("verts"))
+    val pts = Seq((1L, 7.0, 7.0), (2L, 2.0, 2.0), (3L, 20.0, 20.0))
+      .toDF("id", "plat", "plon")
+    val got = Geo.zoneTagJoin(pts, $"id", $"plat", $"plon", zones,
+        $"zone", $"verts", cellKm = 300.0, cosLat0 = 1.0)
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "za"), (1L, "zb"), (2L, "za")))
+  }
+
+  // ——— PSL-table registrable domain ———————————————————————————————————
+
+  test("registeredDomainPsl: longest match, '*' default, suffix→NULL") {
+    val psl = Web.pslSuffixes.toDF("suffix")
+    val hosts = Seq(
+      (0L, "a.b.example.com"),        // k=1 'com' → example.com
+      (1L, "news.bbc.co.uk"),         // k=2 'co.uk' → bbc.co.uk
+      (2L, "x.schools.k12.ca.us"),    // k=3 beats k=1 'us' → schools.k12.ca.us
+      (3L, "portal.gov.br"),          // k=2 'gov.br' (not in the literal list)
+      (4L, "startup.xyz"),            // no rule → '*' default → startup.xyz
+      (5L, "com.br"),                 // host IS a suffix → NULL
+      (6L, "localhost"))              // single label, no rule → NULL
+      .toDF("id", "host")
+    val got = Web.registeredDomainPsl(hosts, $"id", $"host", psl)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got === Map(
+      0L -> Some("example.com"), 1L -> Some("bbc.co.uk"),
+      2L -> Some("schools.k12.ca.us"), 3L -> Some("portal.gov.br"),
+      4L -> Some("startup.xyz"), 5L -> None, 6L -> None))
+  }
+
+  test("registeredDomainPsl agrees with the literal rule on its shapes") {
+    // on hosts whose suffixes both rules know, table and literal agree —
+    // the q307-compatibility law that let the round-9 oracle stand
+    val psl = Web.pslSuffixes.toDF("suffix")
+    val hosts = (0L until 12L).map { i =>
+      val sfx = Web.secondLevelSuffixes(i.toInt % Web.secondLevelSuffixes.size)
+      (i, s"h$i.site$i.$sfx")
+    }.toDF("id", "host")
+    val table = Web.registeredDomainPsl(hosts, $"id", $"host", psl)
+      .select($"id", $"registered_domain")
+    val literal = hosts.select($"id",
+      Web.registeredDomain($"host").as("lit_domain"))
+    val diff = table.join(literal, Seq("id"))
+      .filter(!($"registered_domain" <=> $"lit_domain")).count()
+    assert(diff === 0L)
+  }
+
+  // ——— model-based curation (q322's device) ———————————————————————————
+
+  test("model filter recovers the plant where the heuristic cannot") {
+    import graft.ops.TextAnalysis
+    // the q322 rule on a hand-built corpus: ids ≡ 0 (mod 5) get the spam
+    // tail and the 'low' label; unplanted doc 7 is a long, high-quality
+    // text the heuristic keeps — and doc 0's planted twin keeps the SAME
+    // high-quality body, so the heuristic keeps it too while the model
+    // must drop it: a guaranteed disagreement in BOTH directions is
+    // impossible (the heuristic can't see labels), one direction is the
+    // non-vacuousness q322 gates
+    val body = ("carefully reviewed thorough analysis presented with " +
+      "ample detail and clear structured argument spanning topics ") * 3
+    val docs = (0L until 20L).map { i =>
+      val tail = if (i % 5 == 0)
+        " click here buy now free offer limited deal click here buy now"
+      else ""
+      (i, body + i.toString + tail, if (i % 5 == 0) "low" else "high")
+    }.toDF("doc_id", "text", "label")
+    val model = Train.naiveBayesModel(
+      docs.filter($"doc_id" % 2 === 0), $"label", $"text")
+    val scored = Train.naiveBayesScore(docs, $"doc_id", $"text", model)
+      .join(docs.select($"doc_id", $"label",
+        (round(TextAnalysis.qualityScore($"text"), 4) >= 0.5)
+          .as("heur_keep")), Seq("doc_id"))
+    val rows = scored.select($"doc_id", $"pred_class", $"label",
+        $"heur_keep").as[(Long, String, String, Boolean)].collect()
+    // the model recovers every planted label, train and held-out alike
+    assert(rows.forall(r => r._2 == r._3),
+      s"NB failed to recover the plant: ${rows.filter(r => r._2 != r._3).mkString(",")}")
+    // and disagrees with the heuristic on every planted doc (the
+    // heuristic keeps the high-quality body regardless of the spam tail)
+    val disagree = rows.filter(r => (r._2 == "high") != r._4)
+    assert(disagree.nonEmpty, "model and heuristic never disagree — " +
+      "the q322 swap would be vacuous")
+    assert(disagree.forall(_._3 == "low"))
+  }
+
+  // ——— keyword_counts SQL registration ———————————————————————————————
+
+  test("keyword_counts SQL: NULL keyword element raises the clean error") {
+    graft.functions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT keyword_counts('abc', array('a', NULL))").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("foldable string-array keyword list")),
+      s"expected the clean IllegalArgumentException, got $e")
+    assert(!chain(e).exists(_.isInstanceOf[NullPointerException]))
+  }
+}
