@@ -310,7 +310,9 @@ object Bench {
     "q321_geo_zone_tag",
     "q322_model_curation_funnel",
     "q323_psl_domain",
-    "q324_zone_table_pip")
+    "q324_zone_table_pip",
+    "q325_q13_custdist",
+    "q326_calibration_drift_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5077,6 +5077,110 @@ object SparkEntry {
       .orderBy("zone")
   }
 
+  /** OLAP 9 (round-10): the TPC-H Q13 customer-distribution shape —
+    * "how many customers placed k orders (excluding urgent-priority
+    * ones), for every k INCLUDING ZERO": the left-outer count-histogram
+    * whose whole point is the null group (customers with no qualifying
+    * orders are the distribution's head; an inner join silently erases
+    * them — PlanSpec pins that the outer survives planning). Written
+    * Spark-first: orders PRE-aggregate to customer grain before the
+    * join, so the outer join moves one row per customer instead of one
+    * per order — at SF100k that's the difference between shuffling 1.5
+    * billion customers and 15 billion orders through the join. The
+    * oracle states the classic form (LEFT JOIN with the filter IN the
+    * join condition, then count) — the two formulations must land on
+    * identical histograms. o_orderpriority stands in for the reference
+    * schema's o_comment anti-filter (the testdata carries no comments).
+    */
+  private def q325(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .filter(!col("o_orderpriority").like("%URGENT%"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("__n"))
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Streaming 22 (round-10): calibration-drift monitoring
+    * ([[graft.streaming.Streaming.calibScoreMaintain]]) — q305's
+    * before/after calibration readout as it deploys: the probe weights
+    * and the Platt map are fit BATCH-side (the frozen baseline — q304's
+    * exact chain), then the held-out documents arrive as a 3-file
+    * stream; each micro-batch is scored STATELESSLY by the frozen
+    * expression trees (raw + calibrated score), lands append-only, and
+    * folds the ≤10-row mergeable fixed-width-bin statistic
+    * ([[graft.ops.Eval.calibState]]) into versioned state — the live
+    * reliability curve a monitor diffs against its baseline, at the
+    * tightest state budget in the streaming family. Two laws gate:
+    * in-query, the maintained state must fold to the SAME row count and
+    * bit-exact decimal Brier as the landed corpus (the merge law,
+    * asserted with require); and the final landed fold must equal the
+    * batch q305 readout VERBATIM — this gate shares q305's oracle
+    * string (the q312 streamed-twin discipline: scoring is per-document
+    * stateless, so any batching lands on the same rows).
+    */
+  private def q326(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q326")
+    val docs = t(s, dir, "documents")
+    val w = graft.ops.Train.linearProbeWeights(
+      docs.filter(col("doc_id") % 2 === 0), probeLabel, probeFeatures,
+      iters = 3, rate = 1e-5)
+    val scoredBatch = graft.ops.Train.linearProbeScore(
+        docs.filter(col("doc_id") % 2 === 1), probeFeatures, w)
+      .select(col("doc_id"), probeLabel.as("__y"), col("score"))
+    val pw = graft.ops.Train.plattFit(scoredBatch, col("score"),
+      col("__y"), iters = 12, rate = 2.0)
+    val src = stage.resolve("src").toString
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    // the frozen serving trees: linearProbeScore's exact z/σ/round
+    // shape with the fitted weights as literals, then the Platt map
+    val z = probeFeatures.zip(w).map { case ((_, c), (_, wj)) =>
+      lit(wj) * c.cast("double")
+    }.reduce(_ + _)
+    val scoreCol =
+      round(lit(0.5d) * (lit(1.0d) + z / (lit(1.0d) + abs(z))), 9)
+    val calCol = graft.ops.Train.plattApply(scoreCol, pw)
+    val land = stage.resolve("land").toString
+    val statePath = stage.resolve("state").toString
+    graft.streaming.Streaming.calibScoreMaintain(s, src, schema,
+      col("doc_id"), probeLabel, scoreCol, calCol, bins = 10,
+      land, statePath, stage.resolve("ckpt").toString)
+    val landed = s.read.parquet(land).localCheckpoint() // law + 2 summaries
+    // the merge law, in-query: the maintained ≤10-row state folds to
+    // the same count and bit-exact decimal Brier as the landed corpus
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val last = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
+      .map(_.getPath.getName).collect { case n if n.startsWith("v") =>
+        n.drop(1).toLong }.max
+    val stAgg = s.read.parquet(s"$statePath/v$last")
+      .agg(sum(col("n")), sum(col("brier_sum"))).head()
+    val landAgg = graft.ops.Eval.calibState(landed, col("cal_score"),
+        col("__y") === 1.0d, bins = 10)
+      .agg(sum(col("n")), sum(col("brier_sum"))).head()
+    require(stAgg.getLong(0) == landAgg.getLong(0) &&
+      stAgg.getDecimal(1).compareTo(landAgg.getDecimal(1)) == 0,
+      s"maintained calibration state diverged from the landed fold: " +
+        s"$stAgg vs $landAgg")
+    val raw = graft.ops.Eval.calibrationSummary(landed, col("doc_id"),
+      col("score"), col("__y") === 1.0d, bins = 10)
+    val cal = graft.ops.Eval.calibrationSummary(landed, col("doc_id"),
+      col("cal_score"), col("__y") === 1.0d, bins = 10)
+    val out = raw.select(col("n"), col("brier").as("brier_raw"),
+        col("ece").as("ece_raw"))
+      .crossJoin(broadcast(cal.select(col("brier").as("brier_cal"),
+        col("ece").as("ece_cal"))))
+      .localCheckpoint()
+    materializeDropping(s, out, stage)
+  }
+
   /** The q322 planted-label fixture (the q319 planted-variant device,
     * classifier flavor): every fifth document gets a spam-marker tail
     * and the label 'low'; the rest are 'high'. The markers give the
@@ -7162,7 +7266,9 @@ object SparkEntry {
     "q321_geo_zone_tag" -> q321 _,
     "q322_model_curation_funnel" -> q322 _,
     "q323_psl_domain" -> q323 _,
-    "q324_zone_table_pip" -> q324 _)
+    "q324_zone_table_pip" -> q324 _,
+    "q325_q13_custdist" -> q325 _,
+    "q326_calibration_drift_stream" -> q326 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -8977,6 +9083,18 @@ object SparkEntry {
             SELECT CAST(ntile(10) OVER (ORDER BY s ASC, doc_id ASC)
               AS BIGINT) AS bin, s, y, doc_id
             FROM $cte) GROUP BY bin)) e"""
+
+  /** The q305/q326 shared oracle (the streamed twin gates against the
+    * batch SQL verbatim — frozen-map scoring is per-document stateless,
+    * so the landed corpus folds to the identical summaries).
+    */
+  private lazy val plattCalibrationSql: String = s"""
+      WITH $plattCtes,
+      br AS (${calibSummarySql("oddraw")}),
+      bc AS (${calibSummarySql("oddcal")})
+      SELECT br.n, br.brier AS brier_raw, br.ece AS ece_raw,
+        bc.brier AS brier_cal, bc.ece AS ece_cal
+      FROM br CROSS JOIN bc"""
 
   private val probeTrainCte: String = {
     val iterCtes = (1 to 3).map { i =>
@@ -10915,6 +11033,20 @@ object SparkEntry {
             AS DOUBLE) / CAST(count(j.d2) AS DOUBLE), 6) AS mean_km
       FROM j LEFT JOIN cc c ON j.cid = c.cid
       GROUP BY 1 ORDER BY 1""",
+    // q325: Q13 written the classic way (LEFT OUTER with the anti-
+    // filter in the join condition, count per customer, histogram);
+    // the engine's pre-aggregated-orders plan must land on the
+    // identical distribution, zero-order customers included
+    "q325_q13_custdist" -> """
+      WITH oc AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+          AND o.o_orderpriority NOT LIKE '%URGENT%'
+        GROUP BY c.c_custkey)
+      SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM oc GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
     // q317: Q18 written the classic way (HAVING subquery + re-join);
     // the engine's single-scan plan must land on the identical rows
     "q317_q18_big_orders" -> """
@@ -11177,13 +11309,11 @@ object SparkEntry {
       SELECT 0 AS ord, 'bias' AS feature, a0 AS weight FROM cw12
       UNION ALL SELECT 1, 'score', a1 FROM cw12
       ORDER BY ord""",
-    "q305_platt_calibration" -> s"""
-      WITH $plattCtes,
-      br AS (${calibSummarySql("oddraw")}),
-      bc AS (${calibSummarySql("oddcal")})
-      SELECT br.n, br.brier AS brier_raw, br.ece AS ece_raw,
-        bc.brier AS brier_cal, bc.ece AS ece_cal
-      FROM br CROSS JOIN bc""",
+    "q305_platt_calibration" -> plattCalibrationSql,
+    // q326 streams the identical frozen-map scoring one file per
+    // trigger and folds the landed rows through the same summaries —
+    // the streamed twin shares q305's oracle verbatim
+    "q326_calibration_drift_stream" -> plattCalibrationSql,
     "q306_url_canonical_dedup" -> s"""
       WITH $urlFixtureCtes
       SELECT curl AS canonical_url, CAST(count(*) AS BIGINT) AS n_docs,

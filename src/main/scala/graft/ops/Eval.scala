@@ -540,6 +540,65 @@ object Eval {
           .as("ece"))
   }
 
+  /** MERGEABLE calibration state — the streaming-monitor flavor of
+    * [[calibrationSummary]]: per FIXED-WIDTH score bin (value bins, not
+    * [[reliabilityBins]]' equal-count ntile — value bins are what makes
+    * the statistic mergeable: a row's bin depends on its score alone,
+    * never on global ranks), the integer/decimal sufficient statistic
+    * (n, n_pos, ssum, brier_sum). `brier_sum` accumulates the exact
+    * decimal squared residual of the round-9 score, so the GLOBAL Brier
+    * is recoverable from state exactly; `ssum`/`n_pos` give per-bin
+    * mean-score and pos-rate — the reliability curve a drift monitor
+    * watches against a frozen baseline. State is ≤ `bins` rows at ANY
+    * corpus size (tighter than the KMV/CMS budgets), and
+    * state(A ∪ B) = [[calibMergeStates]](state(A), state(B)) EXACTLY —
+    * integer counts and decimal sums on the bin key.
+    *
+    * Scores outside [0, 1) clamp into the edge bins (the caller's
+    * scores are probabilities; clamping keeps the fold total).
+    */
+  def calibState(df: DataFrame, score: Column, positive: Column,
+                 bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val base = df.select(score.as("__s"), positive.cast("boolean").as("__p"))
+    val s9 = round(col("__s"), 9).cast("decimal(10,9)")
+    val y = when(col("__p"), lit(1)).otherwise(lit(0)).cast("decimal(10,9)")
+    base.select(
+        least(greatest(floor(col("__s") * bins).cast("long"), lit(0L)),
+          lit(bins - 1L)).as("bin"),
+        when(col("__p"), 1L).otherwise(0L).as("__pos"),
+        s9.cast("decimal(28,12)").as("__s9"),
+        ((s9 - y) * (s9 - y)).cast("decimal(28,18)").as("__sq"))
+      .groupBy(col("bin"))
+      // sums cast back to the declared widths (Spark widens sum results
+      // to precision 38) so the state schema is stable across versions
+      .agg(count(lit(1)).as("n"), sum(col("__pos")).as("n_pos"),
+        sum(col("__s9")).cast("decimal(28,12)").as("ssum"),
+        sum(col("__sq")).cast("decimal(28,18)").as("brier_sum"))
+  }
+
+  /** Exact merge of two [[calibState]] frames — count/decimal sums on
+    * the bin key; associative and commutative.
+    */
+  def calibMergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+        sum(col("ssum")).cast("decimal(28,12)").as("ssum"),
+        sum(col("brier_sum")).cast("decimal(28,18)").as("brier_sum"))
+
+  /** Readout of a maintained [[calibState]]: the per-bin reliability
+    * curve (bin, n, mean_score, pos_rate) plus one global brier row is
+    * derivable by the caller; this emits the curve — the thing a
+    * monitor diffs against its frozen baseline curve.
+    */
+  def calibStateBins(state: DataFrame): DataFrame =
+    state.select(col("bin"), col("n"),
+      round(col("ssum").cast("double") / col("n").cast("double"), 6)
+        .as("mean_score"),
+      round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+        .as("pos_rate"))
+
   /** One-row binary-classifier report card from (predicted, actual)
     * boolean pairs: the confusion counts plus accuracy, balanced
     * accuracy, Youden's J (tpr + tnr − 1, the chance-corrected

@@ -894,6 +894,77 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming calibration-drift maintenance — the q305 monitor as it
+    * actually deploys: a FROZEN model + FROZEN recalibration map score
+    * each arriving micro-batch statelessly (`score`/`calScore` are
+    * caller-built expression trees over the batch columns — the weights
+    * are literals, so serving cannot drift from the batch fit), the
+    * scored rows land append-only (q312's stateless-landing device),
+    * and the MERGEABLE fixed-width-bin statistic
+    * ([[graft.ops.Eval.calibState]] on the calibrated score) folds into
+    * versioned state — ≤ `bins` rows per version, the tightest state
+    * budget in the streaming family. The per-version reliability curve
+    * ([[graft.ops.Eval.calibStateBins]]) is the live readout a monitor
+    * diffs against its frozen baseline curve; the exact global Brier is
+    * recoverable from state (decimal sums), which is what lets the
+    * caller assert state ≡ landed-fold as an in-query law. Versioned-
+    * overwrite + prune per [[kmvMaintain]]'s protocol.
+    */
+  def calibScoreMaintain(spark: SparkSession, sourceDir: String,
+                         schema: StructType, id: Column, label: Column,
+                         score: Column, calScore: Column, bins: Int,
+                         landPath: String, statePath: String,
+                         checkpointDir: String,
+                         maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_pos",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ssum",
+        org.apache.spark.sql.types.DecimalType(28, 12)),
+      org.apache.spark.sql.types.StructField("brier_sum",
+        org.apache.spark.sql.types.DecimalType(28, 18))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val scored = batch.toDF().select(id.as("doc_id"),
+          label.cast("double").as("__y"), score.as("score"),
+          calScore.as("cal_score"))
+        scored.write.mode("append").parquet(landPath)
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val versions =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).toSeq
+              .map(_.getPath.getName)
+              .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+              .filter(_ < batchId)
+          else Seq.empty[Long]
+        val prior =
+          if (versions.isEmpty)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+          else s.read.schema(stateSchema)
+            .parquet(s"$statePath/v${versions.max}")
+        graft.ops.Eval.calibMergeStates(prior,
+            graft.ops.Eval.calibState(scored, col("cal_score"),
+              col("__y") === 1.0d, bins))
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        pruneStateVersions(fs, statePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming perceptual-dedup maintenance — the multimodal dedup leg
     * run incrementally: each micro-batch's assets are banded
     * (`toBands`: the caller's decode → dHash → band composition) and

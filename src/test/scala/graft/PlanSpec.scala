@@ -379,6 +379,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q325 Q13 shape: outer join survives, orders pre-aggregated") {
+    val p = plan("q325_q13_custdist")
+    // the null group is the point of Q13: planning must NOT collapse
+    // the left outer into an inner join
+    assert(p.contains("LeftOuter"), s"outer join collapsed:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the orders side aggregates to customer grain BELOW the join
+    // (children print after their parent): at least the partial+final
+    // pair of the per-customer count must appear after the join node
+    val ji = p.indexOf("LeftOuter")
+    val below = "HashAggregate".r.findAllIn(p.substring(ji)).length
+    assert(below >= 2,
+      s"orders not pre-aggregated below the outer join:\n$p")
+  }
+
   test("q147 drift: histogram counts aggregate with map-side partials") {
     val p = plan("q147_histogram_drift")
     assert(p.contains("partial_sum") || p.contains("partial_count"),

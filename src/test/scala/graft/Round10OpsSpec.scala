@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Geo, Train, Web}
+import graft.ops.{Eval, Geo, Train, Web}
 
 /** Round-10 ADVICE closures, pinned as laws:
   *  - the Naive Bayes vocab-floor mass law (pruned tokens leave the
@@ -221,6 +221,52 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(disagree.nonEmpty, "model and heuristic never disagree — " +
       "the q322 swap would be vacuous")
     assert(disagree.forall(_._3 == "low"))
+  }
+
+  // ——— mergeable calibration state (q326's device) ————————————————————
+
+  test("calibState: state(A ∪ B) equals merge(state(A), state(B))") {
+    val mk = (rows: Seq[(Double, Boolean)]) =>
+      rows.toDF("s", "p")
+    val a = mk(Seq((0.05, false), (0.12, false), (0.33, true),
+      (0.41, false), (0.77, true)))
+    val b = mk(Seq((0.08, true), (0.33, false), (0.95, true),
+      (0.95, false), (0.51, true)))
+    val whole = Eval.calibState(a.unionByName(b), $"s", $"p", bins = 4)
+    val merged = Eval.calibMergeStates(
+      Eval.calibState(a, $"s", $"p", bins = 4),
+      Eval.calibState(b, $"s", $"p", bins = 4))
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3), r.getDecimal(4))).sortBy(_._1).toSeq
+    assert(key(whole) === key(merged))
+    // state is bounded by the bin count, never the row count
+    assert(whole.count() <= 4)
+  }
+
+  test("calibState: global Brier recovers exactly from the bin state") {
+    val df = (0L until 50L).map(i =>
+      (i, (i % 10) / 10.0 + 0.05, i % 3 == 0)).toDF("id", "s", "p")
+    val fromState = Eval.calibState(df, $"s", $"p", bins = 10)
+      .agg(sum($"brier_sum").cast("decimal(28,18)")).head().getDecimal(0)
+    val direct = df.select(
+        ((round($"s", 9).cast("decimal(10,9)") -
+          when($"p", 1).otherwise(0).cast("decimal(10,9)")) *
+         (round($"s", 9).cast("decimal(10,9)") -
+          when($"p", 1).otherwise(0).cast("decimal(10,9)")))
+          .cast("decimal(28,18)").as("sq"))
+      .agg(sum($"sq").cast("decimal(28,18)")).head().getDecimal(0)
+    assert(fromState.compareTo(direct) === 0)
+  }
+
+  test("calibStateBins: edge scores clamp into the boundary bins") {
+    val df = Seq((-0.2, false), (0.0, false), (0.5, true), (1.0, true),
+      (1.3, true)).toDF("s", "p")
+    val bins = Eval.calibState(df, $"s", $"p", bins = 10)
+      .select($"bin", $"n").as[(Long, Long)].collect().toMap
+    assert(bins(0L) === 2L) // -0.2 clamps up into bin 0
+    assert(bins(9L) === 2L) // 1.0 and 1.3 clamp down into bin 9
+    assert(bins(5L) === 1L)
   }
 
   // ——— keyword_counts SQL registration ———————————————————————————————
