@@ -295,7 +295,33 @@ object PlanDump {
         "customer broadcast at gate scale (AQE swaps to equi-joins " +
         "on the aggregate's already-exchanged order key when they " +
         "outgrow the threshold), and the deterministic top-100 is a " +
-        "TakeOrderedAndProject, never a global sort."))
+        "TakeOrderedAndProject, never a global sort."),
+    "q322_model_curation_funnel" ->
+      ("The model-based curation funnel's serving side: the trained " +
+        "C·V NB model meets the exploded corpus tokens via " +
+        "BroadcastHashJoin on the token key (the corpus never " +
+        "shuffles to be scored — q302's plan inside the funnel), the " +
+        "doc-grain argmax window partitions by doc_id, the dedup " +
+        "window partitions by the md5 fingerprint, and the funnel " +
+        "fold is one source-grain hash aggregate. Training cost " +
+        "(token-grain counting shuffle) is paid once on the labeled " +
+        "half behind a checkpoint."),
+    "q324_zone_table_pip" ->
+      ("Zone-table containment: points and zone BBOXes meet in a " +
+        "plain shuffle EQUI-join on the 500 km cell key (no " +
+        "CartesianProduct, no BNLJ — candidate volume is points × " +
+        "bboxes-per-cell), the crossing-number verify is a codegen'd " +
+        "filter over the candidate's edge array, and the rollup is " +
+        "one zone-grain hash aggregate; the zone side's bbox/cell " +
+        "explode is map-side Generate over 40 rows."),
+    "q325_q13_custdist" ->
+      ("Q13 with the fact pre-aggregated: the per-customer order " +
+        "count (map-side partial_count on o_custkey) runs BELOW the " +
+        "LEFT OUTER join, so the join moves one row per customer — " +
+        "never one per order; the outer survives planning " +
+        "(PlanSpec-pinned — zero-order customers are the histogram's " +
+        "head), and the final distribution is a second small hash " +
+        "aggregate on the count value."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

@@ -28,11 +28,11 @@ import sys
 import tempfile
 
 DEFAULT_QUERIES = [
-    "q281_luhn_formatted",
-    "q284_avi_roundtrip",
-    "q285_gram_tiled",
-    "q286_bradley_terry_scale",
-    "q288_excess_stock",
+    "q322_model_curation_funnel",
+    "q323_psl_domain",
+    "q324_zone_table_pip",
+    "q325_q13_custdist",
+    "q326_calibration_drift_stream",
 ]
 
 
