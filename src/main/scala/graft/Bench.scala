@@ -312,7 +312,8 @@ object Bench {
     "q323_psl_domain",
     "q324_zone_table_pip",
     "q325_q13_custdist",
-    "q326_calibration_drift_stream")
+    "q326_calibration_drift_stream",
+    "q327_calib_bins_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

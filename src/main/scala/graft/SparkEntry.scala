@@ -5181,6 +5181,42 @@ object SparkEntry {
     materializeDropping(s, out, stage)
   }
 
+  /** Eval 16 (round-10): the calibration-drift READOUT itself, gated —
+    * [[graft.ops.Eval.calibState]]/[[graft.ops.Eval.calibStateBins]]
+    * (q326's mergeable fixed-width-bin statistic) as the batch drift
+    * table a monitor publishes: the even-doc_id half is the FROZEN
+    * baseline window, the odd half the current window, both binned on
+    * the q28 quality score against the is-English outcome (q193's
+    * score/outcome pair, value-bin flavor); per bin the two
+    * positive-rates, their signed drift and a ±0.05 flag. Value bins
+    * (not ntile) are deliberately the monitor's flavor — a row's bin
+    * depends on its score alone, so the table is exactly what the
+    * streamed state folds to. Everything is two ≤bins-row aggregates
+    * and one bins-grain outer join: corpus-linear, one pass per window.
+    */
+  private def q327(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("__s"),
+        (col("lang") === "en").as("__p"))
+      .localCheckpoint() // one quality pass feeds both window folds
+    def binsOf(half: Int) = graft.ops.Eval.calibStateBins(
+      graft.ops.Eval.calibState(docs.filter(col("doc_id") % 2 === half),
+        col("__s"), col("__p"), bins = 10))
+    val base = binsOf(0).select(col("bin"), col("n").as("n_base"),
+      col("pos_rate").as("pos_rate_base"))
+    val cur = binsOf(1).select(col("bin"), col("n").as("n_cur"),
+      col("pos_rate").as("pos_rate_cur"))
+    base.join(cur, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("pos_rate_base"), col("pos_rate_cur"),
+        rdz(col("pos_rate_cur") - col("pos_rate_base"), 6).as("drift"),
+        coalesce(abs(col("pos_rate_cur") - col("pos_rate_base")) >=
+          lit(0.05d), lit(false)).as("flagged"))
+      .orderBy("bin")
+  }
+
   /** The q322 planted-label fixture (the q319 planted-variant device,
     * classifier flavor): every fifth document gets a spam-marker tail
     * and the label 'low'; the rest are 'high'. The markers give the
@@ -7268,7 +7304,8 @@ object SparkEntry {
     "q323_psl_domain" -> q323 _,
     "q324_zone_table_pip" -> q324 _,
     "q325_q13_custdist" -> q325 _,
-    "q326_calibration_drift_stream" -> q326 _)
+    "q326_calibration_drift_stream" -> q326 _,
+    "q327_calib_bins_drift" -> q327 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -11314,6 +11351,47 @@ object SparkEntry {
     // trigger and folds the landed rows through the same summaries —
     // the streamed twin shares q305's oracle verbatim
     "q326_calibration_drift_stream" -> plattCalibrationSql,
+    // q327: both windows' value-bin curves replayed from the q28
+    // quality arithmetic, full-outer-joined on the bin key
+    "q327_calib_bins_drift" -> raw"""
+      WITH qs AS (
+        SELECT doc_id, lang = 'en' AS p,
+          round(least(greatest(
+            0.4 * least(nt / 50.0, 1.0) +
+            0.3 * coalesce(nd / nullif(nt, 0.0), 0.0) +
+            0.3 * coalesce(alpha / nullif(chars, 0.0), 0.0),
+            0.0), 1.0), 6) AS s
+        FROM (
+          SELECT doc_id, lang,
+            CAST(len(tk) AS DOUBLE) AS nt,
+            CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+            CAST(len(text) AS DOUBLE) AS chars,
+            CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              AS DOUBLE) AS alpha
+          FROM (SELECT doc_id, lang, text,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+            FROM documents))),
+      bb AS (
+        SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9)
+            AS bin,
+          CAST(count(*) AS BIGINT) AS n,
+          round(CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE), 6) AS pr
+        FROM qs WHERE doc_id % 2 = 0 GROUP BY 1),
+      cb AS (
+        SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9)
+            AS bin,
+          CAST(count(*) AS BIGINT) AS n,
+          round(CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE), 6) AS pr
+        FROM qs WHERE doc_id % 2 = 1 GROUP BY 1)
+      SELECT coalesce(b.bin, c.bin) AS bin,
+        coalesce(b.n, 0) AS n_base, coalesce(c.n, 0) AS n_cur,
+        b.pr AS pos_rate_base, c.pr AS pos_rate_cur,
+        round(c.pr - b.pr, 6) + 0.0 AS drift,
+        coalesce(abs(c.pr - b.pr) >= 0.05, false) AS flagged
+      FROM bb b FULL OUTER JOIN cb c ON b.bin = c.bin
+      ORDER BY 1""",
     "q306_url_canonical_dedup" -> s"""
       WITH $urlFixtureCtes
       SELECT curl AS canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
