@@ -332,6 +332,12 @@ object Bench {
     // spill-safe SMJ profile against the default shuffle_hash pins
     sys.env.get("SPARK_GRAFT_PAIR_HINT")
       .foreach(v => spark.conf.set(GraftConf.PairJoinHintKey, v))
+    // regime-pinned scale probes: "-1" disables broadcast joins so a
+    // 10× byte ratio is measured within ONE join regime instead of
+    // across AQE's broadcast→shuffle transition (whose byte jump at
+    // tiny absolutes reads as superlinear when the algorithm is linear)
+    sys.env.get("SPARK_GRAFT_BROADCAST_THRESHOLD")
+      .foreach(v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     val qs = SparkEntry.queries
     // local-iteration subset (comma-separated names) — the q52-adjudication
     // workflow; driver leaves it unset. Misspelled names must fail loudly.

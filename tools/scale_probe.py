@@ -33,6 +33,7 @@ DEFAULT_QUERIES = [
     "q324_zone_table_pip",
     "q325_q13_custdist",
     "q326_calibration_drift_stream",
+    "q327_calib_bins_drift",
 ]
 
 
