@@ -5290,24 +5290,31 @@ object SparkEntry {
       .orderBy("source")
   }
 
-  /** The q323 host fixture: six suffix shapes, THREE of which the
-    * round-9 literal list ([[graft.ops.Web.secondLevelSuffixes]]) does
-    * not contain (`gov.br`, `edu.au`, and the 3-label `k12.ca.us`),
-    * plus a plain TLD, an unknown TLD (the PSL `*` default path), and
-    * a host that IS a public suffix (NULL registrable).
+  /** The q323 host fixture: eight suffix shapes — three the round-9
+    * literal list ([[graft.ops.Web.secondLevelSuffixes]]) does not
+    * contain (`gov.br`, `edu.au`, the 3-label `k12.ca.us`), a plain
+    * TLD, an unknown TLD (the PSL `*` default path), a host that IS a
+    * public suffix (NULL registrable), a WILDCARD-rule host
+    * (`*.ck` — the label under ck is itself a suffix, so the
+    * registrable carries one more), and the wildcard's EXCEPTION
+    * (`!www.ck` — registrable despite the wildcard).
     */
   private def q323Host: Column =
-    when(col("doc_id") % 6 === 0,
+    when(col("doc_id") % 8 === 0,
       concat(col("source"), lit(".portal.gov.br")))
-      .when(col("doc_id") % 6 === 1,
+      .when(col("doc_id") % 8 === 1,
         concat(col("source"), lit(".example.com")))
-      .when(col("doc_id") % 6 === 2,
+      .when(col("doc_id") % 8 === 2,
         concat(lit("www."), col("source"), lit(".schools.k12.ca.us")))
-      .when(col("doc_id") % 6 === 3,
+      .when(col("doc_id") % 8 === 3,
         concat(col("source"), lit(".uni.edu.au")))
-      .when(col("doc_id") % 6 === 4,
+      .when(col("doc_id") % 8 === 4,
         concat(col("source"), lit(".startup.xyz")))
-      .otherwise(lit("com.br"))
+      .when(col("doc_id") % 8 === 5, lit("com.br"))
+      .when(col("doc_id") % 8 === 6,
+        concat(lit("w"), floor((col("doc_id") % 16) / 8).cast("string"),
+          lit(".mall.ck")))
+      .otherwise(lit("www.ck"))
 
   /** Web 4 (round-10): TABLE-driven registrable domain
     * ([[graft.ops.Web.registeredDomainPsl]]) — the round-9 literal
@@ -11398,49 +11405,68 @@ object SparkEntry {
         CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
         min(doc_id) AS keeper
       FROM ucanon GROUP BY 1 ORDER BY 1""",
-    // q323: the same ~200-row PSL-shaped rule list interpolated, the
-    // longest-match picked by an explicit k=4..1 CASE, the '*' default
-    // and the host-is-a-suffix NULL replayed verbatim
+    // q323: the same ~200-row PSL rule list interpolated and the FULL
+    // algorithm replayed generically — rule normalization (plain /
+    // '*.' wildcard / '!' exception), last-k candidate tails, the
+    // exception-first-then-longest winner, the '*' default and the
+    // host-is-a-suffix NULL
     "q323_psl_domain" -> {
       val rules = graft.ops.Web.pslSuffixes.map(s => s"'$s'").mkString(",")
+      def pat(k: Int): String =
+        "(" + Seq.fill(k)("[^.]+").mkString("\\.") + ")$"
+      val candSelects = (1 to 4).map { k =>
+        s"""SELECT doc_id, host, $k AS k,
+          regexp_extract(host, '${pat(k)}', 1) AS key,
+          nullif(regexp_extract(host, '${pat(k + 1)}', 1), '') AS reg1,
+          nullif(regexp_extract(host, '${pat(k + 2)}', 1), '') AS reg2
+        FROM hosts"""
+      }.mkString("\n        UNION ALL ")
       raw"""
-      WITH psl AS (SELECT unnest([$rules]) AS suffix),
+      WITH psl AS (SELECT unnest([$rules]) AS rule),
+      rules AS (
+        SELECT CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+                    WHEN rule LIKE '*.%' THEN substr(rule, 3)
+                    ELSE rule END AS key,
+               CASE WHEN rule LIKE '!%' THEN 2
+                    WHEN rule LIKE '*.%' THEN 1 ELSE 0 END AS kind
+        FROM psl),
       hosts AS (
         SELECT doc_id,
-          CASE WHEN doc_id % 6 = 0 THEN source || '.portal.gov.br'
-               WHEN doc_id % 6 = 1 THEN source || '.example.com'
-               WHEN doc_id % 6 = 2 THEN 'www.' || source ||
+          CASE WHEN doc_id % 8 = 0 THEN source || '.portal.gov.br'
+               WHEN doc_id % 8 = 1 THEN source || '.example.com'
+               WHEN doc_id % 8 = 2 THEN 'www.' || source ||
                  '.schools.k12.ca.us'
-               WHEN doc_id % 6 = 3 THEN source || '.uni.edu.au'
-               WHEN doc_id % 6 = 4 THEN source || '.startup.xyz'
-               ELSE 'com.br' END AS host
+               WHEN doc_id % 8 = 3 THEN source || '.uni.edu.au'
+               WHEN doc_id % 8 = 4 THEN source || '.startup.xyz'
+               WHEN doc_id % 8 = 5 THEN 'com.br'
+               WHEN doc_id % 8 = 6 THEN 'w' ||
+                 CAST(CAST(floor((doc_id % 16) / 8) AS BIGINT) AS VARCHAR)
+                 || '.mall.ck'
+               ELSE 'www.ck' END AS host
         FROM documents),
-      cand AS (
-        SELECT doc_id, host,
-          len(string_split(host, '.')) AS nl,
-          regexp_extract(host, '([^.]+)$$', 1) AS s1,
-          regexp_extract(host, '([^.]+\.[^.]+)$$', 1) AS s2,
-          regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$$', 1) AS s3,
-          regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$$', 1) AS s4,
-          regexp_extract(host,
-            '([^.]+\.[^.]+\.[^.]+\.[^.]+\.[^.]+)$$', 1) AS s5
-        FROM hosts),
-      km AS (
-        SELECT doc_id, host, nl, s2, s3, s4, s5,
-          CASE WHEN s4 <> '' AND s4 IN (SELECT suffix FROM psl) THEN 4
-               WHEN s3 <> '' AND s3 IN (SELECT suffix FROM psl) THEN 3
-               WHEN s2 <> '' AND s2 IN (SELECT suffix FROM psl) THEN 2
-               WHEN s1 <> '' AND s1 IN (SELECT suffix FROM psl) THEN 1
-               ELSE 0 END AS kk
-        FROM cand),
+      cands AS (
+        $candSelects),
+      hits AS (
+        SELECT c.doc_id,
+          CASE WHEN r.kind = 2 THEN 1 ELSE 0 END AS exc,
+          c.k + CASE WHEN r.kind = 1 THEN 1 WHEN r.kind = 2 THEN -1
+                ELSE 0 END AS efflen,
+          CASE WHEN r.kind = 0 THEN c.reg1
+               WHEN r.kind = 1 THEN c.reg2
+               ELSE c.key END AS reg
+        FROM cands c JOIN rules r ON c.key = r.key AND c.key <> ''
+        WHERE NOT (r.kind = 1 AND c.reg1 IS NULL)),
+      best AS (
+        SELECT doc_id, reg FROM hits
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+          ORDER BY exc DESC, efflen DESC, reg DESC NULLS LAST) = 1),
       rd AS (
-        SELECT doc_id, host,
-          CASE WHEN kk = 0 THEN
-                 (CASE WHEN nl >= 2 THEN s2 ELSE NULL END)
-               WHEN nl <= kk THEN NULL
-               WHEN kk = 1 THEN s2 WHEN kk = 2 THEN s3
-               WHEN kk = 3 THEN s4 ELSE s5 END AS registered_domain
-        FROM km)
+        SELECT h.doc_id, h.host,
+          CASE WHEN b.doc_id IS NOT NULL THEN b.reg
+               WHEN len(string_split(h.host, '.')) >= 2
+               THEN regexp_extract(h.host, '([^.]+\.[^.]+)$$', 1)
+               ELSE NULL END AS registered_domain
+        FROM hosts h LEFT JOIN best b ON h.doc_id = b.doc_id)
       SELECT coalesce(registered_domain, '(none)') AS registered_domain,
         CAST(count(*) AS BIGINT) AS n_docs,
         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts

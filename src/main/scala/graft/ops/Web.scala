@@ -122,56 +122,94 @@ object Web {
     val third = Seq("k12.ca.us", "k12.ny.us", "k12.tx.us", "cc.ca.us",
       "lib.ca.us", "act.edu.au", "nsw.edu.au", "vic.edu.au", "qld.edu.au",
       "wa.edu.au")
-    tlds ++ second ++ third
+    // the published list's two other rule FORMS, with their canonical
+    // examples: a wildcard ('every label directly under ck is a public
+    // suffix') and its exception ('except www.ck, which is registrable')
+    val special = Seq("*.ck", "!www.ck", "*.kawasaki.jp", "*.kitakyushu.jp")
+    tlds ++ second ++ third ++ special
   }
 
-  /** Table-driven registrable domain — the PSL algorithm over a
+  /** Table-driven registrable domain — the FULL PSL algorithm over a
     * broadcast rule table instead of [[registeredDomain]]'s literal
-    * second-level list: for each host, every last-k-label candidate
-    * (k ≤ 4, the longest rule in any real PSL snapshot this engine
-    * carries) equi-joins the suffix table, the LONGEST hit wins, and
-    * the registrable domain is that suffix plus one more label.
-    * PSL edge semantics, both pinned in Round10OpsSpec:
-    *  - a host that IS a public suffix has no registrable domain → NULL
-    *    (it isn't a registration, it's a registry);
-    *  - a host matching NO rule falls to the PSL's prevailing `*` rule
+    * second-level list. `psl` is one `suffix` string column carrying
+    * rules in the published list's own syntax: plain rules
+    * (`co.uk`), wildcard rules (`*.ck` — every label directly under
+    * ck is a public suffix), and exception rules (`!www.ck` — www.ck
+    * is registrable despite the wildcard). Matching per the PSL spec:
+    *  - a rule matches when the host ends with its labels (the
+    *    wildcard's `*` matching exactly one extra label);
+    *  - if ANY exception rule matches it prevails; otherwise the
+    *    matching rule with the LONGEST effective suffix wins;
+    *  - the registrable domain is the effective public suffix plus one
+    *    label (for an exception, the exception's own labels — its
+    *    suffix is the rule minus the leading label);
+    *  - a host that IS a public suffix has no registrable domain →
+    *    NULL (it isn't a registration, it's a registry);
+    *  - a host matching NO rule falls to the prevailing `*` default
     *    (last label is the suffix) → registrable = last two labels,
     *    NULL for a single-label host.
-    *
-    * `psl` is one `suffix` string column ([[pslSuffixes]] or the full
-    * published list). Returns (id, host, registered_domain).
+    * Returns (id, host, registered_domain).
     *
     * Scale shape: candidates are a ≤4-wide map-side explode (array
-    * slices of the split host — codegen'd, no regex), the rule join
-    * BROADCASTS (the full Mozilla PSL is ~10k rows — kilobytes), and
-    * the longest-hit fold is one groupBy(id) max(struct) with map-side
-    * partials: one shuffle row per host, the [[Geo.nearestCentroid]]
-    * argmin discipline. Corpus-linear at any host cardinality.
+    * slices of the split host — codegen'd, no regex; rule KEYS are ≤4
+    * labels, covering ≤5-label effective suffixes via wildcards), rule
+    * normalization is column ops over the broadcast table (the full
+    * Mozilla PSL is ~10k rows — kilobytes), and the winner fold is one
+    * groupBy(id) max(struct) with map-side partials: one shuffle row
+    * per host, the [[Geo.nearestCentroid]] argmin discipline.
+    * Corpus-linear at any host cardinality.
     */
   def registeredDomainPsl(hosts: DataFrame, id: Column, host: Column,
                           psl: DataFrame): DataFrame = {
+    // normalize rules: (key = literal label tail to equi-join on,
+    // kind 0 = plain / 1 = wildcard / 2 = exception)
+    val rules = psl.select(col("suffix").as("__rule"))
+      .select(
+        when(col("__rule").startsWith("!"), expr("substring(__rule, 2)"))
+          .when(col("__rule").startsWith("*."),
+            expr("substring(__rule, 3)"))
+          .otherwise(col("__rule")).as("__key"),
+        when(col("__rule").startsWith("!"), lit(2))
+          .when(col("__rule").startsWith("*."), lit(1))
+          .otherwise(lit(0)).as("__kind"))
     val h = hosts.select(id.as("__id"), host.as("__host"))
     val labels = split(col("__host"), "\\.")
     val n = size(labels)
     def lastK(k: Int): Column = concat_ws(".", slice(labels, -k, k))
+    // per host, the last-k label tails with one and two more labels
+    // (reg1 serves plain hits, reg2 wildcard hits, the tail itself
+    // exception hits)
     val cands = h.select(col("__id"),
         explode(filter(array((1 to 4).map { k =>
           struct(lit(k).as("k"),
-            when(n >= k, lastK(k)).otherwise(lit(null)).as("suffix"),
-            when(n >= k + 1, lastK(k + 1)).otherwise(lit(null)).as("reg"))
-        }: _*), c => c.getField("suffix").isNotNull)).as("__c"))
+            when(n >= k, lastK(k)).otherwise(lit(null)).as("key"),
+            when(n >= k + 1, lastK(k + 1)).otherwise(lit(null)).as("reg1"),
+            when(n >= k + 2, lastK(k + 2)).otherwise(lit(null)).as("reg2"))
+        }: _*), c => c.getField("key").isNotNull)).as("__c"))
       .select(col("__id"), col("__c.k").as("__k"),
-        col("__c.suffix").as("__suffix"), col("__c.reg").as("__reg"))
-    val hits = cands
-      .join(broadcast(psl.select(col("suffix").as("__suffix"))),
-        Seq("__suffix"))
+        col("__c.key").as("__key"), col("__c.reg1").as("__reg1"),
+        col("__c.reg2").as("__reg2"))
+    // a wildcard rule only matches when the host HAS the extra label
+    // (the tail alone is not a wildcard match)
+    val hits = cands.join(broadcast(rules), Seq("__key"))
+      .filter(col("__kind") =!= 1 || col("__reg1").isNotNull)
+      .select(col("__id"),
+        (col("__kind") === 2).cast("int").as("__exc"),
+        // effective public-suffix length: plain k, wildcard k+1,
+        // exception k−1 (only orders among same-priority hits)
+        (col("__k") + when(col("__kind") === 1, 1)
+          .when(col("__kind") === 2, -1).otherwise(0)).as("__efflen"),
+        when(col("__kind") === 0, col("__reg1"))
+          .when(col("__kind") === 1, col("__reg2"))
+          .otherwise(col("__key")).as("__reg"))
       .groupBy(col("__id"))
-      .agg(max(struct(col("__k"), col("__reg"))).as("__best"))
-      .select(col("__id"), col("__best.__k").as("__bk"),
+      .agg(max(struct(col("__exc"), col("__efflen"), col("__reg")))
+        .as("__best"))
+      .select(col("__id"), col("__best.__exc").as("__bexc"),
         col("__best.__reg").as("__breg"))
     h.join(hits, Seq("__id"), "left")
       .select(col("__id").as("id"), col("__host").as("host"),
-        when(col("__bk").isNotNull, col("__breg")) // hit; NULL if host IS a suffix
+        when(col("__bexc").isNotNull, col("__breg")) // hit; NULL if host IS a suffix
           .otherwise(when(n >= 2, lastK(2))) // the PSL '*' default rule
           .as("registered_domain"))
   }

@@ -168,6 +168,26 @@ class Round10OpsSpec extends AnyFunSuite {
       4L -> Some("startup.xyz"), 5L -> None, 6L -> None))
   }
 
+  test("registeredDomainPsl: wildcard and exception rules (PSL spec)") {
+    val psl = Web.pslSuffixes.toDF("suffix") // carries *.ck and !www.ck
+    val hosts = Seq(
+      (0L, "shop.ck"),        // '*' label itself IS a suffix → NULL
+      (1L, "x.shop.ck"),      // under the wildcard suffix → x.shop.ck
+      (2L, "a.x.shop.ck"),    // deeper → still x.shop.ck
+      (3L, "www.ck"),         // exception beats the wildcard → www.ck
+      (4L, "y.www.ck"),       // exception's suffix is 'ck' → www.ck
+      (5L, "ck"),             // bare wildcard tail: no wildcard match,
+                              //   single label → NULL
+      (6L, "b.net.kawasaki.jp")) // *.kawasaki.jp beats plain co.jp-style
+      .toDF("id", "host")
+    val got = Web.registeredDomainPsl(hosts, $"id", $"host", psl)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got === Map(
+      0L -> None, 1L -> Some("x.shop.ck"), 2L -> Some("x.shop.ck"),
+      3L -> Some("www.ck"), 4L -> Some("www.ck"), 5L -> None,
+      6L -> Some("b.net.kawasaki.jp")))
+  }
+
   test("registeredDomainPsl agrees with the literal rule on its shapes") {
     // on hosts whose suffixes both rules know, table and literal agree —
     // the q307-compatibility law that let the round-9 oracle stand
