@@ -5160,11 +5160,16 @@ object SparkEntry {
     val last = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
       .map(_.getPath.getName).collect { case n if n.startsWith("v") =>
         n.drop(1).toLong }.max
+    // coalesced folds: on EMPTY input both sides must land on (0, 0),
+    // not a NULL sum (the empty-input law every operator obeys)
+    val zeroDec = lit(0).cast("decimal(28,18)")
     val stAgg = s.read.parquet(s"$statePath/v$last")
-      .agg(sum(col("n")), sum(col("brier_sum"))).head()
+      .agg(coalesce(sum(col("n")), lit(0L)),
+        coalesce(sum(col("brier_sum")), zeroDec)).head()
     val landAgg = graft.ops.Eval.calibState(landed, col("cal_score"),
         col("__y") === 1.0d, bins = 10)
-      .agg(sum(col("n")), sum(col("brier_sum"))).head()
+      .agg(coalesce(sum(col("n")), lit(0L)),
+        coalesce(sum(col("brier_sum")), zeroDec)).head()
     require(stAgg.getLong(0) == landAgg.getLong(0) &&
       stAgg.getDecimal(1).compareTo(landAgg.getDecimal(1)) == 0,
       s"maintained calibration state diverged from the landed fold: " +
