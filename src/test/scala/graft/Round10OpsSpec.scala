@@ -188,6 +188,65 @@ class Round10OpsSpec extends AnyFunSuite {
       6L -> Some("b.net.kawasaki.jp")))
   }
 
+  test("registeredDomainPsl: property law vs a reference implementation") {
+    // independent reference: the PSL algorithm in plain Scala — match a
+    // rule when the host ends with its labels (wildcard consuming one
+    // extra), exception-first-then-longest winner, '*' default
+    def ref(host: String, rules: Seq[String]): Option[String] = {
+      val ls = host.split('.').toSeq
+      def tail(k: Int) = ls.takeRight(k).mkString(".")
+      val hits = rules.flatMap { r =>
+        val (kind, key) =
+          if (r.startsWith("!")) (2, r.drop(1))
+          else if (r.startsWith("*.")) (1, r.drop(2)) else (0, r)
+        val kl = key.split('.').length
+        val matches = ls.length >= kl && tail(kl) == key &&
+          (kind != 1 || ls.length >= kl + 1)
+        if (!matches) None
+        else {
+          val effLen = kind match {
+            case 0 => kl case 1 => kl + 1 case _ => kl - 1
+          }
+          val reg = kind match {
+            case 2 => Some(tail(kl))
+            case _ => if (ls.length >= effLen + 1) Some(tail(effLen + 1))
+                      else None
+          }
+          Some((if (kind == 2) 1 else 0, effLen, reg))
+        }
+      }
+      if (hits.nonEmpty) {
+        // exception first, then longest effective suffix (regs agree at
+        // ties by construction — same effLen ⇒ same label count)
+        hits.maxBy(h => (h._1, h._2))._3
+      } else if (ls.length >= 2) Some(tail(2)) else None
+    }
+    // ~400 deterministic pseudo-random hosts over a label alphabet that
+    // collides with every rule form in the table
+    val rnd = new scala.util.Random(42)
+    val alpha = Seq("www", "a", "b7", "shop", "mall", "ck", "co", "uk",
+      "com", "br", "xyz", "k12", "ca", "us", "kawasaki", "jp", "edu")
+    val hosts = (0 until 400).map { i =>
+      val n = 1 + rnd.nextInt(5)
+      (i.toLong, Seq.fill(n)(alpha(rnd.nextInt(alpha.size))).mkString("."))
+    }
+    val psl = Web.pslSuffixes.toDF("suffix")
+    val got = Web.registeredDomainPsl(hosts.toDF("id", "host"),
+        $"id", $"host", psl)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    val bad = hosts.filter { case (id, h) =>
+      got(id) != ref(h, Web.pslSuffixes)
+    }
+    assert(bad.isEmpty, s"engine vs reference diverge on: " +
+      bad.take(5).map { case (id, h) =>
+        s"$h engine=${got(id)} ref=${ref(h, Web.pslSuffixes)}"
+      }.mkString("; "))
+    // non-vacuous: the draw hit wildcard, exception and default paths
+    assert(hosts.exists(h => h._2.endsWith(".ck") &&
+      !h._2.endsWith("www.ck") && h._2.split('.').length >= 3))
+    assert(hosts.exists(_._2.endsWith("www.ck")))
+  }
+
   test("registeredDomainPsl agrees with the literal rule on its shapes") {
     // on hosts whose suffixes both rules know, table and literal agree —
     // the q307-compatibility law that let the round-9 oracle stand
