@@ -313,7 +313,16 @@ object Bench {
     "q324_zone_table_pip",
     "q325_q13_custdist",
     "q326_calibration_drift_stream",
-    "q327_calib_bins_drift")
+    "q327_calib_bins_drift",
+    "q328_model_lang_gate",
+    "q329_q16_supplier_cnt",
+    "q330_q15_top_supplier",
+    "q331_q11_important_parts",
+    "q332_url_frontier_stream",
+    "q333_q7_trade_volume",
+    "q334_q19_disjunctive_revenue",
+    "q335_qbin_quantiles",
+    "q336_qbin_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -321,7 +321,43 @@ object PlanDump {
         "never one per order; the outer survives planning " +
         "(PlanSpec-pinned — zero-order customers are the histogram's " +
         "head), and the final distribution is a second small hash " +
-        "aggregate on the count value."))
+        "aggregate on the count value."),
+    "q329_q16_supplier_cnt" ->
+      ("Q16 with NOT IN decorrelated: the complaint-supplier set and " +
+        "the filtered part dim both broadcast into the distinct " +
+        "(l_partkey, l_suppkey) pair grain — the anti join sits BELOW " +
+        "the count-distinct aggregate, so excluded suppliers never " +
+        "enter the distinct shuffle; the only wide exchanges are the " +
+        "pair-distinct and the group rollup."),
+    "q330_q15_top_supplier" ->
+      ("Q15 with the revenue view checkpointed: one lineitem scan " +
+        "builds the supplier-grain view; the scalar max aggregates " +
+        "the tiny checkpointed frame and broadcasts back as an " +
+        "EQUI-join on the decimal revenue (ties preserved by " +
+        "construction), then the supplier dim broadcasts for the " +
+        "name readout."),
+    "q331_q11_important_parts" ->
+      ("Q11 with the HAVING scalar decorrelated: the per-part value " +
+        "frame checkpoints after one lineitem pass (region-scoped " +
+        "supplier set broadcast into the scan side), the (total, n) " +
+        "scalar aggregates the checkpoint and broadcasts back over " +
+        "it (BroadcastNestedLoopJoin on one row — not a cartesian), " +
+        "and the threshold compare runs in bounded decimal(37,2) so " +
+        "neither engine rounds."),
+    "q333_q7_trade_volume" ->
+      ("Q7 with the symmetric nation-pair disjunction evaluated as a " +
+        "post-join filter over the broadcast-enriched name columns — " +
+        "never a cartesian of the two nation legs; supplier, customer " +
+        "and both nation dims broadcast, the only wide exchange is " +
+        "lineitem→orders, and the (n1, n2, year) rollup aggregates " +
+        "with map-side partials."),
+    "q334_q19_disjunctive_revenue" ->
+      ("Q19's OR of three mixed-side clauses: Catalyst extracts the " +
+        "part-only implication (brand IN (…) AND size ≥ 1 AND " +
+        "size ≤ 35) and pushes it into the part scan, the pruned part " +
+        "dim broadcasts, and the full disjunction evaluates on the " +
+        "join output — the lineitem side reads 4 columns, never the " +
+        "whole row."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps

@@ -5222,6 +5222,314 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** Pipeline 6 (round-10): MODEL-BASED language gate — q322's swap
+    * applied to the funnel's OTHER heuristic stage: q301's Naive Bayes
+    * language model (trained on the even-doc_id labeled half, the
+    * nbModelCtes split verbatim) replaces the marker-word
+    * [[TextAnalysis.detectLanguage]] rule as the "keep English" gate,
+    * scored over the WHOLE corpus. The heuristic keep flag AND the true
+    * `lang` label ride along, so one per-source rollup reads the swap's
+    * non-vacuousness (n_disagree > 0) and both gates' report cards
+    * against ground truth (n_model_correct vs n_heur_correct — the
+    * learned gate wins on every gated SF; Round10OpsSpec pins both).
+    * Together with q322 this closes the model-based-curation pair: the
+    * quality stage (q322) and the language stage (here) both run on the
+    * trained lane instead of rules.
+    *
+    * Scale shape: training is one token-grain counting shuffle over the
+    * labeled half (at 100 TB: a labeled sample); scoring broadcasts the
+    * C·V model so the corpus never shuffles to be scored; the heuristic
+    * and truth flags are map-side codegen; the readout is one
+    * source-grain rollup with map-side partials.
+    */
+  private def q328(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .localCheckpoint() // read by train, score, heuristic and rollup
+    val model = graft.ops.Train.naiveBayesModel(
+      docs.filter(col("doc_id") % 2 === 0 && col("lang").isNotNull),
+      col("lang"), col("text"))
+    val scored = graft.ops.Train.naiveBayesScore(docs, col("doc_id"),
+        col("text"), model)
+      .select(col("doc_id"), col("pred_class"))
+    docs.join(scored, Seq("doc_id"))
+      .withColumn("__model_keep", col("pred_class") === "en")
+      .withColumn("__heur_keep",
+        TextAnalysis.detectLanguage(col("text")) === "en")
+      .withColumn("__true_en", coalesce(col("lang"), lit("und")) === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__model_keep"), 1L).otherwise(0L)).as("n_model_en"),
+        sum(when(col("__heur_keep"), 1L).otherwise(0L)).as("n_heur_en"),
+        sum(when(col("__true_en"), 1L).otherwise(0L)).as("n_true_en"),
+        sum(when(col("__model_keep") =!= col("__heur_keep"), 1L)
+          .otherwise(0L)).as("n_disagree"),
+        sum(when(col("__model_keep") === col("__true_en"), 1L)
+          .otherwise(0L)).as("n_model_correct"),
+        sum(when(col("__heur_keep") === col("__true_en"), 1L)
+          .otherwise(0L)).as("n_heur_correct"))
+      .orderBy("source")
+  }
+
+  /** OLAP 10 (round-10): the TPC-H Q16 supplier-relationship shape —
+    * "how many distinct suppliers can ship each (brand, type, size)
+    * part group, excluding complaint suppliers": the NOT IN subquery
+    * decorrelated to a broadcast ANTI join placed BEFORE the distinct
+    * aggregate (PlanSpec pins anti + broadcast + no cartesian). The
+    * part–supplier association is the distinct (l_partkey, l_suppkey)
+    * pair grain of lineitem (the testdata carries no partsupp table);
+    * `s_acctbal < 0` stands in for the reference schema's
+    * '%Customer%Complaints%' comment filter. Spark-first: the filtered
+    * part dim broadcasts into the pair grain, the complaint set (a few
+    * rows) broadcasts as the anti side, and the only wide exchange is
+    * the pair-distinct itself — count(DISTINCT) then reuses that grain.
+    */
+  private def q329(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "MEDIUM" &&
+        col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"))
+    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** OLAP 11 (round-10): the TPC-H Q15 top-supplier shape — the revenue
+    * VIEW (per-supplier decimal-exact revenue over one ship-date
+    * quarter) probed by its own MAX: the correlated "= (SELECT max(...)
+    * FROM view)" decorrelated to a one-row broadcast equi-join, which
+    * PRESERVES ties by construction (every supplier whose decimal
+    * revenue equals the max survives — the tie law q330's spec pins on
+    * a hand-built two-way tie). One lineitem scan feeds both the view
+    * and its max: the supplier-grain view localCheckpoints (it is tiny
+    * — one row per active supplier) and both the scalar leg and the
+    * probe leg read the checkpoint (PlanSpec pins 1 parquet scan + 2
+    * ExistingRDD legs, the q318 device). The max-compare happens in
+    * DECIMAL, so cross-partition float drift cannot split a tie.
+    */
+  private def q330(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+        .cast("decimal(18,6)")).as("__rev"))
+      .localCheckpoint() // feeds the scalar max AND the probe join
+    val mx = rev.agg(max(col("__rev")).as("__mx"))
+    rev.join(broadcast(mx), col("__rev") === col("__mx"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("__rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** OLAP 12 (round-10): the TPC-H Q11 important-stock shape — per-part
+    * value held by one region's suppliers, HAVING value above a scalar
+    * aggregate of the SAME grouped relation (here 1.5× the mean per-part
+    * value; the classic fraction-of-total flavor is `avg = total/n`
+    * restated so one fixed threshold stays non-vacuous at every SF).
+    * Spark-first decorrelation: the per-part value frame checkpoints
+    * (one lineitem scan), the (total, n) scalar broadcasts back over it,
+    * and the HAVING compare runs entirely in bounded-precision DECIMAL —
+    * `2·val·n > 3·total` with val at decimal(26,2) and n at decimal(8,0)
+    * keeps every intermediate under precision 38, so neither engine
+    * rounds and the threshold cannot flicker on a borderline part.
+    * The region-scoped supplier set broadcasts into lineitem.
+    */
+  private def q331(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val pv = t(s, dir, "lineitem")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(26,2)").as("__val"))
+      .localCheckpoint() // feeds the scalar (total, n) AND the HAVING
+    val st = pv.agg(sum(col("__val")).cast("decimal(26,2)").as("__t"),
+      count(lit(1)).cast("decimal(8,0)").as("__np"))
+    pv.crossJoin(broadcast(st))
+      .filter(col("__val") * lit(2) * col("__np") > col("__t") * lit(3))
+      .select(col("l_partkey"), col("__val").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** Streaming 23 (round-10): crawl-frontier maintenance
+    * ([[graft.streaming.Streaming.frontierMaintain]]) — q306's
+    * canonical-URL dedup run INCREMENTALLY: the fixture URLs arrive as
+    * three mtime-ordered files (batch b holds doc_id ≡ b mod 3, the
+    * q119 forced-order device); each micro-batch canonicalizes, claims
+    * each canonical key once (min doc_id within the batch), anti-joins
+    * the persisted claims log and appends only never-before-claimed
+    * keys under its own `__batch_id` partition. The gate reads the
+    * final claims log: per canonical URL, the claiming batch and
+    * document — the oracle replays first-batch-wins over the q306
+    * fixture CTEs, so the streamed frontier must agree with the batch
+    * arithmetic exactly. State is the disk-backed key-grain log itself
+    * (never rewritten, never in executor memory) — the only frontier
+    * shape that survives 10¹¹ URLs.
+    */
+  private def q332(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q332")
+    val src = stage.resolve("src").toString
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), fixtureUrl.as("url"))
+      .localCheckpoint() // three filtered staging writes, one source read
+    docs.filter(col("doc_id") % 3 === 0)
+      .repartition(1).write.mode("append").parquet(src)
+    def parts = new java.io.File(src).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    val f0 = parts
+    val base = new java.io.File(f0.head).lastModified
+    docs.filter(col("doc_id") % 3 === 1)
+      .repartition(1).write.mode("append").parquet(src)
+    val f1 = parts -- f0
+    f1.foreach(p => forceMtime(p, base + 120000L))
+    docs.filter(col("doc_id") % 3 === 2)
+      .repartition(1).write.mode("append").parquet(src)
+    (parts -- f0 -- f1).foreach(p => forceMtime(p, base + 240000L))
+    val schema = s.read.parquet(src).schema
+    graft.streaming.Streaming.frontierMaintain(s, src, schema,
+      "doc_id", "url",
+      stage.resolve("state").toString, stage.resolve("ckpt").toString)
+    val out = s.read.parquet(stage.resolve("state").toString + "/claims")
+      .select(col("canon").as("canonical_url"),
+        col("doc_id").as("claimed_by"),
+        col("__batch_id").cast("long").as("batch"))
+      .orderBy("canonical_url")
+    materializeDropping(s, out, stage)
+  }
+
+  /** OLAP 13 (round-10): the TPC-H Q7 volume-shipping shape — revenue
+    * between two trading nations by year, with the SYMMETRIC pair
+    * condition `(n1, n2) ∈ {(A, B), (B, A)}` that the naive translation
+    * turns into a cartesian of the two nation legs. Spark-first: both
+    * nation dims broadcast into the supplier/customer sides, the fact
+    * join chain is lineitem→orders equi, and the disjunction evaluates
+    * as a cheap post-join filter over the two broadcast-enriched name
+    * columns (PlanSpec pins broadcast + no cartesian). The ship-year is
+    * the group key, so the readout is one (n1, n2, year)-grain
+    * aggregate with map-side partials.
+    */
+  private def q333(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("__nk1"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("__nk2"), col("n_name").as("cust_nation"))
+    li.join(GraftConf.hintPairJoin(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("__nk1"))
+      .join(broadcast(n2), col("c_nationkey") === col("__nk2"))
+      .filter((col("supp_nation") === "NATION_3" &&
+          col("cust_nation") === "NATION_8") ||
+        (col("supp_nation") === "NATION_8" &&
+          col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 6)
+          .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** OLAP 14 (round-10): the TPC-H Q19 disjunctive-predicate shape —
+    * revenue under an OR of three (brand, size-range, quantity-range)
+    * clauses spanning BOTH join sides. The plan property this pins: the
+    * part-only arm of the disjunction (brand ∈ {…} AND size ≤ max)
+    * pushes into the part SCAN (derived from the OR — Catalyst extracts
+    * the common implied filter), the part dim broadcasts, and the mixed
+    * part×lineitem clauses evaluate on the join output — never a
+    * cartesian, never a full part scan feeding the join. One global
+    * aggregate readout.
+    */
+  private def q334(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    def clause(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(clause("Brand#12", 15, 1, 20) ||
+        clause("Brand#23", 25, 10, 30) ||
+        clause("Brand#3", 35, 20, 40))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 6)
+          .as("revenue"))
+  }
+
+  /** Sketch 8 (round-10): the fixed-bin quantile sketch
+    * ([[graft.ops.Sketch.qbinState]] → [[graft.ops.Sketch
+    * .qbinQuantiles]], lo = 0, w = 1000, 128 bins) — the quantile
+    * member that completes the deterministic sketch family (KMV =
+    * distinct, CMS = frequency, QBIN = quantiles): the price
+    * distribution folds to a ≤ 128-row mergeable state in ONE
+    * map-side-combinable pass, and the p25/p50/p90/p99 readout
+    * interpolates inside the rank-holding bin — error ≤ one bin width
+    * by construction (Round10OpsSpec pins it against the exact sorted
+    * quantile), deterministic cross-engine because the bins are a
+    * pinned grid, not implementation-private centroids (the
+    * t-digest/KLL portability problem, the same reason KMV replaced
+    * HLL).
+    */
+  private def q335(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.qbinQuantiles(
+      graft.ops.Sketch.qbinState(t(s, dir, "lineitem"),
+        col("l_extendedprice"), lo = 0.0, w = 1000.0, bins = 128),
+      Seq(0.25, 0.5, 0.9, 0.99), lo = 0.0, w = 1000.0)
+
+  /** Streaming 24 (round-10): quantile-sketch maintenance
+    * ([[graft.streaming.Streaming.qbinMaintain]]) — q335's state
+    * maintained over a 3-file split of the corpus by per-batch bin-wise
+    * sums under the versioned-overwrite protocol; because vector
+    * addition commutes, ANY batching lands on the batch state EXACTLY,
+    * so this gate shares q335's oracle STRING verbatim (the q243/q326
+    * streamed-twin discipline). The live p25/p50/p90/p99 readout a
+    * monitor publishes from ≤ 128 rows of state, at any corpus size.
+    */
+  private def q336(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q336")
+    val src = stage.resolve("src").toString
+    t(s, dir, "lineitem").select(col("l_extendedprice"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val statePath = stage.resolve("state").toString
+    graft.streaming.Streaming.qbinMaintain(s, src, schema,
+      "l_extendedprice", lo = 0.0, w = 1000.0, bins = 128,
+      statePath, stage.resolve("ckpt").toString)
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val last = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
+      .map(_.getPath.getName).collect { case n if n.startsWith("v") =>
+        n.drop(1).toLong }.max
+    val out = graft.ops.Sketch.qbinQuantiles(
+      s.read.parquet(s"$statePath/v$last"),
+      Seq(0.25, 0.5, 0.9, 0.99), lo = 0.0, w = 1000.0)
+    materializeDropping(s, out, stage)
+  }
+
   /** The q322 planted-label fixture (the q319 planted-variant device,
     * classifier flavor): every fifth document gets a spam-marker tail
     * and the label 'low'; the rest are 'high'. The markers give the
@@ -7317,7 +7625,16 @@ object SparkEntry {
     "q324_zone_table_pip" -> q324 _,
     "q325_q13_custdist" -> q325 _,
     "q326_calibration_drift_stream" -> q326 _,
-    "q327_calib_bins_drift" -> q327 _)
+    "q327_calib_bins_drift" -> q327 _,
+    "q328_model_lang_gate" -> q328 _,
+    "q329_q16_supplier_cnt" -> q329 _,
+    "q330_q15_top_supplier" -> q330 _,
+    "q331_q11_important_parts" -> q331 _,
+    "q332_url_frontier_stream" -> q332 _,
+    "q333_q7_trade_volume" -> q333 _,
+    "q334_q19_disjunctive_revenue" -> q334 _,
+    "q335_qbin_quantiles" -> q335 _,
+    "q336_qbin_stream" -> q336 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -8880,6 +9197,34 @@ object SparkEntry {
             THEN regexp_extract(bhost, '([^.]+\.[^.]+)$', 1)
             ELSE bhost END AS domain
         FROM up2)"""
+
+  /** The q335/q336 shared oracle — the streamed maintainer's bin-wise
+    * sums are batching-invariant exactly, so both gates replay ONE SQL
+    * string (the q243/q326 streamed-twin discipline): the pinned-grid
+    * state, the windowed cumulative count, and the same rounded IEEE
+    * interpolation tree [[graft.ops.Sketch.qbinQuantiles]] evaluates.
+    */
+  private val qbinOracle: String = """
+      WITH qst AS (
+        SELECT least(greatest(CAST(floor((l_extendedprice - 0.0) / 1000.0)
+            AS BIGINT), 0), 127) AS bin,
+          count(*) AS n
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1),
+      qtot AS (SELECT CAST(sum(n) AS DOUBLE) AS ntot FROM qst),
+      qcum AS (
+        SELECT bin, n, sum(n) OVER (ORDER BY bin) AS c,
+          sum(n) OVER (ORDER BY bin) - n AS cb
+        FROM qst),
+      qq AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+      qpick AS (
+        SELECT q, bin, n, cb,
+          row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+        FROM qq JOIN qcum
+          ON CAST(c AS DOUBLE) >= q * (SELECT ntot FROM qtot))
+      SELECT q, round(0.0 + 1000.0 * (CAST(bin AS DOUBLE) +
+          (q * t.ntot - CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS est
+      FROM qpick, qtot t WHERE rn = 1 ORDER BY q"""
 
   /** The q301/q313 shared oracle (the train-from-state twin gates
     * against the batch SQL verbatim — the statistic merge is exact).
@@ -11096,6 +11441,105 @@ object SparkEntry {
       SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
       FROM oc GROUP BY c_count
       ORDER BY custdist DESC, c_count DESC""",
+    // q329: Q16 written the classic way (NOT IN subquery); the engine
+    // decorrelates into a broadcast anti join before the distinct agg
+    "q329_q16_supplier_cnt" -> """
+      SELECT p_brand, p_type, p_size,
+        CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part ON p_partkey = ps.l_partkey
+      WHERE p_brand <> 'Brand#1' AND p_type <> 'MEDIUM'
+        AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+        AND ps.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    // q330: Q15 written the classic way (revenue view probed by its own
+    // scalar max); the engine decorrelates into a broadcast equi-join
+    // on the decimal revenue — ties preserved on both sides
+    "q330_q15_top_supplier" -> """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+            AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+      ORDER BY s_suppkey""",
+    // q331: Q11 written the classic way (HAVING > scalar subquery over
+    // the same grouped relation); the engine broadcasts the scalar back
+    // over the checkpointed per-part frame. Identical bounded-precision
+    // decimal compare on both sides: 2·val·n > 3·total at (26,2)×(8,0).
+    "q331_q11_important_parts" -> """
+      WITH pv AS (
+        SELECT l_partkey,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            AS DECIMAL(26,2)) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY l_partkey)
+      SELECT l_partkey, CAST(val AS DOUBLE) AS value
+      FROM pv
+      WHERE val * 2 * (SELECT CAST(count(*) AS DECIMAL(8,0)) FROM pv)
+          > (SELECT CAST(sum(val) AS DECIMAL(26,2)) FROM pv) * 3
+      ORDER BY value DESC, l_partkey""",
+    // q332: first-batch-wins over the q306 fixture — batch b holds
+    // doc_id ≡ b (mod 3); a canonical key is claimed by the earliest
+    // batch containing it, by the min doc_id within that batch
+    "q332_url_frontier_stream" -> s"""
+      WITH $urlFixtureCtes,
+      fc AS (
+        SELECT doc_id, doc_id % 3 AS b, curl FROM ucanon
+        WHERE curl IS NOT NULL),
+      fbat AS (SELECT curl, min(b) AS b FROM fc GROUP BY 1),
+      fcl AS (
+        SELECT c.curl, min(c.doc_id) AS claimed_by, c.b
+        FROM fc c JOIN fbat f ON c.curl = f.curl AND c.b = f.b
+        GROUP BY c.curl, c.b)
+      SELECT curl AS canonical_url, claimed_by, CAST(b AS BIGINT) AS batch
+      FROM fcl ORDER BY canonical_url""",
+    // q333: Q7 written the classic way (nation pair disjunction in the
+    // WHERE); the engine broadcasts both nation legs and filters the
+    // join output — identical groups either way
+    "q333_q7_trade_volume" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        year(l_shipdate) AS l_year, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+         OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+      GROUP BY 1, 2, 3
+      ORDER BY supp_nation, cust_nation, l_year""",
+    // q334: Q19 written the classic way — the OR of three mixed
+    // (part × lineitem) clauses in one WHERE
+    "q334_q19_disjunctive_revenue" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+          AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+          AND l_quantity BETWEEN 20 AND 40)""",
+    // q335/q336: ONE oracle string for the batch sketch and its
+    // streamed maintainer — bin-wise sums are batching-invariant
+    "q335_qbin_quantiles" -> qbinOracle,
+    "q336_qbin_stream" -> qbinOracle,
     // q317: Q18 written the classic way (HAVING subquery + re-join);
     // the engine's single-scan plan must land on the identical rows
     "q317_q18_big_orders" -> """
@@ -11339,6 +11783,61 @@ object SparkEntry {
       FROM fst s LEFT JOIN fkp k ON s.doc_id = k.doc_id
       GROUP BY s.source ORDER BY s.source"""
     },
+    // q328: the NB language model (nbChainCtes on q301's train split,
+    // scored over the WHOLE corpus) beside the q27 marker heuristic and
+    // the true lang label, rolled up per source
+    "q328_model_lang_gate" -> raw"""
+      WITH gtrain AS (
+        SELECT doc_id, lang AS class, text FROM documents
+        WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+      gscore_in AS (SELECT doc_id, text FROM documents),
+      ${nbChainCtes("g", "gtrain", "gscore_in")},
+      gsc AS (
+        SELECT doc_id,
+          len(list_filter(tk, t -> t IN ('the','a','of','and','to'))) AS s_en,
+          len(list_filter(tk, t -> t IN ('el','la','de','que','y'))) AS s_es,
+          len(list_filter(tk, t -> t IN ('le','la','de','et','un'))) AS s_fr,
+          len(list_filter(tk, t -> t IN ('der','die','und','das','ein')))
+            AS s_de,
+          len(list_filter(tk, t -> t IN ('的','了','是','我','不'))) AS s_zh
+        FROM (SELECT doc_id,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents)),
+      gheur AS (
+        SELECT doc_id, CASE
+          WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_en > 0
+            THEN 'en'
+          WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_es > 0
+            THEN 'es'
+          WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_fr > 0
+            THEN 'fr'
+          WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_de > 0
+            THEN 'de'
+          WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_zh > 0
+            THEN 'zh'
+          ELSE 'und' END AS lang_pred
+        FROM gsc),
+      gst AS (
+        SELECT d.source,
+          p.pred_class = 'en' AS model_keep,
+          h.lang_pred = 'en' AS heur_keep,
+          coalesce(d.lang, 'und') = 'en' AS true_en
+        FROM documents d JOIN gpred p ON d.doc_id = p.doc_id
+        JOIN gheur h ON d.doc_id = h.doc_id)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN model_keep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_model_en,
+        CAST(sum(CASE WHEN heur_keep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_heur_en,
+        CAST(sum(CASE WHEN true_en THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_true_en,
+        CAST(sum(CASE WHEN model_keep <> heur_keep THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_disagree,
+        CAST(sum(CASE WHEN model_keep = true_en THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_model_correct,
+        CAST(sum(CASE WHEN heur_keep = true_en THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_heur_correct
+      FROM gst GROUP BY source ORDER BY source""",
     "q303_nb_confusion" -> s"""
       WITH $nbModelCtes,
       nbj AS (

@@ -21,10 +21,17 @@ object Verify {
     // states its dialect
     sys.env.get("SPARK_GRAFT_ANSI")
       .foreach(v => builder.config("spark.sql.ansi.enabled", v))
+    // SPARK_GRAFT_AQE=false runs the whole surface with adaptive
+    // execution OFF — the static-plan robustness sweep (results must be
+    // invariant to runtime re-planning, coalescing and skew splits, the
+    // same way they are invariant to the partition layout)
+    sys.env.get("SPARK_GRAFT_AQE")
+      .foreach(v => builder.config("spark.sql.adaptive.enabled", v))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     System.err.println(
-      s"[verify] spark.sql.ansi.enabled=${spark.conf.get("spark.sql.ansi.enabled")}")
+      s"[verify] spark.sql.ansi.enabled=${spark.conf.get("spark.sql.ansi.enabled")}" +
+      s" adaptive=${spark.conf.get("spark.sql.adaptive.enabled")}")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (comma-separated names); driver leaves it unset.
     // An empty or misspelled filter must FAIL, not silently verify nothing.

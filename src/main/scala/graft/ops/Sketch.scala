@@ -270,4 +270,93 @@ object Sketch {
   def kmvOverlap(a: DataFrame, aVal: Column, b: DataFrame, bVal: Column,
                  k: Int): DataFrame =
     kmvOverlapStates(kmvState(a, aVal, k), kmvState(b, bVal, k), k)
+
+  /** Fixed-bin quantile sketch STATE — the quantile member of the sketch
+    * family (KMV = distinct count, CMS = frequency, QBIN = quantiles):
+    * ≤ `bins` rows of (bin, n) over the pinned grid
+    * `bin = clamp(⌊(x − lo)/w⌋, 0, bins−1)`; out-of-range values clamp
+    * into the edge bins, NULLs drop. Mergeable by bin-wise sum
+    * ([[qbinMergeStates]] — counters are a vector, the CMS law), so a
+    * stream folds micro-batch states in any batching and lands on the
+    * batch state EXACTLY. Choose (lo, w, bins) from the value range the
+    * way CMS chooses width from key cardinality; the readout's error is
+    * ≤ one bin width by construction (spec-pinned).
+    *
+    * Why fixed bins and not t-digest/KLL: those sketches are
+    * deterministic only within one implementation (merge order moves
+    * centroids), so no external engine can replay them — the same
+    * reason [[kmvState]] replaces HLL. A pinned grid is engine-portable,
+    * exactly mergeable, and its error bound is the width you chose.
+    *
+    * Scale shape: one map-side-combinable aggregation to ≤ bins rows —
+    * the shuffle carries bins rows per partition at ANY corpus size.
+    */
+  def qbinState(df: DataFrame, value: Column, lo: Double, w: Double,
+                bins: Int): DataFrame = {
+    require(w > 0, s"bin width must be positive, got $w")
+    require(bins >= 2 && bins <= (1 << 16),
+      s"bins must be in [2, 65536], got $bins")
+    Dedup.spread(df)
+      .filter(value.isNotNull)
+      .select(least(greatest(
+          floor((value.cast("double") - lit(lo)) / lit(w)).cast("long"),
+          lit(0L)), lit(bins - 1L)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The QBIN merge law: state(A ⊎ B) = bin-wise sum — commutative,
+    * associative, NOT duplicate-insensitive (like [[cmsMergeStates]]),
+    * so the streaming maintainer rides the versioned-overwrite protocol.
+    */
+  def qbinMergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bin"), col("n"))
+      .unionByName(b.select(col("bin"), col("n")))
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Quantile readout from a QBIN state: for each q, find the first bin
+    * whose cumulative count reaches rank q·N and interpolate linearly
+    * inside it — `est = lo + w·(bin + (q·N − cum_before)/n_bin)`,
+    * rounded at 6 dp. Deterministic cross-engine: counts are exact
+    * longs (< 2⁵³, so the double casts are value-preserving) and the
+    * interpolation is one fixed-shape IEEE tree both engines evaluate
+    * identically. An EMPTY state returns no rows (the empty law).
+    *
+    * Scale shape: everything operates on the ≤ bins-row state — the
+    * cumulative count is a triangular broadcast self-join (≤ bins²
+    * pairs, partition-safe; NOT an unpartitioned window, which the
+    * mechanical plan sweep rightly bans), and the per-q pick is a
+    * min-struct fold over ≤ |qs|·bins candidate rows.
+    */
+  def qbinQuantiles(state: DataFrame, qs: Seq[Double], lo: Double,
+                    w: Double): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val st = state.localCheckpoint() // read by total, cum and the pick
+    val tot = st.agg(sum(col("n")).as("__N"))
+    val r2 = st.select(col("bin").as("__b2"), col("n").as("__n2"))
+    val cum = st.join(broadcast(r2), col("__b2") <= col("bin"))
+      .groupBy(col("bin"), col("n"))
+      .agg(sum(col("__n2")).as("__c"))
+      .withColumn("__cb", col("__c") - col("n"))
+    val qframe = st.sparkSession.createDataFrame(
+      st.sparkSession.sparkContext.parallelize(
+        qs.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType))))
+    qframe.crossJoin(broadcast(tot))
+      .join(broadcast(cum),
+        col("__c").cast("double") >= col("q") * col("__N").cast("double"))
+      .groupBy(col("q"))
+      .agg(min(struct(col("bin"), col("n"), col("__cb"), col("__N")))
+        .as("__pick"))
+      .select(col("q"),
+        round(lit(lo) + lit(w) * (col("__pick.bin").cast("double") +
+          (col("q") * col("__pick.__N").cast("double") -
+            col("__pick.__cb").cast("double")) /
+          col("__pick.n").cast("double")), 6).as("est"))
+      .orderBy("q")
+  }
 }

@@ -779,6 +779,136 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming quantile-bins maintenance — the quantile member of the
+    * maintained-sketch family ([[kmvMaintain]] distinct, [[cmsMaintain]]
+    * frequency, this quantiles): each micro-batch's bin table
+    * ([[graft.ops.Sketch.qbinState]]) folds into the persisted state by
+    * bin-wise sum ([[graft.ops.Sketch.qbinMergeStates]]); state is
+    * ≤ bins rows at any corpus size. The fold is commutative and
+    * associative but NOT duplicate-insensitive (counters add), so
+    * exactly-once rides the versioned-overwrite protocol: `v{N}` is
+    * computed from the latest `v{M}, M < N` plus batch N alone — a
+    * redelivered batch rewrites its own version from unmutated inputs.
+    * Because vector addition commutes, ANY batch partition of the
+    * corpus lands on the batch state EXACTLY — the gate reads the
+    * final store's quantile readout against the batch oracle verbatim.
+    */
+  def qbinMaintain(spark: SparkSession, sourceDir: String,
+                   schema: StructType, valueCol: String, lo: Double,
+                   w: Double, bins: Int, statePath: String,
+                   checkpointDir: String,
+                   maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val versions =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).toSeq
+              .map(_.getPath.getName)
+              .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+              .filter(_ < batchId)
+          else Seq.empty[Long]
+        val prior =
+          if (versions.isEmpty)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+          else s.read.schema(stateSchema)
+            .parquet(s"$statePath/v${versions.max}")
+        graft.ops.Sketch.qbinMergeStates(prior,
+            graft.ops.Sketch.qbinState(batch.toDF(),
+              org.apache.spark.sql.functions.col(valueCol), lo, w, bins))
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        pruneStateVersions(fs, statePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming crawl-frontier maintenance — the q306 canonical-URL dedup
+    * as it runs in production, where the frontier IS the state: each
+    * micro-batch canonicalizes its URLs
+    * ([[graft.ops.Web.urlCanonicalize]]; NULL canonicals — inputs that
+    * are not fetchable absolute URLs — drop), claims each canonical key
+    * once (min id within the batch, the q306/q20 keeper rule),
+    * anti-joins the persisted claims log so only never-before-claimed
+    * keys survive, and lands the fresh claims under their own
+    * `__batch_id` partition
+    * ([[graft.idempotent.Idempotent.overwritePartitions]] — a
+    * redelivered batch rewrites exactly its own partition from
+    * unmutated inputs, [[knnGraphMaintain]]'s corpus protocol, so
+    * replay is idempotent and a second AvailableNow run with no new
+    * files is a no-op).
+    *
+    * Scale shape — deliberately NOT GroupState and NOT the
+    * versioned-overwrite fold: a crawl frontier is 10¹¹ keys, so state
+    * must live key-grain on disk (never in executor memory) and must
+    * never be rewritten whole (a version per batch would re-land the
+    * full frontier every trigger). Per batch the cost is one
+    * batch-grain aggregate plus one batch×frontier equi anti-join —
+    * batch-linear in the claims log, the only shape that survives at
+    * frontier scale (bucket the claims log on `canon` on a real
+    * cluster and the anti-join is shuffle-free on the frontier side).
+    */
+  def frontierMaintain(spark: SparkSession, sourceDir: String,
+                       schema: StructType, idCol: String, urlCol: String,
+                       statePath: String, checkpointDir: String,
+                       maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val claimsDir = s"$statePath/claims"
+    // explicit schema on every state read: an empty batch writes a
+    // part-file-less dir and inference over it would kill the next
+    // batch (the empty-input law)
+    val claimsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("canon",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__batch_id",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("latestFirst", "false")
+      .parquet(sourceDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val claims = batch.toDF()
+          .select(col(idCol).cast("long").as("doc_id"),
+            graft.ops.Web.urlCanonicalize(col(urlCol)).as("canon"))
+          .filter(col("canon").isNotNull)
+          .groupBy(col("canon")).agg(min(col("doc_id")).as("doc_id"))
+        val prior =
+          if (fs.exists(new org.apache.hadoop.fs.Path(claimsDir)))
+            s.read.schema(claimsSchema).parquet(claimsDir)
+              .filter(col("__batch_id") < batchId)
+              .select(col("canon"))
+          else claims.select(col("canon")).limit(0)
+        val fresh = claims.join(prior, Seq("canon"), "left_anti")
+        graft.idempotent.Idempotent.overwritePartitions(
+          fresh.withColumn("__batch_id", lit(batchId)),
+          claimsDir, Seq("__batch_id"))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming Count-Min maintenance — the frequency complement of
     * [[kmvMaintain]]: each micro-batch's cell table
     * ([[graft.ops.Sketch.cmsState]]) folds into the persisted sketch by

@@ -394,6 +394,67 @@ class PlanSpec extends AnyFunSuite {
       s"orders not pre-aggregated below the outer join:\n$p")
   }
 
+  test("q329 Q16 shape: NOT IN runs as broadcast anti, dims broadcast") {
+    val p = plan("q329_q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), s"NOT IN leg not an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part dim / complaint set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q330 Q15 shape: one lineitem scan feeds both the view and its max") {
+    val p = plan("q330_q15_top_supplier")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"expected only the supplier scan (revenue view behind the " +
+        s"checkpoint), got $scans:\n$p")
+    val rdd = "Scan ExistingRDD".r.findAllIn(p).length
+    assert(rdd == 2,
+      s"expected scalar-max + probe legs on the checkpointed view:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"max probe not a broadcast equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q331 Q11 shape: scalar broadcasts over the checkpointed per-part frame") {
+    val p = plan("q331_q11_important_parts")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(p).length
+    assert(scans == 0,
+      s"expected no parquet scans (per-part frame behind the " +
+        s"checkpoint), got $scans:\n$p")
+    val rdd = "Scan ExistingRDD".r.findAllIn(p).length
+    assert(rdd == 2,
+      s"expected scalar + HAVING legs on the checkpointed frame:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the one-row scalar join degenerated to a cartesian")
+  }
+
+  test("q333 Q7 shape: nation pair disjunction never degenerates to a cartesian") {
+    val p = plan("q333_q7_trade_volume")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the symmetric (n1, n2) disjunction degenerated to a cartesian")
+  }
+
+  test("q334 Q19 shape: part-only arm of the OR pushes into the part scan") {
+    val p = plan("q334_q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    // Catalyst must extract the implied part-side filter from the
+    // disjunction and push it to the scan: the part scan's pushed
+    // filters must mention p_brand (as an In or Or), not just nulls
+    val scanAt = p.indexOf("part.parquet")
+    assert(scanAt >= 0, s"no part scan in:\n$p")
+    val pf = p.indexOf("PushedFilters: [", scanAt)
+    assert(pf >= 0, s"no pushed filters on the part scan:\n$p")
+    // toString truncates long filter lists mid-entry — read a bounded
+    // window rather than seeking the (possibly absent) closing bracket
+    val pushed = p.substring(pf, math.min(p.length, pf + 400))
+      .takeWhile(_ != '\n')
+    assert(pushed.contains("p_brand"),
+      s"part-only arm of the OR not pushed to the part scan: $pushed\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q147 drift: histogram counts aggregate with map-side partials") {
     val p = plan("q147_histogram_drift")
     assert(p.contains("partial_sum") || p.contains("partial_count"),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Eval, Geo, Train, Web}
+import graft.ops.{Eval, Geo, Sketch, Train, Web}
 
 /** Round-10 ADVICE closures, pinned as laws:
   *  - the Naive Bayes vocab-floor mass law (pruned tokens leave the
@@ -300,6 +300,139 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(disagree.nonEmpty, "model and heuristic never disagree — " +
       "the q322 swap would be vacuous")
     assert(disagree.forall(_._3 == "low"))
+  }
+
+  test("q328: the model language gate beats the marker heuristic") {
+    // the gated rollup itself, read at sf0.001: the swap is non-vacuous
+    // (model and heuristic disagree somewhere) AND the learned gate's
+    // report card against the true lang label beats the rule's
+    val out = SparkEntry.queries("q328_model_lang_gate")(
+      spark, "/root/testdata/sf0.001")
+    val (dis, mOk, hOk) = out.agg(
+        sum($"n_disagree"), sum($"n_model_correct"), sum($"n_heur_correct"))
+      .as[(Long, Long, Long)].head()
+    assert(dis > 0, "model and heuristic language gates never disagree — " +
+      "the q328 swap would be vacuous")
+    assert(mOk > hOk,
+      s"trained gate ($mOk correct) does not beat the marker rule ($hOk)")
+  }
+
+  // ——— OLAP decorrelation devices (q330/q331) ————————————————————————
+
+  test("q330 device: the max-probe equi-join preserves decimal ties") {
+    // two suppliers tied at the max: the classic correlated form keeps
+    // both; the broadcast equi-join decorrelation must too
+    val rev = Seq((1L, "3.10"), (2L, "5.00"), (3L, "5.00"), (4L, "0.70"))
+      .toDF("k", "r").select($"k", $"r".cast("decimal(18,6)").as("r"))
+    val mx = rev.agg(max($"r").as("mx"))
+    val top = rev.join(broadcast(mx), $"r" === $"mx")
+      .select($"k").as[Long].collect().sorted
+    assert(top === Array(2L, 3L), s"tie not preserved: ${top.mkString(",")}")
+  }
+
+  test("q331 device: the decimal threshold is exact at the boundary") {
+    // vals 1,2,3 → total 6, n 3, avg 2, 1.5·avg = 3: the val-3 part sits
+    // EXACTLY at the threshold and the strict > must exclude it — no
+    // float drift may nudge a borderline part across
+    def pass(vals: Seq[String]): Seq[Long] = {
+      val pv = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("p", "v").select($"p", $"v".cast("decimal(26,2)").as("v"))
+      val st = pv.agg(sum($"v").cast("decimal(26,2)").as("t"),
+        count(lit(1)).cast("decimal(8,0)").as("np"))
+      pv.crossJoin(broadcast(st))
+        .filter($"v" * lit(2) * $"np" > $"t" * lit(3))
+        .select($"p").as[Long].collect().toSeq.sorted
+    }
+    assert(pass(Seq("1.00", "2.00", "3.00")).isEmpty,
+      "a part exactly AT 1.5×avg leaked through the strict compare")
+    // and one clearly above it passes: 4 > 1.5·2 on total 6, n 3
+    assert(pass(Seq("1.00", "1.00", "4.00")) === Seq(2L))
+  }
+
+  // ——— fixed-bin quantile sketch (q335's device) ——————————————————————
+
+  test("qbinState: state(A ⊎ B) equals merge(state(A), state(B))") {
+    val a = Seq(1.0, 5.0, 9.5, 22.0).toDF("v")
+    // −3 clamps into bin 0, 100 into the top bin — the edge rule merges
+    // identically on both paths
+    val b = Seq(5.5, 9.9, 100.0, -3.0).toDF("v")
+    def bins(df: org.apache.spark.sql.DataFrame) =
+      Sketch.qbinState(df, $"v", lo = 0.0, w = 2.0, bins = 8)
+    val whole = bins(a.union(b))
+      .as[(Long, Long)].collect().toSet
+    val merged = Sketch.qbinMergeStates(bins(a), bins(b))
+      .as[(Long, Long)].collect().toSet
+    assert(whole === merged, s"merge law violated: $whole vs $merged")
+  }
+
+  test("qbinQuantiles: within one bin width of exact; empty state → no rows") {
+    // seeded spread over [0, 100]: (i·37) mod 101 cycles the range
+    val vals = (0 until 400).map(i => ((i * 37) % 101).toDouble)
+    val df = vals.toDF("v")
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val est = Sketch.qbinQuantiles(
+        Sketch.qbinState(df, $"v", lo = 0.0, w = 5.0, bins = 32),
+        qs, lo = 0.0, w = 5.0)
+      .as[(Double, Double)].collect().toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      // exact rank-q value (ceil convention — the smallest value whose
+      // cumulative count reaches q·N, the sketch's own rank rule)
+      val exact = sorted(math.ceil(q * vals.size).toInt - 1)
+      assert(math.abs(est(q) - exact) <= 5.0 + 1e-9,
+        s"q=$q: est=${est(q)} vs exact=$exact drifted past one bin width")
+    }
+    val empty = Sketch.qbinQuantiles(
+      Sketch.qbinState(df.filter($"v" < -1), $"v", 0.0, 5.0, 32),
+      qs, 0.0, 5.0)
+    assert(empty.count() === 0L, "empty state must read out as no rows")
+  }
+
+  // ——— streamed crawl frontier (q332's device) ————————————————————————
+
+  test("frontierMaintain: first batch wins and a second drain is a no-op") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_fm_spec")
+    try {
+      val src = stage.resolve("src").toString
+      // batch 0: two raw spellings of one canonical target (keeper =
+      // min id) plus a non-absolute input (NULL canonical — dropped)
+      Seq((1L, "https://A.example.com/x/"),
+          (2L, "https://a.example.com/x"),
+          (3L, "relative/path"))
+        .toDF("doc_id", "url")
+        .repartition(1).write.mode("append").parquet(src)
+      def files = new java.io.File(src).listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      val base = files.map(_.lastModified).max
+      val f0 = files.map(_.getName).toSet
+      // batch 1: a redelivery of the claimed key (tracking-param
+      // variant) and one genuinely new key
+      Seq((10L, "https://a.example.com/x?utm_source=z"),
+          (11L, "https://b.example.com/y"))
+        .toDF("doc_id", "url")
+        .repartition(1).write.mode("append").parquet(src)
+      files.filterNot(f => f0.contains(f.getName))
+        .foreach(_.setLastModified(base + 120000L))
+      val schema = spark.read.parquet(src).schema
+      val state = stage.resolve("state").toString
+      val ckpt = stage.resolve("ckpt").toString
+      def drain(): Unit = graft.streaming.Streaming.frontierMaintain(
+        spark, src, schema, "doc_id", "url", state, ckpt)
+      drain()
+      def claims() = spark.read.parquet(s"$state/claims")
+        .select($"canon", $"doc_id", $"__batch_id".cast("long"))
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      val first = claims()
+      assert(first === Seq(
+        ("https://a.example.com/x", 1L, 0L),
+        ("https://b.example.com/y", 11L, 1L)),
+        s"frontier law violated: $first")
+      drain() // nothing new: the checkpoint must skip everything
+      assert(claims() === first, "a no-new-files drain mutated the frontier")
+    } finally {
+      org.apache.spark.network.util.JavaUtils
+        .deleteRecursively(stage.toFile)
+    }
   }
 
   // ——— mergeable calibration state (q326's device) ————————————————————
