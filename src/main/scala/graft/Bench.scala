@@ -322,7 +322,8 @@ object Bench {
     "q333_q7_trade_volume",
     "q334_q19_disjunctive_revenue",
     "q335_qbin_quantiles",
-    "q336_qbin_stream")
+    "q336_qbin_stream",
+    "q337_qbin_by_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

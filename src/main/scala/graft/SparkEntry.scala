@@ -5530,6 +5530,24 @@ object SparkEntry {
     materializeDropping(s, out, stage)
   }
 
+  /** Sketch 9 (round-10): per-GROUP quantile grid
+    * ([[graft.ops.Sketch.qbinStateBy]] →
+    * [[graft.ops.Sketch.qbinQuantilesBy]], lo = 0, w = 10, 64 bins) —
+    * the per-source p50/p90 document-length table a profiling pass
+    * publishes: the grouped state is ≤ sources·64 rows from ONE
+    * map-side-combinable aggregation, and every readout stage stays at
+    * state grain (the triangular cum join co-keys on the group). The
+    * grouped twin of q335, as [[graft.ops.Sketch.kmvDistinctBy]] is to
+    * KMV.
+    */
+  private def q337(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.qbinQuantilesBy(
+        graft.ops.Sketch.qbinStateBy(t(s, dir, "documents"),
+          col("source"), col("n_chars"), lo = 0.0, w = 10.0, bins = 64),
+        Seq(0.5, 0.9), lo = 0.0, w = 10.0)
+      .select(col("group").as("source"), col("q"), col("est"))
+      .orderBy("source", "q")
+
   /** The q322 planted-label fixture (the q319 planted-variant device,
     * classifier flavor): every fifth document gets a spam-marker tail
     * and the label 'low'; the rest are 'high'. The markers give the
@@ -7634,7 +7652,8 @@ object SparkEntry {
     "q333_q7_trade_volume" -> q333 _,
     "q334_q19_disjunctive_revenue" -> q334 _,
     "q335_qbin_quantiles" -> q335 _,
-    "q336_qbin_stream" -> q336 _)
+    "q336_qbin_stream" -> q336 _,
+    "q337_qbin_by_source" -> q337 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -11540,6 +11559,34 @@ object SparkEntry {
     // streamed maintainer — bin-wise sums are batching-invariant
     "q335_qbin_quantiles" -> qbinOracle,
     "q336_qbin_stream" -> qbinOracle,
+    // q337: the grouped QBIN — per-source cumulative counts and the
+    // same rounded interpolation tree, every CTE keyed by source
+    "q337_qbin_by_source" -> """
+      WITH gst AS (
+        SELECT source, least(greatest(CAST(floor((n_chars - 0.0) / 10.0)
+            AS BIGINT), 0), 63) AS bin,
+          count(*) AS n
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY 1, 2),
+      gtot AS (
+        SELECT source, CAST(sum(n) AS DOUBLE) AS ntot FROM gst GROUP BY 1),
+      gcum AS (
+        SELECT source, bin, n,
+          sum(n) OVER (PARTITION BY source ORDER BY bin) AS c,
+          sum(n) OVER (PARTITION BY source ORDER BY bin) - n AS cb
+        FROM gst),
+      gq AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
+      gpick AS (
+        SELECT c2.source, q, bin, n, cb,
+          row_number() OVER (PARTITION BY c2.source, q ORDER BY bin) AS rn
+        FROM gcum c2 JOIN gtot t ON c2.source = t.source
+        CROSS JOIN gq
+        WHERE CAST(c AS DOUBLE) >= q * t.ntot)
+      SELECT p.source, q,
+        round(0.0 + 10.0 * (CAST(bin AS DOUBLE) +
+          (q * t.ntot - CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS est
+      FROM gpick p JOIN gtot t ON p.source = t.source
+      WHERE rn = 1 ORDER BY p.source, q""",
     // q317: Q18 written the classic way (HAVING subquery + re-join);
     // the engine's single-scan plan must land on the identical rows
     "q317_q18_big_orders" -> """

@@ -27,11 +27,21 @@ object Verify {
     // same way they are invariant to the partition layout)
     sys.env.get("SPARK_GRAFT_AQE")
       .foreach(v => builder.config("spark.sql.adaptive.enabled", v))
+    // SPARK_GRAFT_CODEGEN=false runs the whole surface INTERPRETED
+    // (whole-stage codegen off AND the expression factory pinned to
+    // NO_CODEGEN): every custom Expression's eval() path must produce
+    // the bits its doGenCode() produces — the codegen-consistency
+    // sweep, whole-surface where ExpressionSpec checks per-expression
+    sys.env.get("SPARK_GRAFT_CODEGEN").filter(_ == "false").foreach { _ =>
+      builder.config("spark.sql.codegen.wholeStage", "false")
+      builder.config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     System.err.println(
       s"[verify] spark.sql.ansi.enabled=${spark.conf.get("spark.sql.ansi.enabled")}" +
-      s" adaptive=${spark.conf.get("spark.sql.adaptive.enabled")}")
+      s" adaptive=${spark.conf.get("spark.sql.adaptive.enabled")}" +
+      s" wholeStageCodegen=${spark.conf.get("spark.sql.codegen.wholeStage")}")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (comma-separated names); driver leaves it unset.
     // An empty or misspelled filter must FAIL, not silently verify nothing.

@@ -315,6 +315,68 @@ object Sketch {
       .groupBy(col("bin"))
       .agg(sum(col("n")).as("n"))
 
+  /** GROUPED quantile-bins state — [[qbinState]] keyed by a group
+    * column (the [[kmvDistinctBy]] pattern): ≤ groups·bins rows of
+    * (group, bin, n), same pinned grid, same bin-wise-sum merge law
+    * per group. The per-stratum distribution table a profiling pass
+    * publishes — one map-side-combinable aggregation at any corpus
+    * size.
+    */
+  def qbinStateBy(df: DataFrame, group: Column, value: Column,
+                  lo: Double, w: Double, bins: Int): DataFrame = {
+    require(w > 0, s"bin width must be positive, got $w")
+    require(bins >= 2 && bins <= (1 << 16),
+      s"bins must be in [2, 65536], got $bins")
+    Dedup.spread(df)
+      .filter(value.isNotNull)
+      .select(group.as("group"), least(greatest(
+          floor((value.cast("double") - lit(lo)) / lit(w)).cast("long"),
+          lit(0L)), lit(bins - 1L)).as("bin"))
+      .groupBy(col("group"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-group quantile readout from a [[qbinStateBy]] state — the
+    * [[qbinQuantiles]] arithmetic with every stage keyed by `group`:
+    * the cumulative count is a (group, bin ≤ bin) triangular broadcast
+    * self-join co-keyed on the group (≤ groups·bins² pairs — state
+    * grain, not corpus grain), the per-(group, q) pick is a min-struct
+    * fold. Groups whose state is empty simply emit no rows (the empty
+    * law, per group).
+    */
+  def qbinQuantilesBy(state: DataFrame, qs: Seq[Double], lo: Double,
+                      w: Double): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val st = state.localCheckpoint() // read by totals, cum and the pick
+    val tot = st.groupBy(col("group")).agg(sum(col("n")).as("__N"))
+    val r2 = st.select(col("group").as("__g2"), col("bin").as("__b2"),
+      col("n").as("__n2"))
+    val cum = st.join(broadcast(r2),
+        col("__g2") === col("group") && col("__b2") <= col("bin"))
+      .groupBy(col("group"), col("bin"), col("n"))
+      .agg(sum(col("__n2")).as("__c"))
+      .withColumn("__cb", col("__c") - col("n"))
+    val qframe = st.sparkSession.createDataFrame(
+      st.sparkSession.sparkContext.parallelize(
+        qs.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType))))
+    cum.join(broadcast(tot), Seq("group"))
+      .crossJoin(broadcast(qframe))
+      .filter(col("__c").cast("double") >= col("q") * col("__N").cast("double"))
+      .groupBy(col("group"), col("q"))
+      .agg(min(struct(col("bin"), col("n"), col("__cb"), col("__N")))
+        .as("__pick"))
+      .select(col("group"), col("q"),
+        round(lit(lo) + lit(w) * (col("__pick.bin").cast("double") +
+          (col("q") * col("__pick.__N").cast("double") -
+            col("__pick.__cb").cast("double")) /
+          col("__pick.n").cast("double")), 6).as("est"))
+      .orderBy("group", "q")
+  }
+
   /** Quantile readout from a QBIN state: for each q, find the first bin
     * whose cumulative count reaches rank q·N and interpolate linearly
     * inside it — `est = lo + w·(bin + (q·N − cum_before)/n_bin)`,

@@ -388,6 +388,27 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(empty.count() === 0L, "empty state must read out as no rows")
   }
 
+  test("qbinQuantilesBy: each group reads as if sketched alone") {
+    // group independence — the grouped readout for g must equal the
+    // ungrouped sketch run on g's rows alone, for every group
+    val df = (0 until 300).map { i =>
+      (s"g${i % 3}", ((i * 37) % 101).toDouble)
+    }.toDF("g", "v")
+    val grouped = Sketch.qbinQuantilesBy(
+        Sketch.qbinStateBy(df, $"g", $"v", lo = 0.0, w = 5.0, bins = 32),
+        Seq(0.5, 0.9), lo = 0.0, w = 5.0)
+      .as[(String, Double, Double)].collect().toSet
+    val solo = (0 until 3).flatMap { g =>
+      Sketch.qbinQuantiles(
+          Sketch.qbinState(df.filter($"g" === s"g$g"), $"v",
+            lo = 0.0, w = 5.0, bins = 32),
+          Seq(0.5, 0.9), lo = 0.0, w = 5.0)
+        .as[(Double, Double)].collect().map { case (q, e) => (s"g$g", q, e) }
+    }.toSet
+    assert(grouped === solo,
+      s"grouped readout drifted from the solo sketches: $grouped vs $solo")
+  }
+
   // ——— streamed crawl frontier (q332's device) ————————————————————————
 
   test("frontierMaintain: first batch wins and a second drain is a no-op") {
