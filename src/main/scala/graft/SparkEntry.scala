@@ -5406,7 +5406,18 @@ object SparkEntry {
     graft.streaming.Streaming.frontierMaintain(s, src, schema,
       "doc_id", "url",
       stage.resolve("state").toString, stage.resolve("ckpt").toString)
-    val out = s.read.parquet(stage.resolve("state").toString + "/claims")
+    // explicit schema on the gate read too: an all-empty corpus lands a
+    // part-file-less claims dir, and inference over it would throw where
+    // the law demands an empty result (the frontierMaintain contract)
+    val claimsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("canon",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__batch_id",
+        org.apache.spark.sql.types.LongType)))
+    val out = s.read.schema(claimsSchema)
+      .parquet(stage.resolve("state").toString + "/claims")
       .select(col("canon").as("canonical_url"),
         col("doc_id").as("claimed_by"),
         col("__batch_id").cast("long").as("batch"))

@@ -351,4 +351,31 @@ class PropertySpec extends AnyFunSuite {
       assert(grid === brute, s"radius $r")
     }
   }
+
+  test("law: QBIN quantile error is within one bin width, at any grid") {
+    // random value multisets × random (lo, w, bins) grids: the
+    // interpolated readout must sit within one bin width of the exact
+    // ceil-rank quantile whenever the grid covers the data, because
+    // the exact value lives inside the rank-holding bin — clamping
+    // only widens the edge bins, which the covering grids avoid
+    val caseGen = for {
+      vals <- Gen.nonEmptyListOf(Gen.choose(0.0, 100.0))
+      w <- Gen.oneOf(2.0, 5.0, 12.5, 25.0)
+      lo <- Gen.oneOf(-10.0, 0.0)
+    } yield (vals, lo, w)
+    samples(caseGen, 6).foreach { case (vals, lo, w) =>
+      val bins = math.ceil((100.0 - lo) / w).toInt + 1
+      val qs = Seq(0.1, 0.5, 0.9, 1.0)
+      val est = graft.ops.Sketch.qbinQuantiles(
+          graft.ops.Sketch.qbinState(vals.toDF("v"), $"v", lo, w, bins),
+          qs, lo, w)
+        .as[(Double, Double)].collect().toMap
+      val sorted = vals.sorted
+      qs.foreach { q =>
+        val exact = sorted(math.ceil(q * vals.size).toInt - 1)
+        assert(math.abs(est(q) - exact) <= w + 1e-9,
+          s"grid (lo=$lo, w=$w): q=$q est=${est(q)} exact=$exact on $vals")
+      }
+    }
+  }
 }
