@@ -5229,12 +5229,17 @@ object SparkEntry {
     * [[TextAnalysis.detectLanguage]] rule as the "keep English" gate,
     * scored over the WHOLE corpus. The heuristic keep flag AND the true
     * `lang` label ride along, so one per-source rollup reads the swap's
-    * non-vacuousness (n_disagree > 0) and both gates' report cards
-    * against ground truth (n_model_correct vs n_heur_correct — the
-    * learned gate wins on every gated SF; Round10OpsSpec pins both).
-    * Together with q322 this closes the model-based-curation pair: the
-    * quality stage (q322) and the language stage (here) both run on the
-    * trained lane instead of rules.
+    * non-vacuousness (n_disagree > 0, oracle-gated) and both gates'
+    * report cards against ground truth. On this testdata the learned
+    * gate wins at sf0.001/sf0.01 (258 vs 195, 256 vs 225 correct —
+    * Round10OpsSpec pins the sf0.001 ordering) but the marker rule
+    * edges it at sf0.1 (2059 vs 2155): the driver's shared-vocabulary
+    * documents give NB weak lexical separation (q303's diagnosis), and
+    * the gate's contract is the composition + the gated report card,
+    * not a claim that this fixture trains a strong model. Together with
+    * q322 this closes the model-based-curation pair: the quality stage
+    * (q322) and the language stage (here) both run on the trained lane
+    * instead of rules.
     *
     * Scale shape: training is one token-grain counting shuffle over the
     * labeled half (at 100 TB: a labeled sample); scoring broadcasts the
