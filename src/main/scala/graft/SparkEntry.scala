@@ -5349,6 +5349,10 @@ object SparkEntry {
     * `2·val·n > 3·total` with val at decimal(26,2) and n at decimal(8,0)
     * keeps every intermediate under precision 38, so neither engine
     * rounds and the threshold cannot flicker on a borderline part.
+    * The decimal(8,0) pin bounds the exactness contract at 10⁸ groups;
+    * a deployment with more parts rebalances the val/count precisions
+    * (or integerizes the threshold constant) — the compare must stay
+    * under the precision-38 cap or Spark silently rounds it.
     * The region-scoped supplier set broadcasts into lineitem.
     */
   private def q331(s: SparkSession, dir: String): DataFrame = {
