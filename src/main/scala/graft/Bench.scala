@@ -323,7 +323,13 @@ object Bench {
     "q334_q19_disjunctive_revenue",
     "q335_qbin_quantiles",
     "q336_qbin_stream",
-    "q337_qbin_by_source")
+    "q337_qbin_by_source",
+    "q338_charngram_lang_gate",
+    "q339_q4_order_priority",
+    "q340_q8_market_share",
+    "q341_q9_profit",
+    "q342_qbin_by_source_stream",
+    "q343_erase_keys")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5230,13 +5230,15 @@ object SparkEntry {
     * scored over the WHOLE corpus. The heuristic keep flag AND the true
     * `lang` label ride along, so one per-source rollup reads the swap's
     * non-vacuousness (n_disagree > 0, oracle-gated) and both gates'
-    * report cards against ground truth. On this testdata the learned
-    * gate wins at sf0.001/sf0.01 (258 vs 195, 256 vs 225 correct —
-    * Round10OpsSpec pins the sf0.001 ordering) but the marker rule
-    * edges it at sf0.1 (2059 vs 2155): the driver's shared-vocabulary
-    * documents give NB weak lexical separation (q303's diagnosis), and
-    * the gate's contract is the composition + the gated report card,
-    * not a claim that this fixture trains a strong model. Together with
+    * report cards against ground truth. This WORD-UNIGRAM featurization
+    * wins at sf0.001/sf0.01 (258 vs 195, 256 vs 225 correct —
+    * Round10OpsSpec pins the sf0.001 ordering) but loses to the marker
+    * rule at sf0.1 (2059 vs 2155) — on shared-vocabulary text, word
+    * identity carries little per-language evidence (q303's diagnosis).
+    * q338 is the capability fix: the SAME chain on character 3-grams
+    * ([[graft.functions.charNgrams]]) beats the heuristic at all three
+    * SFs; this gate stays as the word-featurized member of the pair
+    * (the swap mechanics + the report-card readout). Together with
     * q322 this closes the model-based-curation pair: the quality stage
     * (q322) and the language stage (here) both run on the trained lane
     * instead of rules.
@@ -5288,6 +5290,11 @@ object SparkEntry {
     * part dim broadcasts into the pair grain, the complaint set (a few
     * rows) broadcasts as the anti side, and the only wide exchange is
     * the pair-distinct itself — count(DISTINCT) then reuses that grain.
+    * The anti side filters NULL keys explicitly (and the oracle's NOT IN
+    * subquery carries the same IS NOT NULL): SQL NOT IN against a set
+    * containing NULL returns NO rows while an anti join keeps
+    * non-matching rows, so pinning the key set null-free is what makes
+    * anti ≡ NOT IN by construction (round-10 ADVICE).
     */
   private def q329(s: SparkSession, dir: String): DataFrame = {
     val ps = t(s, dir, "lineitem")
@@ -5297,7 +5304,8 @@ object SparkEntry {
         col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49))
       .select(col("p_partkey"), col("p_brand"), col("p_type"),
         col("p_size"))
-    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+    val bad = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0 && col("s_suppkey").isNotNull)
       .select(col("s_suppkey"))
     ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
@@ -5346,9 +5354,15 @@ object SparkEntry {
     * Spark-first decorrelation: the per-part value frame checkpoints
     * (one lineitem scan), the (total, n) scalar broadcasts back over it,
     * and the HAVING compare runs entirely in bounded-precision DECIMAL —
-    * `2·val·n > 3·total` with val at decimal(26,2) and n at decimal(8,0)
-    * keeps every intermediate under precision 38, so neither engine
-    * rounds and the threshold cannot flicker on a borderline part.
+    * `2·val·n > 3·total` with val at decimal(26,2), n at decimal(8,0)
+    * and the 2/3 constants pinned to decimal(1,0): the left side types
+    * (26,2)×(1,0) → (28,2), ×(8,0) → (37,2) and the right (28,2) —
+    * every intermediate GENUINELY under precision 38 (an un-cast int
+    * literal would promote to decimal(10,0) and push the product past
+    * the cap, where Spark caps-and-keeps-scale rather than rounds;
+    * round-10 ADVICE pinned the literal so the stated invariant is the
+    * typed one), so neither engine rounds and the threshold cannot
+    * flicker on a borderline part.
     * The decimal(8,0) pin bounds the exactness contract at 10⁸ groups;
     * a deployment with more parts rebalances the val/count precisions
     * (or integerizes the threshold constant) — the compare must stay
@@ -5372,7 +5386,8 @@ object SparkEntry {
     val st = pv.agg(sum(col("__val")).cast("decimal(26,2)").as("__t"),
       count(lit(1)).cast("decimal(8,0)").as("__np"))
     pv.crossJoin(broadcast(st))
-      .filter(col("__val") * lit(2) * col("__np") > col("__t") * lit(3))
+      .filter(col("__val") * lit(2).cast("decimal(1,0)") * col("__np") >
+        col("__t") * lit(3).cast("decimal(1,0)"))
       .select(col("l_partkey"), col("__val").cast("double").as("value"))
       .orderBy(col("value").desc, col("l_partkey"))
   }
@@ -5384,13 +5399,15 @@ object SparkEntry {
     * q119 forced-order device); each micro-batch canonicalizes, claims
     * each canonical key once (min doc_id within the batch), anti-joins
     * the persisted claims log and appends only never-before-claimed
-    * keys under its own `__batch_id` partition. The gate reads the
-    * final claims log: per canonical URL, the claiming batch and
-    * document — the oracle replays first-batch-wins over the q306
-    * fixture CTEs, so the streamed frontier must agree with the batch
-    * arithmetic exactly. State is the disk-backed key-grain log itself
-    * (never rewritten, never in executor memory) — the only frontier
-    * shape that survives 10¹¹ URLs.
+    * keys under its own `__batch_id` partition of the BUCKETED claims
+    * table (round-11: bucketed on `canon`, so the anti-join plans with
+    * no exchange on the frontier leg — Round11OpsSpec pins the plan).
+    * The gate reads the final claims log: per canonical URL, the
+    * claiming batch and document — the oracle replays first-batch-wins
+    * over the q306 fixture CTEs, so the streamed frontier must agree
+    * with the batch arithmetic exactly. State is the disk-backed
+    * key-grain log itself (never rewritten, never in executor memory)
+    * — the only frontier shape that survives 10¹¹ URLs.
     */
   private def q332(s: SparkSession, dir: String): DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft_q332")
@@ -5431,7 +5448,10 @@ object SparkEntry {
         col("doc_id").as("claimed_by"),
         col("__batch_id").cast("long").as("batch"))
       .orderBy("canonical_url")
-    materializeDropping(s, out, stage)
+    val res = materializeDropping(s, out, stage)
+    s.sql("DROP TABLE IF EXISTS " + graft.streaming.Streaming
+      .frontierClaimsTable(stage.resolve("state").toString))
+    res
   }
 
   /** OLAP 13 (round-10): the TPC-H Q7 volume-shipping shape — revenue
@@ -5567,6 +5587,271 @@ object SparkEntry {
         Seq(0.5, 0.9), lo = 0.0, w = 10.0)
       .select(col("group").as("source"), col("q"), col("est"))
       .orderBy("source", "q")
+
+  /** Pipeline 7 (round-11): CHAR-N-GRAM language gate — q328 with the
+    * featurization language ID actually uses: the SAME Naive Bayes
+    * chain ([[graft.ops.Train.naiveBayesModelTokens]] /
+    * [[graft.ops.Train.naiveBayesScoreTokens]] — the algebra is
+    * featurization-independent) trained on character 3-grams
+    * ([[graft.functions.charNgrams]]) instead of word unigrams. This
+    * closes q328's honestly-recorded weakness: on the driver's
+    * shared-vocabulary documents, word unigrams carry almost no
+    * per-language evidence (q303's diagnosis) and the word-NB gate
+    * LOSES to the 5-marker rule at sf0.1; sub-word boundary grams
+    * recover the signal, and the char-3-gram gate beats the marker
+    * heuristic at ALL THREE SFs (correct-vs-truth 336/195 at sf0.001,
+    * 319/225 at sf0.01, 2791/2155 at sf0.1 — Round11OpsSpec pins the
+    * ordering at every SF; the standard langid result, Cavnar &
+    * Trenkle 1994). Same gated report card as q328: per-source keep
+    * counts for both gates, ground truth, and the disagreement count
+    * (non-vacuous at every SF).
+    *
+    * Scale shape unchanged from q328: training is one gram-grain
+    * counting shuffle over the labeled half (grams/doc ≈ chars/doc —
+    * constant-factor over word tokens, still corpus-linear; at 100 TB a
+    * labeled sample); the C·V model broadcasts so the corpus never
+    * shuffles to be scored; gram extraction is map-side codegen'd
+    * built-ins; the readout is one source-grain rollup.
+    */
+  private def q338(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .localCheckpoint() // read by train, score, heuristic and rollup
+    val model = graft.ops.Train.naiveBayesModelTokens(
+      docs.filter(col("doc_id") % 2 === 0 && col("lang").isNotNull),
+      col("lang"), graft.functions.charNgrams(col("text"), 3))
+    val scored = graft.ops.Train.naiveBayesScoreTokens(docs, col("doc_id"),
+        graft.functions.charNgrams(col("text"), 3), model)
+      .select(col("doc_id"), col("pred_class"))
+    docs.join(scored, Seq("doc_id"))
+      .withColumn("__model_keep", col("pred_class") === "en")
+      .withColumn("__heur_keep",
+        TextAnalysis.detectLanguage(col("text")) === "en")
+      .withColumn("__true_en", coalesce(col("lang"), lit("und")) === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__model_keep"), 1L).otherwise(0L)).as("n_model_en"),
+        sum(when(col("__heur_keep"), 1L).otherwise(0L)).as("n_heur_en"),
+        sum(when(col("__true_en"), 1L).otherwise(0L)).as("n_true_en"),
+        sum(when(col("__model_keep") =!= col("__heur_keep"), 1L)
+          .otherwise(0L)).as("n_disagree"),
+        sum(when(col("__model_keep") === col("__true_en"), 1L)
+          .otherwise(0L)).as("n_model_correct"),
+        sum(when(col("__heur_keep") === col("__true_en"), 1L)
+          .otherwise(0L)).as("n_heur_correct"))
+      .orderBy("source")
+  }
+
+  /** OLAP 15 (round-11): the TPC-H Q4 order-priority shape — count
+    * orders placed in one quarter that have at least one problem
+    * lineitem: the EXISTS subquery decorrelated to a LEFT SEMI join.
+    * The plan properties this pins (PlanSpec): the quarter range pushes
+    * into the ORDERS scan, the lineitem-local predicate pushes into the
+    * LINEITEM scan, and the correlation runs as one semi equi-join —
+    * never an aggregate-then-inner (which would double-count multi-hit
+    * orders) and never a correlated re-scan per order. `l_returnflag =
+    * 'R'` stands in for the reference schema's `l_commitdate <
+    * l_receiptdate` (the testdata carries no commit/receipt dates) —
+    * the same role: a lineitem-LOCAL problem predicate, so it pushes to
+    * the fact scan instead of riding the join.
+    */
+  private def q339(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** OLAP 16 (round-11): the TPC-H Q8 market-share shape — one nation's
+    * share of the PROMO-part volume sold into one region's customers,
+    * by order year: the two-level aggregate with a CONDITIONAL
+    * NUMERATOR (`sum(case when supp_nation = X then vol end) /
+    * sum(vol)`), both legs folding in ONE pass over the joined fact —
+    * never two scans, never a self-join of the yearly rollup.
+    * Numerator and denominator each accumulate through the exact
+    * decimal-sum (dsum), surface as bit-identical doubles, and the
+    * share is one IEEE divide rounded at the readout — both engines
+    * replay it bit-for-bit (the q333 discipline, quotient flavor).
+    *
+    * Scale shape: part/customer/supplier/nation/region all broadcast
+    * (part filtered to one type first), the only wide exchange is
+    * lineitem→orders, and the readout is a ≤|years|-row aggregate with
+    * map-side partials.
+    */
+  private def q340(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("__snk"),
+            col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("__snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1.0d) - col("l_discount"))
+    li.join(GraftConf.hintPairJoin(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0.0d)), 6).as("nation_volume"),
+        dsum(vol, 6).as("total_volume"))
+      .select(col("o_year"),
+        round(col("nation_volume") / col("total_volume"), 9)
+          .as("mkt_share"),
+        col("nation_volume"), col("total_volume"))
+      .orderBy("o_year")
+  }
+
+  /** OLAP 17 (round-11): the TPC-H Q9 product-profit shape — profit by
+    * supplier nation and order year over one part family, the widest
+    * join graph in the suite (lineitem × orders × part × supplier ×
+    * nation). The plan properties this pins (PlanSpec): the `p_name
+    * LIKE '%red%'` filter pushes into the PART scan (StringContains —
+    * the scan never feeds unfiltered parts to the join), part/supplier/
+    * nation broadcast, and the only wide exchange is lineitem→orders.
+    * `p_retailprice · 0.6` stands in for `ps_supplycost` (the testdata
+    * carries no partsupp table — a fixed landed-cost fraction of the
+    * retail price, same arithmetic role: a per-part unit cost scaled by
+    * quantity). The profit sum accumulates through the exact decimal
+    * sum; a group summing exactly to zero lands +0.0 in both engines
+    * (decimal zero carries no sign).
+    */
+  private def q341(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val p = t(s, dir, "part").filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("__snk"),
+            col("n_name").as("nation"))),
+        col("s_nationkey") === col("__snk"))
+      .select(col("s_suppkey"), col("nation"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val amount = col("l_extendedprice") * (lit(1.0d) - col("l_discount")) -
+      col("p_retailprice") * lit(0.6d) * col("l_quantity")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(GraftConf.hintPairJoin(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n"), dsum(amount, 6).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Streaming 25 (round-11): GROUPED quantile-sketch maintenance
+    * ([[graft.streaming.Streaming.qbinMaintainBy]]) — q337's per-source
+    * grid maintained over a 3-file split of the corpus by per-group
+    * bin-wise sums under the versioned-overwrite protocol (closing the
+    * round-10 gap: q336 maintained only the GLOBAL grid). Because
+    * per-group vector addition commutes, ANY batching lands on the
+    * batch state EXACTLY, so this gate shares q337's oracle STRING
+    * verbatim (the q336/q243 streamed-twin discipline, grouped flavor).
+    * The live per-source p50/p90 table a monitor publishes from
+    * ≤ sources·64 rows of state, at any corpus size.
+    */
+  private def q342(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q342")
+    val src = stage.resolve("src").toString
+    t(s, dir, "documents").select(col("source"), col("n_chars"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val statePath = stage.resolve("state").toString
+    graft.streaming.Streaming.qbinMaintainBy(s, src, schema,
+      "source", "n_chars", lo = 0.0, w = 10.0, bins = 64,
+      statePath, stage.resolve("ckpt").toString)
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val last = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
+      .map(_.getPath.getName).collect { case n if n.startsWith("v") =>
+        n.drop(1).toLong }.max
+    val out = graft.ops.Sketch.qbinQuantilesBy(
+        s.read.parquet(s"$statePath/v$last"),
+        Seq(0.5, 0.9), lo = 0.0, w = 10.0)
+      .select(col("group").as("source"), col("q"), col("est"))
+      .orderBy("source", "q")
+    materializeDropping(s, out, stage)
+  }
+
+  /** Governance 3 (round-11): KEY-TARGETED DELETION on the manifest
+    * lake ([[graft.ops.Privacy.eraseKeys]]) — the GDPR-erasure pass:
+    * documents land as a key-clustered graft-manifest table (range-
+    * partitioned on the zero-padded doc_id, so each data file holds a
+    * contiguous id range), per-file key stats publish at landing time
+    * (the steady-state sidecar discipline), then one user's documents
+    * (ids 100–149) are erased. The stats prune the rewrite to the
+    * file(s) whose range can contain the keys — `nUntouched > 0` and
+    * `nCandidates < nFiles` are required IN-QUERY, so the gate fails if
+    * pruning ever goes vacuous — and the pre-delete version, captured
+    * before the erase, must still read the FULL table (q233's
+    * time-travel device: old data files are superseded, not deleted).
+    * The gate reads the post-delete table at the published generation
+    * and rolls it up per (source, lang); the oracle is the anti-join
+    * restated as `doc_id NOT BETWEEN` over the raw documents.
+    */
+  private def q343(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q343")
+    val table = s"$base/t"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("lang"), lit("und")).as("lang"))
+      .localCheckpoint() // one landing write + the count cross-check
+    docs.repartitionByRange(4, col("doc_id"))
+      .select(concat_ws("|", lpad(col("doc_id").cast("string"), 10, "0"),
+        col("source"), col("lang")).as("value"))
+      .write.format("graft-manifest").option("path", table)
+      .mode("append").save()
+    val v1 = graft.sources.Manifest.manifestNames(table)
+    val keyOf: Column => Column = v => substring(v, 1, 10)
+    graft.ops.Privacy.publishKeyStats(s, table, keyOf)
+    val keys = (100L to 149L).map(i => f"$i%010d")
+    val rep = graft.ops.Privacy.eraseKeys(s, table, keyOf, keys,
+      "gen-erase-1", Some(v1.toSet))
+    // non-vacuity only binds when there IS a table: an all-empty corpus
+    // lands zero data files and the erase is a lawful no-op (the
+    // empty-input law)
+    require(rep.nFiles == 0 ||
+      (rep.nUntouched > 0 && rep.nCandidates < rep.nFiles),
+      s"stats pruning vacuous: $rep")
+    val pre = s.read.format("graft-manifest").option("path", table)
+      .option("snapshot", v1.mkString(",")).load().count()
+    val expected = docs.count()
+    require(pre == expected,
+      s"pre-delete snapshot read $pre of $expected rows — erasure " +
+        "mutated a captured version")
+    val post = s.read.format("graft-manifest").option("path", table)
+      .option("snapshot", rep.manifest).load()
+      .select(split(col("value"), "\\|").as("p"))
+      .select(col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).as("source"), col("p").getItem(2).as("lang"))
+    val out = post.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("source", "lang")
+    materializeDropping(s, out, base)
+  }
 
   /** The q322 planted-label fixture (the q319 planted-variant device,
     * classifier flavor): every fifth document gets a spam-marker tail
@@ -7673,7 +7958,13 @@ object SparkEntry {
     "q334_q19_disjunctive_revenue" -> q334 _,
     "q335_qbin_quantiles" -> q335 _,
     "q336_qbin_stream" -> q336 _,
-    "q337_qbin_by_source" -> q337 _)
+    "q337_qbin_by_source" -> q337 _,
+    "q338_charngram_lang_gate" -> q338 _,
+    "q339_q4_order_priority" -> q339 _,
+    "q340_q8_market_share" -> q340 _,
+    "q341_q9_profit" -> q341 _,
+    "q342_qbin_by_source_stream" -> q342 _,
+    "q343_erase_keys" -> q343 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -9107,12 +9398,16 @@ object SparkEntry {
     * zero-duplication device): `train` names a CTE providing
     * (doc_id, class, text), `scoreIn` one providing (doc_id, text).
     * Emits `${p}model` (class, token, logp, prior) and `${p}pred`
-    * (doc_id, pred_class, score, in_vocab).
+    * (doc_id, pred_class, score, in_vocab). `tokList` is the
+    * featurization axis (the [[graft.ops.Train.naiveBayesModelTokens]]
+    * twin): text expr → DuckDB LIST expr; default = whitespace tokens,
+    * [[charGramListSql]] = the q338 char-n-gram featurizer.
     */
-  private def nbChainCtes(p: String, train: String,
-                          scoreIn: String): String = raw"""${p}toks AS (
-        SELECT class, unnest(regexp_split_to_array(trim(lower(text)),
-          '\s+')) AS token
+  private def nbChainCtes(p: String, train: String, scoreIn: String,
+                          tokList: String => String = t =>
+                            raw"regexp_split_to_array(trim(lower($t)), '\s+')"
+                         ): String = raw"""${p}toks AS (
+        SELECT class, unnest(${tokList("text")}) AS token
         FROM $train),
       ${p}toks2 AS (SELECT class, token FROM ${p}toks WHERE token <> ''),
       ${p}cnt AS (
@@ -9141,8 +9436,7 @@ object SparkEntry {
         FROM ${p}vocab vb CROSS JOIN ${p}classes cl
         LEFT JOIN ${p}cnt ct ON ct.class = cl.class AND ct.token = vb.token),
       ${p}stoks AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
-          '\s+')) AS token
+        SELECT doc_id, unnest(${tokList("text")}) AS token
         FROM $scoreIn),
       ${p}stoks2 AS (SELECT doc_id, token FROM ${p}stoks WHERE token <> ''),
       ${p}ll AS (
@@ -9167,6 +9461,19 @@ object SparkEntry {
         FROM (SELECT doc_id FROM $scoreIn) i
         LEFT JOIN ${p}best b ON i.doc_id = b.doc_id
         CROSS JOIN ${p}fb f)"""
+
+  /** DuckDB twin of [[graft.functions.charNgrams]] (n = 3): the same
+    * space-padded single-space fold of the lowercased text, the same
+    * 1-based substr walk — gram-for-gram identical arrays, so the NB
+    * chain instantiated with this tokenizer replays q338's model
+    * bit-for-bit. `range(1, L-1)` is empty for L < 3 (DuckDB's range
+    * never descends), mirroring the Spark-side `when(length >= n)`
+    * guard around the descending-sequence trap.
+    */
+  private def charGramListSql(t: String): String = {
+    val pad = raw"(' ' || regexp_replace(trim(lower($t)), '\s+', ' ', 'g') || ' ')"
+    s"list_transform(range(1, length($pad) - 1), i -> substr($pad, CAST(i AS INTEGER), 3))"
+  }
 
   /** DuckDB twin of [[graft.ops.Train.naiveBayesModel]] on the even-
     * doc_id train split (label = lang), shared by the q301/q302/q303
@@ -9264,6 +9571,40 @@ object SparkEntry {
       SELECT q, round(0.0 + 1000.0 * (CAST(bin AS DOUBLE) +
           (q * t.ntot - CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS est
       FROM qpick, qtot t WHERE rn = 1 ORDER BY q"""
+
+  /** The q337/q342 shared oracle — the grouped twin of [[qbinOracle]]:
+    * per-source pinned-grid state, per-source cumulative counts, the
+    * same rounded IEEE interpolation tree
+    * [[graft.ops.Sketch.qbinQuantilesBy]] evaluates. One string for the
+    * batch sketch and its streamed maintainer (per-group bin-wise sums
+    * are batching-invariant exactly).
+    */
+  private val qbinByOracle: String = """
+      WITH gst AS (
+        SELECT source, least(greatest(CAST(floor((n_chars - 0.0) / 10.0)
+            AS BIGINT), 0), 63) AS bin,
+          count(*) AS n
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY 1, 2),
+      gtot AS (
+        SELECT source, CAST(sum(n) AS DOUBLE) AS ntot FROM gst GROUP BY 1),
+      gcum AS (
+        SELECT source, bin, n,
+          sum(n) OVER (PARTITION BY source ORDER BY bin) AS c,
+          sum(n) OVER (PARTITION BY source ORDER BY bin) - n AS cb
+        FROM gst),
+      gq AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
+      gpick AS (
+        SELECT c2.source, q, bin, n, cb,
+          row_number() OVER (PARTITION BY c2.source, q ORDER BY bin) AS rn
+        FROM gcum c2 JOIN gtot t ON c2.source = t.source
+        CROSS JOIN gq
+        WHERE CAST(c AS DOUBLE) >= q * t.ntot)
+      SELECT p.source, q,
+        round(0.0 + 10.0 * (CAST(bin AS DOUBLE) +
+          (q * t.ntot - CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS est
+      FROM gpick p JOIN gtot t ON p.source = t.source
+      WHERE rn = 1 ORDER BY p.source, q"""
 
   /** The q301/q313 shared oracle (the train-from-state twin gates
     * against the batch SQL verbatim — the statistic merge is exact).
@@ -11490,7 +11831,8 @@ object SparkEntry {
       WHERE p_brand <> 'Brand#1' AND p_type <> 'MEDIUM'
         AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
         AND ps.l_suppkey NOT IN (
-          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          SELECT s_suppkey FROM supplier
+          WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
       GROUP BY p_brand, p_type, p_size
       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     // q330: Q15 written the classic way (revenue view probed by its own
@@ -11581,32 +11923,11 @@ object SparkEntry {
     "q336_qbin_stream" -> qbinOracle,
     // q337: the grouped QBIN — per-source cumulative counts and the
     // same rounded interpolation tree, every CTE keyed by source
-    "q337_qbin_by_source" -> """
-      WITH gst AS (
-        SELECT source, least(greatest(CAST(floor((n_chars - 0.0) / 10.0)
-            AS BIGINT), 0), 63) AS bin,
-          count(*) AS n
-        FROM documents WHERE n_chars IS NOT NULL
-        GROUP BY 1, 2),
-      gtot AS (
-        SELECT source, CAST(sum(n) AS DOUBLE) AS ntot FROM gst GROUP BY 1),
-      gcum AS (
-        SELECT source, bin, n,
-          sum(n) OVER (PARTITION BY source ORDER BY bin) AS c,
-          sum(n) OVER (PARTITION BY source ORDER BY bin) - n AS cb
-        FROM gst),
-      gq AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
-      gpick AS (
-        SELECT c2.source, q, bin, n, cb,
-          row_number() OVER (PARTITION BY c2.source, q ORDER BY bin) AS rn
-        FROM gcum c2 JOIN gtot t ON c2.source = t.source
-        CROSS JOIN gq
-        WHERE CAST(c AS DOUBLE) >= q * t.ntot)
-      SELECT p.source, q,
-        round(0.0 + 10.0 * (CAST(bin AS DOUBLE) +
-          (q * t.ntot - CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS est
-      FROM gpick p JOIN gtot t ON p.source = t.source
-      WHERE rn = 1 ORDER BY p.source, q""",
+    // q337/q342: ONE oracle string for the batch grouped sketch and its
+    // streamed maintainer — per-group bin-wise sums are batching-
+    // invariant exactly (the q335/q336 discipline, grouped flavor)
+    "q337_qbin_by_source" -> qbinByOracle,
+    "q342_qbin_by_source_stream" -> qbinByOracle,
     // q317: Q18 written the classic way (HAVING subquery + re-join);
     // the engine's single-scan plan must land on the identical rows
     "q317_q18_big_orders" -> """
@@ -11905,6 +12226,127 @@ object SparkEntry {
         CAST(sum(CASE WHEN heur_keep = true_en THEN 1 ELSE 0 END)
           AS BIGINT) AS n_heur_correct
       FROM gst GROUP BY source ORDER BY source""",
+    // q338: q328's report card with the NB chain instantiated on the
+    // char-3-gram tokenizer (charGramListSql) — the heuristic CTEs are
+    // the q328 strings verbatim (shared rule, different model)
+    "q338_charngram_lang_gate" -> raw"""
+      WITH cgtrain AS (
+        SELECT doc_id, lang AS class, text FROM documents
+        WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+      cgscore_in AS (SELECT doc_id, text FROM documents),
+      ${nbChainCtes("cg", "cgtrain", "cgscore_in", charGramListSql _)},
+      cgsc AS (
+        SELECT doc_id,
+          len(list_filter(tk, t -> t IN ('the','a','of','and','to'))) AS s_en,
+          len(list_filter(tk, t -> t IN ('el','la','de','que','y'))) AS s_es,
+          len(list_filter(tk, t -> t IN ('le','la','de','et','un'))) AS s_fr,
+          len(list_filter(tk, t -> t IN ('der','die','und','das','ein')))
+            AS s_de,
+          len(list_filter(tk, t -> t IN ('的','了','是','我','不'))) AS s_zh
+        FROM (SELECT doc_id,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents)),
+      cgheur AS (
+        SELECT doc_id, CASE
+          WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_en > 0
+            THEN 'en'
+          WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_es > 0
+            THEN 'es'
+          WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_fr > 0
+            THEN 'fr'
+          WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_de > 0
+            THEN 'de'
+          WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_zh > 0
+            THEN 'zh'
+          ELSE 'und' END AS lang_pred
+        FROM cgsc),
+      cgst AS (
+        SELECT d.source,
+          p.pred_class = 'en' AS model_keep,
+          h.lang_pred = 'en' AS heur_keep,
+          coalesce(d.lang, 'und') = 'en' AS true_en
+        FROM documents d JOIN cgpred p ON d.doc_id = p.doc_id
+        JOIN cgheur h ON d.doc_id = h.doc_id)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN model_keep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_model_en,
+        CAST(sum(CASE WHEN heur_keep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_heur_en,
+        CAST(sum(CASE WHEN true_en THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_true_en,
+        CAST(sum(CASE WHEN model_keep <> heur_keep THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_disagree,
+        CAST(sum(CASE WHEN model_keep = true_en THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_model_correct,
+        CAST(sum(CASE WHEN heur_keep = true_en THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_heur_correct
+      FROM cgst GROUP BY source ORDER BY source""",
+    // q343: the post-delete table must hash-equal the anti-join of the
+    // raw documents (the erased id range restated as NOT BETWEEN);
+    // pruning/time-travel facts are required in-query, not here
+    "q343_erase_keys" -> """
+      SELECT source, coalesce(lang, 'und') AS lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents
+      WHERE doc_id NOT BETWEEN 100 AND 149
+      GROUP BY 1, 2
+      ORDER BY source, lang""",
+    // q339: Q4 written the classic way (EXISTS subquery); the engine
+    // decorrelates into a left-semi join with both filters pushed
+    "q339_q4_order_priority" -> """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o_orderdate < TIMESTAMP '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    // q340: Q8 written the classic way (conditional numerator over the
+    // all_nations subquery); the engine folds both legs in one pass
+    "q340_q8_market_share" -> """
+      WITH all_nations AS (
+        SELECT year(o_orderdate) AS o_year,
+          l_extendedprice * (1.0 - l_discount) AS volume,
+          n1.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01')
+      SELECT o_year,
+        round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3'
+              THEN volume ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) /
+          CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 9)
+          AS mkt_share,
+        CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+            ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS nation_volume,
+        CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+      FROM all_nations GROUP BY o_year ORDER BY o_year""",
+    // q341: Q9 written the classic way (profit CTE over the five-way
+    // join); p_retailprice*0.6 stands in for ps_supplycost
+    "q341_q9_profit" -> """
+      WITH profit AS (
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+          l_extendedprice * (1.0 - l_discount)
+            - p_retailprice * 0.6 * l_quantity AS amount
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%')
+      SELECT nation, o_year, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+      FROM profit GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC""",
     "q303_nb_confusion" -> s"""
       WITH $nbModelCtes,
       nbj AS (

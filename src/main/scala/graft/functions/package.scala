@@ -26,6 +26,32 @@ package object functions {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Character n-grams over a space-padded single-space fold of the
+    * lowercased text — the standard language-ID featurization (Cavnar &
+    * Trenkle 1994; fastText's `-minn/-maxn` subwords): for n = 3,
+    * `"the cat"` → `[" th", "the", "he ", "e c", " ca", "cat", "at "]`.
+    * The whitespace fold makes grams layout-independent (tabs, newlines
+    * and space runs all read as one boundary) and the padding gives
+    * word-initial/-final grams their own identity — exactly the
+    * sub-word boundary evidence that separates languages sharing a
+    * vocabulary, where word unigrams carry none (q328's diagnosed
+    * weakness; q338 gates the fix). Empty or all-whitespace text yields
+    * an empty array; NULL text stays NULL. The guard matters: Spark's
+    * `sequence(1, k)` DESCENDS for k < 1 rather than returning empty.
+    * Pure codegen'd built-ins (regexp_replace/sequence/transform/
+    * substr) — map-side, shuffle-free, no UDF.
+    */
+  def charNgrams(text: Column, n: Int = 3): Column = {
+    require(n >= 1 && n <= 16, s"char n-gram width must be in [1,16], got $n")
+    val pad = concat(lit(" "),
+      regexp_replace(trim(lower(text)), "\\s+", " "), lit(" "))
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(length(pad) >= n,
+        transform(sequence(lit(1), length(pad) - lit(n - 1)),
+          i => pad.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Distinct shingle set (order-insensitive) for set-similarity measures. */
   def shingleSet(text: Column, n: Int = 3): Column =
     array_distinct(wordShingles(text, n))

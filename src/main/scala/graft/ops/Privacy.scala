@@ -64,4 +64,178 @@ object Privacy {
       .withColumn("at_risk", col("l_distinct") < l)
       .orderBy("l_distinct")
   }
+
+  // ——————————————————————————————————————————— key-targeted deletion
+
+  /** What [[eraseKeys]] did: the published manifest name, the file
+    * counts the pruning decided, and the rewritten files it landed.
+    * `nUntouched + newFiles.size` = the post-delete table's file count;
+    * `nUntouched > 0` on a clustered table is the pruning working.
+    */
+  case class EraseReport(manifest: String, nFiles: Int, nCandidates: Int,
+                         nUntouched: Int, newFiles: Seq[String])
+
+  /** Spark's string ordering is BINARY (unsigned UTF-8 bytes); driver-
+    * side stats comparisons must use the SAME order or a file could be
+    * misclassified as untouched. Java's String.compareTo (UTF-16 code
+    * units) agrees on ASCII but diverges on supplementary characters —
+    * so compare bytes, not chars.
+    */
+  private def binLte(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+  private def baseName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  /** Per-file key statistics for a graft-manifest table, maintained
+    * INCREMENTALLY as a `stats/` sidecar (the Iceberg manifest-stats
+    * device at its simplest): each call scans ONLY the committed data
+    * files that have no stats yet — one column-pruned pass per file,
+    * ever — computes (min, max, n) of `keyOf(value)` per file, and
+    * publishes the new entries atomically. At steady state (stats
+    * published after each landing) an erasure pass reads NO untouched
+    * data: candidacy is decided from the sidecar alone. Returns the
+    * full map file-basename → (min, max, n); a zero-row file carries
+    * n = 0 and can never be a candidate.
+    */
+  def publishKeyStats(spark: org.apache.spark.sql.SparkSession,
+                      table: String, keyOf: Column => Column)
+      : Map[String, (String, String, Long)] =
+    keyStats(spark, table, keyOf,
+      graft.sources.Manifest.committedFiles(table))
+
+  private def keyStats(spark: org.apache.spark.sql.SparkSession,
+                       table: String, keyOf: Column => Column,
+                       files: Seq[String])
+      : Map[String, (String, String, Long)] = {
+    val existing: Map[String, (String, String, Long)] =
+      graft.sources.Manifest.sidecarLines(table, "stats").map { ln =>
+        val p = ln.split("\t", -1)
+        require(p.length == 4, s"malformed stats line: $ln")
+        dec(p(0)) -> ((dec(p(1)), dec(p(2)), p(3).toLong))
+      }.toMap
+    val need = files.filterNot(f => existing.contains(baseName(f)))
+    if (need.isEmpty) return existing
+    val rows = spark.read.text(need: _*)
+      .select(input_file_name().as("__f"),
+        keyOf(col("value")).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .groupBy(col("__f"))
+      .agg(min(col("__k")).as("__lo"), max(col("__k")).as("__hi"),
+        count(lit(1)).as("__n"))
+      .collect()
+    val fresh = rows.map(r => baseName(r.getString(0)) ->
+      ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    // files yielding no keyed rows (empty, or all-NULL keys): n = 0
+    // sentinel — never a candidate, but recorded so they are never
+    // re-scanned
+    val empties = need.map(baseName).filterNot(fresh.contains)
+      .map(b => b -> (("", "", 0L))).toMap
+    val all = fresh ++ empties
+    graft.sources.Manifest.publishTo(table, "stats",
+      s"stats-${java.util.UUID.randomUUID()}",
+      all.toSeq.sortBy(_._1).map { case (f, (lo, hi, n)) =>
+        s"${enc(f)}\t${enc(lo)}\t${enc(hi)}\t$n" })
+    existing ++ all
+  }
+
+  /** KEY-TARGETED DELETION (GDPR erasure) on a graft-manifest table:
+    * given a key list, rewrite ONLY the data files whose per-file
+    * min/max key stats can contain one of the keys, and publish the
+    * post-delete table as ONE new full manifest `gen` — untouched
+    * files are listed by reference (never read, never rewritten,
+    * byte-identical on disk), candidate files are replaced by their
+    * anti-joined rewrites under fresh names in `data/`. Old data files
+    * are NOT deleted, so every previously captured snapshot still
+    * reads its exact pre-delete table (q233's time-travel contract);
+    * physical purge of the superseded files is a later retention pass,
+    * once no live snapshot references them.
+    *
+    * `from` pins the version being erased (the caller's current
+    * manifest-name set — the catalog pointer); None reads the
+    * whole-history union, which is only the current table for an
+    * append-only history (after any erasure or compaction, ALWAYS pass
+    * the current version or superseded files would resurrect).
+    *
+    * Correctness contracts: keys must be non-null (rows whose key
+    * extraction yields NULL are kept — an unkeyable row is not
+    * erasable); candidacy compares strings in Spark's BINARY order on
+    * both sides (driver [[binLte]] = unsigned UTF-8 bytes, exactly the
+    * executor min/max collation), so pruning can never misclassify;
+    * `gen` must not collide with an existing manifest name
+    * (immutability — snapshots are forever).
+    *
+    * Scale shape: candidacy is a driver-side walk of the stats sidecar
+    * (file grain — the same grain Iceberg's planner holds in memory);
+    * the rewrite reads ONLY candidate files and anti-joins the
+    * broadcast-or-shuffled key set on the extracted key; the commit is
+    * one atomic manifest rename. On a key-clustered layout (the
+    * [[graft.ops.Layout]] z-order/range discipline) an erasure request
+    * for one user touches a handful of files out of millions.
+    */
+  def eraseKeys(spark: org.apache.spark.sql.SparkSession, table: String,
+                keyOf: Column => Column, keys: Seq[String], gen: String,
+                from: Option[Set[String]] = None): EraseReport = {
+    require(keys.nonEmpty, "eraseKeys needs at least one key")
+    require(!keys.contains(null), "erasure keys must be non-null")
+    require(!graft.sources.Manifest.manifestNames(table).contains(gen),
+      s"manifest '$gen' already exists — published versions are immutable")
+    val files = graft.sources.Manifest.committedFiles(table, from)
+    val stats = keyStats(spark, table, keyOf, files)
+    val sorted = keys.distinct.sortWith((a, b) => binLte(a, b) && a != b)
+    def mayContain(f: String): Boolean = stats.get(baseName(f)) match {
+      case Some((_, _, 0L)) => false
+      case Some((lo, hi, _)) =>
+        // first key ≥ lo, if any, must also be ≤ hi
+        sorted.find(k => binLte(lo, k)).exists(k => binLte(k, hi))
+      case None => true // unstatted (shouldn't happen): rewrite, stay safe
+    }
+    val (candidates, untouched) = files.partition(mayContain)
+    val newFiles: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.Encoders
+        val keysDf = spark.createDataset(sorted)(Encoders.STRING)
+          .toDF("__k")
+        val kept = spark.read.text(candidates: _*)
+          .join(keysDf, keyOf(col("value")).cast("string") === col("__k"),
+            "left_anti")
+          .select(col("value"))
+        val f = graft.sources.Manifest.fs(table)
+        val tmp = new org.apache.hadoop.fs.Path(table,
+          s".erase-${java.util.UUID.randomUUID()}")
+        kept.write.text(tmp.toString)
+        val dataDir = new org.apache.hadoop.fs.Path(table, "data")
+        f.mkdirs(dataDir)
+        val moved = f.listStatus(tmp).toSeq
+          .filter(s => s.isFile && s.getLen > 0 &&
+            s.getPath.getName.startsWith("part-"))
+          .map { st =>
+            val dest = new org.apache.hadoop.fs.Path(dataDir,
+              s"part-${java.util.UUID.randomUUID()}.txt")
+            require(f.rename(st.getPath, dest),
+              s"rename failed: ${st.getPath} -> $dest")
+            dest.toString
+          }
+        f.delete(tmp, true)
+        moved
+      }
+    graft.sources.Manifest.publish(table, gen,
+      (untouched ++ newFiles).sorted)
+    EraseReport(gen, files.size, candidates.size, untouched.size, newFiles)
+  }
 }

@@ -336,6 +336,20 @@ object Sketch {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The grouped QBIN merge law: state(A ⊎ B) = bin-wise sum PER GROUP —
+    * [[qbinMergeStates]] keyed by the group column; commutative,
+    * associative, not duplicate-insensitive, so the streamed maintainer
+    * ([[graft.streaming.Streaming.qbinMaintainBy]]) rides the
+    * versioned-overwrite protocol. A group absent from one side simply
+    * carries the other side's rows (union semantics) — the per-group
+    * empty law.
+    */
+  def qbinMergeStatesBy(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("group"), col("bin"), col("n"))
+      .unionByName(b.select(col("group"), col("bin"), col("n")))
+      .groupBy(col("group"), col("bin"))
+      .agg(sum(col("n")).as("n"))
+
   /** Per-group quantile readout from a [[qbinStateBy]] state — the
     * [[qbinQuantiles]] arithmetic with every stage keyed by `group`:
     * the cumulative count is a (group, bin ≤ bin) triangular broadcast

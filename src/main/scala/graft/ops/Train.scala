@@ -314,6 +314,18 @@ object Train {
                       minCount: Int = 1): DataFrame =
     naiveBayesFromState(naiveBayesState(train, label, text), minCount)
 
+  /** [[naiveBayesModel]] over a caller-chosen feature array instead of
+    * the default whitespace tokens — the featurization axis: pass
+    * [[graft.functions.charNgrams]] for language ID (q338),
+    * [[graft.functions.wordShingles]] for phrase models, etc. The
+    * model/state/score algebra (counts, Laplace grid, merge law,
+    * argmax) is featurization-independent, so every chain law proven
+    * for word tokens holds verbatim.
+    */
+  def naiveBayesModelTokens(train: DataFrame, label: Column, toks: Column,
+                            minCount: Int = 1): DataFrame =
+    naiveBayesFromState(naiveBayesStateTokens(train, label, toks), minCount)
+
   /** The MERGEABLE sufficient statistic behind [[naiveBayesModel]]: one
     * frame of (kind, class, token, cnt) rows — `kind = 'tok'` carries
     * the (class, token) occurrence counts, `kind = 'doc'` the per-class
@@ -323,14 +335,21 @@ object Train {
     * batches forever and train the identical model from state.
     */
   def naiveBayesState(train: DataFrame, label: Column,
-                      text: Column): DataFrame = {
+                      text: Column): DataFrame =
+    naiveBayesStateTokens(train, label, graft.functions.tokens(text))
+
+  /** [[naiveBayesState]] over a caller-supplied feature ARRAY column
+    * (see [[naiveBayesModelTokens]]) — same (kind, class, token, cnt)
+    * sufficient statistic, same exact merge law.
+    */
+  def naiveBayesStateTokens(train: DataFrame, label: Column,
+                            toks: Column): DataFrame = {
     val base = Dedup.spread(train)
-      .select(label.cast("string").as("class"), text.as("__text"))
+      .select(label.cast("string").as("class"), toks.as("__toks"))
       .filter(col("class").isNotNull)
       .localCheckpoint() // feeds token counts and doc counts
     val tok = base
-      .select(col("class"),
-        explode(graft.functions.tokens(col("__text"))).as("token"))
+      .select(col("class"), explode(col("__toks")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("class"), col("token"))
       .agg(count(lit(1)).as("cnt"))
@@ -415,10 +434,18 @@ object Train {
     * which is why the streamed twin can reuse this verbatim per batch.
     */
   def naiveBayesScore(df: DataFrame, id: Column, text: Column,
-                      model: DataFrame): DataFrame = {
+                      model: DataFrame): DataFrame =
+    naiveBayesScoreTokens(df, id, graft.functions.tokens(text), model)
+
+  /** [[naiveBayesScore]] over a caller-supplied feature ARRAY column —
+    * score with the SAME featurization the model was trained on (see
+    * [[naiveBayesModelTokens]]); mixing featurizations silently drops
+    * every feature to OOV.
+    */
+  def naiveBayesScoreTokens(df: DataFrame, id: Column, featToks: Column,
+                            model: DataFrame): DataFrame = {
     val toks = Dedup.spread(df)
-      .select(id.as("doc_id"), explode(graft.functions.tokens(text))
-        .as("token"))
+      .select(id.as("doc_id"), explode(featToks).as("token"))
       .filter(col("token") =!= "")
     val scores = toks.join(model, Seq("token"))
       .groupBy(col("doc_id"), col("class"))

@@ -80,9 +80,20 @@ private[graft] object Manifest {
     */
   private val tmpReapAgeMs: Long = 60L * 60 * 1000
 
-  def publish(dir: String, name: String, lines: Seq[String]): Unit = {
+  def publish(dir: String, name: String, lines: Seq[String]): Unit =
+    publishTo(dir, "manifests", name, lines)
+
+  /** [[publish]] into an arbitrary sidecar subdir — same atomic
+    * temp-then-rename protocol, different namespace. Readers of the
+    * table proper never list sidecars (manifest membership is decided
+    * by `<dir>/manifests` alone), so sidecar metadata (e.g. the
+    * per-file key stats [[graft.ops.Privacy.publishKeyStats]] keeps)
+    * can grow without touching visibility semantics.
+    */
+  def publishTo(dir: String, subdir: String, name: String,
+                lines: Seq[String]): Unit = {
     val f = fs(dir)
-    val mdir = new Path(dir, "manifests")
+    val mdir = new Path(dir, subdir)
     f.mkdirs(mdir)
     // best-effort reap of stale orphans; failure never blocks the publish
     try {
@@ -138,6 +149,24 @@ private[graft] object Manifest {
         finally in.close()
       }
       .filter(_.nonEmpty).sorted.toSeq
+  }
+
+  /** All lines across a sidecar subdir's non-temp files (e.g. the
+    * accumulated per-file key stats) — empty when the sidecar does not
+    * exist yet.
+    */
+  def sidecarLines(dir: String, subdir: String): Seq[String] = {
+    val f = fs(dir)
+    val sdir = new Path(dir, subdir)
+    if (!f.exists(sdir)) return Nil
+    f.listStatus(sdir).filter(_.isFile).map(_.getPath)
+      .filterNot(_.getName.endsWith(".tmp"))
+      .flatMap { m =>
+        val in = f.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      .filter(_.nonEmpty).toSeq
   }
 
   /** Published manifest names ordered by (modification time, name) — the

@@ -837,6 +837,68 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** GROUPED streaming quantile-bins maintenance — [[qbinMaintain]] with
+    * the state keyed by a group column ([[graft.ops.Sketch.qbinStateBy]]
+    * folded via [[graft.ops.Sketch.qbinMergeStatesBy]]): the per-stratum
+    * distribution table a profiling monitor keeps live. State is
+    * ≤ groups·bins rows at any corpus size; the group key lands as
+    * STRING on disk (the engine-portable key representation — the
+    * claims-log discipline). Same versioned-overwrite exactly-once
+    * protocol as the global fold, and the same batching-invariance:
+    * per-group vector addition commutes, so ANY batch split of the
+    * corpus lands on the batch state exactly — the gate (q342) shares
+    * q337's oracle STRING verbatim across a forced multi-batch seam,
+    * and the group-independence law extends to the streamed fold
+    * (Round11OpsSpec: maintaining group G's rows alone yields G's grid
+    * unchanged).
+    */
+  def qbinMaintainBy(spark: SparkSession, sourceDir: String,
+                     schema: StructType, groupCol: String, valueCol: String,
+                     lo: Double, w: Double, bins: Int, statePath: String,
+                     checkpointDir: String,
+                     maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("group",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val versions =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).toSeq
+              .map(_.getPath.getName)
+              .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+              .filter(_ < batchId)
+          else Seq.empty[Long]
+        val prior =
+          if (versions.isEmpty)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+          else s.read.schema(stateSchema)
+            .parquet(s"$statePath/v${versions.max}")
+        graft.ops.Sketch.qbinMergeStatesBy(prior,
+            graft.ops.Sketch.qbinStateBy(batch.toDF(),
+              org.apache.spark.sql.functions.col(groupCol).cast("string"),
+              org.apache.spark.sql.functions.col(valueCol), lo, w, bins))
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        pruneStateVersions(fs, statePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming crawl-frontier maintenance — the q306 canonical-URL dedup
     * as it runs in production, where the frontier IS the state: each
     * micro-batch canonicalizes its URLs
@@ -857,27 +919,26 @@ object Streaming {
     * must live key-grain on disk (never in executor memory) and must
     * never be rewritten whole (a version per batch would re-land the
     * full frontier every trigger). Per batch the cost is one
-    * batch-grain aggregate plus one batch×frontier equi anti-join —
-    * batch-linear in the claims log, the only shape that survives at
-    * frontier scale (bucket the claims log on `canon` on a real
-    * cluster and the anti-join is shuffle-free on the frontier side).
+    * batch-grain aggregate plus one batch×frontier equi anti-join.
+    * The claims log lands as a BUCKETED table on `canon`
+    * ([[graft.sinks.Sinks.landBucketedPartition]] — every batch
+    * partition shares one bucket spec), so the anti-join plans with NO
+    * exchange on the frontier leg: only the batch side shuffles (to the
+    * bucket count), the frontier is read bucket-aligned in place
+    * (Round11OpsSpec pins the plan differentially against a plain
+    * parquet read of the same log). The frontier leg is hinted `merge`:
+    * the frontier is by definition the enormous side — broadcasting it
+    * is never right, and the hint keeps the test-scale plan the
+    * production plan.
     */
   def frontierMaintain(spark: SparkSession, sourceDir: String,
                        schema: StructType, idCol: String, urlCol: String,
                        statePath: String, checkpointDir: String,
-                       maxFilesPerTrigger: Int = 1): Unit = {
+                       maxFilesPerTrigger: Int = 1,
+                       claimsBuckets: Int = 32): Unit = {
     import org.apache.spark.sql.{Dataset, Row}
     val claimsDir = s"$statePath/claims"
-    // explicit schema on every state read: an empty batch writes a
-    // part-file-less dir and inference over it would kill the next
-    // batch (the empty-input law)
-    val claimsSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("canon",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("__batch_id",
-        org.apache.spark.sql.types.LongType)))
+    val table = frontierClaimsTable(statePath)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("latestFirst", "false")
@@ -886,28 +947,38 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(statePath)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
         val claims = batch.toDF()
           .select(col(idCol).cast("long").as("doc_id"),
             graft.ops.Web.urlCanonicalize(col(urlCol)).as("canon"))
           .filter(col("canon").isNotNull)
           .groupBy(col("canon")).agg(min(col("doc_id")).as("doc_id"))
         val prior =
-          if (fs.exists(new org.apache.hadoop.fs.Path(claimsDir)))
-            s.read.schema(claimsSchema).parquet(claimsDir)
-              .filter(col("__batch_id") < batchId)
+          if (s.catalog.tableExists(table))
+            s.table(table).filter(col("__batch_id") < batchId)
               .select(col("canon"))
           else claims.select(col("canon")).limit(0)
-        val fresh = claims.join(prior, Seq("canon"), "left_anti")
-        graft.idempotent.Idempotent.overwritePartitions(
+        // the landing target IS the anti-join's read side: checkpoint the
+        // fresh set (batch-grain, never frontier-grain) to cut the scan
+        // lineage, or the dynamic-partition insert rejects the
+        // read-write-same-table plan
+        val fresh = claims.join(prior.hint("merge"), Seq("canon"),
+          "left_anti").localCheckpoint()
+        graft.sinks.Sinks.landBucketedPartition(
           fresh.withColumn("__batch_id", lit(batchId)),
-          claimsDir, Seq("__batch_id"))
+          table, claimsDir, Seq("canon"), claimsBuckets, "__batch_id")
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
+
+  /** The session-catalog name of [[frontierMaintain]]'s bucketed claims
+    * table for a given state path — exposed so gates and specs can plan
+    * against (and drop) the log the stream landed.
+    */
+  def frontierClaimsTable(statePath: String): String =
+    "graft_frontier_claims_" +
+      java.lang.Integer.toHexString(statePath.hashCode)
 
   /** Streaming Count-Min maintenance — the frequency complement of
     * [[kmvMaintain]]: each micro-batch's cell table

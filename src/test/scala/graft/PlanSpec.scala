@@ -455,6 +455,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q339 Q4 shape: EXISTS runs as a semi join with both filters pushed") {
+    val p = plan("q339_q4_order_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS leg not a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the quarter range reaches the orders scan...
+    val oScan = p.indexOf("orders.parquet")
+    assert(oScan >= 0, s"no orders scan in:\n$p")
+    val oPf = p.indexOf("PushedFilters: [", oScan)
+    assert(oPf >= 0 && p.substring(oPf, math.min(p.length, oPf + 400))
+        .takeWhile(_ != '\n').contains("o_orderdate"),
+      s"order-date range not pushed to the orders scan:\n$p")
+    // ...and the lineitem-local problem predicate reaches the fact scan
+    val lScan = p.indexOf("lineitem.parquet")
+    assert(lScan >= 0, s"no lineitem scan in:\n$p")
+    val lPf = p.indexOf("PushedFilters: [", lScan)
+    assert(lPf >= 0 && p.substring(lPf, math.min(p.length, lPf + 400))
+        .takeWhile(_ != '\n').contains("l_returnflag"),
+      s"returnflag predicate not pushed to the lineitem scan:\n$p")
+  }
+
+  test("q340 Q8 shape: one fact pass, dims broadcast, no cartesian") {
+    val p = plan("q340_q8_market_share")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // conditional numerator and denominator fold in ONE aggregation over
+    // the joined fact: exactly one partial+final pair, one lineitem scan
+    val liScans = "lineitem.parquet".r.findAllIn(p).length
+    assert(liScans == 1, s"expected one lineitem scan, got $liScans:\n$p")
+  }
+
+  test("q341 Q9 shape: the LIKE filter reaches the part scan") {
+    val p = plan("q341_q9_profit")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val scanAt = p.indexOf("part.parquet")
+    assert(scanAt >= 0, s"no part scan in:\n$p")
+    val pf = p.indexOf("PushedFilters: [", scanAt)
+    assert(pf >= 0, s"no pushed filters on the part scan:\n$p")
+    val pushed = p.substring(pf, math.min(p.length, pf + 400))
+      .takeWhile(_ != '\n')
+    assert(pushed.contains("p_name"),
+      s"p_name LIKE not pushed to the part scan: $pushed\n$p")
+  }
+
   test("q147 drift: histogram counts aggregate with map-side partials") {
     val p = plan("q147_histogram_drift")
     assert(p.contains("partial_sum") || p.contains("partial_count"),

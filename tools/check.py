@@ -4,7 +4,12 @@ run graft.Verify first (writes <out>/<query>.parquet + oracle_sql.json),
 then this script executes each oracle SQL in DuckDB over the same tables
 and compares (columns sorted by name, rows sorted, values hashed).
 
-Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out \
+           [--json bench_out/correctness_rNN.json]
+
+--json writes the per-query record (pass/status/rows) so each round's
+correctness evidence is self-recorded even if the driver's artifact
+comes back empty (round-10 process defect).
 """
 import glob
 import json
@@ -60,6 +65,9 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
     con = duckdb.connect()
     # Pin the oracle-side negative-zero idiom (RoundReadoutSpec's DuckDB
     # twin): round keeps -0.0's sign bit, `+ 0.0` must clear it.
@@ -95,13 +103,22 @@ def main():
         diff = compare(name, spark_df, duck_df)
         results[name] = diff or f"OK ({len(spark_df)} rows)"
     bad = 0
+    record = {}
     for name in sorted(results):
         status = results[name]
         ok = status.startswith("OK") or status.startswith("rows-only")
-        if "EMPTY" in status or not ok:
+        passed = ok and "EMPTY" not in status
+        if not passed:
             bad += 1
-        print(f"{'PASS' if ok and 'EMPTY' not in status else 'FAIL':4} {name}: {status}")
+        record[name] = {"pass": passed, "status": status}
+        print(f"{'PASS' if passed else 'FAIL':4} {name}: {status}")
     print(f"\n{len(results) - bad}/{len(results)} pass")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": len(results) - bad,
+                       "n_total": len(results), "queries": record}, f,
+                      indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if bad else 0)
 
 
