@@ -357,7 +357,28 @@ object PlanDump {
         "size ≤ 35) and pushes it into the part scan, the pruned part " +
         "dim broadcasts, and the full disjunction evaluates on the " +
         "join output — the lineitem side reads 4 columns, never the " +
-        "whole row."))
+        "whole row."),
+    "q339_q4_order_priority" ->
+      ("Q4's EXISTS decorrelated to a LEFT SEMI equi-join: the " +
+        "quarter range pushes into the ORDERS scan and the " +
+        "lineitem-local problem predicate pushes into the LINEITEM " +
+        "scan (both PushedFilters-pinned) — never an " +
+        "aggregate-then-inner (which would double-count multi-hit " +
+        "orders), never a per-order re-scan."),
+    "q340_q8_market_share" ->
+      ("Q8's market share folds the conditional numerator and the " +
+        "denominator in ONE aggregation over one joined fact pass " +
+        "(one lineitem scan pinned): part (filtered to the type), " +
+        "region-scoped customer set, nation-enriched supplier set " +
+        "all broadcast; the only wide exchange is lineitem→orders; " +
+        "the share is one IEEE divide over two exact-decimal sums."),
+    "q341_q9_profit" ->
+      ("Q9's profit rollup: the p_name LIKE filter pushes into the " +
+        "part scan as StringContains (the scan never feeds " +
+        "unfiltered parts to the join), part/supplier/nation " +
+        "broadcast, the only wide exchange is lineitem→orders, and " +
+        "the (nation, year) readout aggregates with map-side " +
+        "partials."))
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps
