@@ -329,7 +329,8 @@ object Bench {
     "q340_q8_market_share",
     "q341_q9_profit",
     "q342_qbin_by_source_stream",
-    "q343_erase_keys")
+    "q343_erase_keys",
+    "q344_erase_then_expire")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

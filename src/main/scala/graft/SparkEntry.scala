@@ -5853,6 +5853,79 @@ object SparkEntry {
     materializeDropping(s, out, base)
   }
 
+  /** Governance 4 (round-11): erasure COMPLETED — [[q343]]'s logical
+    * erase followed by the physical purge
+    * ([[graft.ops.Privacy.expireSnapshots]]): land, stats, erase one
+    * user's documents (ids 200–299), then EXPIRE every pre-delete
+    * snapshot keeping only the erased generation. In-query proofs, in
+    * escalating strength: expiry deleted exactly the superseded
+    * candidate files (file-count equality with the erase report); the
+    * expired snapshot now REFUSES to read (unknown-name contract —
+    * never a silent partial read); and the GDPR statement itself — a
+    * DIRECT read of every byte remaining under `data/` (bypassing
+    * manifests entirely) contains ZERO erased keys. The gate's output
+    * reads the kept generation; the oracle is the anti-join restated
+    * as NOT BETWEEN. Together q343 (supersede, snapshots live) and
+    * this (purge, bytes gone) are the two halves of key-targeted
+    * deletion on the lake.
+    */
+  private def q344(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q344")
+    val table = s"$base/t"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("lang"), lit("und")).as("lang"))
+    docs.repartitionByRange(4, col("doc_id"))
+      .select(concat_ws("|", lpad(col("doc_id").cast("string"), 10, "0"),
+        col("source"), col("lang")).as("value"))
+      .write.format("graft-manifest").option("path", table)
+      .mode("append").save()
+    val v1 = graft.sources.Manifest.manifestNames(table)
+    val keyOf: Column => Column = v => substring(v, 1, 10)
+    graft.ops.Privacy.publishKeyStats(s, table, keyOf)
+    val keys = (200L to 299L).map(i => f"$i%010d")
+    val rep = graft.ops.Privacy.eraseKeys(s, table, keyOf, keys,
+      "gen-erase-1", Some(v1.toSet))
+    require(rep.nFiles == 0 ||
+      (rep.nUntouched > 0 && rep.nCandidates < rep.nFiles),
+      s"stats pruning vacuous: $rep")
+    val exp = graft.ops.Privacy.expireSnapshots(table, Set("gen-erase-1"))
+    require(exp.deletedFiles.size == rep.nCandidates,
+      s"expiry did not purge exactly the superseded files: $exp vs $rep")
+    require(exp.sparedYoung.isEmpty,
+      s"no orphans were staged, none should be spared: $exp")
+    val expiredStillReads =
+      try {
+        s.read.format("graft-manifest").option("path", table)
+          .option("snapshot", v1.mkString(",")).load().count(); true
+      } catch { case _: Exception => false }
+    require(!expiredStillReads,
+      "expired snapshot still readable — expiry must fail loudly, " +
+        "never serve a partial table")
+    // the GDPR proof: every byte still under data/ is free of the keys
+    val f = graft.sources.Manifest.fs(table)
+    val dataDir = new org.apache.hadoop.fs.Path(table, "data")
+    val remaining =
+      if (f.exists(dataDir))
+        f.listStatus(dataDir).toSeq.filter(_.isFile).map(_.getPath.toString)
+      else Nil
+    if (remaining.nonEmpty) {
+      val leaked = s.read.text(remaining: _*)
+        .filter(keyOf(col("value")).isin(keys: _*)).count()
+      require(leaked == 0L, s"$leaked erased rows still on disk")
+    }
+    val post = s.read.format("graft-manifest").option("path", table)
+      .option("snapshot", rep.manifest).load()
+      .select(split(col("value"), "\\|").as("p"))
+      .select(col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).as("source"), col("p").getItem(2).as("lang"))
+    val out = post.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("source", "lang")
+    materializeDropping(s, out, base)
+  }
+
   /** The q322 planted-label fixture (the q319 planted-variant device,
     * classifier flavor): every fifth document gets a spam-marker tail
     * and the label 'low'; the rest are 'high'. The markers give the
@@ -7964,7 +8037,8 @@ object SparkEntry {
     "q340_q8_market_share" -> q340 _,
     "q341_q9_profit" -> q341 _,
     "q342_qbin_by_source_stream" -> q342 _,
-    "q343_erase_keys" -> q343 _)
+    "q343_erase_keys" -> q343 _,
+    "q344_erase_then_expire" -> q344 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -12290,6 +12364,18 @@ object SparkEntry {
         min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM documents
       WHERE doc_id NOT BETWEEN 100 AND 149
+      GROUP BY 1, 2
+      ORDER BY source, lang""",
+    // q344: q343's erase followed by snapshot expiry — the kept
+    // generation must still hash-equal the anti-join; physical-purge
+    // facts (files gone, expired snapshot refuses, zero leaked keys on
+    // disk) are required in-query
+    "q344_erase_then_expire" -> """
+      SELECT source, coalesce(lang, 'und') AS lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents
+      WHERE doc_id NOT BETWEEN 200 AND 299
       GROUP BY 1, 2
       ORDER BY source, lang""",
     // q339: Q4 written the classic way (EXISTS subquery); the engine

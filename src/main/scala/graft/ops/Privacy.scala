@@ -238,4 +238,77 @@ object Privacy {
       (untouched ++ newFiles).sorted)
     EraseReport(gen, files.size, candidates.size, untouched.size, newFiles)
   }
+
+  /** What [[expireSnapshots]] did: manifests removed, data files
+    * physically deleted, data files kept (referenced by a kept
+    * manifest), and young unreferenced files spared by the age guard.
+    */
+  case class ExpireReport(droppedManifests: Seq[String],
+                          deletedFiles: Seq[String], keptFiles: Int,
+                          sparedYoung: Seq[String])
+
+  /** SNAPSHOT EXPIRY — the physical-purge half of the GDPR story
+    * ([[eraseKeys]] is the logical half: it supersedes files but
+    * deletes nothing, so old snapshots stay readable). Given the set
+    * of manifest names to KEEP, delete every other manifest and every
+    * data file no kept manifest references — after this, the erased
+    * rows' bytes are GONE from disk, which is what erasure ultimately
+    * requires. Expired snapshot names then THROW on read (the
+    * committedFiles unknown-name contract) instead of silently reading
+    * partial data.
+    *
+    * Two deletion classes, deliberately different rules:
+    *  - files referenced by a DROPPED manifest (and by no kept one)
+    *    are known-dead the moment their manifest goes — deleted
+    *    immediately, whatever their age (this is what makes an
+    *    erase-then-expire actually remove the erased bytes);
+    *  - files referenced by NO manifest at all (orphans) are deleted
+    *    only when older than `orphanAgeMs`: a live writer's in-flight
+    *    task file exists before its commit publishes a manifest, and
+    *    reaping it would corrupt that commit (the temp-manifest
+    *    reaper's 1-hour discipline — far beyond any write→commit gap,
+    *    so a genuine orphan is reaped on the next expiry).
+    * Files referenced by a kept manifest are never deleted.
+    *
+    * Driver-side file-grain metadata walk (the Iceberg expire-snapshots
+    * grain); no data is read.
+    */
+  def expireSnapshots(table: String, keep: Set[String],
+                      orphanAgeMs: Long = 60L * 60 * 1000): ExpireReport = {
+    require(keep.nonEmpty, "expireSnapshots needs at least one kept " +
+      "snapshot — expiring everything would delete the table; drop the " +
+      "directory instead if that is intended")
+    val all = graft.sources.Manifest.manifestNames(table)
+    val missing = keep -- all.toSet
+    require(missing.isEmpty,
+      s"kept snapshot names not found: ${missing.mkString(",")}")
+    val live = graft.sources.Manifest
+      .committedFiles(table, Some(keep)).map(baseName).toSet
+    val dropped = all.filterNot(keep.contains)
+    val deadReferenced = (
+      if (dropped.isEmpty) Set.empty[String]
+      else graft.sources.Manifest
+        .committedFiles(table, Some(dropped.toSet)).map(baseName).toSet
+    ) -- live
+    val f = graft.sources.Manifest.fs(table)
+    val dataDir = new org.apache.hadoop.fs.Path(table, "data")
+    val horizon = System.currentTimeMillis() - orphanAgeMs
+    val (deleted, spared) =
+      if (!f.exists(dataDir)) (Nil, Nil)
+      else {
+        val statuses = f.listStatus(dataDir).toSeq.filter(_.isFile)
+          .filterNot(s => live.contains(s.getPath.getName))
+        val (dead, orphans) =
+          statuses.partition(s => deadReferenced.contains(s.getPath.getName))
+        val (oldOrphans, young) =
+          orphans.partition(_.getModificationTime < horizon)
+        (dead ++ oldOrphans).foreach(s => f.delete(s.getPath, false))
+        ((dead ++ oldOrphans).map(_.getPath.toString),
+          young.map(_.getPath.toString))
+      }
+    dropped.foreach(n => f.delete(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(table,
+        "manifests"), n), false))
+    ExpireReport(dropped, deleted, live.size, spared)
+  }
 }

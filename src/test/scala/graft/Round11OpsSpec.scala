@@ -229,6 +229,57 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("expireSnapshots: purges dead files, age-guards orphans, " +
+      "expired reads refuse") {
+    import graft.ops.Privacy
+    import graft.sources.Manifest
+    val base = TestSpark.tmpDir("graft_expire")
+    val table = s"$base/t"
+    val rows = (0 until 16).map(i => (i, f"k$i%02d|payload$i"))
+      .toDF("id", "value")
+    rows.repartitionByRange(4, $"id").select($"value")
+      .write.format("graft-manifest").option("path", table)
+      .mode("append").save()
+    val keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      v => substring(v, 1, 3)
+    Privacy.publishKeyStats(spark, table, keyOf)
+    val v1 = Manifest.manifestNames(table)
+    val rep = Privacy.eraseKeys(spark, table, keyOf, Seq("k05"), "gen-1",
+      Some(v1.toSet))
+    // stage two orphans (never referenced by any manifest): one young,
+    // one with an hour-old mtime
+    val dataDir = new java.io.File(s"$table/data")
+    val young = new java.io.File(dataDir, "part-orphan-young.txt")
+    val old = new java.io.File(dataDir, "part-orphan-old.txt")
+    java.nio.file.Files.write(young.toPath, "zz|young\n".getBytes)
+    java.nio.file.Files.write(old.toPath, "zz|old\n".getBytes)
+    assert(old.setLastModified(System.currentTimeMillis() - 2L*3600*1000))
+    val exp = Privacy.expireSnapshots(table, Set("gen-1"))
+    // dead-referenced files purge immediately (whatever their age);
+    // the young orphan is spared, the old one reaped
+    assert(exp.deletedFiles.exists(_.contains("part-")), exp.toString)
+    assert(exp.deletedFiles.size == rep.nCandidates + 1, exp.toString)
+    assert(exp.sparedYoung.map(f => f.substring(f.lastIndexOf('/') + 1))
+      == Seq("part-orphan-young.txt"), exp.toString)
+    assert(!old.exists && young.exists)
+    assert(exp.droppedManifests.toSet == v1.toSet)
+    // the kept generation reads intact, the expired one refuses
+    val post = spark.read.format("graft-manifest").option("path", table)
+      .option("snapshot", "gen-1").load().as[String].collect()
+    assert(post.length == 15 && !post.exists(_.startsWith("k05")))
+    intercept[Exception] {
+      spark.read.format("graft-manifest").option("path", table)
+        .option("snapshot", v1.mkString(",")).load().count()
+    }
+    // guard rails: unknown kept name and empty keep both throw
+    intercept[IllegalArgumentException] {
+      Privacy.expireSnapshots(table, Set("no-such-manifest"))
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.expireSnapshots(table, Set.empty)
+    }
+  }
+
   // ——— q338: the char-n-gram gate wins EVERYWHERE ————————————————————
 
   test("q338: char-3-gram language gate beats the marker rule at ALL 3 SFs") {
