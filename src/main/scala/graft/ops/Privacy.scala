@@ -116,7 +116,8 @@ object Privacy {
                       table: String, keyOf: Column => Column)
       : Map[String, (String, String, Long)] =
     keyStats(spark, table, keyOf,
-      graft.sources.Manifest.committedFiles(table))
+      graft.sources.Manifest.committedFiles(table,
+        graft.sources.Manifest.headOf(table)))
 
   private def keyStats(spark: org.apache.spark.sql.SparkSession,
                        table: String, keyOf: Column => Column,
@@ -165,11 +166,14 @@ object Privacy {
     * physical purge of the superseded files is a later retention pass,
     * once no live snapshot references them.
     *
-    * `from` pins the version being erased (the caller's current
-    * manifest-name set — the catalog pointer); None reads the
-    * whole-history union, which is only the current table for an
-    * append-only history (after any erasure or compaction, ALWAYS pass
-    * the current version or superseded files would resurrect).
+    * `from` pins the version being erased (an explicit manifest-name
+    * set); None — the default — resolves the table's HEAD pointer
+    * (round-12: the whole-history union is no longer reachable by
+    * default; a table without HEAD and without an explicit `from`
+    * REFUSES to erase, because after any prior erasure or compaction
+    * the union would resurrect superseded files). On publish the HEAD
+    * pointer swaps to the new generation, so a subsequent default-
+    * argument erase reads the post-delete table.
     *
     * Correctness contracts: keys must be non-null (rows whose key
     * extraction yields NULL are kept — an unkeyable row is not
@@ -194,7 +198,13 @@ object Privacy {
     require(!keys.contains(null), "erasure keys must be non-null")
     require(!graft.sources.Manifest.manifestNames(table).contains(gen),
       s"manifest '$gen' already exists — published versions are immutable")
-    val files = graft.sources.Manifest.committedFiles(table, from)
+    val version: Set[String] = from
+      .orElse(graft.sources.Manifest.headOf(table))
+      .getOrElse(throw new IllegalStateException(
+        s"$table has no HEAD pointer and no explicit `from` — refusing " +
+          "the whole-history read (after any erasure or compaction it " +
+          "would resurrect superseded files); pass the current version"))
+    val files = graft.sources.Manifest.committedFiles(table, Some(version))
     val stats = keyStats(spark, table, keyOf, files)
     val sorted = keys.distinct.sortWith((a, b) => binLte(a, b) && a != b)
     def mayContain(f: String): Boolean = stats.get(baseName(f)) match {
@@ -236,6 +246,9 @@ object Privacy {
       }
     graft.sources.Manifest.publish(table, gen,
       (untouched ++ newFiles).sorted)
+    // swap the catalog pointer: the post-delete generation IS the table
+    // now — unpinned readers and the next default-argument erase see it
+    graft.sources.Manifest.writeHead(table, Set(gen))
     EraseReport(gen, files.size, candidates.size, untouched.size, newFiles)
   }
 
@@ -245,7 +258,7 @@ object Privacy {
     */
   case class ExpireReport(droppedManifests: Seq[String],
                           deletedFiles: Seq[String], keptFiles: Int,
-                          sparedYoung: Seq[String])
+                          sparedYoung: Seq[String], droppedStats: Int = 0)
 
   /** SNAPSHOT EXPIRY — the physical-purge half of the GDPR story
     * ([[eraseKeys]] is the logical half: it supersedes files but
@@ -309,6 +322,36 @@ object Privacy {
     dropped.foreach(n => f.delete(
       new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(table,
         "manifests"), n), false))
-    ExpireReport(dropped, deleted, live.size, spared)
+    // purge BOTH stats sidecars of every file that no longer exists: a
+    // deleted file's recorded min/max can BE an erased key, and leaving
+    // it in stats/ (text lane) or colstats/ (columnar lake lane) would
+    // contradict the bytes-are-gone contract (round-12, ADVICE). Kept:
+    // live files and the young spared orphans (their stats stay true).
+    // Both formats lead with the URL-encoded file basename.
+    val surviving = live ++ spared.map(baseName).toSet
+    val droppedStats = Seq("stats", "colstats").map(sub =>
+      graft.sources.Manifest.rewriteSidecar(table, sub,
+        ln => surviving.contains(dec(ln.split("\t", -1)(0))))).sum
+    // dropped generations' meta bindings (lake lane) go with them
+    val metaDir = new org.apache.hadoop.fs.Path(table, "meta")
+    if (f.exists(metaDir)) dropped.foreach(n =>
+      f.delete(new org.apache.hadoop.fs.Path(metaDir, n), false))
+    // HEAD now points at exactly the kept snapshots — the dropped names
+    // no longer exist, and a stale pointer would refuse every read
+    graft.sources.Manifest.writeHead(table, keep)
+    ExpireReport(dropped, deleted, live.size, spared, droppedStats)
   }
+
+  /** [[expireSnapshots]] keeping the table's CURRENT version: resolves
+    * the HEAD pointer (refusing when there is none — expiry without a
+    * pinned current version would have to guess what to keep). The
+    * everyday retention call: after [[eraseKeys]] swapped HEAD to the
+    * post-delete generation, this purges everything the current table
+    * no longer references.
+    */
+  def expireSnapshots(table: String): ExpireReport =
+    expireSnapshots(table, graft.sources.Manifest.headOf(table)
+      .getOrElse(throw new IllegalStateException(
+        s"$table has no HEAD pointer — pass the kept snapshot set " +
+          "explicitly")))
 }

@@ -153,15 +153,44 @@ object Sinks {
     */
   def landBucketedPartition(df: DataFrame, table: String, path: String,
                             bucketCols: Seq[String], nBuckets: Int,
-                            partitionCol: String): Unit = {
+                            partitionCol: String): Unit = landLock.synchronized {
     val s = df.sparkSession
+    var firstLanding = false
     if (!s.catalog.tableExists(table)) {
-      df.write.format("parquet").option("path", path)
-        .partitionBy(partitionCol)
-        .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
-        .sortBy(bucketCols.head, bucketCols.tail: _*)
-        .mode(SaveMode.Overwrite).saveAsTable(table)
-    } else {
+      // RESTART RECOVERY (round-12, ADVICE): with the default in-memory
+      // catalog a JVM restart forgets the registration while the landed
+      // partitions survive on disk — a CTAS into the non-empty location
+      // would then fail (or, under the legacy conf, silently truncate
+      // the whole log). Register the table OVER the existing location
+      // instead (external DDL, no AS SELECT), recover its partitions,
+      // and fall through to the normal insert.
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val nonEmpty = fs.exists(p) && fs.listStatus(p).nonEmpty
+      if (nonEmpty) {
+        val dataCols = df.schema.fields.filter(_.name != partitionCol)
+        val pType = df.schema(partitionCol).dataType.sql
+        val colsDdl = (dataCols.map(f => s"`${f.name}` ${f.dataType.sql}") :+
+          s"`$partitionCol` $pType").mkString(", ")
+        val sortDdl = bucketCols.map(c => s"`$c`").mkString(", ")
+        s.sql(
+          s"""CREATE TABLE `$table` ($colsDdl) USING parquet
+             |PARTITIONED BY (`$partitionCol`)
+             |CLUSTERED BY ($sortDdl) SORTED BY ($sortDdl)
+             |INTO $nBuckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+        s.catalog.recoverPartitions(table)
+      } else {
+        df.write.format("parquet").option("path", path)
+          .partitionBy(partitionCol)
+          .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+          .mode(SaveMode.Overwrite).saveAsTable(table)
+        firstLanding = true
+      }
+    }
+    if (!firstLanding) {
       // positional insert: align to the catalog's column order (data
       // columns first, partition column last)
       val cols = s.table(table).columns
@@ -169,7 +198,10 @@ object Sinks {
       // dynamic MUST be pinned on the session for insertInto (the
       // per-write option is not consulted on this path — found by
       // q332's gate losing every prior batch's partition to a static
-      // truncate); restored afterwards so a caller's own mode survives
+      // truncate); restored afterwards so a caller's own mode survives.
+      // The set/insert/restore runs under [[landLock]]: two concurrent
+      // landings interleaving the toggle could otherwise run one insert
+      // under 'static' and truncate every prior batch partition.
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "dynamic")
@@ -181,4 +213,12 @@ object Sinks {
       }
     }
   }
+
+  /** Serializes [[landBucketedPartition]]'s catalog-check + conf-toggle +
+    * insert critical section: the partitionOverwriteMode pin is session-
+    * global state, so unsynchronized concurrent landings could interleave
+    * set/restore and run an insert under 'static' (full-table truncate).
+    * JVM-wide is a conservative superset of session-scoped.
+    */
+  private val landLock = new Object
 }

@@ -83,6 +83,18 @@ private[graft] object Manifest {
   def publish(dir: String, name: String, lines: Seq[String]): Unit =
     publishTo(dir, "manifests", name, lines)
 
+  /** [[publish]] allowing an existing manifest of the same name to be
+    * replaced — ONLY for the streaming-epoch idempotence (the epoch name
+    * is the redelivery key, so a replayed micro-batch must overwrite its
+    * own manifest). Every other publish is create-exclusive: published
+    * versions are immutable, and a name collision surfaces as an error
+    * instead of silently replacing a snapshot (round-12, ADVICE — the
+    * check-then-act `require` in eraseKeys could not stop a concurrent
+    * publish from overwriting).
+    */
+  def publishReplacing(dir: String, name: String, lines: Seq[String]): Unit =
+    publishTo(dir, "manifests", name, lines, overwrite = true)
+
   /** [[publish]] into an arbitrary sidecar subdir — same atomic
     * temp-then-rename protocol, different namespace. Readers of the
     * table proper never list sidecars (manifest membership is decided
@@ -91,7 +103,7 @@ private[graft] object Manifest {
     * can grow without touching visibility semantics.
     */
   def publishTo(dir: String, subdir: String, name: String,
-                lines: Seq[String]): Unit = {
+                lines: Seq[String], overwrite: Boolean = false): Unit = {
     val f = fs(dir)
     val mdir = new Path(dir, subdir)
     f.mkdirs(mdir)
@@ -108,11 +120,75 @@ private[graft] object Manifest {
     try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
     val target = new Path(mdir, name)
+    val fc = FileContext.getFileContext(target.toUri,
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    // default is create-exclusive: the RENAME enforces immutability (not
+    // a check-then-act require), so a racing publish of the same name
+    // fails loudly instead of replacing a published snapshot
+    val mode =
+      if (overwrite) Options.Rename.OVERWRITE else Options.Rename.NONE
+    try fc.rename(f.makeQualified(tmp), f.makeQualified(target), mode)
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        f.delete(tmp, false)
+        throw new IllegalArgumentException(
+          s"$subdir '$name' already exists in $dir — published names are " +
+            "immutable; pick a fresh name", e)
+      case e: java.io.IOException if !overwrite && f.exists(target) =>
+        f.delete(tmp, false)
+        throw new IllegalArgumentException(
+          s"$subdir '$name' already exists in $dir — published names are " +
+            "immutable; pick a fresh name", e)
+    }
+  }
+
+  // ————————————————————————————————————————————— catalog HEAD pointer
+
+  /** The table's CURRENT version: the manifest name-set in `<dir>/HEAD`,
+    * or None when no pointer has been published. HEAD is the ONE mutable
+    * file in the protocol — every commit path swaps it atomically
+    * (write-temp-then-rename), so "the current table" is always a single
+    * consistent name-set: readers that do not pin a snapshot resolve it,
+    * and [[graft.ops.Privacy.eraseKeys]] / expireSnapshots default to it
+    * (round-12 — closes the whole-history-read footgun: after an erasure,
+    * an unpinned caller could otherwise resurrect superseded files).
+    */
+  def headOf(dir: String): Option[Set[String]] = {
+    val f = fs(dir)
+    val h = new Path(dir, "HEAD")
+    if (!f.exists(h)) None
+    else {
+      val in = f.open(h)
+      val names =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toSet
+        finally in.close()
+      Some(names)
+    }
+  }
+
+  /** Atomically swap the HEAD pointer to `names` (temp + OVERWRITE rename
+    * — HEAD is mutable by design, unlike manifests). Commit paths are
+    * read-modify-write on HEAD, so like the streaming epoch namespace
+    * this assumes one writer per table path at a time.
+    */
+  def writeHead(dir: String, names: Set[String]): Unit = {
+    require(names.nonEmpty, "HEAD must reference at least one manifest")
+    val f = fs(dir)
+    val tmp = new Path(dir, s".HEAD.${UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write((names.toSeq.sorted.mkString("\n") + "\n").getBytes(UTF_8))
+    finally out.close()
+    val target = new Path(dir, "HEAD")
     FileContext.getFileContext(target.toUri,
         org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
       .rename(f.makeQualified(tmp), f.makeQualified(target),
         Options.Rename.OVERWRITE)
   }
+
+  /** Union `name` into HEAD — the append-commit pointer update. */
+  def advanceHead(dir: String, name: String): Unit =
+    writeHead(dir, headOf(dir).getOrElse(Set.empty) + name)
 
   /** All data files referenced by any manifest (sorted for determinism). */
   def committedFiles(dir: String): Seq[String] = committedFiles(dir, None)
@@ -167,6 +243,31 @@ private[graft] object Manifest {
         finally in.close()
       }
       .filter(_.nonEmpty).toSeq
+  }
+
+  /** Rewrite a sidecar to only the lines `keep` accepts: publish ONE
+    * consolidated file, then delete the superseded sidecar files. Used by
+    * snapshot expiry to purge per-file stats entries of deleted data
+    * files (round-12, ADVICE: a deleted file's recorded min/max can BE an
+    * erased key — leaving it in `stats/` would contradict the
+    * bytes-are-gone contract). Publish-then-delete: a crash in between
+    * leaves duplicate lines, which the map-building readers dedupe.
+    * Returns the number of lines dropped.
+    */
+  def rewriteSidecar(dir: String, subdir: String,
+                     keep: String => Boolean): Int = {
+    val f = fs(dir)
+    val sdir = new Path(dir, subdir)
+    if (!f.exists(sdir)) return 0
+    val old = f.listStatus(sdir).filter(_.isFile).map(_.getPath)
+      .filterNot(_.getName.endsWith(".tmp")).toSeq
+    val lines = sidecarLines(dir, subdir)
+    val kept = lines.filter(keep)
+    if (kept.size == lines.size) return 0
+    if (kept.nonEmpty)
+      publishTo(dir, subdir, s"$subdir-${UUID.randomUUID()}", kept)
+    old.foreach(p => f.delete(p, false))
+    lines.size - kept.size
   }
 
   /** Published manifest names ordered by (modification time, name) — the
@@ -248,15 +349,24 @@ private[sources] class ManifestWrite(path: String)
       case FilesWritten(names) if names.nonEmpty => names
     }.flatten
 
-  // batch: each job publishes one uniquely-named manifest (append)
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    Manifest.publish(path, s"batch-${UUID.randomUUID()}", fileNames(messages))
+  // batch: each job publishes one uniquely-named manifest (append),
+  // then unions it into HEAD — the current-version pointer readers and
+  // the governance ops resolve by default
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val name = s"batch-${UUID.randomUUID()}"
+    Manifest.publish(path, name, fileNames(messages))
+    Manifest.advanceHead(path, name)
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     cleanup(messages)
 
   // streaming: the manifest name IS the epoch, so redelivery overwrites
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    Manifest.publish(path, s"epoch-$epochId", fileNames(messages))
+  // (the ONE publish path allowed to replace a name); the HEAD union is
+  // idempotent on replay
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    Manifest.publishReplacing(path, s"epoch-$epochId", fileNames(messages))
+    Manifest.advanceHead(path, s"epoch-$epochId")
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     cleanup(messages)
 
@@ -328,8 +438,11 @@ private[sources] class ManifestScan(path: String,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-manifest read $path${snapshot.fold("")(s => s" @${s.size} manifests")}"
+  // an unpinned read resolves HEAD (the current version) when the table
+  // has a pointer; legacy tables without one read the whole-history
+  // union, which for an append-only history IS the current table
   override def planInputPartitions(): Array[InputPartition] =
-    Manifest.committedFiles(path, snapshot)
+    Manifest.committedFiles(path, snapshot.orElse(Manifest.headOf(path)))
       .map(f => ManifestFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(

@@ -976,9 +976,15 @@ object Streaming {
     * table for a given state path — exposed so gates and specs can plan
     * against (and drop) the log the stream landed.
     */
-  def frontierClaimsTable(statePath: String): String =
+  def frontierClaimsTable(statePath: String): String = {
+    // collision-resistant digest (round-12, ADVICE): String.hashCode is
+    // 32-bit — two state paths colliding would silently alias to one
+    // catalog table and cross-wire two frontiers' claims logs
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(statePath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     "graft_frontier_claims_" +
-      java.lang.Integer.toHexString(statePath.hashCode)
+      d.take(12).map(b => f"${b & 0xff}%02x").mkString
+  }
 
   /** Streaming Count-Min maintenance — the frequency complement of
     * [[kmvMaintain]]: each micro-batch's cell table
