@@ -330,7 +330,15 @@ object Bench {
     "q341_q9_profit",
     "q342_qbin_by_source_stream",
     "q343_erase_keys",
-    "q344_erase_then_expire")
+    "q344_erase_then_expire",
+    "q345_q3_shipping_priority",
+    "q346_q6_forecast_revenue",
+    "q347_q10_returned_items",
+    "q348_q12_shipmode_priority",
+    "q349_q14_promo_revenue",
+    "q350_lake_pruned_scan",
+    "q351_lake_erase",
+    "q352_lake_schema_evolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5614,14 +5614,19 @@ object SparkEntry {
     * built-ins; the readout is one source-grain rollup.
     */
   private def q338(s: SparkSession, dir: String): DataFrame = {
+    // gram economy (round-12): the char-3-gram array materializes ONCE
+    // on the checkpointed frame and feeds BOTH the train and score legs
+    // — grams are 6–10× token volume, so recomputing them per leg was
+    // the query's second map pass (round-11 verdict, next-round #5)
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        graft.functions.charNgrams(col("text"), 3).as("__grams"))
       .localCheckpoint() // read by train, score, heuristic and rollup
     val model = graft.ops.Train.naiveBayesModelTokens(
       docs.filter(col("doc_id") % 2 === 0 && col("lang").isNotNull),
-      col("lang"), graft.functions.charNgrams(col("text"), 3))
+      col("lang"), col("__grams"))
     val scored = graft.ops.Train.naiveBayesScoreTokens(docs, col("doc_id"),
-        graft.functions.charNgrams(col("text"), 3), model)
+        col("__grams"), model)
       .select(col("doc_id"), col("pred_class"))
     docs.join(scored, Seq("doc_id"))
       .withColumn("__model_keep", col("pred_class") === "en")
@@ -5914,6 +5919,14 @@ object SparkEntry {
         .filter(keyOf(col("value")).isin(keys: _*)).count()
       require(leaked == 0L, s"$leaked erased rows still on disk")
     }
+    // ...and so must the stats SIDECAR: a deleted file's recorded
+    // min/max can BE an erased key (round-12, ADVICE) — expiry rewrites
+    // stats/ dropping purged files' entries, and this scan would catch
+    // a regression
+    val statLeaks = graft.sources.Manifest.sidecarLines(table, "stats")
+      .count(ln => keys.exists(ln.contains))
+    require(statLeaks == 0,
+      s"$statLeaks erased keys persist in the stats sidecar")
     val post = s.read.format("graft-manifest").option("path", table)
       .option("snapshot", rep.manifest).load()
       .select(split(col("value"), "\\|").as("p"))
@@ -5923,6 +5936,270 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
       .orderBy("source", "lang")
+    materializeDropping(s, out, base)
+  }
+
+  /** OLAP 18 (round-12): the TPC-H Q3 shipping-priority shape — top-10
+    * unshipped orders of one market segment by accumulated revenue: the
+    * classic date-straddling join (orders placed BEFORE the cutoff,
+    * lineitems shipping AFTER it) with a per-order rollup and a global
+    * top-k. Plan properties (PlanSpec): both date predicates push to
+    * their own scans, the segment-filtered customer broadcasts, the one
+    * wide exchange is lineitem→orders, and the top-10 runs as
+    * TakeOrderedAndProject — never a full sort of the rollup. Revenue
+    * accumulates through the exact decimal sum so the top-k boundary is
+    * deterministic; ties break on (o_orderdate, l_orderkey).
+    * `o_orderpriority` rides as the Q3 o_shippriority stand-in (the
+    * testdata carries no shippriority — same role: a small order
+    * attribute carried through the rollup).
+    */
+  private def q345(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1996-03-15").cast("timestamp")
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(GraftConf.hintPairJoin(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc,
+        col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** OLAP 19 (round-12): the TPC-H Q6 forecast-revenue shape — the
+    * single-table predicate aggregate: one scan of lineitem with a
+    * date-range + discount-band + quantity filter, everything pushed to
+    * the scan, folded to ONE row with map-side partials. The simplest
+    * query in the suite and the purest pushdown test: the plan is scan →
+    * partial agg → final agg, no exchange wider than one row per
+    * partition.
+    */
+  private def q346(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** OLAP 20 (round-12): the TPC-H Q10 returned-item shape — top-20
+    * customers by revenue lost to returns in one quarter. Written
+    * scale-first: the per-customer rollup and the top-20 run BEFORE the
+    * customer dimension joins (revenue is keyed by o_custkey alone, and
+    * the dim join is 1:1, so top-k commutes with it) — at 100 TB that
+    * means the customer table streams against a broadcast of 20 rows
+    * instead of shuffling into the fact. Ties break on c_custkey; the
+    * returnflag filter pushes to the lineitem scan, the quarter to the
+    * orders scan.
+    */
+  private def q347(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val rev = li
+      .join(GraftConf.hintPairJoin(o), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+      .limit(20)
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(rev), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+  }
+
+  /** OLAP 21 (round-12): the TPC-H Q12 shipmode-priority shape — per
+    * ship mode, how many lineitems belong to critical-priority orders
+    * vs not: the fact-side IN filter pushed to the lineitem scan, one
+    * equi-join to orders, and BOTH priority classes folded as
+    * conditional counts in ONE aggregation pass (never two scans or a
+    * pivot). Stand-ins (the q339 discipline — the testdata carries no
+    * shipmode/commitdate/receiptdate): `l_returnflag ∈ {A,R}` plays
+    * l_shipmode IN ('MAIL','SHIP'), `l_linestatus = 'F'` plays the
+    * late-delivery predicate (both lineitem-LOCAL, so they push to the
+    * fact scan exactly like the originals), and the receipt-year range
+    * rides l_shipdate.
+    */
+  private def q348(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_linestatus") === "F" &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag").as("shipmode"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(GraftConf.hintPairJoin(o), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("shipmode"))
+      .agg(sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!critical, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("shipmode")
+  }
+
+  /** OLAP 22 (round-12): the TPC-H Q14 promo-revenue shape — the share
+    * of one month's revenue from promotional parts: the conditional
+    * numerator and the denominator fold in ONE pass over the joined
+    * fact (the q340 discipline, single-group flavor), part broadcasts,
+    * the month range pushes to the lineitem scan. Both legs accumulate
+    * through the exact decimal sum; the percentage is one IEEE
+    * multiply + divide rounded at the readout, replayed bit-for-bit by
+    * both engines. Completes the explicitly-gated TPC-H sweep: all 22
+    * query shapes now have named oracle-gated queries.
+    */
+  private def q349(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+    val vol = col("l_extendedprice") * (lit(1.0d) - col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(dsum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0d)), 6)
+          .as("promo_revenue"),
+        dsum(vol, 6).as("total_revenue"))
+      .select(round(lit(100.0d) * col("promo_revenue") / col("total_revenue"),
+          9).as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  /** Lake 1 (round-12): PREDICATE-DRIVEN FILE SKIPPING on the columnar
+    * manifest-lake ([[graft.sources.Lake]]) — the read contract a
+    * 100 TB table needs: documents land as Parquet files key-clustered
+    * on doc_id (range partitioning, so each file holds a contiguous id
+    * range), per-COLUMN min/max/null stats record at commit, and a
+    * selective id-range predicate prunes files at PLANNING time from
+    * the stats sidecar alone. The gate is differential IN-QUERY: the
+    * pruned plan must select strictly fewer files than the table holds
+    * (skipped non-empty — fails if pruning ever goes vacuous) AND the
+    * pruned read must row-for-row equal the unpruned read + filter
+    * (inclusive pruning can never change results, only bytes). Within
+    * each selected file Parquet's own row-group stats prune again —
+    * two-level pruning, which is why scan bytes scale with the SELECTED
+    * fraction, not the table (scale probe pins the 10× ratio).
+    */
+  private def q350(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q350")
+    val table = s"$base/t"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    graft.sources.Lake.land(s, table,
+      docs.repartitionByRange(8, col("doc_id")), "gen-1")
+    val pred = col("doc_id") >= 100L && col("doc_id") < 200L
+    val (sel, skipped) = graft.sources.Lake.planFiles(table, None, Some(pred))
+    require(skipped.nonEmpty && sel.nonEmpty,
+      s"stats pruning vacuous: selected=${sel.size} skipped=${skipped.size}")
+    val pruned = graft.sources.Lake.read(s, table, None, Some(pred))
+    val full = graft.sources.Lake.read(s, table).filter(pred)
+    val a = pruned.orderBy("doc_id").collect().toSeq
+    val b = full.orderBy("doc_id").collect().toSeq
+    require(a == b,
+      s"pruned read diverged from full+filter: ${a.size} vs ${b.size} rows")
+    val out = pruned.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+    materializeDropping(s, out, base)
+  }
+
+  /** Lake 2 (round-12): KEY-TARGETED DELETION on the columnar lane —
+    * [[q343]]'s GDPR erasure re-gated on Parquet with candidacy decided
+    * from the PER-COLUMN stats (no text key extraction): the typed
+    * doc_id min/max recorded at landing prune the rewrite to the files
+    * whose range can contain the keys (`nUntouched > 0` and
+    * `nCandidates < nFiles` required in-query), the pre-delete
+    * generation still reads the full table (Parquet time travel), and
+    * HEAD swaps to the post-delete generation so unpinned readers and
+    * the retention pass see only it.
+    */
+  private def q351(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q351")
+    val table = s"$base/t"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("lang"), lit("und")).as("lang"))
+      .localCheckpoint() // one landing write + the count cross-check
+    graft.sources.Lake.land(s, table,
+      docs.repartitionByRange(4, col("doc_id")), "gen-1")
+    val rep = graft.sources.Lake.eraseKeys(s, table, "doc_id",
+      (100L to 149L), "gen-erase-1")
+    require(rep.nFiles == 0 ||
+      (rep.nUntouched > 0 && rep.nCandidates < rep.nFiles),
+      s"stats pruning vacuous: $rep")
+    val pre = graft.sources.Lake.read(s, table, Some("gen-1")).count()
+    val expected = docs.count()
+    require(pre == expected,
+      s"pre-delete snapshot read $pre of $expected rows — erasure " +
+        "mutated a captured version")
+    val out = graft.sources.Lake.read(s, table) // HEAD = gen-erase-1
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("source", "lang")
+    materializeDropping(s, out, base)
+  }
+
+  /** Lake 3 (round-12): SCHEMA EVOLUTION over manifest generations —
+    * the table-format half of the reference's conditional-rename
+    * semantics (P2/P3 exist at the DataFrame layer; this is the layer
+    * below): land (doc_id, source) for the even half, ADD a `lang`
+    * column (old files read NULL — not a byte rewritten), land the odd
+    * half WITH lang, RENAME source→origin (field IDS are the identity,
+    * so files written under the old name keep reading), then erase ids
+    * 100–149 on the EVOLVED table. In-query proofs: the pre-evolution
+    * snapshot keeps its original two-column schema (time travel must
+    * not see the new column), the rename publishes the SAME file list
+    * (zero rewrite), and the erasure's anti-join spans both
+    * write-schemas. The readout rolls up per renamed column with the
+    * added column's null accounting — old files' rows surface lang =
+    * NULL exactly like rows whose landed lang was NULL.
+    */
+  private def q352(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lake
+    val base = java.nio.file.Files.createTempDirectory("graft_q352")
+    val table = s"$base/t"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+    Lake.land(s, table, docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"))
+      .repartitionByRange(4, col("doc_id")), "gen-1")
+    Lake.addColumn(table, "lang",
+      org.apache.spark.sql.types.StringType, "gen-2")
+    Lake.land(s, table, docs.filter(col("doc_id") % 2 === 1)
+      .repartitionByRange(4, col("doc_id")), "gen-3")
+    Lake.renameColumn(table, "source", "origin", "gen-4")
+    // time travel: the pre-evolution snapshot keeps its schema
+    val g1 = Lake.read(s, table, Some("gen-1"))
+    require(g1.columns.toSeq == Seq("doc_id", "source"),
+      s"gen-1 schema leaked evolution: ${g1.columns.mkString(",")}")
+    // rename rewrote nothing: gen-4 binds the exact gen-3 file list
+    val f3 = graft.sources.Manifest.committedFiles(table, Some(Set("gen-3")))
+    val f4 = graft.sources.Manifest.committedFiles(table, Some(Set("gen-4")))
+    require(f3 == f4, "rename rewrote data files")
+    // erasure over the evolved, mixed-schema table
+    val rep = Lake.eraseKeys(s, table, "doc_id", (100L to 149L), "gen-5")
+    require(rep.nFiles == 0 ||
+      (rep.nUntouched > 0 && rep.nCandidates < rep.nFiles),
+      s"stats pruning vacuous: $rep")
+    val out = Lake.read(s, table) // HEAD = gen-5: (doc_id, origin, lang)
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_lang_missing"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("origin")
     materializeDropping(s, out, base)
   }
 
@@ -8038,7 +8315,15 @@ object SparkEntry {
     "q341_q9_profit" -> q341 _,
     "q342_qbin_by_source_stream" -> q342 _,
     "q343_erase_keys" -> q343 _,
-    "q344_erase_then_expire" -> q344 _)
+    "q344_erase_then_expire" -> q344 _,
+    "q345_q3_shipping_priority" -> q345 _,
+    "q346_q6_forecast_revenue" -> q346 _,
+    "q347_q10_returned_items" -> q347 _,
+    "q348_q12_shipmode_priority" -> q348 _,
+    "q349_q14_promo_revenue" -> q349 _,
+    "q350_lake_pruned_scan" -> q350 _,
+    "q351_lake_erase" -> q351 _,
+    "q352_lake_schema_evolution" -> q352 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -12433,6 +12718,109 @@ object SparkEntry {
         CAST(sum(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
       FROM profit GROUP BY nation, o_year
       ORDER BY nation, o_year DESC""",
+    // q345: Q3 written the classic way; o_orderpriority stands in for
+    // o_shippriority; ties at the top-10 boundary break on
+    // (o_orderdate, l_orderkey)
+    "q345_q3_shipping_priority" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1996-03-15'
+        AND l_shipdate > TIMESTAMP '1996-03-15'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10""",
+    // q346: Q6 — the single-table predicate aggregate
+    "q346_q6_forecast_revenue" -> """
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount
+          AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    // q347: Q10 — the per-customer rollup and top-20 run before the dim
+    // join on both sides (the dim join is 1:1, top-k commutes with it)
+    "q347_q10_returned_items" -> """
+      WITH rev AS (
+        SELECT o_custkey,
+          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_custkey
+        ORDER BY revenue DESC, o_custkey LIMIT 20)
+      SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+      FROM rev
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY revenue DESC, c_custkey""",
+    // q348: Q12 — l_returnflag ∈ {A,R} stands in for the shipmode IN,
+    // l_linestatus = 'F' for the late-delivery predicate
+    "q348_q12_shipmode_priority" -> """
+      SELECT l_returnflag AS shipmode,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag IN ('A', 'R') AND l_linestatus = 'F'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1 ORDER BY 1""",
+    // q349: Q14 — conditional numerator and denominator in one pass
+    // (the q340 quotient discipline, single-group flavor)
+    "q349_q14_promo_revenue" -> """
+      SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+            THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+            AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE), 9) AS promo_pct,
+        CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+          THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+          AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    // q350: the pruned lake read must hash-equal the predicate restated
+    // over the raw documents; the file-skipping facts (skipped > 0,
+    // pruned ≡ full+filter) are required in-query
+    "q350_lake_pruned_scan" -> """
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        min(doc_id) AS min_id, max(doc_id) AS max_id,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE doc_id >= 100 AND doc_id < 200
+      GROUP BY source ORDER BY source""",
+    // q351: q343's erasure oracle verbatim — the columnar lane must land
+    // on the same post-delete table as the text lane
+    "q351_lake_erase" -> """
+      SELECT source, coalesce(lang, 'und') AS lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents
+      WHERE doc_id NOT BETWEEN 100 AND 149
+      GROUP BY 1, 2
+      ORDER BY source, lang""",
+    // q352: evolution restated — even docs landed without lang (NULL
+    // after the add-column), odd docs with theirs; source reads under
+    // its post-rename name; the erased range drops
+    "q352_lake_schema_evolution" -> """
+      SELECT source AS origin, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN doc_id % 2 = 0 OR lang IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_missing,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents
+      WHERE doc_id NOT BETWEEN 100 AND 149
+      GROUP BY 1 ORDER BY 1""",
     "q303_nb_confusion" -> s"""
       WITH $nbModelCtes,
       nbj AS (

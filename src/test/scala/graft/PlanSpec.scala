@@ -499,6 +499,83 @@ class PlanSpec extends AnyFunSuite {
       s"p_name LIKE not pushed to the part scan: $pushed\n$p")
   }
 
+  test("q345 Q3 shape: top-10 is a TakeOrdered, both date filters pushed") {
+    val p = plan("q345_q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q345 top-10 is not a TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    def pushed(table: String): String = {
+      val at = p.indexOf(s"$table.parquet")
+      assert(at >= 0, s"no $table scan in:\n$p")
+      val pf = p.indexOf("PushedFilters: [", at)
+      assert(pf >= 0, s"no pushed filters on the $table scan:\n$p")
+      p.substring(pf, math.min(p.length, pf + 400)).takeWhile(_ != '\n')
+    }
+    assert(pushed("orders").contains("o_orderdate"),
+      s"order-date cutoff not pushed to the orders scan:\n$p")
+    assert(pushed("lineitem").contains("l_shipdate"),
+      s"ship-date cutoff not pushed to the lineitem scan:\n$p")
+  }
+
+  test("q346 Q6 shape: every predicate pushed, map-side partial fold") {
+    val p = plan("q346_q6_forecast_revenue")
+    val at = p.indexOf("lineitem.parquet")
+    assert(at >= 0, s"no lineitem scan in:\n$p")
+    val pf = p.indexOf("PushedFilters: [", at)
+    assert(pf >= 0, s"no pushed filters:\n$p")
+    val pushed = p.substring(pf, math.min(p.length, pf + 500))
+      .takeWhile(_ != '\n')
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed to the scan: $pushed"))
+    assert(p.contains("partial_sum"), s"no map-side partial:\n$p")
+    assert(!p.contains("Join"), s"Q6 grew a join:\n$p")
+  }
+
+  test("q347 Q10 shape: top-20 before the dim join, TakeOrdered, " +
+      "broadcast") {
+    val p = plan("q347_q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q347 top-20 is not a TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"20-row top-k not broadcast to the customer side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val at = p.indexOf("lineitem.parquet")
+    val pf = p.indexOf("PushedFilters: [", at)
+    assert(pf >= 0 && p.substring(pf, math.min(p.length, pf + 400))
+        .takeWhile(_ != '\n').contains("l_returnflag"),
+      s"returnflag not pushed to the lineitem scan:\n$p")
+  }
+
+  test("q348 Q12 shape: fact-local filters pushed, one conditional " +
+      "aggregation pass") {
+    val p = plan("q348_q12_shipmode_priority")
+    assert(!p.contains("CartesianProduct"))
+    val at = p.indexOf("lineitem.parquet")
+    assert(at >= 0, s"no lineitem scan in:\n$p")
+    val pf = p.indexOf("PushedFilters: [", at)
+    val pushed = p.substring(pf, math.min(p.length, pf + 500))
+      .takeWhile(_ != '\n')
+    assert(pushed.contains("l_returnflag") && pushed.contains("l_linestatus"),
+      s"fact-local filters not pushed: $pushed")
+    val liScans = "lineitem.parquet".r.findAllIn(p).length
+    assert(liScans == 1, s"expected one lineitem scan, got $liScans:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial:\n$p")
+  }
+
+  test("q349 Q14 shape: part broadcast, one fact pass, month pushed") {
+    val p = plan("q349_q14_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val liScans = "lineitem.parquet".r.findAllIn(p).length
+    assert(liScans == 1, s"expected one lineitem scan, got $liScans:\n$p")
+    val at = p.indexOf("lineitem.parquet")
+    val pf = p.indexOf("PushedFilters: [", at)
+    assert(pf >= 0 && p.substring(pf, math.min(p.length, pf + 400))
+        .takeWhile(_ != '\n').contains("l_shipdate"),
+      s"month range not pushed to the lineitem scan:\n$p")
+  }
+
   test("q147 drift: histogram counts aggregate with map-side partials") {
     val p = plan("q147_histogram_drift")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
