@@ -6096,11 +6096,14 @@ object SparkEntry {
     val table = s"$base/t"
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
-    graft.sources.Lake.land(s, table,
+    val rep = graft.sources.Lake.land(s, table,
       docs.repartitionByRange(8, col("doc_id")), "gen-1")
     val pred = col("doc_id") >= 100L && col("doc_id") < 200L
     val (sel, skipped) = graft.sources.Lake.planFiles(table, None, Some(pred))
-    require(skipped.nonEmpty && sel.nonEmpty,
+    // non-vacuity binds only when there IS data: an all-empty corpus
+    // lands zero rows and pruning everything is the lawful outcome
+    // (the empty-input law)
+    require(rep.rows == 0L || (skipped.nonEmpty && sel.nonEmpty),
       s"stats pruning vacuous: selected=${sel.size} skipped=${skipped.size}")
     val pruned = graft.sources.Lake.read(s, table, None, Some(pred))
     val full = graft.sources.Lake.read(s, table).filter(pred)
