@@ -32,12 +32,18 @@ object LakeProbe {
     val rows = dirs.map { dir =>
       val stage = java.nio.file.Files.createTempDirectory("graft_lakeprobe")
       val table = s"$stage/t"
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-          col("text"))
+      // lineitem = the big fact: 10× rows across the two SFs, clustered
+      // on the key the predicate selects; the FIXED orderkey range
+      // matches ≈ the same rows at both SFs (row density per orderkey
+      // is constant — the corpus grows by ADDING orderkeys)
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      // CONSTANT rows-per-file grain (a real table keeps file SIZE fixed
+      // and grows file COUNT with the corpus — 16 files at every SF
+      // would instead coarsen the grain 10× and mask the skipping)
+      val nFiles = math.max(4, (li.count() / 4000L).toInt)
       graft.sources.Lake.land(spark, table,
-        docs.repartitionByRange(16, col("doc_id")), "gen-1")
-      val pred = col("doc_id") >= 100L && col("doc_id") < 200L
+        li.repartitionByRange(nFiles, col("l_orderkey")), "gen-1")
+      val pred = col("l_orderkey") >= 1000L && col("l_orderkey") < 2000L
       val (sel, skipped) =
         graft.sources.Lake.planFiles(table, None, Some(pred))
       def bytes(fs: Seq[String]): Long = fs.map { p =>

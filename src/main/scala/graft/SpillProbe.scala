@@ -30,9 +30,16 @@ object SpillProbe {
     val replicas = if (args.length > 2) args(2).toLong else 100L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val query = sys.env.getOrElse("SPARK_GRAFT_SPILL_QUERY", "q169_kcore")
+    // the spill-aware sizing discipline: at 100× data under a small
+    // heap, shuffle partitions must be sized so one task's aggregation
+    // state fits its memory share — cpus-many 1.4 GB partitions do not
+    // (AGGREGATE_OUT_OF_MEMORY before the spill path can engage); AQE
+    // coalesces the small ones back, so over-partitioning costs little
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
@@ -61,6 +68,7 @@ object SpillProbe {
     val line =
       s"""{"metric":"spill_proof","query":"$query","heap_mb":${
         Runtime.getRuntime.maxMemory() / (1024 * 1024)},"cpus":$cpus,""" +
+      s""""shuffle_partitions":$shufflePartitions,""" +
       s""""pair_hint":"${GraftConf.pairJoinHint(spark)}",""" +
       s""""memory_fraction":"${spark.sparkContext.getConf
         .get("spark.memory.fraction", "default")}",""" +
