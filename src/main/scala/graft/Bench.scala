@@ -338,7 +338,9 @@ object Bench {
     "q349_q14_promo_revenue",
     "q350_lake_pruned_scan",
     "q351_lake_erase",
-    "q352_lake_schema_evolution")
+    "q352_lake_schema_evolution",
+    "q353_lake_compact",
+    "q354_lake_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -456,6 +456,86 @@ object Lake {
   }
 
 
+  // ——————————————————————————————————— compaction + incremental read
+
+  case class CompactReport(gen: String, nFilesBefore: Int, nCompacted: Int,
+                           nUntouched: Int, newFiles: Seq[String])
+
+  /** COMPACTION — the small-files half of lake maintenance (erasure
+    * rewrites and fine-grained landings leave files below the efficient
+    * scan grain): rewrite every live file smaller than
+    * `smallerThanBytes` into `targetFiles` fresh files, leave larger
+    * files untouched (by reference, byte-identical), publish ONE new
+    * generation and swap HEAD. `clusterBy` re-range-partitions the
+    * rewrite on the table's cluster key so the per-file column stats
+    * stay TIGHT — compaction must not undo file skipping. Superseded
+    * small files purge on the next [[graft.ops.Privacy.expireSnapshots]]
+    * like any other superseded file. Needs ≥ 2 qualifying files (one
+    * small file gains nothing); returns the current generation
+    * unchanged otherwise.
+    */
+  def compact(spark: SparkSession, table: String, smallerThanBytes: Long,
+              gen: String, clusterBy: Seq[String] = Nil,
+              targetFiles: Int = 1): CompactReport = {
+    require(!Manifest.manifestNames(table).contains(gen),
+      s"generation '$gen' already exists — published versions are immutable")
+    val cur = currentGen(table)
+    val want = currentSchema(table)
+    val files = Manifest.committedFiles(table, Some(Set(cur)))
+    val f = Manifest.fs(table)
+    val (small, big) = files.partition(p =>
+      f.getFileStatus(new Path(p)).getLen < smallerThanBytes)
+    if (small.size < 2)
+      return CompactReport(cur, files.size, 0, files.size, Nil)
+    val stats = fileStats(table)
+    val slice = readFiles(spark, table, want, small, stats)
+    val arranged =
+      if (clusterBy.nonEmpty)
+        slice.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+      else slice.coalesce(targetFiles)
+    val tmp = new Path(table, s".compact-${UUID.randomUUID()}")
+    arranged.write.parquet(tmp.toString)
+    val dataDir = new Path(table, "data")
+    val moved = f.listStatus(tmp).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getLen > 0)
+      .map { st =>
+        val dest = new Path(dataDir, s"part-${UUID.randomUUID()}.parquet")
+        require(f.rename(st.getPath, dest),
+          s"rename failed: ${st.getPath} -> $dest")
+        dest.toString
+      }
+    f.delete(tmp, true)
+    publishStats(spark, table, moved, want)
+    Manifest.publish(table, gen, (big ++ moved).sorted)
+    publishGenMeta(table, gen, want.schemaId)
+    Manifest.writeHead(table, Set(gen))
+    CompactReport(gen, files.size, small.size, big.size, moved)
+  }
+
+  /** INCREMENTAL READ — the files `to` references that `from` does not,
+    * read as a DataFrame in `to`'s schema: the append-only
+    * changed-data slice between two snapshots, which is what a cron
+    * batch consumes instead of rescanning the table (the
+    * AvailableNow-over-the-lake shape; on a compacted or erased range
+    * the diff contains REWRITTEN files — this is an append-only device,
+    * pair it with generation lineage when rewrites are in play).
+    */
+  def addedFiles(table: String, fromGen: String,
+                 toGen: String): Seq[String] =
+    (Manifest.committedFiles(table, Some(Set(toGen))).toSet --
+      Manifest.committedFiles(table, Some(Set(fromGen)))).toSeq.sorted
+
+  def readAdded(spark: SparkSession, table: String, fromGen: String,
+                toGen: String): DataFrame = {
+    val want = schema(table, genSchemaId(table, toGen))
+    val added = addedFiles(table, fromGen, toGen)
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], want.struct)
+    else readFiles(spark, table, want, added, fileStats(table))
+  }
+
   // ———————————————————————————————————— predicate → stats evaluation
 
   private type Pred = org.apache.spark.sql.graftbridge.PredBridge.Node

@@ -278,6 +278,74 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(remaining.count() == 0)
   }
 
+  test("lake: the row-filter pushes through the id-mapping aliases " +
+      "into each parquet scan (two-level pruning, row-group half)") {
+    val table = TestSpark.tmpDir("graft_lake_plan") + "/t"
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("tag", concat(lit("t"), $"id" % 7))
+    Lake.land(spark, table, df.repartitionByRange(6, $"id"), "g1")
+    Lake.renameColumn(table, "tag", "label", "g2")
+    val pred = $"id" >= 100L && $"id" < 150L
+    val p = Lake.read(spark, table, None, Some(pred))
+      .select($"id", $"label")
+      .queryExecution.executedPlan.toString
+    val pf = p.indexOf("PushedFilters: [")
+    assert(pf >= 0, s"no pushed filters on the lake scan:\n$p")
+    val pushed = p.substring(pf, math.min(p.length, pf + 300))
+      .takeWhile(_ != '\n')
+    assert(pushed.contains("id"),
+      s"id range not pushed through the rename alias: $pushed")
+    // column pruning: the scan must not read the renamed-away column
+    // under its CURRENT name (physical schema carries the old name) —
+    // and must not read more than the two selected columns
+    assert(!p.contains("ReadSchema: struct<id:bigint,tag:string,"),
+      s"scan reads unprojected columns:\n$p")
+  }
+
+  test("lake: compaction is content-invariant, keeps clustering tight, " +
+      "and leaves prior snapshots readable until expiry") {
+    val table = TestSpark.tmpDir("graft_lake_compact") + "/t"
+    val df = spark.range(0, 240).toDF("id")
+      .withColumn("v", concat(lit("v"), $"id"))
+    Lake.land(spark, table, df.repartitionByRange(12, $"id"), "g1")
+    val before = Lake.read(spark, table).orderBy("id").collect().toSeq
+    val rep = Lake.compact(spark, table, smallerThanBytes = 1L << 26,
+      gen = "g2", clusterBy = Seq("id"), targetFiles = 3)
+    assert(rep.nCompacted == 12 && rep.newFiles.size <= 3, s"$rep")
+    // content-invariant
+    assert(Lake.read(spark, table).orderBy("id").collect().toSeq == before)
+    // clustering preserved: a selective range still skips
+    val (_, skipped) = Lake.planFiles(table, None, Some($"id" < 50L))
+    assert(skipped.nonEmpty, "compaction coarsened stats to vacuity")
+    // pre-compaction snapshot reads until expiry purges it
+    assert(Lake.read(spark, table, Some("g1")).count() == 240)
+    val exp = graft.ops.Privacy.expireSnapshots(table)
+    assert(exp.deletedFiles.size == 12, s"$exp")
+    intercept[Exception] { Lake.read(spark, table, Some("g1")).count() }
+    // fewer than 2 qualifying files: lawful no-op, no generation burned
+    val rep2 = Lake.compact(spark, table, smallerThanBytes = 1L,
+      gen = "g3", clusterBy = Seq("id"))
+    assert(rep2.nCompacted == 0 && rep2.gen == "g2", s"$rep2")
+  }
+
+  test("lake: incremental read is the manifest set-difference — exact, " +
+      "empty on same-generation, schema of the TO snapshot") {
+    val table = TestSpark.tmpDir("graft_lake_inc") + "/t"
+    Lake.land(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), "g1")
+    Lake.land(spark, table, Seq((3L, "c")).toDF("id", "tag"), "g2")
+    val inc = Lake.readAdded(spark, table, "g1", "g2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(inc == Seq((3L, "c")), s"increment wrong: $inc")
+    assert(Lake.readAdded(spark, table, "g2", "g2").count() == 0)
+    // evolution between generations: the increment reads in TO's schema
+    Lake.addColumn(table, "x", org.apache.spark.sql.types.LongType, "g3")
+    Lake.land(spark, table,
+      Seq((4L, "d", 9L)).toDF("id", "tag", "x"), "g4")
+    val inc2 = Lake.readAdded(spark, table, "g2", "g4")
+    assert(inc2.columns.toSeq == Seq("id", "tag", "x"))
+    assert(inc2.count() == 1)
+  }
+
   test("frontierClaimsTable: digest-named, distinct across paths") {
     val a = graft.streaming.Streaming.frontierClaimsTable("/tmp/x/state")
     val b = graft.streaming.Streaming.frontierClaimsTable("/tmp/y/state")
