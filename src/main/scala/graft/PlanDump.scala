@@ -378,7 +378,37 @@ object PlanDump {
         "unfiltered parts to the join), part/supplier/nation " +
         "broadcast, the only wide exchange is lineitem→orders, and " +
         "the (nation, year) readout aggregates with map-side " +
-        "partials."))
+        "partials."),
+    "q345_q3_shipping_priority" ->
+      ("Q3's top-10 runs as TakeOrderedAndProject over the per-order " +
+        "rollup (never a full sort); both date-straddle predicates " +
+        "push to their OWN scans (o_orderdate cutoff into orders, " +
+        "l_shipdate into lineitem), the segment-filtered customer " +
+        "broadcasts, one wide exchange (lineitem→orders)."),
+    "q346_q6_forecast_revenue" ->
+      ("Q6 is the purest pushdown test: scan → partial agg → final " +
+        "agg, no join, ALL THREE predicates (shipdate range, " +
+        "discount band, quantity) in PushedFilters, one row per " +
+        "partition crosses the wire."),
+    "q347_q10_returned_items" ->
+      ("Q10 scale-first: the per-customer rollup AND the top-20 run " +
+        "BEFORE the dimension joins (revenue keys on o_custkey alone; " +
+        "the dim join is 1:1, so top-k commutes) — customer streams " +
+        "against a broadcast of 20 rows instead of shuffling into " +
+        "the fact; TakeOrderedAndProject pinned."),
+    "q348_q12_shipmode_priority" ->
+      ("Q12: both fact-local filters (mode IN-list, late-delivery " +
+        "flag) push into the single lineitem scan; both priority " +
+        "classes fold as conditional counts in ONE aggregation pass " +
+        "(never two scans, never a pivot)."),
+    "q349_q14_promo_revenue" ->
+      ("Q14: the month range pushes into the lineitem scan, part " +
+        "broadcasts, and the conditional numerator + denominator " +
+        "fold in ONE pass over the joined fact; the percentage is " +
+        "one IEEE multiply+divide over exact-decimal sums."))
+  // (the lake lane's pruned-read plan is pinned in Round12OpsSpec —
+  // q350 itself materializes through a LocalRelation, so its dump
+  // would show nothing)
 
   // q91's dump shows the runtime-filtered plan (test-scale thresholds);
   // scoped to that one query — leaking threshold=0 into the other dumps
