@@ -340,7 +340,8 @@ object Bench {
     "q351_lake_erase",
     "q352_lake_schema_evolution",
     "q353_lake_compact",
-    "q354_lake_incremental")
+    "q354_lake_incremental",
+    "q355_lake_zorder_scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

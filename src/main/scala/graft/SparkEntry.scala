@@ -6290,6 +6290,57 @@ object SparkEntry {
     materializeDropping(s, out, base)
   }
 
+  /** Lake 6 (round-12): Z-ORDER CLUSTERING × FILE SKIPPING — the
+    * multi-dimensional pruning story, composing two existing
+    * components: [[graft.ops.Layout.zOrderBy]] lays the events table
+    * out along the (user_id, event_id) Morton curve, the lake records
+    * per-column stats per file, and BOTH single-column predicates then
+    * prune files (required in-query, each dimension separately) — the
+    * property a single-key range clustering cannot give (sort by
+    * user_id and an event_id predicate reads every file). The readout
+    * rolls up the user-range slice; the oracle restates it over raw
+    * events. Scale shape: one range-partitioning shuffle on the
+    * z-value at landing (repartitionByRange cost profile), planning is
+    * the driver-side stats walk, and the scan reads only z-cells
+    * intersecting the predicate box.
+    */
+  private def q355(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lake
+    val base = java.nio.file.Files.createTempDirectory("graft_q355")
+    val table = s"$base/t"
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    // balance the curve's dimensions: event_id's domain is ~64× the
+    // user domain at every SF (events/user is constant in the
+    // generator), so raw interleaving would let event bits dominate
+    // the high lanes and every file would span ALL users (user-range
+    // pruning vacuous — found the hard way). Scaling event_id down by
+    // 64 puts both dimensions at comparable bit-widths; the per-file
+    // stats still record RAW event_id, and z-locality in event_id/64
+    // is z-locality in event_id.
+    val land = Lake.land(s, table,
+      graft.ops.Layout.zOrderBy(ev,
+        Seq(col("user_id"), floor(col("event_id") / 64).cast("long")),
+        16, bits = 16), "gen-1")
+    val byUser = col("user_id") >= 3L && col("user_id") <= 5L
+    val byEvent = col("event_id") >= 100L && col("event_id") <= 299L
+    Seq("user_id" -> byUser, "event_id" -> byEvent).foreach {
+      case (dim, p) =>
+        val (sel, skipped) = Lake.planFiles(table, None, Some(p))
+        require(land.rows == 0L || (skipped.nonEmpty && sel.nonEmpty),
+          s"z-order pruning vacuous on $dim: selected=${sel.size} " +
+            s"skipped=${skipped.size}")
+    }
+    val out = Lake.read(s, table, None, Some(byUser))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+    materializeDropping(s, out, base)
+  }
+
   /** The q322 planted-label fixture (the q319 planted-variant device,
     * classifier flavor): every fifth document gets a spam-marker tail
     * and the label 'low'; the rest are 'high'. The markers give the
@@ -8412,7 +8463,8 @@ object SparkEntry {
     "q351_lake_erase" -> q351 _,
     "q352_lake_schema_evolution" -> q352 _,
     "q353_lake_compact" -> q353 _,
-    "q354_lake_incremental" -> q354 _)
+    "q354_lake_incremental" -> q354 _,
+    "q355_lake_zorder_scan" -> q355 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -12930,6 +12982,16 @@ object SparkEntry {
       WHERE doc_id % 2 = 1
       GROUP BY 1, 2
       ORDER BY source, lang""",
+    // q355: the z-ordered lake slice must hash-equal the user-range
+    // predicate restated over raw events; the BOTH-dimensions-prune
+    // facts are required in-query
+    "q355_lake_zorder_scan" -> """
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE user_id BETWEEN 3 AND 5
+      GROUP BY 1 ORDER BY 1""",
     "q303_nb_confusion" -> s"""
       WITH $nbModelCtes,
       nbj AS (
