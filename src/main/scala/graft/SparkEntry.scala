@@ -5450,7 +5450,7 @@ object SparkEntry {
       .orderBy("canonical_url")
     val res = materializeDropping(s, out, stage)
     s.sql("DROP TABLE IF EXISTS " + graft.streaming.Streaming
-      .frontierClaimsTable(stage.resolve("state").toString))
+      .frontierClaimsTable(s, stage.resolve("state").toString))
     res
   }
 
@@ -5926,8 +5926,16 @@ object SparkEntry {
     // min/max can BE an erased key (round-12, ADVICE) — expiry rewrites
     // stats/ dropping purged files' entries, and this scan would catch
     // a regression
+    // parse each line (file \t lo \t hi \t n, URL-encoded fields) and
+    // compare the DECODED lo/hi exactly — substring matching over the
+    // encoded line can false-positive when a key happens to be a
+    // substring of a surviving file's min/max or name (round-13, ADVICE)
+    val keySet = keys.toSet
     val statLeaks = graft.sources.Manifest.sidecarLines(table, "stats")
-      .count(ln => keys.exists(ln.contains))
+      .map(_.split("\t", -1))
+      .count(p => p.length == 4 && p(3).toLong > 0 &&
+        (keySet.contains(java.net.URLDecoder.decode(p(1), "UTF-8")) ||
+          keySet.contains(java.net.URLDecoder.decode(p(2), "UTF-8"))))
     require(statLeaks == 0,
       s"$statLeaks erased keys persist in the stats sidecar")
     val post = s.read.format("graft-manifest").option("path", table)
@@ -6333,6 +6341,157 @@ object SparkEntry {
             s"skipped=${skipped.size}")
     }
     val out = Lake.read(s, table, None, Some(byUser))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+    materializeDropping(s, out, base)
+  }
+
+  /** Lake 7 (round-13): CONCURRENT COMMITS — two landings race on one
+    * table with NO coordination (not even a first sequential land: the
+    * schema publish itself is create-exclusive and the loser validates
+    * against the winner's schema), and the versioned-HEAD
+    * compare-and-swap ([[graft.sources.Manifest.tryCasHead]]) makes
+    * BOTH visible: the loser re-reads the new head, re-unions its file
+    * list, and re-publishes under a retry name. Before round-13 the
+    * mutable-HEAD swap was last-writer-wins and one generation silently
+    * vanished from the current version — the exact lost-update the
+    * round-12 verdict flagged. In-query proofs: both landings report
+    * success, and the final head's file set contains every file both
+    * landings moved. The readout rolls up the WHOLE table — the oracle
+    * (the full documents rollup) hash-fails if either half vanished.
+    * Scale shape: per landing one staged write + a driver-side
+    * manifest/pointer commit; contention costs the loser one re-union
+    * and re-publish (metadata-only — data files are never rewritten on
+    * a pointer race).
+    */
+  private def q356(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Lake, Manifest}
+    val base = java.nio.file.Files.createTempDirectory("graft_q356")
+    val table = s"$base/t"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("lang"), lit("und")).as("lang"))
+      .localCheckpoint() // two landing writes race on one lineage
+    val halves = Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    val reports =
+      new Array[Either[Throwable, Lake.LandReport]](halves.size)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = halves.zipWithIndex.map { case (half, i) =>
+      new Thread(() => {
+        gate.await()
+        reports(i) =
+          try Right(Lake.land(s, table,
+            half.repartitionByRange(4, col("doc_id")), s"gen-$i"))
+          catch { case t: Throwable => Left(t) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    val errs = reports.collect { case Left(t) => t }
+    require(errs.isEmpty,
+      s"racing landing threw: ${errs.map(_.getMessage).mkString("; ")}")
+    val landed = reports.collect { case Right(r) => r }
+    val headFiles = Manifest
+      .committedFiles(table, Manifest.headOf(table)).toSet
+    landed.foreach(r => require(r.newFiles.forall(headFiles.contains),
+      s"final head lost generation ${r.gen}'s files — the CAS rebase " +
+        "failed to union a racing landing"))
+    val out = Lake.read(s, table)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("source", "lang")
+    materializeDropping(s, out, base)
+  }
+
+  /** Lake 8 (round-13): STREAMING LANDING into the columnar lake — the
+    * lake twin of the text lane's epoch protocol
+    * ([[graft.sources.ManifestSink]]), closing the "a 100 TB corpus is
+    * fed by streams" gap: events stream in through ≥2 AvailableNow
+    * micro-batches, each epoch landing Parquet files + colstats under
+    * one generation ([[graft.sources.Lake.landEpoch]] — the epoch name
+    * is the redelivery key), and the q120 three-proof protocol is run
+    * on the lake lane: (1) a FORCED REPLAY of epoch 0 with its exact
+    * batch republishes idempotently (order-free checksum unchanged);
+    * (2) the streamed table checksum-equals the batch [[graft.sources
+    * .Lake.land]] of the same staged data (stream and batch lanes land
+    * on identical contents); (3) the per-epoch file stats still drive
+    * file skipping on the result (pruning non-vacuous, required
+    * in-query). The readout rolls up an id-range slice through the
+    * stats-pruned read; the oracle restates it over raw events.
+    * Scale shape: per epoch one staged write + a metadata commit; the
+    * source is staged range-partitioned on event_id so epochs land
+    * range-tight files (the streaming analogue of the landing-time
+    * clustering discipline).
+    */
+  private def q357(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lake
+    val base = java.nio.file.Files.createTempDirectory("graft_q357")
+    val table = s"$base/t"
+    val twin = s"$base/twin"
+    val src = s"$base/src"
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    // stage range-partitioned: each staged file (= one micro-batch at
+    // maxFilesPerTrigger=1) covers a tight event_id range
+    ev.repartitionByRange(3, col("event_id")).write.parquet(src)
+    val staged = s.read.parquet(src)
+    val captured =
+      scala.collection.mutable.Map.empty[Long, Seq[org.apache.spark.sql.Row]]
+    val q = s.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          val rows = batch.collect().toSeq
+          captured.synchronized { captured(id) = rows }
+          Lake.landEpoch(batch.sparkSession, table, batch.toDF(),
+            "ev", id)
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val gens = graft.sources.Manifest.manifestNames(table)
+    require(gens.count(_.startsWith("ev-epoch-")) >= 2,
+      s"stream landed fewer than 2 epochs: ${gens.mkString(",")}")
+    // order-free content checksum (count + row hashes summed in
+    // decimal — a long accumulator overflows under ANSI)
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)).cast("long"),
+        coalesce(sum(xxhash64(col("event_id"), col("user_id"),
+            col("event_type"), col("value")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val afterStream = checksum(Lake.read(s, table))
+    // proof 1 — forced replay: epoch 0 redelivered with its exact batch
+    val replay = captured.getOrElse(0L, Seq.empty)
+    Lake.landEpoch(s, table, s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(replay: _*)),
+      staged.schema), "ev", 0L)
+    val afterReplay = checksum(Lake.read(s, table))
+    require(afterReplay == afterStream,
+      s"replay changed table contents: $afterStream -> $afterReplay")
+    // proof 2 — the batch twin of the same staged data lands on
+    // identical contents
+    graft.sources.Lake.land(s, twin, staged, "gen-1")
+    require(checksum(Lake.read(s, twin)) == afterStream,
+      "streamed table diverged from the batch landing of the same data")
+    // proof 3 — per-epoch stats still drive file skipping
+    val pred = col("event_id") >= 100L && col("event_id") < 300L
+    val (sel, skipped) = Lake.planFiles(table, None, Some(pred))
+    require(afterStream._1 == 0L || (skipped.nonEmpty && sel.nonEmpty),
+      s"epoch stats pruning vacuous: sel=${sel.size} " +
+        s"skipped=${skipped.size}")
+    val out = Lake.read(s, table, None, Some(pred))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
@@ -8464,7 +8623,9 @@ object SparkEntry {
     "q352_lake_schema_evolution" -> q352 _,
     "q353_lake_compact" -> q353 _,
     "q354_lake_incremental" -> q354 _,
-    "q355_lake_zorder_scan" -> q355 _)
+    "q355_lake_zorder_scan" -> q355 _,
+    "q356_lake_concurrent_land" -> q356 _,
+    "q357_lake_stream_land" -> q357 _)
 
   /** q23's oracle is generated: 64 bit-sum columns over md5 16-bit chunks,
     * the exact construction of [[Dedup.simhashPortable]] restated in
@@ -12991,6 +13152,26 @@ object SparkEntry {
         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events
       WHERE user_id BETWEEN 3 AND 5
+      GROUP BY 1 ORDER BY 1""",
+    // q356: two racing landings must converge on the FULL table — the
+    // oracle is the whole-documents rollup, which hash-fails if the
+    // lost-update window ever reopens (either half vanishing from HEAD)
+    "q356_lake_concurrent_land" -> """
+      SELECT source, coalesce(lang, 'und') AS lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents
+      GROUP BY 1, 2
+      ORDER BY source, lang""",
+    // q357: the streamed lake table must hash-equal the id-range slice
+    // restated over raw events; the replay-idempotence, batch-twin and
+    // pruning facts are required in-query
+    "q357_lake_stream_land" -> """
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE event_id >= 100 AND event_id < 300
       GROUP BY 1 ORDER BY 1""",
     "q303_nb_confusion" -> s"""
       WITH $nbModelCtes,

@@ -198,12 +198,38 @@ object Privacy {
     require(!keys.contains(null), "erasure keys must be non-null")
     require(!graft.sources.Manifest.manifestNames(table).contains(gen),
       s"manifest '$gen' already exists — published versions are immutable")
-    val version: Set[String] = from
-      .orElse(graft.sources.Manifest.headOf(table))
-      .getOrElse(throw new IllegalStateException(
+    // default-HEAD erasure is a read-modify-write commit: CAS the swap
+    // and RE-RUN the whole attempt on a lost race (round-13 — an erase
+    // racing a landing must re-plan over the landed files, never
+    // publish a post-erase version that silently omits them). An
+    // explicit pinned `from` keeps the unconditional swap: the caller
+    // chose the version to erase over.
+    var attempt = 0
+    while (from.isEmpty && attempt < 32) {
+      val (v, head) = graft.sources.Manifest.headState(table)
+      val version = head.getOrElse(throw new IllegalStateException(
         s"$table has no HEAD pointer and no explicit `from` — refusing " +
           "the whole-history read (after any erasure or compaction it " +
           "would resurrect superseded files); pass the current version"))
+      val name = if (attempt == 0) gen else s"$gen-r$attempt"
+      val rep = eraseKeysAt(spark, table, keyOf, keys, name, version)
+      if (graft.sources.Manifest.tryCasHead(table, v, Set(name))) return rep
+      attempt += 1
+    }
+    if (from.isEmpty) throw new IllegalStateException(
+      s"erasure commit of '$gen' on $table lost the HEAD race 32 times")
+    val rep = eraseKeysAt(spark, table, keyOf, keys, gen, from.get)
+    graft.sources.Manifest.writeHead(table, Set(gen))
+    rep
+  }
+
+  /** One erasure attempt over an explicit version — publishes the
+    * post-delete manifest but does NOT move the pointer.
+    */
+  private def eraseKeysAt(spark: org.apache.spark.sql.SparkSession,
+                          table: String, keyOf: Column => Column,
+                          keys: Seq[String], gen: String,
+                          version: Set[String]): EraseReport = {
     val files = graft.sources.Manifest.committedFiles(table, Some(version))
     val stats = keyStats(spark, table, keyOf, files)
     val sorted = keys.distinct.sortWith((a, b) => binLte(a, b) && a != b)
@@ -246,9 +272,6 @@ object Privacy {
       }
     graft.sources.Manifest.publish(table, gen,
       (untouched ++ newFiles).sorted)
-    // swap the catalog pointer: the post-delete generation IS the table
-    // now — unpinned readers and the next default-argument erase see it
-    graft.sources.Manifest.writeHead(table, Set(gen))
     EraseReport(gen, files.size, candidates.size, untouched.size, newFiles)
   }
 

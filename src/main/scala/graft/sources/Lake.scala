@@ -96,10 +96,15 @@ object Lake {
     Manifest.publishTo(table, "schemas", s.schemaId.toString,
       s.fields.map(f => s"${f.id}\t${enc(f.name)}\t${enc(f.dataType.json)}"))
 
-  /** The generation → schema binding (`meta/<gen>`, immutable). */
+  /** The generation → schema binding (`meta/<gen>`, immutable — except
+    * for streaming-epoch generations, whose name is the redelivery key
+    * and whose binding is re-published verbatim on replay).
+    */
   private def publishGenMeta(table: String, gen: String,
-                             schemaId: Int): Unit =
-    Manifest.publishTo(table, "meta", gen, Seq(s"schemaId\t$schemaId"))
+                             schemaId: Int,
+                             overwrite: Boolean = false): Unit =
+    Manifest.publishTo(table, "meta", gen, Seq(s"schemaId\t$schemaId"),
+      overwrite = overwrite)
 
   def genSchemaId(table: String, gen: String): Int = {
     val f = Manifest.fs(table)
@@ -136,7 +141,13 @@ object Lake {
     * or binary UTF-8 bytes (strings).
     */
   private def canonCol(c: Column, dt: DataType): Column = dt match {
-    case TimestampType | TimestampNTZType => unix_micros(c.cast("timestamp"))
+    case TimestampType => unix_micros(c)
+    // NTZ stays NTZ: min/max in the native type, surfaced as the
+    // wall-clock string — a cast("timestamp") here would shift by the
+    // SESSION zone while the literal side compares wall-clock micros,
+    // silently pruning matching files under any non-UTC zone
+    // (round-13, ADVICE)
+    case TimestampNTZType => c
     case DateType => datediff(c, to_date(lit("1970-01-01")))
     case BooleanType => when(c, 1).otherwise(0)
     case _ => c
@@ -212,39 +223,11 @@ object Lake {
 
   // ————————————————————————————————————————————————————————— landing
 
-  /** Write `df` to fresh Parquet files under `data/` and publish ONE new
-    * FULL generation `gen` = previous HEAD's files + the new ones, with
-    * per-column stats recorded first and HEAD swapped last. First land
-    * defines the table schema (field ids 1..n in df column order);
-    * later lands must present the current schema's columns (any order).
+  /** Move a staged write's non-empty part files into `data/` under
+    * fresh collision-free names; deletes the staging dir.
     */
-  def land(spark: SparkSession, table: String, df: DataFrame,
-           gen: String): LandReport = {
-    require(!Manifest.manifestNames(table).contains(gen),
-      s"generation '$gen' already exists — published versions are immutable")
-    val sch = schemaIds(table) match {
-      case Nil =>
-        val s = Schema(1, df.schema.fields.zipWithIndex.map { case (f, i) =>
-          Field(i + 1, f.name, f.dataType)
-        }.toIndexedSeq)
-        publishSchema(table, s)
-        s
-      case _ =>
-        val s = currentSchema(table)
-        val missing = s.fields.map(_.name).toSet -- df.columns.toSet
-        require(missing.isEmpty,
-          s"land is missing current-schema columns: ${missing.mkString(",")}")
-        val extra = df.columns.toSet -- s.fields.map(_.name).toSet
-        require(extra.isEmpty,
-          s"land carries columns outside the current schema: " +
-            s"${extra.mkString(",")} — evolve first (addColumn)")
-        s
-    }
-    val aligned = df.select(sch.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+  private def moveIntoData(table: String, tmp: Path): Seq[String] = {
     val f = Manifest.fs(table)
-    val tmp = new Path(table, s".land-${UUID.randomUUID()}")
-    aligned.write.parquet(tmp.toString)
     val dataDir = new Path(table, "data")
     f.mkdirs(dataDir)
     val moved = f.listStatus(tmp).toSeq
@@ -257,14 +240,229 @@ object Lake {
         dest.toString
       }
     f.delete(tmp, true)
+    moved
+  }
+
+  private val maxCommitAttempts = 32
+
+  /** OPTIMISTIC-COMMIT driver (round-13): run `body` with the manifest
+    * name for this attempt (`gen`, then `gen-r1`, `gen-r2`, … — each
+    * attempt must publish under a FRESH name because published
+    * manifests are immutable); body returns None when its
+    * [[Manifest.tryCasHead]] lost the race, and the driver re-runs it
+    * REBASED on the new head. A lost attempt's manifest stays behind as
+    * an unreferenced name (never in any HEAD; reaped by
+    * [[graft.ops.Privacy.expireSnapshots]] like any superseded
+    * snapshot). Attempts are bounded — a pathological contention storm
+    * fails loudly rather than spinning.
+    */
+  private def commitRetry[A](table: String, gen: String)
+                            (body: (String, Int) => Option[A]): A = {
+    var attempt = 0
+    while (attempt < maxCommitAttempts) {
+      val name = if (attempt == 0) gen else s"$gen-r$attempt"
+      body(name, attempt) match {
+        case Some(a) => return a
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"lake commit of '$gen' on $table lost the HEAD race " +
+        s"$maxCommitAttempts times — pathological contention")
+  }
+
+  /** Write `df` to fresh Parquet files under `data/` and publish ONE new
+    * FULL generation `gen` = previous HEAD's files + the new ones, with
+    * per-column stats recorded first and HEAD swapped last. First land
+    * defines the table schema (field ids 1..n in df column order);
+    * later lands must present the current schema's columns (any order).
+    *
+    * CONCURRENT-COMMIT SAFE (round-13): the HEAD swap is a versioned
+    * compare-and-swap ([[Manifest.tryCasHead]]); losing the race
+    * re-reads the new head, re-unions its file list with this landing's
+    * files, and re-publishes under a retry name — so two concurrent
+    * landings BOTH end up referenced by the final head (previously the
+    * loser's generation silently vanished from the current version).
+    * A concurrent SCHEMA evolution racing a land still fails loudly:
+    * the data files were written under the superseded schema, and a
+    * silent rebind would be a lie — re-run the landing.
+    */
+  def land(spark: SparkSession, table: String, df: DataFrame,
+           gen: String): LandReport = {
+    require(!Manifest.manifestNames(table).contains(gen),
+      s"generation '$gen' already exists — published versions are immutable")
+    def validate(s: Schema): Schema = {
+      val missing = s.fields.map(_.name).toSet -- df.columns.toSet
+      require(missing.isEmpty,
+        s"land is missing current-schema columns: ${missing.mkString(",")}")
+      val extra = df.columns.toSet -- s.fields.map(_.name).toSet
+      require(extra.isEmpty,
+        s"land carries columns outside the current schema: " +
+          s"${extra.mkString(",")} — evolve first (addColumn)")
+      s
+    }
+    val sch = schemaIds(table) match {
+      case Nil =>
+        val s = Schema(1, df.schema.fields.zipWithIndex.map { case (f, i) =>
+          Field(i + 1, f.name, f.dataType)
+        }.toIndexedSeq)
+        // a concurrent FIRST land can win the schema publish; the loser
+        // validates against (and lands under) the winner's schema
+        try { publishSchema(table, s); s }
+        catch { case _: IllegalArgumentException =>
+          validate(schema(table, schemaIds(table).max)) }
+      case ids =>
+        // between schemas existing and HEAD existing there is a window
+        // (a concurrent first land that has not CAS'd yet): fall back
+        // to the newest published schema
+        validate(scala.util.Try(currentSchema(table))
+          .getOrElse(schema(table, ids.max)))
+    }
+    val aligned = df.select(sch.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val tmp = new Path(table, s".land-${UUID.randomUUID()}")
+    aligned.write.parquet(tmp.toString)
+    val moved = moveIntoData(table, tmp)
     publishStats(spark, table, moved, sch)
-    val prior = Manifest.headOf(table)
-      .map(h => Manifest.committedFiles(table, Some(h))).getOrElse(Nil)
-    Manifest.publish(table, gen, (prior ++ moved).sorted)
-    publishGenMeta(table, gen, sch.schemaId)
-    Manifest.writeHead(table, Set(gen))
-    val n = fileStats(table)
-    LandReport(gen, moved, moved.map(m => n(baseName(m)).rows).sum)
+    commitRetry(table, gen) { (name, _) =>
+      val (v, head) = Manifest.headState(table)
+      head.foreach { h =>
+        val hid = genSchemaId(table, h.head)
+        require(hid == sch.schemaId,
+          s"concurrent schema evolution during land (files written " +
+            s"under schema ${sch.schemaId}, head now binds $hid) — " +
+            "re-run the landing against the evolved table")
+      }
+      val prior = head
+        .map(h => Manifest.committedFiles(table, Some(h))).getOrElse(Nil)
+      Manifest.publish(table, name, (prior ++ moved).sorted)
+      publishGenMeta(table, name, sch.schemaId)
+      if (Manifest.tryCasHead(table, v, Set(name))) {
+        val n = fileStats(table)
+        Some(LandReport(name, moved, moved.map(m => n(baseName(m)).rows).sum))
+      } else None
+    }
+  }
+
+  // ——————————————————————————————————————————————— streaming landing
+
+  /** STREAMING LANDING (round-13): land one micro-batch as Parquet
+    * files + colstats under one generation per epoch — the columnar
+    * twin of the text lane's epoch protocol
+    * ([[ManifestSink]] `commit(epochId, …)`): the generation name
+    * `<prefix>-epoch-<batchId>` is the REDELIVERY KEY, so a replayed
+    * micro-batch republishes its own generation with the rerun's files
+    * (subtracting the prior delivery's files from the head it rebases
+    * on) and at-least-once delivery converges to exactly-once table
+    * contents. The HEAD swap is the same versioned CAS as [[land]] —
+    * a concurrent batch landing racing the stream loses nothing.
+    *
+    * Contract boundaries (same as the text lane, stated loudly):
+    *  - ONE streaming query per (table, prefix) — epoch names are the
+    *    idempotence key, so two queries sharing a prefix would collide;
+    *  - epoch generations are NOT immutable snapshots until superseded
+    *    (a replay rewrites the name's content — pin a non-epoch
+    *    generation or a copied name-set for time travel);
+    *  - replays must precede maintenance: replaying an epoch whose rows
+    *    a later [[eraseKeys]] already rewrote re-lands those rows
+    *    (checkpoint recovery happens at stream restart, maintenance
+    *    runs between streams, so the window is operational, not
+    *    structural).
+    *
+    * Scale shape: per epoch one staged write + a metadata commit; the
+    * per-epoch file list rides an `epochs/` sidecar entry (file-grain,
+    * replaced on replay) so replay subtraction never scans data.
+    */
+  def landEpoch(spark: SparkSession, table: String, df: DataFrame,
+                prefix: String, batchId: Long): LandReport = {
+    val gen = s"$prefix-epoch-$batchId"
+    def validate(s: Schema): Schema = {
+      val missing = s.fields.map(_.name).toSet -- df.columns.toSet
+      require(missing.isEmpty,
+        s"landEpoch is missing current-schema columns: " +
+          missing.mkString(","))
+      val extra = df.columns.toSet -- s.fields.map(_.name).toSet
+      require(extra.isEmpty,
+        s"landEpoch carries columns outside the current schema: " +
+          s"${extra.mkString(",")} — evolve first (addColumn)")
+      s
+    }
+    val sch = schemaIds(table) match {
+      case Nil =>
+        val s = Schema(1, df.schema.fields.zipWithIndex.map { case (f, i) =>
+          Field(i + 1, f.name, f.dataType)
+        }.toIndexedSeq)
+        try { publishSchema(table, s); s }
+        catch { case _: IllegalArgumentException =>
+          validate(schema(table, schemaIds(table).max)) }
+      case ids =>
+        validate(scala.util.Try(currentSchema(table))
+          .getOrElse(schema(table, ids.max)))
+    }
+    val aligned = df.select(sch.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val tmp = new Path(table, s".land-${UUID.randomUUID()}")
+    aligned.write.parquet(tmp.toString)
+    val moved = moveIntoData(table, tmp)
+    publishStats(spark, table, moved, sch)
+    // the prior delivery's file set (empty on first delivery) — what a
+    // replay subtracts from the head before adding its own files
+    val priorEpochFiles: Set[String] =
+      Manifest.sidecarLines(table, "epochs")
+        .map(_.split("\t", -1))
+        .collect { case a if a.length == 2 && dec(a(0)) == gen => dec(a(1)) }
+        .toSet
+    var attempt = 0
+    while (attempt < maxCommitAttempts) {
+      val (v, head) = Manifest.headState(table)
+      head.foreach { h =>
+        val hid = genSchemaId(table, h.head)
+        require(hid == sch.schemaId,
+          s"concurrent schema evolution during landEpoch (files written " +
+            s"under schema ${sch.schemaId}, head now binds $hid)")
+      }
+      val cur = head
+        .map(h => Manifest.committedFiles(table, Some(h))).getOrElse(Nil)
+      val files = (cur.filterNot(f =>
+        priorEpochFiles.contains(baseName(f))) ++ moved).sorted
+      // the ONE generation namespace allowed to replace: the epoch name
+      // is the idempotence key (text-lane contract, Parquet flavor)
+      Manifest.publishReplacing(table, gen, files)
+      publishGenMeta(table, gen, sch.schemaId, overwrite = true)
+      if (Manifest.tryCasHead(table, v, Set(gen))) {
+        Manifest.publishTo(table, "epochs", gen,
+          moved.map(m => s"${enc(gen)}\t${enc(baseName(m))}"),
+          overwrite = true)
+        val n = fileStats(table)
+        return LandReport(gen, moved,
+          moved.map(m => n(baseName(m)).rows).sum)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"epoch commit '$gen' on $table lost the HEAD race " +
+        s"$maxCommitAttempts times — pathological contention")
+  }
+
+  /** Drive a streaming DataFrame into the lake through
+    * [[landEpoch]] — AvailableNow by default (the cron-batch shape:
+    * process everything pending, then stop); checkpoint recovery
+    * replays the last uncommitted epoch, which [[landEpoch]] absorbs
+    * idempotently.
+    */
+  def streamLand(df: DataFrame, table: String, prefix: String,
+                 checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          landEpoch(batch.sparkSession, table, batch.toDF(), prefix, id)
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   // —————————————————————————————————————————————————— schema evolution
@@ -298,18 +496,37 @@ object Lake {
         s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
     }
 
+  /** Schema-evolution commit — CAS'd like every other commit
+    * (round-13): each attempt recomputes the change against the head's
+    * CURRENT schema and claims a fresh schema id create-exclusively
+    * (two concurrent evolutions colliding on an id surface as a retry,
+    * not a silent overwrite), and a lost HEAD race re-runs the whole
+    * attempt so the published generation always binds the file list it
+    * actually read.
+    */
   private def evolve(table: String, gen: String)
                     (change: Schema => Schema): Schema = {
     require(!Manifest.manifestNames(table).contains(gen),
       s"generation '$gen' already exists — published versions are immutable")
-    val cur = currentGen(table)
-    val next = change(currentSchema(table))
-    publishSchema(table, next)
-    Manifest.publish(table, gen,
-      Manifest.committedFiles(table, Some(Set(cur))))
-    publishGenMeta(table, gen, next.schemaId)
-    Manifest.writeHead(table, Set(gen))
-    next
+    commitRetry(table, gen) { (name, _) =>
+      val (v, head) = Manifest.headState(table)
+      val cur = head.getOrElse(throw new IllegalStateException(
+        s"$table has no HEAD pointer — not a lake table, or never landed"))
+      require(cur.size == 1,
+        s"lake HEAD must be a single generation, got ${cur.mkString(",")}")
+      val next0 = change(schema(table, genSchemaId(table, cur.head)))
+      val next = next0.copy(schemaId = (schemaIds(table) :+ 0).max + 1)
+      val idClaimed =
+        try { publishSchema(table, next); true }
+        catch { case _: IllegalArgumentException => false } // id raced away
+      if (!idClaimed) None // next attempt recomputes against fresh state
+      else {
+        Manifest.publish(table, name,
+          Manifest.committedFiles(table, Some(cur)))
+        publishGenMeta(table, name, next.schemaId)
+        if (Manifest.tryCasHead(table, v, Set(name))) Some(next) else None
+      }
+    }
   }
 
   // ————————————————————————————————————————————————————————— planning
@@ -389,52 +606,53 @@ object Lake {
     require(!keys.contains(null), "erasure keys must be non-null")
     require(!Manifest.manifestNames(table).contains(gen),
       s"generation '$gen' already exists — published versions are immutable")
-    val cur = currentGen(table)
-    val want = currentSchema(table)
-    val field = want.byName.getOrElse(keyCol,
-      throw new IllegalArgumentException(s"no column '$keyCol' in $table"))
-    val files = Manifest.committedFiles(table, Some(Set(cur)))
-    val stats = fileStats(table)
-    val (candidates, untouched) = files.partition { f =>
-      stats.get(baseName(f)) match {
-        case Some(st) =>
-          keys.exists(k => statMayEqual(st, field, want, k))
-        case None => true // unstatted (shouldn't happen): rewrite, stay safe
+    // the rewrite depends on the table CONTENT, so a lost HEAD race
+    // re-runs the WHOLE attempt from the new head (round-13): an erase
+    // racing a landing must erase over the landed files too, never
+    // publish a post-erase generation that silently omits them. A lost
+    // attempt's rewritten files become unreferenced orphans, reaped by
+    // expiry's orphan-age pass.
+    commitRetry(table, gen) { (name, _) =>
+      val (v, head) = Manifest.headState(table)
+      val cur = head.getOrElse(throw new IllegalStateException(
+        s"$table has no HEAD pointer — not a lake table, or never landed"))
+      val want = schema(table, genSchemaId(table, cur.head))
+      val field = want.byName.getOrElse(keyCol,
+        throw new IllegalArgumentException(s"no column '$keyCol' in $table"))
+      val files = Manifest.committedFiles(table, Some(cur))
+      val stats = fileStats(table)
+      val (candidates, untouched) = files.partition { f =>
+        stats.get(baseName(f)) match {
+          case Some(st) =>
+            keys.exists(k => statMayEqual(st, field, want, k))
+          case None => true // unstatted (shouldn't happen): rewrite, stay safe
+        }
       }
+      val newFiles: Seq[String] =
+        if (candidates.isEmpty) Nil
+        else {
+          val keysDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              keys.map(k => org.apache.spark.sql.Row(k)), 1),
+            StructType(Seq(StructField("__k", field.dataType))))
+          // candidate files may span write-schemas: route through the
+          // id-mapped read restricted to just those files
+          val cand = readFiles(spark, table, want, candidates, stats)
+            .join(broadcast(keysDf), col(keyCol) === col("__k"), "left_anti")
+            .select(want.fields.map(f => col(f.name)): _*)
+          val tmp = new Path(table, s".erase-${UUID.randomUUID()}")
+          cand.write.parquet(tmp.toString)
+          val moved = moveIntoData(table, tmp)
+          publishStats(spark, table, moved, want)
+          moved
+        }
+      Manifest.publish(table, name, (untouched ++ newFiles).sorted)
+      publishGenMeta(table, name, want.schemaId)
+      if (Manifest.tryCasHead(table, v, Set(name)))
+        Some(EraseReport(name, files.size, candidates.size,
+          untouched.size, newFiles))
+      else None
     }
-    val newFiles: Seq[String] =
-      if (candidates.isEmpty) Nil
-      else {
-        val keysDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            keys.map(k => org.apache.spark.sql.Row(k)), 1),
-          StructType(Seq(StructField("__k", field.dataType))))
-        // candidate files may span write-schemas: route through the
-        // id-mapped read restricted to just those files
-        val cand = readFiles(spark, table, want, candidates, stats)
-          .join(broadcast(keysDf), col(keyCol) === col("__k"), "left_anti")
-          .select(want.fields.map(f => col(f.name)): _*)
-        val f = Manifest.fs(table)
-        val tmp = new Path(table, s".erase-${UUID.randomUUID()}")
-        cand.write.parquet(tmp.toString)
-        val dataDir = new Path(table, "data")
-        val moved = f.listStatus(tmp).toSeq
-          .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
-            s.getLen > 0)
-          .map { st =>
-            val dest = new Path(dataDir, s"part-${UUID.randomUUID()}.parquet")
-            require(f.rename(st.getPath, dest),
-              s"rename failed: ${st.getPath} -> $dest")
-            dest.toString
-          }
-        f.delete(tmp, true)
-        publishStats(spark, table, moved, want)
-        moved
-      }
-    Manifest.publish(table, gen, (untouched ++ newFiles).sorted)
-    publishGenMeta(table, gen, want.schemaId)
-    Manifest.writeHead(table, Set(gen))
-    EraseReport(gen, files.size, candidates.size, untouched.size, newFiles)
   }
 
   /** The id-mapped multi-schema scan over an explicit file subset. */
@@ -479,38 +697,35 @@ object Lake {
               targetFiles: Int = 1): CompactReport = {
     require(!Manifest.manifestNames(table).contains(gen),
       s"generation '$gen' already exists — published versions are immutable")
-    val cur = currentGen(table)
-    val want = currentSchema(table)
-    val files = Manifest.committedFiles(table, Some(Set(cur)))
-    val f = Manifest.fs(table)
-    val (small, big) = files.partition(p =>
-      f.getFileStatus(new Path(p)).getLen < smallerThanBytes)
-    if (small.size < 2)
-      return CompactReport(cur, files.size, 0, files.size, Nil)
-    val stats = fileStats(table)
-    val slice = readFiles(spark, table, want, small, stats)
-    val arranged =
-      if (clusterBy.nonEmpty)
-        slice.repartitionByRange(targetFiles, clusterBy.map(col): _*)
-      else slice.coalesce(targetFiles)
-    val tmp = new Path(table, s".compact-${UUID.randomUUID()}")
-    arranged.write.parquet(tmp.toString)
-    val dataDir = new Path(table, "data")
-    val moved = f.listStatus(tmp).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
-        s.getLen > 0)
-      .map { st =>
-        val dest = new Path(dataDir, s"part-${UUID.randomUUID()}.parquet")
-        require(f.rename(st.getPath, dest),
-          s"rename failed: ${st.getPath} -> $dest")
-        dest.toString
-      }
-    f.delete(tmp, true)
-    publishStats(spark, table, moved, want)
-    Manifest.publish(table, gen, (big ++ moved).sorted)
-    publishGenMeta(table, gen, want.schemaId)
-    Manifest.writeHead(table, Set(gen))
-    CompactReport(gen, files.size, small.size, big.size, moved)
+    // content-dependent commit: re-run whole attempts on a lost HEAD
+    // race, like eraseKeys (round-13)
+    commitRetry(table, gen) { (name, _) =>
+      val (v, head) = Manifest.headState(table)
+      val cur = head.getOrElse(throw new IllegalStateException(
+        s"$table has no HEAD pointer — not a lake table, or never landed"))
+      val want = schema(table, genSchemaId(table, cur.head))
+      val files = Manifest.committedFiles(table, Some(cur))
+      val f = Manifest.fs(table)
+      val (small, big) = files.partition(p =>
+        f.getFileStatus(new Path(p)).getLen < smallerThanBytes)
+      if (small.size < 2)
+        return CompactReport(cur.head, files.size, 0, files.size, Nil)
+      val stats = fileStats(table)
+      val slice = readFiles(spark, table, want, small, stats)
+      val arranged =
+        if (clusterBy.nonEmpty)
+          slice.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+        else slice.coalesce(targetFiles)
+      val tmp = new Path(table, s".compact-${UUID.randomUUID()}")
+      arranged.write.parquet(tmp.toString)
+      val moved = moveIntoData(table, tmp)
+      publishStats(spark, table, moved, want)
+      Manifest.publish(table, name, (big ++ moved).sorted)
+      publishGenMeta(table, name, want.schemaId)
+      if (Manifest.tryCasHead(table, v, Set(name)))
+        Some(CompactReport(name, files.size, small.size, big.size, moved))
+      else None
+    }
   }
 
   /** INCREMENTAL READ — the files `to` references that `from` does not,
@@ -556,8 +771,22 @@ object Lake {
       case PB.Fn("or", Seq(l, r)) =>
         mayMatch(l, st, sch) || mayMatch(r, st, sch)
       // lo ≤ lit ≤ hi — symmetric in argument order
-      case PB.Fn("=" | "==" | "<=>", Seq(x, y)) =>
+      case PB.Fn("=" | "==", Seq(x, y)) =>
         ineq(x, y, st, sch)(eq, eq)
+      // null-safe equality: `col <=> NULL` matches exactly the NULL rows
+      // — which is exactly what an all-NULL column's file contains, so
+      // the comparison path's all-NULL prune would silently drop every
+      // matching row (round-13, ADVICE). NULL-literal goes through the
+      // isNull logic; a non-null literal is ordinary equality (there the
+      // all-NULL prune IS correct: no non-null value present).
+      case PB.Fn("<=>", Seq(x, y)) =>
+        def nullMay(nm: String): Boolean = sch.byName.get(nm)
+          .flatMap(f => st.cols.get(f.id)).forall(_.nulls > 0)
+        (x, y) match {
+          case (PB.Attr(n), l: PB.Lit) if l.value == null => nullMay(n)
+          case (l: PB.Lit, PB.Attr(n)) if l.value == null => nullMay(n)
+          case _ => ineq(x, y, st, sch)(eq, eq)
+        }
       // attr > lit: ∃ row > lit ⟺ hi > lit ⟺ ch < 0
       // lit > attr (attr < lit): lo < lit ⟺ cl > 0
       case PB.Fn(">", Seq(x, y)) => ineq(x, y, st, sch)(
@@ -652,6 +881,19 @@ object Lake {
     (colType, vt) match {
       case (StringType, StringType) =>
         Some(binCmp(v.toString, stat))
+      // NTZ vs NTZ: wall-clock micros (the literal's internal Long)
+      // against the wall-clock stat string — tz-free on both sides.
+      // Stats written before round-13 encoded session-shifted micros;
+      // those fail the LocalDateTime parse and degrade to no-prune.
+      case (TimestampNTZType, TimestampNTZType) =>
+        scala.util.Try {
+          val ldt = java.time.LocalDateTime.parse(stat.replace(' ', 'T'))
+          val statMicros =
+            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              ldt.getNano / 1000L
+          Integer.signum(
+            java.lang.Long.compare(v.asInstanceOf[Long], statMicros))
+        }.toOption
       case (ct, _) if numericish(ct) && numericish(vt) &&
           tsCompatible(ct, vt) =>
         for (a <- num(v, vt); b <- statNum) yield a.compare(b)
@@ -669,13 +911,18 @@ object Lake {
 
   /** Timestamp micros and date days are both "numbers", but comparing a
     * DATE literal's days to a TIMESTAMP column's micros would be wrong
-    * by 86400·10⁶ — only same-unit pairs compare.
+    * by 86400·10⁶ — only same-unit pairs compare. NTZ micros are
+    * WALL-CLOCK micros (its own unit: an instant-micros literal against
+    * an NTZ column, or vice versa, differs by the session zone — those
+    * pairs degrade to no-prune; same-type NTZ pairs take the dedicated
+    * [[cmpCanon]] case before this guard is consulted).
     */
   private def tsCompatible(ct: DataType, vt: DataType): Boolean = {
     def unit(t: DataType): Int = t match {
-      case TimestampType | TimestampNTZType => 1
+      case TimestampType => 1
       case DateType => 2
       case BooleanType => 3
+      case TimestampNTZType => 4
       case _ => 0
     }
     unit(ct) == unit(vt)

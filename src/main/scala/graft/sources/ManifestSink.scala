@@ -80,6 +80,11 @@ private[graft] object Manifest {
     */
   private val tmpReapAgeMs: Long = 60L * 60 * 1000
 
+  /** Serializes same-JVM create-exclusive publishes (see
+    * [[publishTo]]'s rename note).
+    */
+  private val exclusiveRenameLock = new Object
+
   def publish(dir: String, name: String, lines: Seq[String]): Unit =
     publishTo(dir, "manifests", name, lines)
 
@@ -124,11 +129,27 @@ private[graft] object Manifest {
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     // default is create-exclusive: the RENAME enforces immutability (not
     // a check-then-act require), so a racing publish of the same name
-    // fails loudly instead of replacing a published snapshot
-    val mode =
-      if (overwrite) Options.Rename.OVERWRITE else Options.Rename.NONE
-    try fc.rename(f.makeQualified(tmp), f.makeQualified(target), mode)
-    catch {
+    // fails loudly instead of replacing a published snapshot. The
+    // exclusive path additionally serializes IN-PROCESS under a JVM-wide
+    // lock (round-13): FileContext's Rename.NONE is check-then-rename on
+    // a raw local FS, so two same-JVM racers could otherwise both pass
+    // the check and the loser's rename would overwrite the winner —
+    // exactly the window the versioned-HEAD CAS must not have.
+    // Cross-process exclusivity remains the filesystem's rename
+    // contract (atomic on HDFS; object stores need their own CAS).
+    def renameExclusive(): Unit = exclusiveRenameLock.synchronized {
+      if (f.exists(target))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          target.toString)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(target),
+        Options.Rename.NONE)
+    }
+    try {
+      if (overwrite)
+        fc.rename(f.makeQualified(tmp), f.makeQualified(target),
+          Options.Rename.OVERWRITE)
+      else renameExclusive()
+    } catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
         f.delete(tmp, false)
         throw new IllegalArgumentException(
@@ -144,16 +165,64 @@ private[graft] object Manifest {
 
   // ————————————————————————————————————————————— catalog HEAD pointer
 
-  /** The table's CURRENT version: the manifest name-set in `<dir>/HEAD`,
-    * or None when no pointer has been published. HEAD is the ONE mutable
-    * file in the protocol — every commit path swaps it atomically
-    * (write-temp-then-rename), so "the current table" is always a single
-    * consistent name-set: readers that do not pin a snapshot resolve it,
-    * and [[graft.ops.Privacy.eraseKeys]] / expireSnapshots default to it
+  /** The table's CURRENT version: the manifest name-set the newest
+    * pointer references, or None when no pointer has been published.
+    * Resolution order: the VERSIONED pointer log `<dir>/heads/v%020d`
+    * (round-13 — each commit publishes the NEXT version create-exclusive,
+    * highest version wins), falling back to the legacy single mutable
+    * `<dir>/HEAD` file for tables written before the versioned log
+    * existed. Readers that do not pin a snapshot resolve this, and
+    * [[graft.ops.Privacy.eraseKeys]] / expireSnapshots default to it
     * (round-12 — closes the whole-history-read footgun: after an erasure,
     * an unpinned caller could otherwise resurrect superseded files).
     */
-  def headOf(dir: String): Option[Set[String]] = {
+  def headOf(dir: String): Option[Set[String]] = headState(dir)._2
+
+  /** How many superseded pointer versions to keep before best-effort
+    * reaping — large enough that a reader's list→read window never spans
+    * the retention horizon in practice, and the reader retries on a
+    * reaped-underneath read anyway.
+    */
+  private val headKeepVersions = 64
+
+  /** (version, names) of the newest published pointer. Version 0 = no
+    * versioned pointer yet (names then come from the legacy HEAD file,
+    * or None for a pointerless table) — the expected-version token a
+    * committer passes back to [[tryCasHead]].
+    */
+  def headState(dir: String): (Long, Option[Set[String]]) = {
+    val f = fs(dir)
+    val hd = new Path(dir, "heads")
+    var attempt = 0
+    while (true) {
+      val vs =
+        if (!f.exists(hd)) Nil
+        else f.listStatus(hd).filter(_.isFile).map(_.getPath.getName)
+          .filterNot(_.endsWith(".tmp"))
+          .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+          .toSeq
+      if (vs.isEmpty) return (0L, legacyHead(dir))
+      val v = vs.max
+      try {
+        val in = f.open(new Path(hd, f"v$v%020d"))
+        val names =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.trim).filter(_.nonEmpty).toSet
+          finally in.close()
+        return (v, Some(names))
+      } catch {
+        // the version we listed was reaped before we read it — the
+        // pointer has advanced far past it; re-list (bounded: reaping
+        // keeps headKeepVersions live, so one commit per retry would be
+        // needed to starve this, and even then newer versions exist)
+        case _: java.io.FileNotFoundException if attempt < 50 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def legacyHead(dir: String): Option[Set[String]] = {
     val f = fs(dir)
     val h = new Path(dir, "HEAD")
     if (!f.exists(h)) None
@@ -167,28 +236,60 @@ private[graft] object Manifest {
     }
   }
 
-  /** Atomically swap the HEAD pointer to `names` (temp + OVERWRITE rename
-    * — HEAD is mutable by design, unlike manifests). Commit paths are
-    * read-modify-write on HEAD, so like the streaming epoch namespace
-    * this assumes one writer per table path at a time.
+  /** COMPARE-AND-SWAP the pointer: publish `names` as version
+    * `expect + 1`, create-exclusive — true on success, false when some
+    * other committer already published that version (the caller lost
+    * the race: re-read [[headState]], rebase, re-attempt). This is what
+    * makes concurrent commits SAFE rather than last-writer-wins: the
+    * loser finds out (round-13 — previously two concurrent landings
+    * both overwrote the mutable HEAD and one generation silently
+    * vanished from the current version).
     */
-  def writeHead(dir: String, names: Set[String]): Unit = {
+  def tryCasHead(dir: String, expect: Long, names: Set[String]): Boolean = {
     require(names.nonEmpty, "HEAD must reference at least one manifest")
-    val f = fs(dir)
-    val tmp = new Path(dir, s".HEAD.${UUID.randomUUID()}.tmp")
-    val out = f.create(tmp, true)
-    try out.write((names.toSeq.sorted.mkString("\n") + "\n").getBytes(UTF_8))
-    finally out.close()
-    val target = new Path(dir, "HEAD")
-    FileContext.getFileContext(target.toUri,
-        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-      .rename(f.makeQualified(tmp), f.makeQualified(target),
-        Options.Rename.OVERWRITE)
+    try {
+      publishTo(dir, "heads", f"v${expect + 1}%020d", names.toSeq.sorted)
+      // best-effort reap of long-superseded versions (keep the newest
+      // headKeepVersions); failure never blocks the commit, and readers
+      // retry a reaped-underneath read
+      try {
+        val f = fs(dir)
+        val hd = new Path(dir, "heads")
+        f.listStatus(hd).filter(_.isFile)
+          .filter { s =>
+            val n = s.getPath.getName
+            n.startsWith("v") && !n.endsWith(".tmp") &&
+              scala.util.Try(n.drop(1).toLong).toOption
+                .exists(_ <= expect + 1 - headKeepVersions)
+          }
+          .foreach(s => f.delete(s.getPath, false))
+      } catch { case scala.util.control.NonFatal(_) => }
+      true
+    } catch { case _: IllegalArgumentException => false }
   }
 
-  /** Union `name` into HEAD — the append-commit pointer update. */
-  def advanceHead(dir: String, name: String): Unit =
-    writeHead(dir, headOf(dir).getOrElse(Set.empty) + name)
+  /** Unconditionally move the pointer to `names` — a CAS loop from
+    * whatever the current version is. Use only where the new value does
+    * NOT depend on the old one (e.g. a restore); read-modify-write
+    * committers must drive [[tryCasHead]] themselves so a lost race
+    * triggers a REBASE of the value, not just a retry of the swap.
+    */
+  def writeHead(dir: String, names: Set[String]): Unit = {
+    var done = false
+    while (!done) done = tryCasHead(dir, headState(dir)._1, names)
+  }
+
+  /** Union `name` into HEAD — the append-commit pointer update, rebased
+    * on conflict (the union is recomputed from the fresh pointer, so
+    * concurrent appenders all end up referenced).
+    */
+  def advanceHead(dir: String, name: String): Unit = {
+    var done = false
+    while (!done) {
+      val (v, cur) = headState(dir)
+      done = tryCasHead(dir, v, cur.getOrElse(Set.empty) + name)
+    }
+  }
 
   /** All data files referenced by any manifest (sorted for determinism). */
   def committedFiles(dir: String): Seq[String] = committedFiles(dir, None)

@@ -938,7 +938,7 @@ object Streaming {
                        claimsBuckets: Int = 32): Unit = {
     import org.apache.spark.sql.{Dataset, Row}
     val claimsDir = s"$statePath/claims"
-    val table = frontierClaimsTable(statePath)
+    val table = frontierClaimsTable(spark, statePath)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("latestFirst", "false")
@@ -984,6 +984,26 @@ object Streaming {
       .digest(statePath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     "graft_frontier_claims_" +
       d.take(12).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** The round-11 (pre-digest) claims-table name for a state path —
+    * what a frontier that started under the old naming landed into.
+    */
+  private[graft] def legacyFrontierClaimsTable(statePath: String): String =
+    "graft_frontier_claims_" +
+      java.lang.Integer.toHexString(statePath.hashCode)
+
+  /** Catalog-aware resolution (round-13, ADVICE): the digest rename was
+    * state-breaking for a frontier resuming an EXISTING state path — its
+    * claims log lives under the legacy hashCode-derived name, and
+    * starting a fresh digest-named table would orphan every prior claim
+    * (previously claimed work re-claimed). A legacy-named table that
+    * exists wins; fresh state paths get the digest name.
+    */
+  def frontierClaimsTable(spark: SparkSession, statePath: String): String = {
+    val legacy = legacyFrontierClaimsTable(statePath)
+    if (spark.catalog.tableExists(legacy)) legacy
+    else frontierClaimsTable(statePath)
   }
 
   /** Streaming Count-Min maintenance — the frequency complement of
