@@ -76,8 +76,8 @@ object Sessions {
     spark
   }
 
-  def builder(cpus: String): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(cpus: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -87,4 +87,16 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // r13: hold a whole session's generated classes (default 100 entries
+      // thrashes across a 357-query registry; see OPTIMIZATION_r13.md)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+    // measurement/deployment hook: extra session confs as "k=v;k2=v2"
+    // (A/B-ing a conf without a rebuild — the §1 measure-first loop)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        bb.config(k.trim, v.trim)
+      }
+  }
 }

@@ -346,8 +346,18 @@ object Graph {
     val od = if (iters > 0) outDeg.localCheckpoint() else outDeg
     // the edge frame feeds the contrib join on src EVERY round —
     // pre-shuffle it once (r7 co-location device) so rounds shuffle only
-    // the rank frame and the per-dst aggregation
-    val ep = if (iters > 0) checkpointPartitionedBy(e, col("src")) else e
+    // the rank frame and the per-dst aggregation. r13: the out-degree
+    // rides ON the edge row (attached once, here), so each round is ONE
+    // equi-join instead of ranks⋈od⋈edges — the od side never changes,
+    // re-joining it every round was a per-round broadcast+join for a
+    // value computable at setup (guide §2.4). The per-edge arithmetic
+    // tree is unchanged (rank·w/outdeg on the same doubles), so ranks
+    // are bit-identical.
+    val ep =
+      if (iters > 0)
+        checkpointPartitionedBy(
+          e.join(od, col("src") === col("node")).drop("node"), col("src"))
+      else e
     // weighted: e carries integer edge weight __w and outdeg holds the
     // integer out-weight sum — contrib is (rank·w)/outw, the identical
     // two-op IEEE tree the oracle unrolls
@@ -355,7 +365,7 @@ object Graph {
       if (weighted) (col("rank") * col("__w")) / col("outdeg")
       else col("rank") / col("outdeg")
     while (it < iters && !converged) {
-      val contrib = ranks.join(od, Seq("node"))
+      val contrib = ranks
         .join(ep, col("node") === col("src"))
         .select(col("dst"), contribOf.as("c"))
       val summed = contrib.groupBy(col("dst").as("node"))

@@ -167,9 +167,17 @@ object Train {
     // md5 duel draw) then evaluates ~6× per row on the pre-spread
     // partitions (measured 66 s vs 12 s at sf0.1). Above an RDD leaf
     // the filter is a trivial string compare per round read.
-    val pl = timed("pl")(Dedup.spread(pairs)
-      .select(winner.cast("string").as("__w"), loser.cast("string").as("__l"))
-      .localCheckpoint()) // read every round
+    // r13: co-locate the pair log on the winner key (the r7 device the
+    // graph rounds use): every round's FIRST join is keyed __w, so a
+    // pre-partitioned log makes that leg shuffle only the (item-grain)
+    // score frame instead of re-shuffling the pair log each round; the
+    // __l leg still shuffles the joined output (inherent — Pregel).
+    // checkpointPartitionedBy keeps broadcast-sized logs plain, so the
+    // 20-item q276 shape still gets zero-shuffle broadcast rounds.
+    val pl = timed("pl")(Graph.checkpointPartitionedBy(
+      Dedup.spread(pairs)
+        .select(winner.cast("string").as("__w"),
+          loser.cast("string").as("__l")), col("__w")))
       .filter(col("__w").isNotNull && col("__l").isNotNull &&
         col("__w") =!= col("__l"))
     val tallies = timed("tallies")(pl
@@ -179,8 +187,13 @@ object Train {
       .agg(sum(col("__win")).as("n_wins"),
         sum(lit(1L) - col("__win")).as("n_losses"))
       .localCheckpoint())
+    // r13: the per-item pair count rides ON the score frame (attached
+    // once) — the update divides by it every round, and re-joining the
+    // never-changing tallies per round was an avoidable item-grain join;
+    // the update arithmetic tree is unchanged (same long sum cast double)
     var scores = timed("scores0")(
-      tallies.select(col("item"), lit(0.0d).as("score")).localCheckpoint())
+      tallies.select(col("item"), lit(0.0d).as("score"),
+        (col("n_wins") + col("n_losses")).as("__n")).localCheckpoint())
     var it = 0
     while (it < iters) {
       // at true item cardinality the score frame outgrows broadcast and
@@ -211,12 +224,11 @@ object Train {
         .groupBy(col("item"))
         .agg(sum(col("__gc")).cast("double").as("__grad"))
       val next = timed(s"round$it")(scores.join(grads, Seq("item"), "left")
-        .join(tallies, Seq("item"))
         .select(col("item"),
           when(col("__grad").isNull, col("score"))
             .otherwise(round(col("score") + lit(rate) * col("__grad") /
-              (col("n_wins") + col("n_losses")).cast("double"), 12))
-            .as("score"))
+              col("__n").cast("double"), 12))
+            .as("score"), col("__n"))
         .localCheckpoint())
       scores.unpersist()
       scores = next
