@@ -15,16 +15,31 @@ package object functions {
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
+  /** Bind `value` to a lambda variable and build the result with
+    * [[mk]] — the per-row let-binding for expressions consumed INSIDE a
+    * higher-order-function lambda. Spark's HOFs are interpreted
+    * (CodegenFallback) and a lambda body is re-evaluated PER ELEMENT,
+    * so an expensive subtree captured from outside the lambda (a regex
+    * fold, a tokenizer split) would otherwise re-run once per output
+    * element instead of once per row — measured 2-3× on the char-gram
+    * and shingle lanes (OPTIMIZATION_r13.md). `flatten ∘ transform`
+    * over a one-element array is the identity wrapper that makes the
+    * binding; same values, same nulls (flatten propagates a null
+    * element as a null result, matching the unbound form's
+    * null-in-null-out).
+    */
+  private def bindOnce(value: Column, mk: Column => Column): Column =
+    flatten(transform(array(value), mk))
+
   /** Word n-gram shingles: `["a b c", "b c d", ...]` for n=3. Returns an
     * empty array when the document is shorter than n tokens.
     */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  def wordShingles(text: Column, n: Int = 3): Column =
+    bindOnce(tokens(text), toks =>
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
 
   /** Character n-grams over a space-padded single-space fold of the
     * lowercased text — the standard language-ID featurization (Cavnar &
@@ -45,11 +60,14 @@ package object functions {
     require(n >= 1 && n <= 16, s"char n-gram width must be in [1,16], got $n")
     val pad = concat(lit(" "),
       regexp_replace(trim(lower(text)), "\\s+", " "), lit(" "))
+    // the whitespace-fold regex is bound per ROW (bindOnce) — captured
+    // directly in the transform lambda it would re-run per gram position
     when(text.isNull, lit(null).cast("array<string>"))
-      .when(length(pad) >= n,
-        transform(sequence(lit(1), length(pad) - lit(n - 1)),
-          i => pad.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
+      .otherwise(bindOnce(pad, p =>
+        when(length(p) >= n,
+          transform(sequence(lit(1), length(p) - lit(n - 1)),
+            i => p.substr(i, lit(n))))
+          .otherwise(array().cast("array<string>"))))
   }
 
   /** Distinct shingle set (order-insensitive) for set-similarity measures. */

@@ -70,7 +70,13 @@ object Graph {
   private[ops] def checkpointPartitionedBy(df: DataFrame,
                                            key: Column): DataFrame = {
     val s = df.sparkSession
-    val plain = df.localCheckpoint()
+    // r13: when the caller hands us a frame that IS already a checkpoint
+    // root (hits() co-locates the same checkpointed edge frame twice, once
+    // per direction), its materialized bytes are already known — skip the
+    // redundant plain re-materialization and never release the caller's
+    // blocks (they may be shared).
+    val preMaterialized = storageBytes(df) != Long.MaxValue
+    val plain = if (preMaterialized) df else df.localCheckpoint()
     val thresh =
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         s.conf.get("spark.sql.autoBroadcastJoinThreshold", "64m"))
@@ -83,7 +89,8 @@ object Graph {
       val out =
         try plain.repartition(key).localCheckpoint()
         finally s.conf.set(aqeKey, prev)
-      releaseCheckpoint(plain) // superseded by the partitioned copy
+      if (!preMaterialized)
+        releaseCheckpoint(plain) // superseded by the partitioned copy
       out
     }
   }
