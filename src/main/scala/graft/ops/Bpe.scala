@@ -52,6 +52,10 @@ object Bpe {
   /** The corpus-scale pass: lowercase [a-z0-9]+ word frequencies. One
     * explode + one groupBy; everything downstream is vocab-grain.
     */
+  // r13: a spread-before-fold here was MEASURED AND REVERTED — the
+  // per-batch text shuffle cost q289 +0.7 s while the benched batch BPE
+  // queries were flat (their wall is the merge rounds, not this fold);
+  // the map-side partial agg already shrinks the shuffle to vocab grain.
   def wordCounts(df: DataFrame, text: Column): DataFrame = df
     .select(explode(split(lower(text), "[^a-z0-9]+")).as("word"))
     .filter(col("word") =!= "")

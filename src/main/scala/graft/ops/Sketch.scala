@@ -111,8 +111,14 @@ object Sketch {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2 && width <= (1 << 20),
       s"width must be in [2, 2^20], got $width")
-    df.select(posexplode(array((0 until depth).map(r =>
-        Sampling.hashPos(lit(s"cms$r"), key) % width): _*))
+    // r13: project to the key FIRST (shuffle only key bytes), then spread —
+    // the depth-way explode + map-side partial agg otherwise runs on the
+    // input's partitioning, which for a single-file parquet scan (or a
+    // one-file micro-batch) is ONE core. Cell counts are order-free
+    // integer sums, so the fold is bit-identical under any partitioning.
+    Dedup.spread(df.select(key.as("__cms_key")))
+      .select(posexplode(array((0 until depth).map(r =>
+        Sampling.hashPos(lit(s"cms$r"), col("__cms_key")) % width): _*))
         .as(Seq("r", "c")))
       .groupBy(col("r"), col("c"))
       .agg(count(lit(1)).as("cnt"))
