@@ -279,7 +279,6 @@ object Graph {
                        iters: Int,
                        stopOnFixpoint: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    import org.apache.spark.sql.expressions.Window
     // pre-shuffled on the per-round vote-join key (the r7 co-location
     // device): each round shuffles labels and votes, never the edges
     val e = checkpointPartitionedBy(
@@ -289,20 +288,26 @@ object Graph {
       .localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
     var prev2: DataFrame = null
-    val argmax = Window.partitionBy(col("dst"))
-      .orderBy(col("__c").desc, col("label").asc)
     def nDiffering(a: DataFrame, b: DataFrame): Long =
       a.join(b.select(col("node"), col("label").as("__cmp")), Seq("node"))
         .filter(col("label") =!= col("__cmp")).count()
     var it = 0
     var converged = false
     while (it < iters && !converged) {
+      // r14: the per-dst argmax is a MIN over (−count, label) structs —
+      // lexicographic struct ordering reproduces (count DESC, label ASC)
+      // exactly on the unique (dst,label) count rows, and min is a
+      // DeclarativeAggregate with map-side partials, so the second
+      // aggregation replaces the old row_number window's full sort of
+      // every vote row (guide §1.2 step 2; counts ≥ 1 so −count cannot
+      // overflow). Same winner per dst, bit-for-bit.
       val votes = labels.join(e, col("node") === col("src"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("__c"))
-        .withColumn("__rn", row_number().over(argmax))
-        .filter(col("__rn") === 1)
-        .select(col("dst").as("node"), col("label").as("__new"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
+          .as("__b"))
+        .select(col("dst").as("node"), col("__b").getField("l").as("__new"))
       val next = labels.join(votes, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__new"), col("label")).as("label"))
@@ -433,10 +438,32 @@ object Graph {
             maxRounds: Int = 16): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    val und = edges
-      .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint() // re-joined every peel round: scan once
+    // r14: co-locate the undirected edge frame on `a` (the r7 device):
+    // the live-node set is a stats-less checkpoint root, so the per-round
+    // `a`-join planned as a full shuffle of the EDGE frame every round
+    // (QProf: 42 shuffle-write-bound stages, 178 MB shuffled per bench
+    // run). Pre-shuffled once, rounds shuffle only the live set and the
+    // b-join's surviving edges (guide §2.4). Built in ONE pass: the
+    // repartition(a) runs BEFORE the distinct — HashPartitioning(a)
+    // satisfies the (a,b) dedup's clustered distribution, so the
+    // distinct adds no second exchange and exactly one copy of the edge
+    // frame is ever materialized (a checkpoint-then-repartition-then-
+    // checkpoint would transiently hold TWO copies: it OOMed the 8 GB
+    // spill probe at 100×). AQE must be off while the checkpoint
+    // materializes or the captured partitioning is lost (the
+    // checkpointPartitionedBy contract).
+    val s = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = s.conf.get(aqeKey)
+    s.conf.set(aqeKey, "false")
+    val und =
+      try edges
+        .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+        .filter(col("a") =!= col("b"))
+        .repartition(col("a"))
+        .distinct()
+        .localCheckpoint() // re-joined every peel round: scan once
+      finally s.conf.set(aqeKey, prevAqe)
     def degreesAmong(live: DataFrame): DataFrame = {
       val e = und
         .join(live.select(col("node").as("a")), Seq("a"))
@@ -656,48 +683,56 @@ object Graph {
     val eBy = Map(
       "src" -> checkpointPartitionedBy(e, col("src")),
       "dst" -> checkpointPartitionedBy(e, col("dst")))
-    def half(scores: DataFrame, joinSide: String,
-             groupSide: String): DataFrame = {
-      // checkpoint the mass frame: BOTH the max and the normalize read it,
-      // and without the cut the max recomputes the whole join+agg — the
-      // one super-linear wall term the 10× scale-up measured (14× → ~8×)
-      val raw = scores.join(eBy(joinSide), col("node") === col(joinSide))
+    // r14: normalization is LAZY — each round materializes only the raw
+    // mass frame (node, __m); the divide-by-max happens per row inside
+    // the NEXT round's contribution join (or the final readout) instead
+    // of writing a second normalized checkpoint per half. The per-row
+    // division is the identical IEEE expression on the identical doubles,
+    // and a zero-mass node (absent from raw, present as an explicit 0.0
+    // in the old normalized frame) contributes exactly 0 to every
+    // decimal sum — so the masses, maxes and final scores are
+    // bit-identical while per-round materializations drop 4 → 2 and the
+    // per-round nodes-join disappears (guide §1.2 step 1).
+    def normalized(raw: DataFrame): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max(col("__m")).as("__mx"))))
+        .select(col("node"), (col("__m") / col("__mx")).as("__v"))
+    // checkpoint the mass frame: BOTH the max and the normalize read it,
+    // and without the cut the max recomputes the whole join+agg — the
+    // one super-linear wall term the 10× scale-up measured (14× → ~8×)
+    def rawHalf(scores: DataFrame, joinSide: String,
+                groupSide: String): DataFrame =
+      scores.join(eBy(joinSide), col("node") === col(joinSide))
         .groupBy(col(groupSide).as("node"))
         .agg(sum(col("__v").cast("decimal(28,18)")).cast("double").as("__m"))
         .localCheckpoint()
-      val mx = raw.agg(max(col("__m")).as("__mx"))
-      val out = nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(mx))
-        .select(col("node"),
-          (coalesce(col("__m"), lit(0.0d)) / col("__mx")).as("__v"))
-        .localCheckpoint()
-      // out is materialized (localCheckpoint is eager): the mass frame
-      // is never read again — release its blocks now instead of leaking
-      // 2 frames per half for the life of the session (round-7, ADVICE)
-      releaseCheckpoint(raw)
-      out
-    }
-    var hub = nodes.withColumn("__v", lit(1.0d))
-    var auth: DataFrame = null
+    var hubRaw: DataFrame = null
+    var authRaw: DataFrame = null
     var it = 0
     while (it < iters) {
-      val hubPrev = hub
-      val authPrev = auth
-      auth = half(hub, "src", "dst")
-      hub = half(auth, "dst", "src")
+      val hubScores =
+        if (hubRaw == null) nodes.withColumn("__v", lit(1.0d))
+        else normalized(hubRaw)
+      val nextAuth = rawHalf(hubScores, "src", "dst")
+      val nextHub = rawHalf(normalized(nextAuth), "dst", "src")
       // both new halves are materialized; the superseded round's frames
-      // are never read again (the final join reads only the LAST pair) —
-      // releasing keeps retained storage flat at ~2 frames however many
-      // iterations run (round 0's literal hub is not a checkpoint root,
-      // so the release is a no-op there and `nodes` is never touched).
-      // NEVER release the frames just produced: a localCheckpoint's
-      // blocks are its ONLY copy (lineage is truncated).
-      if (authPrev != null) releaseCheckpoint(authPrev)
-      releaseCheckpoint(hubPrev)
+      // are never read again (the final readout uses only the LAST pair)
+      // — releasing keeps retained storage flat at ~2 frames however
+      // many iterations run. NEVER release the frames just produced: a
+      // localCheckpoint's blocks are its ONLY copy (lineage truncated).
+      if (authRaw != null) releaseCheckpoint(authRaw)
+      if (hubRaw != null) releaseCheckpoint(hubRaw)
+      authRaw = nextAuth
+      hubRaw = nextHub
       it += 1
     }
-    hub.select(col("node"), col("__v").as("hub"))
-      .join(auth.select(col("node"), col("__v").as("auth")), Seq("node"))
+    // readout: normalize each half over ALL nodes (zero-mass nodes get
+    // the explicit 0.0 the old per-round normalized frames carried)
+    def readout(raw: DataFrame, as: String): DataFrame =
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(raw.agg(max(col("__m")).as("__mx"))))
+        .select(col("node"),
+          (coalesce(col("__m"), lit(0.0d)) / col("__mx")).as(as))
+    readout(hubRaw, "hub").join(readout(authRaw, "auth"), Seq("node"))
       .select(col("node"), col("hub"), col("auth"))
   }
 
@@ -738,7 +773,14 @@ object Graph {
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(depth.toLong))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+      // r14: `visited` stays a LAZY union of the per-hop checkpoint
+      // roots — each hop already materialized exactly once as `next`,
+      // so re-materializing the whole accumulated set every round was
+      // an O(V) write per hop for rows that already sit in block
+      // storage (guide §5). The anti-join reads the same rows either
+      // way; hop counts are bounded by maxDepth ≤ 64, so the union
+      // plan stays shallow.
+      visited = visited.unionByName(next)
       frontier = next
     }
     visited

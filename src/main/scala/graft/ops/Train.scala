@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 // DuckDB-exact rounding shadow for every round() call site (Readout)
 import graft.Readout.round
@@ -167,17 +166,15 @@ object Train {
     // md5 duel draw) then evaluates ~6× per row on the pre-spread
     // partitions (measured 66 s vs 12 s at sf0.1). Above an RDD leaf
     // the filter is a trivial string compare per round read.
-    // r13: co-locate the pair log on the winner key (the r7 device the
-    // graph rounds use): every round's FIRST join is keyed __w, so a
-    // pre-partitioned log makes that leg shuffle only the (item-grain)
-    // score frame instead of re-shuffling the pair log each round; the
-    // __l leg still shuffles the joined output (inherent — Pregel).
-    // checkpointPartitionedBy keeps broadcast-sized logs plain, so the
-    // 20-item q276 shape still gets zero-shuffle broadcast rounds.
-    val pl = timed("pl")(Graph.checkpointPartitionedBy(
-      Dedup.spread(pairs)
-        .select(winner.cast("string").as("__w"),
-          loser.cast("string").as("__l")), col("__w")))
+    // r14: the r13 pair-log co-location (checkpointPartitionedBy on __w)
+    // is reverted — it double-materialized and fully shuffled the pair
+    // log at setup to pre-partition a join leg whose other side (the
+    // item-grain score frame) broadcasts or shuffle-hashes cheaply every
+    // round anyway; measured 5.7 → 34.6 s on q286 at local[32]. A plain
+    // localCheckpoint of the projection is the right shape.
+    val pl = timed("pl")(Dedup.spread(pairs)
+      .select(winner.cast("string").as("__w"), loser.cast("string").as("__l"))
+      .localCheckpoint()) // read every round
       .filter(col("__w").isNotNull && col("__l").isNotNull &&
         col("__w") =!= col("__l"))
     val tallies = timed("tallies")(pl
@@ -456,21 +453,43 @@ object Train {
     */
   def naiveBayesScoreTokens(df: DataFrame, id: Column, featToks: Column,
                             model: DataFrame): DataFrame = {
+    // r14: pre-aggregate the term frequency per (doc, token) BEFORE the
+    // model join — the join then fans out C model rows per DISTINCT
+    // (doc, token) instead of per occurrence, and the likelihood sums
+    // `tf · logp` in exact decimal, which equals the old occurrence-wise
+    // repeated addition bit-for-bit (decimal(28,12) arithmetic is exact
+    // at these magnitudes; sum of tf identical terms IS the product).
+    // Guide §2.3 "aggregate before you shuffle" applied to a join fan-out:
+    // char-gram featurizations repeat grams heavily per doc, so the
+    // decimal-sum and join-probe work drops by the repeat factor.
     val toks = Dedup.spread(df)
       .select(id.as("doc_id"), explode(featToks).as("token"))
       .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    // type discipline: decimal(18,12) × decimal(19,0) → decimal(38,12)
+    // with NO precision-overflow scale reduction (28,12 × a bare long
+    // would overflow precision 38 and Spark would round the product's
+    // scale down to 6 — measured as a 1e-6-level drift on q302). |logp|
+    // < 50 fits 6 integer digits; tf fits 19 digits at any scale.
     val scores = toks.join(model, Seq("token"))
       .groupBy(col("doc_id"), col("class"))
-      .agg(sum(col("logp").cast("decimal(28,12)")).as("__ll"),
+      .agg(sum(col("logp").cast("decimal(18,12)") *
+          col("__tf").cast("decimal(19,0)")).as("__ll"),
         min(col("prior")).as("__prior"))
       .select(col("doc_id"), col("class"),
         round(col("__ll").cast("double") + col("__prior"), 9).as("__score"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("__score").desc, col("class").asc)
-    val best = scores.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("class").as("__pred"),
-        col("__score").as("__s"))
+    // r14: per-doc argmax as min over (−score, class) structs — the
+    // lexicographic struct MIN reproduces (score DESC, class ASC) exactly
+    // on the unique (doc, class) rows and is a DeclarativeAggregate with
+    // map-side partials, replacing the row_number window's full sort
+    // (scores are finite and never NaN: rounded sums of finite logs).
+    val best = scores
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("__score")).as("ns"), col("class").as("c")))
+        .as("__b"))
+      .select(col("doc_id"), col("__b").getField("c").as("__pred"),
+        (-col("__b").getField("ns")).as("__s"))
     // prior-only fallback for docs with zero in-vocab tokens
     val fallback = model.select(col("class"), col("prior")).distinct()
       .orderBy(col("prior").desc, col("class").asc).limit(1)

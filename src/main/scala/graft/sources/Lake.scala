@@ -451,7 +451,8 @@ object Lake {
     * idempotently.
     */
   def streamLand(df: DataFrame, table: String, prefix: String,
-                 checkpointDir: String): Unit = {
+                 checkpointDir: String): Unit =
+    graft.streaming.Streaming.withStaticMicrobatchPlans(df.sparkSession) {
     val q = df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
@@ -463,7 +464,7 @@ object Lake {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-  }
+    }
 
   // —————————————————————————————————————————————————— schema evolution
 

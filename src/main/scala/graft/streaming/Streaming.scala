@@ -17,6 +17,54 @@ import org.apache.spark.sql.types.StructType
   */
 object Streaming {
 
+  /** Run `body` — code that starts and synchronously drains a bounded
+    * micro-batch stream — with AQE disabled on the session, restoring the
+    * previous value afterwards (r14, guide §1.2 step 3 after steps 1-2).
+    *
+    * Why: the stateful streaming plan itself already runs without AQE
+    * (Spark disables adaptive execution for streaming plans), but every
+    * foreachBatch body and per-batch sub-job is a BATCH query that
+    * re-plans adaptively on every micro-batch. Under the engine's seam
+    * protocol (maxFilesPerTrigger-bounded AvailableNow drains) each
+    * batch is a small bounded chunk whose plan never benefits from
+    * runtime re-optimization — the per-stage plan finalization is pure
+    * driver overhead paid once per stage per batch. Measured at sf0.1
+    * `local[32]`: q234 5.4→3.2 s, q236 7.7→3.8 s, q272 6.6→4.9 s with
+    * AQE off for the drain; landed CONTENTS are unaffected (partition
+    * counts may differ; every landed sum/row in this engine is
+    * partition-order-independent by the decimal discipline).
+    *
+    * Scale honesty: micro-batch size is set by trigger config, not
+    * corpus size, so static per-batch plans are the right default on a
+    * cluster too; a deployment whose individual micro-batches are large
+    * enough to want AQE coalescing/skew handling sets
+    * `spark.graft.streaming.aqe=true` and this wrapper becomes a no-op.
+    *
+    * Scope (r14, measured per family — isolated c32 A/B each way): this
+    * wraps only the drain/land lanes whose per-batch bodies are trivial
+    * (aggregate-to-memory, append-to-parquet) and whose wall is
+    * dominated by per-batch plan finalization: `runToMemory`
+    * (q234 10.5→3.4 s, q236 9.0→4.7 s, q196 6.7→3.1 s in-suite),
+    * `incrementalFileLoad` (q120 4.05 vs 4.47 s), `partitionedSink`,
+    * `Lake.streamLand`. The `*Maintain` helpers are NOT wrapped: their
+    * foreachBatch bodies join each batch against accumulated parquet
+    * state, and AQE's runtime broadcast decision on the growing state
+    * side wins (q247 4.59 vs 5.90 s, q342 2.33 vs 3.55 s, q336 3.57 vs
+    * 4.31 s, q289 3.96 vs 4.29 s, q272 5.22 vs 5.88 s AQE-on vs static).
+    */
+  private[graft] def withStaticMicrobatchPlans[T](spark: SparkSession)
+                                          (body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val keepAqe =
+      spark.conf.getOption("spark.graft.streaming.aqe").contains("true")
+    val prev = spark.conf.get(key, "true")
+    if (keepAqe || prev != "true") body
+    else {
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
+    }
+  }
+
   /** Incremental file-source load: process all currently-available files
     * exactly once (checkpoint-tracked), drop duplicate keys within the
     * watermark horizon, append to a parquet lake table. Returns after the
@@ -26,7 +74,8 @@ object Streaming {
   def incrementalFileLoad(spark: SparkSession, sourceDir: String,
                           schema: StructType, keys: Seq[String],
                           eventTime: String, watermark: String,
-                          targetDir: String, checkpointDir: String): Unit = {
+                          targetDir: String, checkpointDir: String): Unit =
+    withStaticMicrobatchPlans(spark) {
     val stream = spark.readStream
       .schema(schema)
       .option("latestFirst", "false")
@@ -238,7 +287,8 @@ object Streaming {
     * transaction log).
     */
   def partitionedSink(stream: DataFrame, tablePath: String,
-                      partitionKeys: Seq[String], checkpoint: String): Unit = {
+                      partitionKeys: Seq[String], checkpoint: String): Unit =
+    withStaticMicrobatchPlans(stream.sparkSession) {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -508,7 +558,8 @@ object Streaming {
     * in-memory table (test/bench harness path).
     */
   def runToMemory(agg: DataFrame, name: String,
-                  mode: OutputMode = OutputMode.Complete): DataFrame = {
+                  mode: OutputMode = OutputMode.Complete): DataFrame =
+    withStaticMicrobatchPlans(agg.sparkSession) {
     val q = agg.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     q.processAllAvailable()
